@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+Reference equivalent: ``src/streaming/spark_session.py:10-21`` (fixed
+``spark.sql.shuffle.partitions=4``, master from env). The new engine makes
+the knobs explicit and enables AQE so the shuffle partition count adapts at
+runtime — at 100 TB a fixed small shuffle count is the first bottleneck,
+and AQE coalescing + skew-join splitting replace hand tuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults target the test harness (local[32], 128 GiB). On a real cluster
+# master/shuffle come from spark-submit / cluster conf and these are only
+# fallbacks.
+DEFAULT_MASTER = os.environ.get("SPARK_MASTER_URL", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_SQL_SHUFFLE_PARTITIONS", "32")
+
+
+def create_spark_session(
+    app_name: str = "cdc-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a SparkSession tuned for windowed-aggregation analytics.
+
+    Scale posture (100 TB / 1000 executors):
+      * AQE on: runtime shuffle coalescing, skew-join splitting and
+        dynamic broadcast-join demotion/promotion.
+      * Arrow on: any Pandas UDF operator transfers columnar batches.
+      * ``maxPartitionBytes`` at the 128 MiB default keeps scan tasks
+        sized for executor memory; we do not shrink it for local tests so
+        plans keep production shape.
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or DEFAULT_MASTER)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Testdata `events.ts` is parquet TIMESTAMP(NANOS); Spark has no
+        # nanos timestamp type, so read as long and convert (files.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Streaming: durable checkpoints are configured per-query; state
+        # store defaults (HDFS-backed) are fine for the operators we use.
+        .config("spark.sql.streaming.stateStore.stateSchemaCheck", "true")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

@@ -1,0 +1,81 @@
+"""File sources (batch + streaming).
+
+Reference equivalent: the batch file scan was an unimplemented TODO
+(``src/batch/batch_etl.py:12-20``); the new engine makes file scans a
+first-class source. For tests, a file-backed streaming reader stands in
+for the Kafka source (same DataFrame shape downstream).
+
+Scale notes:
+  * readers always pass a declared schema — no inference job over 100 TB;
+  * filters/projections applied by callers reach the parquet scan
+    (PushedFilters / ReadSchema) because nothing here materializes;
+  * ``maxFilesPerTrigger`` bounds micro-batch size for streaming reads
+    the way ``maxOffsetsPerTrigger`` would for Kafka.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from pyspark.sql import functions as F
+
+from cdc_pipeline_spark import schemas as schema_registry
+
+# Columns stored as parquet TIMESTAMP(NANOS) — Spark has no nanos type, so
+# they arrive as nanosecond longs (spark.sql.legacy.parquet.nanosAsLong)
+# and are floor-converted to µs TimestampType here, matching DuckDB's
+# ns→µs truncation so oracle comparisons agree.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str, schema: StructType | None = None) -> DataFrame:
+    """Read one testdata table (``{sf_dir}/{name}.parquet``) with its declared schema."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    declared = schema if schema is not None else schema_registry.TESTDATA.get(name)
+    reader = spark.read
+    if declared is not None:
+        reader = reader.schema(declared)
+    df = reader.parquet(path)
+    for col in _NANOS_TS_COLS.get(name, ()):
+        # integer `div` keeps full precision (ns longs overflow double)
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None) -> dict[str, DataFrame]:
+    """Load every (or the named subset of) testdata tables as DataFrames."""
+    names = names or schema_registry.TESTDATA_TABLE_NAMES
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType, **options) -> DataFrame:
+    """Batch CSV scan with declared schema (no inference pass)."""
+    return spark.read.options(header="true", **options).schema(schema).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType, **options) -> DataFrame:
+    """Batch JSON-lines scan with declared schema."""
+    return spark.read.options(**options).schema(schema).json(path)
+
+
+def stream_parquet(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """File-backed streaming source (test stand-in for the Kafka reader).
+
+    Produces the same downstream DataFrame shape as
+    ``sources.kafka_avro.read_cdc_stream`` so every streaming transform is
+    testable without brokers (reference used only Kafka,
+    ``src/streaming/kafka_sources.py:55-63``).
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)

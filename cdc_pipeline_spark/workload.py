@@ -1,0 +1,502 @@
+"""Named query workload: Spark builders + DuckDB oracle SQL.
+
+Each entry binds an engine operator (SURVEY.md §2 inventory) to the
+driver-generated testdata tables (TESTDATA.md). The Spark side and the
+oracle SQL alias every computed column identically — the correctness gate
+hashes values after sorting columns by name.
+
+Determinism conventions shared by both sides:
+  * window starts/ends are epoch-second BIGINTs (Spark ``cast("long")``,
+    DuckDB ``CAST(floor(epoch(ts)/slide)*slide AS BIGINT)``); a sliding
+    window of size s and slide d expands to s/d epoch-aligned windows per
+    row (Spark `F.window` semantics) — the oracle cross-joins the offsets;
+  * money/measure sums are ``round(x, 2)``, averages/percentiles
+    ``round(x, 4)``;
+  * approximate sketches (percentile_approx / HLL) run in exact mode here
+    (SURVEY §7.5.2); production defaults keep the sketches;
+  * every LIMIT carries a total deterministic ORDER BY.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_pipeline_spark.operators import aggregates, cdc, topk, trends
+from cdc_pipeline_spark.operators.activity import enrich_activity
+from cdc_pipeline_spark.sources.files import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def wrap(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return wrap
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Relational core — scan / filter / hash-agg / join / top-k on the TPC-H-ish
+# tables. These exercise predicate pushdown, column pruning, broadcast joins
+# and partial aggregation, the §4 plan-shape requirements.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                          AS sum_qty,
+           round(sum(l_extendedprice), 2)                                     AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+           round(avg(l_quantity), 4)                                          AS avg_qty,
+           round(avg(l_extendedprice), 4)                                     AS avg_price,
+           round(avg(l_discount), 4)                                          AS avg_disc,
+           count(*)                                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-shaped pricing summary — scan → pushed filter →
+    partial+final hash agg. One shuffle of (flag,status) partials only."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(epoch(o_orderdate) AS BIGINT)                AS orderdate_epoch,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join fact-to-fact + broadcast dim, grouped revenue, global top-10
+    (TakeOrderedAndProject — per-partition heap, no total sort)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    joined = li.join(
+        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return topk.top_k(
+        agg.select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("long").alias("orderdate_epoch"),
+            "o_orderpriority",
+        ),
+        [F.col("revenue").desc(), F.col("l_orderkey").asc()],
+        10,
+    )
+
+
+@register(
+    "q5_nation_volume",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join volume rollup: all dimension hops broadcast (region,
+    nation, customer are tiny next to lineitem) so the only shuffle is the
+    final group-by on n_name."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name")
+    )
+    fact = li.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+    return (
+        fact.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "order_status_rollup",
+    """
+    SELECT o_orderstatus,
+           count(*)                        AS order_count,
+           round(sum(o_totalprice), 2)     AS total_amount,
+           round(avg(o_totalprice), 4)     AS avg_amount
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completed-order-filter analog (reference filters status='completed'
+    before revenue, kpi_aggregator.py:149) generalized to a status rollup."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_amount"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_amount"),
+        )
+    )
+
+
+@register(
+    "customer_region_enrichment",
+    """
+    SELECT r_name AS region_name,
+           count(*)                   AS customer_count,
+           round(avg(c_acctbal), 4)   AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def customer_region_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 broadcast dimension-enrichment path (designed
+    DESCRIPTION.md:871-893): fact → broadcast(nation) → broadcast(region)."""
+    from cdc_pipeline_spark.operators.enrich import broadcast_enrich
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    region = _t(spark, sf_dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+    enriched = broadcast_enrich(broadcast_enrich(cust, nation, on=["c_nationkey"], how="inner"), region, on=["n_regionkey"], how="inner")
+    return enriched.groupBy(F.col("r_name").alias("region_name")).agg(
+        F.count(F.lit(1)).alias("customer_count"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-semantics pipelines (A1–A7) in batch form over `events`.
+# Column binding: user_id ~ session/user key, event_type 'purchase' ~ order
+# rows, 'error' ~ 5xx rows, value ~ amount/latency measure.
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+    WITH expanded AS (
+        SELECT CAST(floor(epoch(ts) / {slide}) * {slide} AS BIGINT) - o.off AS window_start, t.*
+        FROM events t CROSS JOIN (VALUES {offsets}) o(off)
+    )
+    SELECT window_start, window_start + {size} AS window_end, {aggs}
+    FROM expanded
+    GROUP BY window_start
+"""
+
+
+@register(
+    "kpi_sliding_window",
+    _SLIDING_ORACLE.format(
+        slide=10,
+        size=30,
+        offsets="(0), (10), (20)",
+        aggs="""
+           count(DISTINCT user_id)                                                   AS active_users,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2)  AS revenue,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)  AS orders,
+           round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 / greatest(count(*), 1) * 100.0, 2)                                 AS error_rate,
+           round(quantile_cont(value, 0.5), 4)                                       AS latency_p50
+        """,
+    ),
+)
+def kpi_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 KPI aggregator (kpi_aggregator.py:146-203) over events: sliding
+    30s/10s window, distinct users, revenue, orders, guarded error rate,
+    exact median."""
+    ev = _t(spark, sf_dir, "events").select(
+        "ts",
+        "user_id",
+        F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0)).alias("revenue_amount"),
+        F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0)).alias("order_count"),
+        F.when(F.col("event_type") == "error", F.lit(1)).otherwise(F.lit(0)).alias("error_count"),
+        F.lit(1).alias("request_count"),
+        F.col("value").alias("latency_ms"),
+    )
+    return aggregates.windowed_kpi(
+        ev, time_col="ts", duration="30 seconds", slide="10 seconds", session_col="user_id", exact=True
+    )
+
+
+@register(
+    "traffic_tumbling_count",
+    """
+    WITH buckets AS (
+        SELECT CAST(floor(epoch(ts) / 10) * 10 AS BIGINT) AS window_start, count(*) AS value
+        FROM events
+        GROUP BY 1
+    )
+    SELECT window_start, window_start + 10 AS window_end, value,
+           strftime(make_timestamp((window_start + 10) * 1000000), '%I:%M:%S %p') AS label
+    FROM buckets
+    """,
+)
+def traffic_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 traffic builder (traffic_builder.py:35-44): 10s tumbling count
+    with the 12-hour clock label contract."""
+    return aggregates.tumbling_traffic(_t(spark, sf_dir, "events"), time_col="ts", duration="10 seconds")
+
+
+@register(
+    "health_conditional_avg",
+    _SLIDING_ORACLE.format(
+        slide=15,
+        size=30,
+        offsets="(0), (15)",
+        aggs="""
+           round(coalesce(avg(CASE WHEN event_type = 'click' THEN value END), 0.0), 4) AS cpu_avg,
+           round(coalesce(avg(CASE WHEN event_type = 'view'  THEN value END), 0.0), 4) AS memory_avg,
+           count(DISTINCT user_id)                                                     AS node_count
+        """,
+    ),
+)
+def health_conditional_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 health aggregator (health_aggregator.py:30-50): pivot-style
+    conditional means + distinct entity count over a 30s/15s window."""
+    return aggregates.windowed_health(
+        _t(spark, sf_dir, "events"),
+        time_col="ts",
+        metric_name_col="event_type",
+        metric_value_col="value",
+        node_col="user_id",
+        cpu_metric="click",
+        memory_metric="view",
+        exact=True,
+    )
+
+
+@register(
+    "platform_breakdown",
+    """
+    SELECT event_type AS platform, count(*) AS count
+    FROM events
+    WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def platform_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 device/platform global group-count (device_platform.py:35-44)."""
+    return aggregates.platform_breakdown(_t(spark, sf_dir, "events"), platform_col="event_type")
+
+
+@register(
+    "geo_header_load",
+    """
+    WITH expanded AS (
+        SELECT CAST(floor(epoch(ts) / 30) * 30 AS BIGINT) - o.off AS window_start
+        FROM events t CROSS JOIN (VALUES (0), (30)) o(off)
+    ),
+    agg AS (
+        SELECT window_start, window_start + 60 AS window_end, count(*) AS request_count
+        FROM expanded GROUP BY 1
+    )
+    SELECT window_start, window_end, request_count,
+           concat(CAST(round(request_count * 0.1, 1) AS VARCHAR), ' TB/S') AS global_load
+    FROM agg
+    """,
+)
+def geo_header_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 geo header (geo_header.py:30-45): 1m/30s windowed count with the
+    formatted global-load label."""
+    return aggregates.windowed_geo_header(_t(spark, sf_dir, "events"), time_col="ts", load_scale=0.1)
+
+
+@register(
+    "alert_threshold_frame",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE)  AS event_count,
+               avg(value)                AS avg_value
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, 'high_avg_value' AS rule_id, 'avg_value' AS metric,
+           avg_value AS metric_value, 50.0 AS threshold,
+           CASE WHEN avg_value >= 50.0 THEN 'firing' ELSE 'ok' END AS status
+    FROM stats
+    UNION ALL
+    SELECT event_type, 'high_volume' AS rule_id, 'event_count' AS metric,
+           event_count AS metric_value, 1000.0 AS threshold,
+           CASE WHEN event_count >= 1000.0 THEN 'firing' ELSE 'ok' END AS status
+    FROM stats
+    """,
+)
+def alert_threshold_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 alert frame (alert_evaluator.py:43-78): N threshold rules
+    evaluated per row and unioned by name."""
+    stats = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("event_count"),
+            F.avg("value").alias("avg_value"),
+        )
+    )
+    rules = [
+        {"id": "high_avg_value", "metric": "avg_value", "threshold": 50.0},
+        {"id": "high_volume", "metric": "event_count", "threshold": 1000.0},
+    ]
+    return aggregates.alert_frame(stats, rules, id_cols=["event_type"])
+
+
+@register(
+    "activity_feed_top15",
+    """
+    SELECT concat('evt_', CAST(event_id AS VARCHAR))               AS id,
+           coalesce(CAST(user_id AS VARCHAR), 'Guest')             AS user,
+           CASE event_type WHEN 'purchase' THEN 'purchase'
+                           WHEN 'signup'   THEN 'login'
+                           WHEN 'click'    THEN 'cart'
+                           ELSE 'view' END                          AS action,
+           CASE WHEN event_type = 'purchase' THEN value END         AS amount,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S')                        AS timestamp,
+           concat_ws(', ', json_extract_string(props, '$.k'), event_type) AS location
+    FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 15
+    """,
+)
+def activity_feed_top15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity enrichment projection + latest-15 feed
+    (activity_enricher.py:19-55): when-chain action mapping, id prefixing,
+    coalesce fallback, ISO formatting, JSON metadata extraction, top-k."""
+    ev = _t(spark, sf_dir, "events").withColumn("props_k", F.get_json_object("props", "$.k"))
+    newest = topk.top_k(ev, [F.col("ts").desc(), F.col("event_id").desc()], 15)
+    return enrich_activity(
+        newest,
+        id_col="event_id",
+        event_type_col="event_type",
+        user_col="user_id",
+        amount_col="value",
+        time_col="ts",
+        city_col="props_k",
+        country_col="event_type",
+        action_map={"purchase": "purchase", "signup": "login", "click": "cart"},
+        purchase_event="purchase",
+    )
+
+
+@register(
+    "cdc_latest_state",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type, value AS last_value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-state-per-key view (§7.2.4): the compaction the reference
+    lacks but CDC correctness at scale needs — one shuffle on the key."""
+    latest = cdc.latest_state(
+        _t(spark, sf_dir, "events"), key_cols=["user_id"], version_cols=["ts"], tie_breakers=["event_id"]
+    )
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@register(
+    "hourly_value_trend",
+    """
+    WITH hourly AS (
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS period_start,
+               round(sum(value), 2) AS value
+        FROM events GROUP BY 1
+    )
+    SELECT period_start, value,
+           round((value - lag(value) OVER (ORDER BY period_start))
+                 / nullif(lag(value) OVER (ORDER BY period_start), 0) * 100.0, 2) AS value_trend
+    FROM hourly
+    """,
+)
+def hourly_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 KPI trend (kpi_aggregator.py:28-51,74-95) as its relational form:
+    ``lag(value) over (order by period)`` on post-aggregation rows."""
+    return trends.period_over_period(_t(spark, sf_dir, "events"), time_col="ts", value_cols=["value"], period="hour")
+
+
+@register(
+    "grouped_topk_events",
+    """
+    SELECT event_type, event_id, user_id, value, rank
+    FROM (
+        SELECT event_type, event_id, user_id, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+        FROM events
+    )
+    WHERE rank <= 5
+    """,
+)
+def grouped_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 grouped top-k via row_number window (the distributed form of
+    the reference's driver-side ``sorted(...)[1:6]``, region_aggregator.py:53-65)."""
+    ranked = topk.grouped_top_k(
+        _t(spark, sf_dir, "events"),
+        partition_by=["event_type"],
+        order_by=[F.col("value").desc(), F.col("event_id").asc()],
+        k=5,
+    )
+    return ranked.select("event_type", "event_id", "user_id", "value", "rank")

@@ -1,0 +1,31 @@
+"""Every oracle-backed workload query must match DuckDB at sf0.001.
+
+This is the local replica of the driver's t2 gate (the driver runs
+sf0.01; sf0.001 keeps the suite fast — run
+``SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 pytest`` for the full check).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cdc_pipeline_spark import workload
+from tests.oracle import compare
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+ORACLE_QUERIES = sorted(workload.ORACLE_SQL.keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, name):
+    problems = compare(spark, workload.QUERIES[name], workload.ORACLE_SQL[name], SF_DIR)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_all_queries_have_runnable_plans(spark):
+    for name, fn in workload.QUERIES.items():
+        df = fn(spark, SF_DIR)
+        assert df.columns, f"{name} returned no columns"
