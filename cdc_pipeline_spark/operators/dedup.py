@@ -1,0 +1,260 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the whole point of these at 100 TB):
+  * exact dedup = hash-groupBy on a normalized fingerprint — one shuffle
+    keyed by digest, no content comparison;
+  * n-gram Jaccard = inverted-index self-join (explode shingles, join on
+    shingle, count intersections) — never an O(n²) cross join; the join
+    key is the shingle so co-occurrence is data-proportional;
+  * MinHash+LSH = fixed-size signatures (perm-count × 8 bytes per doc)
+    → band buckets → candidate pairs only within buckets → exact verify.
+    Signature build is one pass; banding is a second small shuffle;
+  * SimHash = one 32-bit signature per doc; near-dup candidates pair via
+    band equality on signature chunks, then exact Hamming verify with
+    ``bit_count(a XOR b)``.
+
+Everything is built from JVM built-ins (xxhash64, pmod, explode,
+bit_count) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_pipeline_spark.operators.text import fingerprint, tokens, word_shingles
+
+# Deterministic affine MinHash parameters: h_i(x) = (A_i * x + B_i) mod P.
+# P = 2^31 − 1 (Mersenne) keeps a·x < 2^62 so the JVM long math never
+# overflows (Spark 4 ANSI mode makes overflow an error, not a wrap).
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic pseudo-random (a, b) pairs derived from a seed via a
+    splitmix-style integer scramble (no RNG state, reproducible across
+    runs/cluster sizes)."""
+    params = []
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(num_perm):
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z ^= z >> 31
+        a = (z % (_MERSENNE_P - 1)) + 1
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        b = x % _MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via normalized-fingerprint hash-groupBy. Returns one
+    row per distinct content: canonical (min) id + duplicate count."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+    )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's default parallelism before expensive
+    per-row expression work (shingling/hashing). Small single-file parquet
+    inputs otherwise arrive as ONE partition and serialize the whole
+    operator onto one core (measured 10s → 0.6s for sf0.1 shingling).
+    Explicit numPartitions, so AQE does not coalesce it away."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(text_col, n).alias("shingles"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-dup pairs via inverted-index join.
+
+    ``J(A,B) = |A∩B| / (|A|+|B|−|A∩B|)``; intersections come from a
+    self-join on exploded distinct shingles (data-proportional, not n²),
+    set sizes from a pre-aggregated side. Returns (id_a < id_b, jaccard).
+    """
+    sh = _shingled(df, id_col, text_col, n)
+    sizes = sh.select("doc_id", F.size("shingles").alias("set_size"))
+    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+
+    left = posting.select(F.col("doc_id").alias("id_a"), "shingle")
+    right = posting.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    with_sizes = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+    )
+    jaccard = F.col("intersection") / (F.col("size_a") + F.col("size_b") - F.col("intersection"))
+    return (
+        with_sizes.withColumn("jaccard", F.round(jaccard, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """MinHash signatures: num_perm column-wise minima of affine-permuted
+    shingle hashes. One explode + one groupBy; signature size is fixed per
+    doc regardless of document length — the property that makes this the
+    scale path for 100 TB dedup."""
+    sh = _shingled(df, id_col, text_col, n)
+    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    # xxhash64 → non-negative base hash (pmod keeps it in the field)
+    base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P))
+    mins = [
+        F.min(F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE_P))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_perm_params(num_perm))
+    ]
+    sig = posting.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.3,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band the signature (bands × rows),
+    bucket-join docs sharing any band hash, then (optionally) verify
+    candidates with exact Jaccard and keep pairs ≥ threshold.
+
+    With 64 perms / 16 bands / 4 rows the S-curve crosses ~50% recall at
+    J ≈ (1/16)^(1/4) ≈ 0.5 and is near-1 for J ≥ 0.7; verification makes
+    precision exact. At scale, candidates per bucket are bounded by band
+    collisions, not corpus size.
+    """
+    rows = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    band_hash = [
+        F.xxhash64(F.concat_ws(",", *[F.col("signature")[b * rows + r].cast("string") for r in range(rows)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_hash)
+    melted = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket")) for b in range(bands)])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    pairs = (
+        melted.alias("l")
+        .join(melted.alias("r"), ["band", "bucket"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return pairs
+    # Verify ONLY the candidates: join their shingle sets back and compute
+    # exact Jaccard via array_intersect — O(candidates), never the full
+    # posting-list self-join (that's what LSH is here to avoid).
+    sh = _shingled(df, id_col, text_col, n)
+    a_side = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("__sa"))
+    b_side = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("__sb"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    jaccard = inter / (F.size("__sa") + F.size("__sb") - inter)
+    return (
+        pairs.join(a_side, "id_a")
+        .join(b_side, "id_b")
+        .withColumn("jaccard", F.round(jaccard, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """SimHash: sign of the per-bit sum of token hash bits (+1/−1),
+    packed into a single long. One explode + groupBy with `bits` sums."""
+    posting = _spread(df).select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token"))
+    h = F.xxhash64("token")
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    summed = posting.groupBy("doc_id").agg(*bit_sums)
+    packed = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return summed.select("doc_id", packed.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the signature into `bands` chunks
+    (pigeonhole: hamming ≤ bands−1 guarantees an identical chunk), join on
+    chunk equality, verify with ``bit_count(xor) ≤ max_hamming``."""
+    chunk = bits // bands
+    mask = (1 << chunk) - 1
+    sig = simhash_signatures(df, id_col, text_col, bits)
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * chunk).bitwiseAND(F.lit(mask)).alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("doc_id", "simhash", "bc.band", "bc.chunk")
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(r, ["band", "chunk"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

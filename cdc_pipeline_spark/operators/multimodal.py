@@ -1,0 +1,96 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+A 100 TB training-data pipeline carries image/audio/video as `binary`
+columns beside typed metadata, and runs decode / feature-extraction /
+resize / frame-sampling as Arrow-batched Pandas stages (`mapInPandas`) —
+per-row Python UDFs would be 10–100× slower and decode libraries only
+exist in the Python workers anyway.
+
+The decode step itself is STUBBED here (no image/audio libs in this
+container): `decode_stub` raises NotImplementedError unless
+`fake=True`, in which case it produces a deterministic fake feature
+vector from the payload bytes. The Spark-side plumbing — schema,
+partition-preserving mapInPandas, Arrow batch shape, output contract —
+is real and tested; swapping the stub for PIL/librosa is a one-function
+change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Output contract of the feature-extraction stage
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_digest", StringType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def decode_stub(payload: bytes, fake: bool = True) -> list[float]:
+    """Stand-in for the real decoder (image resize / audio frames / …).
+
+    With ``fake=True`` (tests / this container): a deterministic
+    pseudo-feature — sha256 of the payload, first FEATURE_DIM bytes scaled
+    to [0, 1]. Real deployments replace this body with e.g.
+    ``PIL.Image.open(io.BytesIO(payload))`` + preprocessing.
+    """
+    if not fake:
+        raise NotImplementedError("media decode libraries are not available in this container")
+    digest = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in digest[:FEATURE_DIM]]
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text", payload_col: str = "payload") -> DataFrame:
+    """Testdata adapter: treat the UTF-8 bytes of a text column as the
+    opaque media payload (the engine only ever sees `binary`)."""
+    return df.withColumn(payload_col, F.encode(F.col(text_col), "UTF-8"))
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    `mapInPandas` keeps the operator partition-preserving (no shuffle) and
+    processes whole Arrow record batches per Python call. Metadata columns
+    (byte length, digest) are computed in the same pass as the decode so
+    the payload bytes cross the JVM→Python boundary exactly once.
+    """
+    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = batch["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "content_digest": payloads.map(lambda p: hashlib.sha256(bytes(p)).hexdigest()),
+                    "feature": payloads.map(lambda p: decode_stub(bytes(p), fake=fake_decode)),
+                }
+            )
+
+    return narrow.mapInPandas(run, FEATURE_SCHEMA)

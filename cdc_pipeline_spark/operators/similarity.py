@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two paths, as a 100 TB training-data pipeline needs:
+  * brute-force cosine top-k — the exact baseline. The dot product is a
+    JVM-side ``aggregate(zip_with(...))`` fold (no Python); the query
+    side is broadcast so the corpus scan never shuffles, and top-k per
+    query is a ``row_number`` window over (query, score).
+  * IVF-style bucketed search — the scale path: assign every vector to
+    its nearest coarse centroid once (one pass), then probe only the
+    query's bucket(s). Candidate count drops from N to N·probe/cells;
+    recall is tunable via n_probe.
+
+Physical notes (measured on local[32]):
+  * a broadcast nested-loop self-join inherits the probe side's
+    partitioning — a small corpus parquet is ONE partition, which
+    serializes the entire O(n²) scoring onto one core. Every all-pairs
+    operator therefore repartitions the probe side to the session's
+    default parallelism first (explicit numPartitions, so AQE does not
+    coalesce it back).
+  * the sequential fold beats a 64-term unrolled expression ~3× here
+    (the giant expression tree blows past codegen method limits), and
+    its left-to-right order is what a sequential SQL inner product
+    computes — so scores are bit-comparable with the DuckDB oracle.
+  * norms are computed once per side, never per pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_pipeline_spark.operators.topk import grouped_top_k
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a sequential double fold (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _spread(df: DataFrame, parallelism: int | None) -> DataFrame:
+    """Repartition the probe side of an all-pairs join so the scoring
+    parallelizes (see module docstring)."""
+    if parallelism is None:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parallelism)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast(queries) × corpus → score → grouped
+    top-k. Output: (query_id, vec_id, score, rank)."""
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")).withColumn(
+        "__qnorm", norm(F.col("__qvec"))
+    )
+    c = _spread(corpus, parallelism).withColumn("__cnorm", norm(F.col(vec_col)))
+    scored = c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).select(
+        query_id_col,
+        id_col,
+        F.round(dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qnorm") * F.col("__cnorm")), 6).alias("score"),
+    )
+    return grouped_top_k(
+        scored,
+        partition_by=[query_id_col],
+        order_by=[F.col("score").desc(), F.col(id_col).asc()],
+        k=k,
+    )
+
+
+def ivf_centroids(corpus: DataFrame, cell_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """Per-cell mean vector (double precision).
+
+    posexplode → per-(cell, dim) avg → re-pack sorted by dim. Fully
+    distributed partial aggregation: state per group is one double, never
+    a vector list. With a pre-assigned cell column this is one shuffle;
+    without one, plug in any coarse quantizer (k-means iterations are
+    repeated runs of exactly this aggregation + reassignment)."""
+    exploded = corpus.select(cell_col, F.posexplode(F.col(vec_col)).alias("__pos", "__val"))
+    means = exploded.groupBy(cell_col, "__pos").agg(F.avg(F.col("__val").cast("double")).alias("__mean"))
+    return means.groupBy(cell_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__mean"))),
+            lambda s: s["__mean"],
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    cell_col: str = "label",
+    n_probe: int = 1,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """IVF-bucketed ANN: route each query to its n_probe nearest
+    centroids, then brute-force only those cells. Output matches
+    brute_force_topk (rank recomputed within probed cells)."""
+    centroids = ivf_centroids(corpus, cell_col, vec_col)
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    routed = grouped_top_k(
+        q.crossJoin(F.broadcast(centroids)).select(
+            query_id_col,
+            "__qvec",
+            cell_col,
+            cosine(F.col("__qvec"), F.col("centroid")).alias("__cscore"),
+        ),
+        partition_by=[query_id_col],
+        order_by=[F.col("__cscore").desc(), F.col(cell_col).asc()],
+        k=n_probe,
+        rank_col="__crank",
+    ).select(query_id_col, F.col("__qvec"), norm(F.col("__qvec")).alias("__qnorm"), cell_col)
+    scored = (
+        _spread(corpus, parallelism)
+        .withColumn("__cnorm", norm(F.col(vec_col)))
+        .join(F.broadcast(routed), [cell_col])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qnorm") * F.col("__cnorm")), 6).alias("score"),
+        )
+    )
+    return grouped_top_k(
+        scored,
+        partition_by=[query_id_col],
+        order_by=[F.col("score").desc(), F.col(id_col).asc()],
+        k=k,
+    )
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, score ≥ τ).
+
+    Brute-force all-pairs — correct and fine to ~10⁴ vectors on the
+    broadcast side; beyond that, route through ivf_topk buckets or LSH
+    (random-hyperplane) banding first."""
+    left = _spread(corpus, parallelism).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    ).withColumn("__na", norm(F.col("__va")))
+    right = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")).withColumn(
+        "__nb", norm(F.col("__vb"))
+    )
+    return (
+        left.join(F.broadcast(right), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

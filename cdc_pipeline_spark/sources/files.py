@@ -34,7 +34,11 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 def load_table(spark: SparkSession, sf_dir: str, name: str, schema: StructType | None = None) -> DataFrame:
     """Read one testdata table (``{sf_dir}/{name}.parquet``) with its declared schema."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Runtime-set so the engine also works on sessions it didn't build
+    # (the correctness driver constructs its own SparkSession): nanos
+    # parquet handling + UTC so date_format/window labels are stable.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     declared = schema if schema is not None else schema_registry.TESTDATA.get(name)
     reader = spark.read
     if declared is not None:

@@ -500,3 +500,259 @@ def grouped_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
     )
     return ranked.select("event_type", "event_id", "user_id", "value", "rank")
+
+
+# ---------------------------------------------------------------------------
+# A2 region pipeline with broadcast enrichment (the designed-but-unbuilt
+# reference join path, DESCRIPTION.md:871-893, fused with the windowed
+# region agg region_aggregator.py:101-131).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "region_windowed_sales",
+    """
+    WITH enriched AS (
+        SELECT e.ts, coalesce(n.n_name, 'Unknown') AS region_name,
+               CASE WHEN e.event_type = 'purchase' THEN e.value ELSE 0.0 END AS sales,
+               1 AS request_count
+        FROM events e
+        LEFT JOIN customer c ON e.user_id = c.c_custkey
+        LEFT JOIN nation  n ON c.c_nationkey = n.n_nationkey
+    ),
+    expanded AS (
+        SELECT CAST(floor(epoch(ts) / 15) * 15 AS BIGINT) - o.off AS window_start, enriched.*
+        FROM enriched CROSS JOIN (VALUES (0), (15)) o(off)
+    )
+    SELECT window_start, window_start + 30 AS window_end, region_name,
+           round(sum(sales), 2)                          AS sales,
+           CAST(sum(request_count) AS BIGINT)            AS request_count,
+           least(sum(request_count) * 5.0, 100.0)        AS intensity
+    FROM expanded
+    GROUP BY window_start, region_name
+    """,
+)
+def region_windowed_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 region aggregator over events enriched with a two-hop broadcast
+    dimension lookup (user → customer → nation as the region dim)."""
+    from cdc_pipeline_spark.operators.enrich import broadcast_enrich
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("region_name")
+    )
+    enriched = broadcast_enrich(broadcast_enrich(ev, cust, on=["user_id"]), nation, on=["c_nationkey"])
+    shaped = enriched.select(
+        "ts",
+        "region_name",
+        F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0)).alias("sales"),
+        F.lit(1).alias("request_count"),
+    )
+    return aggregates.windowed_region(
+        shaped, time_col="ts", region_col="region_name", sales_col="sales",
+        request_col="request_count", duration="30 seconds", slide="15 seconds",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators: text analysis, dedup, similarity, multimodal.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_text_features",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS token_count,
+           round(len(list_distinct(toks)) / greatest(len(toks), 1), 4) AS distinct_ratio,
+           round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                 / greatest(length(text), 1), 4) AS punct_ratio,
+           round(0.3 * least(length(text) / 500.0, 1.0)
+                 + 0.4 * (len(list_distinct(toks)) / greatest(len(toks), 1))
+                 + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                                / greatest(length(text), 1)), 4) AS quality,
+           CASE WHEN len(list_filter(toks, x -> x IN ('the','a','of','and','is')))
+                     / greatest(len(toks), 1) >= 0.03
+                THEN 'en' ELSE 'unknown' END AS lang_guess,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM tok
+    """,
+)
+def doc_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis suite: token counting, lexical diversity, punctuation
+    ratio, quality score, stopword language-ID, md5 fingerprint — all JVM
+    built-ins over the documents table."""
+    from cdc_pipeline_spark.operators.text import with_text_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = with_text_features(docs, text_col="text")
+    return feats.select(
+        "doc_id",
+        F.col("token_count").cast("long").alias("token_count"),
+        "distinct_ratio",
+        "punct_ratio",
+        "quality",
+        "lang_guess",
+        "fingerprint",
+    )
+
+
+@register(
+    "dedup_exact",
+    r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+           min(doc_id) AS canonical_id,
+           count(*)    AS copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized content fingerprint."""
+    from cdc_pipeline_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+_JACCARD_ORACLE = r"""
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                            i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+        FROM tok
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(c / (na.n + nb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE round(c / (na.n + nb.n - c), 6) >= {tau}
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_ORACLE.format(tau=0.3))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via inverted-index join
+    (no cross join; join key = shingle)."""
+    from cdc_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+
+
+@register("dedup_minhash_lsh")  # approximate candidate generation → rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16×4) near-dup pairs, exact-Jaccard-verified at
+    τ=0.5. No SQL oracle (signature hashing isn't portable); tests assert
+    it recovers exactly the exact-Jaccard pairs on the planted corpus."""
+    from cdc_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register("dedup_simhash")  # hash-based signature → rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) near-dup pairs at hamming ≤ 3 via banded chunk
+    join + bit_count verify."""
+    from cdc_pipeline_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_neardup_pairs",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.e, b.e)
+                 / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 6) AS score
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_inner_product(a.e, b.e)
+                / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 6) >= 0.4
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline)."""
+    from cdc_pipeline_spark.operators.similarity import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "ann_topk_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(list_inner_product(q.qv, e.embedding::DOUBLE[])
+                     / (sqrt(list_inner_product(q.qv, q.qv))
+                        * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS score
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the first 10 vectors (broadcast
+    query side; corpus never shuffles; per-query row_number ranking)."""
+    from cdc_pipeline_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select("query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+@register("ann_ivf_topk")  # bucketed approximate path → rows-only check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (label column as coarse cells, n_probe=2): the
+    scale path — candidates drop from N to N·probe/cells. Tests measure
+    recall against the brute-force baseline."""
+    from cdc_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out = ivf_topk(emb.select("vec_id", "embedding", "label"), queries.drop("label"), k=5, n_probe=2)
+    return out.select("query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "multimodal_byte_stats",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           sha256(text)                 AS content_digest
+    FROM documents
+    """,
+)
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing proof: binary payload column → Arrow-batched
+    mapInPandas metadata extraction (byte length + sha256 digest). The
+    decode stub's fake feature vector is covered by unit tests; this
+    oracle checks the JVM→Arrow→pandas round trip byte-exactly."""
+    from cdc_pipeline_spark.operators.multimodal import attach_binary_payload, extract_features
+
+    docs = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return extract_features(docs).select("doc_id", "n_bytes", "content_digest")

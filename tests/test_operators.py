@@ -1,0 +1,118 @@
+"""Semantic tests for operators whose outputs the DuckDB oracle can't
+mirror (hash-based sketches, bucketed ANN, Pandas-UDF stages) plus unit
+tests for builders not exercised by the workload directly."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from cdc_pipeline_spark import workload
+from cdc_pipeline_spark.operators import multimodal
+from cdc_pipeline_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
+from cdc_pipeline_spark.operators.enrich import two_level_region_lookup
+from cdc_pipeline_spark.sources.files import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_minhash_lsh_matches_exact_on_planted_dups(spark):
+    """Planted near-dups in the corpus have J ≥ 0.9; at 16 bands × 4 rows
+    LSH recall there is ≈1, and exact verification makes precision exact —
+    so the verified LSH output must equal the exact-Jaccard pairs."""
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    lsh = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert lsh == exact
+    assert exact, "corpus should contain planted near-duplicates"
+
+
+def test_simhash_banding_is_complete(spark):
+    """Pigeonhole guarantee: with 4 bands over 32 bits, every pair at
+    hamming ≤ 3 shares at least one identical band, so banded candidate
+    generation must find ALL such pairs — in particular every planted
+    near-dup (J ≥ 0.5) whose signature distance is ≤ 3. (Precision is
+    corpus-dependent — the synthetic word-soup vocabulary is tiny, so
+    token-weight signatures collide; that's inherent to SimHash, not a
+    bug — hence no precision assertion.)"""
+    from cdc_pipeline_spark.operators.dedup import simhash_signatures
+
+    docs = load_table(spark, SF_DIR, "documents")
+    found = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs).collect()}
+    sig = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    planted = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    expected = {
+        (r.id_a, r.id_b): bin(sig[r.id_a] ^ sig[r.id_b]).count("1")
+        for r in planted
+        if bin(sig[r.id_a] ^ sig[r.id_b]).count("1") <= 3
+    }
+    assert expected, "corpus should contain planted dups within hamming 3"
+    for pair, hamming in expected.items():
+        assert found.get(pair) == hamming, f"missed/incorrect {pair}"
+
+
+def test_ivf_topk_with_full_probe_equals_bruteforce(spark):
+    """With n_probe = #cells IVF scans every bucket, so its output must be
+    identical to the brute-force baseline — this pins the whole machinery
+    (centroid build, routing, per-cell scoring, ranking). Lower n_probe
+    trades recall for cost; the testdata labels are arbitrary (not
+    geometric clusters), so a recall bound at low n_probe would test the
+    data, not the operator."""
+    from cdc_pipeline_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    n_cells = emb.select("label").distinct().count()
+    brute = brute_force_topk(emb, queries, k=5).collect()
+    ivf = ivf_topk(emb.select("vec_id", "embedding", "label"), queries, k=5, n_probe=n_cells).collect()
+    key = lambda rows: sorted((r.query_id, r.rank, r.vec_id, r.score) for r in rows)
+    assert key(ivf) == key(brute)
+
+
+def test_multimodal_feature_stub_is_deterministic_sha(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(5)
+    feats = multimodal.extract_features(multimodal.attach_binary_payload(docs))
+    rows = feats.join(docs.select("doc_id", "text"), "doc_id").collect()
+    assert len(rows) == 5
+    for r in rows:
+        payload = r.text.encode()
+        digest = hashlib.sha256(payload)
+        assert r.n_bytes == len(payload)
+        assert r.content_digest == digest.hexdigest()
+        expect = [b / 255.0 for b in digest.digest()[: multimodal.FEATURE_DIM]]
+        assert list(r.feature) == expect
+
+
+def test_two_level_region_lookup(spark):
+    fact = spark.createDataFrame(
+        [("US", "New York"), ("US", "San Jose"), ("FR", "Paris"), ("ZZ", "Nowhere")],
+        ["country_code", "city"],
+    )
+    city_map = spark.createDataFrame(
+        [(1, "US", "New", "NA-East", -74.0, 40.0), (2, "US", "San", "NA-West", -122.0, 37.0)],
+        ["id", "country_code", "city_pattern", "region_name", "longitude", "latitude"],
+    )
+    country_map = spark.createDataFrame(
+        [("US", "North America", -98.0, 39.0), ("FR", "Western Europe", 2.0, 48.0)],
+        ["country_code", "region_name", "longitude", "latitude"],
+    )
+    out = {
+        (r.country_code, r.city): r.region_name
+        for r in two_level_region_lookup(fact, city_map, country_map).collect()
+    }
+    assert out == {
+        ("US", "New York"): "NA-East",
+        ("US", "San Jose"): "NA-West",
+        ("FR", "Paris"): "Western Europe",
+        ("ZZ", "Nowhere"): "Unknown",
+    }
+
+
+def test_alert_frame_statuses(spark):
+    from cdc_pipeline_spark.operators.aggregates import alert_frame
+
+    df = spark.createDataFrame([("w1", 10.0), ("w2", 90.0)], ["window_id", "cpu"])
+    out = alert_frame(df, [{"id": "cpu_high", "metric": "cpu", "threshold": 50.0}], id_cols=["window_id"])
+    rows = {r.window_id: r.status for r in out.collect()}
+    assert rows == {"w1": "ok", "w2": "firing"}

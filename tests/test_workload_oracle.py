@@ -25,7 +25,13 @@ def test_query_matches_oracle(spark, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
-def test_all_queries_have_runnable_plans(spark):
-    for name, fn in workload.QUERIES.items():
-        df = fn(spark, SF_DIR)
-        assert df.columns, f"{name} returned no columns"
+NO_ORACLE_QUERIES = sorted(set(workload.QUERIES) - set(workload.ORACLE_SQL))
+
+
+@pytest.mark.parametrize("name", NO_ORACLE_QUERIES)
+def test_rows_only_queries_execute(spark, name):
+    """Queries without an oracle still must execute end-to-end (the
+    driver's weaker rows-only check)."""
+    df = workload.QUERIES[name](spark, SF_DIR)
+    assert df.columns, f"{name} returned no columns"
+    assert df.count() >= 0
