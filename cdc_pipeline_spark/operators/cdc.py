@@ -27,9 +27,13 @@ _TS_FORMATS = ("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'", "yyyy-MM-dd'T'HH:mm:ssX")
 
 
 def parse_cdc_timestamp(col: Column) -> Column:
-    """3-way coalesce timestamp parse for ISO-8601 CDC strings."""
-    attempts = [F.to_timestamp(col, fmt) for fmt in _TS_FORMATS]
-    attempts.append(F.to_timestamp(col))
+    """3-way coalesce timestamp parse for ISO-8601 CDC strings.
+
+    ``try_to_timestamp`` (not ``to_timestamp``): under ANSI mode a
+    format mismatch would otherwise throw instead of falling through to
+    the next format."""
+    attempts = [F.try_to_timestamp(col, F.lit(fmt)) for fmt in _TS_FORMATS]
+    attempts.append(F.try_to_timestamp(col))
     return F.coalesce(*attempts)
 
 

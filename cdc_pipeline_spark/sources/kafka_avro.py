@@ -1,0 +1,153 @@
+"""Kafka + Confluent-Avro CDC sources.
+
+Reference source chain (SURVEY §2.1 S1–S8,
+``src/streaming/kafka_sources.py``): Kafka stream reader → strip 5-byte
+Confluent wire header (magic byte + schema id) → ``from_avro``
+PERMISSIVE decode → drop nulls → CDC op filter → ZonedTimestamp
+normalize. This module reproduces that chain Spark-first.
+
+Broker-dependent pieces only build the plan (no connection at
+plan-build), so everything here is importable and unit-testable without
+Kafka; the wire-header strip and JSON decode are pure Column transforms
+tested against synthetic binary columns.
+
+Scale notes: ``maxOffsetsPerTrigger`` bounds micro-batch size (the
+reference instead wiped checkpoints + startingOffsets=latest to dodge
+backlog, FLOW.md:105-107 — we keep durable checkpoints and rate-limit
+instead); ``minPartitions`` can oversplit hot topic partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from cdc_pipeline_spark.operators.cdc import normalize_cdc
+
+CONFLUENT_HEADER_BYTES = 5  # 1 magic byte + 4-byte schema id
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = False,
+) -> DataFrame:
+    """S1: raw Kafka stream (key/value binary + metadata columns)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return reader.load()
+
+
+def strip_confluent_header(column: str = "value") -> Column:
+    """S2: drop the 5-byte Confluent wire prefix from an Avro payload."""
+    return F.expr(f"substring({column}, {CONFLUENT_HEADER_BYTES + 1}, length({column}) - {CONFLUENT_HEADER_BYTES})")
+
+
+def confluent_schema_id(column: str = "value") -> Column:
+    """Big-endian int schema id from bytes 2–5 of the wire header (useful
+    for schema-evolution routing; the reference ignores it)."""
+    byte = lambda i: F.expr(f"cast(conv(hex(substring({column}, {i}, 1)), 16, 10) as int)")
+    return (byte(2) * 16777216 + byte(3) * 65536 + byte(4) * 256 + byte(5)).alias("schema_id")
+
+
+def decode_avro(df: DataFrame, avro_schema_json: str, column: str = "value") -> DataFrame:
+    """S3: PERMISSIVE Avro decode of the header-stripped payload; corrupt
+    records decode to NULL and are dropped (kafka_sources.py:66-84)."""
+    from pyspark.sql.avro.functions import from_avro  # requires spark-avro jar at runtime
+
+    decoded = df.select(
+        from_avro(strip_confluent_header(column), avro_schema_json, {"mode": "PERMISSIVE"}).alias("data")
+    )
+    return decoded.filter(F.col("data").isNotNull()).select("data.*")
+
+
+def read_cdc_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    avro_schema_json: str,
+    timestamp_columns: list[str] | None = None,
+    **kafka_opts,
+) -> DataFrame:
+    """S4+S5: full CDC chain — Kafka → header strip → Avro decode → op
+    filter → timestamp normalization."""
+    raw = read_kafka_stream(spark, bootstrap_servers, topic, **kafka_opts)
+    decoded = decode_avro(raw, avro_schema_json)
+    return normalize_cdc(decoded, timestamp_columns or [])
+
+
+def read_direct_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    avro_schema_json: str,
+    **kafka_opts,
+) -> DataFrame:
+    """S6: direct (non-CDC) Avro topic — same chain minus the op filter."""
+    raw = read_kafka_stream(spark, bootstrap_servers, topic, **kafka_opts)
+    return decode_avro(raw, avro_schema_json)
+
+
+def read_json_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    schema: StructType,
+    **kafka_opts,
+) -> DataFrame:
+    """S8: JSON-valued topic (e.g. re-emitted aggregate snapshots)."""
+    raw = read_kafka_stream(spark, bootstrap_servers, topic, **kafka_opts)
+    return (
+        raw.select(F.from_json(F.col("value").cast("string"), schema).alias("data"))
+        .filter(F.col("data").isNotNull())
+        .select("data.*")
+    )
+
+
+def write_kafka_json(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    key_col: str | None = None,
+    output_mode: str = "update",
+):
+    """K1: windowed aggregate rows → Kafka as (key, JSON value)
+    (kpi_aggregator.py:217-243)."""
+    key = F.col(key_col).cast("string") if key_col else F.lit("snapshot")
+    payload = df.select(
+        key.alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def fetch_schema_from_registry(registry_url: str, subject: str, timeout: int = 10) -> str:
+    """S10: latest writer schema from a Confluent-compatible Schema
+    Registry (fetched once at job startup, driver-side, exactly as the
+    reference does at kafka_sources.py:41-52 — avoids PERMISSIVE-mode
+    all-NULL decodes from writer/reader schema drift)."""
+    url = f"{registry_url.rstrip('/')}/subjects/{subject}/versions/latest"
+    with urllib.request.urlopen(url, timeout=timeout) as resp:  # noqa: S310 — infra-internal URL
+        return json.loads(resp.read())["schema"]

@@ -1,0 +1,168 @@
+"""Streaming job wiring — the three reference jobs re-expressed with
+watermarked update/append modes instead of complete mode.
+
+Reference jobs (SURVEY §3): transaction (KPI + activity + region),
+infrastructure (traffic + health + geo), derived (platform). The
+reference ran traffic/region/health/geo/platform in COMPLETE mode with
+no watermark — unbounded state (SURVEY §7.5.1). Here every windowed
+pipeline is ``withWatermark(...)`` + ``update`` output, and the sink
+keeps the latest-window contract; state is bounded by the watermark
+horizon. Watermarks are applied AFTER multi-stream union, matching the
+reference's placement rule ("Redefining watermark is disallowed",
+kpi_aggregator.py:180, FLOW.md:101-103).
+
+Sources are injected as DataFrames so the same wiring runs against
+Kafka (production), files (tests), or rate sources.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from cdc_pipeline_spark.operators import aggregates
+from cdc_pipeline_spark.operators.activity import enrich_activity
+from cdc_pipeline_spark.streaming import sinks as sink_lib
+
+DEFAULT_WATERMARK = "10 minutes"
+
+
+def _start(df: DataFrame, writer, checkpoint: str, mode: str, trigger: dict | None) -> StreamingQuery:
+    ws = df.writeStream.outputMode(mode).option("checkpointLocation", checkpoint).foreachBatch(writer)
+    if trigger:
+        ws = ws.trigger(**trigger)
+    return ws.start()
+
+
+def start_traffic_pipeline(
+    source: DataFrame,
+    kv,
+    checkpoint: str,
+    time_col: str = "created_at",
+    duration: str = "10 seconds",
+    key: str = "nexus:traffic:timeseries",
+    channel: str | None = "nexus:traffic",
+    max_len: int = 21,
+    watermark: str = DEFAULT_WATERMARK,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """A3: tumbling count → capped-list sink (traffic_builder.py:35-55),
+    but watermark+update instead of complete mode."""
+    agg = aggregates.tumbling_traffic(
+        source.withWatermark(time_col, watermark), time_col=time_col, duration=duration
+    )
+    writer = sink_lib.capped_list_writer(kv, key, max_len=max_len, order_cols=["window_end"], channel=channel)
+    return _start(agg, writer, checkpoint, "update", trigger)
+
+
+def start_kpi_pipeline(
+    fused: DataFrame,
+    kv,
+    checkpoint: str,
+    time_col: str = "event_time",
+    key: str = "nexus:kpi:current",
+    channel: str | None = "nexus:kpi",
+    watermark: str = DEFAULT_WATERMARK,
+    trigger: dict | None = None,
+    exact: bool = False,
+) -> StreamingQuery:
+    """A1: the caller normalizes + unions the component streams
+    (aggregates.fuse_streams); watermark goes here, after the union."""
+    agg = aggregates.windowed_kpi(fused.withWatermark(time_col, watermark), time_col=time_col, exact=exact)
+    writer = sink_lib.latest_row_hash_writer(kv, key, order_cols=["window_end"], channel=channel)
+    return _start(agg, writer, checkpoint, "update", trigger)
+
+
+def start_region_pipeline(
+    source: DataFrame,
+    kv,
+    checkpoint: str,
+    time_col: str = "event_time",
+    key: str = "nexus:regions:current",
+    channel: str | None = "nexus:regions",
+    watermark: str = DEFAULT_WATERMARK,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """A2: per-(window, region) snapshot serialized as one JSON array of
+    the latest window's regions (region_aggregator.py:32-47)."""
+    agg = aggregates.windowed_region(source.withWatermark(time_col, watermark), time_col=time_col)
+
+    def latest_window_regions(rows: list[dict]):
+        latest = max(r["window_end"] for r in rows)
+        return [r for r in rows if r["window_end"] == latest]
+
+    writer = sink_lib.snapshot_json_writer(
+        kv, key, shaper=latest_window_regions, channel=channel, order_cols=["window_end"]
+    )
+    return _start(agg, writer, checkpoint, "update", trigger)
+
+
+def start_activity_pipeline(
+    source: DataFrame,
+    kv,
+    checkpoint: str,
+    time_col: str = "created_at",
+    key: str = "nexus:activity:feed",
+    channel: str | None = "nexus:activity",
+    max_len: int = 15,
+    trigger: dict | None = None,
+    **enrich_kwargs,
+) -> StreamingQuery:
+    """Activity feed: stateless projection → append mode → ring buffer
+    (activity_enricher.py:29-61)."""
+    shaped = enrich_activity(source, time_col=time_col, **enrich_kwargs)
+    writer = sink_lib.capped_list_writer(kv, key, max_len=max_len, order_cols=["timestamp", "id"], channel=channel)
+    return _start(shaped, writer, checkpoint, "append", trigger)
+
+
+def start_health_pipeline(
+    source: DataFrame,
+    kv,
+    checkpoint: str,
+    time_col: str = "recorded_at",
+    key: str = "nexus:health:current",
+    channel: str | None = "nexus:health",
+    watermark: str = DEFAULT_WATERMARK,
+    trigger: dict | None = None,
+    **health_kwargs,
+) -> StreamingQuery:
+    """A4: conditional means + node count → latest-window hash snapshot."""
+    agg = aggregates.windowed_health(
+        source.withWatermark(time_col, watermark), time_col=time_col, **health_kwargs
+    )
+    writer = sink_lib.latest_row_hash_writer(kv, key, order_cols=["window_end"], channel=channel)
+    return _start(agg, writer, checkpoint, "update", trigger)
+
+
+def start_platform_pipeline(
+    source: DataFrame,
+    kv,
+    checkpoint: str,
+    platform_col: str = "platform",
+    key: str = "nexus:platform:breakdown",
+    channel: str | None = "nexus:platform",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """A5: global running group-count. This one is legitimately
+    complete-mode (small, bounded cardinality = #platforms) — matching
+    the reference (device_platform.py:50)."""
+    agg = aggregates.platform_breakdown(source, platform_col=platform_col)
+    writer = sink_lib.snapshot_json_writer(kv, key, order_cols=["count"])
+    return _start(agg, writer, checkpoint, "complete", trigger)
+
+
+def start_geo_pipeline(
+    source: DataFrame,
+    kv,
+    checkpoint: str,
+    time_col: str = "created_at",
+    key: str = "nexus:geo:header",
+    channel: str | None = "nexus:geo",
+    watermark: str = DEFAULT_WATERMARK,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """A6: 1m/30s windowed count + formatted load label → hash snapshot."""
+    agg = aggregates.windowed_geo_header(source.withWatermark(time_col, watermark), time_col=time_col)
+    writer = sink_lib.latest_row_hash_writer(kv, key, order_cols=["window_end"], channel=channel)
+    return _start(agg, writer, checkpoint, "update", trigger)

@@ -1,0 +1,191 @@
+"""Serving-layer kv snapshot sinks (foreachBatch).
+
+Reference sink families (SURVEY §2.1 K2–K5, ``src/streaming/redis_client.py``):
+hash snapshot + pub/sub (K2), JSON-string snapshot (K3), capped list /
+ring buffer (K4), hash read-back for trend state (K5). The engine keeps
+the same contract behind a small backend interface:
+
+  * ``InMemoryKV`` — dict-backed, used by tests and local runs;
+  * a Redis-backed implementation is the same five methods over a
+    ``redis.Redis`` pipeline (not shipped here: no redis in container —
+    the class is import-gated so the module works without it).
+
+Delivery semantics (same as reference, documented SURVEY §2.9):
+snapshot writes are idempotent last-writer-wins; capped-list pushes are
+at-least-once (duplicates possible on micro-batch retry). foreachBatch
+runs on the driver; every writer below is handed an already-aggregated
+micro-batch (≤ #windows × #groups rows), so the driver collect is
+bounded — the heavy lifting stayed distributed.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+
+
+class InMemoryKV:
+    """Redis-semantics kv store: HSET/SET-JSON/LPUSH+LTRIM/HGETALL/PUBLISH."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.hashes: dict[str, dict[str, str]] = {}
+        self.strings: dict[str, str] = {}
+        self.lists: dict[str, list[str]] = {}
+        self.published: list[tuple[str, str]] = []
+        self.expiries: dict[str, float] = {}
+
+    # K2 — hash snapshot + optional expiry + publish
+    def write_hash(self, key: str, mapping: dict[str, Any], channel: str | None = None, ttl: int | None = None) -> None:
+        with self._lock:
+            self.hashes[key] = {k: str(v) for k, v in mapping.items()}
+            if ttl is not None:
+                self.expiries[key] = time.time() + ttl
+        if channel:
+            self.publish(channel, json.dumps(mapping, default=str))
+
+    # K3 — JSON string snapshot + publish
+    def write_json(self, key: str, data: Any, channel: str | None = None, ttl: int | None = None) -> None:
+        payload = json.dumps(data, default=str)
+        with self._lock:
+            self.strings[key] = payload
+            if ttl is not None:
+                self.expiries[key] = time.time() + ttl
+        if channel:
+            self.publish(channel, payload)
+
+    # K4 — capped list (LPUSH + LTRIM)
+    def push_to_list(self, key: str, item: Any, max_len: int, channel: str | None = None) -> None:
+        payload = json.dumps(item, default=str)
+        with self._lock:
+            items = self.lists.setdefault(key, [])
+            items.insert(0, payload)
+            del items[max_len:]
+        if channel:
+            self.publish(channel, payload)
+
+    # K5 — hash read-back (trend baseline state)
+    def read_hash(self, key: str) -> dict[str, str]:
+        with self._lock:
+            return dict(self.hashes.get(key, {}))
+
+    def publish(self, channel: str, payload: str) -> None:
+        with self._lock:
+            self.published.append((channel, payload))
+
+
+def make_redis_kv(url: str):  # pragma: no cover - requires redis package/server
+    """Redis-backed sink with the same interface (pipelined HSET+EXPIRE+
+    PUBLISH, as the reference's NexusRedisWriter does)."""
+    import redis  # import-gated: not available in the test container
+
+    client = redis.Redis.from_url(url, decode_responses=True)
+
+    class RedisKV:
+        def write_hash(self, key, mapping, channel=None, ttl=None):
+            pipe = client.pipeline()
+            pipe.hset(key, mapping={k: str(v) for k, v in mapping.items()})
+            if ttl is not None:
+                pipe.expire(key, ttl)
+            if channel:
+                pipe.publish(channel, json.dumps(mapping, default=str))
+            pipe.execute()
+
+        def write_json(self, key, data, channel=None, ttl=None):
+            payload = json.dumps(data, default=str)
+            pipe = client.pipeline()
+            pipe.set(key, payload, ex=ttl)
+            if channel:
+                pipe.publish(channel, payload)
+            pipe.execute()
+
+        def push_to_list(self, key, item, max_len, channel=None):
+            payload = json.dumps(item, default=str)
+            pipe = client.pipeline()
+            pipe.lpush(key, payload)
+            pipe.ltrim(key, 0, max_len - 1)
+            if channel:
+                pipe.publish(channel, payload)
+            pipe.execute()
+
+        def read_hash(self, key):
+            return client.hgetall(key)
+
+        def publish(self, channel, payload):
+            client.publish(channel, payload)
+
+    return RedisKV()
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch writer factories. Each takes the tiny aggregated batch,
+# reduces it to the serving contract (latest window / full snapshot), and
+# writes through the kv interface. The reduction stays a DataFrame op
+# (TakeOrderedAndProject) so only contract-sized rows are collected.
+# ---------------------------------------------------------------------------
+
+
+def latest_row_hash_writer(
+    kv,
+    key: str,
+    order_cols: list[str],
+    channel: str | None = None,
+    ttl: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """K2 pattern: pick the most-recent row of the batch (reference picks
+    the most data-rich/latest window, kpi_aggregator.py:60-67) and HSET it."""
+
+    def write(batch: DataFrame, _batch_id: int) -> None:
+        rows = batch.orderBy(*[batch[c].desc() for c in order_cols]).limit(1).collect()
+        if rows:
+            kv.write_hash(key, rows[0].asDict(), channel=channel, ttl=ttl)
+
+    return write
+
+
+def snapshot_json_writer(
+    kv,
+    key: str,
+    shaper: Callable[[list[dict]], Any] | None = None,
+    channel: str | None = None,
+    ttl: int | None = None,
+    order_cols: list[str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """K3 pattern: serialize the whole (already aggregated) batch as one
+    JSON document (regions array, platform breakdown, flows)."""
+
+    def write(batch: DataFrame, _batch_id: int) -> None:
+        b = batch
+        if order_cols:
+            b = b.orderBy(*[batch[c].desc() for c in order_cols])
+        rows = [r.asDict() for r in b.collect()]
+        if rows:
+            kv.write_json(key, shaper(rows) if shaper else rows, channel=channel, ttl=ttl)
+
+    return write
+
+
+def capped_list_writer(
+    kv,
+    key: str,
+    max_len: int,
+    order_cols: list[str],
+    channel: str | None = None,
+    newest_first: bool = False,
+) -> Callable[[DataFrame, int], None]:
+    """K4 pattern: push this batch's newest rows onto a ring buffer
+    (traffic timeseries 21, activity feed 15 — reference pushes oldest
+    first so index 0 is newest, activity_enricher.py:19-26)."""
+
+    def write(batch: DataFrame, _batch_id: int) -> None:
+        rows = batch.orderBy(*[batch[c].desc() for c in order_cols]).limit(max_len).collect()
+        if not newest_first:
+            rows = list(reversed(rows))
+        for row in rows:
+            kv.push_to_list(key, row.asDict(), max_len=max_len, channel=channel)
+
+    return write

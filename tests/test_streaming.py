@@ -1,0 +1,252 @@
+"""Structured Streaming tests: file-source micro-batches through the job
+wiring, sink contents asserted against batch-mode goldens (SURVEY §5 test
+plan: streaming test via file-source micro-batches with golden sink
+snapshots)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from cdc_pipeline_spark.operators import aggregates
+from cdc_pipeline_spark.sources.files import stream_parquet
+from cdc_pipeline_spark.streaming import jobs
+from cdc_pipeline_spark.streaming.sinks import InMemoryKV
+from cdc_pipeline_spark.streaming.stateful import consecutive_breach_alerts
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("created_at", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _write_batches(spark, base, batches):
+    """Write each batch as one parquet file with increasing mtime so the
+    file source ingests them in order (maxFilesPerTrigger=1)."""
+    os.makedirs(base, exist_ok=True)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1)
+        part = os.path.join(base, f"batch_{i}")
+        df.write.mode("overwrite").parquet(part)
+        # relocate the data file to the stream dir with a deterministic name
+        data_file = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(part, data_file), os.path.join(base, f"{i:04d}.parquet"))
+        now = time.time() + i  # strictly increasing mtimes
+        os.utime(os.path.join(base, f"{i:04d}.parquet"), (now, now))
+    return base
+
+
+def _rows(ts_values):
+    import datetime as dt
+
+    out = []
+    for i, (sec, etype, val) in enumerate(ts_values):
+        out.append(
+            (
+                i,
+                dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=sec),
+                100 + i % 3,
+                etype,
+                float(val),
+            )
+        )
+    return out
+
+
+@pytest.fixture
+def stream_dir(tmp_path):
+    return str(tmp_path / f"stream-{uuid.uuid4().hex[:8]}")
+
+
+@pytest.fixture
+def checkpoint(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def _run_until_done(query, timeout=60):
+    query.awaitTermination(timeout)
+    assert not query.isActive or query.awaitTermination(timeout)
+
+
+def test_traffic_pipeline_streaming_matches_batch(spark, stream_dir, checkpoint):
+    batches = [
+        _rows([(0, "view", 1), (3, "view", 2), (12, "click", 3)]),
+        _rows([(14, "view", 4), (21, "purchase", 5)]),
+    ]
+    _write_batches(spark, stream_dir, batches)
+    source = stream_parquet(spark, stream_dir, EVENT_SCHEMA, max_files_per_trigger=1)
+    kv = InMemoryKV()
+    q = jobs.start_traffic_pipeline(
+        source, kv, checkpoint, time_col="created_at", trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+
+    # golden: batch-mode tumbling counts over the union of all batches
+    all_rows = [r for b in batches for r in b]
+    batch_df = spark.createDataFrame(all_rows, EVENT_SCHEMA)
+    golden = {
+        r["window_start"]: r["value"]
+        for r in aggregates.tumbling_traffic(batch_df, time_col="created_at").collect()
+    }
+
+    got = [json.loads(item) for item in kv.lists["nexus:traffic:timeseries"]]
+    assert got, "traffic sink should have datapoints"
+    # ring buffer may contain superseded window snapshots from earlier
+    # micro-batches (at-least-once, reference-identical); the NEWEST entry
+    # per window must match the batch golden.
+    newest = {}
+    for item in reversed(got):  # oldest → newest
+        newest[item["window_start"]] = item["value"]
+    assert newest == golden
+    # label contract: "hh:mm:ss a"
+    assert all(item["label"].endswith(("AM", "PM")) for item in got)
+
+
+def test_kpi_pipeline_latest_hash(spark, stream_dir, checkpoint):
+    batches = [
+        _rows([(0, "purchase", 100.0), (5, "view", 1.0), (8, "error", 0.0)]),
+        _rows([(11, "purchase", 50.0), (15, "view", 2.0)]),
+    ]
+    _write_batches(spark, stream_dir, batches)
+    source = stream_parquet(spark, stream_dir, EVENT_SCHEMA, max_files_per_trigger=1)
+    fused = source.select(
+        F.col("created_at").alias("event_time"),
+        F.col("user_id").alias("session_id"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0)).alias("revenue_amount"),
+        F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0)).alias("order_count"),
+        F.when(F.col("event_type") == "error", F.lit(1)).otherwise(F.lit(0)).alias("error_count"),
+        F.lit(1).alias("request_count"),
+        F.col("value").alias("latency_ms"),
+    )
+    kv = InMemoryKV()
+    # exact=False: streaming rejects exact distinct aggregations — the
+    # sketch mode (approx_count_distinct / percentile_approx) is the
+    # production path; exact mode exists for the batch oracle gate only.
+    q = jobs.start_kpi_pipeline(fused, kv, checkpoint, trigger={"availableNow": True}, exact=False)
+    q.awaitTermination(120)
+
+    snap = kv.read_hash("nexus:kpi:current")
+    assert snap, "kpi hash should be written"
+    # events span 0..15s past the 2024-01-01 base epoch; sliding 30s/10s →
+    # the latest window is [base+10, base+40), holding the 11s and 15s events
+    base = 1704067200
+    assert snap["window_end"] == str(base + 40)
+    assert snap["orders"] == "1"
+    assert snap["revenue"] == "50.0"
+    assert kv.published and kv.published[-1][0] == "nexus:kpi"
+
+
+def test_platform_pipeline_complete_mode(spark, stream_dir, checkpoint):
+    batches = [
+        _rows([(0, "view", 1), (1, "view", 1), (2, "click", 1)]),
+        _rows([(3, "view", 1)]),
+    ]
+    _write_batches(spark, stream_dir, batches)
+    source = stream_parquet(spark, stream_dir, EVENT_SCHEMA, max_files_per_trigger=1)
+    kv = InMemoryKV()
+    q = jobs.start_platform_pipeline(
+        source, kv, checkpoint, platform_col="event_type", trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+
+    got = {r["platform"]: r["count"] for r in json.loads(kv.strings["nexus:platform:breakdown"])}
+    assert got == {"view": 3, "click": 1}
+
+
+def test_activity_pipeline_append(spark, stream_dir, checkpoint):
+    batches = [_rows([(0, "purchase", 10.0), (5, "view", 1.0)])]
+    _write_batches(spark, stream_dir, batches)
+    source = stream_parquet(spark, stream_dir, EVENT_SCHEMA, max_files_per_trigger=1).withColumn(
+        "props_k", F.lit("k")
+    )
+    kv = InMemoryKV()
+    q = jobs.start_activity_pipeline(
+        source,
+        kv,
+        checkpoint,
+        time_col="created_at",
+        id_col="event_id",
+        event_type_col="event_type",
+        user_col="user_id",
+        amount_col="value",
+        city_col="props_k",
+        country_col="event_type",
+        action_map={"purchase": "purchase", "click": "cart"},
+        purchase_event="purchase",
+    )
+    q.awaitTermination(120)
+
+    feed = [json.loads(i) for i in kv.lists["nexus:activity:feed"]]
+    assert len(feed) == 2
+    assert feed[0]["id"] == "evt_1"  # newest first in the ring buffer
+    purchase = next(i for i in feed if i["action"] == "purchase")
+    assert purchase["amount"] == 10.0
+
+
+def test_consecutive_breach_state_machine(spark, stream_dir, checkpoint):
+    # one rule, statuses over 5 windows: firing, firing, firing, ok, firing
+    import datetime as dt
+
+    schema = StructType(
+        [
+            StructField("rule_id", StringType()),
+            StructField("status", StringType()),
+            StructField("window_end", LongType()),
+        ]
+    )
+    batches = [
+        [("cpu", "firing", 10), ("cpu", "firing", 20)],
+        [("cpu", "firing", 30)],
+        [("cpu", "ok", 40), ("cpu", "firing", 50)],
+    ]
+    os.makedirs(stream_dir, exist_ok=True)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        part = os.path.join(stream_dir, f"b{i}")
+        df.write.mode("overwrite").parquet(part)
+        data_file = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(part, data_file), os.path.join(stream_dir, f"{i:04d}.parquet"))
+        now = time.time() + i
+        os.utime(os.path.join(stream_dir, f"{i:04d}.parquet"), (now, now))
+
+    source = stream_parquet(spark, stream_dir, schema, max_files_per_trigger=1)
+    out = consecutive_breach_alerts(source, n_breaches=3)
+    seen = []
+
+    def capture(batch, _):
+        seen.extend(r.asDict() for r in batch.collect())
+
+    q = (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    per_batch = {(r["consecutive_breaches"], r["status"]) for r in seen}
+    # batch0: 2 consecutive → pending; batch1: 3rd → firing;
+    # batch2: ok resets then one breach → pending(1)
+    assert (2, "pending") in per_batch
+    assert (3, "firing") in per_batch
+    assert (1, "pending") in per_batch
