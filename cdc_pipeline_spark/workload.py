@@ -756,3 +756,291 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = attach_binary_payload(_t(spark, sf_dir, "documents"))
     return extract_features(docs).select("doc_id", "n_bytes", "content_digest")
+
+
+# ---------------------------------------------------------------------------
+# Extended relational coverage: grouping sets, pivot, set ops, analytic
+# windows, sessionization, JSON access — the standard OLAP surface a user
+# of the reference's data would expect from a general engine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_revenue_forecast",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+           count(*) AS qualifying_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6 shape: pure scan+filter+agg — every predicate must reach
+    the parquet scan (range + between + less-than)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue_delta"),
+            F.count(F.lit(1)).alias("qualifying_rows"),
+        )
+    )
+
+
+@register(
+    "orders_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS order_count,
+           round(sum(o_totalprice), 2) AS total_amount
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (status → priority → grand
+    total). The reference has no grouping sets (SURVEY §2.5 'No rollup');
+    a general engine needs them."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_amount"),
+        )
+    )
+
+
+@register(
+    "events_cube",
+    """
+    SELECT event_type, (user_id % 4) AS user_bucket, count(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, (user_id % 4))
+    """,
+)
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions."""
+    ev = _t(spark, sf_dir, "events").withColumn("user_bucket", F.col("user_id") % 4)
+    return ev.cube("event_type", "user_bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "event_type_pivot",
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (tall → wide) with an explicit value list — no extra
+    distinct-values job, and each cell is a codegen'd conditional count."""
+    kinds = ["view", "click", "purchase", "signup", "error"]
+    out = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select("user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds])
+
+
+@register(
+    "big_purchasers_not_big_clickers",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'click' AND value > 90
+    """,
+)
+def big_purchasers_not_big_clickers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT DISTINCT ≡ DataFrame.subtract). unionByName
+    is covered by the A1 fusion; this adds the except family."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 90)).select("user_id")
+    b = ev.filter((F.col("event_type") == "click") & (F.col("value") > 90)).select("user_id")
+    return a.subtract(b)
+
+
+@register(
+    "purchasing_clickers",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'click'
+    """,
+)
+def purchasing_clickers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "click").select("user_id")
+    return a.intersect(b)
+
+
+@register(
+    "customer_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+)
+def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic running sum per customer (cumulative frame, deterministic
+    tie-break). Complements lag (trend) and row_number (top-k) coverage."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("long").alias("orderdate_epoch"),
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+    )
+
+
+@register(
+    "user_sessionization",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                         > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM ordered
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS session_count,
+           CAST(max(events_in_session) AS BIGINT) AS max_session_events
+    FROM (
+        SELECT user_id, session_no, count(*) AS events_in_session
+        FROM numbered GROUP BY user_id, session_no
+    )
+    GROUP BY user_id
+    """,
+)
+def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap via
+    ``F.session_window`` (the reference models sessions as a CDC table;
+    the engine derives them from the event stream — SURVEY §2.9 notes
+    session windows unused). Oracle mirrors it with gaps-and-islands SQL.
+    Output: per-user session count + largest session size."""
+    ev = _t(spark, sf_dir, "events")
+    sessions = ev.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("events_in_session")
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("session_count"),
+        F.max("events_in_session").alias("max_session_events"),
+    )
+
+
+@register(
+    "props_json_stats",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload access (the reference passes JSONB through unparsed;
+    the engine parses it with from_json when queried — SURVEY §1.4)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType([StructField("k", IntegerType())])
+    ev = _t(spark, sf_dir, "events").withColumn("props_parsed", F.from_json("props", schema))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.avg(F.col("props_parsed.k")), 4).alias("avg_k"),
+            F.max(F.col("props_parsed.k")).alias("max_k"),
+        )
+    )
+
+
+@register(
+    "doc_bpe_token_counts",
+    r"""
+    WITH words AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '[^a-zA-Z0-9]+') AS ws FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) + list_sum(list_transform(ws,
+                w -> greatest(CAST(ceil(length(w) / 4.0) AS INTEGER) - 1, 0))) AS BIGINT) AS bpe_tokens
+    FROM words
+    """,
+)
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword count estimate (text.token_count_bpe)."""
+    from cdc_pipeline_spark.operators.text import token_count_bpe
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_bpe("text").cast("long").alias("bpe_tokens")
+    )
+
+
+@register(
+    "segment_top_customers",
+    """
+    SELECT c_mktsegment, c_custkey, revenue, CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT c_mktsegment, c_custkey, revenue,
+               row_number() OVER (PARTITION BY c_mktsegment ORDER BY revenue DESC, c_custkey) AS rn
+        FROM (
+            SELECT c_mktsegment, c_custkey, round(sum(o_totalprice), 2) AS revenue
+            FROM customer JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_mktsegment, c_custkey
+        )
+    )
+    WHERE rn <= 3
+    """,
+)
+def segment_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k over a join+agg: top-3 customers by revenue per
+    market segment."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    revenue = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    ranked = topk.grouped_top_k(
+        revenue,
+        partition_by=["c_mktsegment"],
+        order_by=[F.col("revenue").desc(), F.col("c_custkey").asc()],
+        k=3,
+    )
+    return ranked.select("c_mktsegment", "c_custkey", "revenue", F.col("rank").cast("long").alias("rank"))

@@ -53,7 +53,10 @@ def _norm(v):
 
 def _multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    normalized = [tuple(_norm(r[i]) for i in order) for r in rows]
+    # NULLs (rollup/cube subtotals) aren't comparable to values — sort on
+    # a (is_null, stringified) key; equality still compares raw tuples
+    return sorted(normalized, key=lambda row: [(v is None, str(v)) for v in row])
 
 
 def compare(spark, query_fn, oracle: str, sf_dir: str) -> list[str]:

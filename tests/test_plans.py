@@ -1,0 +1,69 @@
+"""Physical-plan shape assertions (SURVEY §4): filters reach the parquet
+scan, projections prune columns, dimension joins broadcast, aggregations
+are partial+final. These are the properties that decide whether a plan
+survives a 100× scale-up — pinned here so a refactor that silently turns
+a broadcast join into a sort-merge join or un-pushes a filter fails CI."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from cdc_pipeline_spark import workload
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        workload.QUERIES[name](spark, SF_DIR).explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan, "shipdate filter must reach the scan"
+    # column pruning: the scan must not read join keys it doesn't need
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    # partial + final hash aggregation around one exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q5_star_join_is_all_broadcast(spark):
+    plan = plan_of(spark, "q5_nation_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "dimension hops must broadcast, not shuffle"
+    assert "EqualTo(r_name,ASIA)" in plan, "region filter must push into the dim scan"
+
+
+def test_enrichment_join_broadcasts(spark):
+    plan = plan_of(spark, "customer_region_enrichment")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kpi_scan_prunes_unused_columns(spark):
+    plan = plan_of(spark, "kpi_sliding_window")
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "props" not in read_schema and "event_id" not in read_schema
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan, "global top-k must be heap-based"
+
+
+def test_latest_state_single_shuffle_on_key(spark):
+    import re
+
+    plan = plan_of(spark, "cdc_latest_state")
+    # exactly one exchange (hashpartitioning on the entity key), and the
+    # rank-limit pushed map-side (partial WindowGroupLimit before it)
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)
+    assert len(exchanges) == 1, plan
+    assert "hashpartitioning(user_id" in plan
+    assert "WindowGroupLimit" in plan
