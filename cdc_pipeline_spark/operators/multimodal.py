@@ -80,6 +80,10 @@ def extract_features(
     the payload bytes cross the JVM→Python boundary exactly once.
     """
     narrow = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    # single-file inputs arrive as one partition → one Python worker;
+    # spread so Arrow batches decode on every core (decode is the
+    # expensive stage in a real media pipeline)
+    narrow = narrow.repartition(narrow.sparkSession.sparkContext.defaultParallelism)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
