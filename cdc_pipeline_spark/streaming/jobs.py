@@ -166,3 +166,60 @@ def start_geo_pipeline(
     agg = aggregates.windowed_geo_header(source.withWatermark(time_col, watermark), time_col=time_col)
     writer = sink_lib.latest_row_hash_writer(kv, key, order_cols=["window_end"], channel=channel)
     return _start(agg, writer, checkpoint, "update", trigger)
+
+
+# ---------------------------------------------------------------------------
+# Composite entry points mirroring the reference's three job binaries
+# (SURVEY §3: transaction_analytics, infrastructure_analytics,
+# derived_analytics). Each takes pre-built source DataFrames (Kafka in
+# production, files in tests) and returns the started queries.
+# ---------------------------------------------------------------------------
+
+
+def start_transaction_job(
+    kpi_fused: DataFrame,
+    activity_source: DataFrame,
+    region_source: DataFrame,
+    kv,
+    checkpoint_base: str,
+    trigger: dict | None = None,
+    **activity_kwargs,
+) -> list[StreamingQuery]:
+    """Reference job 1 (transaction_analytics.py:17-41): KPI + activity +
+    region. Each query gets its own checkpoint dir and (per the
+    reference's multi-query isolation rule) its own source DataFrame."""
+    return [
+        start_kpi_pipeline(kpi_fused, kv, f"{checkpoint_base}/kpi", trigger=trigger),
+        start_activity_pipeline(activity_source, kv, f"{checkpoint_base}/activity", trigger=trigger, **activity_kwargs),
+        start_region_pipeline(region_source, kv, f"{checkpoint_base}/region", trigger=trigger),
+    ]
+
+
+def start_infrastructure_job(
+    traffic_source: DataFrame,
+    health_source: DataFrame,
+    geo_source: DataFrame,
+    kv,
+    checkpoint_base: str,
+    trigger: dict | None = None,
+) -> list[StreamingQuery]:
+    """Reference job 2 (infrastructure_analytics.py:11-22): traffic +
+    health + geo."""
+    return [
+        start_traffic_pipeline(traffic_source, kv, f"{checkpoint_base}/traffic", trigger=trigger),
+        start_health_pipeline(health_source, kv, f"{checkpoint_base}/health", trigger=trigger),
+        start_geo_pipeline(geo_source, kv, f"{checkpoint_base}/geo", trigger=trigger),
+    ]
+
+
+def start_derived_job(
+    sessions_source: DataFrame,
+    kv,
+    checkpoint_base: str,
+    trigger: dict | None = None,
+    platform_col: str = "platform",
+) -> list[StreamingQuery]:
+    """Reference job 3 (derived_analytics.py:9-17): platform breakdown."""
+    return [
+        start_platform_pipeline(sessions_source, kv, f"{checkpoint_base}/platform", trigger=trigger, platform_col=platform_col)
+    ]

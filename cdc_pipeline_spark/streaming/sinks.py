@@ -189,3 +189,70 @@ def capped_list_writer(
             kv.push_to_list(key, row.asDict(), max_len=max_len, channel=channel)
 
     return write
+
+
+def trend_hash_writer(
+    kv,
+    key: str,
+    order_cols: list[str],
+    trend_cols: list[str],
+    state_key_prefix: str,
+    period_seconds: int = 3600,
+    state_ttl: int = 7200,
+    channel: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """K2+K5 pattern: latest-row hash snapshot enriched with
+    period-over-period trends computed against kv-held period baselines —
+    the reference's actual trend mechanism (hourly Redis snapshots with a
+    2h TTL read back each batch, kpi_aggregator.py:28-51,74-95).
+
+    For each value column v: trend_v = round((cur − prev)/prev·100, 2)
+    where prev is the stored value for the previous period bucket (0.0
+    when absent, matching kpi_aggregator.py:33-39). The current period's
+    first-seen value is persisted once per bucket (TTL two periods).
+    """
+
+    def write(batch: DataFrame, _batch_id: int) -> None:
+        rows = batch.orderBy(*[batch[c].desc() for c in order_cols]).limit(1).collect()
+        if not rows:
+            return
+        snapshot = rows[0].asDict()
+        now_epoch = int(snapshot[order_cols[0]])
+        bucket = now_epoch // period_seconds
+        prev_state = kv.read_hash(f"{state_key_prefix}:{bucket - 1}")
+        for col in trend_cols:
+            current = float(snapshot[col])
+            prev = float(prev_state.get(col, 0) or 0)
+            snapshot[f"{col}_trend"] = round((current - prev) / prev * 100.0, 2) if prev else 0.0
+        this_key = f"{state_key_prefix}:{bucket}"
+        if not kv.read_hash(this_key):  # first write wins for the period baseline
+            kv.write_hash(this_key, {c: snapshot[c] for c in trend_cols}, ttl=state_ttl)
+        kv.write_hash(key, snapshot, channel=channel)
+
+    return write
+
+
+def idempotent_capped_list_writer(
+    kv,
+    key: str,
+    max_len: int,
+    order_cols: list[str],
+    channel: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """K4 with replay protection: capped-list pushes are at-least-once
+    under micro-batch retry (reference accepts duplicates, SURVEY §2.9
+    'exactly-once: none'). This writer records the last applied batch id
+    in the kv store and skips re-delivered batches, upgrading the feed to
+    effectively-once for same-epoch retries."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        guard_key = f"{key}:__last_batch"
+        last = kv.read_hash(guard_key).get("batch_id")
+        if last is not None and int(last) >= batch_id:
+            return  # replayed micro-batch — already applied
+        rows = batch.orderBy(*[batch[c].desc() for c in order_cols]).limit(max_len).collect()
+        for row in reversed(rows):
+            kv.push_to_list(key, row.asDict(), max_len=max_len, channel=channel)
+        kv.write_hash(guard_key, {"batch_id": batch_id})
+
+    return write

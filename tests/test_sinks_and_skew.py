@@ -1,0 +1,118 @@
+"""Tests for trend/idempotent sink writers, salted aggregation, and the
+composite job entry points."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from cdc_pipeline_spark.operators.skew import salted_agg
+from cdc_pipeline_spark.sources.files import load_table
+from cdc_pipeline_spark.streaming.sinks import (
+    InMemoryKV,
+    idempotent_capped_list_writer,
+    trend_hash_writer,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_trend_hash_writer_period_over_period(spark):
+    kv = InMemoryKV()
+    writer = trend_hash_writer(
+        kv, "kpi:current", order_cols=["window_end"], trend_cols=["revenue"],
+        state_key_prefix="kpi:hourly", period_seconds=3600,
+    )
+    hour = 3600
+    # first batch: hour bucket 10 — no baseline → trend 0.0, baseline stored
+    b1 = spark.createDataFrame([(10 * hour + 30, 100.0)], "window_end long, revenue double")
+    writer(b1, 0)
+    assert kv.read_hash("kpi:current")["revenue_trend"] == "0.0"
+    assert kv.read_hash("kpi:hourly:10")["revenue"] == "100.0"
+    # second batch in the same hour must NOT overwrite the baseline
+    writer(spark.createDataFrame([(10 * hour + 60, 140.0)], "window_end long, revenue double"), 1)
+    assert kv.read_hash("kpi:hourly:10")["revenue"] == "100.0"
+    # next hour: trend vs previous hour's baseline (150 vs 100 → +50%)
+    writer(spark.createDataFrame([(11 * hour + 30, 150.0)], "window_end long, revenue double"), 2)
+    assert kv.read_hash("kpi:current")["revenue_trend"] == "50.0"
+
+
+def test_idempotent_list_writer_skips_replayed_batch(spark):
+    kv = InMemoryKV()
+    writer = idempotent_capped_list_writer(kv, "feed", max_len=5, order_cols=["ts"])
+    batch = spark.createDataFrame([(1, "a"), (2, "b")], "ts long, v string")
+    writer(batch, 7)
+    assert len(kv.lists["feed"]) == 2
+    writer(batch, 7)  # replay of same micro-batch id → no duplicates
+    assert len(kv.lists["feed"]) == 2
+    writer(spark.createDataFrame([(3, "c")], "ts long, v string"), 8)
+    assert len(kv.lists["feed"]) == 3
+    assert json.loads(kv.lists["feed"][0])["v"] == "c"
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    plain = {
+        (r.event_type): (r.revenue, r.n)
+        for r in ev.groupBy("event_type")
+        .agg(F.round(F.sum("value"), 2).alias("revenue"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        (r.event_type): (r.revenue, r.n)
+        for r in salted_agg(
+            ev,
+            ["event_type"],
+            [F.sum("value").alias("s"), F.count(F.lit(1)).alias("c")],
+            [F.round(F.sum("s"), 2).alias("revenue"), F.sum("c").alias("n")],
+            n_salts=8,
+            salt_source="user_id",
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_composite_jobs_start_and_stop(spark, tmp_path):
+    import datetime as dt
+
+    from cdc_pipeline_spark.sources.files import stream_parquet
+    from cdc_pipeline_spark.streaming.jobs import start_infrastructure_job
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("created_at", TimestampType()),
+            StructField("recorded_at", TimestampType()),
+            StructField("metric_name", StringType()),
+            StructField("metric_value", DoubleType()),
+            StructField("node_name", StringType()),
+            StructField("id", LongType()),
+        ]
+    )
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base, base, "cpu_percent", 40.0, "node-1", 1), (base, base, "memory_percent", 60.0, "node-2", 2)]
+    src_dir = str(tmp_path / "infra")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src_dir)
+
+    kv = InMemoryKV()
+    queries = start_infrastructure_job(
+        stream_parquet(spark, src_dir, schema),
+        stream_parquet(spark, src_dir, schema),
+        stream_parquet(spark, src_dir, schema),
+        kv,
+        str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    for q in queries:
+        q.awaitTermination(120)
+    assert kv.lists.get("nexus:traffic:timeseries")
+    assert kv.read_hash("nexus:health:current")["cpu_avg"] == "40.0"
+    assert kv.read_hash("nexus:geo:header")["request_count"] == "2"
