@@ -228,3 +228,34 @@ def alert_frame(df: DataFrame, rules: list[dict], id_cols: list[str] | None = No
             )
         )
     return fuse_streams(frames)
+
+
+def derive_flows(region_df: DataFrame, k: int = 5) -> DataFrame:
+    """Region flow derivation (reference computes it driver-side in
+    Python: sorted by intensity, hub = rank-1 region, flows = next-k
+    regions → hub with value = source intensity,
+    region_aggregator.py:53-65,79-96). Distributed form: latest window →
+    rank by intensity (deterministic name tiebreak) → broadcast the hub
+    row back over ranks 2..k+1.
+
+    Input: windowed_region output (window_end, region_name, intensity).
+    Output: (source, target, value) rows.
+    """
+    from pyspark.sql import Window
+
+    latest_end = region_df.select(F.max("window_end").alias("__max_end"))
+    latest = region_df.join(F.broadcast(latest_end), F.col("window_end") == F.col("__max_end")).drop("__max_end")
+    ranked = latest.withColumn(
+        "__rank",
+        F.row_number().over(Window.orderBy(F.col("intensity").desc(), F.col("region_name").asc())),
+    )
+    hub = ranked.filter(F.col("__rank") == 1).select(F.col("region_name").alias("target"))
+    return (
+        ranked.filter((F.col("__rank") >= 2) & (F.col("__rank") <= k + 1))
+        .crossJoin(F.broadcast(hub))
+        .select(
+            F.col("region_name").alias("source"),
+            "target",
+            F.col("intensity").alias("value"),
+        )
+    )

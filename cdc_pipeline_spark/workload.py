@@ -1044,3 +1044,54 @@ def segment_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
     )
     return ranked.select("c_mktsegment", "c_custkey", "revenue", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "region_flows_top5",
+    """
+    WITH enriched AS (
+        SELECT e.ts, coalesce(n.n_name, 'Unknown') AS region_name,
+               1 AS request_count
+        FROM events e
+        LEFT JOIN customer c ON e.user_id = c.c_custkey
+        LEFT JOIN nation  n ON c.c_nationkey = n.n_nationkey
+    ),
+    expanded AS (
+        SELECT CAST(floor(epoch(ts) / 15) * 15 AS BIGINT) - o.off AS window_start, enriched.*
+        FROM enriched CROSS JOIN (VALUES (0), (15)) o(off)
+    ),
+    agg AS (
+        SELECT window_start + 30 AS window_end, region_name,
+               least(sum(request_count) * 5.0, 100.0) AS intensity
+        FROM expanded GROUP BY window_start, region_name
+    ),
+    latest AS (SELECT * FROM agg WHERE window_end = (SELECT max(window_end) FROM agg)),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY intensity DESC, region_name) AS rnk FROM latest
+    )
+    SELECT r.region_name AS source,
+           (SELECT region_name FROM ranked WHERE rnk = 1) AS target,
+           r.intensity AS value
+    FROM ranked r WHERE r.rnk BETWEEN 2 AND 6
+    """,
+)
+def region_flows_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flows contract (§2.7 'Top-5 flows by intensity'): latest window's
+    top regions flow into the rank-1 hub — the reference's driver-side
+    Python ranking re-expressed as a distributed window + broadcast."""
+    from cdc_pipeline_spark.operators.enrich import broadcast_enrich
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("region_name")
+    )
+    enriched = broadcast_enrich(broadcast_enrich(ev, cust, on=["user_id"]), nation, on=["c_nationkey"])
+    shaped = enriched.select(
+        "ts", "region_name", F.lit(0.0).alias("sales"), F.lit(1).alias("request_count")
+    )
+    regions = aggregates.windowed_region(
+        shaped, time_col="ts", region_col="region_name", sales_col="sales",
+        request_col="request_count", duration="30 seconds", slide="15 seconds",
+    )
+    return aggregates.derive_flows(regions, k=5)

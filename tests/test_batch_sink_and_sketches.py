@@ -1,0 +1,55 @@
+"""Partitioned parquet sink round-trip + approximate-sketch tolerance
+(the production sketch path vs the exact oracle path)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from cdc_pipeline_spark.operators import aggregates
+from cdc_pipeline_spark.sources.files import load_table
+from cdc_pipeline_spark.streaming.batch_sink import with_date_partitions, write_partitioned_parquet
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_partitioned_parquet_roundtrip(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events")
+    out = str(tmp_path / "lake" / "events")
+    write_partitioned_parquet(with_date_partitions(ev, "ts"), out, partition_cols=["event_date"])
+    # hive-style partition directories exist
+    dirs = [d for d in os.listdir(out) if d.startswith("event_date=")]
+    assert len(dirs) > 1
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    # partition pruning: reading one date only touches its directory
+    one_day = back.filter(F.col("event_date") == "2024-01-05")
+    assert 0 < one_day.count() < ev.count()
+
+
+def test_sketch_mode_within_tolerance_of_exact(spark):
+    """The streaming path must use sketches (exact distinct is illegal in
+    streaming); this pins their error against the exact batch path:
+    HLL++ count distinct within 5%, KLL/GK median within 2% relative."""
+    ev = load_table(spark, SF_DIR, "events").select(
+        F.col("ts"),
+        F.col("user_id").alias("session_id"),
+        F.lit(0.0).alias("revenue_amount"),
+        F.lit(0).alias("order_count"),
+        F.lit(0).alias("error_count"),
+        F.lit(1).alias("request_count"),
+        F.col("value").alias("latency_ms"),
+    )
+    # 7-day windows → ~200+ samples each: percentile_approx returns an
+    # actual element (no interpolation), so it only converges to the
+    # interpolated exact percentile with enough samples — sparse windows
+    # would test the data, not the sketch.
+    kw = dict(time_col="ts", duration="7 days", slide=None)
+    exact = {r.window_start: r for r in aggregates.windowed_kpi(ev, exact=True, **kw).collect()}
+    approx = {r.window_start: r for r in aggregates.windowed_kpi(ev, exact=False, **kw).collect()}
+    assert exact.keys() == approx.keys()
+    for ws, e in exact.items():
+        a = approx[ws]
+        assert abs(a.active_users - e.active_users) <= max(1, 0.05 * e.active_users)
+        assert abs(a.latency_p50 - e.latency_p50) <= max(2.0, 0.02 * abs(e.latency_p50))
