@@ -1095,3 +1095,88 @@ def region_flows_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         request_col="request_count", duration="30 seconds", slide="15 seconds",
     )
     return aggregates.derive_flows(regions, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (custom operators the brief calls out: as-of join, range
+# join) — implemented as DataFrame compositions (operators/temporal.py),
+# oracled against DuckDB's native ASOF JOIN / inequality join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_latest_order",
+    """
+    WITH ro AS (
+        SELECT o_custkey AS user_id, o_orderdate,
+               max(o_orderkey) AS last_order_key,
+               max_by(o_totalprice, o_orderkey) AS last_order_total
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_epoch,
+           ro.last_order_key, ro.last_order_total
+    FROM events e ASOF LEFT JOIN ro ON e.user_id = ro.user_id AND e.ts >= ro.o_orderdate
+    """,
+)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the customer's most recent order at
+    or before the event time. Union-merge formulation — one shuffle on
+    the key, no |L|×|R| expansion (operators/temporal.py). Right-side
+    ties at equal (key, time) are collapsed to max order key so both
+    engines are deterministic."""
+    from cdc_pipeline_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate"),
+        F.col("o_orderkey").alias("last_order_key"),
+        F.col("o_totalprice").alias("last_order_total"),
+    )
+    joined = asof_join(
+        ev,
+        orders,
+        key_cols=["user_id"],
+        left_time="ts",
+        right_time="o_orderdate",
+        right_value_cols=["last_order_key", "last_order_total"],
+        right_tiebreakers=["last_order_key"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "last_order_key",
+        "last_order_total",
+    )
+
+
+@register(
+    "range_pair_counts",
+    """
+    SELECT a.user_id, count(*) AS pair_count
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND epoch(b.ts) <= epoch(a.ts) + 600
+    GROUP BY a.user_id
+    """,
+)
+def range_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per-user count of event pairs where the second event
+    follows the first within 10 minutes. Bucket-blocked join (bucket +
+    successor probe) — candidates proportional to bucket co-occupancy,
+    never the |L|×|R| cross product a naive inequality join scans."""
+    from cdc_pipeline_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    pairs = range_join(
+        ev,
+        ev,
+        key_cols=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        max_gap_seconds=600,
+        strict_after=True,
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("pair_count"))

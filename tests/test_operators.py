@@ -116,3 +116,39 @@ def test_alert_frame_statuses(spark):
     out = alert_frame(df, [{"id": "cpu_high", "metric": "cpu", "threshold": 50.0}], id_cols=["window_id"])
     rows = {r.window_id: r.status for r in out.collect()}
     assert rows == {"w1": "ok", "w2": "firing"}
+
+
+def test_asof_join_edges(spark):
+    from cdc_pipeline_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (2, 50, "c")], "k long, t long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 10.0), (1, 150, 20.0), (1, 150, 30.0), (3, 10, 99.0)], "k long, t long, v double"
+    )
+    out = {
+        r.tag: r.v
+        for r in asof_join(
+            left, right, key_cols=["k"], left_time="t", right_time="t",
+            right_value_cols=["v"], right_tiebreakers=["v"],
+        ).collect()
+    }
+    # a: only t=90 qualifies; b: tie at t=150 → max tiebreaker (30.0);
+    # c: key has no right rows at all → NULL
+    assert out == {"a": 10.0, "b": 30.0, "c": None}
+
+
+def test_range_join_strictness_and_bounds(spark):
+    from cdc_pipeline_spark.operators.temporal import range_join
+
+    df = spark.createDataFrame(
+        [(1, 0), (1, 60), (1, 61), (1, 200)], "k long, t long"
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    pairs = range_join(df, df, ["k"], "t", "t", max_gap_seconds=60).select(
+        F.col("t").cast("long").alias("a"), F.col("t_r").cast("long").alias("b")
+    )
+    got = {(r.a, r.b) for r in pairs.collect()}
+    # strict lower bound (b > a), inclusive upper (b <= a+60);
+    # (0,60) in, (0,61) out, (60,61) in, self-pairs excluded
+    assert got == {(0, 60), (60, 61), (1, 61)} - {(1, 61)}
