@@ -250,3 +250,37 @@ def test_consecutive_breach_state_machine(spark, stream_dir, checkpoint):
     assert (2, "pending") in per_batch
     assert (3, "firing") in per_batch
     assert (1, "pending") in per_batch
+
+
+def test_streaming_dedup_within_watermark(spark, stream_dir, checkpoint):
+    """CDC streaming twin of latest_state: dropDuplicatesWithinWatermark
+    suppresses re-delivered rows with the same key across micro-batches
+    (within the watermark horizon)."""
+    batches = [
+        _rows([(0, "view", 1.0), (5, "view", 2.0)]),
+        _rows([(0, "view", 1.0), (8, "view", 3.0)]),  # first row = replay of event 0
+    ]
+    # same event_id 0 appears in both batches (replay); _rows assigns
+    # sequential ids per batch, so craft explicitly instead:
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    b0 = [(0, base, 100, "view", 1.0), (1, base + dt.timedelta(seconds=5), 101, "view", 2.0)]
+    b1 = [(0, base, 100, "view", 1.0), (2, base + dt.timedelta(seconds=8), 102, "view", 3.0)]
+    _write_batches(spark, stream_dir, [b0, b1])
+    source = stream_parquet(spark, stream_dir, EVENT_SCHEMA, max_files_per_trigger=1)
+    deduped = source.withWatermark("created_at", "10 minutes").dropDuplicatesWithinWatermark(["event_id"])
+    seen = []
+
+    def capture(batch, _):
+        seen.extend(r.event_id for r in batch.collect())
+
+    q = (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(seen) == [0, 1, 2], f"replayed event must be suppressed, saw {seen}"
