@@ -1180,3 +1180,111 @@ def range_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         strict_after=True,
     )
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("pair_count"))
+
+
+# ---------------------------------------------------------------------------
+# Join-family completeness: semi/anti joins, correlated subqueries, full
+# outer — none exist in the reference (SURVEY §2.4 "No hash/sort-merge/
+# range/as-of/semi/anti/theta joins"); a general engine needs them.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_with_open_orders",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+)
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): customers holding at least one open order."""
+    cust = _t(spark, sf_dir, "customer")
+    open_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cust.join(
+        open_orders, cust["c_custkey"] == open_orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no orders at all."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "parts_below_brand_avg",
+    """
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part p
+    WHERE p_retailprice < (
+        SELECT avg(p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    """,
+)
+def parts_below_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (decorrelated by Catalyst into an
+    aggregate + join; expressed via spark.sql to exercise the SQL path
+    and the decorrelation rule directly)."""
+    from cdc_pipeline_spark.sql import register_tables
+
+    register_tables(spark, sf_dir, names=("part",))
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part p
+        WHERE p_retailprice < (
+            SELECT avg(p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+        )
+        """
+    )
+
+
+@register(
+    "purchase_error_full_outer",
+    """
+    WITH p AS (SELECT user_id, count(*) AS purchases FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         e AS (SELECT user_id, count(*) AS errors    FROM events WHERE event_type = 'error'    GROUP BY user_id)
+    SELECT coalesce(p.user_id, e.user_id) AS user_id,
+           CAST(coalesce(p.purchases, 0) AS BIGINT) AS purchases,
+           CAST(coalesce(e.errors, 0)    AS BIGINT) AS errors
+    FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
+    """,
+)
+def purchase_error_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates with zero-fill."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(F.count(F.lit(1)).alias("purchases"))
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.col("user_id").alias("e_user_id"))
+        .agg(F.count(F.lit(1)).alias("errors"))
+    )
+    j = p.join(e, p["user_id"] == e["e_user_id"], "full_outer")
+    return j.select(
+        F.coalesce(p["user_id"], e["e_user_id"]).alias("user_id"),
+        F.coalesce(F.col("purchases"), F.lit(0)).alias("purchases"),
+        F.coalesce(F.col("errors"), F.lit(0)).alias("errors"),
+    )
+
+
+@register(
+    "distinct_user_event_pairs",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def distinct_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (dropDuplicates on the full projection)."""
+    return _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
