@@ -61,14 +61,18 @@ def windowed_kpi(
     semantics (``session_col``), fixing the documented gap (SURVEY §2.5).
     """
     if exact:
-        active_users = F.count_distinct(F.col(session_col))
         latency_p50 = F.percentile(F.col(latency_col), F.lit(0.5))
     else:
-        active_users = F.approx_count_distinct(session_col)
         latency_p50 = F.percentile_approx(F.col(latency_col), F.lit(0.5), F.lit(10000))
+    user_aggs = []
+    if session_col is not None:
+        active_users = (
+            F.count_distinct(F.col(session_col)) if exact else F.approx_count_distinct(session_col)
+        )
+        user_aggs.append(active_users.alias("active_users"))
 
     agg = df.groupBy(window_col(time_col, duration, slide)).agg(
-        active_users.alias("active_users"),
+        *user_aggs,
         F.round(F.sum(revenue_col), 2).alias("revenue"),
         F.sum(order_col).alias("orders"),
         F.round(
@@ -76,7 +80,13 @@ def windowed_kpi(
         ).alias("error_rate"),
         F.round(latency_p50, 4).alias("latency_p50"),
     )
-    return agg.select(*window_bounds_epoch(), "active_users", "revenue", "orders", "error_rate", "latency_p50")
+    out_cols = (["active_users"] if session_col is not None else []) + [
+        "revenue",
+        "orders",
+        "error_rate",
+        "latency_p50",
+    ]
+    return agg.select(*window_bounds_epoch(), *out_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -213,6 +223,16 @@ def alert_frame(df: DataFrame, rules: list[dict], id_cols: list[str] | None = No
     ``unionByName`` (alert_evaluator.py:43-78). ``id_cols`` carry the
     evaluated entity's identity (window/group) through to the output.
     """
+    if not rules:
+        # empty rule set (all disabled) → empty frame with the contract schema
+        return df.limit(0).select(
+            *[F.col(c) for c in (id_cols or [])],
+            F.lit("").alias("rule_id"),
+            F.lit("").alias("metric"),
+            F.lit(0.0).alias("metric_value"),
+            F.lit(0.0).alias("threshold"),
+            F.lit("").alias("status"),
+        )
     frames = []
     for rule in rules:
         metric = F.col(rule["metric"])

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cdc_pipeline_spark.operators.partitioning import spread as _spread
 from cdc_pipeline_spark.operators.text import fingerprint, tokens, word_shingles
 
 # Deterministic affine MinHash parameters: h_i(x) = (A_i * x + B_i) mod P.
@@ -60,15 +61,6 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
             F.count(F.lit(1)).alias("copies"),
         )
     )
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition to the session's default parallelism before expensive
-    per-row expression work (shingling/hashing). Small single-file parquet
-    inputs otherwise arrive as ONE partition and serialize the whole
-    operator onto one core (measured 10s → 0.6s for sf0.1 shingling).
-    Explicit numPartitions, so AQE does not coalesce it away."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -170,6 +162,11 @@ def minhash_lsh_pairs(
     precision exact. At scale, candidates per bucket are bounded by band
     collisions, not corpus size.
     """
+    if num_perm % bands != 0 or num_perm < bands:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_perm ({num_perm}); "
+            "otherwise permutations are silently dropped or band hashes degenerate"
+        )
     rows = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_perm)
     band_hash = [

@@ -54,15 +54,29 @@ def two_level_region_lookup(
         F.col("country_code").alias("__co_country"),
         F.col("region_name").alias("__co_region"),
     )
-    step1 = fact.join(
+    from pyspark.sql import Window
+
+    tagged = fact.withColumn("__fact_id", F.monotonically_increasing_id())
+    step1 = tagged.join(
         F.broadcast(city_dim),
-        (fact[country_col] == F.col("__cm_country"))
-        & fact[city_col].startswith(F.col("__cm_pattern")),
+        (tagged[country_col] == F.col("__cm_country"))
+        & tagged[city_col].startswith(F.col("__cm_pattern")),
         "left",
+    )
+    # Overlapping patterns ('San' and 'San Antonio') can both match one
+    # fact row; keep only the most specific (longest) pattern so the
+    # join never multiplies fact rows.
+    best = Window.partitionBy("__fact_id").orderBy(
+        F.length(F.col("__cm_pattern")).desc_nulls_last(), F.col("__cm_pattern").asc_nulls_last()
+    )
+    step1 = (
+        step1.withColumn("__cm_rank", F.row_number().over(best))
+        .filter(F.col("__cm_rank") == 1)
+        .drop("__cm_rank")
     )
     step2 = step1.join(
         F.broadcast(country_dim), step1[country_col] == F.col("__co_country"), "left"
     )
     return step2.withColumn(
         out_col, F.coalesce(F.col("__cm_region"), F.col("__co_region"), F.lit(default))
-    ).drop("__cm_country", "__cm_pattern", "__cm_region", "__co_country", "__co_region")
+    ).drop("__cm_country", "__cm_pattern", "__cm_region", "__co_country", "__co_region", "__fact_id")

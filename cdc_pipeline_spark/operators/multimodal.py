@@ -79,11 +79,12 @@ def extract_features(
     (byte length, digest) are computed in the same pass as the decode so
     the payload bytes cross the JVM→Python boundary exactly once.
     """
-    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    from cdc_pipeline_spark.operators.partitioning import spread
+
     # single-file inputs arrive as one partition → one Python worker;
     # spread so Arrow batches decode on every core (decode is the
     # expensive stage in a real media pipeline)
-    narrow = narrow.repartition(narrow.sparkSession.sparkContext.defaultParallelism)
+    narrow = spread(df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cdc_pipeline_spark.operators.partitioning import spread as _spread
 from cdc_pipeline_spark.operators.topk import grouped_top_k
 
 
@@ -47,14 +48,6 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
-
-
-def _spread(df: DataFrame, parallelism: int | None) -> DataFrame:
-    """Repartition the probe side of an all-pairs join so the scoring
-    parallelizes (see module docstring)."""
-    if parallelism is None:
-        parallelism = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(parallelism)
 
 
 def brute_force_topk(

@@ -51,19 +51,26 @@ def asof_join(
 
         right = latest_state(right, key_cols + [right_time], right_tiebreakers)
 
+    # The right side's value columns travel as ONE struct: `last(struct,
+    # ignorenulls)` then picks the latest right ROW wholesale. Carrying
+    # columns individually would back-fill a NULL field of the matched
+    # row from an older row — a blended row that never existed.
+    right_struct = F.struct(*[F.col(c) for c in right_value_cols])
     l_tagged = left.select(
         *key_cols,
         F.col(left_time).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
+        F.lit(None).cast(
+            right.select(right_struct.alias("__rrow")).schema["__rrow"].dataType
+        ).alias("__rrow"),
     )
     r_tagged = right.select(
         *key_cols,
         F.col(right_time).alias("__ts"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+        right_struct.alias("__rrow"),
     )
     merged = l_tagged.unionByName(r_tagged)
     # right rows sort before left rows at equal ts → "<=" semantics
@@ -73,17 +80,12 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.select(
-        "*",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in right_value_cols
-        ],
+        "*", F.last(F.col("__rrow"), ignorenulls=True).over(w).alias("__asof")
     )
-    out = carried.filter(F.col("__is_left") == 1).select(
+    return carried.filter(F.col("__is_left") == 1).select(
         F.col("__lrow.*"),
-        *[F.col(f"__asof_{c}").alias(c) for c in right_value_cols],
+        *[F.col("__asof")[c].alias(c) for c in right_value_cols],
     )
-    return out
 
 
 def range_join(

@@ -43,7 +43,16 @@ def epoch_ms(col: Column) -> Column:
     return (col.cast("double") * 1000).cast("long")
 
 
-def session_windows(df: DataFrame, time_col: str, gap: str, keys: list[str]) -> DataFrame:
-    """Session windows with an inactivity gap (not in the reference; the
-    natural Spark expression of its `sessions` table semantics)."""
-    return df.groupBy(*keys, F.session_window(F.col(time_col), gap))
+def sessionize(df: DataFrame, time_col: str, gap: str, keys: list[str], *aggs: Column) -> DataFrame:
+    """Session-window aggregation with an inactivity gap (not in the
+    reference; the natural Spark expression of its `sessions` table
+    semantics). Emits one row per (keys, session) with the session
+    bounds as epoch seconds plus the caller's aggregates."""
+    aggs = aggs or (F.count(F.lit(1)).alias("events_in_session"),)
+    grouped = df.groupBy(*keys, F.session_window(F.col(time_col), gap)).agg(*aggs)
+    return grouped.select(
+        *keys,
+        F.col("session_window.start").cast("long").alias("session_start"),
+        F.col("session_window.end").cast("long").alias("session_end"),
+        *[c for c in grouped.columns if c not in (*keys, "session_window")],
+    )

@@ -36,6 +36,11 @@ def read_table_snapshot(
         .option("fetchsize", str(fetch_size))
     )
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partitioned JDBC reads require lower_bound and upper_bound "
+                "(e.g. SELECT min/max of the partition column first)"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

@@ -39,7 +39,7 @@ def write_partitioned_parquet(
         out = out.repartition(*[F.col(c) for c in partition_cols])
     elif target_rows_per_file:
         total = df.count()
-        out = out.repartition(max(1, total // target_rows_per_file))
+        out = out.repartition(max(1, -(-total // target_rows_per_file)))  # ceil: files stay ≤ target
     writer = out.write.mode(mode)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)

@@ -67,9 +67,13 @@ def consecutive_breach_alerts(
         (rule_id,) = key
         count, status = state.get if state.exists else (0, "normal")
         last_epoch = 0
-        for pdf in pdfs:
-            # process this micro-batch's rows for the rule in time order
-            for _, row in pdf.sort_values(time_col).iterrows():
+        # A key's rows can span multiple Arrow chunks of the iterator —
+        # concatenate first, THEN sort, or the fold would process the
+        # breach/ok sequence out of time order across chunk boundaries.
+        chunks = list(pdfs)
+        if chunks:
+            all_rows = pd.concat(chunks, ignore_index=True).sort_values(time_col)
+            for _, row in all_rows.iterrows():
                 last_epoch = int(row[time_col])
                 if row[status_col] == "firing":
                     count += 1

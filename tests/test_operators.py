@@ -152,3 +152,20 @@ def test_range_join_strictness_and_bounds(spark):
     # strict lower bound (b > a), inclusive upper (b <= a+60);
     # (0,60) in, (0,61) out, (60,61) in, self-pairs excluded
     assert got == {(0, 60), (60, 61), (1, 61)} - {(1, 61)}
+
+
+def test_asof_join_does_not_blend_right_rows(spark):
+    """Regression: a NULL field in the matched right row must stay NULL —
+    not get back-filled from an older right row (the as-of result is a
+    whole row, not per-column carry-forward)."""
+    from cdc_pipeline_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 10, 3.0, 7.0), (1, 50, 5.0, None)], "k long, t long, a double, b double"
+    )
+    row = asof_join(
+        left, right, key_cols=["k"], left_time="t", right_time="t",
+        right_value_cols=["a", "b"],
+    ).collect()[0]
+    assert (row.a, row.b) == (5.0, None), f"blended row: {row}"
