@@ -99,3 +99,92 @@ def extract_features(
             )
 
     return narrow.mapInPandas(run, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Additional media stages: resize and frame sampling. Same deal as the
+# decoder — deterministic byte-level stand-ins behind the real Arrow/
+# mapInPandas plumbing (schema, batching, partitioning), swapped for
+# PIL/ffmpeg calls in a real deployment.
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("resized", StringType()),  # hex digest of the "resized" bytes
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", LongType()),
+        StructField("frame_offset", LongType()),
+        StructField("frame_digest", StringType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, width: int, height: int, fake: bool = True) -> bytes:
+    """Stand-in for an image resize: deterministically stretch/truncate
+    the byte stream to width*height bytes (real: PIL resize)."""
+    if not fake:
+        raise NotImplementedError("image libraries are not available in this container")
+    target = width * height
+    if not payload:
+        return b"\x00" * target
+    reps = -(-target // len(payload))
+    return (payload * reps)[:target]
+
+
+def resize_images(df: DataFrame, width: int = 32, height: int = 32, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched 'resize' stage: payload → fixed-size pseudo-image,
+    reported as (dims, digest) so tests can assert byte-exactness without
+    shipping the blobs back."""
+    from cdc_pipeline_spark.operators.partitioning import spread
+
+    narrow = spread(df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            resized = batch["payload"].map(lambda p: resize_stub(bytes(p), width, height))
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "resized": resized.map(lambda b: hashlib.sha256(b).hexdigest()),
+                }
+            )
+
+    return narrow.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Frame-sampling stage: n equally-spaced 'frames' (byte windows) per
+    payload — the video-keyframe access pattern. Emits one row per frame
+    (explode happens Python-side inside the same Arrow pass)."""
+    from cdc_pipeline_spark.operators.partitioning import spread
+
+    narrow = spread(df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, idxs, offsets, digests = [], [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                data = bytes(payload)
+                window = max(1, len(data) // max(n_frames, 1))
+                for i in range(n_frames):
+                    off = min(i * window, max(len(data) - 1, 0))
+                    frame = data[off : off + window]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offsets.append(off)
+                    digests.append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_index": idxs, "frame_offset": offsets, "frame_digest": digests}
+            )
+
+    return narrow.mapInPandas(run, FRAME_SCHEMA)

@@ -170,3 +170,77 @@ def cosine_neardup_pairs(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH — the bucket-join scale path for cosine search
+# (sign-bit signatures; vectors in the same bucket are likely similar).
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 11) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes via a splitmix scramble
+    (reproducible across runs and cluster sizes — no RNG state)."""
+    planes = []
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = x
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            z ^= z >> 31
+            row.append((z / float(1 << 64)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def rp_lsh_bucket(vec_col: Column, dim: int, n_planes: int = 12, seed: int = 11) -> Column:
+    """Sign-bit bucket id: bit j = [vec · plane_j ≥ 0]."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        proj = dot(vec_col, F.array(*[F.lit(x) for x in plane]))
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def rp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    probe_bits: int = 1,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """LSH-bucketed cosine top-k: corpus vectors hash once into sign-bit
+    buckets; each query probes its bucket plus every bucket within
+    ``probe_bits`` bit flips (multi-probe — recall/cost dial). Candidates
+    per query ≈ N · (1 + n_planes·probe_bits) / 2^n_planes."""
+    c = _spread(corpus, parallelism).withColumn(
+        "__bucket", rp_lsh_bucket(F.col(vec_col), dim, n_planes)
+    ).withColumn("__cnorm", norm(F.col(vec_col)))
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")).withColumn(
+        "__qbucket", rp_lsh_bucket(F.col("__qvec"), dim, n_planes)
+    ).withColumn("__qnorm", norm(F.col("__qvec")))
+    probes = [F.col("__qbucket")]
+    if probe_bits >= 1:
+        probes += [F.col("__qbucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+    q_probed = q.withColumn("__bucket", F.explode(F.array(*probes)))
+    scored = c.join(F.broadcast(q_probed), ["__bucket"]).filter(
+        F.col(id_col) != F.col(query_id_col)
+    ).select(
+        query_id_col,
+        id_col,
+        F.round(dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qnorm") * F.col("__cnorm")), 6).alias("score"),
+    ).distinct()
+    return grouped_top_k(
+        scored,
+        partition_by=[query_id_col],
+        order_by=[F.col("score").desc(), F.col(id_col).asc()],
+        k=k,
+    )

@@ -1288,3 +1288,28 @@ def purchase_error_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinct_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT (dropDuplicates on the full projection)."""
     return _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@register("multimodal_frame_sample")  # Pandas-stage output → rows-only check
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling media stage (video-keyframe access pattern) over
+    binary payloads: 4 equally-spaced byte-window 'frames' per document,
+    one output row each — Arrow-batched mapInPandas, digests verified in
+    unit tests against a local reimplementation."""
+    from cdc_pipeline_spark.operators.multimodal import attach_binary_payload, sample_frames
+
+    docs = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return sample_frames(docs, n_frames=4)
+
+
+@register("ann_rp_lsh_topk")  # hash-bucketed approximate path → rows-only check
+def ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH cosine top-k (the second bucketed scale path
+    beside IVF): sign-bit buckets + 1-bit multi-probe. Tests pin candidate
+    correctness (scores match brute force on the candidate set)."""
+    from cdc_pipeline_spark.operators.similarity import rp_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = rp_lsh_topk(emb, queries, dim=64, k=5, n_planes=8, probe_bits=1)
+    return out.select("query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))

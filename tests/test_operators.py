@@ -169,3 +169,46 @@ def test_asof_join_does_not_blend_right_rows(spark):
         right_value_cols=["a", "b"],
     ).collect()[0]
     assert (row.a, row.b) == (5.0, None), f"blended row: {row}"
+
+
+def test_multimodal_resize_and_frames_deterministic(spark):
+    from cdc_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_images,
+        resize_stub,
+        sample_frames,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(3)
+    with_payload = attach_binary_payload(docs)
+    resized = {r.doc_id: r for r in resize_images(with_payload, 8, 8).collect()}
+    frames = [r for r in sample_frames(with_payload, n_frames=4).collect()]
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert set(resized) == set(texts)
+    for doc_id, text in texts.items():
+        payload = text.encode()
+        expect = hashlib.sha256(resize_stub(payload, 8, 8)).hexdigest()
+        assert resized[doc_id].resized == expect
+        assert resized[doc_id].width == 8 and resized[doc_id].height == 8
+        doc_frames = sorted((f.frame_index, f.frame_offset, f.frame_digest) for f in frames if f.doc_id == doc_id)
+        assert [i for i, _, _ in doc_frames] == [0, 1, 2, 3]
+        window = max(1, len(payload) // 4)
+        for i, off, digest in doc_frames:
+            assert off == min(i * window, len(payload) - 1)
+            assert digest == hashlib.sha256(payload[off : off + window]).hexdigest()
+
+
+def test_rp_lsh_scores_match_bruteforce_on_candidates(spark):
+    """LSH is approximate in WHICH candidates it sees, never in scores:
+    every (query, candidate, score) it returns must appear with the same
+    score in the brute-force scoring."""
+    from cdc_pipeline_spark.operators.similarity import brute_force_topk, rp_lsh_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    brute = brute_force_topk(emb, queries, k=10_000).collect()  # all pairs, ranked
+    truth = {(r.query_id, r.vec_id): r.score for r in brute}
+    lsh = rp_lsh_topk(emb, queries, dim=64, k=5, n_planes=8, probe_bits=1).collect()
+    assert lsh, "LSH should return candidates"
+    for r in lsh:
+        assert truth[(r.query_id, r.vec_id)] == r.score
