@@ -102,3 +102,53 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("fingerprint", fingerprint(text_col))
         .drop("__toks")
     )
+
+
+def lang_guess_charclass(text_col: str = "text", stopword_threshold: float = 0.03) -> Column:
+    """Character-class + stopword language ID: script ranges decide
+    non-Latin languages outright (CJK → zh, Cyrillic → ru), Latin-script
+    text falls through to diacritic classes (es/fr-ish) and finally the
+    English stopword ratio. Deterministic, mirrorable in SQL via regexp
+    counts; a real deployment swaps in trained n-gram profiles — the
+    operator contract (pure column expression, no UDF) is the point."""
+    has = lambda pattern: F.col(text_col).rlike(pattern)
+    return (
+        F.when(has("[一-鿿]"), F.lit("zh"))
+        .when(has("[Ѐ-ӿ]"), F.lit("ru"))
+        .when(has("[áéíóúñ¿¡]"), F.lit("es"))
+        .when(
+            F.expr(
+                f"size(filter(split(trim({text_col}), '\\\\s+'), x -> x IN ('the','a','of','and','is')))"
+            )
+            / F.greatest(F.size(tokens(text_col)), F.lit(1))
+            >= stopword_threshold,
+            F.lit("en"),
+        )
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def winnowing_fingerprints(
+    text_col: str = "text", k: int = 8, window: int = 4
+) -> Column:
+    """Rolling-hash document fingerprints (winnowing): hash every
+    character k-gram, then keep the minimum hash of each non-overlapping
+    window of consecutive k-gram positions. The selected set is robust to
+    local edits (only windows containing the edit change) — the classic
+    plagiarism/near-dup fingerprint (Schleimer et al., SIGMOD'03).
+
+    Pure column expression: positions via sequence → transform(substring
+    → xxhash64), window minima via a second transform over window
+    indices. Returns array<long> (sorted, distinct).
+    """
+    n_grams = F.greatest(F.length(text_col) - F.lit(k - 1), F.lit(0))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.xxhash64(F.col(text_col).substr(i + 1, F.lit(k))),
+    )
+    n_windows = F.ceil(F.size(gram_hashes) / F.lit(window)).cast("int")
+    window_mins = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda w: F.array_min(F.slice(gram_hashes, w * window + 1, window)),
+    )
+    return F.array_sort(F.array_distinct(F.when(n_grams > 0, window_mins).otherwise(F.array().cast("array<long>"))))

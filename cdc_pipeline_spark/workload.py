@@ -1313,3 +1313,44 @@ def ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
     out = rp_lsh_topk(emb, queries, dim=64, k=5, n_planes=8, probe_bits=1)
     return out.select("query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "doc_lang_charclass",
+    r"""
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+                WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+                WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                     x -> x IN ('the','a','of','and','is')))
+                     / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) >= 0.03
+                THEN 'en' ELSE 'unknown' END AS lang_pred
+    FROM documents
+    """,
+)
+def doc_lang_charclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class n-gram-style language ID (script ranges → diacritic
+    classes → stopword ratio)."""
+    from cdc_pipeline_spark.operators.text import lang_guess_charclass
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", lang_guess_charclass("text").alias("lang_pred")
+    )
+
+
+@register("doc_winnowing_fingerprints")  # xxhash64-based → rows-only check
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (Schleimer et al.): per-doc
+    selected k-gram hash set + count. Hashes aren't portable to the SQL
+    oracle; unit tests pin them against a Python reimplementation."""
+    from cdc_pipeline_spark.operators.text import winnowing_fingerprints
+
+    from cdc_pipeline_spark.operators.partitioning import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.size(winnowing_fingerprints("text")).alias("fingerprint_count"),
+        winnowing_fingerprints("text").alias("fingerprints"),
+    )

@@ -212,3 +212,31 @@ def test_rp_lsh_scores_match_bruteforce_on_candidates(spark):
     assert lsh, "LSH should return candidates"
     for r in lsh:
         assert truth[(r.query_id, r.vec_id)] == r.score
+
+
+def test_winnowing_matches_python_reimplementation(spark):
+    """The winnowing column expression must select exactly the
+    min-hash-per-window set a direct Python implementation selects
+    (same xxhash64 via a one-column probe)."""
+    from cdc_pipeline_spark.operators.text import winnowing_fingerprints
+
+    k, window = 8, 4
+    docs = load_table(spark, SF_DIR, "documents").limit(3)
+    got = {r.doc_id: list(r.fp) for r in docs.select("doc_id", winnowing_fingerprints("text", k, window).alias("fp")).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    # xxhash64 of each k-gram via Spark itself (portable reference for the hash)
+    for doc_id, text in texts.items():
+        grams = [text[i : i + k] for i in range(len(text) - k + 1)]
+        hdf = spark.createDataFrame([(g,) for g in grams], "g string").select(F.xxhash64("g").alias("h"))
+        hashes = [r.h for r in hdf.collect()]
+        expect = sorted({min(hashes[w : w + window]) for w in range(0, len(hashes), window)})
+        assert got[doc_id] == expect, f"doc {doc_id}"
+
+
+def test_winnowing_empty_and_short_text(spark):
+    from cdc_pipeline_spark.operators.text import winnowing_fingerprints
+
+    df = spark.createDataFrame([(0, ""), (1, "short"), (2, "x" * 20)], "doc_id long, text string")
+    rows = {r.doc_id: list(r.fp) for r in df.select("doc_id", winnowing_fingerprints("text", 8, 4).alias("fp")).collect()}
+    assert rows[0] == [] and rows[1] == []  # shorter than k → no fingerprints
+    assert len(rows[2]) >= 1
