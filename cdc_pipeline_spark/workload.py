@@ -1354,3 +1354,16 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(winnowing_fingerprints("text")).alias("fingerprint_count"),
         winnowing_fingerprints("text").alias("fingerprints"),
     )
+
+
+@register("embedding_kmeans")  # iterative algorithm → rows-only check
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd's k-means (5 iterations, deterministic lowest-id
+    init) — the engine's iterative-algorithm demonstration: per
+    iteration, assignment + centroid update are distributed aggregations;
+    only k×dim doubles of control state touch the driver. Tests assert
+    distortion decreases monotonically and assignments are total."""
+    from cdc_pipeline_spark.operators.clustering import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans(emb, k=8, max_iters=5)

@@ -240,3 +240,21 @@ def test_winnowing_empty_and_short_text(spark):
     rows = {r.doc_id: list(r.fp) for r in df.select("doc_id", winnowing_fingerprints("text", 8, 4).alias("fp")).collect()}
     assert rows[0] == [] and rows[1] == []  # shorter than k → no fingerprints
     assert len(rows[2]) >= 1
+
+
+def test_kmeans_assigns_all_and_improves(spark):
+    from cdc_pipeline_spark.operators.clustering import distortion, kmeans
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    one_iter = kmeans(emb, k=4, max_iters=1)
+    five_iter = kmeans(emb, k=4, max_iters=5)
+    assert one_iter.count() == n and five_iter.count() == n
+    assert five_iter.select("cluster").distinct().count() <= 4
+    d1 = distortion(emb, one_iter)
+    d5 = distortion(emb, five_iter)
+    assert d5 <= d1 + 1e-9, f"more iterations must not increase distortion ({d1} -> {d5})"
+    # determinism: same call twice → identical assignments
+    again = {r.vec_id: r.cluster for r in kmeans(emb, k=4, max_iters=5).collect()}
+    first = {r.vec_id: r.cluster for r in five_iter.collect()}
+    assert again == first
