@@ -284,3 +284,45 @@ def test_streaming_dedup_within_watermark(spark, stream_dir, checkpoint):
     )
     q.awaitTermination(120)
     assert sorted(seen) == [0, 1, 2], f"replayed event must be suppressed, saw {seen}"
+
+
+def test_checkpoint_recovery_resumes_without_reprocessing(spark, stream_dir, checkpoint):
+    """Durable checkpoints (the engine keeps them; the reference wiped
+    them at startup, SURVEY §2.9): a restarted query picks up AFTER the
+    last committed file and only emits new/changed windows."""
+    batches = [
+        _rows([(0, "view", 1.0), (3, "view", 1.0)]),       # window [0,10) = 2
+        _rows([(12, "view", 1.0)]),                        # window [10,20) = 1
+    ]
+    _write_batches(spark, stream_dir, batches)
+    kv = InMemoryKV()
+    q = jobs.start_traffic_pipeline(
+        stream_parquet(spark, stream_dir, EVENT_SCHEMA, max_files_per_trigger=1),
+        kv, checkpoint, time_col="created_at", trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    pushes_after_first_run = len(kv.lists["nexus:traffic:timeseries"])
+
+    # add one more file and RESTART from the same checkpoint
+    extra = _rows([(25, "view", 1.0)])                     # window [20,30) = 1
+    df = spark.createDataFrame(extra, EVENT_SCHEMA).coalesce(1)
+    part = os.path.join(stream_dir, "late")
+    df.write.mode("overwrite").parquet(part)
+    data_file = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(part, data_file), os.path.join(stream_dir, "9999.parquet"))
+    now = time.time() + 100
+    os.utime(os.path.join(stream_dir, "9999.parquet"), (now, now))
+
+    q2 = jobs.start_traffic_pipeline(
+        stream_parquet(spark, stream_dir, EVENT_SCHEMA, max_files_per_trigger=1),
+        kv, checkpoint, time_col="created_at", trigger={"availableNow": True},
+    )
+    q2.awaitTermination(120)
+
+    items = [json.loads(i) for i in kv.lists["nexus:traffic:timeseries"]]
+    base = 1704067200
+    # the restart emitted ONLY the new window — exactly one more push
+    assert len(items) == pushes_after_first_run + 1, items
+    assert items[0]["window_start"] == base + 20 and items[0]["value"] == 1
+    # earlier windows were not re-emitted (no duplicates of window 0)
+    assert sum(1 for i in items if i["window_start"] == base) == 1
