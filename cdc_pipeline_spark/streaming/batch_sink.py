@@ -52,3 +52,23 @@ def with_date_partitions(df: DataFrame, time_col: str) -> DataFrame:
     return df.withColumn("event_date", F.to_date(F.col(time_col))).withColumn(
         "event_hour", F.hour(F.col(time_col))
     )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a managed table bucketed (and optionally sorted) by the
+    join/aggregation key — the lake-layout answer to repeated co-located
+    joins at 100 TB: two tables bucketed on the same key with the same
+    bucket count join with NO shuffle on either side (verified by plan
+    test). Bucketing metadata requires the session catalog, hence
+    saveAsTable rather than path-based parquet."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

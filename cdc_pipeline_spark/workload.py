@@ -954,10 +954,10 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine derives them from the event stream — SURVEY §2.9 notes
     session windows unused). Oracle mirrors it with gaps-and-islands SQL.
     Output: per-user session count + largest session size."""
+    from cdc_pipeline_spark.operators.windows import sessionize
+
     ev = _t(spark, sf_dir, "events")
-    sessions = ev.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
-        F.count(F.lit(1)).alias("events_in_session")
-    )
+    sessions = sessionize(ev, "ts", "30 minutes", ["user_id"])
     return sessions.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("session_count"),
         F.max("events_in_session").alias("max_session_events"),

@@ -53,3 +53,35 @@ def test_sketch_mode_within_tolerance_of_exact(spark):
         a = approx[ws]
         assert abs(a.active_users - e.active_users) <= max(1, 0.05 * e.active_users)
         assert abs(a.latency_p50 - e.latency_p50) <= max(2.0, 0.02 * abs(e.latency_p50))
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located join: both sides bucketed on the join key ⇒ the join
+    plan contains no Exchange (the SCALE.md §joins claim, pinned)."""
+    import contextlib
+    import io
+    import re
+
+    from cdc_pipeline_spark.streaming.batch_sink import write_bucketed_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast path
+    try:
+        orders = load_table(spark, SF_DIR, "orders")
+        lineitem = load_table(spark, SF_DIR, "lineitem")
+        write_bucketed_table(orders, "orders_b", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"])
+        write_bucketed_table(lineitem, "lineitem_b", ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"])
+        joined = spark.table("lineitem_b").join(
+            spark.table("orders_b"),
+            spark.table("lineitem_b")["l_orderkey"] == spark.table("orders_b")["o_orderkey"],
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)
+        assert not exchanges, f"bucketed join must be shuffle-free:\n{plan}"
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
