@@ -23,6 +23,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cdc_pipeline_spark.operators.rounding import round_half_up
+
 from cdc_pipeline_spark.operators.windows import window_bounds_epoch, window_col
 
 
@@ -73,12 +75,12 @@ def windowed_kpi(
 
     agg = df.groupBy(window_col(time_col, duration, slide)).agg(
         *user_aggs,
-        F.round(F.sum(revenue_col), 2).alias("revenue"),
+        round_half_up(F.sum(revenue_col), 2).alias("revenue"),
         F.sum(order_col).alias("orders"),
-        F.round(
+        round_half_up(
             F.sum(error_col) / F.greatest(F.sum(request_col), F.lit(1)) * 100.0, 2
         ).alias("error_rate"),
-        F.round(latency_p50, 4).alias("latency_p50"),
+        round_half_up(latency_p50, 4).alias("latency_p50"),
     )
     out_cols = (["active_users"] if session_col is not None else []) + [
         "revenue",
@@ -110,7 +112,7 @@ def windowed_region(
         df.withColumn(region_col, F.coalesce(F.col(region_col), F.lit("Unknown")))
         .groupBy(window_col(time_col, duration, slide), F.col(region_col).alias("region_name"))
         .agg(
-            F.round(F.sum(sales_col), 2).alias("sales"),
+            round_half_up(F.sum(sales_col), 2).alias("sales"),
             F.sum(request_col).alias("request_count"),
         )
         .withColumn("intensity", F.least(F.col("request_count") * 5.0, F.lit(100.0)))
@@ -164,8 +166,8 @@ def windowed_health(
     name, value = F.col(metric_name_col), F.col(metric_value_col)
     nodes = F.count_distinct(F.col(node_col)) if exact else F.approx_count_distinct(node_col)
     agg = df.groupBy(window_col(time_col, duration, slide)).agg(
-        F.round(F.coalesce(F.avg(F.when(name == cpu_metric, value)), F.lit(0.0)), 4).alias("cpu_avg"),
-        F.round(F.coalesce(F.avg(F.when(name == memory_metric, value)), F.lit(0.0)), 4).alias("memory_avg"),
+        round_half_up(F.coalesce(F.avg(F.when(name == cpu_metric, value)), F.lit(0.0)), 4).alias("cpu_avg"),
+        round_half_up(F.coalesce(F.avg(F.when(name == memory_metric, value)), F.lit(0.0)), 4).alias("memory_avg"),
         nodes.alias("node_count"),
     )
     return agg.select(*window_bounds_epoch(), "cpu_avg", "memory_avg", "node_count")
@@ -204,7 +206,7 @@ def windowed_geo_header(
         *window_bounds_epoch(),
         "request_count",
         F.concat(
-            F.round(F.col("request_count") * load_scale, 1).cast("string"),
+            round_half_up(F.col("request_count") * load_scale, 1).cast("string"),
             F.lit(" TB/S"),
         ).alias("global_load"),
     )

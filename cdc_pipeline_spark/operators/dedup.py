@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cdc_pipeline_spark.operators.rounding import round_half_up
+
 from cdc_pipeline_spark.operators.partitioning import spread as _spread
 from cdc_pipeline_spark.operators.text import fingerprint, tokens, word_shingles
 
@@ -114,7 +116,7 @@ def ngram_jaccard_pairs(
     )
     jaccard = F.col("intersection") / (F.col("size_a") + F.col("size_b") - F.col("intersection"))
     return (
-        with_sizes.withColumn("jaccard", F.round(jaccard, 6))
+        with_sizes.withColumn("jaccard", round_half_up(jaccard, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -206,7 +208,7 @@ def minhash_lsh_pairs(
     return (
         pairs.join(a_side, "id_a")
         .join(b_side, "id_b")
-        .withColumn("jaccard", F.round(jaccard, 6))
+        .withColumn("jaccard", round_half_up(jaccard, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cdc_pipeline_spark.operators.rounding import round_half_up
+
 from cdc_pipeline_spark.operators.partitioning import spread as _spread
 from cdc_pipeline_spark.operators.topk import grouped_top_k
 
@@ -68,7 +70,7 @@ def brute_force_topk(
     scored = c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).select(
         query_id_col,
         id_col,
-        F.round(dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qnorm") * F.col("__cnorm")), 6).alias("score"),
+        round_half_up(dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qnorm") * F.col("__cnorm")), 6).alias("score"),
     )
     return grouped_top_k(
         scored,
@@ -132,7 +134,7 @@ def ivf_topk(
         .select(
             query_id_col,
             id_col,
-            F.round(dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qnorm") * F.col("__cnorm")), 6).alias("score"),
+            round_half_up(dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qnorm") * F.col("__cnorm")), 6).alias("score"),
         )
     )
     return grouped_top_k(
@@ -166,7 +168,7 @@ def cosine_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6).alias("score"),
+            round_half_up(dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
@@ -236,7 +238,7 @@ def rp_lsh_topk(
     ).select(
         query_id_col,
         id_col,
-        F.round(dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qnorm") * F.col("__cnorm")), 6).alias("score"),
+        round_half_up(dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qnorm") * F.col("__cnorm")), 6).alias("score"),
     ).distinct()
     return grouped_top_k(
         scored,

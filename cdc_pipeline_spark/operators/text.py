@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cdc_pipeline_spark.operators.rounding import round_half_up
+
 # small deterministic stopword set for the language-ID / quality heuristics
 EN_STOPWORDS = ("the", "a", "of", "and", "is")
 
@@ -56,7 +58,7 @@ def quality_score(tokens_col: str, text_col: str = "text") -> Column:
     """Deterministic quality score in [0,1]:
     0.3·length-saturation + 0.4·lexical-diversity + 0.3·(1 − punctuation)."""
     length_score = F.least(F.length(text_col) / F.lit(500.0), F.lit(1.0))
-    return F.round(
+    return round_half_up(
         0.3 * length_score + 0.4 * distinct_token_ratio(tokens_col) + 0.3 * (1.0 - punct_ratio(text_col)),
         4,
     )
@@ -95,8 +97,8 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = df.withColumn("__toks", tokens(text_col))
     return (
         out.withColumn("token_count", F.size(F.col("__toks")))
-        .withColumn("distinct_ratio", F.round(distinct_token_ratio("__toks"), 4))
-        .withColumn("punct_ratio", F.round(punct_ratio(text_col), 4))
+        .withColumn("distinct_ratio", round_half_up(distinct_token_ratio("__toks"), 4))
+        .withColumn("punct_ratio", round_half_up(punct_ratio(text_col), 4))
         .withColumn("quality", quality_score("__toks", text_col))
         .withColumn("lang_guess", lang_guess("__toks"))
         .withColumn("fingerprint", fingerprint(text_col))

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cdc_pipeline_spark.operators.rounding import round_half_up
+
 
 def period_over_period(
     df: DataFrame,
@@ -33,7 +35,7 @@ def period_over_period(
     to keep the window parallel when trending per group.
     """
     bucket = F.date_trunc(period, F.col(time_col)).alias("period_start")
-    aggs = [F.round(F.sum(c), 2).alias(c) for c in value_cols]
+    aggs = [round_half_up(F.sum(c), 2).alias(c) for c in value_cols]
     grouped = df.groupBy(bucket, *[F.col(c) for c in (partition_by or [])]).agg(*aggs)
 
     w = Window.partitionBy(*(partition_by or [])).orderBy("period_start")
@@ -44,7 +46,7 @@ def period_over_period(
             f"{c}_trend",
             F.when(
                 prev.isNotNull() & (prev != 0),
-                F.round((F.col(c) - prev) / prev * 100.0, 2),
+                round_half_up((F.col(c) - prev) / prev * 100.0, 2),
             ),
         )
     return out.withColumn("period_start", F.col("period_start").cast("long"))

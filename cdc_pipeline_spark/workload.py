@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from cdc_pipeline_spark.operators import aggregates, cdc, topk, trends
 from cdc_pipeline_spark.operators.activity import enrich_activity
+from cdc_pipeline_spark.operators.rounding import rewrite_sql_rounds, round_half_up
 from cdc_pipeline_spark.sources.files import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -38,7 +39,9 @@ def register(name: str, oracle: str | None = None):
     def wrap(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
-            ORACLE_SQL[name] = oracle
+            # round(x, n) → floor-form: identical tie behavior to the
+            # Spark side's round_half_up (operators/rounding.py)
+            ORACLE_SQL[name] = rewrite_sql_rounds(oracle)
         return fn
 
     return wrap
@@ -81,13 +84,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            round_half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_half_up(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            round_half_up(F.sum(disc_price), 2).alias("sum_disc_price"),
+            round_half_up(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            round_half_up(F.avg("l_quantity"), 4).alias("avg_qty"),
+            round_half_up(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            round_half_up(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -126,7 +129,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        round_half_up(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
     )
     return topk.top_k(
         agg.select(
@@ -171,7 +174,7 @@ def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fact.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(round_half_up(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
 
 
@@ -194,8 +197,8 @@ def order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("order_count"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_amount"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_amount"),
+            round_half_up(F.sum("o_totalprice"), 2).alias("total_amount"),
+            round_half_up(F.avg("o_totalprice"), 4).alias("avg_amount"),
         )
     )
 
@@ -223,7 +226,7 @@ def customer_region_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = broadcast_enrich(broadcast_enrich(cust, nation, on=["c_nationkey"], how="inner"), region, on=["n_regionkey"], how="inner")
     return enriched.groupBy(F.col("r_name").alias("region_name")).agg(
         F.count(F.lit(1)).alias("customer_count"),
-        F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        round_half_up(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
     )
 
 
@@ -571,13 +574,13 @@ def region_windowed_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS token_count,
-           round(len(list_distinct(toks)) / greatest(len(toks), 1), 4) AS distinct_ratio,
-           round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
-                 / greatest(length(text), 1), 4) AS punct_ratio,
-           round(0.3 * least(length(text) / 500.0, 1.0)
+           floor(len(list_distinct(toks)) / greatest(len(toks), 1) * 10000.0 + 0.5) / 10000.0 AS distinct_ratio,
+           floor((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                 / greatest(length(text), 1) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+           floor((0.3 * least(length(text) / 500.0, 1.0)
                  + 0.4 * (len(list_distinct(toks)) / greatest(len(toks), 1))
                  + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
-                                / greatest(length(text), 1)), 4) AS quality,
+                                / greatest(length(text), 1))) * 10000.0 + 0.5) / 10000.0 AS quality,
            CASE WHEN len(list_filter(toks, x -> x IN ('the','a','of','and','is')))
                      / greatest(len(toks), 1) >= 0.03
                 THEN 'en' ELSE 'unknown' END AS lang_guess,
@@ -789,7 +792,7 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue_delta"),
+            round_half_up(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue_delta"),
             F.count(F.lit(1)).alias("qualifying_rows"),
         )
     )
@@ -814,7 +817,7 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("order_count"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_amount"),
+            round_half_up(F.sum("o_totalprice"), 2).alias("total_amount"),
         )
     )
 
@@ -918,7 +921,7 @@ def customer_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             F.col("o_orderdate").cast("long").alias("orderdate_epoch"),
-            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+            round_half_up(F.sum("o_totalprice").over(w), 2).alias("running_total"),
         )
     )
 
@@ -984,7 +987,7 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            F.round(F.avg(F.col("props_parsed.k")), 4).alias("avg_k"),
+            round_half_up(F.avg(F.col("props_parsed.k")), 4).alias("avg_k"),
             F.max(F.col("props_parsed.k")).alias("max_k"),
         )
     )
@@ -1035,7 +1038,7 @@ def segment_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = (
         orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment", "c_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(round_half_up(F.sum("o_totalprice"), 2).alias("revenue"))
     )
     ranked = topk.grouped_top_k(
         revenue,

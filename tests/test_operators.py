@@ -258,3 +258,15 @@ def test_kmeans_assigns_all_and_improves(spark):
     again = {r.vec_id: r.cluster for r in kmeans(emb, k=4, max_iters=5).collect()}
     first = {r.vec_id: r.cluster for r in five_iter.collect()}
     assert again == first
+
+
+def test_sql_round_rewriter_paren_matching():
+    from cdc_pipeline_spark.operators.rounding import rewrite_sql_rounds
+
+    sql = "SELECT round(sum(a * (1 - b)), 2) AS x, round(quantile_cont(v, 0.5), 4) AS y, around(z, 2) FROM t"
+    out = rewrite_sql_rounds(sql)
+    assert out == (
+        "SELECT floor((sum(a * (1 - b))) * 100.0 + 0.5) / 100.0 AS x, "
+        "floor((quantile_cont(v, 0.5)) * 10000.0 + 0.5) / 10000.0 AS y, "
+        "around(z, 2) FROM t"
+    )
