@@ -326,3 +326,56 @@ def test_checkpoint_recovery_resumes_without_reprocessing(spark, stream_dir, che
     assert items[0]["window_start"] == base + 20 and items[0]["value"] == 1
     # earlier windows were not re-emitted (no duplicates of window 0)
     assert sum(1 for i in items if i["window_start"] == base) == 1
+
+
+def test_stream_stream_join_with_watermarks(spark, stream_dir, checkpoint):
+    """Watermarked stream-stream inner join (streaming enrichment — a
+    class the reference avoided via fat events, FLOW.md:42-55): clicks
+    join purchases of the same user within 30s event-time."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    clicks_dir = os.path.join(stream_dir, "clicks")
+    buys_dir = os.path.join(stream_dir, "buys")
+    click_rows = [(i + 1, base + dt.timedelta(seconds=s), 100, "click", 0.0) for i, s in enumerate((0, 5, 100))]
+    buy_rows = [(10, base + dt.timedelta(seconds=20), 100, "purchase", 9.99)]
+    for d, rows in ((clicks_dir, click_rows), (buys_dir, buy_rows)):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(d)
+
+    clicks = (
+        stream_parquet(spark, clicks_dir, EVENT_SCHEMA, max_files_per_trigger=None)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("created_at").alias("click_time"),
+        )
+        .withWatermark("click_time", "1 minute")
+    )
+    buys = (
+        stream_parquet(spark, buys_dir, EVENT_SCHEMA, max_files_per_trigger=None)
+        .select(
+            F.col("event_id").alias("buy_id"),
+            F.col("user_id"),
+            F.col("created_at").alias("buy_time"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("buy_time", "1 minute")
+    )
+    joined = clicks.join(
+        buys,
+        (clicks["user_id"] == buys["user_id"])
+        & (buys["buy_time"] >= clicks["click_time"])
+        & (buys["buy_time"] <= clicks["click_time"] + F.expr("INTERVAL 30 SECONDS")),
+    )
+    seen = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(lambda b, _: seen.extend(r.asDict() for r in b.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # clicks at 0s and 5s are within 30s of the 20s purchase; 100s is not
+    assert sorted(r["click_id"] for r in seen) == [1, 2]
+    assert all(r["amount"] == 9.99 for r in seen)
