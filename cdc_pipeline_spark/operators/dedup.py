@@ -99,8 +99,16 @@ def ngram_jaccard_pairs(
     set sizes from a pre-aggregated side. Returns (id_a < id_b, jaccard).
     """
     sh = _shingled(df, id_col, text_col, n)
-    sizes = sh.select("doc_id", F.size("shingles").alias("set_size"))
     posting = _posting(sh)
+    # Set sizes come from the posting rows (shingles are array_distinct per
+    # doc, so count == set size; zero-shingle docs can't intersect anything
+    # so their absence is harmless). Deriving them from `sh.select(size(...))`
+    # instead lets null-intolerant expressions above (floor in the rounded
+    # jaccard) infer `isnotnull(size(<shingling>))`, which Catalyst pushes
+    # below the repartition exchange — re-evaluating the whole shingling
+    # expression twice on the unspread single input partition (measured
+    # 1.9s → 3.9s on sf0.1).
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
 
     left = posting.select(F.col("doc_id").alias("id_a"), "shingle")
     right = posting.select(F.col("doc_id").alias("id_b"), "shingle")
