@@ -1,0 +1,100 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+A 100 TB corpus can't be split with ``rand()``: re-runs, retries and
+cluster resizes must land every record in the SAME split, and the
+assignment must be joinable from any engine that sees the same key.
+Everything here is therefore a pure function of the record key:
+
+  * ``hash_split`` — train/val/test assignment from a multiplicative
+    hash bucket of the id. Rerun-stable, engine-portable, and (unlike
+    ``randomSplit``) exactly disjoint and exhaustive by construction.
+  * ``deterministic_downsample`` — keep at most ``n`` rows per key,
+    chosen by hash order (not arrival order): a stable per-user /
+    per-domain cap, the standard guard against one hot key dominating
+    a training mix.
+  * ``stratified_sample`` — per-stratum Bernoulli sampling via
+    ``sampleBy`` (seeded, single pass, no shuffle). Spark's sampling
+    hash is engine-internal, so this one is verified by statistical
+    tests rather than the SQL oracle.
+
+The demo bucket hash is ``(id * KNUTH) % 100`` — Knuth's multiplicative
+constant, exactly reproducible in any SQL engine with 64-bit integers.
+At petabyte scale with arbitrary ids, swap ``_bucket`` for
+``pmod(xxhash64(id), 100)``: same operator shape, collision-free mixing
+(kept out of the default because xxhash64 isn't portable to the DuckDB
+oracle; the multiplicative form overflows past ids ~3.5e9).
+
+No counterpart in the reference (its generator fabricates load rather
+than sampling it; nearest concern is the capped activity feed,
+src/streaming/transforms/activity_enricher.py:19-26).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Knuth multiplicative hashing constant (2^32 * golden ratio conjugate).
+KNUTH = 2654435761
+
+
+def _bucket(id_col: Column, modulus: int = 100) -> Column:
+    """Deterministic pseudo-uniform bucket in [0, modulus)."""
+    return F.pmod(id_col.cast("long") * F.lit(KNUTH), F.lit(modulus))
+
+
+def bucket_sql(id_expr: str, modulus: int = 100) -> str:
+    """The DuckDB-oracle mirror of ``_bucket`` (same 64-bit arithmetic)."""
+    return f"(({id_expr}) * {KNUTH}) % {modulus}"
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to exactly one named
+    split. Weights are fractions summing to ~1; boundaries are cumulative
+    percentage buckets, so splits are disjoint and exhaustive."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    bucket = _bucket(F.col(id_col))
+    expr = None
+    cum = 0.0
+    names = list(weights.items())
+    for name, w in names[:-1]:
+        cum += w * 100.0
+        clause = F.when(bucket < F.lit(int(round(cum))), F.lit(name))
+        expr = clause if expr is None else expr.when(bucket < F.lit(int(round(cum))), F.lit(name))
+    last = names[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
+
+
+def deterministic_downsample(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    id_col: str,
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``n`` rows per key, chosen by hash order of the id
+    (stable across runs and partitionings; ties broken by id). One
+    shuffle on the key — the same plan shape as any grouped top-k."""
+    w = Window.partitionBy(key_col).orderBy(_bucket(F.col(id_col), 1 << 31).asc(), F.col(id_col).asc())
+    rank_col = keep_col or "__ds_rank"
+    out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= n)
+    return out if keep_col else out.drop(rank_col)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 7,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample (seeded ``sampleBy``): single pass,
+    no shuffle, each stratum kept at its own rate — class rebalancing
+    for a training mix. Statistically verified (not oracle-hashed):
+    Spark's sampling hash is engine-internal."""
+    return df.sampleBy(strata_col, fractions, seed=seed)

@@ -1652,3 +1652,76 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splitting (training-data pipeline primitives)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_split_quality",
+    """
+    WITH b AS (
+        SELECT n_chars, (doc_id * 2654435761) % 100 AS bucket FROM documents
+    ),
+    s AS (
+        SELECT n_chars,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    )
+    SELECT split, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+    FROM s GROUP BY split
+    """,
+)
+def doc_split_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test hash-split (80/10/10) + per-split
+    profile. The split is a pure function of doc_id — rerun-stable and
+    reproducible in any engine (the property randomSplit lacks)."""
+    from cdc_pipeline_spark.operators.sampling import hash_split
+
+    docs = hash_split(_t(spark, sf_dir, "documents"), "doc_id")
+    return docs.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        round_half_up(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@register(
+    "events_per_user_downsample",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY (event_id * 2654435761) % 2147483648 ASC, event_id ASC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id FROM ranked WHERE rn <= 20
+    """,
+)
+def events_per_user_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key cap: keep at most 20 events per user, selected by hash
+    order of the event id (stable across runs/partitionings, not
+    arrival order) — the guard against one user dominating a training
+    mix. One shuffle on user_id."""
+    from cdc_pipeline_spark.operators.sampling import deterministic_downsample
+
+    ev = _t(spark, sf_dir, "events")
+    return deterministic_downsample(ev, "user_id", 20, "event_id").select("user_id", "event_id")
+
+
+@register("embeddings_stratified_sample")  # seeded sampleBy → rows-only check
+def embeddings_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label Bernoulli rebalance: even labels kept at 25%, odd at
+    75% (seeded sampleBy — Spark-internal sampling hash, so verified by
+    statistical tests, not the SQL oracle)."""
+    from cdc_pipeline_spark.operators.sampling import stratified_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    labels = [r.label for r in emb.select("label").distinct().collect()]
+    fractions = {l: (0.25 if l % 2 == 0 else 0.75) for l in labels}
+    return stratified_sample(emb, "label", fractions).select("vec_id", "label")

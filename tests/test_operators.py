@@ -270,3 +270,45 @@ def test_sql_round_rewriter_paren_matching():
         "floor((quantile_cont(v, 0.5)) * 10000.0 + 0.5) / 10000.0 AS y, "
         "around(z, 2) FROM t"
     )
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark):
+    from cdc_pipeline_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id")
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 2000, "splits must be exhaustive"
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    again = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+    first = {r.doc_id: r.split for r in out.collect()}
+    assert first == again, "assignment must be rerun-stable"
+
+
+def test_deterministic_downsample_caps_and_is_stable(spark):
+    from cdc_pipeline_spark.operators.sampling import deterministic_downsample
+
+    rows = [(i % 7, i) for i in range(500)]
+    df = spark.createDataFrame(rows, ["user_id", "event_id"])
+    out = deterministic_downsample(df, "user_id", 10, "event_id")
+    per_key = {r.user_id: r.n for r in out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == 10 for n in per_key.values())
+    kept1 = sorted((r.user_id, r.event_id) for r in out.collect())
+    kept2 = sorted(
+        (r.user_id, r.event_id)
+        for r in deterministic_downsample(df.repartition(13), "user_id", 10, "event_id").collect()
+    )
+    assert kept1 == kept2, "selection must not depend on partitioning"
+
+
+def test_stratified_sample_respects_fractions(spark):
+    from cdc_pipeline_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame([(i, i % 2) for i in range(4000)], ["vec_id", "label"])
+    out = stratified_sample(df, "label", {0: 0.2, 1: 0.8}, seed=7)
+    counts = {r.label: r.n for r in out.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0.12 <= counts[0] / 2000 <= 0.28, counts
+    assert 0.72 <= counts[1] / 2000 <= 0.88, counts
+    again = out.count()
+    assert again == sum(counts.values()), "seeded sample must be stable"
