@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
 from cdc_pipeline_spark.operators.rounding import round_half_up
 
@@ -207,6 +208,33 @@ def rp_lsh_bucket(vec_col: Column, dim: int, n_planes: int = 12, seed: int = 11)
     return bucket
 
 
+def _with_bucket(
+    df: DataFrame, vec_col: str, out_col: str, dim: int, n_planes: int, seed: int = 11
+) -> DataFrame:
+    """Attach the sign-bit bucket with the planes riding as DATA — a
+    one-row broadcast array<array<double>> — instead of ~n_planes × dim
+    inline literals per side (the literal form costs Catalyst a fresh
+    analysis of a thousand-node tree per query; the join keeps the plan
+    tiny and identical regardless of dim)."""
+    spark = df.sparkSession
+    planes = _hyperplanes(dim, n_planes, seed)
+    pdf = spark.createDataFrame(
+        [(planes,)],
+        StructType([StructField("__planes", ArrayType(ArrayType(DoubleType())))]),
+    )
+    signed = F.zip_with(
+        F.col("__planes"),
+        F.sequence(F.lit(0), F.lit(n_planes - 1)).cast("array<int>"),
+        # 2^j via pow (exact in double for j ≤ 52; shiftleft needs a
+        # Python-int bit count, not a column)
+        lambda p, j: F.when(
+            dot(F.col(vec_col), p) >= 0, F.pow(F.lit(2.0), j.cast("double")).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    bucket = F.aggregate(signed, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return df.crossJoin(F.broadcast(pdf)).withColumn(out_col, bucket).drop("__planes")
+
+
 def rp_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -223,11 +251,12 @@ def rp_lsh_topk(
     buckets; each query probes its bucket plus every bucket within
     ``probe_bits`` bit flips (multi-probe — recall/cost dial). Candidates
     per query ≈ N · (1 + n_planes·probe_bits) / 2^n_planes."""
-    c = _spread(corpus, parallelism).withColumn(
-        "__bucket", rp_lsh_bucket(F.col(vec_col), dim, n_planes)
-    ).withColumn("__cnorm", norm(F.col(vec_col)))
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")).withColumn(
-        "__qbucket", rp_lsh_bucket(F.col("__qvec"), dim, n_planes)
+    c = _with_bucket(_spread(corpus, parallelism), vec_col, "__bucket", dim, n_planes).withColumn(
+        "__cnorm", norm(F.col(vec_col))
+    )
+    q = _with_bucket(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
+        "__qvec", "__qbucket", dim, n_planes,
     ).withColumn("__qnorm", norm(F.col("__qvec")))
     probes = [F.col("__qbucket")]
     if probe_bits >= 1:
