@@ -6,21 +6,24 @@ a broadcast join into a sort-merge join or un-pushes a filter fails CI."""
 
 from __future__ import annotations
 
-import contextlib
-import io
-
 import pytest
 
-from cdc_pipeline_spark import workload
+from cdc_pipeline_spark import plans, workload
 
 SF_DIR = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        workload.QUERIES[name](spark, SF_DIR).explain("formatted")
-    return buf.getvalue()
+    return plans.plan_string(workload.QUERIES[name](spark, SF_DIR))
+
+
+def test_no_hof_recompute_below_repartition(spark):
+    """Regression pin for the inferred-filter trap (fixed twice in this
+    repo): no workload dedup/text plan may evaluate a higher-order
+    expression in a Filter pushed below its repartition spread point."""
+    for name in ["dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash", "doc_winnowing_fingerprints"]:
+        offenders = plans.hof_filter_below_repartition(workload.QUERIES[name](spark, SF_DIR))
+        assert not offenders, f"{name}: HOF filter below repartition: {offenders}"
 
 
 def test_q1_pushdown_and_pruning(spark):
