@@ -1725,3 +1725,49 @@ def embeddings_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = [r.label for r in emb.select("label").distinct().collect()]
     fractions = {l: (0.25 if l % 2 == 0 else 0.75) for l in labels}
     return stratified_sample(emb, "label", fractions).select("vec_id", "label")
+
+
+@register(
+    "lineitem_stats_profile",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)            AS qty_stddev,
+           round(var_samp(l_discount), 6)               AS disc_var,
+           round(corr(l_quantity, l_extendedprice), 4)  AS qty_price_corr
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation) — Spark's
+    merge-based moment aggregation (partial+final, one shuffle of
+    constant-size moment state per group) agreeing with the single-node
+    oracle at the rounded precision."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        round_half_up(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        round_half_up(F.var_samp("l_discount"), 6).alias("disc_var"),
+        round_half_up(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+    )
+
+
+@register("events_daily_distinct_hll")  # sketch bytes aren't SQL-portable → rows-only
+def events_daily_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: per-day HLL sketches of user_id
+    are built once, then UNIONED into a running weekly estimate — the
+    incremental-maintenance pattern for distincts at 100 TB (re-merge
+    tiny sketch state, never re-scan history; the same state shape
+    Structured Streaming's approx_count_distinct keeps per window).
+    Verified by a tolerance test against exact distinct counts."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        daily.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_users_est"),
+            F.sum("n_events").alias("total_events"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )

@@ -85,3 +85,22 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_hll_union_matches_exact_within_tolerance(spark):
+    """Per-day HLL sketches unioned must estimate the global distinct
+    count within HLL++ error bounds (~2% at default lgConfigK=12)."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_spark.sources.files import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    exact = ev.select("user_id").distinct().count()
+    est = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    assert abs(est - exact) / exact < 0.05, (est, exact)
