@@ -98,3 +98,116 @@ def consecutive_breach_alerts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas variant — the successor stateful API
+# (explicit state variables + timers, RocksDB-backed). Same state machine
+# as consecutive_breach_alerts; kept alongside it because the older
+# applyInPandasWithState runs on any state store provider while this one
+# requires RocksDB (set by breach_alerts_tws on the session).
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - import surface differs across 4.x minors
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    _HAS_TWS = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    _HAS_TWS = False
+
+
+def tws_available() -> bool:
+    """True when transformWithStateInPandas can actually EXECUTE: the API
+    exists AND google.protobuf is importable (the TWS driver worker
+    speaks a protobuf protocol to the JVM; without it the streaming
+    runner crashes with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE
+    at query start — plan construction alone does not need protobuf)."""
+    if not _HAS_TWS:
+        return False
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class BreachProcessor(StatefulProcessor):
+    """Normal→Pending→Firing over per-rule status rows (same semantics as
+    ``consecutive_breach_alerts``) expressed as a StatefulProcessor: the
+    (count, status) pair lives in a named ValueState; rows are folded in
+    time order within each trigger."""
+
+    def __init__(self, n_breaches: int = 3, status_col: str = "status", time_col: str = "window_end"):
+        self._n = n_breaches
+        self._status_col = status_col
+        self._time_col = time_col
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._state = handle.getValueState("breach", ALERT_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        (rule_id,) = key
+        if self._state.exists():
+            count, status = self._state.get()
+        else:
+            count, status = 0, "normal"
+        last_epoch = 0
+        chunks = list(rows)
+        if chunks:
+            all_rows = pd.concat(chunks, ignore_index=True).sort_values(self._time_col)
+            for _, row in all_rows.iterrows():
+                last_epoch = int(row[self._time_col])
+                if row[self._status_col] == "firing":
+                    count += 1
+                    status = "firing" if count >= self._n else "pending"
+                else:
+                    count = 0
+                    status = "normal"
+        self._state.update((count, status))
+        yield pd.DataFrame(
+            {
+                "rule_id": [rule_id],
+                "consecutive_breaches": [count],
+                "status": [status],
+                "last_observed_epoch": [last_epoch],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def breach_alerts_tws(
+    evaluated: DataFrame,
+    n_breaches: int = 3,
+    rule_col: str = "rule_id",
+    status_col: str = "status",
+    time_col: str = "window_end",
+) -> DataFrame:
+    """transformWithStateInPandas wiring for BreachProcessor. Requires the
+    RocksDB state store provider; this sets it on the owning session (a
+    per-session conf — existing checkpoints made with the HDFS-backed
+    provider are not readable through RocksDB, so use fresh checkpoint
+    dirs when switching APIs).
+
+    Plan construction needs only the pyspark API; executing the query
+    additionally needs google.protobuf on the driver — probe with
+    ``tws_available()`` before starting the stream."""
+    if not _HAS_TWS:  # pragma: no cover
+        raise NotImplementedError("transformWithStateInPandas requires pyspark >= 4.0")
+    spark = evaluated.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return evaluated.groupBy(rule_col).transformWithStateInPandas(
+        statefulProcessor=BreachProcessor(n_breaches, status_col, time_col),
+        outputStructType=ALERT_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
