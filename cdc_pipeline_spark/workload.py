@@ -1771,3 +1771,10 @@ def events_daily_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_days"),
         )
     )
+
+
+# Extended relational workload (TPC-H q2/q4/q8/q9/q11/q13/q15/q16/q17/
+# q20/q21/q22 plan shapes) registers itself on import — must stay at the
+# bottom so `register`/`_t` exist when it runs.
+from cdc_pipeline_spark import workload_relational  # noqa: E402,F401
+from cdc_pipeline_spark import workload_analytic  # noqa: E402,F401

@@ -1,0 +1,186 @@
+"""Analytic-function workload: the full window-function surface and
+exact percentile aggregates, oracle-checked.
+
+Extends the §2.6 window coverage (row_number / lag / running sum were
+already proven in the base workload) with the remaining SQL analytic
+functions a user of a general engine expects: ranking (dense_rank,
+ntile), distribution (percent_rank, cume_dist), frame navigation
+(first/last/nth value, lead), and ordered-set aggregates
+(percentile_cont / percentile_disc / median).
+
+Determinism: every window orders by a UNIQUE key tuple
+(o_orderdate, o_orderkey) so ranking and ntile assignments are
+engine-independent; value outputs are rounded via the shared floor-form.
+
+Scale notes: all windows partition by o_custkey — state per partition is
+one customer's orders (bounded), and the shuffle is a single hash
+exchange on the partition key shared by every window column in the
+query (one Window operator chain, not one shuffle per function).
+Percentiles are EXACT (sort-based within group) to be oracle-checkable;
+the streaming/sketch path uses percentile_approx (see
+operators/aggregates.windowed_kpi).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_pipeline_spark.operators.rounding import round_half_up
+from cdc_pipeline_spark.workload import _t, register
+
+
+@register(
+    "customer_order_window_battery",
+    """
+    SELECT o_orderkey, o_custkey,
+           dense_rank()   OVER w AS order_rank,
+           ntile(4)       OVER w AS order_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume_d,
+           round(first_value(o_totalprice) OVER w, 2) AS first_price,
+           round(last_value(o_totalprice)
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+               AS last_price,
+           round(nth_value(o_totalprice, 2)
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+               AS second_price,
+           round(lead(o_totalprice, 1) OVER w, 2) AS next_price
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def customer_order_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every remaining analytic function in ONE window chain: ranking
+    (dense_rank, ntile), distribution (percent_rank, cume_dist), frame
+    navigation (first/last/nth/lead). All columns share the same
+    partition key and ordering, so Catalyst plans a single sort +
+    Window operator — one exchange for eight analytic columns."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).alias("order_rank"),
+        F.ntile(4).over(w).alias("order_quartile"),
+        round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_half_up(F.cume_dist().over(w), 6).alias("cume_d"),
+        round_half_up(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        round_half_up(F.last("o_totalprice").over(w_full), 2).alias("last_price"),
+        round_half_up(F.nth_value("o_totalprice", 2).over(w_full), 2).alias(
+            "second_price"
+        ),
+        round_half_up(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+    )
+
+
+@register(
+    "lineitem_exact_percentiles",
+    """
+    SELECT l_returnflag,
+           round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity), 4)      AS median_qty,
+           round(percentile_cont(0.9)  WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90_price,
+           round(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity), 4)      AS q1_qty_disc,
+           round(median(l_discount), 4)                                            AS median_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates, exact: percentile_cont (linear
+    interpolation), percentile_disc (an actual element of the group),
+    median. Exact percentiles need the group's values together (sort
+    within group) — fine per reduce task here; at 100 TB the sketch
+    path (percentile_approx, mergeable t-digest-style state) replaces
+    these, traded via the exact= flag in operators/aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        round_half_up(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        round_half_up(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        round_half_up(
+            F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)"), 4
+        ).alias("q1_qty_disc"),
+        round_half_up(F.median("l_discount"), 4).alias("median_disc"),
+    )
+
+
+_GAPFILL_T0 = 1704412800  # 2024-01-05 00:00:00 UTC — inside the events range
+_GAPFILL_STEP = 300
+_GAPFILL_BUCKETS = 288  # one day of 5-minute buckets
+
+
+@register(
+    "events_gapfill_5min",
+    f"""
+    WITH grid AS (
+        SELECT ({_GAPFILL_T0} + {_GAPFILL_STEP} * g) AS bucket_epoch
+        FROM generate_series(0, {_GAPFILL_BUCKETS - 1}) AS t(g)
+    ),
+    c AS (
+        SELECT e - e % {_GAPFILL_STEP} AS bucket_epoch,
+               count(*) AS n,
+               round(sum(value), 2) AS v
+        FROM (
+            SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e, value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-06 00:00:00'
+        )
+        GROUP BY 1
+    )
+    SELECT g.bucket_epoch,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_events,
+           CAST(coalesce(c.v, 0.0) AS DOUBLE) AS bucket_value,
+           CAST(coalesce(last_value(c.v IGNORE NULLS)
+                         OVER (ORDER BY g.bucket_epoch
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                         0.0) AS DOUBLE) AS carried_value
+    FROM grid g LEFT JOIN c USING (bucket_epoch)
+    """,
+)
+def events_gapfill_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap filling: one day of 5-minute
+    buckets, empty buckets zero-filled and the last observed bucket sum
+    carried forward (forward fill = last(ignorenulls) over the ordered
+    grid). The bucket grid is generated with ``sequence``+``explode`` —
+    no driver-side loop — and the aggregated side joins onto it.
+
+    Scale: the grid size is (range/step), independent of event volume;
+    the events aggregation is a normal partial+final count/sum. The
+    forward-fill window is a single ordered pass over the grid (288
+    rows here) — for multi-year grids partition the window by day and
+    seed each day with the previous day's close instead."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-06 00:00:00").cast("timestamp"))
+    )
+    e = F.col("ts").cast("long")  # truncates sub-second, = floor(epoch) for positive ts
+    counts = ev.groupBy((e - e % _GAPFILL_STEP).alias("bucket_epoch")).agg(
+        F.count(F.lit(1)).alias("n"),
+        round_half_up(F.sum("value"), 2).alias("v"),
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(_GAPFILL_T0),
+                F.lit(_GAPFILL_T0 + _GAPFILL_STEP * (_GAPFILL_BUCKETS - 1)),
+                F.lit(_GAPFILL_STEP),
+            )
+        ).alias("bucket_epoch")
+    )
+    ffill = Window.orderBy("bucket_epoch").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.join(counts, "bucket_epoch", "left")
+        .select(
+            "bucket_epoch",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("v"), F.lit(0.0)).alias("bucket_value"),
+            F.coalesce(
+                F.last("v", ignorenulls=True).over(ffill), F.lit(0.0)
+            ).alias("carried_value"),
+        )
+    )

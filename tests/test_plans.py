@@ -70,3 +70,40 @@ def test_latest_state_single_shuffle_on_key(spark):
     assert len(exchanges) == 1, plan
     assert "hashpartitioning(user_id" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_q2_min_subquery_decorrelates_to_broadcast(spark):
+    plan = plan_of(spark, "q2_min_price_per_type")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "6-row min aggregate must broadcast back"
+
+
+def test_q4_exists_is_semi_join_with_residual(spark):
+    plan = plan_of(spark, "q4_priority_late_orders")
+    assert "LeftSemi" in plan, "EXISTS must plan as a semi join"
+    # the date filter must reach the orders scan, not sit above the join
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q8_star_join_no_sort_merge(spark):
+    plan = plan_of(spark, "q8_nation_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5, "all dims must broadcast"
+    assert "EqualTo(p_type,PROMO)" in plan, "part filter must push into the dim scan"
+
+
+def test_window_battery_single_window_exchange(spark):
+    """Eight analytic columns over the same (partition, order) must share
+    ONE sort + window chain — not one exchange per function."""
+    plan = plan_of(spark, "customer_order_window_battery")
+    # tree nodes print as "Exchange (n)"; the per-node detail section
+    # repeats the name as "(n) Exchange" — count tree nodes only
+    assert plan.count("Exchange (") == 1, plan
+    assert plan.count("Window (") == 1, plan
+    assert plan.count("Sort (") == 1, plan
+
+
+def test_q21_no_lineitem_self_join(spark):
+    """The window-counter formulation must scan lineitem ONCE (the
+    textbook EXISTS/NOT-EXISTS pair scans it three times)."""
+    plan = plan_of(spark, "q21_sole_late_supplier")
+    assert plan.count("lineitem.parquet") == 1, "lineitem must be scanned once"

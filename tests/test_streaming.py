@@ -449,3 +449,58 @@ def test_breach_state_machine_transform_with_state(spark, stream_dir, checkpoint
     assert (2, "pending") in per_batch
     assert (3, "firing") in per_batch
     assert (1, "pending") in per_batch
+
+
+def test_streaming_session_window_append(spark, stream_dir, checkpoint):
+    """Session windows in streaming: watermarked gap-sessions close and
+    emit (append mode) once the watermark passes their end; still-open
+    sessions are withheld. Uses the same sessionize helper as the batch
+    user_sessionization query."""
+    import datetime as dt
+
+    from cdc_pipeline_spark.operators.windows import sessionize
+
+    def ev(eid, uid, sec):
+        return (eid, dt.datetime(2024, 1, 1, 10, 0, 0) + dt.timedelta(seconds=sec), uid, "click", 1.0)
+
+    batches = [
+        # session 1: user 101 at 0/10/20s, user 102 at 5s (gap 30s)
+        [ev(1, 101, 0), ev(2, 101, 10), ev(3, 101, 20), ev(4, 102, 5)],
+        # much later event opens a new session and advances the watermark
+        [ev(5, 101, 600)],
+        # final event pushes the watermark far past the first sessions
+        [ev(6, 101, 1200)],
+    ]
+    _write_batches(spark, stream_dir, batches)
+    source = stream_parquet(spark, stream_dir, EVENT_SCHEMA, max_files_per_trigger=1)
+    sessions = sessionize(
+        source.withWatermark("created_at", "10 seconds"),
+        "created_at",
+        "30 seconds",
+        ["user_id"],
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    seen = []
+
+    def capture(batch, _):
+        seen.extend(r.asDict() for r in batch.collect())
+
+    q = (
+        sessions.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    base = int(dt.datetime(2024, 1, 1, 10, 0, 0).timestamp())
+    by_user = {(r["user_id"], r["session_start"]): r for r in seen}
+    # user 101's first session: [0, 20+30) → 3 events, closed by the watermark
+    s1 = by_user[(101, base)]
+    assert s1["n_events"] == 3 and s1["session_end"] == base + 50
+    # user 102's single-event session: [5, 35)
+    s2 = by_user[(102, base + 5)]
+    assert s2["n_events"] == 1 and s2["session_end"] == base + 35
+    # the session at +1200s is still open when the stream drains → withheld
+    assert (101, base + 1200) not in by_user
