@@ -658,6 +658,63 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
 
 
+_CLUSTER_ORACLE = r"""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                            i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+        FROM tok
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE round(c / (na.n + nb.n - c), 6) >= 0.3
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT d.doc_id,
+           CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT) AS component
+    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
+"""
+
+
+@register("dedup_duplicate_clusters", _CLUSTER_ORACLE)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: word-3-gram Jaccard edges at
+    τ=0.3 → connected components (iterative min-label propagation,
+    operators/graph.py) → every document labeled with its cluster's
+    min doc_id (singletons label themselves). The oracle computes the
+    same components via a recursive-CTE transitive closure — an
+    iterative DataFrame algorithm value-checked against SQL."""
+    from cdc_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from cdc_pipeline_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3).select("id_a", "id_b")
+    return connected_components(pairs, vertices=docs, id_col="doc_id")
+
+
 @register("dedup_minhash_lsh")  # approximate candidate generation → rows-only check
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16×4) near-dup pairs, exact-Jaccard-verified at

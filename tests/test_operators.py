@@ -312,3 +312,17 @@ def test_stratified_sample_respects_fractions(spark):
     assert 0.72 <= counts[1] / 2000 <= 0.88, counts
     again = out.count()
     assert again == sum(counts.values()), "seeded sample must be stable"
+
+
+def test_connected_components_chain_ring_isolated(spark):
+    """Transitive chaining (1-2-3 without 1~3), a 6-node ring (needs
+    several propagation rounds), and an isolated vertex."""
+    from cdc_pipeline_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13), (13, 14), (14, 15), (15, 10)],
+        "id_a long, id_b long",
+    )
+    vertices = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 10, 11, 12, 13, 14, 15]], "doc_id long")
+    got = {r["doc_id"]: r["component"] for r in connected_components(edges, vertices=vertices).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10}
