@@ -184,3 +184,110 @@ def events_gapfill_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("carried_value"),
         )
     )
+
+
+@register(
+    "corpus_token_topk",
+    r"""
+    SELECT token, count(*) AS freq
+    FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents
+    )
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 50
+    """,
+)
+def corpus_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: whitespace-tokenize every document,
+    count global token frequencies, top-50. The canonical explode+agg
+    at scale: partial aggregation collapses each task's token stream to
+    its local vocabulary before the shuffle, and the top-k is
+    TakeOrderedAndProject (per-partition heaps), never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(50)
+    )
+
+
+@register(
+    "doc_sequence_packing",
+    r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM t
+    )
+    SELECT doc_id, source, n_tokens, (cum - n_tokens) // 256 AS pack_id
+    FROM c
+    """,
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (operators/packing.py): per source
+    shard, documents are laid out in doc_id order and assigned the pack
+    (256-token budget) where their start offset falls — the
+    deterministic document→training-sequence mapping step of an LLM
+    data pipeline. Pure integer arithmetic; one shuffle on the shard
+    key."""
+    from cdc_pipeline_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(
+        docs, "n_tokens", budget=256, partition_cols=["source"], order_cols=["doc_id"]
+    )
+
+
+@register(
+    "docs_incremental_new",
+    r"""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    ),
+    incoming AS (SELECT * FROM fp WHERE source IN ('src0', 'src1', 'src2')),
+    historical AS (SELECT DISTINCT fingerprint FROM fp
+                   WHERE source NOT IN ('src0', 'src1', 'src2'))
+    SELECT i.doc_id, i.source, i.fingerprint
+    FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM historical h WHERE h.fingerprint = i.fingerprint)
+    """,
+)
+def docs_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: an incoming batch (3 source shards)
+    anti-joined on content fingerprint against the historical corpus —
+    the batch form of the pattern a continuously-ingesting pipeline
+    runs every increment (streaming twin: dropDuplicates within
+    watermark, tests/test_streaming.py). At 100 TB the historical side
+    is a fingerprint-only table (16 bytes/doc), bucketed by fingerprint
+    so each increment's anti join is shuffle-free on the corpus side."""
+    from cdc_pipeline_spark.operators.dedup import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    incoming_src = ("src0", "src1", "src2")
+    fp = docs.select("doc_id", "source", fingerprint("text").alias("fingerprint"))
+    incoming = fp.filter(F.col("source").isin(*incoming_src))
+    historical = (
+        fp.filter(~F.col("source").isin(*incoming_src)).select("fingerprint").distinct()
+    )
+    return incoming.join(historical, "fingerprint", "left_anti").select(
+        "doc_id", "source", "fingerprint"
+    )
