@@ -286,3 +286,62 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """TF-IDF cosine document-similarity pairs via weighted
+    inverted-index join.
+
+    Weight(d, t) = tf(d,t) · ln(N / df(t)); score(a,b) =
+    Σ_t w_a·w_b / (‖w_a‖·‖w_b‖). Same data-proportional posting-join
+    shape as ngram_jaccard_pairs but with weighted postings — corpus
+    stats (df, N) are tiny aggregates joined back (N as a one-row
+    broadcast, no driver-side count action). Documents whose every
+    token is corpus-universal (all idf = 0) have zero norm and are
+    excluded (cosine undefined). Returns (id_a < id_b, score ≥ τ).
+    """
+    tok = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token").isNotNull())
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(dfreq, "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    left = w.select(F.col("doc_id").alias("id_a"), "token", F.col("w").alias("w_a"))
+    right = w.select(F.col("doc_id").alias("id_b"), "token", F.col("w").alias("w_b"))
+    dots = (
+        left.join(right, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
+    )
+    with_norms = (
+        dots.join(norms.select(F.col("doc_id").alias("id_a"), F.col("norm").alias("norm_a")), "id_a")
+        .join(norms.select(F.col("doc_id").alias("id_b"), F.col("norm").alias("norm_b")), "id_b")
+        .filter(F.col("norm_a") * F.col("norm_b") > 0)
+    )
+    score = F.col("dot") / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        with_norms.withColumn("score", round_half_up(score, 6))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )

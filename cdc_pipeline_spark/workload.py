@@ -715,6 +715,43 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, vertices=docs, id_col="doc_id")
 
 
+_TFIDF_ORACLE = r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+        SELECT doc_id, token, tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+        FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ),
+    norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY 1),
+    dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+        FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(dot / (na.norm * nb.norm), 6) AS score
+    FROM dots
+    JOIN norms na ON na.doc_id = id_a
+    JOIN norms nb ON nb.doc_id = id_b
+    WHERE na.norm * nb.norm > 0
+      AND round(dot / (na.norm * nb.norm), 6) >= 0.3
+"""
+
+
+@register("doc_tfidf_cosine_pairs", _TFIDF_ORACLE)
+def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine similarity pairs at τ=0.3 — weighted inverted-index
+    join (dedup.py::tfidf_cosine_pairs); corpus stats (df, N) are tiny
+    re-joined aggregates, never a driver-side count."""
+    from cdc_pipeline_spark.operators.dedup import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+
+
 @register("dedup_minhash_lsh")  # approximate candidate generation → rows-only check
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16×4) near-dup pairs, exact-Jaccard-verified at
