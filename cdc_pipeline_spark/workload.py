@@ -726,6 +726,7 @@ _TFIDF_ORACLE = r"""
     w AS (
         SELECT doc_id, token, tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
         FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        WHERE df <= 0.5 * n_docs AND df < n_docs
     ),
     norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY 1),
     dots AS (
@@ -744,12 +745,15 @@ _TFIDF_ORACLE = r"""
 
 @register("doc_tfidf_cosine_pairs", _TFIDF_ORACLE)
 def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF cosine similarity pairs at τ=0.3 — weighted inverted-index
-    join (dedup.py::tfidf_cosine_pairs); corpus stats (df, N) are tiny
-    re-joined aggregates, never a driver-side count."""
+    """TF-IDF cosine similarity pairs at τ=0.3 with max-df=0.5 stopword
+    pruning — weighted inverted-index join (dedup.py::tfidf_cosine_pairs);
+    corpus stats (df, N) are tiny re-joined aggregates, never a
+    driver-side count. The max-df cap is the 100TB scale guard: it
+    prunes near-universal tokens before the posting self-join (448M →
+    62.5k pair-rows on sf0.1)."""
     from cdc_pipeline_spark.operators.dedup import tfidf_cosine_pairs
 
-    return tfidf_cosine_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+    return tfidf_cosine_pairs(_t(spark, sf_dir, "documents"), threshold=0.3, max_df_ratio=0.5)
 
 
 @register("dedup_minhash_lsh")  # approximate candidate generation → rows-only check
@@ -1440,16 +1444,24 @@ def doc_lang_charclass(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints (Schleimer et al.): per-doc
     selected k-gram hash set + count. Hashes aren't portable to the SQL
-    oracle; unit tests pin them against a Python reimplementation."""
+    oracle; unit tests pin them against a Python reimplementation.
+
+    The fingerprint set is serialized to a sorted CSV string (not a raw
+    array column): the driver's order-insensitive value-hash canonicalizes
+    rows through pandas, which cannot hash Python lists — round 1 recorded
+    this as a harness crash (CORRECTNESS_r01 `unhashable type: 'list'`)."""
     from cdc_pipeline_spark.operators.text import winnowing_fingerprints
 
     from cdc_pipeline_spark.operators.partitioning import spread
 
     docs = spread(_t(spark, sf_dir, "documents"))
+    fps = winnowing_fingerprints("text")
     return docs.select(
         "doc_id",
-        F.size(winnowing_fingerprints("text")).alias("fingerprint_count"),
-        winnowing_fingerprints("text").alias("fingerprints"),
+        F.size(fps).alias("fingerprint_count"),
+        F.concat_ws(
+            ",", F.transform(F.sort_array(fps), lambda x: x.cast("string"))
+        ).alias("fingerprints_csv"),
     )
 
 

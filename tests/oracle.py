@@ -59,6 +59,32 @@ def _multiset(cols, rows):
     return sorted(normalized, key=lambda row: [(v is None, str(v)) for v in row])
 
 
+def rows_only_check(spark, query_fn, sf_dir: str) -> int:
+    """Replicate the driver's rows-only canonicalization for queries
+    without an oracle: collect the result and push it through a pandas
+    sort_values over every column — the exact step where the driver
+    crashed in round 1 on an array<long> output column (pandas cannot
+    factorize Python lists). A `.count()`-only check never materializes
+    values driver-side and silently misses that class of failure.
+
+    Returns the row count; raises (failing the test) if the output shape
+    would crash the driver's canonicalizer."""
+    import pandas as pd
+
+    sdf = query_fn(spark, sf_dir)
+    assert sdf.columns, "query returned no columns"
+    rows = [tuple(r) for r in sdf.collect()]
+    pdf = pd.DataFrame(rows, columns=sdf.columns)
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    if len(pdf):
+        pdf.sort_values(by=cols, key=lambda s: s.map(lambda v: (v is None, str(v))))
+        # the driver sorts without a key func — exercise hashability too
+        for c in cols:
+            pd.factorize(pdf[c])
+    return len(rows)
+
+
 def compare(spark, query_fn, oracle: str, sf_dir: str) -> list[str]:
     """Return a list of mismatch descriptions (empty ⇒ match)."""
     sdf = query_fn(spark, sf_dir)

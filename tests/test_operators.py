@@ -28,6 +28,31 @@ def test_minhash_lsh_matches_exact_on_planted_dups(spark):
     assert exact, "corpus should contain planted near-duplicates"
 
 
+def test_ngram_jaccard_max_df_prunes_hot_shingles(spark):
+    """Hot-shingle guard: a boilerplate shingle planted in EVERY doc
+    would generate n² intersection-join rows; with max_df set, postings
+    on it are dropped from the join while true set sizes are kept, so
+    reported jaccard is a lower bound — pairs only disappear, never
+    over-score, and genuinely-similar pairs (sharing rare shingles)
+    survive."""
+    boiler = "terms of service apply to all"
+    rows = [
+        (0, f"{boiler} alpha beta gamma delta epsilon zeta"),
+        (1, f"{boiler} alpha beta gamma delta epsilon eta"),
+        *[(i, f"{boiler} unique{i} token{i} word{i} item{i} thing{i}") for i in range(2, 30)],
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # boilerplate 3-gram shingles appear in all 30 docs; cap at 10
+    capped = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.2, max_df=10).collect()}
+    exact = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    assert set(capped) <= set(exact), "cap must never create pairs"
+    assert (0, 1) in capped, "similar pair sharing rare shingles must survive the cap"
+    for pair, j in capped.items():
+        assert j <= exact[pair] + 1e-9, "capped jaccard must be a lower bound"
+    # boilerplate-only pairs (similarity driven entirely by hot shingles) are gone
+    assert (2, 3) not in capped and (2, 3) in exact
+
+
 def test_simhash_banding_is_complete(spark):
     """Pigeonhole guarantee: with 4 bands over 32 bits, every pair at
     hamming ≤ 3 shares at least one identical band, so banded candidate

@@ -12,7 +12,7 @@ import os
 import pytest
 
 from cdc_pipeline_spark import workload
-from tests.oracle import compare
+from tests.oracle import compare, rows_only_check
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
@@ -30,8 +30,8 @@ NO_ORACLE_QUERIES = sorted(set(workload.QUERIES) - set(workload.ORACLE_SQL))
 
 @pytest.mark.parametrize("name", NO_ORACLE_QUERIES)
 def test_rows_only_queries_execute(spark, name):
-    """Queries without an oracle still must execute end-to-end (the
-    driver's weaker rows-only check)."""
-    df = workload.QUERIES[name](spark, SF_DIR)
-    assert df.columns, f"{name} returned no columns"
-    assert df.count() >= 0
+    """Queries without an oracle must survive the driver's rows-only
+    canonicalization (collect + pandas sort/factorize), not just
+    execute — round 1's winnowing array column passed `.count()` locally
+    but crashed the real gate."""
+    assert rows_only_check(spark, workload.QUERIES[name], SF_DIR) >= 0
