@@ -19,7 +19,7 @@ bit_count) — no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cdc_pipeline_spark.operators.rounding import round_half_up
@@ -243,17 +243,42 @@ def minhash_lsh_pairs(
     )
 
 
+def portable_token_hash(col: Column) -> Column:
+    """SQL-portable token hash: left fold of codepoints,
+    h = (h·131 + cp) mod (2³¹−1). Interpreted (higher-order fold), so
+    slower than xxhash64 — use it when a DuckDB oracle must replicate
+    signatures bit-for-bit (DuckDB twin:
+    ``list_reduce(list_prepend(0, list_transform(string_split(t, ''),
+    c -> greatest(unicode(c), 0))), (acc, x) -> (acc*131 + x) % 2147483647)``;
+    ``greatest(…, 0)`` aligns DuckDB's unicode('') = −1 with Spark's
+    ascii('') = 0). Arithmetic stays < 2⁴⁰ so ANSI long math never
+    overflows."""
+    codes = F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(131) + x) % F.lit(_MERSENNE_P),
+    )
+
+
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    token_hash=None,
 ) -> DataFrame:
     """SimHash: sign of the per-bit sum of token hash bits (+1/−1),
-    packed into a single long. One explode + groupBy with `bits` sums."""
+    packed into a single long. One explode + groupBy with `bits` sums.
+    ``token_hash`` (Column → Column) overrides the xxhash64 default —
+    pass ``portable_token_hash`` for a DuckDB-replicable signature
+    (cap ``bits`` at 31 with it: values are mod 2³¹−1)."""
     posting = _posting(
         _spread(df).select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")),
         array_col="toks",
         out_col="token",
     )
-    h = F.xxhash64("token")
+    h = token_hash(F.col("token")) if token_hash is not None else F.xxhash64("token")
     bit_sums = [
         F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
         for j in range(bits)
@@ -273,13 +298,14 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     bands: int = 4,
+    token_hash=None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the signature into `bands` chunks
     (pigeonhole: hamming ≤ bands−1 guarantees an identical chunk), join on
     chunk equality, verify with ``bit_count(xor) ≤ max_hamming``."""
     chunk = bits // bands
     mask = (1 << chunk) - 1
-    sig = simhash_signatures(df, id_col, text_col, bits)
+    sig = simhash_signatures(df, id_col, text_col, bits, token_hash=token_hash)
     banded = sig.select(
         "doc_id",
         "simhash",

@@ -68,7 +68,16 @@ def rewrite_sql_rounds(sql: str) -> str:
             i = end + 1 if end else len(sql)
             continue
         inner = sql[k + 1 : comma]
-        digits = int(sql[comma + 1 : end].strip())
-        out.append(sql_floor_round(inner, digits))
+        digits_text = sql[comma + 1 : end].strip()
+        try:
+            digits = int(digits_text)
+        except ValueError:
+            # non-literal digits arg (column, expression) — engines must
+            # agree on native round there; leave the call untouched but
+            # still rewrite any round() nested inside it
+            out.append("round(" + rewrite_sql_rounds(inner) + "," + sql[comma + 1 : end] + ")")
+            i = end + 1
+            continue
+        out.append(sql_floor_round(rewrite_sql_rounds(inner), digits))
         i = end + 1
     return "".join(out)

@@ -32,8 +32,10 @@ def salted_agg(
 
     ``partial_aggs`` run per (keys, salt); ``merge_aggs`` combine the
     partials per keys (referencing the partial output column names).
-    The salt derives from a deterministic hash of ``salt_source`` (or
-    a uniform id expression) so re-runs are stable.
+    The salt derives from a deterministic hash of ``salt_source`` (or,
+    absent one, of every input column) so re-runs and stage retries are
+    stable — identical rows share a salt, which spreads hot *keys*
+    (the point) even though exact duplicate rows stay together.
 
     Example — skew-proof revenue per region:
         salted_agg(df, ["region"],
@@ -44,7 +46,7 @@ def salted_agg(
     salt = (
         F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts))
         if salt_source
-        else F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(n_salts))
+        else F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     )
     salted = df.withColumn("__salt", salt)
     partial = salted.groupBy(*keys, "__salt").agg(*partial_aggs)

@@ -756,23 +756,73 @@ def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(_t(spark, sf_dir, "documents"), threshold=0.3, max_df_ratio=0.5)
 
 
-@register("dedup_minhash_lsh")  # approximate candidate generation → rows-only check
+@register("dedup_minhash_lsh", _JACCARD_ORACLE.format(tau=0.5))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16×4) near-dup pairs, exact-Jaccard-verified at
-    τ=0.5. No SQL oracle (signature hashing isn't portable); tests assert
-    it recovers exactly the exact-Jaccard pairs on the planted corpus."""
+    τ=0.5. The oracle is the EXACT Jaccard pair set at the same τ: the
+    signatures are seeded and deterministic, the verify stage makes
+    precision exact, and 16×4 banding recall at the planted-dup
+    similarity level (J ≥ 0.9) is 1 − (1 − 0.9⁴)¹⁶ ≈ 1 − 4e-8 — so a
+    hash-green row simultaneously checks candidate recall AND verified
+    precision. A corpus with gray-zone pairs (J just above τ) could fail
+    the recall half; that is exactly what the oracle is for."""
     from cdc_pipeline_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-@register("dedup_simhash")  # hash-based signature → rows-only check
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32-bit) near-dup pairs at hamming ≤ 3 via banded chunk
-    join + bit_count verify."""
-    from cdc_pipeline_spark.operators.dedup import simhash_pairs
+def _simhash_oracle_sql(bits: int = 28, bands: int = 4, max_hamming: int = 3) -> str:
+    """Generate the DuckDB replica of the portable-hash SimHash pipeline:
+    per-token codepoint-fold hash (see dedup.py::portable_token_hash),
+    per-bit ±1 sums, sign-packed signature, banded chunk-equality
+    candidate join, bit_count(xor) Hamming verify."""
+    chunk = bits // bands
+    mask = (1 << chunk) - 1
+    bit_sums = ",\n               ".join(
+        f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(bits)
+    )
+    pack = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    band_eq = " OR ".join(
+        f"((a.s >> {b * chunk}) & {mask}) = ((b.s >> {b * chunk}) & {mask})" for b in range(bands)
+    )
+    return rf"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(token, ''),
+                                      c -> CAST(greatest(unicode(c), 0) AS BIGINT))),
+                   (acc, x) -> (acc * 131 + x) % 2147483647) AS th
+        FROM tok
+    ),
+    sums AS (SELECT doc_id,
+               {bit_sums}
+             FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, {pack} AS s FROM sums)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_eq})
+    WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+    """
 
-    return simhash_pairs(_t(spark, sf_dir, "documents"))
+
+@register("dedup_simhash", _simhash_oracle_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 3 via banded chunk join +
+    bit_count verify. This entry runs the SQL-PORTABLE signature variant
+    (28-bit, codepoint-fold token hash) so the DuckDB oracle replicates
+    the entire pipeline — signatures, banding, Hamming verify — and the
+    hash check is end-to-end. The production default stays xxhash64
+    (unit tests pin its pigeonhole completeness)."""
+    from cdc_pipeline_spark.operators.dedup import portable_token_hash, simhash_pairs
+
+    out = simhash_pairs(
+        _t(spark, sf_dir, "documents"), bits=28, token_hash=portable_token_hash
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 @register(
@@ -824,11 +874,55 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
 
 
-@register("ann_ivf_topk")  # bucketed approximate path → rows-only check
+@register(
+    "ann_ivf_topk",
+    """
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    dims AS (SELECT unnest(range(64)) AS pos),
+    cent AS (
+        SELECT label, list(m ORDER BY pos) AS c
+        FROM (SELECT label, pos, avg(e[pos + 1]) AS m
+              FROM emb CROSS JOIN dims GROUP BY label, pos)
+        GROUP BY label
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qv FROM emb WHERE vec_id < 10),
+    routed AS (
+        SELECT query_id, label FROM (
+            SELECT q.query_id, c.label,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_inner_product(q.qv, c.c)
+                                / (sqrt(list_inner_product(q.qv, q.qv))
+                                   * sqrt(list_inner_product(c.c, c.c))) DESC,
+                                c.label
+                   ) AS crank
+            FROM q CROSS JOIN cent c
+        ) WHERE crank <= 2
+    ),
+    scored AS (
+        SELECT r.query_id, e.vec_id,
+               round(list_inner_product(q.qv, e.e)
+                     / (sqrt(list_inner_product(q.qv, q.qv))
+                        * sqrt(list_inner_product(e.e, e.e))), 6) AS score
+        FROM routed r
+        JOIN emb e USING (label)
+        JOIN q ON q.query_id = r.query_id
+        WHERE e.vec_id != r.query_id
+    )
+    SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (label column as coarse cells, n_probe=2): the
-    scale path — candidates drop from N to N·probe/cells. Tests measure
-    recall against the brute-force baseline."""
+    scale path — candidates drop from N to N·probe/cells. The oracle
+    replicates the FULL approximate pipeline in SQL — per-label mean
+    centroids, top-2 centroid routing, candidate scoring inside probed
+    cells, per-query rank — so the hash check covers assignment, probing
+    and ranking, not just final scores. Tests additionally measure recall
+    against the brute-force baseline."""
     from cdc_pipeline_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1391,23 +1485,89 @@ def distinct_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
 
 
-@register("multimodal_frame_sample")  # Pandas-stage output → rows-only check
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH d AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+    f AS (
+        SELECT doc_id, h,
+               greatest(length(h) // 4, 1) AS w,
+               greatest(length(h) - 1, 0)  AS last_off,
+               unnest(range(4)) AS i
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT)                 AS frame_index,
+           CAST(least(i * w, last_off) AS BIGINT) AS frame_offset,
+           sha256(substring(h, least(i * w, last_off) + 1, w)) AS frame_digest
+    FROM f
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling media stage (video-keyframe access pattern) over
     binary payloads: 4 equally-spaced byte-window 'frames' per document,
-    one output row each — Arrow-batched mapInPandas, digests verified in
-    unit tests against a local reimplementation."""
-    from cdc_pipeline_spark.operators.multimodal import attach_binary_payload, sample_frames
+    one output row each — Arrow-batched mapInPandas computing sha256
+    digests Python-side.
 
-    docs = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    The payload here is the HEX-ARMORED text bytes (pure-ASCII), so the
+    DuckDB oracle can reproduce the exact byte windows with VARCHAR
+    substring + sha256 (DuckDB's sha256 only accepts VARCHAR; raw UTF-8
+    payloads would need byte-level slicing that can split multi-byte
+    chars). The engine path — binary column in, mapInPandas Arrow
+    batches, per-frame digest rows out — is identical either way; unit
+    tests additionally pin raw-byte payload digests against a local
+    reimplementation."""
+    from cdc_pipeline_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.hex(F.encode(F.col("text"), "UTF-8")), "UTF-8")
+    )
     return sample_frames(docs, n_frames=4)
 
 
-@register("ann_rp_lsh_topk")  # hash-bucketed approximate path → rows-only check
+def _rp_lsh_oracle_sql(dim: int = 64, n_planes: int = 8, k: int = 5) -> str:
+    """Generate the DuckDB replica of rp_lsh_topk: the deterministic
+    hyperplanes (similarity.py::_hyperplanes, splitmix-scrambled seed)
+    are embedded as literal DOUBLE arrays — Python float repr round-trips
+    exactly, so both engines project onto bit-identical planes. Bucket =
+    Σ 2^j·[v·plane_j ≥ 0]; 1-bit multi-probe becomes
+    xor(bucket_c, bucket_q) ∈ {0, 1, 2, …, 2^(n_planes−1)}."""
+    from cdc_pipeline_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed=11)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_inner_product(e, [{', '.join(repr(x) for x in row)}]) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, row in enumerate(planes)
+    )
+    probe_masks = ", ".join(str(m) for m in [0] + [1 << j for j in range(n_planes)])
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    b AS (SELECT vec_id, e, ({bucket_terms}) AS bucket FROM emb),
+    q AS (SELECT vec_id AS query_id, e AS qv, bucket AS qbucket FROM b WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               round(list_inner_product(q.qv, c.e)
+                     / (sqrt(list_inner_product(q.qv, q.qv))
+                        * sqrt(list_inner_product(c.e, c.e))), 6) AS score
+        FROM b c JOIN q ON xor(c.bucket, q.qbucket) IN ({probe_masks})
+        WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {k}
+    """
+
+
+@register("ann_rp_lsh_topk", _rp_lsh_oracle_sql())
 def ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH cosine top-k (the second bucketed scale path
-    beside IVF): sign-bit buckets + 1-bit multi-probe. Tests pin candidate
-    correctness (scores match brute force on the candidate set)."""
+    beside IVF): sign-bit buckets + 1-bit multi-probe. The oracle
+    replicates the full approximate pipeline in SQL (same literal
+    hyperplanes, bucketing, xor multi-probe, candidate ranking), so the
+    hash check covers bucket assignment and probing — not just scores.
+    Tests additionally pin candidate scores against brute force."""
     from cdc_pipeline_spark.operators.similarity import rp_lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1884,3 +2044,71 @@ def events_daily_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bottom so `register`/`_t` exist when it runs.
 from cdc_pipeline_spark import workload_relational  # noqa: E402,F401
 from cdc_pipeline_spark import workload_analytic  # noqa: E402,F401
+
+# ---------------------------------------------------------------------------
+# Driver-window rotation. The correctness driver checks the FIRST 50
+# registered queries per round (CORRECTNESS_r01 stopped at entry 50 of 81,
+# leaving the TPC-H q2–q22 battery, the analytic battery and the sampling/
+# sketch queries without a hard-signal row). Re-order the registry so the
+# least-driver-verified queries land inside the window: round-1-unchecked
+# first, then queries whose output changed (TF-IDF max-df pruning,
+# winnowing serialization) or whose oracle is new, then the already-green
+# remainder in original registration order.
+# ---------------------------------------------------------------------------
+
+_DRIVER_WINDOW_PRIORITY = [
+    # -- no CORRECTNESS_r01 row (registered past the 50-entry window) --
+    "q2_min_price_per_type",
+    "q4_priority_late_orders",
+    "q7_volume_shipping",
+    "q8_nation_market_share",
+    "q9_nation_year_profit",
+    "q10_returned_items",
+    "q11_top_value_parts",
+    "q12_priority_by_status",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_revenue_supplier",
+    "q16_part_supplier_variety",
+    "q17_small_qty_avg_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_bulk_part_suppliers",
+    "q21_sole_late_supplier",
+    "q22_idle_customer_balance",
+    "orders_grouping_sets",
+    "customer_order_window_battery",
+    "lineitem_exact_percentiles",
+    "events_gapfill_5min",
+    "lineitem_stats_profile",
+    "doc_split_quality",
+    "events_per_user_downsample",
+    "embeddings_stratified_sample",
+    "corpus_token_topk",
+    "doc_sequence_packing",
+    "docs_incremental_new",
+    "events_daily_distinct_hll",
+    "embedding_kmeans",
+    # -- output changed this round / oracle added this round --
+    "doc_tfidf_cosine_pairs",
+    "doc_winnowing_fingerprints",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_ivf_topk",
+    "ann_rp_lsh_topk",
+    "multimodal_frame_sample",
+]
+
+
+def _rotate_registry() -> None:
+    missing = [n for n in _DRIVER_WINDOW_PRIORITY if n not in QUERIES]
+    if missing:
+        raise RuntimeError(f"driver-window priority names not registered: {missing}")
+    ordered = _DRIVER_WINDOW_PRIORITY + [n for n in QUERIES if n not in _DRIVER_WINDOW_PRIORITY]
+    for registry in (QUERIES, ORACLE_SQL):
+        snapshot = dict(registry)
+        registry.clear()
+        registry.update({n: snapshot[n] for n in ordered if n in snapshot})
+
+
+_rotate_registry()

@@ -297,6 +297,20 @@ def test_sql_round_rewriter_paren_matching():
     )
 
 
+def test_sql_round_rewriter_nested_and_non_literal():
+    from cdc_pipeline_spark.operators.rounding import rewrite_sql_rounds
+
+    # nested rounds rewrite inside-out; non-integer-literal digits are
+    # left native but still get their inner rounds rewritten
+    assert rewrite_sql_rounds("round(round(x,4),2)") == (
+        "floor((floor((x) * 10000.0 + 0.5) / 10000.0) * 100.0 + 0.5) / 100.0"
+    )
+    assert rewrite_sql_rounds("round(x, n)") == "round(x, n)"
+    assert rewrite_sql_rounds("round(round(a,3) + b, n)") == (
+        "round(floor((a) * 1000.0 + 0.5) / 1000.0 + b, n)"
+    )
+
+
 def test_hash_split_disjoint_exhaustive_stable(spark):
     from cdc_pipeline_spark.operators.sampling import hash_split
 

@@ -73,6 +73,30 @@ def test_salted_agg_matches_plain_agg(spark):
     assert salted == plain
 
 
+def test_salted_agg_fallback_salt_deterministic(spark):
+    """Without salt_source the salt hashes every input column — content-
+    derived, so re-runs (and task retries) produce identical groupings;
+    the merged result must also still match the plain aggregation."""
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "value")
+    run = lambda: sorted(  # noqa: E731
+        salted_agg(
+            ev,
+            ["event_type"],
+            [F.sum("value").alias("s"), F.count(F.lit(1)).alias("c")],
+            [F.round(F.sum("s"), 2).alias("revenue"), F.sum("c").alias("n")],
+            n_salts=8,
+        ).collect()
+    )
+    first, second = run(), run()
+    assert first == second
+    plain = sorted(
+        ev.groupBy("event_type")
+        .agg(F.round(F.sum("value"), 2).alias("revenue"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert first == plain
+
+
 def test_composite_jobs_start_and_stop(spark, tmp_path):
     import datetime as dt
 
