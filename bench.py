@@ -6,8 +6,11 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "workload_wall_sec", "value": N, "unit": "sec",
      "queries": {name: sec, ...}, "sf": 0.1}
 
-Each query is forced with a cheap ``count()`` over its result (keeps the
-measurement about the plan, not driver-side row materialization).
+Each query is forced with ``agg(sum(xxhash64(struct(*))))`` — a one-row
+collect that still evaluates EVERY output column. A bare ``count()``
+would let Catalyst prune unreferenced projections, so projection-heavy
+queries (text features, winnowing) would measure the scan instead of
+their expressions.
 """
 
 from __future__ import annotations
@@ -17,8 +20,18 @@ import os
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 from cdc_pipeline_spark.session import create_spark_session
 from cdc_pipeline_spark import workload
+
+
+def _force(df) -> None:
+    """Evaluate the full result: hash every output column of every row
+    into one aggregated long. Defeats count()-style column pruning while
+    keeping driver-side transfer to a single row. bit_xor, not sum —
+    summing 64-bit hashes overflows under ANSI mode."""
+    df.agg(F.bit_xor(F.xxhash64(F.struct(*df.columns)))).collect()
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -57,7 +70,7 @@ def main() -> None:
     # warm the JVM/codegen once on the smallest SF so per-query numbers
     # measure the plan, not first-run JIT
     warm = workload.QUERIES["q1_pricing_summary"]
-    warm(spark, "/root/testdata/sf0.001").count()
+    _force(warm(spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -68,7 +81,7 @@ def main() -> None:
         best = None
         for _ in range(2):
             start = time.perf_counter()
-            workload.QUERIES[name](spark, SF_DIR).count()
+            _force(workload.QUERIES[name](spark, SF_DIR))
             elapsed = time.perf_counter() - start
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)

@@ -36,6 +36,8 @@ def connected_components(
     vertices: DataFrame | None = None,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    algorithm: str = "propagation",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Undirected connected components; returns (``id_col``,
     ``component``) with component = MIN member id (a deterministic,
@@ -44,9 +46,24 @@ def connected_components(
     ``vertices`` (optional) adds isolated nodes: every vertex appears in
     the output, edge-less ones as singleton components of themselves.
 
-    Each round is one shuffle of the label frame (join on the edge key)
-    plus a min-aggregate; edge and label frames partition by node id.
+    ``algorithm``:
+      * ``"propagation"`` (default) — min-label propagation; rounds =
+        graph diameter. Right for near-dup graphs (unions of small dense
+        blobs, diameter ≲ 3-4).
+      * ``"star"`` — alternating large-star/small-star rewiring (Kiveris
+        et al., "Connected Components in MapReduce and Beyond",
+        SoCC'14); converges in O(log n) rounds, the scale path for
+        adversarial long-chain / high-diameter graphs at 100 TB.
+
+    ``stats`` (optional dict) receives ``{"rounds": n}`` for either
+    algorithm. Each round is one-to-two shuffles keyed on node id.
     """
+    if algorithm == "star":
+        out = _star_components(edges, src, dst, max_iter=max_iter, stats=stats)
+        out = out.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+        return _with_singletons(out, vertices, id_col)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     # Materialize the symmetrized edge list ONCE. `edges` may be the tail
     # of an expensive pipeline (shingling + inverted-index join for
     # near-dup pairs); without this, every propagation round — and both
@@ -69,6 +86,7 @@ def connected_components(
     # convergence test (no join against the previous round needed).
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
 
+    rounds = 0
     for _ in range(max_iter):
         neighbor_labels = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -80,17 +98,103 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        rounds += 1
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    if stats is not None:
+        stats["rounds"] = rounds
 
     out = labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
-    if vertices is not None:
-        singletons = (
-            vertices.select(F.col(id_col))
-            .join(out.select(id_col), id_col, "left_anti")
-            .select(F.col(id_col), F.col(id_col).alias("component"))
+    return _with_singletons(out, vertices, id_col)
+
+
+def _with_singletons(out: DataFrame, vertices: DataFrame | None, id_col: str) -> DataFrame:
+    if vertices is None:
+        return out
+    singletons = (
+        vertices.select(F.col(id_col))
+        .join(out.select(id_col), id_col, "left_anti")
+        .select(F.col(id_col), F.col(id_col).alias("component"))
+    )
+    return out.unionAll(singletons)
+
+
+def _star_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Kiveris et al. alternating algorithm. Each round:
+
+      large-star: per node u, connect every STRICTLY LARGER neighbor to
+        m = min(N(u) ∪ {u}) — applied on the symmetrized edge set, so
+        each undirected edge is processed from both endpoints;
+      small-star: canonicalize edges to point larger→smaller, then per
+        node u connect every (≤ u) neighbor and u itself to the minimum.
+
+    Both steps only ever re-wire nodes to a smaller node of their own
+    component (never across components), and a potential function
+    (Σ heights) halves per round → O(log n) rounds to a forest of
+    depth-1 stars centered at component minima. Convergence is detected
+    by an order-insensitive edge-set fingerprint (count + xor of row
+    hashes) going stable.
+
+    Returns (node, label) covering every non-isolated node.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(frame: DataFrame):
+        return tuple(
+            frame.agg(
+                F.count(F.lit(1)), F.bit_xor(F.xxhash64(F.struct("a", "b")))
+            ).collect()[0]
         )
-        out = out.unionAll(singletons)
-    return out
+
+    def large_star(frame: DataFrame) -> DataFrame:
+        sym = frame.unionAll(frame.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        return (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+
+    def small_star(frame: DataFrame) -> DataFrame:
+        canon = frame.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).distinct()
+        mins = canon.groupBy("a").agg(F.min("b").alias("m"))
+        rewired = (
+            canon.join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        centers = mins.select("a", F.col("m").alias("b"))
+        return rewired.unionAll(centers).distinct()
+
+    prev = fingerprint(e)
+    rounds = 0
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        rounds += 1
+        cur = fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    if stats is not None:
+        stats["rounds"] = rounds
+
+    # e is now a star forest pointing larger → smaller (a > b = center).
+    nodes = e.select(F.col("a").alias("node"), F.col("b").alias("label"))
+    centers = e.select(F.col("b").alias("node"), F.col("b").alias("label")).distinct()
+    return nodes.unionAll(centers).groupBy("node").agg(F.min("label").alias("label"))

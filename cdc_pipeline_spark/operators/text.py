@@ -142,15 +142,30 @@ def winnowing_fingerprints(
     Pure column expression: positions via sequence → transform(substring
     → xxhash64), window minima via a second transform over window
     indices. Returns array<long> (sorted, distinct).
+
+    The gram-hash array is LET-BOUND through a single-element transform
+    (``transform(array(grams), g -> …)[0]``) so each row hashes its
+    k-grams exactly once. Referencing the ``grams`` subtree directly
+    inside the window lambda re-evaluates the whole array per window —
+    interpreted higher-order functions do no subexpression caching — and
+    that O(L²/w) blowup measured 13.6 s vs 0.35 s at sf0.1.
     """
     n_grams = F.greatest(F.length(text_col) - F.lit(k - 1), F.lit(0))
     gram_hashes = F.transform(
         F.sequence(F.lit(0), n_grams - 1),
         lambda i: F.xxhash64(F.col(text_col).substr(i + 1, F.lit(k))),
     )
-    n_windows = F.ceil(F.size(gram_hashes) / F.lit(window)).cast("int")
-    window_mins = F.transform(
-        F.sequence(F.lit(0), n_windows - 1),
-        lambda w: F.array_min(F.slice(gram_hashes, w * window + 1, window)),
+
+    def window_mins(g: Column) -> Column:
+        n_windows = F.ceil(F.size(g) / F.lit(window)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_windows - 1),
+            lambda w: F.array_min(F.slice(g, w * window + 1, window)),
+        )
+
+    window_mins_once = F.transform(F.array(gram_hashes), window_mins)[0]
+    return F.array_sort(
+        F.array_distinct(
+            F.when(n_grams > 0, window_mins_once).otherwise(F.array().cast("array<long>"))
+        )
     )
-    return F.array_sort(F.array_distinct(F.when(n_grams > 0, window_mins).otherwise(F.array().cast("array<long>"))))

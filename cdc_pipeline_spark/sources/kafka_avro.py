@@ -64,15 +64,117 @@ def confluent_schema_id(column: str = "value") -> Column:
     return (byte(2) * 16777216 + byte(3) * 65536 + byte(4) * 256 + byte(5)).alias("schema_id")
 
 
+def avro_available(spark: SparkSession) -> bool:
+    """Capability probe: can this session analyze a ``from_avro`` plan?
+    False when the spark-avro jar isn't on the classpath (the decode
+    chain then stays plan-gated; AVRO_NOT_LOADED is raised at ANALYSIS
+    time, so probing costs one tiny unresolved plan, no execution)."""
+    from pyspark.sql.avro.functions import from_avro
+
+    probe = spark.createDataFrame([(b"",)], "value binary")
+    try:
+        probe.select(
+            from_avro("value", '{"type":"record","name":"P","fields":[]}')
+        ).schema  # .schema forces analysis without execution
+        return True
+    except Exception:
+        return False
+
+
 def decode_avro(df: DataFrame, avro_schema_json: str, column: str = "value") -> DataFrame:
     """S3: PERMISSIVE Avro decode of the header-stripped payload; corrupt
-    records decode to NULL and are dropped (kafka_sources.py:66-84)."""
+    records decode to NULL and are dropped (kafka_sources.py:66-84).
+
+    Raises Spark's ``AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE``
+    AnalysisException when the spark-avro jar is absent — gate call
+    sites with :func:`avro_available`."""
     from pyspark.sql.avro.functions import from_avro  # requires spark-avro jar at runtime
 
     decoded = df.select(
         from_avro(strip_confluent_header(column), avro_schema_json, {"mode": "PERMISSIVE"}).alias("data")
     )
     return decoded.filter(F.col("data").isNotNull()).select("data.*")
+
+
+def avro_reader_schema(
+    struct,
+    record_name: str,
+    zoned_ts_cols: tuple[str, ...] = (),
+    uuid_cols: tuple[str, ...] = (),
+    json_cols: tuple[str, ...] = (),
+    defaults: dict | None = None,
+) -> str:
+    """Derive the Avro READER schema for a declared StructType, following
+    the Debezium writer-schema conventions the reference documents
+    (``/root/reference/src/streaming/schemas.py:174-180``): union member
+    ORDER must match the registered writer schema or spark-avro's
+    PERMISSIVE mode nulls every record.
+
+      * non-nullable field, no default      → plain type
+      * non-nullable field with default     → plain type + ``connect.default``
+      * nullable field WITH a default value → **non-null-first** union
+        ``[{type…}, "null"]`` with that default (Debezium emits the
+        defaulted member first);
+      * nullable field, no default          → null-first union
+        ``["null", {type…}]`` with default null;
+      * TIMESTAMPTZ columns (``zoned_ts_cols``) → ISO-string logical type
+        ``io.debezium.time.ZonedTimestamp``; UUID/JSONB likewise ride as
+        connect-named strings;
+      * other TimestampType columns → ``{"type":"long","logicalType":
+        "timestamp-millis"}`` (direct producer topics).
+
+    The result feeds :func:`decode_avro` / :func:`read_cdc_stream`; unit
+    tests pin the union orderings so a future jar drop decodes against
+    registry-registered writer schemas without NULL storms.
+    """
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        TimestampType,
+    )
+
+    defaults = defaults or {}
+    scalar = {
+        LongType: "long",
+        StringType: "string",
+        DoubleType: "double",
+        IntegerType: "int",
+        BooleanType: "boolean",
+    }
+    fields = []
+    for f in struct.fields:
+        name = f.name
+        if name in zoned_ts_cols:
+            typed: dict | str = {
+                "type": "string",
+                "connect.version": 1,
+                "connect.name": "io.debezium.time.ZonedTimestamp",
+            }
+        elif name in uuid_cols:
+            typed = {"type": "string", "connect.version": 1, "connect.name": "io.debezium.data.Uuid"}
+        elif name in json_cols:
+            typed = {"type": "string", "connect.version": 1, "connect.name": "io.debezium.data.Json"}
+        elif isinstance(f.dataType, TimestampType):
+            typed = {"type": "long", "logicalType": "timestamp-millis"}
+        else:
+            typed = scalar[type(f.dataType)]
+        if name in defaults:
+            default = defaults[name]
+            if isinstance(typed, str):
+                typed = {"type": typed}
+            typed["connect.default"] = default
+            if f.nullable:
+                fields.append({"name": name, "type": [typed, "null"], "default": default})
+            else:
+                fields.append({"name": name, "type": typed, "default": default})
+        elif not f.nullable:
+            fields.append({"name": name, "type": typed})
+        else:
+            fields.append({"name": name, "type": ["null", typed], "default": None})
+    return json.dumps({"type": "record", "name": record_name, "fields": fields})
 
 
 def read_cdc_stream(

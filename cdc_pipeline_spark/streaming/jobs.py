@@ -66,11 +66,30 @@ def start_kpi_pipeline(
     watermark: str = DEFAULT_WATERMARK,
     trigger: dict | None = None,
     exact: bool = False,
+    trend_period_seconds: int = 3600,
 ) -> StreamingQuery:
     """A1: the caller normalizes + unions the component streams
-    (aggregates.fuse_streams); watermark goes here, after the union."""
+    (aggregates.fuse_streams); watermark goes here, after the union.
+
+    The published hash carries ``<metric>_trend`` period-over-period
+    percentages computed by reading back the previous period's kv
+    snapshot inside foreachBatch — the reference's K5 mechanism (hourly
+    Redis snapshots with a 2h TTL re-read each batch,
+    kpi_aggregator.py:28-51,74-95). Set ``trend_period_seconds`` to the
+    reference's 3600 for hourly buckets; tests shrink it to get
+    multi-period coverage from seconds-apart micro-batches."""
     agg = aggregates.windowed_kpi(fused.withWatermark(time_col, watermark), time_col=time_col, exact=exact)
-    writer = sink_lib.latest_row_hash_writer(kv, key, order_cols=["window_end"], channel=channel)
+    trend_cols = [c for c in agg.columns if c not in ("window_start", "window_end")]
+    writer = sink_lib.trend_hash_writer(
+        kv,
+        key,
+        order_cols=["window_end"],
+        trend_cols=trend_cols,
+        state_key_prefix=f"{key}:snapshot",
+        period_seconds=trend_period_seconds,
+        state_ttl=2 * trend_period_seconds,
+        channel=channel,
+    )
     return _start(agg, writer, checkpoint, "update", trigger)
 
 

@@ -230,6 +230,82 @@ def customer_region_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "two_level_region_resolution",
+    """
+    WITH fact AS (
+        SELECT c_custkey, CAST(c_nationkey AS VARCHAR) AS country_code, c_name AS city
+        FROM customer
+    ),
+    city_map(country_code, city_pattern, region_name) AS (
+        VALUES ('3', 'Customer#0000001', 'CITY-N3-LONG'),
+               ('3', 'Customer#000000', 'CITY-N3-SHORT'),
+               ('7', 'Customer#', 'CITY-N7-ALL')
+    ),
+    country_map AS (
+        SELECT CAST(n_nationkey AS VARCHAR) AS country_code, r_name AS region_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE n_nationkey < 15
+    ),
+    s1 AS (
+        SELECT f.c_custkey, f.country_code,
+               cm.region_name AS cm_region,
+               row_number() OVER (
+                   PARTITION BY f.c_custkey
+                   ORDER BY length(cm.city_pattern) DESC NULLS LAST,
+                            cm.city_pattern NULLS LAST
+               ) AS rnk
+        FROM fact f
+        LEFT JOIN city_map cm
+          ON f.country_code = cm.country_code AND starts_with(f.city, cm.city_pattern)
+    )
+    SELECT s1.country_code,
+           coalesce(s1.cm_region, co.region_name, 'Unknown') AS region_name,
+           count(*) AS n_customers
+    FROM s1 LEFT JOIN country_map co ON s1.country_code = co.country_code
+    WHERE rnk = 1
+    GROUP BY s1.country_code, coalesce(s1.cm_region, co.region_name, 'Unknown')
+    """,
+)
+def two_level_region_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 two-level static-reference lookup, the enrichment join the
+    reference designed but never shipped (DESCRIPTION.md:871-893): city-
+    pattern prefix match first (longest pattern wins when 'Customer#000000'
+    and 'Customer#0000001' both hit), country-level fallback second,
+    'Unknown' default third. Customers play the fact; the city map is a
+    literal broadcast dim; the country map is nation⋈region truncated to
+    n_nationkey < 15 so keys 15–24 exercise the default branch. Output is
+    the per-(country, resolved region) customer count, so the oracle
+    verifies every row's three-way resolution compactly."""
+    from cdc_pipeline_spark.operators.enrich import two_level_region_lookup
+
+    fact = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("string").alias("country_code"),
+        F.col("c_name").alias("city"),
+    )
+    city_map = spark.createDataFrame(
+        [
+            ("3", "Customer#0000001", "CITY-N3-LONG"),
+            ("3", "Customer#000000", "CITY-N3-SHORT"),
+            ("7", "Customer#", "CITY-N7-ALL"),
+        ],
+        "country_code string, city_pattern string, region_name string",
+    )
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 15)
+    region = _t(spark, sf_dir, "region")
+    country_map = nation.join(
+        region, nation["n_regionkey"] == region["r_regionkey"]
+    ).select(
+        F.col("n_nationkey").cast("string").alias("country_code"),
+        F.col("r_name").alias("region_name"),
+    )
+    resolved = two_level_region_lookup(fact, city_map, country_map)
+    return resolved.groupBy("country_code", "region_name").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming-semantics pipelines (A1–A7) in batch form over `events`.
 # Column binding: user_id ~ session/user key, event_type 'purchase' ~ order
@@ -713,6 +789,22 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.3).select("id_a", "id_b")
     return connected_components(pairs, vertices=docs, id_col="doc_id")
+
+
+@register("dedup_clusters_star", _CLUSTER_ORACLE)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters as `dedup_duplicate_clusters`, computed with the
+    O(log n)-round alternating large-star/small-star algorithm (Kiveris
+    et al. SoCC'14, operators/graph.py::_star_components) instead of
+    diameter-bound label propagation — the scale path for long-chain
+    graphs. Shares the recursive-CTE oracle: both algorithms must land
+    on identical min-label components."""
+    from cdc_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from cdc_pipeline_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3).select("id_a", "id_b")
+    return connected_components(pairs, vertices=docs, id_col="doc_id", algorithm="star")
 
 
 _TFIDF_ORACLE = r"""
@@ -2097,6 +2189,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "ann_ivf_topk",
     "ann_rp_lsh_topk",
     "multimodal_frame_sample",
+    # -- new this round --
+    "two_level_region_resolution",
+    "dedup_clusters_star",
 ]
 
 

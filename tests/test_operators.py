@@ -365,3 +365,47 @@ def test_connected_components_chain_ring_isolated(spark):
     vertices = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 10, 11, 12, 13, 14, 15]], "doc_id long")
     got = {r["doc_id"]: r["component"] for r in connected_components(edges, vertices=vertices).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10}
+    star = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(edges, vertices=vertices, algorithm="star").collect()
+    }
+    assert star == got
+
+
+def test_star_components_log_rounds_on_long_chain(spark):
+    """The adversarial case for propagation: a 1000-node chain has
+    diameter 999, so min-label propagation needs ~999 rounds — the
+    large-star/small-star rewiring must settle in O(log n) (~10) and
+    still produce the identical min-label components."""
+    import random
+
+    from cdc_pipeline_spark.operators.graph import connected_components
+
+    ids = list(range(1000))
+    random.Random(7).shuffle(ids)  # chain order decoupled from id order
+    chain = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    edges = spark.createDataFrame(chain, "id_a long, id_b long").repartition(8)
+    stats: dict = {}
+    out = connected_components(edges, algorithm="star", stats=stats, max_iter=30)
+    labels = {r["doc_id"]: r["component"] for r in out.collect()}
+    assert labels == {i: 0 for i in range(1000)}
+    assert stats["rounds"] <= 12, f"expected O(log n) rounds, took {stats['rounds']}"
+
+
+def test_star_components_random_graph_matches_propagation(spark):
+    import random
+
+    from cdc_pipeline_spark.operators.graph import connected_components
+
+    rng = random.Random(23)
+    edges_py = [(rng.randrange(300), rng.randrange(300)) for _ in range(250)]
+    edges = spark.createDataFrame(edges_py, "id_a long, id_b long")
+    prop = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(edges, max_iter=50).collect()
+    }
+    star = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(edges, algorithm="star").collect()
+    }
+    assert star == prop

@@ -83,3 +83,109 @@ def test_latest_state_collapses_cdc_lifecycle(spark):
     )
     out = {r.id: r.status for r in latest_state(df, ["id"], ["__source_ts_ms"]).collect()}
     assert out == {1: "completed", 2: "pending"}
+
+
+# ---------------------------------------------------------------------------
+# S3 Avro decode: reader-schema derivation + capability gate. The container
+# has no spark-avro jar, so decode EXECUTION can't run here — these pin (a)
+# the Debezium union-ordering conventions the reference documents
+# (/root/reference/src/streaming/schemas.py:174-180), where a wrong union
+# order makes PERMISSIVE mode null every record, and (b) the graceful
+# AVRO_NOT_LOADED gate, so a future jar drop lights the chain up.
+# ---------------------------------------------------------------------------
+
+ZONED_DEFAULT = "1970-01-01T00:00:00.000000Z"
+
+
+def _users_reader_schema():
+    import json as _json
+
+    from cdc_pipeline_spark.schemas import USERS, with_cdc_meta
+    from cdc_pipeline_spark.sources.kafka_avro import avro_reader_schema
+
+    return _json.loads(
+        avro_reader_schema(
+            with_cdc_meta(USERS),
+            "UsersCdc",
+            zoned_ts_cols=("created_at", "updated_at"),
+            defaults={"id": 0, "created_at": ZONED_DEFAULT, "updated_at": ZONED_DEFAULT},
+        )
+    )
+
+
+def test_avro_reader_schema_debezium_union_ordering():
+    schema = _users_reader_schema()
+    by_name = {f["name"]: f for f in schema["fields"]}
+    # non-nullable id with connect default → plain long, not a union
+    assert by_name["id"]["type"] == {"type": "long", "connect.default": 0}
+    assert by_name["id"]["default"] == 0
+    # defaulted ZonedTimestamp → STRING-FIRST union (Debezium emits the
+    # defaulted member first; null-first here would null every record)
+    created = by_name["created_at"]["type"]
+    assert isinstance(created, list) and created[1] == "null"
+    assert created[0]["connect.name"] == "io.debezium.time.ZonedTimestamp"
+    assert created[0]["connect.default"] == ZONED_DEFAULT
+    assert by_name["created_at"]["default"] == ZONED_DEFAULT
+    # plain nullable column → null-first union, default null
+    assert by_name["country_code"]["type"] == ["null", "string"]
+    assert by_name["country_code"]["default"] is None
+    # CDC envelope meta columns ride along
+    assert by_name["__op"]["type"] == ["null", "string"]
+    assert by_name["__source_ts_ms"]["type"] == ["null", "long"]
+
+
+def test_avro_reader_schema_boolean_first_and_direct_topics():
+    import json as _json
+
+    from cdc_pipeline_spark.schemas import REQUEST_LOG, SESSIONS, with_cdc_meta
+    from cdc_pipeline_spark.sources.kafka_avro import avro_reader_schema
+
+    sessions = _json.loads(
+        avro_reader_schema(
+            with_cdc_meta(SESSIONS),
+            "SessionsCdc",
+            zoned_ts_cols=("started_at", "ended_at", "created_at"),
+            uuid_cols=("id",),
+            defaults={"is_active": True, "created_at": ZONED_DEFAULT},
+        )
+    )
+    by_name = {f["name"]: f for f in sessions["fields"]}
+    # boolean-first union with true default (reference convention)
+    assert by_name["is_active"]["type"][0] == {"type": "boolean", "connect.default": True}
+    assert by_name["is_active"]["type"][1] == "null"
+    # non-nullable ZonedTimestamp → bare logical type, no union
+    assert by_name["started_at"]["type"]["connect.name"] == "io.debezium.time.ZonedTimestamp"
+    # nullable ZonedTimestamp without default → null-first
+    assert by_name["ended_at"]["type"][0] == "null"
+
+    # direct (non-CDC) topic: plain TimestampType → epoch-millis long
+    request_log = _json.loads(avro_reader_schema(REQUEST_LOG, "RequestLog"))
+    by_name = {f["name"]: f for f in request_log["fields"]}
+    assert by_name["created_at"]["type"] == {"type": "long", "logicalType": "timestamp-millis"}
+    assert by_name["status_code"]["type"] == "int"
+
+
+def test_decode_avro_gate_without_jar(spark):
+    """Without the spark-avro jar the capability probe is False and
+    decode_avro fails at ANALYSIS time with Spark's AVRO_NOT_LOADED error
+    — never silently, never at runtime mid-stream."""
+    import pytest as _pytest
+
+    from cdc_pipeline_spark.schemas import USERS, with_cdc_meta
+    from cdc_pipeline_spark.sources.kafka_avro import (
+        avro_available,
+        avro_reader_schema,
+        decode_avro,
+    )
+
+    reader_schema = avro_reader_schema(
+        with_cdc_meta(USERS), "UsersCdc", zoned_ts_cols=("created_at", "updated_at")
+    )
+    wire = struct.pack(">bI", 0, 7) + b"\x00" * 16
+    df = spark.createDataFrame([(bytearray(wire),)], "value binary")
+    if avro_available(spark):
+        # jar present (future container): the chain must analyze cleanly
+        assert set(decode_avro(df, reader_schema).columns) >= {"id", "username", "__op"}
+    else:
+        with _pytest.raises(Exception, match="AVRO_NOT_LOADED|avro"):
+            decode_avro(df, reader_schema).schema

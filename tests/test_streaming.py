@@ -155,6 +155,58 @@ def test_kpi_pipeline_latest_hash(spark, stream_dir, checkpoint):
     assert kv.published and kv.published[-1][0] == "nexus:kpi"
 
 
+def test_kpi_pipeline_trend_readback_across_batches(spark, stream_dir, checkpoint):
+    """Golden for the K5 trend contract (kpi_aggregator.py:74-95): each
+    micro-batch reads the PREVIOUS period's kv snapshot and publishes
+    percent trends. Three batches land in three consecutive 30 s periods:
+    revenue 100 → 150 (+50%) → 120 (−20%)."""
+    batches = [
+        _rows([(0, "purchase", 100.0)]),
+        _rows([(35, "purchase", 150.0)]),
+        _rows([(65, "purchase", 120.0)]),
+    ]
+    _write_batches(spark, stream_dir, batches)
+    source = stream_parquet(spark, stream_dir, EVENT_SCHEMA, max_files_per_trigger=1)
+    fused = source.select(
+        F.col("created_at").alias("event_time"),
+        F.col("user_id").alias("session_id"),
+        F.col("value").alias("revenue_amount"),
+        F.lit(1).alias("order_count"),
+        F.lit(0).alias("error_count"),
+        F.lit(1).alias("request_count"),
+        F.col("value").alias("latency_ms"),
+    )
+    kv = InMemoryKV()
+    trends = []
+
+    orig_write = kv.write_hash
+
+    def capture(key, payload, **kw):
+        orig_write(key, payload, **kw)
+        if key == "nexus:kpi:current":
+            trends.append((payload["window_end"], payload["revenue"], payload["revenue_trend"]))
+
+    kv.write_hash = capture
+    q = jobs.start_kpi_pipeline(
+        fused, kv, checkpoint, trigger={"availableNow": True}, exact=False,
+        trend_period_seconds=30,
+    )
+    q.awaitTermination(120)
+
+    # batch 1: no prior period snapshot → trend 0; batch 2: (150−100)/100;
+    # batch 3: (120−150)/150. Latest windows end at base+30/+60/+90 →
+    # period buckets are consecutive, so each batch sees its predecessor.
+    assert [(r, t) for _, r, t in trends] == [
+        (100.0, 0.0),
+        (150.0, 50.0),
+        (120.0, -20.0),
+    ]
+    base = 1704067200
+    assert [w for w, _, _ in trends] == [base + 30, base + 60, base + 90]
+    # the period baselines were persisted with a 2-period TTL (K5 state)
+    assert kv.read_hash(f"nexus:kpi:current:snapshot:{(base + 90) // 30}")
+
+
 def test_platform_pipeline_complete_mode(spark, stream_dir, checkpoint):
     batches = [
         _rows([(0, "view", 1), (1, "view", 1), (2, "click", 1)]),
