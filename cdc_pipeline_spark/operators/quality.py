@@ -1,0 +1,223 @@
+"""Training-corpus quality operators: heuristic filter rules, within-doc
+repetition, PII redaction, benchmark decontamination.
+
+These are the "beyond the reference" LLM-data-pipeline operators (the
+reference is a CDC/analytics engine; a 100 TB pretraining pipeline needs
+document gating before any model sees a token). All hot paths are JVM
+column expressions or broadcast joins — no Python per row.
+
+Public provenance of the heuristics:
+  * C4 (Raffel et al., JMLR'20 §2.2) — rule-based line/doc filtering;
+  * Gopher (Rae et al., 2021, Table A1) — word count bounds, mean word
+    length bounds, symbol-to-word ratios, stopword presence;
+  * open decontamination practice (e.g. GPT-3 appendix C; The Pile) —
+    n-gram overlap between corpus docs and an evaluation set.
+
+Scale posture: quality rules are stateless per-row expressions (scan-
+parallel, whole-stage codegen, no shuffle); repetition stats shuffle
+once on (doc, token); decontamination broadcasts the (small) benchmark
+shingle set so the corpus scan stays shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_pipeline_spark.operators.rounding import round_half_up
+from cdc_pipeline_spark.operators.text import tokens
+
+# The classic English stopword nucleus used for "document has real
+# prose" checks (Gopher uses a similar tiny hard-coded list).
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "that", "it", "for")
+
+
+def quality_rule_columns(
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    min_distinct_stopwords: int = 2,
+) -> list[Column]:
+    """Gopher/C4-style per-document rule columns + the conjunction
+    ``keep``. Every rule is a pure JVM expression over one text column:
+
+      * ``r_word_count``    — token count within [min_words, max_words];
+      * ``r_mean_word_len`` — mean non-space word length within bounds
+        (screens OCR noise / minified blobs);
+      * ``r_symbol_ratio``  — non-alphanumeric-non-space chars ≤ ratio
+        (screens markup/serialized payloads);
+      * ``r_stopwords``     — ≥ ``min_distinct_stopwords`` distinct
+        common-word hits (screens non-prose token streams);
+      * ``keep``            — AND of the rules.
+    """
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    n_chars_nospace = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    mean_word_len = n_chars_nospace / F.greatest(n_words, F.lit(1))
+    n_symbols = F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+    symbol_ratio = n_symbols / F.greatest(F.length(text_col), F.lit(1))
+    distinct_stops = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS]))
+    )
+
+    r_word_count = (n_words >= min_words) & (n_words <= max_words)
+    r_mean_word_len = (mean_word_len >= min_mean_word_len) & (mean_word_len <= max_mean_word_len)
+    r_symbol_ratio = symbol_ratio <= max_symbol_ratio
+    r_stopwords = distinct_stops >= min_distinct_stopwords
+    return [
+        n_words.cast("long").alias("n_words"),
+        round_half_up(mean_word_len, 4).alias("mean_word_len"),
+        round_half_up(symbol_ratio, 4).alias("symbol_ratio"),
+        distinct_stops.cast("long").alias("distinct_stopwords"),
+        r_word_count.alias("r_word_count"),
+        r_mean_word_len.alias("r_mean_word_len"),
+        r_symbol_ratio.alias("r_symbol_ratio"),
+        r_stopwords.alias("r_stopwords"),
+        (r_word_count & r_mean_word_len & r_symbol_ratio & r_stopwords).alias("keep"),
+    ]
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition profile (the Gopher "repetition"
+    filter family): most-frequent-token mass, distinct-token ratio, and
+    most-frequent-bigram mass. Catches looped boilerplate that
+    rule-based length checks miss.
+
+    One explode + per-(doc, gram) count + per-doc max/sum — a single
+    shuffle keyed on the document id, so it scales with corpus size, not
+    corpus².
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    unigram = toks.select("doc_id", F.explode_outer("toks").alias("g")).filter(
+        F.col("g").isNotNull()
+    )
+    bigram = toks.select(
+        "doc_id",
+        F.explode_outer(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.concat_ws(" ", F.col("toks")[i], F.col("toks")[i + 1]),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
+
+    def profile(grams: DataFrame, prefix: str) -> DataFrame:
+        counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        return counts.groupBy("doc_id").agg(
+            F.sum("c").alias(f"{prefix}_total"),
+            F.count(F.lit(1)).alias(f"{prefix}_distinct"),
+            F.max("c").alias(f"{prefix}_top"),
+        )
+
+    uni = profile(unigram, "uni")
+    bi = profile(bigram, "bi")
+    out = uni.join(bi, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.col("uni_total").alias("n_tokens"),
+        round_half_up(F.col("uni_distinct") / F.col("uni_total"), 4).alias("distinct_ratio"),
+        round_half_up(F.col("uni_top") / F.col("uni_total"), 4).alias("top_token_frac"),
+        round_half_up(
+            F.coalesce(F.col("bi_top") / F.col("bi_total"), F.lit(0.0)), 4
+        ).alias("top_bigram_frac"),
+    )
+
+
+# PII patterns: deliberately the simple, high-recall shapes every corpus
+# scrubber starts from; swap for a full ruleset (presidio-style) in
+# production. Identical RE semantics in Java regex and RE2.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PHONE_RE = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+
+def pii_redact(
+    text: Column,
+) -> tuple[Column, Column, Column, Column]:
+    """(redacted_text, n_emails, n_ips, n_phones): count then replace
+    each PII class with a typed placeholder. Count BEFORE replacing —
+    the email local part may itself contain digits that later patterns
+    would re-match."""
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0)))
+    n_ips = F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return redacted, n_emails, n_ips, n_phones
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    flag_threshold: float = 0.05,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing word
+    ``n``-grams with an evaluation set (the standard train/test overlap
+    scrub — GPT-3 appendix C, The Pile §6.3).
+
+    The benchmark's distinct shingle set is BROADCAST (eval sets are
+    tiny next to a 100 TB corpus), so the corpus side is one scan +
+    explode + broadcast-hash semi-join + per-doc count: no corpus
+    shuffle at all. Output: per-doc total n-grams, contaminated n-gram
+    count, fraction, and the ≥ ``flag_threshold`` flag.
+    """
+
+    def shingles(df: DataFrame) -> DataFrame:
+        toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+        return toks.select(
+            "doc_id",
+            F.explode_outer(
+                F.when(
+                    F.size("toks") >= n,
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(0), F.size("toks") - n),
+                            lambda i: F.concat_ws(
+                                " ", *[F.col("toks")[i + j] for j in range(n)]
+                            ),
+                        )
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("shingle"),
+        )
+
+    bench_shingles = (
+        shingles(benchmark).filter(F.col("shingle").isNotNull()).select("shingle").distinct()
+    )
+    corpus_shingles = shingles(corpus)
+    hits = (
+        corpus_shingles.filter(F.col("shingle").isNotNull())
+        .join(F.broadcast(bench_shingles), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = corpus_shingles.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("shingle").isNotNull(), 1).otherwise(0)).alias("n_ngrams")
+    )
+    out = totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_ngrams",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        round_half_up(
+            F.coalesce("n_contaminated", F.lit(0)) / F.greatest("n_ngrams", F.lit(1)), 6
+        ).alias("contaminated_frac"),
+    )
+    return out.withColumn(
+        "flagged", F.col("contaminated_frac") >= F.lit(flag_threshold)
+    )

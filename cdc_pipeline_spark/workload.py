@@ -2138,6 +2138,231 @@ from cdc_pipeline_spark import workload_relational  # noqa: E402,F401
 from cdc_pipeline_spark import workload_analytic  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
+# Training-corpus quality gate (operators/quality.py): C4/Gopher-style
+# rule filters, repetition profile, PII redaction, benchmark
+# decontamination — the document-gating stages a pretraining pipeline
+# runs before any tokenization.
+# ---------------------------------------------------------------------------
+
+_STOPLIST_SQL = "['the','a','of','and','is','to','in','that','it','for']"
+
+
+@register(
+    "doc_quality_rules",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           round(length(regexp_replace(text, '\s', '', 'g'))
+                 / greatest(len(toks), 1), 4) AS mean_word_len,
+           round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                 / greatest(length(text), 1), 4) AS symbol_ratio,
+           CAST(len(list_intersect(list_distinct(toks), {_STOPLIST_SQL})) AS BIGINT)
+               AS distinct_stopwords,
+           (len(toks) >= 10 AND len(toks) <= 100000) AS r_word_count,
+           (length(regexp_replace(text, '\s', '', 'g')) / greatest(len(toks), 1) >= 2.0
+            AND length(regexp_replace(text, '\s', '', 'g')) / greatest(len(toks), 1) <= 12.0)
+               AS r_mean_word_len,
+           (length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                / greatest(length(text), 1) <= 0.1) AS r_symbol_ratio,
+           (len(list_intersect(list_distinct(toks), {_STOPLIST_SQL})) >= 2) AS r_stopwords,
+           ((len(toks) >= 10 AND len(toks) <= 100000)
+            AND (length(regexp_replace(text, '\s', '', 'g')) / greatest(len(toks), 1) >= 2.0
+                 AND length(regexp_replace(text, '\s', '', 'g')) / greatest(len(toks), 1) <= 12.0)
+            AND (length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                 / greatest(length(text), 1) <= 0.1)
+            AND (len(list_intersect(list_distinct(toks), {_STOPLIST_SQL})) >= 2)) AS keep
+    FROM t
+    """,
+)
+def doc_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style heuristic quality gate (Rae et al. Table A1;
+    Raffel et al. §2.2): word-count bounds, mean-word-length bounds,
+    symbol ratio, distinct-stopword presence, and the conjunction
+    ``keep`` — all whole-stage-codegen column expressions, zero
+    shuffle."""
+    from cdc_pipeline_spark.operators.quality import quality_rule_columns
+
+    return _t(spark, sf_dir, "documents").select("doc_id", *quality_rule_columns())
+
+
+@register(
+    "doc_repetition_stats",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+    ),
+    uni AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS g FROM toks)
+        GROUP BY doc_id, g
+    ),
+    uniagg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+               count(*) AS n_distinct, max(c) AS top
+        FROM uni GROUP BY doc_id
+    ),
+    bi AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(toks) - 1),
+                                           i -> toks[i] || ' ' || toks[i + 1])) AS g
+              FROM toks)
+        GROUP BY doc_id, g
+    ),
+    biagg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS total, max(c) AS top
+        FROM bi GROUP BY doc_id
+    )
+    SELECT u.doc_id,
+           u.total AS n_tokens,
+           round(u.n_distinct / u.total, 4) AS distinct_ratio,
+           round(u.top / u.total, 4)        AS top_token_frac,
+           round(coalesce(b.top / b.total, 0.0), 4) AS top_bigram_frac
+    FROM uniagg u LEFT JOIN biagg b ON u.doc_id = b.doc_id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition profile (Gopher's repetition filter
+    family): top-token mass, distinct-token ratio, top-bigram mass —
+    catches looped boilerplate that length rules miss. One shuffle keyed
+    on (doc, gram)."""
+    from cdc_pipeline_spark.operators.quality import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def _pii_oracle_sql() -> str:
+    from cdc_pipeline_spark.operators.quality import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    inject = """
+        text
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE '' END
+        || CASE WHEN doc_id % 5 = 0
+                THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                     || CAST((doc_id * 7) % 256 AS VARCHAR)
+                ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+                THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+    """
+    return f"""
+    WITH d AS (SELECT doc_id, {inject} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{IPV4_RE}'))  AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{IPV4_RE}', '<IP>', 'g'),
+                   '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM d
+    """
+
+
+@register("doc_pii_redaction", _pii_oracle_sql())
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub stage: count + replace emails / IPv4s / phone shapes
+    with typed placeholders. The synthetic corpus has no PII, so both
+    engines deterministically inject it first (email on doc_id%7, IP on
+    %5, phone on %11) — the oracle then verifies counts AND the md5 of
+    the redacted text, i.e. the full scrub output byte-for-byte."""
+    from cdc_pipeline_spark.operators.quality import pii_redact
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    ((F.col("doc_id") * 7) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" call 555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    redacted, n_emails, n_ips, n_phones = pii_redact(F.col("t"))
+    return injected.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )
+
+
+@register(
+    "doc_benchmark_contamination",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                   i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        FROM toks
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+    corp AS (SELECT * FROM sh WHERE doc_id >= 20),
+    tot AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                     i -> array_to_string(toks[i:i+2], ' ')))) AS BIGINT)
+                   AS n_ngrams
+        FROM toks WHERE doc_id >= 20
+    ),
+    hit AS (
+        SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+        FROM corp c JOIN bench b USING (shingle)
+        GROUP BY c.doc_id
+    )
+    SELECT t.doc_id, t.n_ngrams,
+           coalesce(h.n_contaminated, 0) AS n_contaminated,
+           round(coalesce(h.n_contaminated, 0) / greatest(t.n_ngrams, 1), 6)
+               AS contaminated_frac,
+           (round(coalesce(h.n_contaminated, 0) / greatest(t.n_ngrams, 1), 6) >= 0.05)
+               AS flagged
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    """,
+)
+def doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (train/test overlap scrub, GPT-3
+    appendix C): docs 0–19 play the held-out eval set; every other
+    document is scored by its distinct word-3-gram overlap with the
+    eval set's shingles. The benchmark shingle set is broadcast, so the
+    corpus side is scan + explode + broadcast semi-join — no corpus
+    shuffle."""
+    from cdc_pipeline_spark.operators.quality import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        n=3,
+        flag_threshold=0.05,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50
 # registered queries per round (CORRECTNESS_r01 stopped at entry 50 of 81,
 # leaving the TPC-H q2–q22 battery, the analytic battery and the sampling/
@@ -2192,6 +2417,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # -- new this round --
     "two_level_region_resolution",
     "dedup_clusters_star",
+    "doc_quality_rules",
+    "doc_repetition_stats",
+    "doc_pii_redaction",
+    "doc_benchmark_contamination",
 ]
 
 

@@ -409,3 +409,68 @@ def test_star_components_random_graph_matches_propagation(spark):
         for r in connected_components(edges, algorithm="star").collect()
     }
     assert star == prop
+
+
+def test_quality_rules_planted_cases(spark):
+    from cdc_pipeline_spark.operators.quality import quality_rule_columns
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on a mat and it is that good for all of them here"),  # clean
+            (2, "short text"),  # too few words
+            (3, "the " + "@#$% " * 20 + "a of and is"),  # symbol-heavy
+            (4, " ".join(["zorp"] * 30)),  # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in docs.select("doc_id", *quality_rule_columns()).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["r_word_count"] is False
+    assert out[3]["keep"] is False and out[3]["r_symbol_ratio"] is False
+    assert out[4]["keep"] is False and out[4]["r_stopwords"] is False
+
+
+def test_repetition_stats_planted(spark):
+    from cdc_pipeline_spark.operators.quality import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words are unique here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    assert out[1]["top_token_frac"] == 1.0 and out[1]["distinct_ratio"] == 0.25
+    assert out[1]["top_bigram_frac"] == 1.0  # "spam spam" x3
+    assert out[2]["top_token_frac"] == 0.2 and out[2]["distinct_ratio"] == 1.0
+
+
+def test_pii_redact_counts_and_text(spark):
+    from cdc_pipeline_spark.operators.quality import pii_redact
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@x.io or alice@y.org, host 10.0.0.1, call 555-1234 now")],
+        "doc_id long, t string",
+    )
+    red, ne, ni, np_ = pii_redact(F.col("t"))
+    row = df.select(red.alias("r"), ne.alias("e"), ni.alias("i"), np_.alias("p")).collect()[0]
+    assert (row["e"], row["i"], row["p"]) == (2, 1, 1)
+    assert row["r"] == "mail <EMAIL> or <EMAIL>, host <IP>, call <PHONE> now"
+
+
+def test_ngram_contamination_planted(spark):
+    from cdc_pipeline_spark.operators.quality import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x y alpha beta gamma z w q r s"),  # one contaminated 3-gram
+            (2, "totally different words in this one here now ok fine"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in ngram_contamination(corpus, bench, n=3).collect()}
+    assert out[1]["n_contaminated"] == 1 and out[1]["n_ngrams"] == 8
+    assert out[2]["n_contaminated"] == 0 and out[2]["flagged"] is False
+    assert out[1]["flagged"] is True  # 1/8 = 0.125 >= 0.05
