@@ -1,0 +1,88 @@
+"""HTTP serving layer: REST snapshots + SSE over the kv contract.
+
+Reference surface (SURVEY §2.11): 9 REST snapshot endpoints
+(``/root/reference/src/api/routes/snapshots.py:21-63``), an SSE stream
+re-fetching the snapshot for each pub/sub message
+(``routes/events.py:17-20``, ``services/sse_manager.py:34-67``). Flask
+here (the only web framework in the container); the routes and payloads
+are framework-independent — SnapshotService does the shaping, this
+module is wiring.
+
+The WS endpoint (routes/ws.py) is snapshot-on-connect + the same
+pub/sub fan-out; SSE covers that contract for one-directional dashboards
+and Flask has no native WS, so WS is intentionally not reproduced.
+"""
+
+from __future__ import annotations
+
+import json
+import queue as _queue
+
+from cdc_pipeline_spark.serving.service import CHANNEL_TO_EVENT, SnapshotService
+
+SSE_KEEPALIVE_SECONDS = 25.0
+
+SNAPSHOT_ROUTES = {
+    "metrics": "metrics",
+    "traffic": "traffic",
+    "activities": "activity",
+    "regions": "regions",
+    "flows": "flows",
+    "alerts": "alert",
+    "platform": "platform",
+    "health": "health",
+    "geo": "geo",
+}
+
+
+def encode_event(event: str, payload) -> str:
+    """SSE frame: ``event:`` + compact-JSON ``data:`` (sse_manager.py:70-73)."""
+    return f"event: {event}\ndata: {json.dumps(payload, separators=(',', ':'))}\n\n"
+
+
+def create_app(kv):
+    from flask import Flask, Response, jsonify
+
+    app = Flask("cdc-pipeline-spark-serving")
+    service = SnapshotService(kv)
+
+    for route, event in SNAPSHOT_ROUTES.items():
+
+        def make_view(ev: str):
+            def view():
+                return jsonify(service.fetch(ev))
+
+            view.__name__ = f"snapshot_{ev}"
+            return view
+
+        app.add_url_rule(f"/api/snapshots/{route}", view_func=make_view(event))
+
+    @app.route("/api/events")
+    def events() -> Response:
+        def stream():
+            sub = kv.subscribe(*CHANNEL_TO_EVENT)
+            try:
+                while True:
+                    try:
+                        channel, _payload = sub.get(timeout=SSE_KEEPALIVE_SECONDS)
+                    except _queue.Empty:
+                        yield ": keep-alive\n\n"
+                        continue
+                    event = CHANNEL_TO_EVENT.get(channel)
+                    if event is None:
+                        continue
+                    # re-fetch the authoritative snapshot rather than
+                    # trusting the published payload (reference behavior,
+                    # sse_manager.py:44-53 — the snapshot may have been
+                    # shaped/merged since the publish)
+                    yield encode_event(event, service.fetch(event))
+            finally:
+                kv.unsubscribe(sub)
+
+        return Response(stream(), mimetype="text/event-stream")
+
+    @app.route("/api/health")
+    def health():
+        return jsonify({"status": "ok"})
+
+    return app

@@ -38,6 +38,7 @@ class InMemoryKV:
         self.lists: dict[str, list[str]] = {}
         self.published: list[tuple[str, str]] = []
         self.expiries: dict[str, float] = {}
+        self._subscribers: list[tuple[tuple[str, ...], Any]] = []
 
     # K2 — hash snapshot + optional expiry + publish
     def write_hash(self, key: str, mapping: dict[str, Any], channel: str | None = None, ttl: int | None = None) -> None:
@@ -76,6 +77,36 @@ class InMemoryKV:
     def publish(self, channel: str, payload: str) -> None:
         with self._lock:
             self.published.append((channel, payload))
+            targets = [q for chans, q in self._subscribers if channel in chans]
+        for q in targets:
+            q.put((channel, payload))
+
+    # serving-side read accessors (reference RedisService reads:
+    # GET / LRANGE / HGETALL, redis_service.py:57-163)
+    def read_json(self, key: str):
+        with self._lock:
+            payload = self.strings.get(key)
+        return json.loads(payload) if payload else None
+
+    def read_list(self, key: str, start: int = 0, stop: int = -1) -> list[str]:
+        with self._lock:
+            items = list(self.lists.get(key, []))
+        return items[start:] if stop == -1 else items[start : stop + 1]
+
+    def subscribe(self, *channels: str):
+        """Pub/sub subscription: returns a Queue receiving
+        (channel, payload) tuples for every publish on ``channels``.
+        Call :meth:`unsubscribe` with the same queue to detach."""
+        import queue as _queue
+
+        q: Any = _queue.Queue()
+        with self._lock:
+            self._subscribers.append((tuple(channels), q))
+        return q
+
+    def unsubscribe(self, q: Any) -> None:
+        with self._lock:
+            self._subscribers = [(c, s) for c, s in self._subscribers if s is not q]
 
 
 def make_redis_kv(url: str):  # pragma: no cover - requires redis package/server
@@ -115,8 +146,35 @@ def make_redis_kv(url: str):  # pragma: no cover - requires redis package/server
         def read_hash(self, key):
             return client.hgetall(key)
 
+        def read_json(self, key):
+            payload = client.get(key)
+            return json.loads(payload) if payload else None
+
+        def read_list(self, key, start=0, stop=-1):
+            return client.lrange(key, start, stop)
+
         def publish(self, channel, payload):
             client.publish(channel, payload)
+
+        def subscribe(self, *channels):
+            """Returns a Queue fed by a daemon pubsub listener thread —
+            same (channel, payload) tuples the InMemoryKV twin emits."""
+            import queue as _queue
+
+            q = _queue.Queue()
+            pubsub = client.pubsub()
+            pubsub.subscribe(*channels)
+
+            def pump():
+                for msg in pubsub.listen():
+                    if msg.get("type") == "message":
+                        q.put((msg["channel"], msg["data"]))
+
+            threading.Thread(target=pump, daemon=True).start()
+            return q
+
+        def unsubscribe(self, q):  # queue drains when the pubsub closes
+            pass
 
     return RedisKV()
 
