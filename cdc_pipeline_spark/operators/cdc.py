@@ -82,3 +82,48 @@ def latest_state(
 def soft_delete_filter(df: DataFrame, deleted_col: str = "__deleted") -> DataFrame:
     """Drop rows flagged deleted by the unwrap transform ('true' string)."""
     return df.filter((F.col(deleted_col).isNull()) | (F.col(deleted_col) != F.lit("true")))
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    attr_cols: list[str],
+    tie_breakers: list[str] | None = None,
+    compress: bool = True,
+) -> DataFrame:
+    """SCD Type-2 history from a CDC upsert stream: one validity-interval
+    row per attribute state — ``valid_from`` (the row's version),
+    ``valid_to`` (the NEXT version for the key, NULL while current) and
+    ``is_current``. The other half of CDC consumption next to
+    :func:`latest_state`: compaction keeps the end state, SCD2 keeps the
+    full history queryable by as-of time.
+
+    ``compress=True`` first drops rows whose tracked attributes are
+    null-safe-equal to the key's previous row (no-op updates — Debezium
+    re-emits full row images on any column's change), so intervals span
+    real transitions only.
+
+    Scale: both passes are window functions over the same
+    (key, version, tie) ordering — ONE shuffle on the key; the second
+    window reuses the first's partitioning (no new Exchange).
+    """
+    order = [F.col(version_col).asc()] + [F.col(c).asc() for c in (tie_breakers or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    state = F.struct(*[F.col(c) for c in attr_cols])
+    out = df
+    if compress:
+        out = (
+            out.withColumn("__prev_state", F.lag(state).over(w))
+            .filter(
+                F.col("__prev_state").isNull() | ~F.col("__prev_state").eqNullSafe(state)
+            )
+            .drop("__prev_state")
+        )
+    return out.select(
+        *key_cols,
+        *attr_cols,
+        F.col(version_col).alias("valid_from"),
+        F.lead(version_col).over(w).alias("valid_to"),
+        F.lead(version_col).over(w).isNull().alias("is_current"),
+    )

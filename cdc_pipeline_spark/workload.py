@@ -538,6 +538,47 @@ def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_scd2_history",
+    """
+    WITH src AS (
+        SELECT user_id, event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS v
+        FROM events
+    ),
+    d AS (
+        SELECT user_id, event_id, event_type, v
+        FROM (
+            SELECT user_id, event_id, event_type, v,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY v, event_id) AS prev
+            FROM src
+        )
+        WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           v AS valid_from,
+           lead(v) OVER (PARTITION BY user_id ORDER BY v, event_id) AS valid_to,
+           (lead(v) OVER (PARTITION BY user_id ORDER BY v, event_id) IS NULL) AS is_current
+    FROM d
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 validity intervals from the change stream — the history
+    twin of `cdc_latest_state` (operators/cdc.py::scd2_history): per
+    user, each event_type transition becomes a [valid_from, valid_to)
+    interval in epoch-micros, no-op repeats compressed away, open
+    interval flagged is_current. One shuffle on the key; both window
+    passes share its partitioning."""
+    ev = _t(spark, sf_dir, "events").withColumn("v", F.unix_micros("ts"))
+    out = cdc.scd2_history(
+        ev,
+        key_cols=["user_id"],
+        version_col="v",
+        attr_cols=["event_type"],
+        tie_breakers=["event_id"],
+    )
+    return out.select("user_id", "event_type", "valid_from", "valid_to", "is_current")
+
+
+@register(
     "hourly_value_trend",
     """
     WITH hourly AS (
@@ -2421,6 +2462,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_repetition_stats",
     "doc_pii_redaction",
     "doc_benchmark_contamination",
+    "cdc_scd2_history",
 ]
 
 

@@ -474,3 +474,31 @@ def test_ngram_contamination_planted(spark):
     assert out[1]["n_contaminated"] == 1 and out[1]["n_ngrams"] == 8
     assert out[2]["n_contaminated"] == 0 and out[2]["flagged"] is False
     assert out[1]["flagged"] is True  # 1/8 = 0.125 >= 0.05
+
+
+def test_scd2_history_compress_and_intervals(spark):
+    from cdc_pipeline_spark.operators.cdc import scd2_history
+
+    rows = [
+        # key 1: pending -> pending (no-op, compressed) -> shipped -> delivered
+        (1, 10, "pending"), (1, 20, "pending"), (1, 30, "shipped"), (1, 40, "delivered"),
+        # key 2: single state, current from the start
+        (2, 15, "pending"),
+        # key 3: null attr handled null-safely (null == null compresses)
+        (3, 10, None), (3, 20, None), (3, 30, "active"),
+    ]
+    df = spark.createDataFrame(rows, "k long, v long, status string")
+    out = scd2_history(df, key_cols=["k"], version_col="v", attr_cols=["status"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append((r["status"], r["valid_from"], r["valid_to"], r["is_current"]))
+    for v in by_key.values():
+        v.sort(key=lambda t: t[1])
+    assert by_key[1] == [
+        ("pending", 10, 30, False), ("shipped", 30, 40, False), ("delivered", 40, None, True),
+    ]
+    assert by_key[2] == [("pending", 15, None, True)]
+    assert by_key[3] == [(None, 10, 30, False), ("active", 30, None, True)]
+    # uncompressed: every version becomes an interval
+    raw = scd2_history(df, ["k"], "v", ["status"], compress=False).collect()
+    assert len([r for r in raw if r["k"] == 1]) == 4
