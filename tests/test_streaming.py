@@ -556,3 +556,43 @@ def test_streaming_session_window_append(spark, stream_dir, checkpoint):
     assert s2["n_events"] == 1 and s2["session_end"] == base + 35
     # the session at +1200s is still open when the stream drains → withheld
     assert (101, base + 1200) not in by_user
+
+
+def test_stream_stream_interval_join(spark, stream_dir, checkpoint):
+    """Two live streams (purchases / errors per user) joined on user_id
+    with the error constrained to [purchase_ts, purchase_ts + 10s] —
+    state is watermark-bounded on both sides. Golden: each purchase
+    matches exactly the error events inside its window."""
+    from cdc_pipeline_spark.streaming.joins import stream_stream_interval_join
+
+    purchases = [(0, "purchase", 100.0), (30, "purchase", 50.0)]
+    errors = [(5, "error", 0.0), (9, "error", 0.0), (20, "error", 0.0), (35, "error", 0.0)]
+    # one file per stream; the join sees both in micro-batches
+    left_dir = stream_dir + "-l"
+    right_dir = stream_dir + "-r"
+    _write_batches(spark, left_dir, [_rows(purchases)])
+    _write_batches(spark, right_dir, [_rows(errors)])
+
+    left = stream_parquet(spark, left_dir, EVENT_SCHEMA).select(
+        F.lit(1).alias("user_id"), F.col("created_at").alias("p_time"), F.col("value").alias("amount")
+    )
+    right = stream_parquet(spark, right_dir, EVENT_SCHEMA).select(
+        F.lit(1).alias("user_id"), F.col("created_at").alias("e_time")
+    )
+    joined = stream_stream_interval_join(
+        left, right, key_cols=["user_id"], left_time="p_time", right_time="e_time",
+        max_delay="interval 10 seconds",
+    )
+    results = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda b, i: results.extend(b.collect()))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["l_amount"], r["r_e_time"].second) for r in results)
+    # purchase@0 matches errors at 5s and 9s (20s is outside +10s);
+    # purchase@30 matches the error at 35s
+    assert got == [(50.0, 35), (100.0, 5), (100.0, 9)]
