@@ -502,3 +502,66 @@ def test_scd2_history_compress_and_intervals(spark):
     # uncompressed: every version becomes an interval
     raw = scd2_history(df, ["k"], "v", ["status"], compress=False).collect()
     assert len([r for r in raw if r["k"] == 1]) == 4
+
+
+def test_zorder_key_is_morton_interleave(spark):
+    from cdc_pipeline_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([(x, y) for x in range(4) for y in range(4)], "x long, y long")
+    got = {(r.x, r.y): r.z for r in df.select("x", "y", zorder_key([F.col("x"), F.col("y")], bits=2).alias("z")).collect()}
+
+    def morton(x, y):  # x contributes even bit positions, y odd
+        z = 0
+        for j in range(2):
+            z |= ((x >> j) & 1) << (2 * j)
+            z |= ((y >> j) & 1) << (2 * j + 1)
+        return z
+
+    assert got == {(x, y): morton(x, y) for x in range(4) for y in range(4)}
+
+
+def test_zorder_sort_clusters_both_dimensions(spark):
+    """On a uniform 2-D grid, Z-ordered partitions must be local in BOTH
+    columns, where a linear sort is local in one and spans the full range
+    of the other — the property that makes min/max stats prune range
+    predicates on either column."""
+    from cdc_pipeline_spark.operators.layout import zorder_sort
+
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long").repartition(8)
+
+    def avg_partition_ranges(frame):
+        import statistics
+
+        parts = frame.withColumn("__pid", F.spark_partition_id()).groupBy("__pid").agg(
+            (F.max("x") - F.min("x")).alias("xr"), (F.max("y") - F.min("y")).alias("yr")
+        ).collect()
+        return (statistics.mean(p.xr for p in parts), statistics.mean(p.yr for p in parts))
+
+    zx, zy = avg_partition_ranges(zorder_sort(df, ["x", "y"], bits=6, num_partitions=16))
+    lx, ly = avg_partition_ranges(
+        df.repartitionByRange(16, F.col("x")).sortWithinPartitions("x")
+    )
+    # linear layout: tight on x, full-width on y
+    assert lx <= 8 and ly >= 60
+    # z-order: meaningfully local on BOTH dimensions
+    assert zx <= 32 and zy <= 32, (zx, zy)
+
+
+def test_compact_small_files_roundtrip(spark, tmp_path):
+    from cdc_pipeline_spark.operators.layout import compact_small_files
+
+    path = str(tmp_path / "frag")
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    df.repartition(20).write.parquet(path)
+    import os
+
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before == 20
+    n_files = compact_small_files(spark, path, target_rows_per_file=300)
+    assert n_files == 4
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_after == 4
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.agg(F.sum("v")).collect()[0][0] == 999 * 1000
