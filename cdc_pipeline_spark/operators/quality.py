@@ -159,6 +159,46 @@ def pii_redact(
     return redacted, n_emails, n_ips, n_phones
 
 
+def unigram_logprob_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-LM fluency score (the CCNet idea — Wenzek et al. 2020 —
+    with the corpus itself as the language model): per-document mean
+    negative log probability of its tokens under the corpus unigram
+    distribution. Outlier docs (junk vocabulary, wrong language) score
+    high; boilerplate scores low. Self-contained: no external model.
+
+    Two aggregations + one broadcast-size join of the vocabulary:
+      1. corpus token counts (one shuffle on token);
+      2. join token logprobs back to per-doc tokens (vocab ≪ corpus —
+         at 100 TB cap/broadcast the vocab or bucket-join);
+      3. per-doc mean −ln p (one shuffle on doc).
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    posting = toks.select("doc_id", F.explode_outer("toks").alias("token")).filter(
+        F.col("token").isNotNull()
+    )
+    vocab = posting.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").cast("double").alias("n"))
+    # per-token −ln p is rounded to fixed decimal BEFORE the per-doc sum:
+    # decimal addition is fold-order-independent, so partition count
+    # never flips a rounding boundary (double sums would — see
+    # operators/rounding.py)
+    vocab = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        round_half_up(-F.log(F.col("tf") / F.col("n")), 6)
+        .cast("decimal(18,6)")
+        .alias("neg_logp"),
+    )
+    scored = posting.join(F.broadcast(vocab), "token")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        round_half_up(
+            F.sum("neg_logp").cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_neg_logprob"),
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -148,7 +148,7 @@ def winnowing_fingerprints(
     k-grams exactly once. Referencing the ``grams`` subtree directly
     inside the window lambda re-evaluates the whole array per window —
     interpreted higher-order functions do no subexpression caching — and
-    that O(L²/w) blowup measured 13.6 s vs 0.35 s at sf0.1.
+    that O(L²/w) blowup measured 13.6 s vs 0.6 s at sf0.1.
     """
     n_grams = F.greatest(F.length(text_col) - F.lit(k - 1), F.lit(0))
     gram_hashes = F.transform(

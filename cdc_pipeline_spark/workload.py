@@ -2351,6 +2351,37 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_unigram_logprob",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM vocab),
+    vp AS (
+        SELECT token, CAST(round(-ln(tf / n), 6) AS DECIMAL(18,6)) AS nlp
+        FROM vocab CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(sum(nlp) AS DOUBLE) / count(*), 4) AS mean_neg_logprob
+    FROM tok JOIN vp USING (token)
+    GROUP BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram fluency score (CCNet-style perplexity proxy,
+    operators/quality.py::unigram_logprob_score): per-doc mean −ln p of
+    its tokens under the corpus token distribution. Per-token logprobs
+    round to DECIMAL(18,6) before the per-doc sum so both engines
+    aggregate fold-order-independently."""
+    from cdc_pipeline_spark.operators.quality import unigram_logprob_score
+
+    return unigram_logprob_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "doc_benchmark_contamination",
     r"""
     WITH toks AS (
@@ -2463,6 +2494,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_pii_redaction",
     "doc_benchmark_contamination",
     "cdc_scd2_history",
+    "doc_unigram_logprob",
 ]
 
 
