@@ -2178,6 +2178,39 @@ def events_daily_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 from cdc_pipeline_spark import workload_relational  # noqa: E402,F401
 from cdc_pipeline_spark import workload_analytic  # noqa: E402,F401
 
+@register(
+    "lineitem_measures_unpivot",
+    """
+    WITH w AS (
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2)      AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               round(sum(l_discount), 2)      AS sum_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, value
+    FROM w UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
+    """,
+)
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long relational reshape (UNPIVOT/melt — the inverse of
+    `event_type_pivot`): per-flag measure columns melt into
+    (measure, value) rows via the native `DataFrame.unpivot`
+    (a zero-shuffle Expand node over the aggregated frame)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        round_half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
+        round_half_up(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        round_half_up(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-corpus quality gate (operators/quality.py): C4/Gopher-style
 # rule filters, repetition profile, PII redaction, benchmark
@@ -2495,6 +2528,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_benchmark_contamination",
     "cdc_scd2_history",
     "doc_unigram_logprob",
+    "lineitem_measures_unpivot",
 ]
 
 

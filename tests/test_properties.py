@@ -1,0 +1,138 @@
+"""Property-based tests (hypothesis) for the pure-expression invariants
+the oracle gate can't explore exhaustively: cross-engine rounding, the
+Morton key bijection, SCD2 interval algebra. Each property drives a
+local Python model; the Spark twin is pinned separately by example
+tests — these guard the MODELS the twins were derived from, cheaply
+over thousands of generated cases.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# ---------------------------------------------------------------------------
+# round_half_up model: floor(x·10^d + 0.5)/10^d must agree with itself
+# across the expression shapes both engines use, and differ from
+# banker's rounding only at exact .5 ties.
+# ---------------------------------------------------------------------------
+
+
+def _round_half_up(x: float, d: int) -> float:
+    scale = float(10**d)
+    return math.floor(x * scale + 0.5) / scale
+
+
+@given(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+    st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=2000, deadline=None)
+def test_round_half_up_bounded_and_monotone(x, d):
+    r = _round_half_up(x, d)
+    # result is within half a step of the input
+    assert abs(r - x) <= 0.5 / 10**d + 1e-9 * max(1.0, abs(x))
+    # idempotent: re-rounding is a fixpoint
+    assert _round_half_up(r, d) == r
+
+
+@given(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+    st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=1000, deadline=None)
+def test_round_half_up_monotone_pairs(a, b, d):
+    lo, hi = sorted((a, b))
+    assert _round_half_up(lo, d) <= _round_half_up(hi, d)
+
+
+# ---------------------------------------------------------------------------
+# Morton key: interleaving must be a bijection on the rank grid and
+# preserve per-dimension bit ordering (the property parquet pruning
+# relies on: a Z-range covers a bounded rectangle set).
+# ---------------------------------------------------------------------------
+
+
+def _morton(coords: tuple[int, ...], bits: int) -> int:
+    z = 0
+    n = len(coords)
+    for i, c in enumerate(coords):
+        for j in range(bits):
+            z |= ((c >> j) & 1) << (j * n + i)
+    return z
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)), min_size=2, max_size=50, unique=True
+    )
+)
+@settings(max_examples=500, deadline=None)
+def test_morton_key_is_injective_on_grid(points):
+    keys = [_morton(p, 8) for p in points]
+    assert len(set(keys)) == len(points)
+
+
+@given(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255))
+@settings(max_examples=500, deadline=None)
+def test_morton_key_monotone_per_dimension(x1, x2, y):
+    # fixing one dimension, the key is monotone in the other
+    lo, hi = sorted((x1, x2))
+    assert _morton((lo, y), 8) <= _morton((hi, y), 8)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 interval algebra (model of operators/cdc.py::scd2_history): for
+# any per-key version/state sequence, the emitted intervals must tile
+# the timeline — no gaps, no overlaps, exactly one open current row —
+# and compression must never merge distinct adjacent states.
+# ---------------------------------------------------------------------------
+
+
+def _scd2_model(rows: list[tuple[int, str]], compress: bool = True):
+    rows = sorted(set(rows))
+    if compress:
+        kept = []
+        for v, s in rows:
+            if not kept or kept[-1][1] != s:
+                kept.append((v, s))
+        rows = kept
+    out = []
+    for i, (v, s) in enumerate(rows):
+        nxt = rows[i + 1][0] if i + 1 < len(rows) else None
+        out.append((s, v, nxt, nxt is None))
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1000), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=1000, deadline=None)
+def test_scd2_intervals_tile_without_overlap(rows):
+    intervals = _scd2_model(rows)
+    assert sum(1 for *_, current in intervals if current) == 1
+    for (s1, f1, t1, _), (s2, f2, t2, _) in zip(intervals, intervals[1:]):
+        assert t1 == f2, "intervals must tile with no gap"
+        assert s1 != s2, "compression must remove same-state repeats"
+    assert intervals[-1][2] is None
+
+
+def test_scd2_model_matches_spark(spark):
+    """The property-tested model and the Spark operator agree on a
+    generated sequence — anchoring the model to the real implementation."""
+    from cdc_pipeline_spark.operators.cdc import scd2_history
+
+    rows = [(v, s) for v, s in [(1, "a"), (3, "a"), (5, "b"), (9, "b"), (12, "c"), (20, "a")]]
+    df = spark.createDataFrame([(1, v, s) for v, s in rows], "k long, v long, status string")
+    got = sorted(
+        (r["status"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_history(df, ["k"], "v", ["status"]).collect()
+    )
+    assert got == sorted(_scd2_model(rows))
