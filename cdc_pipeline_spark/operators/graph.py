@@ -162,11 +162,12 @@ def _star_components(
     def large_star(frame: DataFrame) -> DataFrame:
         sym = frame.unionAll(frame.select(F.col("b").alias("a"), F.col("a").alias("b")))
         mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        # no trailing distinct: small_star canonicalizes + dedups its
+        # input first thing, so a dedup here would only add a shuffle
         return (
             sym.join(mins, "a")
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .distinct()
         )
 
     def small_star(frame: DataFrame) -> DataFrame:
