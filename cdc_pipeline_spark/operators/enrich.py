@@ -40,43 +40,49 @@ def two_level_region_lookup(
 ) -> DataFrame:
     """Two-level region resolution (DESCRIPTION.md:871-893).
 
-    1. broadcast join on (country_code, city_pattern prefix match) — the
-       city level handles splits like US East/West;
+    1. city-pattern prefix match — the city level handles splits like
+       US East/West; overlapping patterns resolve to the LONGEST match;
     2. fallback broadcast join on country_code alone;
     3. ``coalesce(city_region, country_region, 'Unknown')``.
+
+    The city map is by definition a small static dim, so the pattern
+    level is evaluated as a PURE EXPRESSION: patterns are collected
+    once, sorted longest-first, and compiled into an array literal the
+    fact scan filters with ``F.filter(...)[0]`` — no join fanout, no
+    per-row dedup. (An earlier join-based variant needed a row_number
+    window partitioned by a per-row id to resolve overlaps — a full
+    fact-table shuffle, the opposite of what a broadcast-dim lookup
+    should cost at 100 TB.) The country level stays a broadcast join.
     """
-    city_dim = city_map.select(
-        F.col("country_code").alias("__cm_country"),
-        F.col("city_pattern").alias("__cm_pattern"),
-        F.col("region_name").alias("__cm_region"),
+    patterns = sorted(
+        city_map.select("country_code", "city_pattern", "region_name").collect(),
+        key=lambda r: (-len(r["city_pattern"]), r["city_pattern"]),
     )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(r["country_code"]).alias("c"),
+                F.lit(r["city_pattern"]).alias("p"),
+                F.lit(r["region_name"]).alias("r"),
+            )
+            for r in patterns
+        ]
+    ) if patterns else F.array().cast("array<struct<c:string,p:string,r:string>>")
+    matches = F.filter(
+        entries,
+        lambda e: (e["c"] == F.col(country_col)) & F.col(city_col).startswith(e["p"]),
+    )
+    # sorted longest-first at build time → element 0 IS the longest match
+    city_region = F.when(F.size(matches) > 0, matches[0]["r"])
+
     country_dim = country_map.select(
         F.col("country_code").alias("__co_country"),
         F.col("region_name").alias("__co_region"),
     )
-    from pyspark.sql import Window
-
-    tagged = fact.withColumn("__fact_id", F.monotonically_increasing_id())
-    step1 = tagged.join(
-        F.broadcast(city_dim),
-        (tagged[country_col] == F.col("__cm_country"))
-        & tagged[city_col].startswith(F.col("__cm_pattern")),
-        "left",
-    )
-    # Overlapping patterns ('San' and 'San Antonio') can both match one
-    # fact row; keep only the most specific (longest) pattern so the
-    # join never multiplies fact rows.
-    best = Window.partitionBy("__fact_id").orderBy(
-        F.length(F.col("__cm_pattern")).desc_nulls_last(), F.col("__cm_pattern").asc_nulls_last()
-    )
-    step1 = (
-        step1.withColumn("__cm_rank", F.row_number().over(best))
-        .filter(F.col("__cm_rank") == 1)
-        .drop("__cm_rank")
-    )
+    step1 = fact.withColumn("__cm_region", city_region)
     step2 = step1.join(
         F.broadcast(country_dim), step1[country_col] == F.col("__co_country"), "left"
     )
     return step2.withColumn(
         out_col, F.coalesce(F.col("__cm_region"), F.col("__co_region"), F.lit(default))
-    ).drop("__cm_country", "__cm_pattern", "__cm_region", "__co_country", "__co_region", "__fact_id")
+    ).drop("__cm_region", "__co_country", "__co_region")
