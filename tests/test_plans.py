@@ -107,3 +107,50 @@ def test_q21_no_lineitem_self_join(spark):
     textbook EXISTS/NOT-EXISTS pair scans it three times)."""
     plan = plan_of(spark, "q21_sole_late_supplier")
     assert plan.count("lineitem.parquet") == 1, "lineitem must be scanned once"
+
+
+def test_quality_rules_zero_shuffle(spark):
+    """The rule filter is stateless per-row — any Exchange would mean an
+    accidental aggregation/sort crept into a scan-parallel operator."""
+    plan = plan_of(spark, "doc_quality_rules")
+    assert plan.count("Exchange (") == 0, plan
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    """The eval-set shingles must broadcast: a sort-merge join here
+    would shuffle the full corpus posting list at 100 TB."""
+    plan = plan_of(spark, "doc_benchmark_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unigram_logprob_vocab_broadcasts(spark):
+    plan = plan_of(spark, "doc_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    """Compression lag + interval lead use the same (key, version)
+    ordering — a second Exchange would mean the window specs diverged."""
+    plan = plan_of(spark, "cdc_scd2_history")
+    assert plan.count("Exchange (") == 1, plan
+
+
+def test_two_level_lookup_no_window_no_fact_shuffle(spark):
+    """The pattern level is expression-compiled: no Window (the old
+    longest-match dedup shuffled the whole fact table) and the only
+    joins are broadcasts."""
+    plan = plan_of(spark, "two_level_region_resolution")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_unpivot_is_expand_without_shuffle(spark):
+    """Wide→long must be a local Expand over the aggregated frame, not a
+    join or union-of-scans."""
+    plan = plan_of(spark, "lineitem_measures_unpivot")
+    assert "Expand" in plan
+    # exactly the aggregation's own exchange — unpivot itself adds none
+    assert plan.count("Exchange (") == 1, plan
