@@ -97,6 +97,10 @@ def kmeans(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Lloyd's k-means; returns (id, cluster) assignments."""
+    # materialize the (id, vector) frame once: every iteration re-reads
+    # the corpus, so without this each of the max_iters+1 assign passes
+    # re-runs the upstream scan/projection and re-analyzes its plan
+    corpus = corpus.select(id_col, vec_col).localCheckpoint(eager=True)
     init = (
         corpus.orderBy(F.col(id_col).asc())
         .limit(k)
