@@ -1,0 +1,64 @@
+"""End-to-end pipeline compositions.
+
+The operators are useful alone; a production corpus build runs them as
+one declarative chain. Because every stage is a DataFrame transform,
+the COMPOSITION is still a single Catalyst plan — filters from the
+quality gate push into the scan, the dedup window and the packing
+window each cost one shuffle, and nothing materializes between stages
+unless asked.
+
+`prepare_training_corpus` is the canonical chain of an LLM data build:
+
+    quality gate  →  exact dedup (canonical doc per fingerprint)  →
+    sequence packing (budget-sized training rows)
+
+Near-dup clustering (MinHash/LSH + connected components) slots between
+dedup and packing when fuzzy dedup is required — kept out of the default
+chain because its cost profile (candidate join) is corpus-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cdc_pipeline_spark.operators.packing import pack_sequences
+from cdc_pipeline_spark.operators.quality import quality_rule_columns
+from cdc_pipeline_spark.operators.text import fingerprint, tokens
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    budget: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Quality-gate, dedup and pack a raw document table into
+    training-sequence layout rows (doc_id, shard, n_tokens, pack_id).
+
+    Shuffle budget: the gate is scan-parallel (zero shuffle); dedup is
+    one window shuffle on the content fingerprint; packing is one window
+    shuffle on the shard. Three stages, two shuffles, one plan.
+    """
+    gated = docs.select(
+        id_col, shard_col, text_col, *quality_rule_columns(text_col)
+    ).filter(F.col("keep"))
+    # canonical = lowest doc id per normalized-content fingerprint
+    w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col).asc())
+    canonical = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            shard_col,
+            F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        )
+    )
+    return pack_sequences(
+        canonical,
+        "n_tokens",
+        budget=budget,
+        partition_cols=[shard_col],
+        order_cols=[id_col],
+    )

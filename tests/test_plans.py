@@ -154,3 +154,12 @@ def test_unpivot_is_expand_without_shuffle(spark):
     assert "Expand" in plan
     # exactly the aggregation's own exchange — unpivot itself adds none
     assert plan.count("Exchange (") == 1, plan
+
+
+def test_training_pipeline_two_shuffles_total(spark):
+    """gate (scan-parallel) → dedup window → packing window: the whole
+    three-stage corpus build composes into one plan with exactly two
+    Exchanges — materializing between stages would break this."""
+    plan = plan_of(spark, "training_corpus_pipeline")
+    assert plan.count("Exchange (") == 2, plan
+    assert plan.count("Window (") == 2, plan
