@@ -151,6 +151,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Two-TABLE fuzzy equi-join on text similarity (entity resolution /
+    record linkage — e.g. scraped documents ↔ license metadata by
+    title): word-n-gram Jaccard between every left/right pair sharing a
+    shingle, via the same inverted-index machinery as
+    :func:`ngram_jaccard_pairs`, but across two frames — the candidate
+    join is posting(left) ⨝ posting(right), so candidates are
+    data-proportional to shared shingles, never |L|×|R|.
+
+    Returns (left_id, right_id, jaccard ≥ threshold). ``max_df`` prunes
+    hot shingles from the candidate join exactly as in the self-join
+    (set sizes stay exact; scores are lower bounds). For asymmetric
+    sizes, pass the SMALLER table as ``right`` — its posting list is the
+    one a future optimization would broadcast.
+    """
+    lsh = _posting(_shingled(left, id_col, text_col, n)).select(
+        F.col("doc_id").alias("left_id"), "shingle"
+    )
+    rsh = _posting(_shingled(right, id_col, text_col, n)).select(
+        F.col("doc_id").alias("right_id"), "shingle"
+    )
+    join_l, join_r = lsh, rsh
+    if max_df is not None:
+        df_counts = (
+            lsh.select(F.col("left_id").alias("id"), "shingle")
+            .unionAll(rsh.select(F.col("right_id").alias("id"), "shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("shingle")
+        )
+        join_l = lsh.join(F.broadcast(df_counts), "shingle", "left_anti")
+        join_r = rsh.join(F.broadcast(df_counts), "shingle", "left_anti")
+    sizes_l = lsh.groupBy("left_id").agg(F.count(F.lit(1)).alias("size_l"))
+    sizes_r = rsh.groupBy("right_id").agg(F.count(F.lit(1)).alias("size_r"))
+    inter = (
+        join_l.join(join_r, "shingle")
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    with_sizes = inter.join(sizes_l, "left_id").join(sizes_r, "right_id")
+    jaccard = F.col("intersection") / (
+        F.col("size_l") + F.col("size_r") - F.col("intersection")
+    )
+    return (
+        with_sizes.withColumn("jaccard", round_half_up(jaccard, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

