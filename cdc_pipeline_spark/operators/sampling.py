@@ -96,5 +96,52 @@ def stratified_sample(
     """Per-stratum Bernoulli sample (seeded ``sampleBy``): single pass,
     no shuffle, each stratum kept at its own rate — class rebalancing
     for a training mix. Statistically verified (not oracle-hashed):
-    Spark's sampling hash is engine-internal."""
+    Spark's sampling hash is engine-internal. For a rerun-stable,
+    engine-portable sample, use :func:`deterministic_stratified_sample`.
+    """
     return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def deterministic_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    id_col: str,
+    seed: int = 7,
+    resolution: int = 1_000_000,
+    bucket_fn=None,
+) -> DataFrame:
+    """Content-hash stratified sample: keep a row iff
+    ``pmod(xxhash64(id, seed), resolution) < fraction(stratum) · resolution``.
+
+    Same single-pass no-shuffle shape as :func:`stratified_sample`, but
+    the keep decision is a pure function of (id, seed) — identical
+    across reruns, task retries, partitionings AND engines (any system
+    with the same 64-bit hash reproduces the sample bit-for-bit; the
+    DuckDB oracle replicates it via a portable hash variant in the
+    workload). The trade: Bernoulli independence is by hash uniformity
+    rather than an RNG stream — fine for corpus rebalancing, not for
+    cryptographic sampling."""
+    from pyspark.sql import functions as F
+
+    mapping = F.create_map(
+        *[x for s, fraction in fractions.items() for x in (F.lit(s), F.lit(float(fraction)))]
+    )
+    threshold = mapping[F.col(strata_col)] * resolution
+    bucket = (
+        bucket_fn(F.col(id_col))
+        if bucket_fn is not None
+        else F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(resolution))
+    )
+    return df.filter(bucket < threshold)
+
+
+def portable_id_bucket(col, seed: int = 7, resolution: int = 1_000_000):
+    """SQL-portable bucket for :func:`deterministic_stratified_sample`
+    twins: Knuth multiplicative hash under mod-2³¹−1 arithmetic (stays
+    within long range for ids < 2²⁰ under ANSI mode; replicate in any
+    SQL engine verbatim). Weaker dispersion than xxhash64 — use for
+    cross-engine verification, not production sampling."""
+    from pyspark.sql import functions as F
+
+    return ((col * F.lit(2654435761) + F.lit(seed)) % F.lit(2147483647)) % F.lit(resolution)

@@ -131,7 +131,7 @@ def lang_guess_charclass(text_col: str = "text", stopword_threshold: float = 0.0
 
 
 def winnowing_fingerprints(
-    text_col: str = "text", k: int = 8, window: int = 4
+    text_col: str = "text", k: int = 8, window: int = 4, gram_hash=None
 ) -> Column:
     """Rolling-hash document fingerprints (winnowing): hash every
     character k-gram, then keep the minimum hash of each non-overlapping
@@ -141,7 +141,10 @@ def winnowing_fingerprints(
 
     Pure column expression: positions via sequence → transform(substring
     → xxhash64), window minima via a second transform over window
-    indices. Returns array<long> (sorted, distinct).
+    indices. Returns array<long> (sorted, distinct). ``gram_hash``
+    (Column → Column) overrides the xxhash64 default — pass
+    ``dedup.portable_token_hash`` for DuckDB-replicable fingerprints
+    (slower interpreted fold; the oracle path).
 
     The gram-hash array is LET-BOUND through a single-element transform
     (``transform(array(grams), g -> …)[0]``) so each row hashes its
@@ -151,9 +154,10 @@ def winnowing_fingerprints(
     that O(L²/w) blowup measured 13.6 s vs 0.6 s at sf0.1.
     """
     n_grams = F.greatest(F.length(text_col) - F.lit(k - 1), F.lit(0))
+    hash_fn = gram_hash if gram_hash is not None else F.xxhash64
     gram_hashes = F.transform(
         F.sequence(F.lit(0), n_grams - 1),
-        lambda i: F.xxhash64(F.col(text_col).substr(i + 1, F.lit(k))),
+        lambda i: hash_fn(F.col(text_col).substr(i + 1, F.lit(k))),
     )
 
     def window_mins(g: Column) -> Column:

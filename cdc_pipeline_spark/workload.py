@@ -1733,25 +1733,54 @@ def doc_lang_charclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_winnowing_fingerprints")  # xxhash64-based → rows-only check
+@register(
+    "doc_winnowing_fingerprints",
+    r"""
+    WITH g AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(0, greatest(length(text) - 7, 0) - 1),
+                   i -> list_reduce(
+                            list_prepend(CAST(0 AS BIGINT),
+                                list_transform(string_split(substring(text, i + 1, 8), ''),
+                                               c -> CAST(greatest(unicode(c), 0) AS BIGINT))),
+                            (acc, x) -> (acc * 131 + x) % 2147483647)) AS gh
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   list_transform(generate_series(0, CAST(ceil(len(gh) / 4.0) AS INT) - 1),
+                                  w -> list_min(gh[w * 4 + 1 : w * 4 + 4])))) AS fps
+        FROM g
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS fingerprint_count,
+           array_to_string(fps, ',') AS fingerprints_csv
+    FROM m
+    """,
+)
 def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints (Schleimer et al.): per-doc
-    selected k-gram hash set + count. Hashes aren't portable to the SQL
-    oracle; unit tests pin them against a Python reimplementation.
+    selected k-gram hash set + count. This entry runs the SQL-PORTABLE
+    gram hash (codepoint-fold, dedup.py::portable_token_hash) so the
+    DuckDB oracle replicates hashing, window-min selection and
+    serialization end-to-end; the production default stays xxhash64
+    (unit tests pin it against a Python reimplementation).
 
     The fingerprint set is serialized to a sorted CSV string (not a raw
     array column): the driver's order-insensitive value-hash canonicalizes
     rows through pandas, which cannot hash Python lists — round 1 recorded
     this as a harness crash (CORRECTNESS_r01 `unhashable type: 'list'`)."""
+    from cdc_pipeline_spark.operators.dedup import portable_token_hash
+    from cdc_pipeline_spark.operators.partitioning import spread
     from cdc_pipeline_spark.operators.text import winnowing_fingerprints
 
-    from cdc_pipeline_spark.operators.partitioning import spread
-
     docs = spread(_t(spark, sf_dir, "documents"))
-    fps = winnowing_fingerprints("text")
+    fps = winnowing_fingerprints("text", gram_hash=portable_token_hash)
     return docs.select(
         "doc_id",
-        F.size(fps).alias("fingerprint_count"),
+        F.size(fps).cast("long").alias("fingerprint_count"),
         F.concat_ws(
             ",", F.transform(F.sort_array(fps), lambda x: x.cast("string"))
         ).alias("fingerprints_csv"),
@@ -2113,17 +2142,34 @@ def events_per_user_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_downsample(ev, "user_id", 20, "event_id").select("user_id", "event_id")
 
 
-@register("embeddings_stratified_sample")  # seeded sampleBy → rows-only check
+@register(
+    "embeddings_stratified_sample",
+    """
+    SELECT vec_id, label
+    FROM embeddings
+    WHERE ((vec_id * 2654435761 + 7) % 2147483647) % 1000000
+          < (CASE WHEN label % 2 = 0 THEN 0.25 ELSE 0.75 END) * 1000000
+    """,
+)
 def embeddings_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label Bernoulli rebalance: even labels kept at 25%, odd at
-    75% (seeded sampleBy — Spark-internal sampling hash, so verified by
-    statistical tests, not the SQL oracle)."""
-    from cdc_pipeline_spark.operators.sampling import stratified_sample
+    """Per-label stratified rebalance: even labels kept at 25%, odd at
+    75% — the DETERMINISTIC hash variant
+    (sampling.py::deterministic_stratified_sample with the portable
+    Knuth bucket), so the keep decision is a pure function of (id, seed)
+    and the oracle replicates the exact sample membership. The seeded
+    `sampleBy` variant (Spark-internal RNG) stays covered by statistical
+    bounds tests."""
+    from cdc_pipeline_spark.operators.sampling import (
+        deterministic_stratified_sample,
+        portable_id_bucket,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     labels = [r.label for r in emb.select("label").distinct().collect()]
     fractions = {l: (0.25 if l % 2 == 0 else 0.75) for l in labels}
-    return stratified_sample(emb, "label", fractions).select("vec_id", "label")
+    return deterministic_stratified_sample(
+        emb, "label", fractions, id_col="vec_id", bucket_fn=portable_id_bucket
+    ).select("vec_id", "label")
 
 
 @register(

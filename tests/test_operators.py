@@ -587,3 +587,25 @@ def test_fuzzy_join_cross_table_linkage(spark):
     # symmetric call direction must score identically
     flipped = {(r.right_id, r.left_id): r.jaccard for r in fuzzy_join(right, left, threshold=0.3).collect()}
     assert flipped == got
+
+
+def test_deterministic_stratified_sample_stable_and_bounded(spark):
+    from cdc_pipeline_spark.operators.sampling import deterministic_stratified_sample
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    labels = [r.label for r in emb.select("label").distinct().collect()]
+    fractions = {l: (0.2 if l % 2 == 0 else 0.8) for l in labels}
+    take = lambda: {  # noqa: E731
+        r.vec_id for r in deterministic_stratified_sample(
+            emb, "label", fractions, id_col="vec_id").collect()
+    }
+    first, second = take(), take()
+    assert first == second, "hash sample must be rerun-identical"
+    rates = {
+        r.label: r.frac
+        for r in emb.withColumn("kept", F.col("vec_id").isin(list(first)).cast("int"))
+        .groupBy("label").agg(F.avg("kept").alias("frac")).collect()
+    }
+    for label, rate in rates.items():
+        target = fractions[label]
+        assert abs(rate - target) < 0.2, (label, rate, target)
