@@ -596,3 +596,47 @@ def test_stream_stream_interval_join(spark, stream_dir, checkpoint):
     # purchase@0 matches errors at 5s and 9s (20s is outside +10s);
     # purchase@30 matches the error at 35s
     assert got == [(50.0, 35), (100.0, 5), (100.0, 9)]
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, stream_dir, checkpoint):
+    """Left-outer interval join: unmatched purchases emit NULL-padded
+    rows — but only after BOTH watermarks pass the join interval, so a
+    far-future flush event in a second micro-batch advances event time
+    past the outer-emission horizon."""
+    from cdc_pipeline_spark.streaming.joins import stream_stream_interval_join
+
+    left_dir, right_dir = stream_dir + "-l", stream_dir + "-r"
+    # purchase@0 has a match (error@5); purchase@30 has none;
+    # @600 flush rows push the watermark far past both
+    _write_batches(spark, left_dir, [_rows([(0, "purchase", 100.0), (30, "purchase", 50.0)]),
+                                     _rows([(600, "purchase", 1.0)])])
+    _write_batches(spark, right_dir, [_rows([(5, "error", 0.0)]),
+                                      _rows([(600, "error", 0.0)])])
+
+    left = stream_parquet(spark, left_dir, EVENT_SCHEMA, max_files_per_trigger=1).select(
+        F.lit(1).alias("user_id"), F.col("created_at").alias("p_time"), F.col("value").alias("amount")
+    )
+    right = stream_parquet(spark, right_dir, EVENT_SCHEMA, max_files_per_trigger=1).select(
+        F.lit(1).alias("user_id"), F.col("created_at").alias("e_time")
+    )
+    joined = stream_stream_interval_join(
+        left, right, key_cols=["user_id"], left_time="p_time", right_time="e_time",
+        max_delay="interval 10 seconds", left_watermark="5 seconds", right_watermark="5 seconds",
+        how="left_outer",
+    )
+    results = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda b, i: results.extend(b.collect()))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    by_amount = {}
+    for r in results:
+        by_amount.setdefault(r["l_amount"], []).append(r["r_e_time"])
+    # matched purchase keeps its error; unmatched one emits exactly one NULL row
+    assert by_amount[100.0] == [r for r in by_amount[100.0] if r is not None]
+    assert len(by_amount[100.0]) == 1
+    assert by_amount[50.0] == [None]
