@@ -467,3 +467,45 @@ def tfidf_cosine_pairs(
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+def keep_best_canonical(
+    components: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    component_col: str = "component",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Canonical-document selection: given a (doc → component) labeling
+    (from ``graph.connected_components`` over near-dup pairs) and a
+    per-document quality score, keep exactly ONE document per cluster —
+    the highest-quality member, ties broken by lowest id so reruns are
+    stable. Singleton documents are their own cluster and survive
+    unchanged, so the output IS the post-dedup keep-list.
+
+    This is the last step of the standard near-dup dedup recipe for
+    training corpora (pairs → clusters → keep-best): see the reference's
+    dedup aspiration at a pairs-only level; cluster-then-select is the
+    form a 100 TB corpus build actually ships.
+
+    One shuffle: the component join is a plain equi-join on ``id_col``
+    (broadcast when quality is a thin projection), and rank + member
+    count share one window partitioning on the component label.
+    """
+    from pyspark.sql import Window
+
+    j = components.join(quality, id_col)
+    w = Window.partitionBy(component_col)
+    ranked = j.withColumn(
+        "__rn",
+        F.row_number().over(w.orderBy(F.col(quality_col).desc(), F.col(id_col).asc())),
+    ).withColumn("members", F.count(F.lit(1)).over(w))
+    return (
+        ranked.filter(F.col("__rn") == 1)
+        .select(
+            F.col(component_col),
+            F.col(id_col).alias("canonical_id"),
+            F.col(quality_col).alias("best_quality"),
+            F.col("members").cast("long").alias("members"),
+        )
+    )

@@ -275,3 +275,72 @@ def rp_lsh_topk(
         order_by=[F.col("score").desc(), F.col(id_col).asc()],
         k=k,
     )
+
+
+def rp_lsh_neardup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float,
+    n_bands: int = 8,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS via banded sign-bit LSH —
+    the distributed scale path beside the all-pairs
+    ``cosine_neardup_pairs`` baseline (which broadcasts one full side and
+    is documented ≤10⁴ vectors).
+
+    One signature of ``n_bands × band_bits`` sign bits is computed per
+    vector (single pass, planes ride as broadcast data), then sliced into
+    ``n_bands`` band keys of ``band_bits`` bits each. Vectors sharing ANY
+    band key become candidates (inverted-index self-join on
+    (band, key) — shuffle is proportional to postings, never N²), and
+    candidates are verified with the exact cosine before emission, so
+    precision is exact; recall per pair at angle θ is
+    1 − (1 − (1 − θ/π)^band_bits)^n_bands.
+
+    Candidate rows carry the vectors through the band join (vector
+    traffic = n_bands × corpus, cheap at embedding dims) so verification
+    needs no second join against the corpus; multi-band duplicate
+    candidates collapse in one distinct on the verified pair row.
+    """
+    n_planes = n_bands * band_bits
+    mask = (1 << band_bits) - 1
+    sig = _with_bucket(_spread(corpus, parallelism), vec_col, "__sig", dim, n_planes, seed)
+    sig = sig.withColumn("__norm", norm(F.col(vec_col)))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("__sig"), b * band_bits).bitwiseAND(F.lit(mask)).alias("bkey"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        F.col(id_col), F.col(vec_col), F.col("__norm"), F.explode(entries).alias("__e")
+    ).select(id_col, vec_col, "__norm", F.col("__e.band").alias("band"), F.col("__e.bkey").alias("bkey"))
+    left = bands.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        F.col("__norm").alias("__na"), "band", "bkey",
+    )
+    right = bands.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        F.col("__norm").alias("__nb"), "band", "bkey",
+    )
+    return (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            round_half_up(
+                dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+        .distinct()
+    )

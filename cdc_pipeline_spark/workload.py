@@ -775,7 +775,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
 
 
-_CLUSTER_ORACLE = r"""
+_CLUSTER_CTES = r"""
     WITH RECURSIVE tok AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
     ),
@@ -809,10 +809,43 @@ _CLUSTER_ORACLE = r"""
         UNION
         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
     )
+"""
+
+_CLUSTER_ORACLE = _CLUSTER_CTES + r"""
     SELECT d.doc_id,
            CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT) AS component
     FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
     GROUP BY d.doc_id
+"""
+
+_CANONICAL_ORACLE = _CLUSTER_CTES + r"""
+    , comp AS (
+        SELECT d.doc_id,
+               CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT) AS component
+        FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        GROUP BY d.doc_id
+    ),
+    q AS (
+        SELECT doc_id,
+               floor((0.3 * least(length(text) / 500.0, 1.0)
+                     + 0.4 * (len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+                              / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1))
+                     + 0.3 * (1.0 - (length(text)
+                                     - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                                    / greatest(length(text), 1))) * 10000.0 + 0.5) / 10000.0 AS quality
+        FROM documents
+    )
+    SELECT component, canonical_id, best_quality, members
+    FROM (
+        SELECT c.component,
+               c.doc_id AS canonical_id,
+               q.quality AS best_quality,
+               CAST(count(*) OVER (PARTITION BY c.component) AS BIGINT) AS members,
+               row_number() OVER (PARTITION BY c.component
+                                  ORDER BY q.quality DESC, c.doc_id) AS rn
+        FROM comp c JOIN q ON q.doc_id = c.doc_id
+    )
+    WHERE rn = 1
 """
 
 
@@ -846,6 +879,28 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.3).select("id_a", "id_b")
     return connected_components(pairs, vertices=docs, id_col="doc_id", algorithm="star")
+
+
+@register("dedup_canonical_docs", _CANONICAL_ORACLE)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup dedup recipe a training-corpus build ships:
+    word-3-gram Jaccard pairs (τ=0.3) → connected components →
+    keep the HIGHEST-QUALITY member of every cluster (ties → lowest
+    doc_id), singletons keeping themselves — i.e. the post-dedup
+    keep-list, not just the pair/cluster diagnostics. Quality is the
+    deterministic text-features score (operators/text.py::quality_score),
+    identical to the `doc_text_features` column. Oracle: the recursive-
+    CTE component closure + a window argmax over the same quality
+    expression."""
+    from cdc_pipeline_spark.operators.dedup import keep_best_canonical, ngram_jaccard_pairs
+    from cdc_pipeline_spark.operators.graph import connected_components
+    from cdc_pipeline_spark.operators.text import with_text_features
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3).select("id_a", "id_b")
+    comps = connected_components(pairs, vertices=docs, id_col="doc_id")
+    quality = with_text_features(docs, text_col="text").select("doc_id", "quality")
+    return keep_best_canonical(comps, quality)
 
 
 _TFIDF_ORACLE = r"""
@@ -975,6 +1030,64 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pipeline_spark.operators.similarity import cosine_neardup_pairs
 
     return cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def _rp_lsh_neardup_oracle_sql(
+    dim: int = 64, n_bands: int = 8, band_bits: int = 4, tau: float = 0.4
+) -> str:
+    """DuckDB replica of rp_lsh_neardup_pairs: the same literal
+    hyperplanes (Python float repr round-trips exactly), the same
+    sign-bit signature, the same band slicing ((sig >> b·bits) & mask),
+    the same candidate join and exact-cosine verify — so the hash check
+    covers banding recall AND verified precision end-to-end."""
+    from cdc_pipeline_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_bands * band_bits, seed=11)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_inner_product(e, [{', '.join(repr(x) for x in row)}]) >= 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j, row in enumerate(planes)
+    )
+    mask = (1 << band_bits) - 1
+    cos = (
+        "list_inner_product(ea.e, eb.e) / (sqrt(list_inner_product(ea.e, ea.e)) "
+        "* sqrt(list_inner_product(eb.e, eb.e)))"
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s AS (SELECT vec_id, ({bucket_terms}) AS sig FROM emb),
+    bands AS (
+        SELECT vec_id, b, (sig >> (b * {band_bits})) & {mask} AS bkey
+        FROM s CROSS JOIN (SELECT unnest(range({n_bands})) AS b) t
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b, round({cos}, 6) AS score
+    FROM cand c
+    JOIN emb ea ON ea.vec_id = c.id_a
+    JOIN emb eb ON eb.vec_id = c.id_b
+    WHERE round({cos}, 6) >= {tau}
+    """
+
+
+@register("embedding_neardup_lsh", _rp_lsh_neardup_oracle_sql())
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via BANDED sign-bit LSH — the
+    distributed scale path for `embedding_neardup_pairs` (whose all-pairs
+    broadcast is documented ≤10⁴ vectors). 8 bands × 4 bits: vectors
+    sharing any 4-bit band key become candidates through an
+    inverted-index self-join (shuffle ∝ postings, never N²), then the
+    exact cosine verifies every emitted pair. The oracle replicates the
+    entire approximate pipeline in SQL — same hyperplanes, signatures,
+    band keys, candidate join, verify — so a hash-green row checks the
+    LSH mechanics, not just the scores."""
+    from cdc_pipeline_spark.operators.similarity import rp_lsh_neardup_pairs
+
+    return rp_lsh_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.4, n_bands=8, band_bits=4
+    )
 
 
 @register(
@@ -2675,6 +2788,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "lineitem_measures_unpivot",
     "training_corpus_pipeline",
     "fuzzy_source_join",
+    "dedup_canonical_docs",
+    "embedding_neardup_lsh",
 ]
 
 

@@ -609,3 +609,45 @@ def test_deterministic_stratified_sample_stable_and_bounded(spark):
     for label, rate in rates.items():
         target = fractions[label]
         assert abs(rate - target) < 0.2, (label, rate, target)
+
+
+def test_rp_lsh_neardup_pairs_subset_of_exact(spark):
+    """Banded-LSH near-dup pairs must be a SUBSET of the exact all-pairs
+    set at the same threshold (verify stage makes precision exact), with
+    bit-identical scores; and recall on this corpus's planted near-dups
+    (high cosine → near-certain band collision) should be non-trivial."""
+    from cdc_pipeline_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        rp_lsh_neardup_pairs,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {(r.id_a, r.id_b): r.score for r in cosine_neardup_pairs(emb, threshold=0.4).collect()}
+    lsh = rp_lsh_neardup_pairs(emb, dim=64, threshold=0.4, n_bands=8, band_bits=4).collect()
+    assert lsh, "LSH should emit pairs on a corpus with planted near-dups"
+    for r in lsh:
+        assert exact[(r.id_a, r.id_b)] == r.score
+    # high-similarity pairs (θ small ⇒ per-band collision ≈ 1) must be found
+    strong = {k for k, s in exact.items() if s >= 0.9}
+    found = {(r.id_a, r.id_b) for r in lsh}
+    assert strong <= found, f"missed strong pairs: {strong - found}"
+
+
+def test_keep_best_canonical_planted(spark):
+    """Argmax semantics: highest quality wins, ties break to the lowest
+    id, singletons keep themselves, members counts the whole cluster."""
+    from cdc_pipeline_spark.operators.dedup import keep_best_canonical
+
+    comps = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 40), (5, 50), (6, 50)],
+        "doc_id long, component long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.7), (6, 0.7)],
+        "doc_id long, quality double",
+    )
+    got = {r.component: r for r in keep_best_canonical(comps, quality).collect()}
+    assert set(got) == {10, 40, 50}
+    assert (got[10].canonical_id, got[10].best_quality, got[10].members) == (2, 0.9, 3)
+    assert (got[40].canonical_id, got[40].members) == (4, 1)
+    assert (got[50].canonical_id, got[50].members) == (5, 2)  # tie → lowest id
