@@ -136,6 +136,40 @@ def deterministic_stratified_sample(
     return df.filter(bucket < threshold)
 
 
+def token_budget_select(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    budget: int,
+    order_by: list[Column],
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Per-group token-budget selection — the data-mixing step of a
+    training-corpus build: within each group (source/domain/language),
+    rank rows by preference (quality desc, id for determinism) and keep
+    rows in that order until the group's token budget is exhausted.
+
+    A row is kept iff it STARTS within budget (``cum - tokens <
+    budget``), the same greedy-prefix convention as sequence packing —
+    so the budget can overshoot by at most one document, never
+    undershoot while candidates remain.
+
+    One shuffle on ``group_col``; the running sum is a single window
+    frame, and at 100 TB each domain's window state is one long. Hot
+    domains sort within their partition — cap them upstream with
+    :func:`deterministic_downsample` if one domain dominates the mix.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn(cum_col, F.sum(F.col(tokens_col).cast("long")).over(w))
+        .filter(F.col(cum_col) - F.col(tokens_col) < budget)
+    )
+
+
 def portable_id_bucket(col, seed: int = 7, resolution: int = 1_000_000):
     """SQL-portable bucket for :func:`deterministic_stratified_sample`
     twins: Knuth multiplicative hash under mod-2³¹−1 arithmetic (stays

@@ -344,3 +344,113 @@ def rp_lsh_neardup_pairs(
         .filter(F.col("score") >= threshold)
         .distinct()
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    label_col: str = "label",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar corpus vectors with a DIFFERENT
+    label — the negatives closest to the decision boundary.
+
+    Same physical shape as ``brute_force_topk`` (broadcast query side,
+    corpus scan never shuffles, per-query ``row_number`` ranking); the
+    label-mismatch predicate rides the broadcast join so excluded
+    positives never reach the ranking window. At 100 TB the corpus side
+    stays embarrassingly parallel — cost is one scan per query batch.
+
+    Output: (query_id, vec_id, score, rank).
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.col(label_col).alias("__qlabel"),
+    ).withColumn("__qnorm", norm(F.col("__qvec")))
+    c = _spread(corpus, parallelism).withColumn("__cnorm", norm(F.col(vec_col)))
+    scored = c.join(
+        F.broadcast(q),
+        (F.col(label_col) != F.col("__qlabel")) & (F.col(id_col) != F.col(query_id_col)),
+    ).select(
+        query_id_col,
+        id_col,
+        round_half_up(
+            dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qnorm") * F.col("__cnorm")), 6
+        ).alias("score"),
+    )
+    return grouped_top_k(
+        scored,
+        partition_by=[query_id_col],
+        order_by=[F.col("score").desc(), F.col(id_col).asc()],
+        k=k,
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning in embedding space. Vectors are first
+    clustered coarsely, then pairwise cosine is computed only WITHIN a
+    cluster, and of any pair scoring ≥ tau the higher-id vector is
+    dropped (keep-lowest-id, the paper's keep-one-per-pair rule).
+
+    The clustering here reuses ``ivf_centroids`` over a pre-assigned
+    cell column and re-assigns every vector to its nearest centroid —
+    at scale, swap in ``operators.clustering.kmeans`` centroids; the
+    within-cell join is the point: candidate pairs fall from N² to
+    Σ n_c² (SemDeDup's core trick), and each cell's pairs co-locate in
+    one shuffle partition keyed by cell.
+
+    Output: one row per input vector — (vec_id, cell, is_kept).
+    """
+    centroids = ivf_centroids(corpus, cell_col, vec_col)
+    v = _spread(corpus.select(id_col, vec_col), parallelism)
+    assigned = grouped_top_k(
+        v.crossJoin(F.broadcast(centroids.withColumnRenamed(cell_col, "cell"))).select(
+            id_col,
+            vec_col,
+            "cell",
+            cosine(F.col(vec_col), F.col("centroid")).alias("__cscore"),
+        ),
+        partition_by=[id_col],
+        order_by=[F.col("__cscore").desc(), F.col("cell").asc()],
+        k=1,
+        rank_col="__crank",
+    ).select(id_col, vec_col, "cell", norm(F.col(vec_col)).alias("__norm"))
+    left = assigned.select(
+        F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va"),
+        F.col("__norm").alias("__na"), "cell",
+    )
+    right = assigned.select(
+        F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb"),
+        F.col("__norm").alias("__nb"), "cell",
+    )
+    dropped = (
+        left.join(right, "cell")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(
+            round_half_up(
+                dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+            )
+            >= tau
+        )
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped.withColumn("__drop", F.lit(True)), id_col, "left").select(
+        id_col,
+        "cell",
+        F.coalesce(~F.col("__drop"), F.lit(True)).alias("is_kept"),
+    )

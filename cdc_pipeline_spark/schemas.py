@@ -295,13 +295,14 @@ TESTDATA = {
             StructField("l_shipdate", TimestampType()),
         ]
     ),
-    # events.ts is parquet TIMESTAMP(NANOS,false): Spark reads it as a
-    # nanosecond long (legacy.parquet.nanosAsLong) and sources.files
-    # converts to TimestampType (µs, floor) on load.
+    # events.ts is a microsecond TIMESTAMP in current testdata. Some
+    # generators emit TIMESTAMP(NANOS,false) instead; sources.files
+    # detects that from the parquet footer and swaps in EVENTS_NANOS
+    # (ns long + floor-convert to µs TimestampType on load).
     "events": StructType(
         [
             StructField("event_id", LongType()),
-            StructField("ts", LongType()),
+            StructField("ts", TimestampType()),
             StructField("user_id", LongType()),
             StructField("event_type", StringType()),
             StructField("value", DoubleType()),
@@ -325,5 +326,19 @@ TESTDATA = {
         ]
     ),
 }
+
+# Variant schema for generators that write events.ts as TIMESTAMP(NANOS):
+# Spark has no nanosecond type, so the column is read as a ns long
+# (spark.sql.legacy.parquet.nanosAsLong) and floor-converted on load.
+EVENTS_NANOS = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
 
 TESTDATA_TABLE_NAMES = tuple(TESTDATA.keys())

@@ -24,11 +24,37 @@ from pyspark.sql import functions as F
 
 from cdc_pipeline_spark import schemas as schema_registry
 
-# Columns stored as parquet TIMESTAMP(NANOS) — Spark has no nanos type, so
-# they arrive as nanosecond longs (spark.sql.legacy.parquet.nanosAsLong)
-# and are floor-converted to µs TimestampType here, matching DuckDB's
-# ns→µs truncation so oracle comparisons agree.
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Columns that some generators store as parquet TIMESTAMP(NANOS) — Spark
+# has no nanos type, so those arrive as nanosecond longs
+# (spark.sql.legacy.parquet.nanosAsLong) and are floor-converted to µs
+# TimestampType here, matching DuckDB's ns→µs truncation so oracle
+# comparisons agree. Detected from the parquet footer per path (cached):
+# current testdata writes plain µs timestamps, which need no conversion.
+_MAYBE_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+_nanos_cols_cache: dict[str, tuple[str, ...]] = {}
+
+
+def _nanos_ts_cols(path: str, name: str) -> tuple[str, ...]:
+    """Which of the table's timestamp columns are physically nanos in this file."""
+    if name not in _MAYBE_NANOS_TS_COLS:
+        return ()
+    cached = _nanos_cols_cache.get(path)
+    if cached is not None:
+        return cached
+    try:
+        import pyarrow.parquet as pq
+
+        arrow_schema = pq.read_schema(path)
+        cols = tuple(
+            c
+            for c in _MAYBE_NANOS_TS_COLS[name]
+            if str(arrow_schema.field(c).type) == "timestamp[ns]"
+        )
+    except Exception:
+        cols = ()
+    _nanos_cols_cache[path] = cols
+    return cols
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str, schema: StructType | None = None) -> DataFrame:
@@ -39,12 +65,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, schema: StructType |
     # parquet handling + UTC so date_format/window labels are stable.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nanos_cols = _nanos_ts_cols(path, name)
     declared = schema if schema is not None else schema_registry.TESTDATA.get(name)
+    if name == "events" and nanos_cols and schema is None:
+        declared = schema_registry.EVENTS_NANOS
     reader = spark.read
     if declared is not None:
         reader = reader.schema(declared)
     df = reader.parquet(path)
-    for col in _NANOS_TS_COLS.get(name, ()):
+    for col in nanos_cols:
         # integer `div` keeps full precision (ns longs overflow double)
         df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
     return df

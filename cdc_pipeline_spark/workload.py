@@ -1091,6 +1091,139 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_semantic_dedup",
+    """
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    dims AS (SELECT unnest(range(64)) AS pos),
+    cent AS (
+        SELECT label, list(m ORDER BY pos) AS c
+        FROM (SELECT label, pos, avg(e[pos + 1]) AS m
+              FROM emb CROSS JOIN dims GROUP BY label, pos)
+        GROUP BY label
+    ),
+    assigned AS (
+        SELECT vec_id, cell, e FROM (
+            SELECT emb.vec_id, cent.label AS cell, emb.e,
+                   row_number() OVER (
+                       PARTITION BY emb.vec_id
+                       ORDER BY list_inner_product(emb.e, cent.c)
+                                / (sqrt(list_inner_product(emb.e, emb.e))
+                                   * sqrt(list_inner_product(cent.c, cent.c))) DESC,
+                                cent.label
+                   ) AS crank
+            FROM emb CROSS JOIN cent
+        ) WHERE crank = 1
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE round(list_inner_product(a.e, b.e)
+                    / (sqrt(list_inner_product(a.e, a.e))
+                       * sqrt(list_inner_product(b.e, b.e))), 6) >= 0.4
+    )
+    SELECT a.vec_id, a.cell,
+           (d.vec_id IS NULL) AS is_kept
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """,
+)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): coarse-cluster the embedding space
+    (per-label mean centroids + nearest-centroid re-assignment), score
+    pairwise cosine only WITHIN a cell, and drop the higher-id vector of
+    any pair ≥ tau. Candidate pairs fall from N² to Σ n_c² — the trick
+    that makes embedding dedup feasible at corpus scale. The oracle
+    replays centroids, assignment, within-cell pairs and the keep rule
+    in SQL, so a green row checks the full approximate pipeline."""
+    from cdc_pipeline_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"), tau=0.4)
+
+
+@register(
+    "ann_hard_negatives",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(list_inner_product(q.qv, e.embedding::DOUBLE[])
+                     / (sqrt(list_inner_product(q.qv, q.qv))
+                        * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS score
+        FROM embeddings e CROSS JOIN q
+        WHERE e.label != q.qlabel AND e.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, score, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the 5 most-similar vectors with a DIFFERENT label — negatives near
+    the decision boundary. Broadcast query side; the label-mismatch
+    predicate rides the join so positives never reach the ranking
+    window."""
+    from cdc_pipeline_spark.operators.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out = hard_negative_topk(emb, queries, k=5)
+    return out.select("query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "corpus_budget_mixture",
+    r"""
+    WITH feat AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               floor((0.3 * least(length(text) / 500.0, 1.0)
+                     + 0.4 * (len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+                              / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1))
+                     + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                                    / greatest(length(text), 1))) * 10000.0 + 0.5) / 10000.0 AS quality
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, n_tokens, quality,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM feat
+    )
+    SELECT doc_id, source, n_tokens, quality, cum_tokens
+    FROM ranked
+    WHERE cum_tokens - n_tokens < 800
+    """,
+)
+def corpus_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing budget selection: within each source/domain, take the
+    highest-quality documents first until an 800-token budget is filled
+    (greedy prefix — a row is kept iff it STARTS within budget, the same
+    convention as sequence packing). This is how a training mix pins
+    per-domain token shares; one shuffle on source, window state is one
+    long."""
+    from cdc_pipeline_spark.operators.sampling import token_budget_select
+    from cdc_pipeline_spark.operators.text import quality_score, tokens
+
+    docs = _t(spark, sf_dir, "documents").withColumn("__toks", tokens("text"))
+    feat = docs.select(
+        "doc_id",
+        "source",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        quality_score("__toks", "text").alias("quality"),
+    )
+    return token_budget_select(
+        feat,
+        group_col="source",
+        tokens_col="n_tokens",
+        budget=800,
+        order_by=[F.col("quality").desc(), F.col("doc_id").asc()],
+    )
+
+
+@register(
     "ann_topk_bruteforce",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
@@ -2766,8 +2899,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_token_topk",
     "doc_sequence_packing",
     "docs_incremental_new",
-    "events_daily_distinct_hll",
-    "embedding_kmeans",
     # -- output changed this round / oracle added this round --
     "doc_tfidf_cosine_pairs",
     "doc_winnowing_fingerprints",
@@ -2790,6 +2921,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "fuzzy_source_join",
     "dedup_canonical_docs",
     "embedding_neardup_lsh",
+    "embedding_semantic_dedup",
+    "ann_hard_negatives",
+    "corpus_budget_mixture",
+    # -- rows-only checks (no SQL oracle is possible); lowest priority for
+    # the 50-entry window since their driver row is the weak variant --
+    "events_daily_distinct_hll",
+    "embedding_kmeans",
 ]
 
 

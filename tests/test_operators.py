@@ -651,3 +651,76 @@ def test_keep_best_canonical_planted(spark):
     assert (got[10].canonical_id, got[10].best_quality, got[10].members) == (2, 0.9, 3)
     assert (got[40].canonical_id, got[40].members) == (4, 1)
     assert (got[50].canonical_id, got[50].members) == (5, 2)  # tie → lowest id
+
+
+def test_semantic_dedup_planted(spark):
+    """SemDeDup keep rule: within a cell, any pair ≥ tau drops the
+    higher id; cross-cell near-dups are NOT compared (the approximation
+    that buys Σ n_c² instead of N²)."""
+    from cdc_pipeline_spark.operators.similarity import semantic_dedup
+
+    # two well-separated cells on orthogonal axes; ids 1,2 are
+    # near-identical in cell A; id 4 (cell B) is near id 1 in angle but
+    # lands in the other cell, so it must survive.
+    rows = [
+        (1, 0, [1.0, 0.0, 0.05]),
+        (2, 0, [1.0, 0.0, 0.0]),    # dup of 1 → dropped (higher id? no: 2>1 → dropped)
+        (3, 0, [0.9, 0.1, -0.4]),   # same cell, below tau → kept
+        (4, 1, [0.0, 1.0, 0.05]),
+        (5, 1, [0.0, 1.0, 0.0]),    # dup of 4 → dropped
+        (6, 1, [0.1, 0.8, -0.5]),   # below tau → kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    got = {r.vec_id: (r.cell, r.is_kept) for r in semantic_dedup(df, tau=0.95).collect()}
+    assert len(got) == 6, "one output row per input vector"
+    assert got[1][1] and not got[2][1], "higher id of a dup pair is dropped"
+    assert got[4][1] and not got[5][1]
+    assert got[3][1] and got[6][1], "below-tau members are kept"
+    assert got[1][0] == got[2][0] == got[3][0]
+    assert got[4][0] == got[5][0] == got[6][0]
+    assert got[1][0] != got[4][0], "cells are distinct"
+
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    """Hard negatives must all carry a different label than the query
+    and be ranked by descending cosine."""
+    from cdc_pipeline_spark.operators.similarity import hard_negative_topk
+
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [0.99, 0.14]),   # same label: never a negative
+        (2, 1, [0.95, 0.31]),   # closest other-label
+        (3, 1, [0.0, 1.0]),     # far other-label
+        (4, 2, [0.9, 0.43]),    # second-closest other-label
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    q = df.filter("vec_id = 0").selectExpr("vec_id as query_id", "embedding", "label")
+    got = hard_negative_topk(df, q, k=2).collect()
+    assert [r.vec_id for r in got] == [2, 4]
+    assert [r.rank for r in got] == [1, 2]
+    assert all(r.score < 1.0 for r in got)
+
+
+def test_token_budget_select_greedy_prefix(spark):
+    """A row is kept iff it STARTS within budget: the budget may
+    overshoot by at most one row and never undershoots while candidates
+    remain; selection order is the caller's preference order."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_spark.operators.sampling import token_budget_select
+
+    rows = [
+        ("a", 1, 60, 0.9),
+        ("a", 2, 60, 0.8),   # starts at 60 < 100 → kept (cum 120: overshoot)
+        ("a", 3, 60, 0.7),   # starts at 120 ≥ 100 → cut
+        ("b", 4, 100, 0.1),  # exactly consumes the budget
+        ("b", 5, 1, 0.05),   # starts at 100 ≥ 100 → cut
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long, quality double")
+    got = token_budget_select(
+        df, "source", "n_tokens", budget=100,
+        order_by=[F.col("quality").desc(), F.col("doc_id")],
+    ).collect()
+    kept = {(r.source, r.doc_id): r.cum_tokens for r in got}
+    assert set(kept) == {("a", 1), ("a", 2), ("b", 4)}
+    assert kept[("a", 2)] == 120 and kept[("b", 4)] == 100
