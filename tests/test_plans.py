@@ -163,3 +163,85 @@ def test_training_pipeline_two_shuffles_total(spark):
     plan = plan_of(spark, "training_corpus_pipeline")
     assert plan.count("Exchange (") == 2, plan
     assert plan.count("Window (") == 2, plan
+
+
+def _with_confs(spark, confs: dict):
+    """Set session confs, returning the previous values for restore."""
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    return old
+
+
+def _restore_confs(spark, old: dict):
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Scale pin: when a selective dim filter feeds a SHUFFLE join (the
+    100 TB case where neither side broadcasts), Catalyst's runtime bloom
+    filter must be injected on the fact side — the scan then drops
+    non-qualifying rows before the shuffle instead of shipping them.
+    Broadcast joins get this for free (the hash table IS the filter);
+    this pins the non-broadcast path."""
+    from cdc_pipeline_spark.sources.files import load_table
+
+    old = _with_confs(spark, {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # testdata scans are far below the 10 GiB production default
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    })
+    try:
+        orders = load_table(spark, SF_DIR, "orders").filter("o_orderstatus = 'F'")
+        lineitem = load_table(spark, SF_DIR, "lineitem")
+        joined = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        _restore_confs(spark, old)
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """Scale pin: a hot join key (one key holding most rows — the
+    salting scenario) must be split by AQE's skew-join handling at
+    runtime, so one straggler partition can't serialize the stage. The
+    explicit `salted_agg` operator remains the aggregation-side answer;
+    this pins Spark's join-side answer."""
+    from pyspark.sql import functions as F
+
+    old = _with_confs(spark, {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        # keep AQE from first coalescing the skew away at test scale
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    })
+    try:
+        # 50k rows on ONE key + 1k spread over 1k keys; right side 2 rows/key
+        left = spark.range(51_000).select(
+            F.when(F.col("id") < 50_000, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        right = spark.range(2_000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("r_val")
+        )
+        joined = left.join(right, "k")
+        # materialize THIS frame's own query execution (count() would
+        # spawn a separate one and leave this plan un-finalized)
+        joined.collect()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final
+    finally:
+        _restore_confs(spark, old)
