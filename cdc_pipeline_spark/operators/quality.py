@@ -160,7 +160,10 @@ def pii_redact(
 
 
 def unigram_logprob_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Corpus-LM fluency score (the CCNet idea — Wenzek et al. 2020 —
     with the corpus itself as the language model): per-document mean
@@ -174,10 +177,12 @@ def unigram_logprob_score(
          at 100 TB cap/broadcast the vocab or bucket-join);
       3. per-doc mean −ln p (one shuffle on doc).
     """
-    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
-    posting = toks.select("doc_id", F.explode_outer("toks").alias("token")).filter(
-        F.col("token").isNotNull()
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), *carry_cols, tokens(text_col).alias("toks")
     )
+    posting = toks.select(
+        "doc_id", *carry_cols, F.explode_outer("toks").alias("token")
+    ).filter(F.col("token").isNotNull())
     vocab = posting.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
     total = vocab.agg(F.sum("tf").cast("double").alias("n"))
     # per-token −ln p is rounded to fixed decimal BEFORE the per-doc sum:
@@ -191,11 +196,54 @@ def unigram_logprob_score(
         .alias("neg_logp"),
     )
     scored = posting.join(F.broadcast(vocab), "token")
-    return scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id", *carry_cols).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         round_half_up(
             F.sum("neg_logp").cast("double") / F.count(F.lit(1)), 4
         ).alias("mean_neg_logprob"),
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet-style head/middle/tail split (Wenzek et al. 2020): bucket
+    documents by their per-group fluency-score terciles. CCNet trains on
+    'head' (most fluent), samples 'middle', drops 'tail' — the standard
+    LM-based corpus filter.
+
+    Cutoffs are PER GROUP (language), computed with exact
+    ``percentile_disc`` — two scalars per group, never a global-sort
+    window: a global ``ntile`` would funnel the whole corpus through one
+    partition, while this shape is a grouped aggregate + broadcast join
+    of a |groups|×2 cutoff frame. At 100 TB swap the exact percentile
+    for ``percentile_approx`` (mergeable sketch state) — the cutoff
+    contract is unchanged.
+
+    Output: (doc_id, group, mean_neg_logprob, ppl_bucket).
+    """
+    scores = unigram_logprob_score(df, id_col, text_col, carry_cols=(group_col,))
+    c1, c2 = cuts
+    cutoffs = scores.groupBy(group_col).agg(
+        F.expr(
+            f"percentile_disc({c1!r}) WITHIN GROUP (ORDER BY mean_neg_logprob)"
+        ).alias("__c1"),
+        F.expr(
+            f"percentile_disc({c2!r}) WITHIN GROUP (ORDER BY mean_neg_logprob)"
+        ).alias("__c2"),
+    )
+    return scores.join(F.broadcast(cutoffs), group_col).select(
+        "doc_id",
+        group_col,
+        "mean_neg_logprob",
+        F.when(F.col("mean_neg_logprob") <= F.col("__c1"), F.lit("head"))
+        .when(F.col("mean_neg_logprob") <= F.col("__c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
     )
 
 

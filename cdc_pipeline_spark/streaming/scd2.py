@@ -1,0 +1,155 @@
+"""Incremental SCD Type-2 maintenance from a CDC stream.
+
+The batch operator (``operators.cdc.scd2_history``) turns a complete
+change log into validity-interval rows. This module keeps that table
+maintained INCREMENTALLY from a Structured Streaming CDC source: each
+micro-batch touches only the keys it contains — the affected keys'
+existing interval rows are unwound back into change rows, unioned with
+the batch, and re-run through the same batch operator. Incremental and
+batch therefore share ONE implementation; the golden test asserts the
+streamed table equals a from-scratch batch build.
+
+Physical layout: the table is hive-partitioned by a hash bucket of the
+key (``__kb = pmod(xxhash64(key), n_buckets)``). A micro-batch
+rewrites only the buckets it touches (dynamic partition overwrite);
+untouched buckets are never read or written. At 100 TB this bounds the
+per-batch rewrite to (touched buckets / n_buckets) of the table —
+n_buckets trades rewrite amplification against file count, and a
+real lakehouse table format (Iceberg/Delta MERGE) replaces the
+directory swap with row-level commits, same logical plan.
+
+Delivery semantics: the merge is idempotent — change rows are
+deduplicated by (key, version) before the rebuild, so a replayed
+micro-batch (at-least-once foreachBatch) converges to the same table.
+
+Reference provenance: the reference consumes Debezium CDC only into
+latest-state caches (src/streaming/transforms/*); history tracking is
+this repo's extension of the same change feed (see
+operators/cdc.py::scd2_history docstring for the interval contract).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_pipeline_spark.operators.cdc import scd2_history
+
+__all__ = ["Scd2TableWriter", "read_scd2_table"]
+
+
+def _with_bucket(df: DataFrame, key_cols: list[str], n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "__kb", F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+    )
+
+
+def read_scd2_table(spark: SparkSession, path: str) -> DataFrame:
+    """The maintained history table (all buckets), bucket column dropped."""
+    return spark.read.parquet(path).drop("__kb")
+
+
+class Scd2TableWriter:
+    """``foreachBatch`` writer maintaining an SCD2 table at ``path``.
+
+    Usage::
+
+        writer = Scd2TableWriter(path, key_cols=["id"], version_col="ts",
+                                 attr_cols=["status"])
+        stream.writeStream.foreachBatch(writer).start()
+    """
+
+    def __init__(
+        self,
+        path: str,
+        key_cols: list[str],
+        version_col: str,
+        attr_cols: list[str],
+        n_buckets: int = 16,
+        compress: bool = True,
+    ) -> None:
+        self.path = path
+        self.key_cols = key_cols
+        self.version_col = version_col
+        self.attr_cols = attr_cols
+        self.n_buckets = n_buckets
+        self.compress = compress
+
+    # -- merge logic ----------------------------------------------------
+    def _existing_changes(self, spark: SparkSession, buckets: list[int]) -> DataFrame | None:
+        """Unwind the touched buckets' interval rows back into change
+        rows (key, attrs, version=valid_from). Partition pruning keeps
+        the read to the touched directories only."""
+        if not os.path.isdir(self.path) or not buckets:
+            return None
+        try:
+            hist = spark.read.parquet(self.path)
+        except Exception:
+            return None
+        return hist.filter(F.col("__kb").isin(buckets)).select(
+            *self.key_cols,
+            *self.attr_cols,
+            F.col("valid_from").alias(self.version_col),
+            "__kb",
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        changes = _with_bucket(
+            batch_df.select(*self.key_cols, *self.attr_cols, self.version_col),
+            self.key_cols,
+            self.n_buckets,
+        )
+        # touched buckets: bounded driver-side list (≤ n_buckets ints)
+        buckets = [r["__kb"] for r in changes.select("__kb").distinct().collect()]
+        if not buckets:
+            return
+        existing = self._existing_changes(spark, buckets)
+        if existing is not None:
+            # keys NOT in this batch keep their rows verbatim; touched
+            # keys contribute their historical change rows to the rebuild
+            batch_keys = changes.select(*self.key_cols).distinct()
+            touched = existing.join(F.broadcast(batch_keys), self.key_cols, "left_semi")
+            untouched = existing.join(F.broadcast(batch_keys), self.key_cols, "left_anti")
+            changes = changes.unionByName(touched)
+        else:
+            untouched = None
+        # idempotence under foreachBatch replay: a change row already
+        # merged in a prior attempt dedups away here
+        changes = changes.dropDuplicates([*self.key_cols, self.version_col])
+        rebuilt = _with_bucket(
+            scd2_history(
+                changes,
+                key_cols=self.key_cols,
+                version_col=self.version_col,
+                attr_cols=self.attr_cols,
+                compress=self.compress,
+            ),
+            self.key_cols,
+            self.n_buckets,
+        )
+        if untouched is not None:
+            untouched_hist = (
+                spark.read.parquet(self.path)
+                .filter(F.col("__kb").isin(buckets))
+                .join(
+                    F.broadcast(changes.select(*self.key_cols).distinct()),
+                    self.key_cols,
+                    "left_anti",
+                )
+            )
+            rebuilt = rebuilt.unionByName(untouched_hist)
+        overwrite_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                rebuilt.repartition("__kb")
+                .write.mode("overwrite")
+                .partitionBy("__kb")
+                .parquet(self.path)
+            )
+        finally:
+            if overwrite_mode is not None:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", overwrite_mode)

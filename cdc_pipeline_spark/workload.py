@@ -2707,6 +2707,48 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_perplexity_buckets",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM vocab),
+    vp AS (
+        SELECT token, CAST(round(-ln(tf / n), 6) AS DECIMAL(18,6)) AS nlp
+        FROM vocab CROSS JOIN tot
+    ),
+    scores AS (
+        SELECT doc_id, lang,
+               round(CAST(sum(nlp) AS DOUBLE) / count(*), 4) AS mean_neg_logprob
+        FROM tok JOIN vp USING (token)
+        GROUP BY doc_id, lang
+    ),
+    cut AS (
+        SELECT lang,
+               percentile_disc(0.3333333333333333) WITHIN GROUP (ORDER BY mean_neg_logprob) AS c1,
+               percentile_disc(0.6666666666666666) WITHIN GROUP (ORDER BY mean_neg_logprob) AS c2
+        FROM scores GROUP BY lang
+    )
+    SELECT doc_id, lang, mean_neg_logprob,
+           CASE WHEN mean_neg_logprob <= c1 THEN 'head'
+                WHEN mean_neg_logprob <= c2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM scores JOIN cut USING (lang)
+    """,
+)
+def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus split: per-language fluency-score
+    terciles (exact percentile_disc cutoffs — two scalars per language,
+    broadcast back; never a global-sort ntile). 'head' trains, 'middle'
+    samples, 'tail' drops — the standard LM-filtered corpus recipe."""
+    from cdc_pipeline_spark.operators.quality import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf_dir, "documents"), group_col="lang")
+
+
+@register(
     "doc_benchmark_contamination",
     r"""
     WITH toks AS (
@@ -2922,6 +2964,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_canonical_docs",
     "embedding_neardup_lsh",
     "embedding_semantic_dedup",
+    "doc_perplexity_buckets",
     "ann_hard_negatives",
     "corpus_budget_mixture",
     # -- rows-only checks (no SQL oracle is possible); lowest priority for

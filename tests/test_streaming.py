@@ -640,3 +640,82 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, stream_dir, checkp
     assert by_amount[100.0] == [r for r in by_amount[100.0] if r is not None]
     assert len(by_amount[100.0]) == 1
     assert by_amount[50.0] == [None]
+
+
+def test_scd2_writer_incremental_equals_batch(spark, stream_dir, checkpoint, tmp_path):
+    """Golden: maintaining the SCD2 table incrementally (foreachBatch,
+    one micro-batch per file, touched-bucket rewrite) must produce
+    exactly the table the batch operator builds from the full change
+    log — intervals, no-op compression, is_current flags and all."""
+    import datetime as dt
+
+    from pyspark.sql.types import StructType, StructField, LongType, StringType, TimestampType
+
+    from cdc_pipeline_spark.operators.cdc import scd2_history
+    from cdc_pipeline_spark.streaming.scd2 import Scd2TableWriter, read_scd2_table
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("status", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    batches = [
+        [(1, "new", ts(0)), (2, "new", ts(1))],
+        # key 1 transitions; key 2 re-emits unchanged (must compress away);
+        # key 3 appears for the first time
+        [(1, "paid", ts(10)), (2, "new", ts(11)), (3, "new", ts(12))],
+        # key 1 transitions again; key 3 transitions
+        [(1, "shipped", ts(20)), (3, "cancelled", ts(21))],
+    ]
+    os.makedirs(stream_dir, exist_ok=True)
+    all_rows = []
+    for i, rows in enumerate(batches):
+        all_rows.extend(rows)
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        part = os.path.join(stream_dir, f"b{i}")
+        df.write.mode("overwrite").parquet(part)
+        data_file = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(part, data_file), os.path.join(stream_dir, f"{i:04d}.parquet"))
+        now = time.time() + i
+        os.utime(os.path.join(stream_dir, f"{i:04d}.parquet"), (now, now))
+
+    table_path = str(tmp_path / "scd2_table")
+    writer = Scd2TableWriter(
+        table_path, key_cols=["id"], version_col="ts", attr_cols=["status"], n_buckets=4
+    )
+    q = (
+        stream_parquet(spark, stream_dir, schema, max_files_per_trigger=1)
+        .writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch(writer)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run_until_done(q)
+
+    got = {
+        tuple(r)
+        for r in read_scd2_table(spark, table_path)
+        .select("id", "status", "valid_from", "valid_to", "is_current")
+        .collect()
+    }
+    expected = {
+        tuple(r)
+        for r in scd2_history(
+            spark.createDataFrame(all_rows, schema),
+            key_cols=["id"],
+            version_col="ts",
+            attr_cols=["status"],
+        )
+        .select("id", "status", "valid_from", "valid_to", "is_current")
+        .collect()
+    }
+    assert got == expected
+    # the compressed no-op: key 2 has exactly ONE interval row
+    assert sum(1 for r in got if r[0] == 2) == 1
