@@ -71,3 +71,27 @@ def stream_stream_interval_join(
         cond = eq & cond
     joined = lprefixed.join(rprefixed, cond, how)
     return joined.drop(*[f"__rk_{k}" for k in key_cols])
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Enrich a stream with a STATIC dimension table — the stateless
+    streaming join: no watermark, no state store, because the static
+    side is fully known at plan time. Each micro-batch re-resolves the
+    static relation, so a dim file replaced between batches is picked
+    up (snapshot-per-batch semantics).
+
+    The dim side is broadcast by default: on a cluster every executor
+    holds the dim once and the stream never shuffles — the streaming
+    twin of ``operators.enrich.enrich_with_dim``. Leave
+    ``broadcast_dim=False`` for dims too large to broadcast (the join
+    then shuffles EVERY micro-batch on the key; prefer pre-denormalizing
+    upstream, the reference's fat-event approach, FLOW.md:42-55).
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)

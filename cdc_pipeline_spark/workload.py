@@ -2749,6 +2749,38 @@ def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_length_outliers",
+    """
+    WITH stats AS (
+        SELECT source,
+               percentile_cont(0.25) WITHIN GROUP (ORDER BY n_chars) AS q1,
+               percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars) AS q3
+        FROM documents GROUP BY source
+    ),
+    fences AS (
+        SELECT source,
+               floor((q1 - 1.5 * (q3 - q1)) * 10000.0 + 0.5) / 10000.0 AS lo,
+               floor((q3 + 1.5 * (q3 - q1)) * 10000.0 + 0.5) / 10000.0 AS hi
+        FROM stats
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           (d.n_chars < f.lo OR d.n_chars > f.hi) AS is_outlier
+    FROM documents d JOIN fences f USING (source)
+    """,
+)
+def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence length outliers per source (quality.py::iqr_outliers):
+    flags truncated/concatenated documents without assuming a length
+    distribution. Grouped exact percentiles (|sources| rows) + broadcast
+    fence join — the document scan never shuffles."""
+    from cdc_pipeline_spark.operators.quality import iqr_outliers
+
+    return iqr_outliers(
+        _t(spark, sf_dir, "documents"), value_col="n_chars", group_col="source"
+    )
+
+
+@register(
     "doc_benchmark_contamination",
     r"""
     WITH toks AS (
@@ -2965,6 +2997,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_neardup_lsh",
     "embedding_semantic_dedup",
     "doc_perplexity_buckets",
+    "doc_length_outliers",
     "ann_hard_negatives",
     "corpus_budget_mixture",
     # -- rows-only checks (no SQL oracle is possible); lowest priority for

@@ -719,3 +719,38 @@ def test_scd2_writer_incremental_equals_batch(spark, stream_dir, checkpoint, tmp
     assert got == expected
     # the compressed no-op: key 2 has exactly ONE interval row
     assert sum(1 for r in got if r[0] == 2) == 1
+
+
+def test_stream_static_broadcast_enrich(spark, stream_dir, checkpoint):
+    """Stream-static join: each micro-batch enriches against the static
+    dim with NO state store and a broadcast dim side (the plan must not
+    shuffle the stream on the join key)."""
+    from cdc_pipeline_spark.streaming.joins import stream_static_enrich
+
+    _write_batches(
+        spark,
+        stream_dir,
+        [_rows([(0, "page_view", 1.0), (1, "purchase", 2.0)]),
+         _rows([(2, "page_view", 3.0)])],
+    )
+    dim = spark.createDataFrame(
+        [(100, "emea"), (101, "amer"), (102, "apac")], "user_id long, region string"
+    )
+    source = stream_parquet(spark, stream_dir, EVENT_SCHEMA, max_files_per_trigger=1)
+    enriched = stream_static_enrich(source, dim, on="user_id")
+    out = []
+    q = (
+        enriched.writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch(lambda b, _i: out.extend(b.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run_until_done(q)
+    assert len(out) == 3
+    regions = {r.user_id: r.region for r in out}
+    assert regions == {100: "emea", 101: "amer"}
+    # broadcast pin: the static side must carry the broadcast hint
+    # (a streaming frame can't be optimized outside writeStream, so the
+    # assertion reads the analyzed logical plan)
+    plan = enriched._jdf.queryExecution().analyzed().toString()
+    assert "strategy=broadcast" in plan, plan
