@@ -226,7 +226,12 @@ def perplexity_buckets(
 
     Output: (doc_id, group, mean_neg_logprob, ppl_bucket).
     """
-    scores = unigram_logprob_score(df, id_col, text_col, carry_cols=(group_col,))
+    # referenced twice (cutoff aggregation + output join); materialize
+    # once instead of re-running the whole corpus-LM scoring chain per
+    # reference (Catalyst shares no subplans)
+    scores = unigram_logprob_score(
+        df, id_col, text_col, carry_cols=(group_col,)
+    ).localCheckpoint(eager=True)
     c1, c2 = cuts
     cutoffs = scores.groupBy(group_col).agg(
         F.expr(

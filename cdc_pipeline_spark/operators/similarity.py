@@ -417,18 +417,26 @@ def semantic_dedup(
     """
     centroids = ivf_centroids(corpus, cell_col, vec_col)
     v = _spread(corpus.select(id_col, vec_col), parallelism)
-    assigned = grouped_top_k(
-        v.crossJoin(F.broadcast(centroids.withColumnRenamed(cell_col, "cell"))).select(
-            id_col,
-            vec_col,
-            "cell",
-            cosine(F.col(vec_col), F.col("centroid")).alias("__cscore"),
-        ),
-        partition_by=[id_col],
-        order_by=[F.col("__cscore").desc(), F.col("cell").asc()],
-        k=1,
-        rank_col="__crank",
-    ).select(id_col, vec_col, "cell", norm(F.col(vec_col)).alias("__norm"))
+    assigned = (
+        grouped_top_k(
+            v.crossJoin(F.broadcast(centroids.withColumnRenamed(cell_col, "cell"))).select(
+                id_col,
+                vec_col,
+                "cell",
+                cosine(F.col(vec_col), F.col("centroid")).alias("__cscore"),
+            ),
+            partition_by=[id_col],
+            order_by=[F.col("__cscore").desc(), F.col("cell").asc()],
+            k=1,
+            rank_col="__crank",
+        )
+        .select(id_col, vec_col, "cell", norm(F.col(vec_col)).alias("__norm"))
+        # referenced three times below (pair-left, pair-right, output);
+        # Catalyst shares no subplans, so materialize the assignment once
+        # instead of re-running centroid scoring per reference (same
+        # pattern as graph.py / clustering.py)
+        .localCheckpoint(eager=True)
+    )
     left = assigned.select(
         F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va"),
         F.col("__norm").alias("__na"), "cell",
@@ -449,6 +457,8 @@ def semantic_dedup(
         .select(F.col("__idb").alias(id_col))
         .distinct()
     )
+    # dropped can approach corpus size at high duplication — no broadcast
+    # hint; AQE picks the strategy from runtime size
     return assigned.join(dropped.withColumn("__drop", F.lit(True)), id_col, "left").select(
         id_col,
         "cell",
