@@ -509,3 +509,54 @@ def keep_best_canonical(
             F.col("members").cast("long").alias("members"),
         )
     )
+
+
+def cross_doc_span_coverage(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document span repetition: per document, the fraction of its
+    token n-gram windows that also occur in at least one OTHER document.
+    This is the signal behind span-level dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — their
+    suffix-array substring match, re-expressed as fixed-width window
+    postings): high coverage ⇒ the doc is mostly boilerplate shared with
+    the rest of the corpus, even when no single whole-document pair is a
+    near-dup.
+
+    Shape: explode windows (positions kept — repeats within a doc count
+    per occurrence), one shuffle to compute per-window document
+    frequency, one postings join back (each window row meets exactly one
+    df row — data-proportional, never pairwise), one per-doc aggregate.
+    The window frame is referenced twice (df aggregation + join-back);
+    re-tokenizing on the second pass is cheaper at scale than
+    checkpointing the full corpus×windows explosion.
+
+    Documents with fewer than ``n`` tokens have no windows and are
+    omitted (mirrored by the oracle).
+
+    Output: (doc_id, n_windows, n_dup_windows, dup_frac).
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t")).filter(
+        F.size("__t") >= n
+    )
+    windows = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - n),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i + 1, n)),
+            )
+        ).alias("w"),
+    )
+    df_counts = windows.groupBy("w").agg(F.count_distinct("doc_id").alias("__df"))
+    counted = windows.join(df_counts, "w")
+    return counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.count_if(F.col("__df") >= 2).alias("n_dup_windows"),
+        round_half_up(
+            F.count_if(F.col("__df") >= 2) / F.count(F.lit(1)), 4
+        ).alias("dup_frac"),
+    )

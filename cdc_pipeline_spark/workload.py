@@ -2749,6 +2749,43 @@ def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_span_coverage",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    w AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 7),
+                                     i -> array_to_string(t[i:i+7], ' '))) AS w
+        FROM toks WHERE len(t) >= 8
+    ),
+    dfc AS (SELECT w, count(DISTINCT doc_id) AS df FROM w GROUP BY w)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(*) FILTER (df >= 2) AS BIGINT) AS n_dup_windows,
+           floor(count(*) FILTER (df >= 2) / count(*) * 10000.0 + 0.5) / 10000.0 AS dup_frac
+    FROM w JOIN dfc USING (w)
+    GROUP BY doc_id
+    """,
+)
+def doc_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span repetition (dedup.py::cross_doc_span_coverage,
+    Lee et al. 2021 re-expressed as window postings): per doc, the share
+    of its 8-token windows that occur in another document — the
+    span-level-dedup signal that whole-document near-dup scores miss."""
+    from cdc_pipeline_spark.operators.dedup import cross_doc_span_coverage
+
+    out = cross_doc_span_coverage(_t(spark, sf_dir, "documents"), n=8)
+    return out.select(
+        "doc_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+        "dup_frac",
+    )
+
+
+@register(
     "doc_length_outliers",
     """
     WITH stats AS (
@@ -2998,6 +3035,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_semantic_dedup",
     "doc_perplexity_buckets",
     "doc_length_outliers",
+    "doc_span_coverage",
     "ann_hard_negatives",
     "corpus_budget_mixture",
     # -- rows-only checks (no SQL oracle is possible); lowest priority for

@@ -724,3 +724,24 @@ def test_token_budget_select_greedy_prefix(spark):
     kept = {(r.source, r.doc_id): r.cum_tokens for r in got}
     assert set(kept) == {("a", 1), ("a", 2), ("b", 4)}
     assert kept[("a", 2)] == 120 and kept[("b", 4)] == 100
+
+
+def test_cross_doc_span_coverage_planted(spark):
+    """A span shared verbatim across two docs marks its windows in BOTH;
+    within-doc repeats alone don't count; short docs are omitted."""
+    from cdc_pipeline_spark.operators.dedup import cross_doc_span_coverage
+
+    shared = "a b c d e f g h"            # exactly one 8-token window
+    rows = [
+        (1, shared + " x1 y1 z1 w1 v1 u1 t1 s1"),
+        (2, shared + " x2 y2 z2 w2 v2 u2 t2 s2"),
+        (3, "p q r s t u v w p q r s t u v w"),  # self-repeat only
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in cross_doc_span_coverage(df, n=8).collect()}
+    assert 4 not in got, "docs with < n tokens have no windows"
+    assert got[1].n_windows == 9 and got[2].n_windows == 9
+    # only the leading shared window is cross-doc duplicated
+    assert got[1].n_dup_windows == 1 and got[2].n_dup_windows == 1
+    assert got[3].n_dup_windows == 0, "within-doc repetition is not cross-doc"
