@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from cdc_pipeline_spark.operators.cdc import scd2_history
 
-__all__ = ["Scd2TableWriter", "read_scd2_table"]
+__all__ = ["Scd2TableWriter", "read_scd2_table", "expire_history"]
 
 
 def _with_bucket(df: DataFrame, key_cols: list[str], n_buckets: int) -> DataFrame:
@@ -153,3 +153,50 @@ class Scd2TableWriter:
         finally:
             if overwrite_mode is not None:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", overwrite_mode)
+
+
+def expire_history(
+    spark: SparkSession,
+    path: str,
+    older_than,
+    n_buckets: int | None = None,
+) -> int:
+    """Retention pass: delete CLOSED interval rows whose validity ended
+    before ``older_than`` (current rows are never touched — the table
+    keeps serving as-of queries inside the retention horizon). Returns
+    the number of rows removed.
+
+    Rewrites only buckets that actually hold expired rows (same
+    touched-bucket discipline as the writer); run it periodically from
+    the maintenance scheduler, not per micro-batch.
+    """
+    if not os.path.isdir(path):
+        return 0
+    hist = spark.read.parquet(path)
+    expired = F.col("valid_to").isNotNull() & (F.col("valid_to") < F.lit(older_than))
+    buckets = [
+        r["__kb"]
+        for r in hist.filter(expired).select("__kb").distinct().collect()
+    ]
+    if not buckets:
+        return 0
+    touched = hist.filter(F.col("__kb").isin(buckets))
+    removed = touched.filter(expired).count()
+    kept = touched.filter(~expired)
+    # dynamic overwrite only replaces partitions PRESENT in the write: a
+    # bucket whose rows all expired writes nothing and would survive —
+    # drop those directories explicitly
+    kept_buckets = {r["__kb"] for r in kept.select("__kb").distinct().collect()}
+    overwrite_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if kept_buckets:
+            kept.repartition("__kb").write.mode("overwrite").partitionBy("__kb").parquet(path)
+    finally:
+        if overwrite_mode is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", overwrite_mode)
+    import shutil
+
+    for b in set(buckets) - kept_buckets:
+        shutil.rmtree(os.path.join(path, f"__kb={b}"), ignore_errors=True)
+    return removed

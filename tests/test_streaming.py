@@ -754,3 +754,44 @@ def test_stream_static_broadcast_enrich(spark, stream_dir, checkpoint):
     # assertion reads the analyzed logical plan)
     plan = enriched._jdf.queryExecution().analyzed().toString()
     assert "strategy=broadcast" in plan, plan
+
+
+def test_scd2_expire_history_retention(spark, stream_dir, checkpoint, tmp_path):
+    """Retention removes only CLOSED intervals older than the horizon;
+    current rows always survive, including in buckets where everything
+    else expires."""
+    import datetime as dt
+
+    from pyspark.sql.types import StructType, StructField, LongType, StringType, TimestampType
+
+    from cdc_pipeline_spark.streaming.scd2 import Scd2TableWriter, expire_history, read_scd2_table
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("status", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "new", t0),
+        (1, "paid", t0 + dt.timedelta(days=10)),
+        (1, "shipped", t0 + dt.timedelta(days=40)),
+        (2, "new", t0),
+    ]
+    table_path = str(tmp_path / "scd2_retention")
+    writer = Scd2TableWriter(
+        table_path, key_cols=["id"], version_col="ts", attr_cols=["status"], n_buckets=4
+    )
+    writer(spark.createDataFrame(rows, schema), 0)
+    before = read_scd2_table(spark, table_path).count()
+    assert before == 4
+    # horizon: day 30 — only key 1's first interval (closed at day 10) expires
+    removed = expire_history(spark, table_path, older_than=t0 + dt.timedelta(days=30))
+    assert removed == 1
+    after = read_scd2_table(spark, table_path)
+    assert after.count() == 3
+    assert after.filter("is_current").count() == 2, "current rows are never expired"
+    # idempotent: nothing left to expire
+    assert expire_history(spark, table_path, older_than=t0 + dt.timedelta(days=30)) == 0
