@@ -2464,6 +2464,75 @@ def events_daily_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_multigrain_rollup",
+    """
+    WITH five AS (
+        SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_start,
+               count(*) AS n_events,
+               CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS v
+        FROM events GROUP BY 1
+    ),
+    hour AS (
+        SELECT CAST(floor(bucket_start / 3600) * 3600 AS BIGINT) AS bucket_start,
+               sum(n_events) AS n_events, sum(v) AS v
+        FROM five GROUP BY 1
+    ),
+    day AS (
+        SELECT CAST(floor(bucket_start / 86400) * 86400 AS BIGINT) AS bucket_start,
+               sum(n_events) AS n_events, sum(v) AS v
+        FROM hour GROUP BY 1
+    )
+    SELECT '5min' AS grain, bucket_start, CAST(n_events AS BIGINT) AS n_events,
+           CAST(v AS DOUBLE) AS sum_value FROM five
+    UNION ALL
+    SELECT 'hour', bucket_start, CAST(n_events AS BIGINT), CAST(v AS DOUBLE) FROM hour
+    UNION ALL
+    SELECT 'day', bucket_start, CAST(n_events AS BIGINT), CAST(v AS DOUBLE) FROM day
+    """,
+)
+def events_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-grain rollup: 5-minute partials are
+    aggregated ONCE from raw events, then hour re-aggregates the 5-min
+    frame and day re-aggregates hour — history is never re-scanned per
+    grain (the continuous-aggregate maintenance pattern; the reference's
+    fixed 30s/10s windows are the finest grain of exactly this
+    hierarchy). Partial sums become DECIMAL(18,2) at the finest grain so
+    every re-aggregation is exact and fold-order-independent — the same
+    mergeability discipline as the HLL sketch rollup. The 5-min frame is
+    localCheckpoint'd: it feeds three outputs, and the incremental
+    pattern this models stores that partial table anyway."""
+    ev = _t(spark, sf_dir, "events")
+    five = (
+        ev.groupBy(
+            (F.floor(F.col("ts").cast("long") / 300) * 300).cast("long").alias("bucket_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_half_up(F.sum("value"), 2).cast("decimal(18,2)").alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def up(df, seconds):
+        return df.groupBy(
+            (F.floor(F.col("bucket_start") / seconds) * seconds).cast("long").alias("bucket_start")
+        ).agg(F.sum("n_events").alias("n_events"), F.sum("v").alias("v"))
+
+    hour = up(five, 3600).localCheckpoint(eager=True)
+    day = up(hour, 86400)
+
+    def shape(df, grain):
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket_start",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("v").cast("double").alias("sum_value"),
+        )
+
+    return shape(five, "5min").unionByName(shape(hour, "hour")).unionByName(shape(day, "day"))
+
+
 # Extended relational workload (TPC-H q2/q4/q8/q9/q11/q13/q15/q16/q17/
 # q20/q21/q22 plan shapes) registers itself on import — must stay at the
 # bottom so `register`/`_t` exist when it runs.
@@ -3036,6 +3105,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_perplexity_buckets",
     "doc_length_outliers",
     "doc_span_coverage",
+    "events_multigrain_rollup",
     "ann_hard_negatives",
     "corpus_budget_mixture",
     # -- rows-only checks (no SQL oracle is possible); lowest priority for
