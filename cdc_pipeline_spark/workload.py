@@ -2465,6 +2465,58 @@ def events_daily_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_profile",
+    r"""
+    WITH f AS (
+        SELECT source,
+               regexp_split_to_array(trim(text), '\s+') AS toks,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+               CAST(floor((0.3 * least(length(text) / 500.0, 1.0)
+                     + 0.4 * (len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+                              / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1))
+                     + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                                    / greatest(length(text), 1))) * 10000.0 + 0.5) / 10000.0
+                    AS DECIMAL(18,4)) AS q,
+               (len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                x -> x IN ('the','a','of','and','is')))
+                / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) >= 0.03) AS is_en
+        FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT fp) AS BIGINT) AS distinct_fingerprints,
+           floor((1.0 - count(DISTINCT fp) / count(*)) * 10000.0 + 0.5) / 10000.0 AS dup_rate,
+           floor(CAST(sum(q) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS mean_quality,
+           floor(count(*) FILTER (is_en) / count(*) * 10000.0 + 0.5) / 10000.0 AS en_frac
+    FROM f
+    """,
+)
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus dashboard: doc/source/token counts, exact-dup rate
+    (distinct fingerprints), mean quality and language mix — the
+    at-a-glance profile a corpus build starts from. Single scan + one
+    global aggregate; per-doc quality becomes DECIMAL(18,4) before the
+    mean so the cross-engine sum is fold-order-independent."""
+    from cdc_pipeline_spark.operators.text import with_text_features
+
+    feats = with_text_features(_t(spark, sf_dir, "documents"), text_col="text")
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum("token_count").cast("long").alias("total_tokens"),
+        F.count_distinct("fingerprint").alias("distinct_fingerprints"),
+        round_half_up(1.0 - F.count_distinct("fingerprint") / F.count(F.lit(1)), 4).alias("dup_rate"),
+        round_half_up(
+            F.sum(F.col("quality").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_quality"),
+        round_half_up(
+            F.count_if(F.col("lang_guess") == "en") / F.count(F.lit(1)), 4
+        ).alias("en_frac"),
+    )
+
+
+@register(
     "events_multigrain_rollup",
     """
     WITH five AS (
@@ -3106,6 +3158,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_length_outliers",
     "doc_span_coverage",
     "events_multigrain_rollup",
+    "corpus_profile",
     "ann_hard_negatives",
     "corpus_budget_mixture",
     # -- rows-only checks (no SQL oracle is possible); lowest priority for
