@@ -136,3 +136,55 @@ def test_scd2_model_matches_spark(spark):
         for r in scd2_history(df, ["k"], "v", ["status"]).collect()
     )
     assert got == sorted(_scd2_model(rows))
+
+
+def _budget_model(rows, budget):
+    """Greedy-prefix reference: per group, sort by (quality desc, id),
+    keep while the running total BEFORE the row is under budget."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for g, i, n, q in rows:
+        groups[g].append((i, n, q))
+    kept = set()
+    for g, members in groups.items():
+        members.sort(key=lambda t: (-t[2], t[0]))
+        cum = 0
+        for i, n, _q in members:
+            if cum < budget:
+                kept.add((g, i))
+            cum += n
+    return kept
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),            # group
+            st.integers(0, 10_000),                  # id
+            st.integers(1, 50),                      # tokens
+            st.sampled_from([0.1, 0.2, 0.5, 0.9]),   # quality (ties likely)
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(1, 120),
+)
+@settings(max_examples=30, deadline=None)
+def test_token_budget_select_matches_model(spark, rows, budget):
+    """Spark token_budget_select == the greedy-prefix reference model on
+    arbitrary inputs: same kept set under ties, overshoot ≤ one row,
+    never an undershoot while candidates remain."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_spark.operators.sampling import token_budget_select
+
+    df = spark.createDataFrame(rows, "g string, id long, n long, q double")
+    got = {
+        (r.g, r.id)
+        for r in token_budget_select(
+            df, "g", "n", budget, order_by=[F.col("q").desc(), F.col("id")]
+        ).collect()
+    }
+    assert got == _budget_model(rows, budget)

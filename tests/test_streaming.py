@@ -795,3 +795,35 @@ def test_scd2_expire_history_retention(spark, stream_dir, checkpoint, tmp_path):
     assert after.filter("is_current").count() == 2, "current rows are never expired"
     # idempotent: nothing left to expire
     assert expire_history(spark, table_path, older_than=t0 + dt.timedelta(days=30)) == 0
+
+
+def test_scd2_writer_replay_is_idempotent(spark, tmp_path):
+    """Delivery contract: re-running a micro-batch (at-least-once
+    foreachBatch replay) leaves the table byte-identical — change rows
+    dedup on (key, version) before the rebuild."""
+    import datetime as dt
+
+    from pyspark.sql.types import StructType, StructField, LongType, StringType, TimestampType
+
+    from cdc_pipeline_spark.streaming.scd2 import Scd2TableWriter, read_scd2_table
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("status", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    b0 = spark.createDataFrame([(1, "new", t0), (2, "new", t0)], schema)
+    b1 = spark.createDataFrame([(1, "paid", t0 + dt.timedelta(minutes=5))], schema)
+    table_path = str(tmp_path / "scd2_replay")
+    writer = Scd2TableWriter(
+        table_path, key_cols=["id"], version_col="ts", attr_cols=["status"], n_buckets=4
+    )
+    writer(b0, 0)
+    writer(b1, 1)
+    snapshot = sorted(tuple(r) for r in read_scd2_table(spark, table_path).collect())
+    writer(b1, 1)  # replay the same micro-batch
+    replayed = sorted(tuple(r) for r in read_scd2_table(spark, table_path).collect())
+    assert replayed == snapshot
