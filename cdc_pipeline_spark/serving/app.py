@@ -85,4 +85,13 @@ def create_app(kv):
     def health():
         return jsonify({"status": "ok"})
 
+    @app.route("/api/monitor/streams")
+    def monitor_streams():
+        # per-pipeline throughput/state metrics written by
+        # streaming.monitor.KvProgressListener (the reference's monitor
+        # page surface, routes/monitor.py, served from kv instead of WS)
+        from cdc_pipeline_spark.streaming.monitor import read_stream_metrics
+
+        return jsonify(read_stream_metrics(kv))
+
     return app

@@ -1,0 +1,101 @@
+"""Streaming observability: per-query progress metrics into the kv
+serving layer.
+
+The reference exposes a live monitor page fed by its websocket hub
+(``/root/reference/src/api/routes/monitor.py`` — metrics/health panels
+over WS events); the engine-side signal it needs is per-pipeline
+throughput and state size. Here that signal comes straight from
+Structured Streaming's progress events: a ``StreamingQueryListener``
+writes one kv hash per query (same K2 contract every dashboard snapshot
+uses), plus a directory hash so the serving layer can enumerate live
+streams without key scans (Redis KEYS is O(n) and blocked in prod).
+
+Scale notes: listener callbacks run on the driver's listener bus —
+the handler only formats ~10 scalars and does one kv write per
+micro-batch per query; never block here (a slow listener stalls every
+query's progress reporting).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+try:  # pyspark >= 3.4 exposes the Python listener API
+    from pyspark.sql.streaming.listener import StreamingQueryListener
+except ImportError:  # pragma: no cover - older pyspark
+    StreamingQueryListener = object  # type: ignore[assignment,misc]
+
+__all__ = ["KvProgressListener", "read_stream_metrics"]
+
+DIRECTORY_KEY = "nexus:monitor:streams"
+
+
+class KvProgressListener(StreamingQueryListener):
+    """Writes each query's latest progress to ``{prefix}:{name}`` and
+    registers the query in the ``{prefix}`` directory hash.
+
+    Usage::
+
+        spark.streams.addListener(KvProgressListener(kv))
+    """
+
+    def __init__(self, kv: Any, prefix: str = DIRECTORY_KEY) -> None:
+        self.kv = kv
+        self.prefix = prefix
+
+    # -- StreamingQueryListener interface -------------------------------
+    def onQueryStarted(self, event) -> None:
+        self.kv.write_hash(
+            f"{self.prefix}:{event.name or event.id}", {"status": "started"}
+        )
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        name = p.name or str(p.id)
+        state_rows = sum(s.numRowsTotal for s in p.stateOperators)
+        payload = {
+            "status": "running",
+            "batch_id": p.batchId,
+            "timestamp": p.timestamp,
+            "num_input_rows": p.numInputRows,
+            "input_rows_per_second": round(p.inputRowsPerSecond or 0.0, 2),
+            "processed_rows_per_second": round(p.processedRowsPerSecond or 0.0, 2),
+            "trigger_duration_ms": (p.durationMs or {}).get("triggerExecution", 0),
+            "state_rows": state_rows,
+        }
+        self.kv.write_hash(f"{self.prefix}:{name}", payload)
+        directory = self.kv.read_hash(self.prefix)
+        directory[name] = p.timestamp
+        self.kv.write_hash(self.prefix, directory)
+
+    def onQueryTerminated(self, event) -> None:
+        # keep the last metrics but mark the stream stopped; exception
+        # (if any) rides along for the health panel
+        key_candidates = [
+            k for k, _v in self.kv.read_hash(self.prefix).items()
+        ]
+        # terminated events carry id, not name — update every entry whose
+        # stored hash matches this id, else fall back to the id key
+        for name in key_candidates or [str(event.id)]:
+            existing = self.kv.read_hash(f"{self.prefix}:{name}")
+            if existing:
+                existing["status"] = "terminated"
+                if event.exception:
+                    existing["exception"] = str(event.exception)
+                self.kv.write_hash(f"{self.prefix}:{name}", existing)
+
+    def onQueryIdle(self, event) -> None:  # pragma: no cover - timing-dependent
+        pass
+
+
+def read_stream_metrics(kv: Any, prefix: str = DIRECTORY_KEY) -> dict[str, dict[str, str]]:
+    """All registered streams' latest progress hashes, keyed by name —
+    the payload behind a ``/api/monitor/streams`` serving route."""
+    return {
+        name: kv.read_hash(f"{prefix}:{name}") for name in kv.read_hash(prefix)
+    }
+
+
+def metrics_json(kv: Any, prefix: str = DIRECTORY_KEY) -> str:
+    return json.dumps(read_stream_metrics(kv, prefix), sort_keys=True)

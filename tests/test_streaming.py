@@ -827,3 +827,54 @@ def test_scd2_writer_replay_is_idempotent(spark, tmp_path):
     writer(b1, 1)  # replay the same micro-batch
     replayed = sorted(tuple(r) for r in read_scd2_table(spark, table_path).collect())
     assert replayed == snapshot
+
+
+def test_progress_listener_writes_kv_metrics(spark, stream_dir, checkpoint):
+    """KvProgressListener publishes per-query throughput/state metrics
+    into the kv layer (the monitor surface), discoverable without key
+    scans via the directory hash."""
+    import time as _time
+
+    from cdc_pipeline_spark.streaming.monitor import KvProgressListener, read_stream_metrics
+
+    _write_batches(spark, stream_dir, [_rows([(0, "view", 1.0), (5, "view", 2.0)])])
+    kv = InMemoryKV()
+    listener = KvProgressListener(kv)
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            stream_parquet(spark, stream_dir, EVENT_SCHEMA, max_files_per_trigger=1)
+            .writeStream.queryName("monitor_probe")
+            .format("noop")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run_until_done(q)
+        # listener bus is async — poll briefly for the progress write
+        for _ in range(40):
+            metrics = read_stream_metrics(kv)
+            if "monitor_probe" in metrics and metrics["monitor_probe"].get("batch_id"):
+                break
+            _time.sleep(0.25)
+        assert "monitor_probe" in metrics, metrics
+        m = metrics["monitor_probe"]
+        assert int(m["num_input_rows"]) == 2
+        assert "trigger_duration_ms" in m and "state_rows" in m
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_serving_monitor_streams_route(spark):
+    """/api/monitor/streams serves whatever the listener recorded."""
+    from cdc_pipeline_spark.serving.app import create_app
+
+    kv = InMemoryKV()
+    kv.write_hash("nexus:monitor:streams", {"kpi": "2024-01-01T00:00:00Z"})
+    kv.write_hash(
+        "nexus:monitor:streams:kpi",
+        {"status": "running", "batch_id": "3", "num_input_rows": "42"},
+    )
+    client = create_app(kv).test_client()
+    got = client.get("/api/monitor/streams").get_json()
+    assert got == {"kpi": {"status": "running", "batch_id": "3", "num_input_rows": "42"}}
