@@ -26,6 +26,12 @@ def test_partitioned_parquet_roundtrip(spark, tmp_path):
     # partition pruning: reading one date only touches its directory
     one_day = back.filter(F.col("event_date") == "2024-01-05")
     assert 0 < one_day.count() < ev.count()
+    # and the pruning is PLAN-level, not a post-scan filter: the date
+    # predicate must appear as a PartitionFilter on the scan (at 100 TB
+    # this is the difference between reading one day and the whole lake)
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters", 1)[1][:200]
 
 
 def test_sketch_mode_within_tolerance_of_exact(spark):
