@@ -189,3 +189,40 @@ def test_decode_avro_gate_without_jar(spark):
     else:
         with _pytest.raises(Exception, match="AVRO_NOT_LOADED|avro"):
             decode_avro(df, reader_schema).schema
+
+
+def test_align_to_schema_evolution_rules(spark):
+    """Add-only evolution: missing → typed NULLs, extras drop, widening
+    casts, narrowing raises."""
+    import pytest
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from cdc_pipeline_spark.sources.evolution import align_to_schema, union_evolved
+
+    target = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("amount", DoubleType()),
+            StructField("note", StringType()),
+        ]
+    )
+    v1 = spark.createDataFrame([(1, 2.5)], "id long, amount double")          # missing note
+    v2 = spark.createDataFrame(
+        [(2, 3.0, "hi", "extra")], "id int, amount double, note string, debug string"
+    )  # int id (widen) + extra column (drop)
+    a1, a2 = align_to_schema(v1, target), align_to_schema(v2, target)
+    assert a1.schema == target and a2.schema == target
+    merged = union_evolved([v1, v2], target)
+    rows = {r.id: (r.amount, r.note) for r in merged.collect()}
+    assert rows == {1: (2.5, None), 2: (3.0, "hi")}
+
+    narrowing = spark.createDataFrame([(1.5, 1.0, "x")], "id double, amount double, note string")
+    with pytest.raises(TypeError, match="narrow"):
+        align_to_schema(narrowing, target)
