@@ -62,3 +62,68 @@ def prepare_training_corpus(
         partition_cols=[shard_col],
         order_cols=[id_col],
     )
+
+
+def prepare_training_corpus_budgeted(
+    docs: DataFrame,
+    domain_budget: int = 800,
+    budget: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """`prepare_training_corpus` with a data-mixing stage: after the
+    gate and dedup, each shard keeps only its highest-quality documents
+    up to ``domain_budget`` tokens (greedy prefix by quality), then
+    packs. This is how a production mix pins per-domain token shares
+    instead of letting the biggest domain dominate.
+
+    Four stages, three shuffles (fingerprint window, budget window on
+    the shard, packing window on the shard — the last two share the
+    shard partitioning, so Catalyst plans ONE Exchange for both).
+    """
+    from cdc_pipeline_spark.operators.sampling import token_budget_select
+
+    gated = docs.select(
+        id_col, shard_col, text_col, *quality_rule_columns(text_col)
+    ).filter(F.col("keep"))
+    w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col).asc())
+    canonical = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            shard_col,
+            F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+            quality_score_from_text(text_col).alias("__q"),
+        )
+    )
+    selected = token_budget_select(
+        canonical,
+        group_col=shard_col,
+        tokens_col="n_tokens",
+        budget=domain_budget,
+        order_by=[F.col("__q").desc(), F.col(id_col).asc()],
+    ).drop("cum_tokens", "__q")
+    return pack_sequences(
+        selected,
+        "n_tokens",
+        budget=budget,
+        partition_cols=[shard_col],
+        order_cols=[id_col],
+    )
+
+
+def quality_score_from_text(text_col: str):
+    """The text.quality_score formula over a transient tokens expression
+    (quality_score itself expects a pre-built tokens COLUMN name)."""
+    from cdc_pipeline_spark.operators.rounding import round_half_up
+    from cdc_pipeline_spark.operators.text import punct_ratio
+    from cdc_pipeline_spark.operators.text import tokens as _tokens
+
+    toks = _tokens(text_col)
+    length_score = F.least(F.length(text_col) / F.lit(500.0), F.lit(1.0))
+    diversity = F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
+    return round_half_up(
+        0.3 * length_score + 0.4 * diversity + 0.3 * (1.0 - punct_ratio(text_col)), 4
+    )

@@ -3089,6 +3089,72 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepare_training_corpus(_t(spark, sf_dir, "documents"), budget=256)
 
 
+@register(
+    "training_corpus_budgeted",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, source, text,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    gated AS (
+        SELECT doc_id, source, text, toks FROM t
+        WHERE (len(toks) >= 10 AND len(toks) <= 100000)
+          AND (length(regexp_replace(text, '\s', '', 'g')) / greatest(len(toks), 1) >= 2.0
+               AND length(regexp_replace(text, '\s', '', 'g')) / greatest(len(toks), 1) <= 12.0)
+          AND (length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+               / greatest(length(text), 1) <= 0.1)
+          AND (len(list_intersect(list_distinct(toks), {_STOPLIST_SQL})) >= 2)
+    ),
+    canon AS (
+        SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+               floor((0.3 * least(length(text) / 500.0, 1.0)
+                     + 0.4 * (len(list_distinct(toks)) / greatest(len(toks), 1))
+                     + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                                    / greatest(length(text), 1))) * 10000.0 + 0.5) / 10000.0 AS q
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                ORDER BY doc_id
+            ) AS rn
+            FROM gated
+        )
+        WHERE rn = 1
+    ),
+    sel AS (
+        SELECT doc_id, source, n_tokens FROM (
+            SELECT doc_id, source, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bcum
+            FROM canon
+        ) WHERE bcum - n_tokens < 800
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM sel
+    )
+    SELECT doc_id, source, n_tokens, (cum - n_tokens) // 256 AS pack_id
+    FROM c
+    """,
+)
+def training_corpus_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus build with the data-mixing stage
+    (pipelines.py::prepare_training_corpus_budgeted): gate → dedup →
+    per-source 800-token quality-greedy budget → 256-token packing, one
+    Catalyst plan. The budget and packing windows both partition on the
+    source, so Catalyst plans one Exchange for both — four stages,
+    three shuffles. Oracle replays all four stages."""
+    from cdc_pipeline_spark.pipelines import prepare_training_corpus_budgeted
+
+    return prepare_training_corpus_budgeted(
+        _t(spark, sf_dir, "documents"), domain_budget=800, budget=256
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50
 # registered queries per round (CORRECTNESS_r01 stopped at entry 50 of 81,
@@ -3159,6 +3225,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_span_coverage",
     "events_multigrain_rollup",
     "corpus_profile",
+    "training_corpus_budgeted",
     "ann_hard_negatives",
     "corpus_budget_mixture",
     # -- rows-only checks (no SQL oracle is possible); lowest priority for

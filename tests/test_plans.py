@@ -245,3 +245,12 @@ def test_aqe_splits_planted_skew_join(spark):
         assert "skew=true" in final, final
     finally:
         _restore_confs(spark, old)
+
+
+def test_budgeted_pipeline_three_windows_two_shuffles(spark):
+    """gate → dedup window → budget window → packing window: the budget
+    and packing windows both partition on the shard, so they share ONE
+    Exchange — four stages, two Exchanges total in the plan."""
+    plan = plan_of(spark, "training_corpus_budgeted")
+    assert plan.count("Window (") == 3, plan
+    assert plan.count("Exchange (") == 2, plan
