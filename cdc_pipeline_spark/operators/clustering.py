@@ -142,3 +142,56 @@ def distortion(corpus: DataFrame, assignments: DataFrame, id_col: str = "vec_id"
         lambda acc, v: acc + v,
     )
     return with_c.agg(F.sum(dist2).alias("d")).collect()[0].d
+
+
+def cluster_medoids(
+    corpus: DataFrame,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster medoid: the member with the highest mean cosine to
+    its cluster peers — the exemplar a semantic-dedup keep-list or a
+    labeling queue samples first.
+
+    This is the repo's grouped ``applyInPandas`` operator (the third
+    Arrow surface next to ``mapInPandas`` multimodal and
+    ``applyInPandasWithState`` alerts), used where it genuinely beats
+    built-ins: the within-cell pairwise similarity is one BLAS gram
+    matrix per group (V·Vᵀ), while the DataFrame formulation explodes
+    an n_c² pair join through the shuffle. One shuffle on the cell;
+    per-group memory is n_c×d + n_c² floats — cap cell sizes upstream
+    (the same guard SemDeDup needs).
+
+    Output: (cell, medoid_id, mean_sim, n_members); singleton cells
+    emit themselves with mean_sim 0.0. Ties break to the lowest id.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"cell {dict(corpus.dtypes)[cell_col]}, medoid_id {dict(corpus.dtypes)[id_col]}, "
+        "mean_sim double, n_members long"
+    )
+
+    def medoid(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        cell = pdf[cell_col].iloc[0]
+        n = len(pdf)
+        if n == 1:
+            return pd.DataFrame(
+                {"cell": [cell], "medoid_id": [pdf[id_col].iloc[0]], "mean_sim": [0.0], "n_members": [1]}
+            )
+        V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = V @ V.T
+        mean_sim = (sims.sum(axis=1) - 1.0) / (n - 1)  # exclude self-sim
+        rounded = np.floor(mean_sim * 1e6 + 0.5) / 1e6
+        ids = pdf[id_col].to_numpy()
+        order = np.lexsort((ids, -rounded))  # best score, ties → lowest id
+        best = order[0]
+        return pd.DataFrame(
+            {"cell": [cell], "medoid_id": [ids[best]], "mean_sim": [rounded[best]], "n_members": [n]}
+        )
+
+    return corpus.select(cell_col, id_col, vec_col).groupBy(cell_col).applyInPandas(medoid, out_schema)

@@ -2517,6 +2517,43 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_cluster_medoids",
+    """
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    sims AS (
+        SELECT a.label, a.vec_id,
+               avg(list_inner_product(a.e, b.e)
+                   / (sqrt(list_inner_product(a.e, a.e))
+                      * sqrt(list_inner_product(b.e, b.e)))) AS mean_sim,
+               count(*) AS n_peers
+        FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id != b.vec_id
+        GROUP BY a.label, a.vec_id
+    ),
+    ranked AS (
+        SELECT label AS cell, vec_id AS medoid_id,
+               floor(mean_sim * 1000000.0 + 0.5) / 1000000.0 AS mean_sim,
+               CAST(n_peers + 1 AS BIGINT) AS n_members,
+               row_number() OVER (
+                   PARTITION BY label
+                   ORDER BY floor(mean_sim * 1000000.0 + 0.5) / 1000000.0 DESC, vec_id
+               ) AS rn
+        FROM sims
+    )
+    SELECT cell, medoid_id, mean_sim, n_members FROM ranked WHERE rn = 1
+    """,
+)
+def embedding_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster exemplar (clustering.py::cluster_medoids): highest
+    mean-cosine member per label, computed as one BLAS gram matrix per
+    group via grouped applyInPandas — the Arrow path used exactly where
+    it beats the built-in formulation (an n_c² exploded pair join).
+    The oracle recomputes the pairwise means in SQL."""
+    from cdc_pipeline_spark.operators.clustering import cluster_medoids
+
+    return cluster_medoids(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
     "events_multigrain_rollup",
     """
     WITH five AS (
@@ -3226,6 +3263,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_multigrain_rollup",
     "corpus_profile",
     "training_corpus_budgeted",
+    "embedding_cluster_medoids",
     "ann_hard_negatives",
     "corpus_budget_mixture",
     # -- rows-only checks (no SQL oracle is possible); lowest priority for

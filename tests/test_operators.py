@@ -745,3 +745,23 @@ def test_cross_doc_span_coverage_planted(spark):
     # only the leading shared window is cross-doc duplicated
     assert got[1].n_dup_windows == 1 and got[2].n_dup_windows == 1
     assert got[3].n_dup_windows == 0, "within-doc repetition is not cross-doc"
+
+
+def test_cluster_medoids_planted(spark):
+    """The medoid is the member closest to everyone (not the first, not
+    the centroid); singleton cells emit themselves with mean_sim 0."""
+    from cdc_pipeline_spark.operators.clustering import cluster_medoids
+
+    rows = [
+        # cell 0: vectors at angles ~0°, ~30°, ~60° — the middle one (id 2)
+        # has the highest mean cosine to its peers
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.866, 0.5]),
+        (3, 0, [0.5, 0.866]),
+        (9, 1, [0.0, 1.0]),  # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    got = {r.cell: r for r in cluster_medoids(df).collect()}
+    assert got[0].medoid_id == 2 and got[0].n_members == 3
+    assert got[0].mean_sim > 0.85  # avg(cos 30°, cos 30°) ≈ 0.866
+    assert got[1].medoid_id == 9 and got[1].mean_sim == 0.0 and got[1].n_members == 1
