@@ -24,7 +24,7 @@ import urllib.request
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructType
 
 from cdc_pipeline_spark.operators.cdc import normalize_cdc
 
@@ -218,6 +218,62 @@ def read_json_stream(
         .filter(F.col("data").isNotNull())
         .select("data.*")
     )
+
+
+def parse_json_with_dlq(
+    df: DataFrame,
+    schema: StructType,
+    json_col: str = "value",
+    carry_cols: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """Decode a JSON string column into (good, dead_letter) frames.
+
+    The reference's decoders silently drop undecodable rows
+    (``read_json_stream`` filter, matching its Avro PERMISSIVE+null-drop
+    chain); production CDC wants the failures ROUTED, not dropped — a
+    corrupt upstream producer is an incident to alert on, and the raw
+    payloads are the evidence. PERMISSIVE mode with a corrupt-record
+    column splits the stream in one pass:
+
+      * ``good`` — parsed columns (+ carried metadata columns);
+      * ``dead_letter`` — the raw payload + carried metadata, exactly
+        the rows where parsing failed; point it at any sink (the K4
+        capped list makes a fine incident buffer).
+
+    Both frames are projections of one decode — Catalyst computes
+    ``from_json`` once per row, and for file/Kafka sources the split
+    predicates push into the same scan. Works identically on batch and
+    streaming frames.
+    """
+    from pyspark.sql.types import StructField
+
+    if any(f.name == "_corrupt" for f in schema.fields):
+        raise ValueError("schema may not already contain a _corrupt field")
+    schema_with_corrupt = StructType(
+        list(schema.fields) + [StructField("_corrupt", StringType())]
+    )
+    parsed = df.select(
+        *carry_cols,
+        F.col(json_col).cast("string").alias("__raw"),
+        F.from_json(
+            F.col(json_col).cast("string"),
+            schema_with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("__data"),
+    )
+    # from_json yields NULL struct for totally unparseable input and a
+    # struct with _corrupt set for partially-invalid input — both are
+    # dead letters
+    is_bad = F.col("__data").isNull() | F.col("__data._corrupt").isNotNull()
+    good = (
+        parsed.filter(~is_bad)
+        .select(*carry_cols, "__data.*")
+        .drop("_corrupt")
+    )
+    dead = parsed.filter(is_bad).select(
+        *carry_cols, F.col("__raw").alias("raw_payload")
+    )
+    return good, dead
 
 
 def write_kafka_json(

@@ -226,3 +226,28 @@ def test_align_to_schema_evolution_rules(spark):
     narrowing = spark.createDataFrame([(1.5, 1.0, "x")], "id double, amount double, note string")
     with pytest.raises(TypeError, match="narrow"):
         align_to_schema(narrowing, target)
+
+
+def test_parse_json_with_dlq_routes_failures(spark):
+    """Good rows parse once; unparseable and schema-violating payloads
+    land in the dead-letter frame with their raw payload intact —
+    nothing is silently dropped."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cdc_pipeline_spark.sources.kafka_avro import parse_json_with_dlq
+
+    schema = StructType([StructField("id", LongType()), StructField("name", StringType())])
+    rows = [
+        (0, '{"id": 1, "name": "ok"}'),
+        (1, 'not json at all'),
+        (2, '{"id": "NaN-ish", "name": "bad-type"}'),
+        (3, '{"id": 2, "name": "fine"}'),
+    ]
+    df = spark.createDataFrame(rows, "offset long, value string")
+    good, dead = parse_json_with_dlq(df, schema, carry_cols=("offset",))
+    got = {r.id: r.name for r in good.collect()}
+    assert got == {1: "ok", 2: "fine"}
+    assert set(good.columns) == {"offset", "id", "name"}
+    dl = {r.offset: r.raw_payload for r in dead.collect()}
+    assert set(dl) == {1, 2}
+    assert dl[1] == "not json at all", "raw evidence preserved"
