@@ -878,3 +878,60 @@ def test_serving_monitor_streams_route(spark):
     client = create_app(kv).test_client()
     got = client.get("/api/monitor/streams").get_json()
     assert got == {"kpi": {"status": "running", "batch_id": "3", "num_input_rows": "42"}}
+
+
+def test_rollup_writer_incremental_matches_batch(spark, stream_dir, checkpoint, tmp_path):
+    """Continuous aggregate: partials streamed batch-by-batch, merged at
+    read time, must match a from-scratch batch aggregation — counts
+    exactly; sums within the per-batch cent quantization of the partial
+    DECIMAL(28,2). Replaying a batch must not double-count."""
+    import datetime as dt
+
+    from cdc_pipeline_spark.streaming.rollup import (
+        RollupTableWriter,
+        compact_partials,
+        read_rollup,
+    )
+
+    batches = [
+        _rows([(0, "view", 10.5), (70, "view", 1.25)]),
+        _rows([(90, "view", 2.0), (400, "click", 3.75)]),
+        _rows([(3700, "view", 7.0)]),
+    ]
+    table = str(tmp_path / "rollup")
+    writer = RollupTableWriter(table, time_col="created_at", value_col="value")
+    for i, rows in enumerate(batches):
+        writer(spark.createDataFrame(rows, EVENT_SCHEMA), i)
+
+    all_rows = [r for b in batches for r in b]
+    golden = (
+        spark.createDataFrame(all_rows, EVENT_SCHEMA)
+        .groupBy((F.floor(F.col("created_at").cast("long") / 300) * 300).cast("long").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    )
+    gold = {r.b: (r.n, float(r.v)) for r in golden.collect()}
+
+    got = {r.bucket_start: (r.n_events, float(r.sum_value)) for r in read_rollup(spark, table, "5min").collect()}
+    assert set(got) == set(gold)
+    for b in gold:
+        assert got[b][0] == gold[b][0], "counts must merge exactly"
+        assert abs(got[b][1] - gold[b][1]) < 0.01 * len(batches)
+
+    # hour grain re-aggregates the same partials
+    hour = {r.bucket_start: r.n_events for r in read_rollup(spark, table, "hour").collect()}
+    base = 1704067200
+    assert hour[base] == 4 and hour[base + 3600] == 1
+
+    # replay: same batch id again → table unchanged
+    before = sorted(got.items())
+    writer(spark.createDataFrame(batches[1], EVENT_SCHEMA), 1)
+    after = sorted(
+        (r.bucket_start, (r.n_events, float(r.sum_value)))
+        for r in read_rollup(spark, table, "5min").collect()
+    )
+    assert after == before
+
+    # compaction folds per-batch dirs without changing reads
+    compact_partials(spark, table)
+    compacted = {r.bucket_start: (r.n_events, float(r.sum_value)) for r in read_rollup(spark, table, "5min").collect()}
+    assert compacted == got
