@@ -35,6 +35,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cdc_pipeline_spark.operators.rounding import round_half_up
+
 # Knuth multiplicative hashing constant (2^32 * golden ratio conjugate).
 KNUTH = 2654435761
 
@@ -167,6 +169,44 @@ def token_budget_select(
     return (
         df.withColumn(cum_col, F.sum(F.col(tokens_col).cast("long")).over(w))
         .filter(F.col(cum_col) - F.col(tokens_col) < budget)
+    )
+
+
+def temperature_mix_weights(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    temperature: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled domain sampling weights (the multilingual-
+    corpus mixing rule, e.g. mC4/XLM-R style: p_i ∝ share_i^T). T=1
+    keeps natural proportions; T→0 flattens toward uniform — the knob
+    that keeps a dominant domain from swamping the mix.
+
+    Output per group: token_share (natural), weight (temperature-scaled,
+    sums to 1), and sample_multiplier = weight / share — the per-domain
+    up/down-sampling factor a reader applies. One grouped aggregate
+    (|domains| rows) + a scalar total — nothing here touches row data
+    twice, so it composes in front of `token_budget_select` (convert
+    weights to per-domain budgets) or `stratified_sample` (fractions).
+    """
+    from pyspark.sql.window import Window as _W
+
+    counts = df.groupBy(group_col).agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("__tok")
+    )
+    w = _W.partitionBy()
+    share = (F.col("__tok") / F.sum("__tok").over(w)).alias("token_share")
+    powered = F.pow(F.col("__tok") / F.sum("__tok").over(w), F.lit(float(temperature)))
+    weight = powered / F.sum(powered).over(w)
+    return counts.select(
+        group_col,
+        F.col("__tok").alias("total_tokens"),
+        round_half_up(share, 6).alias("token_share"),
+        round_half_up(weight, 6).alias("weight"),
+        round_half_up(weight / (F.col("__tok") / F.sum("__tok").over(w)), 6).alias(
+            "sample_multiplier"
+        ),
     )
 
 

@@ -2554,6 +2554,44 @@ def embedding_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_mix_weights",
+    r"""
+    WITH c AS (
+        SELECT source,
+               sum(len(regexp_split_to_array(trim(text), '\s+'))) AS tok
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT sum(tok) AS tot FROM c),
+    p AS (
+        SELECT source, tok, tok / tot AS share, pow(tok / tot, 0.7) AS pw
+        FROM c CROSS JOIN t
+    ),
+    z AS (SELECT sum(pw) AS zsum FROM p)
+    SELECT source,
+           CAST(tok AS BIGINT) AS total_tokens,
+           floor(share * 1000000.0 + 0.5) / 1000000.0 AS token_share,
+           floor(pw / zsum * 1000000.0 + 0.5) / 1000000.0 AS weight,
+           floor((pw / zsum) / share * 1000000.0 + 0.5) / 1000000.0 AS sample_multiplier
+    FROM p CROSS JOIN z
+    """,
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing weights (sampling.py::
+    temperature_mix_weights, T=0.7 — the mC4/XLM-R rule p_i ∝ share^T):
+    per-source natural token share, flattened weight and the
+    up/down-sampling multiplier a reader applies. |domains|-row
+    aggregate; composes in front of token_budget_select /
+    stratified_sample."""
+    from cdc_pipeline_spark.operators.sampling import temperature_mix_weights
+    from cdc_pipeline_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.size(tokens("text")).alias("n_tokens")
+    )
+    return temperature_mix_weights(docs, "source", "n_tokens", temperature=0.7)
+
+
+@register(
     "events_multigrain_rollup",
     """
     WITH five AS (
@@ -3264,6 +3302,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_profile",
     "training_corpus_budgeted",
     "embedding_cluster_medoids",
+    "corpus_mix_weights",
     "ann_hard_negatives",
     "corpus_budget_mixture",
     # -- rows-only checks (no SQL oracle is possible); lowest priority for
