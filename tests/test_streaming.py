@@ -935,3 +935,28 @@ def test_rollup_writer_incremental_matches_batch(spark, stream_dir, checkpoint, 
     compact_partials(spark, table)
     compacted = {r.bucket_start: (r.n_events, float(r.sum_value)) for r in read_rollup(spark, table, "5min").collect()}
     assert compacted == got
+
+
+def test_rollup_writer_from_stream(spark, stream_dir, checkpoint, tmp_path):
+    """Full writeStream path: file-source micro-batches drive the
+    rollup writer; merged partials equal the batch aggregation."""
+    from cdc_pipeline_spark.streaming.rollup import RollupTableWriter, read_rollup
+
+    batches = [
+        _rows([(0, "view", 1.0), (30, "view", 2.0)]),
+        _rows([(301, "view", 4.0)]),
+    ]
+    _write_batches(spark, stream_dir, batches)
+    table = str(tmp_path / "rollup_stream")
+    writer = RollupTableWriter(table, time_col="created_at", value_col="value")
+    q = (
+        stream_parquet(spark, stream_dir, EVENT_SCHEMA, max_files_per_trigger=1)
+        .writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch(writer)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run_until_done(q)
+    base = 1704067200
+    got = {r.bucket_start: (r.n_events, float(r.sum_value)) for r in read_rollup(spark, table).collect()}
+    assert got == {base: (2, 3.0), base + 300: (1, 4.0)}
