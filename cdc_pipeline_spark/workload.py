@@ -2554,6 +2554,80 @@ def embedding_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_retention_cohorts",
+    """
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    cohort AS (SELECT user_id, min(day) AS first_day FROM activity GROUP BY user_id)
+    SELECT c.first_day AS cohort_day,
+           CAST(date_diff('day', c.first_day, a.day) AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+    FROM activity a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, activity
+    counted per day offset — the standard product-analytics retention
+    triangle. Two aggregations + one join on user_id; the cohort frame
+    is |users| rows (broadcastable when users ≪ events)."""
+    ev = _t(spark, sf_dir, "events")
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            F.col("first_day").alias("cohort_day"),
+            F.datediff(F.col("day"), F.col("first_day")).cast("long").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "event_funnel_counts",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) FILTER (t_view IS NOT NULL) AS BIGINT) AS stage_view,
+           CAST(count(*) FILTER (t_view IS NOT NULL AND t_click > t_view) AS BIGINT) AS stage_click,
+           CAST(count(*) FILTER (t_view IS NOT NULL AND t_click > t_view
+                                 AND t_purchase > t_click) AS BIGINT) AS stage_purchase
+    FROM firsts
+    """,
+)
+def event_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose FIRST view precedes their first
+    click precedes their first purchase — per-user conditional-min
+    pivot (one shuffle on user), then one global count. The standard
+    conversion-funnel shape; strictly-ordered timestamps, NULL stages
+    drop out of the comparison naturally."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count_if(F.col("t_view").isNotNull()).alias("stage_view"),
+        F.count_if(F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view"))).alias(
+            "stage_click"
+        ),
+        F.count_if(
+            F.col("t_view").isNotNull()
+            & (F.col("t_click") > F.col("t_view"))
+            & (F.col("t_purchase") > F.col("t_click"))
+        ).alias("stage_purchase"),
+    )
+
+
+@register(
     "corpus_mix_weights",
     r"""
     WITH c AS (
@@ -3303,6 +3377,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "training_corpus_budgeted",
     "embedding_cluster_medoids",
     "corpus_mix_weights",
+    "user_retention_cohorts",
+    "event_funnel_counts",
     "ann_hard_negatives",
     "corpus_budget_mixture",
     # -- rows-only checks (no SQL oracle is possible); lowest priority for
