@@ -72,3 +72,38 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int = 8,
+    split_col: str | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Export a prepared corpus as deterministic training shards and
+    return the manifest.
+
+    Shard assignment is ``pmod(xxhash64(id), n_shards)`` — a pure
+    function of the record id, so re-exports, task retries and cluster
+    resizes place every record in the SAME shard (a reader can resume
+    mid-epoch against a re-written export). Layout:
+    ``path/[split=<s>/]shard=<k>/part-*.parquet``, one task per shard
+    directory (repartition on the shard key — no small-files
+    explosion). The returned manifest (one row per split/shard:
+    row count) is what a data loader checks before an epoch; persist it
+    next to the export.
+
+    At 100 TB: shards are the unit of reader parallelism — size
+    ``n_shards`` to the training world size × prefetch factor, not to
+    Spark's partition count.
+    """
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("shard")
+    out = df.withColumn("shard", shard)
+    partition_cols = ([split_col] if split_col else []) + ["shard"]
+    out.repartition(*[F.col(c) for c in partition_cols]).write.mode(mode).partitionBy(
+        *partition_cols
+    ).parquet(path)
+    back = df.sparkSession.read.parquet(path)
+    return back.groupBy(*partition_cols).agg(F.count(F.lit(1)).alias("n_rows"))

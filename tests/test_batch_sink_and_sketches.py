@@ -110,3 +110,27 @@ def test_hll_union_matches_exact_within_tolerance(spark):
         .est
     )
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_write_training_shards_deterministic_manifest(spark, tmp_path):
+    """Shard assignment is a pure function of the id (re-export lands
+    every row in the same shard); the manifest accounts for every row
+    exactly once."""
+    from cdc_pipeline_spark.streaming.batch_sink import write_training_shards
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source", "n_chars")
+    out = str(tmp_path / "shards")
+    m1 = write_training_shards(docs, out, id_col="doc_id", n_shards=4)
+    counts1 = {r.shard: r.n_rows for r in m1.collect()}
+    assert sum(counts1.values()) == docs.count()
+    assert set(counts1) <= set(range(4))
+    # re-export → identical sharding
+    m2 = write_training_shards(docs, out, id_col="doc_id", n_shards=4)
+    assert {r.shard: r.n_rows for r in m2.collect()} == counts1
+    # per-shard content is disjoint and keyed by the id hash
+    back = spark.read.parquet(out)
+    from pyspark.sql import functions as F2
+    bad = back.filter(
+        F2.pmod(F2.xxhash64(F2.col("doc_id")), F2.lit(4)) != F2.col("shard")
+    ).count()
+    assert bad == 0
