@@ -2628,6 +2628,50 @@ def event_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS transitions,
+           floor(count(*) / sum(count(*)) OVER (PARTITION BY event_type)
+                 * 10000.0 + 0.5) / 10000.0 AS p_next
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream transition matrix: per-user consecutive event-type
+    pairs (window lead over the user's timeline — one shuffle) rolled
+    into global transition counts and per-source-state probabilities.
+    The Markov-chain view of user behavior every path-analysis
+    dashboard starts from."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("transitions"))
+    total_w = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "transitions",
+        round_half_up(
+            F.col("transitions") / F.sum("transitions").over(total_w), 4
+        ).alias("p_next"),
+    )
+
+
+@register(
     "corpus_mix_weights",
     r"""
     WITH c AS (
@@ -3379,6 +3423,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_mix_weights",
     "user_retention_cohorts",
     "event_funnel_counts",
+    "event_transition_matrix",
     "ann_hard_negatives",
     "corpus_budget_mixture",
     # -- rows-only checks (no SQL oracle is possible); lowest priority for
