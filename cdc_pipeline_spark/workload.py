@@ -1192,7 +1192,8 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
         FROM feat
     )
-    SELECT doc_id, source, n_tokens, quality, cum_tokens
+    SELECT doc_id, source, n_tokens, quality,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
     FROM ranked
     WHERE cum_tokens - n_tokens < 800
     """,
@@ -2320,7 +2321,8 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderpriority, o_orderstatus,
-               floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total_price,
+               CAST(floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS DOUBLE)
+                   AS total_price,
                count(*) AS n_orders
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
@@ -2560,7 +2562,7 @@ def embedding_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
     ),
     cohort AS (SELECT user_id, min(day) AS first_day FROM activity GROUP BY user_id)
-    SELECT c.first_day AS cohort_day,
+    SELECT CAST(c.first_day AS VARCHAR) AS cohort_day,
            CAST(date_diff('day', c.first_day, a.day) AS BIGINT) AS day_offset,
            CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
     FROM activity a JOIN cohort c USING (user_id)
@@ -2578,7 +2580,10 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         activity.join(cohort, "user_id")
         .groupBy(
-            F.col("first_day").alias("cohort_day"),
+            # string, not date: a DATE column arrives as datetime.date
+            # from Spark but as midnight datetime64 from the oracle's
+            # pandas fetch — driver's typed hash can't match them
+            F.col("first_day").cast("string").alias("cohort_day"),
             F.datediff(F.col("day"), F.col("first_day")).cast("long").alias("day_offset"),
         )
         .agg(F.count_distinct("user_id").alias("active_users"))
@@ -3265,7 +3270,8 @@ def fuzzy_source_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS cum
         FROM canon
     )
-    SELECT doc_id, source, n_tokens, (cum - n_tokens) // 256 AS pack_id
+    SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id
     FROM c
     """,
 )
@@ -3329,7 +3335,8 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS cum
         FROM sel
     )
-    SELECT doc_id, source, n_tokens, (cum - n_tokens) // 256 AS pack_id
+    SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id
     FROM c
     """,
 )

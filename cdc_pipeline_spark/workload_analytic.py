@@ -232,7 +232,8 @@ def corpus_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS cum
         FROM t
     )
-    SELECT doc_id, source, n_tokens, (cum - n_tokens) // 256 AS pack_id
+    SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id
     FROM c
     """,
 )

@@ -26,26 +26,63 @@ TABLES = (
 
 
 def duckdb_run(sql: str, sf_dir: str):
+    """Fetch the oracle result THROUGH pandas (`.df()`), exactly like the
+    driver does. This is load-bearing for type parity: DuckDB's pandas
+    conversion coerces DECIMAL → float64 and HUGEINT (windowed integer
+    sums) → float64, while the Spark side arrives as raw collected Python
+    objects. Round 2's three hash-only FAILs were precisely this
+    asymmetry (Spark Decimal vs oracle float; Spark bigint vs oracle
+    float) — a fetchall()-based replica can never see them, and a
+    symmetric-strict replica flags greens (driver-green
+    alert_threshold_frame emits DECIMAL literals oracle-side)."""
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    df = con.execute(sql).df()
     con.close()
-    return cols, rows
+    return list(df.columns), _pdf_rows(df)
+
+
+def _pdf_rows(df):
+    """Extract rows from a pandas frame as plain-Python tuples (numpy
+    scalars unboxed, list/array cells tupled) so both sides normalize
+    through the identical code path."""
+    import numpy as np
+
+    def _cell(v):
+        if isinstance(v, np.ndarray):
+            return tuple(_cell(x) for x in v.tolist())
+        if isinstance(v, (list, tuple)):
+            return tuple(_cell(x) for x in v)
+        if hasattr(v, "item") and not isinstance(v, (str, bytes)):
+            try:
+                return v.item()
+            except (ValueError, AttributeError):
+                return v
+        return v
+
+    return [tuple(_cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
 
 
 def _norm(v):
+    """Driver-strict normalization. The driver's value hash is typed:
+    Decimal('757703674.730000') != 757703674.73 and bigint 3 != float 3.0
+    (this is exactly how the three round-2 hash-only FAILs escaped the
+    round-2 local harness, which coerced Decimal→float and relied on
+    Python's 3 == 3.0). Keep float-noise tolerance WITHIN a type
+    (round to 9 places, exponent-normalize decimals) but never across
+    types — tag each numeric family so cross-type equality is impossible."""
     if isinstance(v, bool):
         return v
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("f", "NaN")
         # collapse -0.0 / float-noise to a stable representation
-        return round(v, 9)
+        return ("f", round(v, 9))
     if v.__class__.__name__ == "Decimal":
-        return round(float(v), 9)
+        return ("d", str(v.normalize()))
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v
@@ -89,7 +126,12 @@ def compare(spark, query_fn, oracle: str, sf_dir: str) -> list[str]:
     """Return a list of mismatch descriptions (empty ⇒ match)."""
     sdf = query_fn(spark, sf_dir)
     spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    # Fetch the Spark side through toPandas(), like the driver: a
+    # nullable bigint column becomes float64 + NaN on BOTH sides
+    # (driver-green cube/rollup/lag queries depend on this), while a
+    # no-null bigint stays int64 and a DecimalType stays object(Decimal)
+    # — exactly the asymmetries the driver's typed hash sees.
+    spark_rows = _pdf_rows(sdf.toPandas())
     duck_cols, duck_rows = duckdb_run(oracle, sf_dir)
 
     problems = []
