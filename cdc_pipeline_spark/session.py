@@ -10,6 +10,7 @@ and AQE coalescing + skew-join splitting replace hand tuning.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -56,3 +57,25 @@ def create_spark_session(
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
+
+
+@contextmanager
+def temp_conf(spark: SparkSession, key: str, value: str):
+    """Set a session conf for the duration of a block, then restore it.
+
+    ``spark.conf.get(key, None)`` returns None when the conf was never
+    set — restoring must then UNSET, not skip: a skipped restore leaks
+    the temporary value for the rest of the session (e.g. a writer that
+    flips partitionOverwriteMode to "dynamic" would silently change the
+    semantics of every later ``mode("overwrite").partitionBy(...)``
+    write in the session).
+    """
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -82,9 +82,16 @@ def stream_static_enrich(
 ) -> DataFrame:
     """Enrich a stream with a STATIC dimension table — the stateless
     streaming join: no watermark, no state store, because the static
-    side is fully known at plan time. Each micro-batch re-resolves the
-    static relation, so a dim file replaced between batches is picked
-    up (snapshot-per-batch semantics).
+    side is fully known at plan time.
+
+    Dim freshness caveat: for a plain file-backed dim (parquet/CSV read
+    via ``spark.read``) the file listing is cached in the relation's
+    InMemoryFileIndex at read time, so files replaced or added AFTER the
+    DataFrame was built are generally NOT re-resolved per micro-batch.
+    Per-batch refresh holds for catalog/lakehouse-backed dims (Hive
+    table, Delta/Iceberg — their snapshot resolves at execution), or
+    re-read the dim inside a ``foreachBatch`` when file-level refresh is
+    required.
 
     The dim side is broadcast by default: on a cluster every executor
     holds the dim once and the stream never shuffles — the streaming

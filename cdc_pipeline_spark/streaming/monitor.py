@@ -47,7 +47,8 @@ class KvProgressListener(StreamingQueryListener):
     # -- StreamingQueryListener interface -------------------------------
     def onQueryStarted(self, event) -> None:
         self.kv.write_hash(
-            f"{self.prefix}:{event.name or event.id}", {"status": "started"}
+            f"{self.prefix}:{event.name or event.id}",
+            {"status": "started", "id": str(event.id)},
         )
 
     def onQueryProgress(self, event) -> None:
@@ -56,6 +57,7 @@ class KvProgressListener(StreamingQueryListener):
         state_rows = sum(s.numRowsTotal for s in p.stateOperators)
         payload = {
             "status": "running",
+            "id": str(p.id),
             "batch_id": p.batchId,
             "timestamp": p.timestamp,
             "num_input_rows": p.numInputRows,
@@ -71,19 +73,26 @@ class KvProgressListener(StreamingQueryListener):
 
     def onQueryTerminated(self, event) -> None:
         # keep the last metrics but mark the stream stopped; exception
-        # (if any) rides along for the health panel
-        key_candidates = [
-            k for k, _v in self.kv.read_hash(self.prefix).items()
-        ]
-        # terminated events carry id, not name — update every entry whose
-        # stored hash matches this id, else fall back to the id key
-        for name in key_candidates or [str(event.id)]:
+        # (if any) rides along for the health panel. Terminated events
+        # carry id, not name — match on the id each payload stores, so a
+        # terminating query never touches its concurrent siblings' state.
+        event_id = str(event.id)
+        matched = False
+        for name in self.kv.read_hash(self.prefix):
             existing = self.kv.read_hash(f"{self.prefix}:{name}")
-            if existing:
+            if existing and existing.get("id") == event_id:
+                matched = True
                 existing["status"] = "terminated"
                 if event.exception:
                     existing["exception"] = str(event.exception)
                 self.kv.write_hash(f"{self.prefix}:{name}", existing)
+        if not matched:
+            existing = self.kv.read_hash(f"{self.prefix}:{event_id}")
+            if existing:
+                existing["status"] = "terminated"
+                if event.exception:
+                    existing["exception"] = str(event.exception)
+                self.kv.write_hash(f"{self.prefix}:{event_id}", existing)
 
     def onQueryIdle(self, event) -> None:  # pragma: no cover - timing-dependent
         pass

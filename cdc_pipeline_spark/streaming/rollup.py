@@ -29,6 +29,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_pipeline_spark.session import temp_conf
+
 __all__ = ["RollupTableWriter", "read_rollup", "compact_partials"]
 
 _GRAIN_SECONDS = {"5min": 300, "hour": 3600, "day": 86400}
@@ -50,6 +52,11 @@ class RollupTableWriter:
         self.grain_seconds = grain_seconds
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a batch replayed AFTER compaction
+        # folded it into batch_id=-1 would re-create its partition and
+        # double-count on merge — skip ids the marker says are folded
+        if int(batch_id) <= _compacted_through(self.path):
+            return
         partials = (
             batch_df.groupBy(
                 (
@@ -68,15 +75,10 @@ class RollupTableWriter:
             .withColumn("batch_id", F.lit(int(batch_id)))
         )
         # overwrite THIS batch's partition only → replay-idempotent
-        mode = batch_df.sparkSession.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", None
-        )
-        batch_df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
+        with temp_conf(
+            batch_df.sparkSession, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
             partials.coalesce(1).write.mode("overwrite").partitionBy("batch_id").parquet(self.path)
-        finally:
-            if mode is not None:
-                batch_df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
 
 
 def read_rollup(spark: SparkSession, path: str, grain: str = "5min") -> DataFrame:
@@ -96,14 +98,45 @@ def read_rollup(spark: SparkSession, path: str, grain: str = "5min") -> DataFram
     )
 
 
+_COMPACTION_MARKER = "_compaction.json"
+
+
+def _compacted_through(path: str) -> int:
+    """Highest batch_id already folded into the ``batch_id=-1``
+    partition (-1 when never compacted). Stored in an underscore-prefixed
+    sidecar file, which Spark/Hadoop parquet listings ignore."""
+    import json
+
+    marker = os.path.join(path, _COMPACTION_MARKER)
+    try:
+        with open(marker) as fh:
+            return int(json.load(fh)["compacted_through"])
+    except (OSError, ValueError, KeyError):
+        return -1
+
+
 def compact_partials(spark: SparkSession, path: str) -> int:
     """Fold all per-batch partials into one ``batch_id=-1`` partition
     (merging by bucket), dropping the per-batch dirs. Returns the number
     of partial rows after compaction. Run from the maintenance cadence —
-    readers are correct before and after, this only bounds file count."""
+    readers are correct before and after, this only bounds file count.
+
+    Crash safety: the fold writes to a ``.compact.tmp`` sibling, then the
+    old table is renamed ASIDE before the tmp dir takes its place — a
+    crash at any point leaves a complete table at either ``path`` or
+    ``path.old`` (never neither, which a naive rmtree-then-rename risks).
+    Replay safety: the highest folded batch_id is recorded in a marker
+    the writer consults, so an at-least-once foreachBatch replay of an
+    already-folded batch cannot re-create its partition and double-count.
+    Concurrent readers mid-swap can transiently error on the rename (a
+    lakehouse table format turns this into an atomic metadata commit);
+    run it from the maintenance cadence, not per micro-batch."""
+    import json
     import shutil
 
     partials = spark.read.parquet(path)
+    high = partials.agg(F.max("batch_id")).collect()[0][0]
+    high = int(high) if high is not None else -1
     folded = (
         partials.groupBy("bucket_start")
         .agg(
@@ -115,6 +148,12 @@ def compact_partials(spark: SparkSession, path: str) -> int:
     tmp = path.rstrip("/") + ".compact.tmp"
     folded.coalesce(1).write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    shutil.rmtree(path)
+    with open(os.path.join(tmp, _COMPACTION_MARKER), "w") as fh:
+        json.dump({"compacted_through": max(high, _compacted_through(path))}, fh)
+    old = path.rstrip("/") + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return n

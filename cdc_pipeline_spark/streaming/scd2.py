@@ -35,6 +35,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_pipeline_spark.session import temp_conf
+
 from cdc_pipeline_spark.operators.cdc import scd2_history
 
 __all__ = ["Scd2TableWriter", "read_scd2_table", "expire_history"]
@@ -141,18 +143,13 @@ class Scd2TableWriter:
                 )
             )
             rebuilt = rebuilt.unionByName(untouched_hist)
-        overwrite_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
+        with temp_conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
             (
                 rebuilt.repartition("__kb")
                 .write.mode("overwrite")
                 .partitionBy("__kb")
                 .parquet(self.path)
             )
-        finally:
-            if overwrite_mode is not None:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", overwrite_mode)
 
 
 def expire_history(
@@ -187,14 +184,9 @@ def expire_history(
     # bucket whose rows all expired writes nothing and would survive —
     # drop those directories explicitly
     kept_buckets = {r["__kb"] for r in kept.select("__kb").distinct().collect()}
-    overwrite_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    with temp_conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
         if kept_buckets:
             kept.repartition("__kb").write.mode("overwrite").partitionBy("__kb").parquet(path)
-    finally:
-        if overwrite_mode is not None:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", overwrite_mode)
     import shutil
 
     for b in set(buckets) - kept_buckets:

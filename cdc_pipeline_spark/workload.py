@@ -2542,6 +2542,12 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sims
     )
     SELECT cell, medoid_id, mean_sim, n_members FROM ranked WHERE rn = 1
+    UNION ALL
+    -- singleton labels: the pairwise self-join above yields no row for a
+    -- one-member label, but cluster_medoids emits them with mean_sim 0.0
+    SELECT label AS cell, min(vec_id) AS medoid_id,
+           CAST(0.0 AS DOUBLE) AS mean_sim, CAST(1 AS BIGINT) AS n_members
+    FROM emb GROUP BY label HAVING count(*) = 1
     """,
 )
 def embedding_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3367,7 +3373,31 @@ def training_corpus_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- no CORRECTNESS_r01 row (registered past the 50-entry window) --
+    # -- never received a driver row (registered past the 50-entry window
+    # in both r1 and r2; VERDICT r2 "What's missing" item 1) --
+    "doc_perplexity_buckets",
+    "doc_length_outliers",
+    "doc_span_coverage",
+    "events_multigrain_rollup",
+    "corpus_profile",
+    "training_corpus_budgeted",
+    "embedding_cluster_medoids",
+    "corpus_mix_weights",
+    "user_retention_cohorts",
+    "event_funnel_counts",
+    "event_transition_matrix",
+    "ann_hard_negatives",
+    "corpus_budget_mixture",
+    "events_daily_distinct_hll",
+    "embedding_kmeans",
+    # -- red in CORRECTNESS_r02 (type alignment fixed this round);
+    # re-verify --
+    "orders_grouping_sets",
+    "doc_sequence_packing",
+    "training_corpus_pipeline",
+    # -- new queries registered in round 3 --
+    # (inserted here as they are added)
+    # -- round-2 greens, backfill to the 50-entry window --
     "q2_min_price_per_type",
     "q4_priority_late_orders",
     "q7_volume_shipping",
@@ -3386,7 +3416,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "q20_bulk_part_suppliers",
     "q21_sole_late_supplier",
     "q22_idle_customer_balance",
-    "orders_grouping_sets",
     "customer_order_window_battery",
     "lineitem_exact_percentiles",
     "events_gapfill_5min",
@@ -3395,17 +3424,16 @@ _DRIVER_WINDOW_PRIORITY = [
     "events_per_user_downsample",
     "embeddings_stratified_sample",
     "corpus_token_topk",
-    "doc_sequence_packing",
     "docs_incremental_new",
-    # -- output changed this round / oracle added this round --
     "doc_tfidf_cosine_pairs",
     "doc_winnowing_fingerprints",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_ivf_topk",
+    # -- (entries below are past position 50; r1/r2-green or streaming-
+    # covered; order is informational only) --
     "ann_rp_lsh_topk",
     "multimodal_frame_sample",
-    # -- new this round --
     "two_level_region_resolution",
     "dedup_clusters_star",
     "doc_quality_rules",
@@ -3415,28 +3443,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "cdc_scd2_history",
     "doc_unigram_logprob",
     "lineitem_measures_unpivot",
-    "training_corpus_pipeline",
     "fuzzy_source_join",
     "dedup_canonical_docs",
     "embedding_neardup_lsh",
     "embedding_semantic_dedup",
-    "doc_perplexity_buckets",
-    "doc_length_outliers",
-    "doc_span_coverage",
-    "events_multigrain_rollup",
-    "corpus_profile",
-    "training_corpus_budgeted",
-    "embedding_cluster_medoids",
-    "corpus_mix_weights",
-    "user_retention_cohorts",
-    "event_funnel_counts",
-    "event_transition_matrix",
-    "ann_hard_negatives",
-    "corpus_budget_mixture",
-    # -- rows-only checks (no SQL oracle is possible); lowest priority for
-    # the 50-entry window since their driver row is the weak variant --
-    "events_daily_distinct_hll",
-    "embedding_kmeans",
 ]
 
 

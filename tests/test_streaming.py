@@ -960,3 +960,92 @@ def test_rollup_writer_from_stream(spark, stream_dir, checkpoint, tmp_path):
     base = 1704067200
     got = {r.bucket_start: (r.n_events, float(r.sum_value)) for r in read_rollup(spark, table).collect()}
     assert got == {base: (2, 3.0), base + 300: (1, 4.0)}
+
+
+def test_rollup_compaction_replay_does_not_double_count(spark, tmp_path):
+    """A foreachBatch replay of a batch that compaction already folded
+    into batch_id=-1 must be a no-op — the compaction marker records the
+    highest folded id and the writer skips at-or-below it."""
+    from cdc_pipeline_spark.streaming.rollup import (
+        RollupTableWriter,
+        compact_partials,
+        read_rollup,
+    )
+
+    batches = [
+        _rows([(0, "view", 10.0)]),
+        _rows([(60, "view", 2.0)]),
+    ]
+    table = str(tmp_path / "rollup_replay")
+    writer = RollupTableWriter(table, time_col="created_at", value_col="value")
+    for i, rows in enumerate(batches):
+        writer(spark.createDataFrame(rows, EVENT_SCHEMA), i)
+    compact_partials(spark, table)
+    before = sorted(
+        (r.bucket_start, r.n_events, float(r.sum_value))
+        for r in read_rollup(spark, table, "5min").collect()
+    )
+    # replay an already-folded batch, then a genuinely new one
+    writer(spark.createDataFrame(batches[1], EVENT_SCHEMA), 1)
+    replayed = sorted(
+        (r.bucket_start, r.n_events, float(r.sum_value))
+        for r in read_rollup(spark, table, "5min").collect()
+    )
+    assert replayed == before
+    writer(spark.createDataFrame(_rows([(120, "view", 5.0)]), EVENT_SCHEMA), 2)
+    base = 1704067200
+    after = {
+        r.bucket_start: (r.n_events, float(r.sum_value))
+        for r in read_rollup(spark, table, "5min").collect()
+    }
+    assert after[base] == (3, 17.0)
+
+
+def test_monitor_termination_only_marks_matching_query():
+    """With two live queries, one terminating must not mark the other
+    terminated (nor attach its exception to it) — termination events
+    carry id only, and the listener matches on the id each progress
+    payload stored."""
+    from types import SimpleNamespace
+
+    from cdc_pipeline_spark.streaming.monitor import KvProgressListener
+    from cdc_pipeline_spark.streaming.sinks import InMemoryKV
+
+    kv = InMemoryKV()
+    listener = KvProgressListener(kv)
+
+    def progress(name, qid):
+        return SimpleNamespace(
+            progress=SimpleNamespace(
+                name=name, id=qid, batchId=1, timestamp="2024-01-01T00:00:00Z",
+                numInputRows=10, inputRowsPerSecond=1.0, processedRowsPerSecond=1.0,
+                durationMs={"triggerExecution": 5}, stateOperators=[],
+            )
+        )
+
+    listener.onQueryProgress(progress("alpha", "id-a"))
+    listener.onQueryProgress(progress("beta", "id-b"))
+    listener.onQueryTerminated(SimpleNamespace(id="id-b", exception="boom"))
+
+    alpha = kv.read_hash("nexus:monitor:streams:alpha")
+    beta = kv.read_hash("nexus:monitor:streams:beta")
+    assert beta["status"] == "terminated" and beta["exception"] == "boom"
+    assert alpha["status"] == "running" and "exception" not in alpha
+
+
+def test_temp_conf_unsets_previously_unset_key(spark):
+    """temp_conf must UNSET a conf that was never set, not leak the
+    temporary value into the rest of the session."""
+    from cdc_pipeline_spark.session import temp_conf
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.unset(key)  # ensure session default state
+    with temp_conf(spark, key, "dynamic"):
+        assert spark.conf.get(key) == "dynamic"
+    assert spark.conf.get(key, None) is None
+    # and restores an explicit prior value
+    spark.conf.set(key, "static")
+    with temp_conf(spark, key, "dynamic"):
+        pass
+    assert spark.conf.get(key) == "static"
+    spark.conf.unset(key)
