@@ -8,9 +8,9 @@ here (the only web framework in the container); the routes and payloads
 are framework-independent — SnapshotService does the shaping, this
 module is wiring.
 
-The WS endpoint (routes/ws.py) is snapshot-on-connect + the same
-pub/sub fan-out; SSE covers that contract for one-directional dashboards
-and Flask has no native WS, so WS is intentionally not reproduced.
+The WS endpoint (routes/ws.py: snapshot-on-connect + the same pub/sub
+fan-out) lives in ``serving/ws.py`` — a stdlib RFC 6455 implementation,
+since no WS framework ships in the container.
 """
 
 from __future__ import annotations

@@ -104,3 +104,152 @@ def test_subscribe_receives_only_selected_channels(kv):
     kv.unsubscribe(q)
     kv.publish("nexus:kpi", "z")
     assert q.empty()
+
+
+# ---------------------------------------------------------------------------
+# WebSocket endpoint (RFC 6455 over the kv contract; reference
+# routes/ws.py + services/ws_manager.py)
+# ---------------------------------------------------------------------------
+
+_WS_EVENTS = ("metrics", "traffic", "activity", "regions", "flows",
+              "alert", "platform", "health", "geo")
+
+
+class _BufferedSock:
+    """Socket wrapper that replays bytes over-read during the handshake
+    (the server pushes snapshot frames immediately after the 101, so one
+    recv can deliver headers + the start of frame data)."""
+
+    def __init__(self, sock, leftover: bytes) -> None:
+        self._sock = sock
+        self._buf = leftover
+
+    def recv(self, n: int) -> bytes:
+        if self._buf:
+            out, self._buf = self._buf[:n], self._buf[n:]
+            return out
+        return self._sock.recv(n)
+
+    def sendall(self, data: bytes) -> None:
+        self._sock.sendall(data)
+
+    def close(self) -> None:
+        self._sock.close()
+
+
+def _ws_connect(port: int, path: str = "/ws"):
+    """Minimal RFC 6455 client: upgrade handshake, returns a buffered socket."""
+    import base64
+    import os as _os
+    import socket
+
+    from cdc_pipeline_spark.serving.ws import accept_key
+
+    sock = socket.create_connection(("127.0.0.1", port), timeout=5)
+    key = base64.b64encode(_os.urandom(16)).decode("ascii")
+    req = (
+        f"GET {path} HTTP/1.1\r\n"
+        f"Host: 127.0.0.1:{port}\r\n"
+        "Upgrade: websocket\r\n"
+        "Connection: Upgrade\r\n"
+        f"Sec-WebSocket-Key: {key}\r\n"
+        "Sec-WebSocket-Version: 13\r\n\r\n"
+    )
+    sock.sendall(req.encode("latin-1"))
+    resp = b""
+    while b"\r\n\r\n" not in resp:
+        chunk = sock.recv(4096)
+        assert chunk, "server closed during handshake"
+        resp += chunk
+    head, leftover = resp.split(b"\r\n\r\n", 1)
+    head_text = head.decode("latin-1")
+    assert head_text.startswith("HTTP/1.1 101"), head_text
+    assert f"Sec-WebSocket-Accept: {accept_key(key)}" in head_text
+    return _BufferedSock(sock, leftover)
+
+
+def _recv_event(sock):
+    from cdc_pipeline_spark.serving.ws import OP_TEXT, decode_frame
+
+    opcode, payload = decode_frame(sock)
+    assert opcode == OP_TEXT
+    return json.loads(payload.decode("utf-8"))
+
+
+def test_ws_snapshot_on_connect_then_pubsub_fanout(kv):
+    """The reference WS contract end-to-end: connect → nine snapshot
+    frames (REST-identical payload shapes) → a kv publish fans out a
+    re-fetched snapshot frame to every connected client."""
+    from cdc_pipeline_spark.serving.ws import serve_ws
+
+    kv.write_hash("nexus:kpi:current", {"window_end": 100, "orders": 7, "revenue": 1.5})
+    server, hub = serve_ws(kv)
+    port = server.server_address[1]
+    try:
+        c1 = _ws_connect(port)
+        frames = [_recv_event(c1) for _ in range(9)]
+        assert tuple(f["event"] for f in frames) == _WS_EVENTS
+        metrics = frames[0]["data"]
+        assert metrics["orders"] == 7 and metrics["updatedAt"] == 100
+        # shapes match the REST snapshots (ws_manager docstring contract)
+        assert frames[1]["data"] == [] and frames[5]["data"]["summary"]["criticalCount"] == 0
+
+        c2 = _ws_connect(port)
+        for _ in range(9):
+            _recv_event(c2)
+
+        # publish → BOTH clients get the re-fetched (typed) snapshot
+        kv.write_hash(
+            "nexus:kpi:current",
+            {"window_end": 200, "orders": 9, "revenue": 5.0},
+            channel="nexus:kpi",
+        )
+        for sock in (c1, c2):
+            evt = _recv_event(sock)
+            assert evt["event"] == "metrics"
+            assert evt["data"]["orders"] == 9 and evt["data"]["updatedAt"] == 200
+        c1.close()
+        c2.close()
+    finally:
+        server.shutdown()
+        server.server_close()
+        hub.close()
+
+
+def test_ws_ping_pong_and_clean_close(kv):
+    import struct
+    import time as _time
+
+    from cdc_pipeline_spark.serving.ws import (
+        OP_CLOSE,
+        OP_PING,
+        OP_PONG,
+        decode_frame,
+        encode_frame,
+        serve_ws,
+    )
+
+    server, hub = serve_ws(kv)
+    port = server.server_address[1]
+    try:
+        sock = _ws_connect(port)
+        for _ in range(9):
+            _recv_event(sock)
+        assert hub.client_count == 1
+        # ping (client frames must be masked) → pong with same payload
+        sock.sendall(encode_frame(OP_PING, b"hb", mask=True))
+        opcode, payload = decode_frame(sock)
+        assert (opcode, payload) == (OP_PONG, b"hb")
+        # close → server echoes the close code and detaches the client
+        sock.sendall(encode_frame(OP_CLOSE, struct.pack(">H", 1000), mask=True))
+        opcode, payload = decode_frame(sock)
+        assert opcode == OP_CLOSE and payload == struct.pack(">H", 1000)
+        sock.close()
+        deadline = _time.time() + 5
+        while hub.client_count and _time.time() < deadline:
+            _time.sleep(0.05)
+        assert hub.client_count == 0
+    finally:
+        server.shutdown()
+        server.server_close()
+        hub.close()
