@@ -1,0 +1,260 @@
+"""Pure-Python Avro binary decoder (Arrow-batched) — the jar-free S3 path.
+
+The production decode path is ``pyspark.sql.avro.functions.from_avro``
+(``kafka_avro.decode_avro``), which needs the spark-avro connector jar on
+the JVM classpath. This container ships no such jar and no Python avro
+package, so this module implements the subset of the **public Avro 1.11
+binary encoding spec** the CDC chain needs, from scratch:
+
+  * zig-zag varint ints/longs, IEEE float/double (little-endian),
+    length-prefixed bytes/strings, 1-byte booleans;
+  * unions (zig-zag branch index + value), records (fields in order),
+    arrays and maps (block runs with optional negative-count byte-size
+    form, terminated by an empty block);
+  * ``timestamp-millis`` logical longs → UTC timestamps.
+
+It is deliberately NOT a full Avro implementation: no schema resolution
+(reader schema must equal the writer schema — which is exactly what
+``fetch_schema_from_registry`` returns), no enums/fixed/recursive types.
+
+Execution shape: decoding is per-row Python work, so it runs as an
+Arrow-batched ``mapInPandas`` — partition-preserving, no shuffle, batch
+size governed by ``spark.sql.execution.arrow.maxRecordsPerBatch``. On a
+cluster this is the same plumbing as any other Python source decode; the
+jar path stays strictly preferable when available (JVM-side, codegen),
+which is why ``decode_avro_auto`` probes for it first.
+
+Reference parity: reproduces the PERMISSIVE + null-drop contract of the
+reference's decoder (``src/streaming/kafka_sources.py:66-84``) — any
+payload that fails to decode, or decodes without consuming the full
+buffer, is dropped, never an error.
+"""
+
+from __future__ import annotations
+
+import json
+import struct as _struct
+from datetime import datetime, timezone
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DataType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = ["avro_to_spark_schema", "compile_decoder", "decode_avro_python"]
+
+
+class _Cursor:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0
+
+    def take(self, n: int) -> bytes:
+        end = self.pos + n
+        if end > len(self.buf):
+            raise EOFError("truncated Avro payload")
+        out = self.buf[self.pos : end]
+        self.pos = end
+        return out
+
+    def read_long(self) -> int:
+        """Zig-zag varint (Avro spec §binary encoding, primitive types)."""
+        acc = 0
+        shift = 0
+        while True:
+            byte = self.take(1)[0]
+            acc |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+            if shift > 70:
+                raise ValueError("varint too long")
+        return (acc >> 1) ^ -(acc & 1)
+
+
+def _normalize(schema: Any) -> tuple[str, dict]:
+    """(type name, full dict form) of a schema node."""
+    if isinstance(schema, str):
+        return schema, {"type": schema}
+    if isinstance(schema, list):
+        return "union", {"type": "union", "branches": schema}
+    if isinstance(schema, dict):
+        return schema["type"], schema
+    raise ValueError(f"unsupported Avro schema node: {schema!r}")
+
+
+def _spark_type(schema: Any) -> tuple[DataType, bool]:
+    """Spark type + nullability for an Avro schema node (mirrors
+    spark-avro's SchemaConverters for the supported subset)."""
+    kind, node = _normalize(schema)
+    if kind == "union":
+        branches = [b for b in node["branches"] if b != "null"]
+        nullable = len(branches) != len(node["branches"])
+        if len(branches) != 1:
+            raise ValueError("only 2-branch null unions are supported")
+        inner, _ = _spark_type(branches[0])
+        return inner, nullable
+    if kind == "long" and node.get("logicalType") == "timestamp-millis":
+        return TimestampType(), False
+    scalar = {
+        "null": StringType(),  # degenerate; never used alone in practice
+        "boolean": BooleanType(),
+        "int": IntegerType(),
+        "long": LongType(),
+        "float": FloatType(),
+        "double": DoubleType(),
+        "bytes": BinaryType(),
+        "string": StringType(),
+    }
+    if kind in scalar:
+        return scalar[kind], False
+    if kind == "record":
+        fields = []
+        for f in node["fields"]:
+            ftype, fnullable = _spark_type(f["type"])
+            fields.append(StructField(f["name"], ftype, fnullable))
+        return StructType(fields), False
+    if kind == "array":
+        inner, el_nullable = _spark_type(node["items"])
+        return ArrayType(inner, el_nullable), False
+    if kind == "map":
+        inner, v_nullable = _spark_type(node["values"])
+        return MapType(StringType(), inner, v_nullable), False
+    raise ValueError(f"unsupported Avro type: {kind}")
+
+
+def avro_to_spark_schema(avro_schema_json: str) -> StructType:
+    """Top-level record schema → Spark StructType."""
+    node = json.loads(avro_schema_json)
+    kind, node = _normalize(node)
+    if kind != "record":
+        raise ValueError("top-level Avro schema must be a record")
+    fields = []
+    for f in node["fields"]:
+        ftype, fnullable = _spark_type(f["type"])
+        fields.append(StructField(f["name"], ftype, fnullable))
+    return StructType(fields)
+
+
+def _compile(schema: Any) -> Callable[[_Cursor], Any]:
+    kind, node = _normalize(schema)
+    if kind == "union":
+        branches = [_compile(b) for b in node["branches"]]
+
+        def read_union(cur: _Cursor, _branches=branches):
+            idx = cur.read_long()
+            if not 0 <= idx < len(_branches):
+                raise ValueError(f"union branch {idx} out of range")
+            return _branches[idx](cur)
+
+        return read_union
+    if kind == "null":
+        return lambda cur: None
+    if kind == "boolean":
+        return lambda cur: cur.take(1) == b"\x01"
+    if kind in ("int", "long"):
+        if node.get("logicalType") == "timestamp-millis":
+            return lambda cur: datetime.fromtimestamp(cur.read_long() / 1000.0, tz=timezone.utc).replace(tzinfo=None)
+        return lambda cur: cur.read_long()
+    if kind == "float":
+        return lambda cur: _struct.unpack("<f", cur.take(4))[0]
+    if kind == "double":
+        return lambda cur: _struct.unpack("<d", cur.take(8))[0]
+    if kind == "bytes":
+        return lambda cur: cur.take(cur.read_long())
+    if kind == "string":
+        return lambda cur: cur.take(cur.read_long()).decode("utf-8")
+    if kind == "record":
+        readers = [(f["name"], _compile(f["type"])) for f in node["fields"]]
+
+        def read_record(cur: _Cursor, _readers=readers):
+            return {name: reader(cur) for name, reader in _readers}
+
+        return read_record
+    if kind == "array":
+        item = _compile(node["items"])
+
+        def read_array(cur: _Cursor, _item=item):
+            out = []
+            while True:
+                count = cur.read_long()
+                if count == 0:
+                    return out
+                if count < 0:  # block byte-size form (spec: complex types)
+                    cur.read_long()
+                    count = -count
+                out.extend(_item(cur) for _ in range(count))
+
+        return read_array
+    if kind == "map":
+        value = _compile(node["values"])
+
+        def read_map(cur: _Cursor, _value=value):
+            out = {}
+            while True:
+                count = cur.read_long()
+                if count == 0:
+                    return out
+                if count < 0:
+                    cur.read_long()
+                    count = -count
+                for _ in range(count):
+                    key = cur.take(cur.read_long()).decode("utf-8")
+                    out[key] = _value(cur)
+
+        return read_map
+    raise ValueError(f"unsupported Avro type: {kind}")
+
+
+def compile_decoder(avro_schema_json: str) -> Callable[[bytes], dict]:
+    """bytes → record dict; raises on corrupt/truncated/over-long input."""
+    reader = _compile(json.loads(avro_schema_json))
+
+    def decode(payload: bytes) -> dict:
+        cur = _Cursor(payload)
+        out = reader(cur)
+        if cur.pos != len(cur.buf):
+            raise ValueError("trailing bytes after record")
+        return out
+
+    return decode
+
+
+def decode_avro_python(df: DataFrame, avro_schema_json: str, column: str = "value") -> DataFrame:
+    """S3 fallback: PERMISSIVE-style decode of a binary column without the
+    spark-avro jar. Same contract as ``kafka_avro.decode_avro`` — corrupt
+    records are dropped — but runs as an Arrow ``mapInPandas``."""
+    import pandas as pd
+
+    spark_schema = avro_to_spark_schema(avro_schema_json)
+    out_cols = spark_schema.fieldNames()
+
+    def gen(batches):
+        decode = compile_decoder(avro_schema_json)
+        for pdf in batches:
+            records = []
+            for payload in pdf[column]:
+                if payload is None:
+                    continue
+                try:
+                    records.append(decode(bytes(payload)))
+                except Exception:
+                    continue  # PERMISSIVE null-drop (kafka_sources.py:66-84)
+            yield pd.DataFrame(records, columns=out_cols)
+
+    return df.select(column).mapInPandas(gen, schema=spark_schema)

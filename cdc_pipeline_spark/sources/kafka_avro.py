@@ -96,6 +96,19 @@ def decode_avro(df: DataFrame, avro_schema_json: str, column: str = "value") -> 
     return decoded.filter(F.col("data").isNotNull()).select("data.*")
 
 
+def decode_avro_auto(df: DataFrame, avro_schema_json: str, column: str = "value") -> DataFrame:
+    """S3 with capability dispatch: the JVM ``from_avro`` path when the
+    spark-avro jar is present (codegen, strictly faster), else the
+    spec-based pure-Python Arrow decoder (``sources.avro_codec``). Both
+    share the PERMISSIVE + null-drop contract, so call sites and tests
+    are path-agnostic."""
+    if avro_available(df.sparkSession):
+        return decode_avro(df, avro_schema_json, column)
+    from cdc_pipeline_spark.sources.avro_codec import decode_avro_python
+
+    return decode_avro_python(df.select(strip_confluent_header(column).alias(column)), avro_schema_json, column)
+
+
 def avro_reader_schema(
     struct,
     record_name: str,
@@ -186,9 +199,10 @@ def read_cdc_stream(
     **kafka_opts,
 ) -> DataFrame:
     """S4+S5: full CDC chain — Kafka → header strip → Avro decode → op
-    filter → timestamp normalization."""
+    filter → timestamp normalization. Decode dispatches on jar
+    availability (``decode_avro_auto``)."""
     raw = read_kafka_stream(spark, bootstrap_servers, topic, **kafka_opts)
-    decoded = decode_avro(raw, avro_schema_json)
+    decoded = decode_avro_auto(raw, avro_schema_json)
     return normalize_cdc(decoded, timestamp_columns or [])
 
 
@@ -201,7 +215,7 @@ def read_direct_stream(
 ) -> DataFrame:
     """S6: direct (non-CDC) Avro topic — same chain minus the op filter."""
     raw = read_kafka_stream(spark, bootstrap_servers, topic, **kafka_opts)
-    return decode_avro(raw, avro_schema_json)
+    return decode_avro_auto(raw, avro_schema_json)
 
 
 def read_json_stream(

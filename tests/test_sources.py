@@ -251,3 +251,147 @@ def test_parse_json_with_dlq_routes_failures(spark):
     dl = {r.offset: r.raw_payload for r in dead.collect()}
     assert set(dl) == {1, 2}
     assert dl[1] == "not json at all", "raw evidence preserved"
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python Avro decode path (sources/avro_codec.py): S1/S3/S6 exercised
+# end-to-end without the spark-avro jar — synthetic Confluent-framed Avro
+# bytes, encoded here from the public Avro 1.11 binary spec, flow through
+# header strip → decode → CDC normalize as a real micro-batched stream.
+# ---------------------------------------------------------------------------
+
+
+def _avro_varint(u: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zz(n: int) -> bytes:
+    return _avro_varint((n << 1) ^ (n >> 63))
+
+
+def _avro_str(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return _zz(len(b)) + b
+
+
+def _encode_cdc_user(id_, username, created_at_iso, op, source_ts_ms):
+    """Encode one record against the avro_reader_schema layout for a
+    (id, username, created_at)+CDC-meta struct: non-null long, then
+    null-first unions for each nullable field (branch 1 = value)."""
+    import struct as _s
+
+    body = _zz(id_)
+    for val, enc in (
+        (username, _avro_str),
+        (created_at_iso, _avro_str),  # ZonedTimestamp rides as string
+        (op, _avro_str),
+        ("users", _avro_str),  # __table
+        (source_ts_ms, _zz),  # __source_ts_ms long
+        ("false", _avro_str),  # __deleted
+    ):
+        if val is None:
+            body += _zz(0)  # null branch
+        else:
+            body += _zz(1) + enc(val)
+    return body
+
+
+def _confluent_frame(avro_bytes: bytes, schema_id: int = 7) -> bytes:
+    import struct as _s
+
+    return b"\x00" + _s.pack(">I", schema_id) + avro_bytes
+
+
+def _cdc_user_avro_schema():
+    import json as _json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
+
+    from cdc_pipeline_spark.schemas import with_cdc_meta
+    from cdc_pipeline_spark.sources.kafka_avro import avro_reader_schema
+
+    struct = with_cdc_meta(
+        StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("username", StringType()),
+                StructField("created_at", TimestampType()),
+            ]
+        )
+    )
+    return avro_reader_schema(struct, "UserEnvelope", zoned_ts_cols=("created_at",))
+
+
+def test_avro_codec_roundtrip_and_permissive_drop():
+    """compile_decoder inverts the spec encoding exactly; corrupt and
+    truncated payloads raise (→ PERMISSIVE drop in the frame API)."""
+    import pytest as _pytest
+
+    from cdc_pipeline_spark.sources.avro_codec import avro_to_spark_schema, compile_decoder
+
+    schema_json = _cdc_user_avro_schema()
+    decode = compile_decoder(schema_json)
+    rec = decode(_encode_cdc_user(41, "ada", "2024-01-01T00:00:05.000000Z", "c", 1704067205000))
+    assert rec["id"] == 41 and rec["username"] == "ada"
+    assert rec["__op"] == "c" and rec["__source_ts_ms"] == 1704067205000
+    # nullable field: null branch decodes to None
+    rec2 = decode(_encode_cdc_user(42, None, "2024-01-01T00:00:06Z", "u", 1))
+    assert rec2["username"] is None
+    for bad in (b"", b"\xff\xff\xff", _encode_cdc_user(1, "x", "t", "c", 1) + b"\x00"):
+        with _pytest.raises(Exception):
+            decode(bad)
+    spark_schema = avro_to_spark_schema(schema_json)
+    assert [f.name for f in spark_schema.fields][:3] == ["id", "username", "created_at"]
+    assert spark_schema["created_at"].dataType.simpleString() == "string"  # ZonedTimestamp string
+
+
+def test_avro_cdc_chain_end_to_end_stream(spark, tmp_path):
+    """The full S1→S3→S4→S5 chain as a stream, jar-free: Confluent-framed
+    Avro micro-batches → header strip → pure-Python decode (corrupt rows
+    dropped) → op filter (deletes dropped) → ZonedTimestamp normalize."""
+    import datetime as _dt
+
+    from cdc_pipeline_spark.operators.cdc import normalize_cdc
+    from cdc_pipeline_spark.sources.kafka_avro import avro_available, decode_avro_auto
+
+    assert not avro_available(spark), "container has no spark-avro jar; test exercises fallback"
+    schema_json = _cdc_user_avro_schema()
+    frames = [
+        _confluent_frame(_encode_cdc_user(1, "ada", "2024-01-01T00:00:05.000000Z", "c", 100)),
+        _confluent_frame(_encode_cdc_user(2, "bob", "2024-01-01T00:00:06Z", "u", 200)),
+        _confluent_frame(_encode_cdc_user(3, "eve", "2024-01-01T00:00:07.000000Z", "d", 300)),  # delete → dropped
+        _confluent_frame(b"\x13\x37garbage-not-avro"),  # corrupt → dropped
+    ]
+    src = tmp_path / "avro_stream"
+    src.mkdir()
+    for i, frame in enumerate(frames):
+        spark.createDataFrame([(bytearray(frame),)], "value binary").write.parquet(
+            str(src / f"batch_{i}.parquet")
+        )
+    raw = spark.readStream.schema("value binary").option(
+        "maxFilesPerTrigger", "2"
+    ).parquet(str(src) + "/*/")
+    decoded = decode_avro_auto(raw, schema_json)
+    normalized = normalize_cdc(decoded, ["created_at"])
+    q = (
+        normalized.writeStream.format("memory")
+        .queryName("avro_e2e")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.id: r for r in spark.sql("SELECT * FROM avro_e2e").collect()}
+    assert set(rows) == {1, 2}, rows  # delete + corrupt dropped
+    assert rows[1].username == "ada" and rows[1]["__op"] == "c"
+    assert rows[1].created_at == _dt.datetime(2024, 1, 1, 0, 0, 5)
+    assert rows[2].created_at == _dt.datetime(2024, 1, 1, 0, 0, 6)
+    assert rows[2]["__source_ts_ms"] == 200
