@@ -560,3 +560,81 @@ def cross_doc_span_coverage(
             F.count_if(F.col("__df") >= 2) / F.count(F.lit(1)), 4
         ).alias("dup_frac"),
     )
+
+
+def segment_posting(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 8,
+) -> DataFrame:
+    """(doc_id, pos, segment) posting of fixed-width token segments —
+    the unit of paragraph/line-level dedup. Real corpora segment on a
+    structural delimiter (newline / double-newline); for delimiter-free
+    text this fixed-width chunking is the deterministic fallback, and
+    the downstream keep-first semantics are identical either way.
+    Pure JVM expressions (split / transform / slice / posexplode)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(tokens(text_col), lambda t: t != F.lit("")).alias("__t"),
+    )
+    n_seg = F.ceil(F.size("__t") / F.lit(seg_tokens)).cast("int")
+    segs = F.when(
+        F.size("__t") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i * seg_tokens + 1, seg_tokens)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select("doc_id", F.posexplode(segs).alias("pos", "segment"))
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 8,
+) -> DataFrame:
+    """Paragraph/line-level dedup with document reconstruction (the
+    CCNet line-dedup shape, Wenzek et al. 2020 §3.1: drop every repeated
+    paragraph, keep its globally-first occurrence): a segment survives
+    iff it is the first occurrence of its content in (doc_id, pos)
+    order; each document is rebuilt from its surviving segments.
+
+    Two shuffles: (1) keeper selection — row_number over a window
+    partitioned by segment content (at 100 TB partition by a segment
+    fingerprint instead to shuffle 16-byte keys, trading a negligible
+    collision probability for ~1× corpus shuffle volume); (2) per-doc
+    rebuild (collect surviving segments, sort by pos, join). Both are
+    hash exchanges; no global sort.
+
+    Output: (doc_id, n_segments, n_kept, dedup_text) — docs whose every
+    segment was seen earlier rebuild to ''.
+    """
+    from pyspark.sql import Window
+
+    posting = segment_posting(df, id_col, text_col, seg_tokens)
+    w = Window.partitionBy("segment").orderBy("doc_id", "pos")
+    kept = posting.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    totals = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segments"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "segment"))),
+                lambda s: s.getField("segment"),
+            ),
+        ).alias("dedup_text"),
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        ids.join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segments", F.lit(0).cast("long")).alias("n_segments"),
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+    )

@@ -219,3 +219,38 @@ def portable_id_bucket(col, seed: int = 7, resolution: int = 1_000_000):
     from pyspark.sql import functions as F
 
     return ((col * F.lit(2654435761) + F.lit(seed)) % F.lit(2147483647)) % F.lit(resolution)
+
+
+def epoch_shuffle_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: int = 7,
+    resolution: int = 1_000_000,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Deterministic global training order for an epoch: every record
+    gets a shard and a position within it, derived purely from
+    hash(id, seed) — so re-running the job (or re-materializing a lost
+    partition) reproduces the identical order, and changing ``seed``
+    reshuffles for the next epoch.
+
+    This is the scale-correct form of "globally shuffle the corpus":
+    a true global permutation needs a total sort, but a training loader
+    only needs (a) pseudo-random order and (b) disjoint, evenly-sized
+    shards it can stream — which hash-sharding plus an intra-shard sort
+    delivers with ONE hash exchange on shard and a per-shard local sort
+    (no global sort, no driver state). Pairs with
+    streaming.batch_sink.write_training_shards for the on-disk layout.
+
+    Output: (doc_id, *carry_cols, shard, epoch_pos) — epoch_pos is
+    1-based within shard, ordered by (shuffle_key, doc_id).
+    """
+    from pyspark.sql.window import Window as _W
+
+    key = portable_id_bucket(F.col(id_col), seed, resolution)
+    out = df.select(F.col(id_col).alias("doc_id"), *carry_cols).withColumn(
+        "__key", key
+    ).withColumn("shard", (F.col("__key") % F.lit(n_shards)).cast("long"))
+    w = _W.partitionBy("shard").orderBy("__key", "doc_id")
+    return out.withColumn("epoch_pos", F.row_number().over(w).cast("long")).drop("__key")

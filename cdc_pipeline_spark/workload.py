@@ -2901,6 +2901,7 @@ def events_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bottom so `register`/`_t` exist when it runs.
 from cdc_pipeline_spark import workload_relational  # noqa: E402,F401
 from cdc_pipeline_spark import workload_analytic  # noqa: E402,F401
+from cdc_pipeline_spark import workload_corpus  # noqa: E402,F401
 
 @register(
     "lineitem_measures_unpivot",
@@ -3503,7 +3504,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_sequence_packing",
     "training_corpus_pipeline",
     # -- new queries registered in round 3 --
-    # (inserted here as they are added)
+    "dsir_target_selection",
+    "doc_segment_dedup",
+    "training_epoch_order",
     # -- round-2 greens, backfill to the 50-entry window --
     "q2_min_price_per_type",
     "q4_priority_late_orders",

@@ -765,3 +765,74 @@ def test_cluster_medoids_planted(spark):
     assert got[0].medoid_id == 2 and got[0].n_members == 3
     assert got[0].mean_sim > 0.85  # avg(cos 30°, cos 30°) ≈ 0.866
     assert got[1].medoid_id == 9 and got[1].mean_sim == 0.0 and got[1].n_members == 1
+
+
+def test_segment_dedup_keep_first_and_rebuild(spark):
+    """A repeated 8-token segment survives only at its globally-first
+    (doc_id, pos); docs rebuild from surviving segments in pos order."""
+    from cdc_pipeline_spark.operators.dedup import segment_dedup
+
+    seg_a = " ".join(["alpha"] * 8)
+    seg_b = " ".join(["beta"] * 8)
+    seg_c = " ".join(["gamma"] * 8)
+    df = spark.createDataFrame(
+        [
+            (1, f"{seg_a} {seg_b}"),       # both first occurrences
+            (2, f"{seg_b} {seg_c}"),       # seg_b dup -> dropped
+            (3, seg_a),                    # fully duplicate -> ''
+            (4, "short tail"),             # partial segment, unique
+            (5, "   "),                    # whitespace-only -> 0 segments
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(df).collect()}
+    assert out[1]["dedup_text"] == f"{seg_a} {seg_b}" and out[1]["n_kept"] == 2
+    assert out[2]["dedup_text"] == seg_c and out[2]["n_kept"] == 1
+    assert out[3]["dedup_text"] == "" and out[3]["n_kept"] == 0 and out[3]["n_segments"] == 1
+    assert out[4]["dedup_text"] == "short tail"
+    assert out[5]["n_segments"] == 0 and out[5]["dedup_text"] == ""
+
+
+def test_dsir_weights_favor_target_vocabulary(spark):
+    """Docs sharing the target domain's vocabulary must outscore docs
+    with disjoint vocabulary; zero-gram docs score exactly 0."""
+    from cdc_pipeline_spark.operators.dsir import dsir_log_weights, dsir_select
+
+    target = spark.createDataFrame(
+        [(100 + i, "spark shuffle join window agg") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "spark shuffle join window agg"),   # on-target
+            (2, "llama pasture fence wool herd"),    # off-target
+            (3, "   "),                              # zero grams
+        ],
+        "doc_id long, text string",
+    )
+    w = {r["doc_id"]: r for r in dsir_log_weights(raw, target).collect()}
+    assert w[1]["log_weight"] > w[2]["log_weight"]
+    assert w[3]["log_weight"] == 0.0 and w[3]["n_grams"] == 0
+    # selection is deterministic and keeps k rows with the key ordering
+    sel = dsir_select(dsir_log_weights(raw, target), k=2).collect()
+    keys = [r["sample_key"] for r in sel]
+    assert len(sel) == 2 and keys == sorted(keys, reverse=True)
+
+
+def test_epoch_shuffle_order_deterministic_and_dense(spark):
+    """Per-shard positions are dense 1..n, reruns are identical, and a
+    different seed produces a different order."""
+    from cdc_pipeline_spark.operators.sampling import epoch_shuffle_order
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = epoch_shuffle_order(df, n_shards=4, seed=3).collect()
+    b = epoch_shuffle_order(df, n_shards=4, seed=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["epoch_pos"])
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    c = epoch_shuffle_order(df, n_shards=4, seed=4).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
