@@ -237,6 +237,28 @@ def minhash_signatures(
     return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"))
 
 
+def band_posting(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) posting from a signature frame: the LSH
+    index rows. Band hash = xxhash64 of the band's row slice; docs share
+    a bucket iff every permutation in that band agrees."""
+    rows = num_perm // bands
+    band_hash = [
+        F.xxhash64(
+            F.concat_ws(",", *[F.col("signature")[b * rows + r].cast("string") for r in range(rows)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_hash)
+    return banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket")) for b in range(bands)]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -261,21 +283,8 @@ def minhash_lsh_pairs(
             f"bands ({bands}) must evenly divide num_perm ({num_perm}); "
             "otherwise permutations are silently dropped or band hashes degenerate"
         )
-    rows = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_perm)
-    band_hash = [
-        F.xxhash64(F.concat_ws(",", *[F.col("signature")[b * rows + r].cast("string") for r in range(rows)])).alias(
-            f"band{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select("doc_id", *band_hash)
-    melted = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket")) for b in range(bands)])
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    melted = band_posting(sig, num_perm, bands)
     pairs = (
         melted.alias("l")
         .join(melted.alias("r"), ["band", "bucket"])
@@ -299,6 +308,57 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", round_half_up(jaccard, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_minhash_neardup(
+    df: DataFrame,
+    incoming: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental NEAR-dup detection: probe an incoming batch against
+    the historical corpus' LSH band index — the fuzzy twin of the exact
+    anti-join in ``workload_analytic.docs_incremental_new``.
+
+    ``incoming`` is a boolean Column splitting ``df`` into the new batch
+    (true) and the historical corpus (false). Signatures are computed in
+    one pass over the union; the band join is strictly incoming ×
+    historical (never incoming² or historical²), so per-increment work is
+    proportional to the BATCH, not the corpus. Candidates are verified
+    with exact Jaccard, keeping pairs ≥ ``threshold``.
+
+    At 100 TB the historical side is a persisted band index — (band,
+    bucket, doc_id), 16 rows/doc, bucketed by (band, bucket) — plus a
+    shingle-set table for verification; each increment hashes only its
+    own docs and probes the index shuffle-free on the corpus side.
+
+    Output: (doc_id [incoming], match_id [historical], jaccard).
+    """
+    marked = df.withColumn("__incoming", incoming)
+    sig = minhash_signatures(marked, id_col, text_col, n, num_perm)
+    flags = marked.select(F.col(id_col).alias("doc_id"), "__incoming")
+    melted = band_posting(sig, num_perm, bands).join(flags, "doc_id")
+    new_side = melted.filter(F.col("__incoming")).select("doc_id", "band", "bucket")
+    hist_side = melted.filter(~F.col("__incoming")).select(
+        F.col("doc_id").alias("match_id"), "band", "bucket"
+    )
+    cand = new_side.join(hist_side, ["band", "bucket"]).select("doc_id", "match_id").distinct()
+    sh = _shingled(marked, id_col, text_col, n)
+    a_side = sh.select(F.col("doc_id"), F.col("shingles").alias("__sa"))
+    b_side = sh.select(F.col("doc_id").alias("match_id"), F.col("shingles").alias("__sb"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    jaccard = inter / (F.size("__sa") + F.size("__sb") - inter)
+    return (
+        cand.join(a_side, "doc_id")
+        .join(b_side, "match_id")
+        .withColumn("jaccard", round_half_up(jaccard, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "match_id", "jaccard")
     )
 
 

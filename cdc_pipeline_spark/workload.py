@@ -3507,6 +3507,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "dsir_target_selection",
     "doc_segment_dedup",
     "training_epoch_order",
+    "doc_quality_classifier",
+    "docs_incremental_neardup",
     # -- round-2 greens, backfill to the 50-entry window --
     "q2_min_price_per_type",
     "q4_priority_late_orders",

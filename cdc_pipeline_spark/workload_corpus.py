@@ -166,6 +166,118 @@ _EPOCH_ORDER_ORACLE = """
 """
 
 
+_CLASSIFIER_ORACLE = r"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   t -> t <> '') AS toks
+        FROM documents
+    ),
+    posting AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(gram, ''),
+                                      c -> CAST(greatest(unicode(c), 0) AS BIGINT))),
+                   (acc, x) -> (acc * 131 + x) % 2147483647) % 4096 AS bucket
+        FROM (
+            SELECT doc_id, unnest(toks) AS gram FROM toks
+            UNION ALL
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i + 1])) AS gram
+            FROM toks
+        )
+    ),
+    w AS (
+        SELECT bucket,
+               CAST((((bucket * 2654435761 + 13) % 2147483647) % 2001 - 1000) / 1000.0
+                    AS DECIMAL(9,3)) AS weight
+        FROM (SELECT unnest(range(0, 4096)) AS bucket)
+    ),
+    scored AS (
+        SELECT doc_id, count(*) AS n_grams, sum(weight) AS wsum
+        FROM posting JOIN w USING (bucket) GROUP BY 1
+    ),
+    base AS (
+        SELECT d.doc_id, d.source,
+               COALESCE(n_grams, 0) AS n_grams,
+               round(CAST(COALESCE(wsum, 0) AS DOUBLE)
+                     / greatest(COALESCE(n_grams, 0), 1), 6) AS logit
+        FROM documents d LEFT JOIN scored USING (doc_id)
+    )
+    SELECT doc_id, source, n_grams, logit, prob, prob > 0.5 AS keep
+    FROM (SELECT *, round(1.0 / (1.0 + exp(-4.0 * logit)), 6) AS prob FROM base)
+"""
+
+
+@register("doc_quality_classifier", _CLASSIFIER_ORACLE)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality-classifier INFERENCE (Joulin et al.
+    2017; the GPT-3/LLaMA corpus-gate pattern): hashed unigram+bigram
+    features → broadcast (bucket, weight) model table → per-doc mean
+    weight → sigmoid. The model here is a deterministic stand-in table so
+    the oracle can replay inference end-to-end; a trained model loads
+    from parquet into the identical plan. One scan + one broadcast join +
+    one doc_id shuffle (operators/classifier.py docstring)."""
+    from cdc_pipeline_spark.operators.classifier import (
+        hashed_weight_table,
+        linear_classifier_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = hashed_weight_table(spark, buckets=4096, seed=13)
+    return linear_classifier_scores(docs, weights, carry_cols=("source",), buckets=4096)
+
+
+_INCR_NEARDUP_ORACLE = r"""
+    WITH tok AS (
+        SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                            i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+        FROM tok
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex_new AS (SELECT doc_id, unnest(shingles) AS s FROM sh
+               WHERE source IN ('src0', 'src1', 'src2')),
+    ex_hist AS (SELECT doc_id, unnest(shingles) AS s FROM sh
+                WHERE source NOT IN ('src0', 'src1', 'src2')),
+    inter AS (
+        SELECT a.doc_id AS doc_id, b.doc_id AS match_id, count(*) AS c
+        FROM ex_new a JOIN ex_hist b ON a.s = b.s
+        GROUP BY 1, 2
+    )
+    SELECT inter.doc_id AS doc_id, match_id, round(c / (na.n + nb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = inter.doc_id
+    JOIN sizes nb ON nb.doc_id = match_id
+    WHERE round(c / (na.n + nb.n - c), 6) >= 0.5
+"""
+
+
+@register("docs_incremental_neardup", _INCR_NEARDUP_ORACLE)
+def docs_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup detection: the incoming batch (3 source
+    shards, same split as docs_incremental_new) probes the historical
+    corpus' MinHash band index; candidates verify with exact Jaccard
+    ≥ 0.5. The oracle is the exact incoming×historical Jaccard join —
+    LSH (64 perms, 16×4 bands) must reach full recall at this threshold
+    for the hash gate to pass, the same bar dedup_minhash_lsh meets.
+    Per-increment cost ∝ batch size, never corpus²
+    (operators/dedup.py::incremental_minhash_neardup)."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_spark.operators.dedup import incremental_minhash_neardup
+
+    docs = _t(spark, sf_dir, "documents")
+    return incremental_minhash_neardup(
+        docs, incoming=F.col("source").isin("src0", "src1", "src2"), threshold=0.5
+    )
+
+
 @register("training_epoch_order", _EPOCH_ORDER_ORACLE)
 def training_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle: hash-derived shard + intra-shard

@@ -836,3 +836,68 @@ def test_epoch_shuffle_order_deterministic_and_dense(spark):
         assert sorted(positions) == list(range(1, len(positions) + 1))
     c = epoch_shuffle_order(df, n_shards=4, seed=4).collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def _py_bucket(gram: str, buckets: int = 4096) -> int:
+    acc = 0
+    for ch in gram:
+        acc = (acc * 131 + max(ord(ch), 0)) % 2147483647
+    return acc % buckets
+
+
+def _py_weight(bucket: int, seed: int = 13) -> float:
+    return (((bucket * 2654435761 + seed) % 2147483647) % 2001 - 1000) / 1000.0
+
+
+def test_linear_classifier_matches_manual_inference(spark):
+    """Classifier inference replicated by hand for a two-token doc:
+    logit must equal the mean of the three gram weights (2 unigrams +
+    1 bigram), and the zero-gram doc scores logit 0 / prob 0.5 / drop."""
+    from cdc_pipeline_spark.operators.classifier import (
+        hashed_weight_table,
+        linear_classifier_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "   ")], "doc_id long, text string"
+    )
+    weights = hashed_weight_table(spark, buckets=4096, seed=13)
+    out = {r["doc_id"]: r for r in linear_classifier_scores(docs, weights).collect()}
+
+    grams = ["alpha", "beta", "alpha beta"]
+    expected = sum(_py_weight(_py_bucket(g)) for g in grams) / len(grams)
+    import math
+
+    assert out[1]["n_grams"] == 3
+    assert abs(out[1]["logit"] - expected) < 1e-6
+    prob = 1.0 / (1.0 + math.exp(-4.0 * out[1]["logit"]))
+    assert abs(out[1]["prob"] - prob) < 1e-6
+    assert out[1]["keep"] == (out[1]["prob"] > 0.5)
+    assert out[2]["n_grams"] == 0 and out[2]["logit"] == 0.0
+    assert out[2]["prob"] == 0.5 and out[2]["keep"] is False
+
+
+def test_incremental_neardup_probes_only_incoming_vs_historical(spark):
+    """The incremental probe reports incoming×historical near-dups only:
+    a planted incoming copy of a historical doc is found, a unique
+    incoming doc matches nothing, and two incoming docs that are
+    near-dups OF EACH OTHER produce no pair (they belong to the next
+    full-corpus dedup pass, not the increment probe)."""
+    from cdc_pipeline_spark.operators.dedup import incremental_minhash_neardup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),                                    # historical
+        (2, "completely different historical content about spark shuffles and joins here"),
+        (101, base + " extra"),                       # incoming ≈ doc 1
+        (102, "unique incoming content nothing shares these tokens at all whatsoever"),
+        (103, base + " extra two"),                   # incoming ≈ 101 (incoming×incoming)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = incremental_minhash_neardup(
+        docs, incoming=F.col("doc_id") >= 100, threshold=0.5
+    ).collect()
+    pairs = {(r["doc_id"], r["match_id"]) for r in out}
+    assert (101, 1) in pairs and (103, 1) in pairs
+    assert all(m < 100 <= d for d, m in pairs), "matches must be incoming->historical"
+    assert all(r["jaccard"] >= 0.5 for r in out)
