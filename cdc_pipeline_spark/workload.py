@@ -3509,6 +3509,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "training_epoch_order",
     "doc_quality_classifier",
     "docs_incremental_neardup",
+    "ann_pq_adc_topk",
     # -- round-2 greens, backfill to the 50-entry window --
     "q2_min_price_per_type",
     "q4_priority_late_orders",

@@ -278,6 +278,74 @@ def docs_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_ADC_ORACLE = """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    seed AS (
+        SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 16)
+    ),
+    cb AS (
+        SELECT s.j AS subspace, seed.c AS code,
+               seed.e[s.j * 16 + 1 : s.j * 16 + 16] AS centroid
+        FROM seed CROSS JOIN (SELECT unnest(range(4)) AS j) s
+    ),
+    dist AS (
+        SELECT v.vec_id, cb.subspace, cb.code,
+               round(list_reduce(
+                   list_prepend(0.0, list_transform(range(16),
+                       i -> (v.e[cb.subspace * 16 + i + 1] - cb.centroid[i + 1])
+                            * (v.e[cb.subspace * 16 + i + 1] - cb.centroid[i + 1]))),
+                   (acc, x) -> acc + x), 6) AS d
+        FROM emb v CROSS JOIN cb
+    ),
+    codes AS (
+        SELECT vec_id, subspace, code
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                           ORDER BY d, code) AS rn
+              FROM dist)
+        WHERE rn = 1
+    ),
+    qd AS (
+        SELECT vec_id AS query_id, subspace, code, CAST(d AS DECIMAL(18,6)) AS d
+        FROM dist WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT qd.query_id, c.vec_id, CAST(sum(qd.d) AS DOUBLE) AS approx_dist
+        FROM codes c
+        JOIN qd ON qd.subspace = c.subspace AND qd.code = c.code
+        WHERE c.vec_id != qd.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, approx_dist, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY approx_dist, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+"""
+
+
+@register("ann_pq_adc_topk", _PQ_ADC_ORACLE)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): 4×16 codebook →
+    16-bit codes (256 bytes/vector → 2) → asymmetric-distance top-5 for
+    the first 10 vectors as queries. Encoding is a shuffle-free literal-
+    expression scan; ADC is one broadcast of the query distance table +
+    a decimal-summed (query, vector) aggregate. The oracle replays the
+    full pipeline — codebook seeding, per-subspace argmin encoding, ADC
+    table lookups, ranking (operators/pq.py docstring)."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_spark.operators.pq import pq_adc_topk, pq_codebook, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, m=4, k=16, dim=64)
+    encoded = pq_encode(emb, cb, m=4, dim=64)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(queries, encoded, cb, k=5, m=4, dim=64)
+
+
 @register("training_epoch_order", _EPOCH_ORDER_ORACLE)
 def training_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle: hash-derived shard + intra-shard

@@ -901,3 +901,35 @@ def test_incremental_neardup_probes_only_incoming_vs_historical(spark):
     assert (101, 1) in pairs and (103, 1) in pairs
     assert all(m < 100 <= d for d, m in pairs), "matches must be incoming->historical"
     assert all(r["jaccard"] >= 0.5 for r in out)
+
+
+def test_pq_encode_and_adc_rank_planted_neighbor(spark):
+    """PQ sanity on planted vectors: (a) every codebook-seed vector
+    encodes to its own code in all subspaces (distance 0, ties
+    impossible with distinct seeds); (b) ADC ranks a vector sharing a
+    query's codes ahead of vectors with disjoint codes."""
+    import random
+
+    from cdc_pipeline_spark.operators.pq import pq_adc_topk, pq_codebook, pq_encode
+
+    rng = random.Random(5)
+    dim, m, k = 8, 2, 4
+    seeds = [[round(rng.uniform(-1, 1), 3) for _ in range(dim)] for _ in range(k)]
+    rows = [(c, seeds[c]) for c in range(k)]
+    # vec 100 = seed 0 + tiny noise (same cell); vec 101 = far away
+    rows.append((100, [v + 0.01 for v in seeds[0]]))
+    rows.append((101, [v + 5.0 for v in seeds[1]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_codebook(emb, m=m, k=k, dim=dim)
+    enc = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, cb, m=m, dim=dim).collect()}
+    for c in range(k):
+        assert enc[c] == [c] * m, f"seed {c} must encode to its own code: {enc[c]}"
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_adc_topk(
+        queries, pq_encode(emb, cb, m=m, dim=dim), cb, k=3, m=m, dim=dim
+    ).collect()
+    ranked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 100, f"the same-code neighbor must rank first: {ranked}"
+    assert all(r["approx_dist"] >= 0 for r in out)
