@@ -353,3 +353,59 @@ def iqr_outliers(
         F.col(value_col),
         ((v < F.col("__lo")) | (v > F.col("__hi"))).alias("is_outlier"),
     )
+
+
+def benchmark_containment_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Eval-set containment audit — the FUZZY half of decontamination.
+
+    :func:`ngram_contamination` scores each corpus document by the
+    fraction of its OWN n-grams that hit the benchmark; that misses a
+    long document that swallowed one short eval item whole (its own
+    n-gram fraction stays tiny). This operator scores every (corpus
+    doc, benchmark item) PAIR by containment of the benchmark item:
+
+        C(doc, bench) = |shingles(bench) ∩ shingles(doc)| / |shingles(bench)|
+
+    — the asymmetric overlap used for contamination in LLM data work
+    (containment, not Jaccard, because the eval item is much shorter
+    than the doc). A pair at C ≥ threshold means the doc (nearly)
+    contains that eval item verbatim.
+
+    Shape: eval sets are tiny next to a 100 TB corpus, so the benchmark
+    posting list (shingle → bench_id, plus per-item set sizes) is
+    BROADCAST; the corpus side is scan + explode + broadcast-hash join +
+    groupBy (bench_id, doc_id) count. Corpus rows shuffle only after
+    collapsing to per-pair counts — the fact table itself never
+    re-partitions. Output: (doc_id, bench_id, n_common, containment).
+    """
+    from cdc_pipeline_spark.operators.partitioning import spread as _spread
+    from cdc_pipeline_spark.operators.text import word_shingles
+
+    def posting(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias(out_id), word_shingles(text_col, n).alias("__sh"))
+            .select(out_id, F.explode_outer("__sh").alias("shingle"))
+            .filter(F.col("shingle").isNotNull())
+        )
+
+    bench_posting = posting(benchmark, "bench_id")
+    bench_sizes = bench_posting.groupBy("bench_id").agg(F.count(F.lit(1)).alias("__bn"))
+    hits = (
+        posting(_spread(corpus), "doc_id")
+        .join(F.broadcast(bench_posting), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        hits.join(F.broadcast(bench_sizes), "bench_id")
+        .withColumn("containment", round_half_up(F.col("n_common") / F.col("__bn"), 6))
+        .filter(F.col("containment") >= F.lit(threshold))
+        .select("doc_id", "bench_id", "n_common", "containment")
+    )

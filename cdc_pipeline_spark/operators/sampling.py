@@ -51,16 +51,17 @@ def bucket_sql(id_expr: str, modulus: int = 100) -> str:
     return f"(({id_expr}) * {KNUTH}) % {modulus}"
 
 
-def hash_split(
-    df: DataFrame,
-    id_col: str,
+def split_expr(
+    id_col: Column,
     weights: dict[str, float] | None = None,
-) -> DataFrame:
-    """Add a ``split`` column assigning each row to exactly one named
-    split. Weights are fractions summing to ~1; boundaries are cumulative
-    percentage buckets, so splits are disjoint and exhaustive."""
+) -> Column:
+    """The split assignment as a pure COLUMN expression over an id —
+    usable anywhere an id appears (e.g. labeling both sides of a
+    duplicate-pair frame without joining the assignment table back).
+    Boundaries are cumulative percentage buckets of the deterministic
+    hash, so splits are disjoint and exhaustive."""
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
-    bucket = _bucket(F.col(id_col))
+    bucket = _bucket(id_col)
     expr = None
     cum = 0.0
     names = list(weights.items())
@@ -69,8 +70,17 @@ def hash_split(
         clause = F.when(bucket < F.lit(int(round(cum))), F.lit(name))
         expr = clause if expr is None else expr.when(bucket < F.lit(int(round(cum))), F.lit(name))
     last = names[-1][0]
-    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
-    return df.withColumn("split", expr)
+    return F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to exactly one named
+    split (see :func:`split_expr` for the assignment rule)."""
+    return df.withColumn("split", split_expr(F.col(id_col), weights))
 
 
 def deterministic_downsample(

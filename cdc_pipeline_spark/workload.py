@@ -3469,6 +3469,176 @@ def training_corpus_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "doc_rag_chunks",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+    ),
+    st AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, greatest(len(toks) - 1, 0), 48)) AS s
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(s // 48 AS BIGINT) AS chunk_id,
+           CAST(least(64, len(toks) - s) AS BIGINT) AS n_tokens,
+           array_to_string(toks[s + 1 : s + 64], ' ') AS chunk_text
+    FROM st
+    """,
+)
+def doc_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping token-window chunking (64-token windows,
+    stride 48): one row per chunk, chunk identity a pure function of the
+    text. Narrow plan — scan → project → posexplode, zero shuffles at
+    any corpus size."""
+    from cdc_pipeline_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), window=64, stride=48)
+
+
+@register(
+    "corpus_pair_merges",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+    ),
+    p AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS pair
+        FROM tok
+    ),
+    c AS (
+        SELECT pair,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM p GROUP BY pair
+    )
+    SELECT pair, n_docs, n_occurrences
+    FROM c ORDER BY n_occurrences DESC, pair ASC LIMIT 30
+    """,
+)
+def corpus_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent token-pair frequencies, top 30 — the
+    candidate-scoring pass of one BPE merge round / collocation mining.
+    Map-side partial agg collapses pairs before the single shuffle; the
+    top-k is a TakeOrdered, no global sort."""
+    from cdc_pipeline_spark.operators.chunking import adjacent_pair_counts
+
+    return adjacent_pair_counts(_t(spark, sf_dir, "documents"), k=30)
+
+
+@register(
+    "doc_eval_containment",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                   i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        FROM tok
+    ),
+    bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 20),
+    bn AS (SELECT bench_id, count(*) AS n FROM bench GROUP BY bench_id),
+    hits AS (
+        SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_common
+        FROM (SELECT doc_id, shingle FROM sh WHERE doc_id >= 20) c
+        JOIN bench b USING (shingle)
+        GROUP BY 1, 2
+    )
+    SELECT h.doc_id, h.bench_id, h.n_common,
+           round(h.n_common / bn.n, 6) AS containment
+    FROM hits h JOIN bn USING (bench_id)
+    WHERE round(h.n_common / bn.n, 6) >= 0.2
+    """,
+)
+def doc_eval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-item containment audit — the fuzzy half of decontamination:
+    per (corpus doc, benchmark item) pair, the fraction of the
+    BENCHMARK's 3-gram shingles found in the doc (containment, not
+    Jaccard: the eval item is much shorter than the doc, so symmetric
+    overlap under-scores verbatim inclusion). Benchmark postings are
+    broadcast; the corpus never shuffles before collapsing to per-pair
+    counts."""
+    from cdc_pipeline_spark.operators.quality import benchmark_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return benchmark_containment_pairs(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        n=3,
+        threshold=0.2,
+    )
+
+
+_SPLIT_CASE_SQL = """CASE WHEN (({id}) * 2654435761) % 100 < 80 THEN 'train'
+                WHEN (({id}) * 2654435761) % 100 < 90 THEN 'val'
+                ELSE 'test' END"""
+
+
+@register(
+    "split_leakage_audit",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                            i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+        FROM tok
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE round(c / (na.n + nb.n - c), 6) >= 0.3
+    ),
+    lab AS (
+        SELECT __SPLIT_A__ AS split_a,
+               __SPLIT_B__ AS split_b
+        FROM pairs
+    )
+    SELECT split_a, split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           (split_a <> split_b) AS leaked
+    FROM lab GROUP BY 1, 2
+    """.replace("__SPLIT_A__", _SPLIT_CASE_SQL.format(id="id_a")).replace(
+        "__SPLIT_B__", _SPLIT_CASE_SQL.format(id="id_b")
+    ),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit: near-duplicate pairs (word-3-gram
+    Jaccard ≥ 0.3) labeled with each side's deterministic train/val/test
+    assignment, aggregated into the split×split leakage matrix — the
+    standard pre-training sanity check that dedup ran BEFORE splitting
+    (a train/test duplicate pair inflates eval). The split label is a
+    pure expression over the id (operators/sampling.py::split_expr), so
+    no assignment table is joined back: the whole audit costs exactly
+    the pair generation plus one tiny groupBy."""
+    from cdc_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from cdc_pipeline_spark.operators.sampling import split_expr
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+    labeled = pairs.select(
+        split_expr(F.col("id_a")).alias("split_a"),
+        split_expr(F.col("id_b")).alias("split_b"),
+    )
+    return labeled.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    ).withColumn("leaked", F.col("split_a") != F.col("split_b"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50
 # registered queries per round (CORRECTNESS_r01 stopped at entry 50 of 81,
@@ -3510,6 +3680,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_quality_classifier",
     "docs_incremental_neardup",
     "ann_pq_adc_topk",
+    "doc_rag_chunks",
+    "corpus_pair_merges",
+    "doc_eval_containment",
+    "split_leakage_audit",
     # -- round-2 greens, backfill to the 50-entry window --
     "q2_min_price_per_type",
     "q4_priority_late_orders",

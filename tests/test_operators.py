@@ -933,3 +933,85 @@ def test_pq_encode_and_adc_rank_planted_neighbor(spark):
     ranked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
     assert ranked[0] == 100, f"the same-code neighbor must rank first: {ranked}"
     assert all(r["approx_dist"] >= 0 for r in out)
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    """Window 4 / stride 3 on a 10-token doc: chunks cover tokens
+    [0:4),[3:7),[6:10),[9:10) — overlapping by 1, last chunk short."""
+    from cdc_pipeline_spark.operators.chunking import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    out = {
+        r.chunk_id: (r.n_tokens, r.chunk_text)
+        for r in chunk_documents(df, window=4, stride=3).collect()
+    }
+    assert out == {
+        0: (4, "t0 t1 t2 t3"),
+        1: (4, "t3 t4 t5 t6"),
+        2: (4, "t6 t7 t8 t9"),
+        3: (1, "t9"),
+    }
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from cdc_pipeline_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame([(7, "a b")], "doc_id long, text string")
+    rows = chunk_documents(df, window=64, stride=48).collect()
+    assert len(rows) == 1
+    assert (rows[0].chunk_id, rows[0].n_tokens, rows[0].chunk_text) == (0, 2, "a b")
+
+
+def test_adjacent_pair_counts_frequencies_and_ties(spark):
+    """All occurrences count (BPE merge priority is total frequency),
+    n_docs is distinct, and the top-k tie-break is the pair string."""
+    from cdc_pipeline_spark.operators.chunking import adjacent_pair_counts
+
+    df = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b x"), (2, "z z"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = adjacent_pair_counts(df, k=3).collect()
+    assert [(r.pair, r.n_docs, r.n_occurrences) for r in rows] == [
+        ("a b", 2, 3),  # twice in doc 0 (occurrences), once in doc 1
+        ("b a", 1, 1),  # count=1 ties broken by pair string ascending
+        ("b c", 1, 1),
+    ]
+
+
+def test_benchmark_containment_catches_swallowed_eval_item(spark):
+    """A long doc that contains a short eval item verbatim: the doc's
+    own contaminated fraction is small (ngram_contamination's signal),
+    but containment of the eval item is 1.0 — the case this operator
+    exists for. A disjoint doc produces no pair."""
+    from cdc_pipeline_spark.operators.quality import benchmark_containment_pairs
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    filler = " ".join(f"w{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [
+            (100, f"{filler} the quick brown fox jumps {filler}"),
+            (101, "completely different content with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = benchmark_containment_pairs(corpus, bench, n=3, threshold=0.2).collect()
+    assert [(r.doc_id, r.bench_id, r.n_common, r.containment) for r in rows] == [
+        (100, 0, 3, 1.0)
+    ]
+
+
+def test_split_expr_matches_hash_split_and_leakage_labels(spark):
+    """split_expr over a bare id column must agree with hash_split's
+    column for every id — that equivalence is what lets the leakage
+    audit label pair sides without joining the assignment back."""
+    from cdc_pipeline_spark.operators.sampling import hash_split, split_expr
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    both = hash_split(df, "doc_id").withColumn("via_expr", split_expr(F.col("doc_id")))
+    assert both.filter(F.col("split") != F.col("via_expr")).count() == 0
+    got = {r.split for r in both.select("split").distinct().collect()}
+    assert got == {"train", "val", "test"}
