@@ -50,8 +50,14 @@ def hashed_gram_posting(
     the DSIR feature space. Buckets via the portable codepoint-fold hash
     mod ``buckets`` so a SQL oracle can replicate the feature extraction
     bit-for-bit. Empty tokens (from empty/whitespace text) are dropped
-    before gram formation in both engines."""
-    toks = df.select(
+    before gram formation in both engines.
+
+    The input is spread to full parallelism first: the codepoint-fold
+    hash is interpreted (higher-order F.aggregate), so a single-file
+    parquet input would otherwise run it on one core."""
+    from cdc_pipeline_spark.operators.partitioning import spread as _spread
+
+    toks = _spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.filter(tokens(text_col), lambda t: t != F.lit("")).alias("toks"),
     )
@@ -97,7 +103,11 @@ def dsir_log_weights(
     :func:`dsir_select`'s Gumbel key, so selection does not lose
     precision to display rounding.
     """
-    rp = hashed_gram_posting(raw, id_col, text_col, buckets, bigrams)
+    # The raw posting has two consumers (its bucket counts and the
+    # per-doc scoring join); localCheckpoint it so the interpreted
+    # portable hash runs over the corpus once, not twice. The posting is
+    # 2 ints/gram — at cluster scale persist(DISK_ONLY) it instead.
+    rp = hashed_gram_posting(raw, id_col, text_col, buckets, bigrams).localCheckpoint()
     tp = hashed_gram_posting(target, id_col, text_col, buckets, bigrams)
     rc = _bucket_counts(rp).withColumnRenamed("cnt", "rc")
     tc = _bucket_counts(tp).withColumnRenamed("cnt", "tc")

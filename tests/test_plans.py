@@ -254,3 +254,30 @@ def test_budgeted_pipeline_three_windows_two_shuffles(spark):
     plan = plan_of(spark, "training_corpus_budgeted")
     assert plan.count("Window (") == 3, plan
     assert plan.count("Exchange (") == 2, plan
+
+
+def test_rag_chunking_is_narrow_zero_exchange(spark):
+    """Chunking must stay scan → project → generate: any Exchange here
+    would shuffle the full corpus text for a per-row transformation."""
+    plan = plan_of(spark, "doc_rag_chunks")
+    # the spread repartition is the single allowed exchange (single-file
+    # local inputs); nothing else may shuffle. Tree nodes print as
+    # "Exchange (n)"; the detail section repeats "(n) Exchange".
+    assert plan.count("Exchange (") <= 1, plan
+    assert "Generate" in plan  # posexplode
+
+
+def test_pair_merges_partial_agg_and_take_ordered(spark):
+    """Pair counting must partially aggregate map-side (the shuffle
+    carries distinct pairs, not tokens) and top-k via TakeOrdered."""
+    plan = plan_of(spark, "corpus_pair_merges")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2, "need partial+final aggregation"
+
+
+def test_containment_benchmark_postings_broadcast(spark):
+    """The eval-set posting join must broadcast (eval sets are tiny);
+    a sort-merge join here would shuffle the whole corpus posting."""
+    plan = plan_of(spark, "doc_eval_containment")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
