@@ -342,7 +342,9 @@ def incremental_minhash_neardup(
     marked = df.withColumn("__incoming", incoming)
     sig = minhash_signatures(marked, id_col, text_col, n, num_perm)
     flags = marked.select(F.col(id_col).alias("doc_id"), "__incoming")
-    melted = band_posting(sig, num_perm, bands).join(flags, "doc_id")
+    # Both probe sides filter this frame; localCheckpoint so the 64-hash
+    # signature pass runs once, not once per side (bands rows/doc — tiny).
+    melted = band_posting(sig, num_perm, bands).join(flags, "doc_id").localCheckpoint()
     new_side = melted.filter(F.col("__incoming")).select("doc_id", "band", "bucket")
     hist_side = melted.filter(~F.col("__incoming")).select(
         F.col("doc_id").alias("match_id"), "band", "bucket"
