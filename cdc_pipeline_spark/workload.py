@@ -3639,6 +3639,124 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("leaked", F.col("split_a") != F.col("split_b"))
 
 
+def _pagerank_iter_cte(i: int) -> str:
+    p = f"r{i - 1}"
+    return f"""r{i} AS (
+        SELECT s.node, s.outdeg,
+               CAST((SELECT 150000000 // n FROM nn)
+                    + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank_fp
+        FROM (SELECT node, outdeg FROM {p}) s
+        LEFT JOIN (SELECT a.v AS node, sum(r.rank_fp // r.outdeg) AS s
+                   FROM adj a JOIN {p} r ON a.u = r.node GROUP BY a.v) c USING (node)
+    )"""
+
+
+_PAGERANK_ORACLE = (
+    r"""
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                            i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+        FROM tok
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS MATERIALIZED (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE round(c / (na.n + nb.n - c), 6) >= 0.3
+    ),
+    adj AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    deg AS MATERIALIZED (SELECT u, count(*) AS outdeg FROM adj GROUP BY u),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT u AS node, outdeg, CAST(1000000000 // n AS BIGINT) AS rank_fp
+           FROM deg, nn),
+    """
+    + ",\n    ".join(_pagerank_iter_cte(i) for i in range(1, 6))
+    + """
+    SELECT node, rank_fp, rank_fp / 1000000000.0 AS rank FROM r5
+    """
+)
+
+
+@register("dedup_graph_pagerank", _PAGERANK_ORACLE)
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (5 damped iterations, d=0.85, exact integer
+    arithmetic) over the word-3-gram Jaccard ≥ 0.3 near-dup graph —
+    graph centrality beyond connected components: the highest-rank
+    member of a duplicate blob is its most-connected representative.
+    Integer fixed-point makes the iteration trajectory bit-identical on
+    any engine, so the oracle replays all 5 rounds exactly (no
+    float-tolerance hand-waving). Two shuffles per round, lineage
+    truncated by localCheckpoint — the same scaling shape as min-label
+    propagation."""
+    from cdc_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from cdc_pipeline_spark.operators.graph import pagerank_fixed_point
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+    return pagerank_fixed_point(pairs.select("id_a", "id_b"), n_iter=5)
+
+
+@register(
+    "doc_source_quality_rank",
+    r"""
+    WITH t AS (
+        SELECT doc_id, source, text,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, source,
+               floor((0.3 * least(length(text) / 500.0, 1.0)
+                     + 0.4 * (len(list_distinct(toks)) / greatest(len(toks), 1))
+                     + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                                    / greatest(length(text), 1))) * 10000.0 + 0.5) / 10000.0
+                   AS quality
+        FROM t
+    )
+    SELECT doc_id, source, quality,
+           round(percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id), 6)
+               AS source_pct,
+           (round(percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id), 6)
+               >= 0.5) AS keep
+    FROM q
+    """,
+)
+def doc_source_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality percentile normalization: rank every document
+    WITHIN its source (percent_rank over the deterministic quality
+    score, doc_id tie-break) and keep the top half per domain — the
+    standard guard against a global quality cut silently dropping whole
+    domains whose score distribution sits lower (RefinedWeb/Dolma
+    practice). One window shuffle on source; the score itself is
+    scan-parallel."""
+    from cdc_pipeline_spark.operators.rounding import round_half_up
+    from cdc_pipeline_spark.operators.text import quality_score, tokens
+
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens("text").alias("__toks"), F.col("text")
+    )
+    scored = docs.select(
+        "doc_id", "source", quality_score("__toks", "text").alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("quality").asc(), F.col("doc_id").asc())
+    pct = round_half_up(F.percent_rank().over(w), 6)
+    return scored.select(
+        "doc_id", "source", "quality", pct.alias("source_pct")
+    ).withColumn("keep", F.col("source_pct") >= F.lit(0.5))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50
 # registered queries per round (CORRECTNESS_r01 stopped at entry 50 of 81,
@@ -3684,6 +3802,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_pair_merges",
     "doc_eval_containment",
     "split_leakage_audit",
+    "dedup_graph_pagerank",
+    "doc_source_quality_rank",
     # -- round-2 greens, backfill to the 50-entry window --
     "q2_min_price_per_type",
     "q4_priority_late_orders",

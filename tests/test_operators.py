@@ -1015,3 +1015,47 @@ def test_split_expr_matches_hash_split_and_leakage_labels(spark):
     assert both.filter(F.col("split") != F.col("via_expr")).count() == 0
     got = {r.split for r in both.select("split").distinct().collect()}
     assert got == {"train", "val", "test"}
+
+
+def test_pagerank_star_center_ranks_highest(spark):
+    """On a 5-spoke star the center collects every spoke's contribution;
+    fixed-point arithmetic must conserve mass up to floor leakage and be
+    rerun-identical."""
+    from cdc_pipeline_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    out = {r.node: r.rank_fp for r in pagerank_fixed_point(edges, n_iter=5).collect()}
+    assert len(out) == 6
+    assert out[0] > max(v for k, v in out.items() if k != 0)
+    spokes = {v for k, v in out.items() if k != 0}
+    assert len(spokes) == 1, "symmetric spokes must get identical ranks"
+    total = sum(out.values())
+    assert 0.99e9 <= total <= 1.0e9, f"mass conserved up to floor leakage: {total}"
+    rerun = {r.node: r.rank_fp for r in pagerank_fixed_point(edges, n_iter=5).collect()}
+    assert rerun == out
+
+
+def test_pagerank_empty_graph(spark):
+    from cdc_pipeline_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert pagerank_fixed_point(edges).count() == 0
+
+
+def test_source_quality_rank_keeps_top_half_per_source(spark):
+    """Per-source normalization: each source keeps its own top half even
+    when one source's scores are uniformly lower than another's — the
+    failure mode of a global cut."""
+    out = workload.QUERIES["doc_source_quality_rank"](spark, SF_DIR)
+    agg = {
+        (r.source, r.keep): r.cnt
+        for r in out.groupBy("source", "keep").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    sources = {s for s, _ in agg}
+    for s in sources:
+        kept, dropped = agg.get((s, True), 0), agg.get((s, False), 0)
+        assert kept > 0, f"source {s} must keep documents under its own cut"
+        # percent_rank >= 0.5 keeps the top half, off-by-one at the median
+        assert abs(kept - dropped) <= 2, (s, kept, dropped)
