@@ -112,3 +112,32 @@ def stream_parquet(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.parquet(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Batch scan of raw files as rows — Spark's ``binaryFile`` format:
+    (path, modificationTime, length, content BINARY). The ingestion edge
+    for multimodal corpora (images/audio/video landed as object-store
+    blobs): pair with ``operators.multimodal`` to decode/feature-extract
+    the ``content`` column via Arrow batches.
+
+    ``glob`` filters by filename pattern at LISTING time (no content
+    read for excluded files); ``max_bytes`` pushes
+    ``spark.sql.sources.binaryFile.maxLength``-style protection as a
+    length predicate — it prunes on the file-status column, so oversized
+    blobs are never loaded. At 100 TB the listing itself parallelizes
+    over the driver-side file index; prefer fewer, larger objects or a
+    manifest table when file counts reach 10⁷+.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= F.lit(int(max_bytes)))
+    return df

@@ -395,3 +395,20 @@ def test_avro_cdc_chain_end_to_end_stream(spark, tmp_path):
     assert rows[1].created_at == _dt.datetime(2024, 1, 1, 0, 0, 5)
     assert rows[2].created_at == _dt.datetime(2024, 1, 1, 0, 0, 6)
     assert rows[2]["__source_ts_ms"] == 200
+
+
+def test_read_binary_files_glob_and_size_guard(spark, tmp_path):
+    """binaryFile ingestion: glob filters at listing time, max_bytes
+    prunes on the status column, content round-trips byte-exact."""
+    from cdc_pipeline_spark.sources.files import read_binary_files
+
+    (tmp_path / "a.img").write_bytes(b"\x89IMG" + b"\x00" * 10)
+    (tmp_path / "b.img").write_bytes(b"\x89IMG" + b"\xff" * 500)
+    (tmp_path / "skip.txt").write_bytes(b"not media")
+    out = read_binary_files(spark, str(tmp_path), glob="*.img", max_bytes=100)
+    rows = out.collect()
+    assert [r.path.rsplit("/", 1)[-1] for r in rows] == ["a.img"]
+    assert bytes(rows[0].content) == b"\x89IMG" + b"\x00" * 10
+    assert rows[0].length == 14
+    all_imgs = read_binary_files(spark, str(tmp_path), glob="*.img")
+    assert all_imgs.count() == 2
