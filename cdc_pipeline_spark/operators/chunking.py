@@ -44,6 +44,11 @@ def chunk_documents(
     (doc_id, chunk_id, n_tokens, chunk_text). Deterministic and
     rerun-stable — chunk identity is a pure function of the text.
 
+    ``stride ≤ window`` (the RAG default) covers every token, adjacent
+    chunks overlapping by ``window − stride``. ``stride > window`` is
+    the sparse-sampling mode — strided windows with gaps between them
+    (the text analogue of video frame sampling).
+
     Plan shape: narrow (no shuffle). The explode multiplies rows by
     ~n_tokens/stride, so downstream consumers should expect the row
     count, not the byte count, to grow: each token lands in

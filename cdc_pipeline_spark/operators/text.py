@@ -173,3 +173,26 @@ def winnowing_fingerprints(
             F.when(n_grams > 0, window_mins_once).otherwise(F.array().cast("array<long>"))
         )
     )
+
+
+def strip_markup(text_col: str = "text") -> Column:
+    """Remove HTML/XML tags and character entities, then normalize
+    whitespace — the C4/CCNet pre-tokenization cleanup for web-crawled
+    corpora. Pure JVM regexp (scan-parallel, no shuffle); the patterns
+    (``<[^>]*>``, named ``&amp;``-style and numeric ``&#160;``-style
+    entities) carry identical semantics in Java regex and RE2, so a SQL
+    oracle replicates the cleanup byte-for-byte."""
+    no_tags = F.regexp_replace(F.col(text_col), r"<[^>]*>", " ")
+    no_ents = F.regexp_replace(no_tags, r"&[a-zA-Z]{2,8};|&#[0-9]{1,6};", " ")
+    return F.trim(F.regexp_replace(no_ents, r"\s+", " "))
+
+
+def markup_counts(text_col: str = "text") -> tuple[Column, Column]:
+    """(n_tags, n_entities) for profiling how markup-heavy a document
+    is — the routing signal for sending a slice through heavier HTML
+    extraction instead of the regex fast path."""
+    n_tags = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"<[^>]*>"), F.lit(0)))
+    n_ents = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"&[a-zA-Z]{2,8};|&#[0-9]{1,6};"), F.lit(0))
+    )
+    return n_tags, n_ents

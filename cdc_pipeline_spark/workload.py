@@ -3757,6 +3757,47 @@ def doc_source_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("keep", F.col("source_pct") >= F.lit(0.5))
 
 
+@register(
+    "doc_markup_profile",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT) AS n_tags,
+           CAST(len(regexp_extract_all(text, '&[a-zA-Z]{2,8};|&#[0-9]{1,6};')) AS BIGINT)
+               AS n_entities,
+           CAST(length(trim(regexp_replace(
+                    regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                                   '&[a-zA-Z]{2,8};|&#[0-9]{1,6};', ' ', 'g'),
+                    '\s+', ' ', 'g'))) AS BIGINT) AS clean_len,
+           round(1.0 - length(trim(regexp_replace(
+                    regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                                   '&[a-zA-Z]{2,8};|&#[0-9]{1,6};', ' ', 'g'),
+                    '\s+', ' ', 'g'))) / greatest(length(text), 1), 6) AS markup_ratio
+    FROM documents
+    """,
+)
+def doc_markup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/markup cleanup profile (the C4/CCNet pre-tokenization
+    stage): per doc, tag/entity counts, cleaned length, and the fraction
+    of bytes that were markup or collapsed whitespace. Scan-parallel
+    regexp only — zero shuffles; the ratio routes markup-heavy slices to
+    a heavier HTML extractor while the regex fast path handles the
+    bulk."""
+    from cdc_pipeline_spark.operators.text import markup_counts, strip_markup
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tags, n_ents = markup_counts("text")
+    clean_len = F.length(strip_markup("text"))
+    return docs.select(
+        "doc_id",
+        n_tags.cast("long").alias("n_tags"),
+        n_ents.cast("long").alias("n_entities"),
+        clean_len.cast("long").alias("clean_len"),
+        round_half_up(
+            1.0 - clean_len / F.greatest(F.length("text"), F.lit(1)), 6
+        ).alias("markup_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50
 # registered queries per round (CORRECTNESS_r01 stopped at entry 50 of 81,
@@ -3804,6 +3845,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "split_leakage_audit",
     "dedup_graph_pagerank",
     "doc_source_quality_rank",
+    "doc_markup_profile",
     # -- round-2 greens, backfill to the 50-entry window --
     "q2_min_price_per_type",
     "q4_priority_late_orders",

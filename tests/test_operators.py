@@ -1059,3 +1059,24 @@ def test_source_quality_rank_keeps_top_half_per_source(spark):
         assert kept > 0, f"source {s} must keep documents under its own cut"
         # percent_rank >= 0.5 keeps the top half, off-by-one at the median
         assert abs(kept - dropped) <= 2, (s, kept, dropped)
+
+
+def test_strip_markup_planted_html(spark):
+    from cdc_pipeline_spark.operators.text import markup_counts, strip_markup
+
+    df = spark.createDataFrame(
+        [
+            (0, "<p>Hello &amp; welcome</p> to <b>the</b> corpus &#160; now"),
+            (1, "plain text no markup"),
+        ],
+        "doc_id long, text string",
+    )
+    n_tags, n_ents = markup_counts("text")
+    rows = {
+        r.doc_id: (r.clean, r.t, r.e)
+        for r in df.select(
+            "doc_id", strip_markup("text").alias("clean"), n_tags.alias("t"), n_ents.alias("e")
+        ).collect()
+    }
+    assert rows[0] == ("Hello welcome to the corpus now", 4, 2)
+    assert rows[1] == ("plain text no markup", 0, 0)

@@ -188,3 +188,47 @@ def test_token_budget_select_matches_model(spark, rows, budget):
         ).collect()
     }
     assert got == _budget_model(rows, budget)
+
+
+@given(
+    st.lists(st.integers(0, 9), min_size=1, max_size=40),
+    st.integers(1, 8),
+    st.integers(1, 8),
+)
+@settings(max_examples=20, deadline=None)
+def test_chunking_covers_every_token_with_correct_overlap(spark, toks_ints, window, stride):
+    """Every token index lands in ⌈(i+1)/stride⌉-bounded chunks, chunk i
+    starts at i·stride, and with stride == window the chunks partition
+    the document exactly (concatenation reconstructs it)."""
+    from cdc_pipeline_spark.operators.chunking import chunk_documents
+
+    toks = [f"w{i}_{v}" for i, v in enumerate(toks_ints)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, window=window, stride=stride).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    n = len(toks)
+    import math
+
+    assert len(rows) == max(1, math.ceil(n / stride))
+    seen = set()
+    for r in rows:
+        start = r.chunk_id * stride
+        expect = toks[start : start + window]
+        assert r.chunk_text.split(" ") == expect if expect else r.chunk_text == ""
+        assert r.n_tokens == len(expect)
+        seen.update(range(start, start + len(expect)))
+    if stride <= window:
+        # RAG overlap mode: every token position covered
+        assert seen == set(range(n)), "every token position must be covered"
+    else:
+        # sparse-sampling mode (stride > window): exactly the strided
+        # windows, nothing else
+        expect_seen = {
+            i for s in range(0, n, stride) for i in range(s, min(s + window, n))
+        }
+        assert seen == expect_seen
+    if stride == window:
+        rebuilt = " ".join(r.chunk_text for r in rows).split(" ")
+        assert rebuilt == toks
