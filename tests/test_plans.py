@@ -281,3 +281,10 @@ def test_containment_benchmark_postings_broadcast(spark):
     plan = plan_of(spark, "doc_eval_containment")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_markup_profile_zero_shuffle(spark):
+    """Markup profiling is per-row regexp work — any Exchange means a
+    corpus-wide shuffle crept into a scan-parallel stage."""
+    plan = plan_of(spark, "doc_markup_profile")
+    assert plan.count("Exchange (") == 0, plan
