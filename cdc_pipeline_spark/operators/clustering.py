@@ -35,7 +35,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StructField, StructType
 
-from cdc_pipeline_spark.operators.similarity import dot
+from cdc_pipeline_spark.operators.rounding import round_half_up
+from cdc_pipeline_spark.operators.similarity import dot, norm
 
 _CENTROID_SCHEMA = StructType(
     [
@@ -195,3 +196,90 @@ def cluster_medoids(
         )
 
     return corpus.select(cell_col, id_col, vec_col).groupBy(cell_col).applyInPandas(medoid, out_schema)
+
+
+_SELECTED_SCHEMA = StructType(
+    [
+        StructField(
+            "__sel",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("vec", ArrayType(DoubleType())),
+                        StructField("s_norm", DoubleType()),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def kcenter_greedy(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_id: int | None = None,
+) -> DataFrame:
+    """k-center greedy (farthest-point) selection — the DIVERSITY leg of
+    data selection (DSIR matches a target distribution, the quality
+    classifier scores fluency; this picks a maximally-spread coreset,
+    the standard seed for active learning / coreset selection à la
+    Sener & Savarese 2018).
+
+    Deterministic traversal: start from ``seed_id`` (default: smallest
+    id), then ``k−1`` times pick the vector FARTHEST (max over corpus of
+    the min cosine distance to the selected set), ties broken by id.
+    Every pairwise distance is rounded half-up to 6 dp BEFORE the min,
+    so the argmax decision is replicable in any engine (same guarded
+    determinism as the IVF/SemDeDup oracles).
+
+    Scale shape: the selected set (≤ k vectors) travels as ONE broadcast
+    array literal — the corpus is scanned once per round with zero
+    shuffles (min-distance is a projection; the argmax is a TakeOrdered
+    of 1). Driver traffic is one (id, vector) row per round — k-bounded.
+    The corpus frame is localCheckpoint'd once and reused by all rounds.
+
+    Output: (``id_col``, selection_rank 1-based, min_dist — null for the
+    seed, which has no prior set to be far from).
+    """
+    spark = corpus.sparkSession
+    base = corpus.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
+    if seed_id is None:
+        seed_row = base.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
+    else:
+        seed_row = base.filter(F.col(id_col) == seed_id).limit(1).collect()[0]
+    selected: list[tuple[int, list[float], float]] = [
+        (seed_row[0], [float(x) for x in seed_row[1]], None)
+    ]
+
+    def _norm(vec: list[float]) -> float:
+        return sum(x * x for x in vec) ** 0.5
+
+    for _ in range(k - 1):
+        sel_lit = spark.createDataFrame(
+            [([(vec, _norm(vec)) for _, vec, _ in selected],)], _SELECTED_SCHEMA
+        )
+        mind = F.array_min(
+            F.transform(
+                F.col("__sel"),
+                lambda s: round_half_up(
+                    1.0 - dot(F.col(vec_col), s["vec"]) / (norm(F.col(vec_col)) * s["s_norm"]),
+                    6,
+                ),
+            )
+        )
+        pick = (
+            base.crossJoin(F.broadcast(sel_lit))
+            .select(F.col(id_col), F.col(vec_col), mind.alias("__md"))
+            .orderBy(F.col("__md").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append((pick[0], [float(x) for x in pick[1]], float(pick[2])))
+
+    return spark.createDataFrame(
+        [(int(i), r + 1, md) for r, (i, _, md) in enumerate(selected)],
+        f"{id_col} long, selection_rank long, min_dist double",
+    )

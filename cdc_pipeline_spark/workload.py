@@ -3798,6 +3798,52 @@ def doc_markup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcenter_round_ctes(t: int) -> str:
+    return f"""d{t} AS (
+        SELECT a.vec_id,
+               min(round(1.0 - list_inner_product(a.e, s.e) / (a.nrm * s.nrm), 6)) AS md
+        FROM nv a, s{t} s GROUP BY a.vec_id
+    ),
+    p{t} AS (SELECT vec_id, md FROM d{t} ORDER BY md DESC, vec_id ASC LIMIT 1),
+    s{t + 1} AS (SELECT * FROM s{t}
+                 UNION ALL
+                 SELECT nv.vec_id, nv.e, nv.nrm FROM nv JOIN p{t} USING (vec_id))"""
+
+
+_KCENTER_ORACLE = (
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    nv AS (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm FROM v),
+    s1 AS (SELECT vec_id, e, nrm FROM nv
+           WHERE vec_id = (SELECT min(vec_id) FROM nv)),
+    """
+    + ",\n    ".join(_kcenter_round_ctes(t) for t in range(1, 8))
+    + """
+    SELECT vec_id, CAST(1 AS BIGINT) AS selection_rank,
+           CAST(NULL AS DOUBLE) AS min_dist FROM s1
+    """
+    + "".join(
+        f"UNION ALL SELECT vec_id, CAST({t + 1} AS BIGINT), CAST(md AS DOUBLE) FROM p{t}\n    "
+        for t in range(1, 8)
+    )
+)
+
+
+@register("embedding_kcenter_select", _KCENTER_ORACLE)
+def embedding_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy (farthest-point) coreset selection, k=8 — the
+    diversity leg of data selection (DSIR = distribution match, quality
+    classifier = fluency, k-center = spread; Sener & Savarese 2018).
+    Per-pair cosine distances round half-up to 6 dp BEFORE the min, so
+    the argmax trajectory is engine-replicable and the oracle unrolls
+    all 7 selection rounds exactly. Each round is one zero-shuffle
+    corpus projection against a broadcast ≤k-vector literal plus a
+    TakeOrdered(1); driver traffic is one row per round."""
+    from cdc_pipeline_spark.operators.clustering import kcenter_greedy
+
+    return kcenter_greedy(_t(spark, sf_dir, "embeddings"), k=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50
 # registered queries per round (CORRECTNESS_r01 stopped at entry 50 of 81,
@@ -3846,6 +3892,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_graph_pagerank",
     "doc_source_quality_rank",
     "doc_markup_profile",
+    "embedding_kcenter_select",
     # -- round-2 greens, backfill to the 50-entry window --
     "q2_min_price_per_type",
     "q4_priority_late_orders",

@@ -1080,3 +1080,24 @@ def test_strip_markup_planted_html(spark):
     }
     assert rows[0] == ("Hello welcome to the corpus now", 4, 2)
     assert rows[1] == ("plain text no markup", 0, 0)
+
+
+def test_kcenter_greedy_spreads_across_planted_blobs(spark):
+    """Three well-separated direction blobs: the first three selections
+    must cover all three blobs (that is the k-center guarantee), and the
+    traversal must be rerun-identical."""
+    from cdc_pipeline_spark.operators.clustering import kcenter_greedy
+
+    rows = []
+    for blob, direction in enumerate([(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)]):
+        for j in range(5):
+            eps = 0.01 * j
+            vec = [c + (eps if i == (blob + 1) % 3 else 0.0) for i, c in enumerate(direction)]
+            rows.append((blob * 10 + j, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kcenter_greedy(df, k=3)
+    picks = [r.vec_id for r in out.orderBy("selection_rank").collect()]
+    assert {p // 10 for p in picks} == {0, 1, 2}, f"each blob must be hit: {picks}"
+    assert picks[0] == 0, "seed is the smallest id"
+    rerun = [r.vec_id for r in kcenter_greedy(df, k=3).orderBy("selection_rank").collect()]
+    assert rerun == picks
