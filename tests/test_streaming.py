@@ -1049,3 +1049,43 @@ def test_temp_conf_unsets_previously_unset_key(spark):
         pass
     assert spark.conf.get(key) == "static"
     spark.conf.unset(key)
+
+
+def test_corpus_ingest_streaming_equals_batch_and_resumes(spark, tmp_path):
+    """Golden equivalence: the streaming corpus-ingest job (gate → chunk
+    → shard → exactly-once file sink) over the sf0.001 documents must
+    land EXACTLY the rows its batch twin computes; restarting on the
+    same checkpoint with no new input must commit nothing new."""
+    from cdc_pipeline_spark.sources.files import load_table
+    from cdc_pipeline_spark.streaming.corpus_ingest import (
+        corpus_ingest_transform,
+        start_corpus_ingest,
+    )
+
+    import shutil
+
+    src = str(tmp_path / "incoming")
+    (tmp_path / "incoming").mkdir()
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", src + "/documents.parquet")
+    schema = load_table(spark, "/root/testdata/sf0.001", "documents").schema
+    out_dir, cp = str(tmp_path / "shards"), str(tmp_path / "cp")
+    q = start_corpus_ingest(
+        spark, src, out_dir, cp, schema, max_files_per_trigger=None
+    )
+    q.awaitTermination(120)
+
+    landed = spark.read.parquet(out_dir)
+    batch = corpus_ingest_transform(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    )
+    cols = ["doc_id", "chunk_id", "n_tokens", "chunk_text", "shard"]
+    got = sorted(map(tuple, landed.select(*cols).collect()))
+    want = sorted(map(tuple, batch.select(*cols).collect()))
+    assert got == want and len(got) > 0
+
+    # resume on the same checkpoint: backlog already committed → no dupes
+    q2 = start_corpus_ingest(
+        spark, src, out_dir, cp, schema, max_files_per_trigger=None
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == len(got)
