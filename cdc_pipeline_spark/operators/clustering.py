@@ -242,7 +242,10 @@ def kcenter_greedy(
     The corpus frame is localCheckpoint'd once and reused by all rounds.
 
     Output: (``id_col``, selection_rank 1-based, min_dist — null for the
-    seed, which has no prior set to be far from).
+    seed, which has no prior set to be far from). Assumes non-zero
+    vectors (cosine distance is undefined at the origin); zero vectors
+    yield NaN distances and should be filtered upstream (the quality
+    gate's embedding-presence check).
     """
     spark = corpus.sparkSession
     base = corpus.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
