@@ -56,11 +56,15 @@ def chunk_documents(
     """
     if window <= 0 or stride <= 0:
         raise ValueError("window and stride must be positive")
-    toks = tokens(text_col)
+    # drop the [''] artifact split() yields for empty/whitespace text:
+    # an empty document has ZERO chunks (⌈0/stride⌉), not one phantom
+    # chunk claiming a token
+    toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
     starts = F.sequence(F.lit(0), F.greatest(F.size("__toks") - 1, F.lit(0)), F.lit(stride))
     return (
         _spread(df)
         .select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .filter(F.size("__toks") > 0)
         .select("doc_id", "__toks", F.size("__toks").alias("__n"), F.posexplode(starts))
         .select(
             "doc_id",

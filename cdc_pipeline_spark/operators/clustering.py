@@ -73,11 +73,35 @@ def _assign(corpus: DataFrame, centroids: list[tuple[int, list[float]]], id_col:
     return corpus.crossJoin(F.broadcast(cdf)).withColumn("cluster", best["cluster"]).drop("__cents")
 
 
-def _update(assigned: DataFrame, vec_col: str) -> list[tuple[int, list[float]]]:
+def _update(
+    assigned: DataFrame, vec_col: str, id_col: str = "vec_id"
+) -> list[tuple[int, list[float]]]:
+    # Per-dimension mean as an ORDERED left fold over id-sorted values —
+    # NOT F.avg: distributed partial-aggregation order varies with
+    # partition layout, and one flipped low-order bit can move an argmin
+    # near a tie, so the DuckDB oracle replay (workload.py, same
+    # id-ordered fold via list(... ORDER BY) + list_reduce) would drift.
+    # collect_list holds one cluster's values per (cluster, dim) group —
+    # fine at oracle scale; at cluster scale swap back to F.avg and drop
+    # the bit-exact-replay requirement.
+    ordered_sum = F.aggregate(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("i"), F.col("__val").alias("x"))
+                )
+            ),
+            lambda s: s["x"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     updated = (
-        assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("__pos", "__val"))
+        assigned.select(
+            "cluster", id_col, F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__val")
+        )
         .groupBy("cluster", "__pos")
-        .agg(F.avg(F.col("__val").cast("double")).alias("__mean"))
+        .agg((ordered_sum / F.count(F.lit(1))).alias("__mean"))
         .groupBy("cluster")
         .agg(
             F.transform(
@@ -112,7 +136,7 @@ def kmeans(
 
     for _ in range(max_iters):
         assigned = _assign(corpus, centroids, id_col, vec_col)
-        new_centroids = _update(assigned, vec_col)
+        new_centroids = _update(assigned, vec_col, id_col)
         converged = new_centroids == centroids
         centroids = new_centroids
         if converged:
@@ -249,10 +273,18 @@ def kcenter_greedy(
     """
     spark = corpus.sparkSession
     base = corpus.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
+    n = base.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], f"{id_col} long, selection_rank long, min_dist double"
+        )
     if seed_id is None:
         seed_row = base.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
     else:
-        seed_row = base.filter(F.col(id_col) == seed_id).limit(1).collect()[0]
+        seeds = base.filter(F.col(id_col) == seed_id).limit(1).collect()
+        if not seeds:
+            raise ValueError(f"seed_id {seed_id} not present in {id_col}")
+        seed_row = seeds[0]
     selected: list[tuple[int, list[float], float]] = [
         (seed_row[0], [float(x) for x in seed_row[1]], None)
     ]
@@ -260,7 +292,9 @@ def kcenter_greedy(
     def _norm(vec: list[float]) -> float:
         return sum(x * x for x in vec) ** 0.5
 
-    for _ in range(k - 1):
+    # k capped at the corpus size: once every point is selected another
+    # round could only re-pick an existing point at distance 0
+    for _ in range(min(k, n) - 1):
         sel_lit = spark.createDataFrame(
             [([(vec, _norm(vec)) for _, vec, _ in selected],)], _SELECTED_SCHEMA
         )

@@ -122,10 +122,31 @@ def _read_http_request(sock: socket.socket) -> bytes:
     return data
 
 
-def _handshake(sock: socket.socket) -> str:
-    """Perform the server side of the upgrade; returns the request path."""
+class _BufferedRecv:
+    """recv()-compatible wrapper that drains handshake leftover bytes
+    first — a client that pipelines its first frame into the same write
+    as the upgrade request must not lose it (or desync the frame
+    parser onto mid-frame bytes)."""
+
+    __slots__ = ("sock", "buf")
+
+    def __init__(self, sock: socket.socket, leftover: bytes) -> None:
+        self.sock = sock
+        self.buf = leftover
+
+    def recv(self, n: int) -> bytes:
+        if self.buf:
+            out, self.buf = self.buf[:n], self.buf[n:]
+            return out
+        return self.sock.recv(n)
+
+
+def _handshake(sock: socket.socket) -> tuple[str, bytes]:
+    """Perform the server side of the upgrade; returns (request path,
+    leftover bytes received after the header terminator)."""
     raw = _read_http_request(sock)
-    head = raw.split(b"\r\n\r\n", 1)[0].decode("latin-1")
+    head_b, leftover = raw.split(b"\r\n\r\n", 1)
+    head = head_b.decode("latin-1")
     lines = head.split("\r\n")
     path = lines[0].split(" ")[1] if len(lines[0].split(" ")) > 1 else "/"
     headers = {}
@@ -149,7 +170,7 @@ def _handshake(sock: socket.socket) -> str:
         "\r\n"
     )
     sock.sendall(resp.encode("latin-1"))
-    return path
+    return path, leftover
 
 
 # ---------------------------------------------------------------------------
@@ -260,16 +281,17 @@ class _WSRequestHandler(socketserver.BaseRequestHandler):
     def handle(self) -> None:  # pragma: no cover - exercised via test client
         hub: WSHub = self.server.hub  # type: ignore[attr-defined]
         try:
-            path = _handshake(self.request)
+            path, leftover = _handshake(self.request)
         except ConnectionError:
             return
         if path.split("?")[0] != "/ws":
             self.request.sendall(encode_frame(OP_CLOSE, struct.pack(">H", 1008)))
             return
         client = hub.attach(self.request)
+        rx = _BufferedRecv(self.request, leftover)
         try:
             while True:
-                opcode, payload = decode_frame(self.request)
+                opcode, payload = decode_frame(rx)
                 if opcode == OP_CLOSE:
                     client.send(encode_frame(OP_CLOSE, payload[:2]))
                     break
@@ -306,8 +328,10 @@ def serve_ws(kv: Any, host: str = "127.0.0.1", port: int = 0):
     """Start the WS endpoint on ``host:port`` (0 → ephemeral). Returns
     ``(server, hub)``; call ``server.shutdown(); server.server_close();
     hub.close()`` to stop. The server runs in a daemon thread."""
-    hub = WSHub(kv)
+    # bind BEFORE creating the hub: a failed bind (port in use) must not
+    # leak the hub's kv subscription and broadcaster thread
     server = _ThreadingWSServer((host, port), _WSRequestHandler)
+    hub = WSHub(kv)
     server.hub = hub  # type: ignore[attr-defined]
     thread = threading.Thread(target=server.serve_forever, name="ws-server", daemon=True)
     thread.start()

@@ -65,6 +65,10 @@ class _Cursor:
         self.pos = 0
 
     def take(self, n: int) -> bytes:
+        if n < 0:
+            # a corrupt length varint must fail the record (PERMISSIVE
+            # drop), not walk the cursor backwards into decoded bytes
+            raise ValueError(f"negative Avro length {n}")
         end = self.pos + n
         if end > len(self.buf):
             raise EOFError("truncated Avro payload")
@@ -238,11 +242,22 @@ def compile_decoder(avro_schema_json: str) -> Callable[[bytes], dict]:
 def decode_avro_python(df: DataFrame, avro_schema_json: str, column: str = "value") -> DataFrame:
     """S3 fallback: PERMISSIVE-style decode of a binary column without the
     spark-avro jar. Same contract as ``kafka_avro.decode_avro`` — corrupt
-    records are dropped — but runs as an Arrow ``mapInPandas``."""
+    records are dropped — but runs as an Arrow ``mapInPandas``.
+
+    Timestamp correctness is tz-pinned: the decoder yields UTC-naive
+    datetimes, but Arrow interprets naive timestamps in
+    ``spark.sql.session.timeZone`` — so the session zone is captured at
+    plan-build time and non-UTC wall clocks are shifted inside the UDF.
+    Without this, the jar and jar-free decode paths would disagree by
+    the session's UTC offset for identical bytes."""
     import pandas as pd
 
     spark_schema = avro_to_spark_schema(avro_schema_json)
     out_cols = spark_schema.fieldNames()
+    ts_cols = tuple(
+        f.name for f in spark_schema.fields if f.dataType.typeName() == "timestamp"
+    )
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
 
     def gen(batches):
         decode = compile_decoder(avro_schema_json)
@@ -255,6 +270,17 @@ def decode_avro_python(df: DataFrame, avro_schema_json: str, column: str = "valu
                     records.append(decode(bytes(payload)))
                 except Exception:
                     continue  # PERMISSIVE null-drop (kafka_sources.py:66-84)
-            yield pd.DataFrame(records, columns=out_cols)
+            out = pd.DataFrame(records, columns=out_cols)
+            if len(out) and session_tz not in ("UTC", "Etc/UTC", "GMT"):
+                for c in ts_cols:
+                    # UTC-naive → session-zone wall clock, so Arrow's
+                    # naive-in-session-tz reading lands on the true epoch
+                    out[c] = (
+                        pd.to_datetime(out[c])
+                        .dt.tz_localize("UTC")
+                        .dt.tz_convert(session_tz)
+                        .dt.tz_localize(None)
+                    )
+            yield out
 
     return df.select(column).mapInPandas(gen, schema=spark_schema)

@@ -46,10 +46,18 @@ class KvProgressListener(StreamingQueryListener):
 
     # -- StreamingQueryListener interface -------------------------------
     def onQueryStarted(self, event) -> None:
+        name = event.name or str(event.id)
         self.kv.write_hash(
-            f"{self.prefix}:{event.name or event.id}",
+            f"{self.prefix}:{name}",
             {"status": "started", "id": str(event.id)},
         )
+        # register in the directory NOW, not at first progress: a query
+        # that crashes during batch 0 must still be findable by
+        # onQueryTerminated's id match, or its exception is lost exactly
+        # when the health panel needs it most
+        directory = self.kv.read_hash(self.prefix)
+        directory.setdefault(name, "started")
+        self.kv.write_hash(self.prefix, directory)
 
     def onQueryProgress(self, event) -> None:
         p = event.progress

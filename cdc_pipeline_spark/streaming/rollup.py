@@ -37,7 +37,17 @@ _GRAIN_SECONDS = {"5min": 300, "hour": 3600, "day": 86400}
 
 
 class RollupTableWriter:
-    """``foreachBatch`` writer maintaining 5-minute partials at ``path``."""
+    """``foreachBatch`` writer maintaining 5-minute partials at ``path``.
+
+    ``run_id`` names the streaming-checkpoint generation this writer
+    belongs to (pass the checkpoint path or a uuid stored beside it).
+    The replay guard — skipping batch ids the compaction marker says
+    were already folded — applies ONLY within the same run_id: batch ids
+    restart at 0 whenever a checkpoint is recreated, and a guard keyed
+    on the raw id would silently drop the new run's first batches.
+    Before pointing a NEW checkpoint at an existing rollup table, run
+    :func:`compact_partials` (with the new run_id) so stale per-batch
+    partitions can't collide with the new run's restarted ids."""
 
     def __init__(
         self,
@@ -45,17 +55,21 @@ class RollupTableWriter:
         time_col: str = "ts",
         value_col: str = "value",
         grain_seconds: int = 300,
+        run_id: str = "",
     ) -> None:
         self.path = path
         self.time_col = time_col
         self.value_col = value_col
         self.grain_seconds = grain_seconds
+        self.run_id = run_id
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch is at-least-once: a batch replayed AFTER compaction
         # folded it into batch_id=-1 would re-create its partition and
-        # double-count on merge — skip ids the marker says are folded
-        if int(batch_id) <= _compacted_through(self.path):
+        # double-count on merge — skip ids the marker says are folded,
+        # but only for THIS run's id sequence (see class docstring)
+        through, marker_run = _compaction_state(self.path)
+        if marker_run == self.run_id and int(batch_id) <= through:
             return
         partials = (
             batch_df.groupBy(
@@ -101,21 +115,26 @@ def read_rollup(spark: SparkSession, path: str, grain: str = "5min") -> DataFram
 _COMPACTION_MARKER = "_compaction.json"
 
 
-def _compacted_through(path: str) -> int:
-    """Highest batch_id already folded into the ``batch_id=-1``
-    partition (-1 when never compacted). Stored in an underscore-prefixed
-    sidecar file, which Spark/Hadoop parquet listings ignore."""
+def _compaction_state(path: str) -> tuple[int, str]:
+    """(highest folded batch_id, run_id it applies to) — (-1, "") when
+    never compacted. Stored in an underscore-prefixed sidecar file,
+    which Spark/Hadoop parquet listings ignore."""
     import json
 
     marker = os.path.join(path, _COMPACTION_MARKER)
     try:
         with open(marker) as fh:
-            return int(json.load(fh)["compacted_through"])
+            data = json.load(fh)
+        return int(data["compacted_through"]), str(data.get("run_id", ""))
     except (OSError, ValueError, KeyError):
-        return -1
+        return -1, ""
 
 
-def compact_partials(spark: SparkSession, path: str) -> int:
+def _compacted_through(path: str) -> int:
+    return _compaction_state(path)[0]
+
+
+def compact_partials(spark: SparkSession, path: str, run_id: str = "") -> int:
     """Fold all per-batch partials into one ``batch_id=-1`` partition
     (merging by bucket), dropping the per-batch dirs. Returns the number
     of partial rows after compaction. Run from the maintenance cadence —
@@ -148,8 +167,17 @@ def compact_partials(spark: SparkSession, path: str) -> int:
     tmp = path.rstrip("/") + ".compact.tmp"
     folded.coalesce(1).write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
     n = spark.read.parquet(tmp).count()
+    prev_through, prev_run = _compaction_state(path)
     with open(os.path.join(tmp, _COMPACTION_MARKER), "w") as fh:
-        json.dump({"compacted_through": max(high, _compacted_through(path))}, fh)
+        json.dump(
+            {
+                # the guard window only carries over within the same run's
+                # id sequence; a new run starts its own watermark
+                "compacted_through": max(high, prev_through) if prev_run == run_id else high,
+                "run_id": run_id,
+            },
+            fh,
+        )
     old = path.rstrip("/") + ".old"
     if os.path.isdir(old):
         shutil.rmtree(old)

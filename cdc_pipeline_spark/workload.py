@@ -2039,10 +2039,12 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 5, dim: int = 64) -> str:
     (operators/clustering.py::kmeans): lowest-id init, per iteration an
     argmin assignment on d = ‖c‖² − 2·v·c with lowest-cluster tiebreak,
     then elementwise-mean centroid update — unrolled as chained CTEs.
-    Exactness holds because every divergence-prone float op is
-    sequential on both sides (Python sum / fold-left dot vs DuckDB
-    list_inner_product); the only cross-engine noise source (avg partial
-    ordering) was measured stable at local[16]/32 shuffle partitions."""
+    Exactness holds because EVERY float op is an explicitly-sequenced
+    fold on both sides: dot products are fold-left (Python sum /
+    list_inner_product), and the centroid mean is an id-ordered
+    left-fold sum (engine: array_sort(collect_list) + aggregate; here:
+    list(... ORDER BY vec_id) + list_reduce) — no reliance on partial
+    aggregation order at any partitioning."""
     parts = [
         "WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v AS c "
@@ -2058,7 +2060,9 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 5, dim: int = 64) -> str:
         parts.append(assign.format(name=f"assign{i}", cent=f"cent{i}"))
         parts.append(
             f"cent{i + 1} AS (SELECT cluster, list(m ORDER BY pos) AS c FROM ("
-            f"SELECT a.cluster, d.pos, avg(a.v[d.pos]) AS m "
+            f"SELECT a.cluster, d.pos, "
+            f"list_reduce(list_prepend(0.0, list(a.v[d.pos] ORDER BY a.vec_id)), (acc, x) -> acc + x) "
+            f"/ count(*) AS m "
             f"FROM assign{i} a CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS pos) d "
             f"GROUP BY a.cluster, d.pos) GROUP BY cluster)"
         )
@@ -3473,12 +3477,15 @@ def training_corpus_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_rag_chunks",
     r"""
     WITH tok AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS toks
+        FROM documents
     ),
     st AS (
         SELECT doc_id, toks,
                unnest(generate_series(0, greatest(len(toks) - 1, 0), 48)) AS s
         FROM tok
+        WHERE len(toks) > 0
     )
     SELECT doc_id,
            CAST(s // 48 AS BIGINT) AS chunk_id,

@@ -166,27 +166,13 @@ _EPOCH_ORDER_ORACLE = """
 """
 
 
-_CLASSIFIER_ORACLE = r"""
+_CLASSIFIER_ORACLE_TEMPLATE = r"""
     WITH toks AS (
         SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
                                    t -> t <> '') AS toks
         FROM documents
     ),
-    posting AS (
-        SELECT doc_id,
-               list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                       list_transform(string_split(gram, ''),
-                                      c -> CAST(greatest(unicode(c), 0) AS BIGINT))),
-                   (acc, x) -> (acc * 131 + x) % 2147483647) % 4096 AS bucket
-        FROM (
-            SELECT doc_id, unnest(toks) AS gram FROM toks
-            UNION ALL
-            SELECT doc_id,
-                   unnest(list_transform(range(1, len(toks)),
-                                         i -> toks[i] || ' ' || toks[i + 1])) AS gram
-            FROM toks
-        )
+    posting AS (__GRAM_POSTING__
     ),
     w AS (
         SELECT bucket,
@@ -208,6 +194,11 @@ _CLASSIFIER_ORACLE = r"""
     SELECT doc_id, source, n_grams, logit, prob, prob > 0.5 AS keep
     FROM (SELECT *, round(1.0 / (1.0 + exp(-4.0 * logit)), 6) AS prob FROM base)
 """
+
+
+_CLASSIFIER_ORACLE = _CLASSIFIER_ORACLE_TEMPLATE.replace(
+    "__GRAM_POSTING__", _GRAM_POSTING.format(src="toks", buckets=4096).replace("%%", "%")
+)
 
 
 @register("doc_quality_classifier", _CLASSIFIER_ORACLE)

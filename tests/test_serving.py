@@ -253,3 +253,58 @@ def test_ws_ping_pong_and_clean_close(kv):
         server.shutdown()
         server.server_close()
         hub.close()
+
+
+def test_ws_pipelined_frame_with_handshake_not_lost(kv):
+    """A client that writes its upgrade request AND its first frame in a
+    single send must not lose the frame: the server buffers handshake
+    leftover bytes into the frame parser (mirror of the client-side
+    _BufferedSock) and answers the pipelined PING with a PONG."""
+    import base64
+    import os as _os
+    import socket
+    import struct as _struct
+
+    from cdc_pipeline_spark.serving.ws import (
+        OP_PING,
+        OP_PONG,
+        accept_key,
+        decode_frame,
+        encode_frame,
+        serve_ws,
+    )
+
+    server, hub = serve_ws(kv)
+    port = server.server_address[1]
+    try:
+        sock = socket.create_connection(("127.0.0.1", port), timeout=5)
+        key = base64.b64encode(_os.urandom(16)).decode("ascii")
+        req = (
+            f"GET /ws HTTP/1.1\r\nHost: 127.0.0.1:{port}\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+        )
+        ping = encode_frame(OP_PING, b"hi", mask=True)
+        sock.sendall(req.encode("latin-1") + ping)  # pipelined
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            chunk = sock.recv(4096)
+            assert chunk
+            resp += chunk
+        head, leftover = resp.split(b"\r\n\r\n", 1)
+        assert head.decode("latin-1").startswith("HTTP/1.1 101")
+        buf = _BufferedSock(sock, leftover)
+        # drain the nine snapshot frames, then the PONG must arrive
+        seen_pong = False
+        for _ in range(12):
+            opcode, payload = decode_frame(buf)
+            if opcode == OP_PONG:
+                assert payload == b"hi"
+                seen_pong = True
+                break
+        assert seen_pong, "pipelined PING was lost by the handshake"
+        sock.close()
+    finally:
+        server.shutdown()
+        server.server_close()
+        hub.close()

@@ -412,3 +412,57 @@ def test_read_binary_files_glob_and_size_guard(spark, tmp_path):
     assert rows[0].length == 14
     all_imgs = read_binary_files(spark, str(tmp_path), glob="*.img")
     assert all_imgs.count() == 2
+
+
+def test_avro_python_timestamp_millis_true_epoch_any_session_tz(spark):
+    """The jar-free decode path must yield the TRUE epoch for
+    timestamp-millis longs regardless of spark.sql.session.timeZone —
+    naive datetimes cross Arrow in the session zone, so the decoder
+    shifts non-UTC wall clocks to compensate."""
+    import json as _json
+
+    from cdc_pipeline_spark.session import temp_conf
+    from cdc_pipeline_spark.sources.avro_codec import decode_avro_python
+
+    schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+            ],
+        }
+    )
+    epoch_ms = 1704067205000  # 2024-01-01T00:00:05Z
+    payload = _zz(7) + _zz(epoch_ms)
+    df = spark.createDataFrame([(bytearray(payload),)], "value binary")
+    for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+        with temp_conf(spark, "spark.sql.session.timeZone", tz):
+            out = decode_avro_python(df, schema).select(
+                "id", F.unix_millis("ts").alias("ms")
+            ).collect()
+        assert [(r.id, r.ms) for r in out] == [(7, epoch_ms)], tz
+
+
+def test_avro_negative_length_is_dropped_not_rewound(spark):
+    """A corrupt negative length varint must fail the record (PERMISSIVE
+    drop), never move the cursor backwards into already-decoded bytes."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from cdc_pipeline_spark.sources.avro_codec import compile_decoder, decode_avro_python
+
+    schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [{"name": "s", "type": "string"}],
+        }
+    )
+    bad = _zz(-1)  # string length -1
+    with _pytest.raises(ValueError):
+        compile_decoder(schema)(bad)
+    df = spark.createDataFrame([(bytearray(bad),)], "value binary")
+    assert decode_avro_python(df, schema).count() == 0

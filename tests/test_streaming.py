@@ -1089,3 +1089,52 @@ def test_corpus_ingest_streaming_equals_batch_and_resumes(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == len(got)
+
+
+def test_monitor_crash_before_first_progress_still_records_exception():
+    """A named query that dies during batch 0 (started, no progress
+    event yet) must still be marked terminated with its exception —
+    onQueryStarted registers the name in the directory so the
+    terminated id-match can find it."""
+    from types import SimpleNamespace
+
+    from cdc_pipeline_spark.streaming.monitor import KvProgressListener
+    from cdc_pipeline_spark.streaming.sinks import InMemoryKV
+
+    kv = InMemoryKV()
+    listener = KvProgressListener(kv)
+    listener.onQueryStarted(SimpleNamespace(name="alpha", id="id-a"))
+    listener.onQueryTerminated(SimpleNamespace(id="id-a", exception="boom at batch 0"))
+    alpha = kv.read_hash("nexus:monitor:streams:alpha")
+    assert alpha["status"] == "terminated"
+    assert alpha["exception"] == "boom at batch 0"
+
+
+def test_rollup_replay_guard_is_run_scoped(spark, tmp_path):
+    """The folded-batch replay guard must apply only within the SAME
+    run's batch-id sequence: a recreated checkpoint restarts ids at 0,
+    and dropping its first batches would be silent data loss."""
+    import datetime as dt
+
+    from cdc_pipeline_spark.streaming.rollup import (
+        RollupTableWriter,
+        compact_partials,
+        read_rollup,
+    )
+
+    table = str(tmp_path / "rollup")
+    rows = [(dt.datetime(2024, 1, 1, 0, 0, 30), 10.0)]
+    df = spark.createDataFrame(rows, "created_at timestamp, value double")
+
+    run_a = RollupTableWriter(table, time_col="created_at", value_col="value", run_id="ckpt-A")
+    run_a(df, 0)
+    compact_partials(spark, table, run_id="ckpt-A")
+
+    # same run replays its folded batch 0 → guarded (no double count)
+    run_a(df, 0)
+    assert read_rollup(spark, table).collect()[0].n_events == 1
+
+    # NEW checkpoint generation restarts at batch 0 → must land
+    run_b = RollupTableWriter(table, time_col="created_at", value_col="value", run_id="ckpt-B")
+    run_b(df, 0)
+    assert read_rollup(spark, table).collect()[0].n_events == 2
