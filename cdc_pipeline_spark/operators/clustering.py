@@ -201,6 +201,10 @@ def cluster_medoids(
     def medoid(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        # pin the group's row order: Arrow delivers rows in partition
+        # arrival order, and the gram-row float sums below would
+        # otherwise vary in the last ulp across partitionings
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
         cell = pdf[cell_col].iloc[0]
         n = len(pdf)
         if n == 1:

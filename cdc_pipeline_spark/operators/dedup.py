@@ -509,14 +509,32 @@ def tfidf_cosine_pairs(
             (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias("w"),
         )
     )
-    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    # norm and dot sums fold in TOKEN order, not F.sum: distributed
+    # partial-aggregation order varies with layout, and the oracle
+    # (list(... ORDER BY token) + list_reduce) must replay the exact
+    # same IEEE addition sequence (same fix as clustering._update)
+    def _token_ordered_sum(term: Column) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("token").alias("t"), term.alias("x")))
+                ),
+                lambda s: s["x"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(_token_ordered_sum(F.col("w") * F.col("w"))).alias("norm")
+    )
     left = w.select(F.col("doc_id").alias("id_a"), "token", F.col("w").alias("w_a"))
     right = w.select(F.col("doc_id").alias("id_b"), "token", F.col("w").alias("w_b"))
     dots = (
         left.join(right, "token")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
+        .agg(_token_ordered_sum(F.col("w_a") * F.col("w_b")).alias("dot"))
     )
     with_norms = (
         dots.join(norms.select(F.col("doc_id").alias("id_a"), F.col("norm").alias("norm_a")), "id_a")

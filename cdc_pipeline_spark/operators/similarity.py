@@ -81,16 +81,37 @@ def brute_force_topk(
     )
 
 
-def ivf_centroids(corpus: DataFrame, cell_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+def ivf_centroids(
+    corpus: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
     """Per-cell mean vector (double precision).
 
-    posexplode → per-(cell, dim) avg → re-pack sorted by dim. Fully
-    distributed partial aggregation: state per group is one double, never
-    a vector list. With a pre-assigned cell column this is one shuffle;
-    without one, plug in any coarse quantizer (k-means iterations are
-    repeated runs of exactly this aggregation + reassignment)."""
-    exploded = corpus.select(cell_col, F.posexplode(F.col(vec_col)).alias("__pos", "__val"))
-    means = exploded.groupBy(cell_col, "__pos").agg(F.avg(F.col("__val").cast("double")).alias("__mean"))
+    The per-dimension mean is an id-ORDERED left fold, not ``F.avg``:
+    distributed partial-aggregation order varies with partition layout,
+    and downstream routing argmaxes (IVF probe order, SemDeDup cell
+    assignment) must replay bit-identically in the DuckDB oracle
+    (same fix as clustering._update). collect_list holds one cell's
+    values per (cell, dim) group — fine at oracle scale; at cluster
+    scale swap to F.avg and drop the bit-exact-replay requirement."""
+    ordered_sum = F.aggregate(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("__val").alias("x")))
+            ),
+            lambda s: s["x"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exploded = corpus.select(
+        cell_col, id_col, F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__val")
+    )
+    means = exploded.groupBy(cell_col, "__pos").agg(
+        (ordered_sum / F.count(F.lit(1))).alias("__mean")
+    )
     return means.groupBy(cell_col).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("__pos", "__mean"))),

@@ -916,9 +916,14 @@ _TFIDF_ORACLE = r"""
         FROM tf JOIN dfreq USING (token) CROSS JOIN n
         WHERE df <= 0.5 * n_docs AND df < n_docs
     ),
-    norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY 1),
+    norms AS (SELECT doc_id,
+                     sqrt(list_reduce(list_prepend(0.0, list(w * w ORDER BY token)),
+                                      (acc, x) -> acc + x)) AS norm
+              FROM w GROUP BY 1),
     dots AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               list_reduce(list_prepend(0.0, list(a.w * b.w ORDER BY a.token)),
+                           (acc, x) -> acc + x) AS dot
         FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
@@ -1097,7 +1102,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims AS (SELECT unnest(range(64)) AS pos),
     cent AS (
         SELECT label, list(m ORDER BY pos) AS c
-        FROM (SELECT label, pos, avg(e[pos + 1]) AS m
+        FROM (SELECT label, pos, list_reduce(list_prepend(0.0, list(e[pos + 1] ORDER BY vec_id)), (acc, x) -> acc + x) / count(*) AS m
               FROM emb CROSS JOIN dims GROUP BY label, pos)
         GROUP BY label
     ),
@@ -1261,7 +1266,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims AS (SELECT unnest(range(64)) AS pos),
     cent AS (
         SELECT label, list(m ORDER BY pos) AS c
-        FROM (SELECT label, pos, avg(e[pos + 1]) AS m
+        FROM (SELECT label, pos, list_reduce(list_prepend(0.0, list(e[pos + 1] ORDER BY vec_id)), (acc, x) -> acc + x) / count(*) AS m
               FROM emb CROSS JOIN dims GROUP BY label, pos)
         GROUP BY label
     ),
