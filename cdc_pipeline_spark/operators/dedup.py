@@ -506,42 +506,38 @@ def tfidf_cosine_pairs(
         .select(
             "doc_id",
             "token",
-            (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias("w"),
+            # weights QUANTIZED to 6dp fixed-point integers: norm and dot
+            # sums are then exact decimal arithmetic — order-independent
+            # at any partitioning (and in the oracle) with none of the
+            # cost of an ordered float fold. The 1e6 scales cancel in the
+            # final cosine, so quantization shifts scores by < 1e-5.
+            F.floor(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")) * 1e6
+                + F.lit(0.5)
+            )
+            .cast("decimal(18,0)")
+            .alias("wq"),
         )
     )
-    # norm and dot sums fold in TOKEN order, not F.sum: distributed
-    # partial-aggregation order varies with layout, and the oracle
-    # (list(... ORDER BY token) + list_reduce) must replay the exact
-    # same IEEE addition sequence (same fix as clustering._update)
-    def _token_ordered_sum(term: Column) -> Column:
-        return F.aggregate(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("token").alias("t"), term.alias("x")))
-                ),
-                lambda s: s["x"],
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     norms = w.groupBy("doc_id").agg(
-        F.sqrt(_token_ordered_sum(F.col("w") * F.col("w"))).alias("norm")
+        F.sum((F.col("wq") * F.col("wq")).cast("decimal(38,0)")).alias("norm2")
     )
-    left = w.select(F.col("doc_id").alias("id_a"), "token", F.col("w").alias("w_a"))
-    right = w.select(F.col("doc_id").alias("id_b"), "token", F.col("w").alias("w_b"))
+    left = w.select(F.col("doc_id").alias("id_a"), "token", F.col("wq").alias("w_a"))
+    right = w.select(F.col("doc_id").alias("id_b"), "token", F.col("wq").alias("w_b"))
     dots = (
         left.join(right, "token")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(_token_ordered_sum(F.col("w_a") * F.col("w_b")).alias("dot"))
+        .agg(F.sum((F.col("w_a") * F.col("w_b")).cast("decimal(38,0)")).alias("dot"))
     )
     with_norms = (
-        dots.join(norms.select(F.col("doc_id").alias("id_a"), F.col("norm").alias("norm_a")), "id_a")
-        .join(norms.select(F.col("doc_id").alias("id_b"), F.col("norm").alias("norm_b")), "id_b")
-        .filter(F.col("norm_a") * F.col("norm_b") > 0)
+        dots.join(norms.select(F.col("doc_id").alias("id_a"), F.col("norm2").alias("norm2_a")), "id_a")
+        .join(norms.select(F.col("doc_id").alias("id_b"), F.col("norm2").alias("norm2_b")), "id_b")
+        .filter((F.col("norm2_a") > 0) & (F.col("norm2_b") > 0))
     )
-    score = F.col("dot") / (F.col("norm_a") * F.col("norm_b"))
+    score = F.col("dot").cast("double") / (
+        F.sqrt(F.col("norm2_a").cast("double")) * F.sqrt(F.col("norm2_b").cast("double"))
+    )
     return (
         with_norms.withColumn("score", round_half_up(score, 6))
         .filter(F.col("score") >= threshold)

@@ -912,27 +912,28 @@ _TFIDF_ORACLE = r"""
     dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
     n AS (SELECT count(*) AS n_docs FROM documents),
     w AS (
-        SELECT doc_id, token, tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+        SELECT doc_id, token,
+               CAST(floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1000000.0 + 0.5)
+                    AS HUGEINT) AS wq
         FROM tf JOIN dfreq USING (token) CROSS JOIN n
         WHERE df <= 0.5 * n_docs AND df < n_docs
     ),
-    norms AS (SELECT doc_id,
-                     sqrt(list_reduce(list_prepend(0.0, list(w * w ORDER BY token)),
-                                      (acc, x) -> acc + x)) AS norm
-              FROM w GROUP BY 1),
+    norms AS (SELECT doc_id, sum(wq * wq) AS norm2 FROM w GROUP BY 1),
     dots AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               list_reduce(list_prepend(0.0, list(a.w * b.w ORDER BY a.token)),
-                           (acc, x) -> acc + x) AS dot
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.wq * b.wq) AS dot
         FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
-    SELECT id_a, id_b, round(dot / (na.norm * nb.norm), 6) AS score
+    SELECT id_a, id_b,
+           round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))), 6)
+               AS score
     FROM dots
     JOIN norms na ON na.doc_id = id_a
     JOIN norms nb ON nb.doc_id = id_b
-    WHERE na.norm * nb.norm > 0
-      AND round(dot / (na.norm * nb.norm), 6) >= 0.3
+    WHERE na.norm2 > 0 AND nb.norm2 > 0
+      AND round(CAST(dot AS DOUBLE)
+                / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))), 6) >= 0.3
 """
 
 
