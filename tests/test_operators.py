@@ -1101,3 +1101,19 @@ def test_kcenter_greedy_spreads_across_planted_blobs(spark):
     assert picks[0] == 0, "seed is the smallest id"
     rerun = [r.vec_id for r in kcenter_greedy(df, k=3).orderBy("selection_rank").collect()]
     assert rerun == picks
+
+
+def test_kcenter_greedy_clamps_k_to_corpus_size(spark):
+    from cdc_pipeline_spark.operators.clustering import kcenter_greedy
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = kcenter_greedy(df, k=8).collect()
+    assert len(out) == 3
+    assert sorted(r.vec_id for r in out) == [0, 1, 2], "no duplicate selections"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seed_id 99"):
+        kcenter_greedy(df, k=2, seed_id=99)
