@@ -3857,6 +3857,75 @@ def embedding_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_greedy(_t(spark, sf_dir, "embeddings"), k=8)
 
 
+@register(
+    "corpus_vocab_coverage",
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    freq AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+    vocab AS (
+        SELECT token FROM freq ORDER BY n DESC, token ASC LIMIT 1000
+    ),
+    per_doc AS (
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov
+        FROM tok t LEFT JOIN vocab v USING (token)
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, n_oov,
+           round(n_oov / greatest(n_tokens, 1), 6) AS oov_rate
+    FROM per_doc
+    """,
+)
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage audit: per-document out-of-vocabulary rate
+    against the corpus' own top-1000-token vocab (ties broken by token
+    string) — the pre-training sanity metric for tokenizer/vocab fit
+    (a domain slice with a high OOV rate will fragment into long
+    byte-level token sequences). The vocab is a top-k aggregate
+    (TakeOrdered, broadcastable); the corpus side is one scan + explode
+    + broadcast join + per-doc count — token rows collapse before any
+    wide shuffle."""
+    from cdc_pipeline_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode_outer(
+                F.filter(tokens("text"), lambda t: t != F.lit(""))
+            ).alias("token"),
+        )
+        .filter(F.col("token").isNotNull())
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(1000)
+        .select("token", F.lit(True).alias("__in_vocab"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        round_half_up(F.col("n_oov") / F.greatest("n_tokens", F.lit(1)), 6).alias("oov_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50
 # registered queries per round (CORRECTNESS_r01 stopped at entry 50 of 81,
@@ -3906,6 +3975,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_source_quality_rank",
     "doc_markup_profile",
     "embedding_kcenter_select",
+    "corpus_vocab_coverage",
     # -- round-2 greens, backfill to the 50-entry window --
     "q2_min_price_per_type",
     "q4_priority_late_orders",
