@@ -264,3 +264,86 @@ def epoch_shuffle_order(
     ).withColumn("shard", (F.col("__key") % F.lit(n_shards)).cast("long"))
     w = _W.partitionBy("shard").orderBy("__key", "doc_id")
     return out.withColumn("epoch_pos", F.row_number().over(w).cast("long")).drop("__key")
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column,
+    k: int,
+    seed: int = 7,
+    resolution: int = 1 << 30,
+    quant: int = 1_000_000,
+    w_min: float = 0.05,
+    w_max: float = 20.0,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement as one global top-k
+    (Efraimidis–Spirakis A-ES): each row draws u ~ Uniform(0,1] and the
+    k largest keys u^(1/w) are an exact weighted sample — e.g. with
+    w = token count this yields a token-uniform document sample, the
+    standard way to subsample a corpus without biasing toward short
+    docs.
+
+    Scale shape: keys are pure per-row expressions and selection is
+    ``orderBy().limit(k)`` → TakeOrderedAndProject (per-partition heap +
+    k-row driver merge). No shuffle of the corpus, no RNG state: u is
+    hash(id, seed), so the sample is rerun-stable and a new ``seed``
+    redraws it.
+
+    Cross-engine determinism (SCALE.md policy, technique 3): u =
+    (h+1)/2^30 is exactly representable (power-of-two divisor); the
+    weight is clamped to [w_min, w_max] and 6-dp-quantized BEFORE use so
+    both engines divide identical doubles; the sort key is
+    floor(ln(u)/w_eff · quant) as BIGINT — |ln(u)/w| ≤ 21/w_min ≈ 416,
+    where a double's ulp (~5e-14) is ~10⁷ below the 1/quant grid, so an
+    engine's ≤1-ulp ln() difference cannot flip a bucket. Ties broken
+    by id. (Ordering by ln(u)/w descending is order-isomorphic to
+    u^(1/w) descending since w > 0.)
+    """
+    from cdc_pipeline_spark.operators import topk
+
+    # Two-round multiplicative hash with the seed folded in as a
+    # MULTIPLIER (an additive seed only shifts every u by ~seed/2^30,
+    # which re-draws essentially the same sample): a different seed is
+    # a different permutation of residues mod 2^31-1. All intermediates
+    # stay within int64 for ids < 2^20 (documented like
+    # portable_id_bucket).
+    p = F.lit(2147483647)
+    h1 = (F.col(id_col).cast("long") * F.lit(KNUTH + 2 * seed)) % p
+    h = ((h1 * F.lit(KNUTH)) % p) % F.lit(resolution)
+    u = (h + F.lit(1)) / F.lit(float(resolution))
+    w_eff = round_half_up(
+        F.least(F.greatest(weight_col.cast("double"), F.lit(w_min)), F.lit(w_max)), 6
+    )
+    priority = F.floor(F.log(u) / w_eff * F.lit(float(quant))).cast("long")
+    out = df.select(
+        F.col(id_col),
+        *carry_cols,
+        w_eff.alias("sample_weight"),
+        priority.alias("priority_q"),
+    )
+    return topk.top_k(out, [F.col("priority_q").desc(), F.col(id_col).asc()], k)
+
+
+def weighted_priority_sql(
+    id_expr: str,
+    weight_expr: str,
+    seed: int = 7,
+    resolution: int = 1 << 30,
+    quant: int = 1_000_000,
+    w_min: float = 0.05,
+    w_max: float = 20.0,
+) -> tuple[str, str]:
+    """DuckDB mirror of :func:`weighted_priority_sample`'s
+    (sample_weight, priority_q) expressions — same hash, same clamp,
+    same quantized-floor key. round(...) here is rewritten to the floor
+    form at registration like every oracle."""
+    w_eff = f"round(least(greatest(CAST({weight_expr} AS DOUBLE), {w_min}), {w_max}), 6)"
+    h = (
+        f"((((({id_expr}) * {KNUTH + 2 * seed}) % 2147483647)"
+        f" * {KNUTH}) % 2147483647) % {resolution}"
+    )
+    u = f"(({h}) + 1) / {float(resolution)}"
+    priority = f"CAST(floor(ln({u}) / ({w_eff}) * {float(quant)}) AS BIGINT)"
+    return w_eff, priority

@@ -3926,6 +3926,58 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _weighted_sample_oracle() -> str:
+    from cdc_pipeline_spark.operators.sampling import weighted_priority_sql
+
+    w_eff, priority = weighted_priority_sql("doc_id", "n_tokens / 100.0")
+    return rf"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                    t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           {w_eff} AS sample_weight,
+           {priority} AS priority_q
+    FROM base
+    ORDER BY priority_q DESC, doc_id ASC
+    LIMIT 200
+    """
+
+
+@register("docs_token_weighted_sample", _weighted_sample_oracle())
+def docs_token_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted document sample (200 docs, weight ∝ token count):
+    Efraimidis–Spirakis priority sampling without replacement, so the
+    draw is token-uniform — subsampling a corpus this way doesn't bias
+    toward short documents the way doc-uniform sampling does. The key
+    u^(1/w) is a pure per-row expression over hash(doc_id, seed) and
+    selection is TakeOrderedAndProject: no corpus shuffle, no RNG
+    state, rerun-stable, reseedable per epoch. See
+    operators/sampling.py::weighted_priority_sample for the
+    cross-engine quantization argument. No reference counterpart (its
+    generator fabricates load; nearest is the capped activity feed,
+    src/streaming/transforms/activity_enricher.py:19-26)."""
+    from cdc_pipeline_spark.operators.sampling import weighted_priority_sample
+    from cdc_pipeline_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(F.filter(tokens("text"), lambda t: t != F.lit(""))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    return weighted_priority_sample(
+        base,
+        "doc_id",
+        F.col("n_tokens") / F.lit(100.0),
+        k=200,
+        carry_cols=("n_tokens",),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50
 # registered queries per round (CORRECTNESS_r01 stopped at entry 50 of 81,
@@ -3976,6 +4028,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_markup_profile",
     "embedding_kcenter_select",
     "corpus_vocab_coverage",
+    "docs_token_weighted_sample",
     # -- round-2 greens, backfill to the 50-entry window --
     "q2_min_price_per_type",
     "q4_priority_late_orders",

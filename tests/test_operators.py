@@ -1117,3 +1117,37 @@ def test_kcenter_greedy_clamps_k_to_corpus_size(spark):
 
     with _pytest.raises(ValueError, match="seed_id 99"):
         kcenter_greedy(df, k=2, seed_id=99)
+
+
+def test_weighted_priority_sample_biases_and_is_stable(spark):
+    from cdc_pipeline_spark.operators.sampling import weighted_priority_sample
+
+    # ids 0..999 with weight 0.1, ids 1000..1999 with weight 10: a
+    # 100x weight ratio must make the heavy group dominate a k=200 draw.
+    rows = [(i, 0.1 if i < 1000 else 10.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = weighted_priority_sample(df, "doc_id", F.col("w"), k=200)
+    got = out.collect()
+    assert len(got) == 200
+    heavy = sum(1 for r in got if r.doc_id >= 1000)
+    assert heavy > 180, f"100x-weighted group should dominate, got {heavy}/200"
+    # exact A-ES keys: priorities strictly ordered with id tie-break
+    pri = [(r.priority_q, -r.doc_id) for r in got]
+    assert pri == sorted(pri, reverse=True)
+    # partitioning must not change the selection (TakeOrdered + pure
+    # hash keys)
+    again = weighted_priority_sample(df.repartition(17), "doc_id", F.col("w"), k=200).collect()
+    assert [(r.doc_id, r.priority_q) for r in got] == [
+        (r.doc_id, r.priority_q) for r in again
+    ]
+    # reseeding redraws: a different seed must select a different set
+    reseeded = weighted_priority_sample(df, "doc_id", F.col("w"), k=200, seed=99).collect()
+    assert {r.doc_id for r in reseeded} != {r.doc_id for r in got}
+
+
+def test_weighted_priority_sample_clamps_weights(spark):
+    from cdc_pipeline_spark.operators.sampling import weighted_priority_sample
+
+    df = spark.createDataFrame([(1, 0.0), (2, 1e9)], ["doc_id", "w"])
+    got = {r.doc_id: r.sample_weight for r in weighted_priority_sample(df, "doc_id", F.col("w"), k=2).collect()}
+    assert got[1] == 0.05 and got[2] == 20.0
