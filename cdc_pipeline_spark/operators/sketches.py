@@ -1,0 +1,136 @@
+"""Mergeable sketch aggregates.
+
+`lineitem_exact_percentiles` (workload_analytic.py) computes ordered-set
+aggregates exactly — which needs each group's values sorted together and
+stops scaling when one group holds trillions of rows. The scale path is
+a MERGEABLE sketch whose state is small, commutative and associative, so
+map-side partial aggregation collapses each partition to sketch-state
+before the shuffle and the exchange carries kilobytes per group
+regardless of input size.
+
+Spark's built-in `percentile_approx` is exactly that (a KLL/GK-family
+sketch), but its internal state is engine-specific, so a DuckDB oracle
+can't replay it. The fixed-bin histogram here trades adaptivity for
+portability: the sketch state is an integer bin-count vector, every step
+is integer or exactly-reproducible double arithmetic, and the rank→bin
+walk is replayable in any SQL engine — the same determinism posture as
+the HLL register algebra in `events_daily_distinct_hll`
+(SCALE.md "Cross-engine determinism policy", technique 1).
+
+Error bound: a percentile estimate is the UPPER EDGE of the first bin
+whose cumulative count reaches ceil(p·total), so it overshoots the true
+percentile by at most one bin width ((hi-lo)/n_bins); values outside
+[lo, hi) clamp into the edge bins.
+
+No reference counterpart (the reference's only percentile is
+`percentile_approx` in src/streaming/transforms/health_aggregator.py);
+this generalizes it to a portable, mergeable batch/streaming aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_pipeline_spark.operators.rounding import round_half_up
+
+
+def histogram_bin(value_col: Column, lo: float, width: float, n_bins: int) -> Column:
+    """Deterministic bin index in [0, n_bins): floor((x-lo)/width),
+    clamped so out-of-range values land in the edge bins. Pure integer
+    result of correctly-rounded double ops — identical in any engine."""
+    raw = F.floor((value_col.cast("double") - F.lit(float(lo))) / F.lit(float(width)))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("long")
+
+
+def histogram_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    percentiles: dict[str, float],
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Approximate grouped percentiles from a fixed-bin histogram.
+
+    Shape: ONE shuffle on (group, bin) with map-side partial counts (the
+    mergeable sketch state — the exchange carries ≤ n_bins rows per
+    group however large the input), then two windows and a final ≤n_bins
+    rows/group aggregate. Estimate for p: upper edge of the first bin
+    with cumulative count ≥ ceil(p·total); error ≤ (hi-lo)/n_bins.
+
+    ``percentiles`` maps output column name → fraction, e.g.
+    {"p50_est": 0.5}. Also emits ``total`` (exact group count — the
+    sketch preserves it by construction).
+    """
+    width = (float(hi) - float(lo)) / n_bins
+    counts = (
+        df.groupBy(*group_cols, histogram_bin(F.col(value_col), lo, width, n_bins).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    cum = counts.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "total", F.sum("n").over(w_tot)
+    )
+    aggs = []
+    for name, p in percentiles.items():
+        rank = F.ceil(F.lit(float(p)) * F.col("total"))
+        sel_bin = F.min(F.when(F.col("cum") >= rank, F.col("bin")))
+        aggs.append(
+            round_half_up(
+                F.lit(float(lo)) + (sel_bin + F.lit(1)) * F.lit(float(width)), 6
+            ).alias(name)
+        )
+    aggs.append(F.max("total").alias("total"))
+    return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def histogram_percentiles_sql(
+    table: str,
+    value_expr: str,
+    group_cols: list[str],
+    percentiles: dict[str, float],
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> str:
+    """DuckDB mirror of :func:`histogram_percentiles` — same binning,
+    same rank→bin walk, same upper-edge estimate. round(...) is
+    rewritten to the floor form at registration like every oracle."""
+    width = (float(hi) - float(lo)) / n_bins
+    gcols = ", ".join(group_cols)
+    bin_expr = (
+        f"CAST(least(greatest(floor((CAST({value_expr} AS DOUBLE) - {float(lo)})"
+        f" / {float(width)}), 0), {n_bins - 1}) AS BIGINT)"
+    )
+    est_cols = ",\n           ".join(
+        f"round({float(lo)} + (min(CASE WHEN cum >= ceil({float(p)} * total)"
+        f" THEN bin END) + 1) * {float(width)}, 6) AS {name}"
+        for name, p in percentiles.items()
+    )
+    return f"""
+    WITH counts AS (
+        SELECT {gcols}, {bin_expr} AS bin, count(*) AS n
+        FROM {table}
+        GROUP BY {gcols}, bin
+    ),
+    c AS (
+        SELECT {gcols}, bin, n,
+               sum(n) OVER (PARTITION BY {gcols} ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(n) OVER (PARTITION BY {gcols}) AS total
+        FROM counts
+    )
+    SELECT {gcols},
+           {est_cols},
+           CAST(max(total) AS BIGINT) AS total
+    FROM c
+    GROUP BY {gcols}
+    """

@@ -4029,6 +4029,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_kcenter_select",
     "corpus_vocab_coverage",
     "docs_token_weighted_sample",
+    "lineitem_histogram_percentiles",
     # -- round-2 greens, backfill to the 50-entry window --
     "q2_min_price_per_type",
     "q4_priority_late_orders",

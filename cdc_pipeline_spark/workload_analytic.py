@@ -108,6 +108,45 @@ def lineitem_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hist_pct_oracle() -> str:
+    from cdc_pipeline_spark.operators.sketches import histogram_percentiles_sql
+
+    return histogram_percentiles_sql(
+        "lineitem",
+        "l_extendedprice",
+        ["l_returnflag"],
+        {"p50_est": 0.5, "p90_est": 0.9, "p99_est": 0.99},
+        lo=0.0,
+        hi=110_000.0,
+        n_bins=1100,
+    )
+
+
+@register("lineitem_histogram_percentiles", _hist_pct_oracle())
+def lineitem_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE twin of `lineitem_exact_percentiles`: grouped p50/p90/
+    p99 from a mergeable fixed-bin histogram sketch (error ≤ one bin
+    width = 100 on a [0, 110k) price domain). Exact percentiles sort
+    each group's values together; the sketch's shuffle carries ≤ n_bins
+    counts per group no matter how many rows feed it — the form that
+    survives a trillion-row group. Unlike `percentile_approx`
+    (engine-internal KLL state), every step is portable integer/double
+    arithmetic, so the DuckDB oracle replays the sketch exactly. See
+    operators/sketches.py."""
+    from cdc_pipeline_spark.operators.sketches import histogram_percentiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram_percentiles(
+        li,
+        "l_extendedprice",
+        ["l_returnflag"],
+        {"p50_est": 0.5, "p90_est": 0.9, "p99_est": 0.99},
+        lo=0.0,
+        hi=110_000.0,
+        n_bins=1100,
+    )
+
+
 _GAPFILL_T0 = 1704412800  # 2024-01-05 00:00:00 UTC — inside the events range
 _GAPFILL_STEP = 300
 _GAPFILL_BUCKETS = 288  # one day of 5-minute buckets

@@ -1151,3 +1151,53 @@ def test_weighted_priority_sample_clamps_weights(spark):
     df = spark.createDataFrame([(1, 0.0), (2, 1e9)], ["doc_id", "w"])
     got = {r.doc_id: r.sample_weight for r in weighted_priority_sample(df, "doc_id", F.col("w"), k=2).collect()}
     assert got[1] == 0.05 and got[2] == 20.0
+
+
+def test_histogram_percentiles_error_bound_and_merge_invariance(spark):
+    from cdc_pipeline_spark.operators.sketches import histogram_percentiles
+
+    rows = [(i % 3, float(i)) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    out = histogram_percentiles(
+        df, "x", ["g"], {"p50_est": 0.5, "p90_est": 0.9}, lo=0.0, hi=3000.0, n_bins=300
+    )
+    got = {r.g: r for r in out.collect()}
+    exact = {
+        r.g: (r.p50, r.p90)
+        for r in df.groupBy("g")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)").alias("p50"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY x)").alias("p90"),
+        )
+        .collect()
+    }
+    width = 3000.0 / 300
+    for g, r in got.items():
+        assert r.total == 1000
+        p50, p90 = exact[g]
+        # upper-edge estimate vs the discrete rank element: the element
+        # lies in the selected bin, whose upper edge is the estimate
+        assert 0 <= r.p50_est - p50 <= width + 1e-9, (g, r.p50_est, p50)
+        assert 0 <= r.p90_est - p90 <= width + 1e-9, (g, r.p90_est, p90)
+    # sketch state is mergeable: any partitioning yields the same result
+    again = {
+        r.g: r
+        for r in histogram_percentiles(
+            df.repartition(23), "x", ["g"], {"p50_est": 0.5, "p90_est": 0.9},
+            lo=0.0, hi=3000.0, n_bins=300,
+        ).collect()
+    }
+    assert {g: (r.p50_est, r.p90_est) for g, r in got.items()} == {
+        g: (r.p50_est, r.p90_est) for g, r in again.items()
+    }
+
+
+def test_histogram_percentiles_clamps_out_of_range(spark):
+    from cdc_pipeline_spark.operators.sketches import histogram_percentiles
+
+    df = spark.createDataFrame([(0, -50.0), (0, 9e9)], ["g", "x"])
+    r = histogram_percentiles(
+        df, "x", ["g"], {"p50_est": 0.5, "p99_est": 0.99}, lo=0.0, hi=100.0, n_bins=10
+    ).collect()[0]
+    # -50 clamps to bin 0 (upper edge 10), 9e9 to the last bin (edge 100)
+    assert r.p50_est == 10.0 and r.p99_est == 100.0 and r.total == 2

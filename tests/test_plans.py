@@ -288,3 +288,22 @@ def test_markup_profile_zero_shuffle(spark):
     corpus-wide shuffle crept into a scan-parallel stage."""
     plan = plan_of(spark, "doc_markup_profile")
     assert plan.count("Exchange (") == 0, plan
+
+
+def test_weighted_sample_take_ordered_no_shuffle(spark):
+    """A-ES weighted sampling must stay a pure projection + heap top-k:
+    an Exchange here would mean the corpus is shuffled to draw k rows."""
+    plan = plan_of(spark, "docs_token_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_histogram_sketch_partial_agg_two_exchanges(spark):
+    """The sketch state must collapse map-side BEFORE the shuffle (the
+    whole point of a mergeable sketch: the exchange carries bin counts,
+    not rows), and both windows + the final rank-walk aggregate reuse
+    the group exchange."""
+    plan = plan_of(spark, "lineitem_histogram_percentiles")
+    assert plan.count("Exchange (") == 2, plan
+    assert plan.count("HashAggregate (") == 4, plan
+    assert plan.count("Sort (") == 1, plan
