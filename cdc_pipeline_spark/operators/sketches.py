@@ -70,6 +70,23 @@ def histogram_percentiles(
         df.groupBy(*group_cols, histogram_bin(F.col(value_col), lo, width, n_bins).alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    return percentiles_from_bin_counts(counts, group_cols, percentiles, lo, width)
+
+
+def percentiles_from_bin_counts(
+    counts: DataFrame,
+    group_cols: list[str],
+    percentiles: dict[str, float],
+    lo: float,
+    width: float,
+) -> DataFrame:
+    """The rank→bin walk over materialized sketch state — ``counts`` is
+    (group_cols..., bin, n). Separated so a STREAMING-maintained sketch
+    (additive per-batch bin-count partials, see
+    streaming/rollup.py::HistogramRollupWriter) serves the same
+    percentiles as the batch scan: merge the partials, walk the ranks.
+    Input size here is ≤ n_bins rows per group regardless of how many
+    rows (or batches) produced it."""
     w_cum = (
         Window.partitionBy(*group_cols)
         .orderBy("bin")
@@ -88,7 +105,7 @@ def histogram_percentiles(
                 F.lit(float(lo)) + (sel_bin + F.lit(1)) * F.lit(float(width)), 6
             ).alias(name)
         )
-    aggs.append(F.max("total").alias("total"))
+    aggs.append(F.max("total").cast("long").alias("total"))
     return cum.groupBy(*group_cols).agg(*aggs)
 
 

@@ -185,3 +185,71 @@ def compact_partials(spark: SparkSession, path: str, run_id: str = "") -> int:
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n
+
+
+class HistogramRollupWriter:
+    """``foreachBatch`` writer maintaining histogram-sketch partials:
+    each micro-batch appends its (group_cols..., bin, n) counts under
+    ``batch_id=<n>`` — the same idempotence-by-layout and run-scoped
+    replay guard as :class:`RollupTableWriter`. Bin counts are additive,
+    so readers merge partials exactly (no quantization caveat at all)
+    and :func:`cdc_pipeline_spark.operators.sketches.
+    percentiles_from_bin_counts` serves percentiles from the merged
+    state — a continuously-maintained approximate-percentile table
+    whose per-batch write volume is ≤ n_bins rows per group.
+
+    Compaction: ``compact_partials`` is specific to the time-rollup
+    schema; fold histogram partials by re-writing
+    ``read_histogram_rollup`` output under a fresh path from the
+    maintenance cadence instead."""
+
+    def __init__(
+        self,
+        path: str,
+        value_col: str,
+        lo: float,
+        hi: float,
+        n_bins: int,
+        group_cols: tuple[str, ...] = (),
+        run_id: str = "",
+    ) -> None:
+        self.path = path
+        self.value_col = value_col
+        self.lo = float(lo)
+        self.width = (float(hi) - float(lo)) / n_bins
+        self.n_bins = n_bins
+        self.group_cols = tuple(group_cols)
+        self.run_id = run_id
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from cdc_pipeline_spark.operators.sketches import histogram_bin
+
+        through, marker_run = _compaction_state(self.path)
+        if marker_run == self.run_id and int(batch_id) <= through:
+            return
+        partials = (
+            batch_df.groupBy(
+                *self.group_cols,
+                histogram_bin(
+                    F.col(self.value_col), self.lo, self.width, self.n_bins
+                ).alias("bin"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        with temp_conf(
+            batch_df.sparkSession, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
+            partials.coalesce(1).write.mode("overwrite").partitionBy("batch_id").parquet(self.path)
+
+
+def read_histogram_rollup(
+    spark: SparkSession, path: str, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge histogram partials to (group_cols..., bin, n) — exact
+    regardless of batch layout (integer sums). Feed to
+    ``percentiles_from_bin_counts`` for serving."""
+    partials = spark.read.parquet(path)
+    return partials.groupBy(*group_cols, "bin").agg(
+        F.sum("n").cast("long").alias("n")
+    )

@@ -1138,3 +1138,60 @@ def test_rollup_replay_guard_is_run_scoped(spark, tmp_path):
     run_b = RollupTableWriter(table, time_col="created_at", value_col="value", run_id="ckpt-B")
     run_b(df, 0)
     assert read_rollup(spark, table).collect()[0].n_events == 2
+
+
+def test_histogram_rollup_incremental_matches_batch(spark, tmp_path):
+    """Streaming-maintained percentile sketch: per-batch bin-count
+    partials, merged at read time, must EXACTLY equal the batch
+    histogram sketch over the union (integer state — no quantization
+    tolerance), and replaying a batch must not change the table."""
+    from cdc_pipeline_spark.operators.sketches import (
+        histogram_percentiles,
+        percentiles_from_bin_counts,
+    )
+    from cdc_pipeline_spark.streaming.rollup import (
+        HistogramRollupWriter,
+        read_histogram_rollup,
+    )
+
+    batches = [
+        _rows([(i, "view", float(v)) for i, v in enumerate(range(0, 50))]),
+        _rows([(i, "view", float(v)) for i, v in enumerate(range(50, 80))]),
+        _rows([(i, "click", float(v)) for i, v in enumerate(range(80, 100))]),
+    ]
+    table = str(tmp_path / "hist_rollup")
+    writer = HistogramRollupWriter(
+        table, value_col="value", lo=0.0, hi=100.0, n_bins=20,
+        group_cols=("event_type",),
+    )
+    for i, rows in enumerate(batches):
+        writer(spark.createDataFrame(rows, EVENT_SCHEMA), i)
+
+    pcts = {"p50_est": 0.5, "p90_est": 0.9}
+    merged = read_histogram_rollup(spark, table, group_cols=("event_type",))
+    got = {
+        r.event_type: (r.p50_est, r.p90_est, r.total)
+        for r in percentiles_from_bin_counts(
+            merged, ["event_type"], pcts, lo=0.0, width=5.0
+        ).collect()
+    }
+    all_rows = [r for b in batches for r in b]
+    gold = {
+        r.event_type: (r.p50_est, r.p90_est, r.total)
+        for r in histogram_percentiles(
+            spark.createDataFrame(all_rows, EVENT_SCHEMA),
+            "value", ["event_type"], pcts, lo=0.0, hi=100.0, n_bins=20,
+        ).collect()
+    }
+    assert got == gold
+
+    # at-least-once replay of an already-written batch: table unchanged
+    writer(spark.createDataFrame(batches[1], EVENT_SCHEMA), 1)
+    again = {
+        r.event_type: (r.p50_est, r.p90_est, r.total)
+        for r in percentiles_from_bin_counts(
+            read_histogram_rollup(spark, table, group_cols=("event_type",)),
+            ["event_type"], pcts, lo=0.0, width=5.0,
+        ).collect()
+    }
+    assert again == gold
