@@ -4030,6 +4030,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_vocab_coverage",
     "docs_token_weighted_sample",
     "lineitem_histogram_percentiles",
+    "doc_padded_batches",
     # -- round-2 greens, backfill to the 50-entry window --
     "q2_min_price_per_type",
     "q4_priority_late_orders",

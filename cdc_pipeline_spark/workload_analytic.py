@@ -108,6 +108,64 @@ def lineitem_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _padded_batch_oracle() -> str:
+    from cdc_pipeline_spark.operators.packing import DEFAULT_LENGTH_EDGES
+    from cdc_pipeline_spark.operators.sampling import KNUTH
+
+    case = " ".join(
+        f"WHEN n_tokens <= {e} THEN {e}" for e in sorted(DEFAULT_LENGTH_EDGES)
+    )
+    return rf"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                    t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, n_tokens,
+               CAST(CASE {case} ELSE -1 END AS BIGINT) AS bucket_cap,
+               ((doc_id * {KNUTH} + 7) % 2147483647) % 4 AS shard
+        FROM base
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY bucket_cap, shard
+                                     ORDER BY n_tokens DESC, doc_id ASC) AS rn
+        FROM b
+    )
+    SELECT bucket_cap, shard, (rn - 1) // 16 AS batch_idx,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           max(n_tokens) AS max_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           round((count(*) * max(n_tokens) - sum(n_tokens))
+                 / greatest(count(*) * max(n_tokens), 1), 6) AS pad_overhead
+    FROM r
+    GROUP BY bucket_cap, shard, (rn - 1) // 16
+    """
+
+
+@register("doc_padded_batches", _padded_batch_oracle())
+def doc_padded_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padded-batch formation with length bucketing (batch=16 docs,
+    4 shards): the inference/finetuning layout twin of
+    `doc_sequence_packing` — group similar-length docs per (bucket,
+    shard) and report each batch's padding overhead. Batches form per
+    shard, never from a global order, so the layout parallelizes and
+    replays deterministically. See
+    operators/packing.py::length_bucketed_batches."""
+    from cdc_pipeline_spark.operators.packing import length_bucketed_batches
+    from cdc_pipeline_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(F.filter(tokens("text"), lambda t: t != F.lit(""))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    return length_bucketed_batches(base, "doc_id", "n_tokens", batch_size=16)
+
+
 def _hist_pct_oracle() -> str:
     from cdc_pipeline_spark.operators.sketches import histogram_percentiles_sql
 

@@ -1201,3 +1201,36 @@ def test_histogram_percentiles_clamps_out_of_range(spark):
     ).collect()[0]
     # -50 clamps to bin 0 (upper edge 10), 9e9 to the last bin (edge 100)
     assert r.p50_est == 10.0 and r.p99_est == 100.0 and r.total == 2
+
+
+def test_length_bucketed_batches_bounds_and_beats_unbucketed(spark):
+    from cdc_pipeline_spark.operators.packing import length_bucketed_batches
+
+    # skewed lengths: many short docs + a few very long ones
+    rows = [(i, 10 + (i % 7)) for i in range(400)] + [(1000 + i, 900) for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = length_bucketed_batches(df, "doc_id", "n_tokens", batch_size=16).collect()
+    assert all(r.n_docs <= 16 for r in out)
+    assert sum(r.n_docs for r in out) == len(rows), "every doc lands in a batch"
+    # every batch respects its bucket's length cap (overflow bucket aside)
+    for r in out:
+        assert r.bucket_cap == -1 or r.max_tokens <= r.bucket_cap
+
+    def weighted_overhead(batches):
+        grid = sum(r.n_docs * r.max_tokens for r in batches)
+        used = sum(r.sum_tokens for r in batches)
+        return (grid - used) / grid
+
+    bucketed = weighted_overhead(out)
+    unbucketed = weighted_overhead(
+        length_bucketed_batches(
+            df, "doc_id", "n_tokens", batch_size=16, edges=[1 << 30]
+        ).collect()
+    )
+    assert bucketed < unbucketed, (bucketed, unbucketed)
+    # deterministic under repartitioning
+    again = length_bucketed_batches(
+        df.repartition(11), "doc_id", "n_tokens", batch_size=16
+    ).collect()
+    key = lambda r: (r.bucket_cap, r.shard, r.batch_idx)
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
