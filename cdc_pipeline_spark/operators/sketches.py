@@ -151,3 +151,103 @@ def histogram_percentiles_sql(
     FROM c
     GROUP BY {gcols}
     """
+
+
+_MERSENNE_P = 2147483647
+_CMS_A0 = 2654435761  # Knuth multiplicative constant; per-row odd variants below
+
+
+def _cms_row_params(depth: int, seed: int) -> list[tuple[int, int]]:
+    """(a_j, b_j) per sketch row for the universal hash
+    ((a·h + b) mod 2³¹−1) mod width — odd multipliers, distinct per
+    row and per seed. Products stay < 2⁶³ for h < 2³¹."""
+    return [(_CMS_A0 + 2 * (seed + j) + 1, 11 + 7 * j) for j in range(depth)]
+
+
+def count_min_counters(
+    df: DataFrame,
+    hash_col: Column,
+    depth: int = 4,
+    width: int = 2048,
+    seed: int = 7,
+) -> DataFrame:
+    """Count-min sketch state (Cormode & Muthukrishnan 2005) over a
+    pre-hashed key column: (row_idx, col, n) counters, depth·width cells
+    total. Like the histogram sketch, the state is additive integers —
+    map-side partial aggregation collapses each task to ≤ depth·width
+    rows before the shuffle, partials from any split of the data merge
+    exactly, and every hash is engine-portable (feed
+    ``dedup.portable_token_hash`` for string keys so a DuckDB oracle
+    replays the cells bit-for-bit)."""
+    params = _cms_row_params(depth, seed)
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("row_idx"),
+                (((hash_col * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)) % F.lit(width)).alias(
+                    "col"
+                ),
+            )
+            for j, (a, b) in enumerate(params)
+        ]
+    )
+    return (
+        df.select(F.explode(coords).alias("c"))
+        .groupBy(F.col("c.row_idx").alias("row_idx"), F.col("c.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    hash_col: Column,
+    depth: int = 4,
+    width: int = 2048,
+    seed: int = 7,
+) -> DataFrame:
+    """Point-query the sketch: each key reads its ``depth`` cells and
+    takes the min — an upper bound on the key's true count (collisions
+    only ever ADD). ``keys`` rows are preserved with an ``n_cms``
+    column. The counters side is ≤ depth·width rows, so the join
+    broadcasts however large the corpus that built it."""
+    params = _cms_row_params(depth, seed)
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("row_idx"),
+                (((hash_col * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)) % F.lit(width)).alias(
+                    "col"
+                ),
+            )
+            for j, (a, b) in enumerate(params)
+        ]
+    )
+    probed = keys.withColumn("__c", F.explode(coords)).select(
+        *keys.columns, F.col("__c.row_idx").alias("row_idx"), F.col("__c.col").alias("col")
+    )
+    return (
+        probed.join(F.broadcast(counters), ["row_idx", "col"])
+        .groupBy(*keys.columns)
+        .agg(F.min("n").cast("long").alias("n_cms"))
+    )
+
+
+def cms_sql_ctes(
+    depth: int = 4, width: int = 2048, seed: int = 7, hash_cte: str = "h", hash_col: str = "th"
+) -> tuple[str, str]:
+    """DuckDB mirrors: (counters CTE body, per-key coords UNION body).
+    The caller embeds them with the same token-hash CTE the SimHash
+    oracle uses."""
+    params = _cms_row_params(depth, seed)
+    counter_rows = "\n        UNION ALL ".join(
+        f"SELECT {j} AS row_idx, (({hash_col} * {a} + {b}) % {_MERSENNE_P}) % {width} AS col"
+        f" FROM {hash_cte}"
+        for j, (a, b) in enumerate(params)
+    )
+    probe_rows = "\n        UNION ALL ".join(
+        f"SELECT token, freq, {j} AS row_idx,"
+        f" (({hash_col} * {a} + {b}) % {_MERSENNE_P}) % {width} AS col FROM exact"
+        for j, (a, b) in enumerate(params)
+    )
+    return counter_rows, probe_rows

@@ -4031,6 +4031,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "docs_token_weighted_sample",
     "lineitem_histogram_percentiles",
     "doc_padded_batches",
+    "corpus_token_cms",
     # -- round-2 greens, backfill to the 50-entry window --
     "q2_min_price_per_type",
     "q4_priority_late_orders",

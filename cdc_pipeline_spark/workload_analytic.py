@@ -108,6 +108,82 @@ def lineitem_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_oracle() -> str:
+    from cdc_pipeline_spark.operators.sketches import cms_sql_ctes
+
+    counters, probes = cms_sql_ctes(depth=4, width=2048, seed=7)
+    return rf"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents
+    ),
+    h AS (
+        SELECT token,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(token, ''),
+                                      c -> CAST(greatest(unicode(c), 0) AS BIGINT))),
+                   (acc, x) -> (acc * 131 + x) % 2147483647) AS th
+        FROM tok
+    ),
+    counters AS (
+        SELECT row_idx, col, count(*) AS n FROM (
+        {counters}
+        ) GROUP BY row_idx, col
+    ),
+    exact AS (
+        SELECT token, count(*) AS freq, min(th) AS th
+        FROM h GROUP BY token ORDER BY freq DESC, token LIMIT 40
+    ),
+    probe AS (
+        {probes}
+    )
+    SELECT probe.token, CAST(probe.freq AS BIGINT) AS n_exact,
+           CAST(min(c.n) AS BIGINT) AS n_cms,
+           CAST(min(c.n) - probe.freq AS BIGINT) AS overestimate
+    FROM probe JOIN counters c USING (row_idx, col)
+    GROUP BY probe.token, probe.freq
+    """
+
+
+@register("corpus_token_cms", _cms_oracle())
+def corpus_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy-hitter audit: build a 4×2048 count-min sketch
+    over every token instance, then point-query it for the exact top-40
+    tokens and report estimate vs truth (overestimate ≥ 0 always — CMS
+    errors are one-sided). The sketch state is 8,192 additive integer
+    cells whatever the corpus size — the mergeable-summary form of
+    `corpus_token_topk`'s exact aggregation, usable as streaming
+    partials exactly like the histogram sketch. Hashes are the portable
+    codepoint fold (dedup.portable_token_hash) + per-row universal
+    hashing, so the oracle replays every cell. See
+    operators/sketches.py."""
+    from cdc_pipeline_spark.operators.dedup import portable_token_hash
+    from cdc_pipeline_spark.operators.sketches import cms_estimate, count_min_counters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    )
+    hashed = toks.withColumn("th", portable_token_hash(F.col("token")))
+    counters = count_min_counters(hashed, F.col("th"), depth=4, width=2048, seed=7)
+    exact = (
+        hashed.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"), F.min("th").alias("th"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(40)
+    )
+    est = cms_estimate(
+        counters, exact.select("token", "freq", "th"), F.col("th"), depth=4, width=2048, seed=7
+    )
+    return est.select(
+        "token",
+        F.col("freq").cast("long").alias("n_exact"),
+        "n_cms",
+        (F.col("n_cms") - F.col("freq")).cast("long").alias("overestimate"),
+    )
+
+
 def _padded_batch_oracle() -> str:
     from cdc_pipeline_spark.operators.packing import DEFAULT_LENGTH_EDGES
     from cdc_pipeline_spark.operators.sampling import KNUTH

@@ -1234,3 +1234,33 @@ def test_length_bucketed_batches_bounds_and_beats_unbucketed(spark):
     ).collect()
     key = lambda r: (r.bucket_cap, r.shard, r.batch_idx)
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_count_min_one_sided_error_and_merge_invariance(spark):
+    from cdc_pipeline_spark.operators.sketches import cms_estimate, count_min_counters
+
+    rows = [(i % 50,) for i in range(2000)] + [(999,)] * 7
+    df = spark.createDataFrame(rows, ["th"])
+    counters = count_min_counters(df, F.col("th"), depth=4, width=64)
+    exact = df.groupBy("th").agg(F.count(F.lit(1)).alias("freq"))
+    est = {
+        r.th: (r.freq, r.n_cms)
+        for r in cms_estimate(counters, exact, F.col("th"), depth=4, width=64).collect()
+    }
+    assert len(est) == 51
+    for th, (freq, n_cms) in est.items():
+        assert n_cms >= freq, f"CMS must never underestimate ({th})"
+    # total counter mass per sketch row equals the input size
+    per_row = {
+        r.row_idx: r.m
+        for r in counters.groupBy("row_idx").agg(F.sum("n").alias("m")).collect()
+    }
+    assert per_row == {j: len(rows) for j in range(4)}
+    # additive state: partitioning must not change any counter
+    again = {
+        (r.row_idx, r.col): r.n
+        for r in count_min_counters(df.repartition(13), F.col("th"), depth=4, width=64).collect()
+    }
+    assert again == {
+        (r.row_idx, r.col): r.n for r in counters.collect()
+    }
