@@ -306,11 +306,13 @@ def weighted_priority_sample(
     # Two-round multiplicative hash with the seed folded in as a
     # MULTIPLIER (an additive seed only shifts every u by ~seed/2^30,
     # which re-draws essentially the same sample): a different seed is
-    # a different permutation of residues mod 2^31-1. All intermediates
-    # stay within int64 for ids < 2^20 (documented like
-    # portable_id_bucket).
+    # a different permutation of residues mod 2^31-1. The id is shifted
+    # by seed+1 first so id 0 is not a fixed point (0·a ≡ 0 for every
+    # multiplier — unshifted, doc 0 would draw the minimum u under
+    # EVERY seed and never be sampled). All intermediates stay within
+    # int64 for ids < 2^20 (documented like portable_id_bucket).
     p = F.lit(2147483647)
-    h1 = (F.col(id_col).cast("long") * F.lit(KNUTH + 2 * seed)) % p
+    h1 = ((F.col(id_col).cast("long") + F.lit(seed + 1)) * F.lit(KNUTH + 2 * seed)) % p
     h = ((h1 * F.lit(KNUTH)) % p) % F.lit(resolution)
     u = (h + F.lit(1)) / F.lit(float(resolution))
     w_eff = round_half_up(
@@ -341,7 +343,7 @@ def weighted_priority_sql(
     form at registration like every oracle."""
     w_eff = f"round(least(greatest(CAST({weight_expr} AS DOUBLE), {w_min}), {w_max}), 6)"
     h = (
-        f"((((({id_expr}) * {KNUTH + 2 * seed}) % 2147483647)"
+        f"(((((({id_expr}) + {seed + 1}) * {KNUTH + 2 * seed}) % 2147483647)"
         f" * {KNUTH}) % 2147483647) % {resolution}"
     )
     u = f"(({h}) + 1) / {float(resolution)}"

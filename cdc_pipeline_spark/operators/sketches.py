@@ -67,7 +67,8 @@ def histogram_percentiles(
     """
     width = (float(hi) - float(lo)) / n_bins
     counts = (
-        df.groupBy(*group_cols, histogram_bin(F.col(value_col), lo, width, n_bins).alias("bin"))
+        df.filter(F.col(value_col).isNotNull())  # a NULL is no measurement, not a lo-edge one
+        .groupBy(*group_cols, histogram_bin(F.col(value_col), lo, width, n_bins).alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return percentiles_from_bin_counts(counts, group_cols, percentiles, lo, width)
@@ -98,8 +99,18 @@ def percentiles_from_bin_counts(
     )
     aggs = []
     for name, p in percentiles.items():
-        rank = F.ceil(F.lit(float(p)) * F.col("total"))
-        sel_bin = F.min(F.when(F.col("cum") >= rank, F.col("bin")))
+        # cum >= ceil(p·total) in EXACT integer arithmetic: quantize p
+        # to 1e-4 and cross-multiply (cum·10⁴ ≥ p_q·total). A float
+        # p*total rounds above the exact integer for many (p, total)
+        # pairs (0.07·100 → 7.000000000000001), silently shifting the
+        # rank and breaking the one-bin-width error bound. Headroom:
+        # cum·10⁴ stays in int64 for totals < 9.2e14 rows per group.
+        p_q = round(float(p) * 10_000)
+        sel_bin = F.min(
+            F.when(
+                F.col("cum") * F.lit(10_000) >= F.lit(p_q) * F.col("total"), F.col("bin")
+            )
+        )
         aggs.append(
             round_half_up(
                 F.lit(float(lo)) + (sel_bin + F.lit(1)) * F.lit(float(width)), 6
@@ -128,7 +139,7 @@ def histogram_percentiles_sql(
         f" / {float(width)}), 0), {n_bins - 1}) AS BIGINT)"
     )
     est_cols = ",\n           ".join(
-        f"round({float(lo)} + (min(CASE WHEN cum >= ceil({float(p)} * total)"
+        f"round({float(lo)} + (min(CASE WHEN cum * 10000 >= {round(float(p) * 10_000)} * total"
         f" THEN bin END) + 1) * {float(width)}, 6) AS {name}"
         for name, p in percentiles.items()
     )
@@ -136,6 +147,7 @@ def histogram_percentiles_sql(
     WITH counts AS (
         SELECT {gcols}, {bin_expr} AS bin, count(*) AS n
         FROM {table}
+        WHERE {value_expr} IS NOT NULL
         GROUP BY {gcols}, bin
     ),
     c AS (
@@ -159,9 +171,29 @@ _CMS_A0 = 2654435761  # Knuth multiplicative constant; per-row odd variants belo
 
 def _cms_row_params(depth: int, seed: int) -> list[tuple[int, int]]:
     """(a_j, b_j) per sketch row for the universal hash
-    ((a·h + b) mod 2³¹−1) mod width — odd multipliers, distinct per
-    row and per seed. Products stay < 2⁶³ for h < 2³¹."""
-    return [(_CMS_A0 + 2 * (seed + j) + 1, 11 + 7 * j) for j in range(depth)]
+    ((a·h + b) mod 2³¹−1) mod width — odd multipliers (A0 is odd, the
+    offset is even), distinct across the rows of ONE sketch; different
+    seeds shift the whole family rather than guaranteeing cross-seed
+    distinctness. Products stay < 2⁶³ for h < 2³¹."""
+    return [(_CMS_A0 + 2 * (seed + j), 11 + 7 * j) for j in range(depth)]
+
+
+def _cms_coords(hash_col: Column, depth: int, width: int, seed: int) -> Column:
+    """The (row_idx, col) cell array for one key — the single invariant
+    that must match between sketch build and sketch probe, so both call
+    this helper."""
+    params = _cms_row_params(depth, seed)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("row_idx"),
+                (((hash_col * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)) % F.lit(width)).alias(
+                    "col"
+                ),
+            )
+            for j, (a, b) in enumerate(params)
+        ]
+    )
 
 
 def count_min_counters(
@@ -179,18 +211,7 @@ def count_min_counters(
     exactly, and every hash is engine-portable (feed
     ``dedup.portable_token_hash`` for string keys so a DuckDB oracle
     replays the cells bit-for-bit)."""
-    params = _cms_row_params(depth, seed)
-    coords = F.array(
-        *[
-            F.struct(
-                F.lit(j).cast("long").alias("row_idx"),
-                (((hash_col * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)) % F.lit(width)).alias(
-                    "col"
-                ),
-            )
-            for j, (a, b) in enumerate(params)
-        ]
-    )
+    coords = _cms_coords(hash_col, depth, width, seed)
     return (
         df.select(F.explode(coords).alias("c"))
         .groupBy(F.col("c.row_idx").alias("row_idx"), F.col("c.col").alias("col"))
@@ -209,27 +230,19 @@ def cms_estimate(
     """Point-query the sketch: each key reads its ``depth`` cells and
     takes the min — an upper bound on the key's true count (collisions
     only ever ADD). ``keys`` rows are preserved with an ``n_cms``
-    column. The counters side is ≤ depth·width rows, so the join
-    broadcasts however large the corpus that built it."""
-    params = _cms_row_params(depth, seed)
-    coords = F.array(
-        *[
-            F.struct(
-                F.lit(j).cast("long").alias("row_idx"),
-                (((hash_col * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)) % F.lit(width)).alias(
-                    "col"
-                ),
-            )
-            for j, (a, b) in enumerate(params)
-        ]
-    )
+    column; a cell the sketch never touched counts as ZERO (left join +
+    coalesce), so a never-inserted key correctly estimates 0 — an inner
+    join here would silently drop such keys, or worse, min() over only
+    its colliding cells. The counters side is ≤ depth·width rows, so
+    the join broadcasts however large the corpus that built it."""
+    coords = _cms_coords(hash_col, depth, width, seed)
     probed = keys.withColumn("__c", F.explode(coords)).select(
         *keys.columns, F.col("__c.row_idx").alias("row_idx"), F.col("__c.col").alias("col")
     )
     return (
-        probed.join(F.broadcast(counters), ["row_idx", "col"])
+        probed.join(F.broadcast(counters), ["row_idx", "col"], "left")
         .groupBy(*keys.columns)
-        .agg(F.min("n").cast("long").alias("n_cms"))
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("n_cms"))
     )
 
 

@@ -31,7 +31,14 @@ from pyspark.sql import functions as F
 
 from cdc_pipeline_spark.session import temp_conf
 
-__all__ = ["RollupTableWriter", "read_rollup", "compact_partials"]
+__all__ = [
+    "RollupTableWriter",
+    "read_rollup",
+    "compact_partials",
+    "HistogramRollupWriter",
+    "read_histogram_rollup",
+    "compact_histogram_partials",
+]
 
 _GRAIN_SECONDS = {"5min": 300, "hour": 3600, "day": 86400}
 
@@ -150,12 +157,7 @@ def compact_partials(spark: SparkSession, path: str, run_id: str = "") -> int:
     Concurrent readers mid-swap can transiently error on the rename (a
     lakehouse table format turns this into an atomic metadata commit);
     run it from the maintenance cadence, not per micro-batch."""
-    import json
-    import shutil
-
     partials = spark.read.parquet(path)
-    high = partials.agg(F.max("batch_id")).collect()[0][0]
-    high = int(high) if high is not None else -1
     folded = (
         partials.groupBy("bucket_start")
         .agg(
@@ -164,6 +166,21 @@ def compact_partials(spark: SparkSession, path: str, run_id: str = "") -> int:
         )
         .withColumn("batch_id", F.lit(-1))
     )
+    return _swap_compacted(spark, path, partials, folded, run_id)
+
+
+def _swap_compacted(
+    spark: SparkSession, path: str, partials: DataFrame, folded: DataFrame, run_id: str
+) -> int:
+    """Shared compaction tail: write the fold to a tmp sibling, record
+    the replay-guard marker (highest folded batch_id, run-scoped), then
+    rename-aside swap. See compact_partials' docstring for the crash
+    and replay analysis."""
+    import json
+    import shutil
+
+    high = partials.agg(F.max("batch_id")).collect()[0][0]
+    high = int(high) if high is not None else -1
     tmp = path.rstrip("/") + ".compact.tmp"
     folded.coalesce(1).write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
     n = spark.read.parquet(tmp).count()
@@ -198,10 +215,11 @@ class HistogramRollupWriter:
     state — a continuously-maintained approximate-percentile table
     whose per-batch write volume is ≤ n_bins rows per group.
 
-    Compaction: ``compact_partials`` is specific to the time-rollup
-    schema; fold histogram partials by re-writing
-    ``read_histogram_rollup`` output under a fresh path from the
-    maintenance cadence instead."""
+    Compaction: :func:`compact_histogram_partials` — same marker and
+    rename-aside swap as the time rollup, so a replay of an
+    already-folded batch is skipped by the guard above. (Folding to a
+    fresh path by hand would lose the marker and double-count a
+    replayed batch.)"""
 
     def __init__(
         self,
@@ -228,7 +246,8 @@ class HistogramRollupWriter:
         if marker_run == self.run_id and int(batch_id) <= through:
             return
         partials = (
-            batch_df.groupBy(
+            batch_df.filter(F.col(self.value_col).isNotNull())
+            .groupBy(
                 *self.group_cols,
                 histogram_bin(
                     F.col(self.value_col), self.lo, self.width, self.n_bins
@@ -253,3 +272,20 @@ def read_histogram_rollup(
     return partials.groupBy(*group_cols, "bin").agg(
         F.sum("n").cast("long").alias("n")
     )
+
+
+def compact_histogram_partials(
+    spark: SparkSession, path: str, group_cols: tuple[str, ...] = (), run_id: str = ""
+) -> int:
+    """Fold histogram per-batch partials into one ``batch_id=-1``
+    partition (exact integer merge), with the same replay marker and
+    crash-safe rename-aside swap as :func:`compact_partials` — so an
+    at-least-once replay of an already-folded batch id is skipped by
+    the writer's guard instead of double-counting."""
+    partials = spark.read.parquet(path)
+    folded = (
+        partials.groupBy(*group_cols, "bin")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .withColumn("batch_id", F.lit(-1))
+    )
+    return _swap_compacted(spark, path, partials, folded, run_id)

@@ -139,9 +139,9 @@ def _cms_oracle() -> str:
         {probes}
     )
     SELECT probe.token, CAST(probe.freq AS BIGINT) AS n_exact,
-           CAST(min(c.n) AS BIGINT) AS n_cms,
-           CAST(min(c.n) - probe.freq AS BIGINT) AS overestimate
-    FROM probe JOIN counters c USING (row_idx, col)
+           CAST(min(coalesce(c.n, 0)) AS BIGINT) AS n_cms,
+           CAST(min(coalesce(c.n, 0)) - probe.freq AS BIGINT) AS overestimate
+    FROM probe LEFT JOIN counters c USING (row_idx, col)
     GROUP BY probe.token, probe.freq
     """
 

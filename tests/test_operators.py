@@ -1232,7 +1232,6 @@ def test_length_bucketed_batches_bounds_and_beats_unbucketed(spark):
     again = length_bucketed_batches(
         df.repartition(11), "doc_id", "n_tokens", batch_size=16
     ).collect()
-    key = lambda r: (r.bucket_cap, r.shard, r.batch_idx)
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
@@ -1264,3 +1263,64 @@ def test_count_min_one_sided_error_and_merge_invariance(spark):
     assert again == {
         (r.row_idx, r.col): r.n for r in counters.collect()
     }
+
+
+def test_weighted_priority_sample_id_zero_not_fixed_point(spark):
+    from cdc_pipeline_spark.operators.sampling import weighted_priority_sample
+
+    df = spark.createDataFrame([(i, 1.0) for i in range(100)], ["doc_id", "w"])
+    # doc 0's priority must vary with the seed (an unshifted
+    # multiplicative hash maps 0 -> 0 under every seed, pinning doc 0
+    # to the minimum u forever)
+    pri0 = {
+        seed: {r.doc_id: r.priority_q for r in
+               weighted_priority_sample(df, "doc_id", F.col("w"), k=100, seed=seed).collect()}[0]
+        for seed in (7, 8, 99)
+    }
+    assert len(set(pri0.values())) > 1, pri0
+    # and doc 0 is sampled by at least one of a handful of seeds at k=n/2
+    hit = any(
+        0 in {r.doc_id for r in
+              weighted_priority_sample(df, "doc_id", F.col("w"), k=50, seed=s).collect()}
+        for s in range(7, 15)
+    )
+    assert hit
+
+
+def test_cms_estimate_absent_key_is_zero(spark):
+    from cdc_pipeline_spark.operators.sketches import cms_estimate, count_min_counters
+
+    data = spark.createDataFrame([(1,), (1,), (2,)], ["th"])
+    counters = count_min_counters(data, F.col("th"), depth=4, width=4096)
+    watch = spark.createDataFrame([(999_999,)], ["th"])
+    rows = cms_estimate(counters, watch, F.col("th"), depth=4, width=4096).collect()
+    assert len(rows) == 1, "a never-inserted key must not vanish from the output"
+    assert rows[0].n_cms == 0, "empty cells count as zero, so the estimate is 0"
+
+
+def test_histogram_percentiles_exact_integer_rank(spark):
+    from cdc_pipeline_spark.operators.sketches import histogram_percentiles
+
+    # 0.07 * 100 = 7.000000000000001 in doubles: a float rank would
+    # ceil to 8, select bin 8 and report 9.0; the integer
+    # cross-multiplication selects the bin holding rank element 7
+    # (bin [7,8) -> upper edge 8.0)
+    df = spark.createDataFrame([(0, float(i)) for i in range(1, 101)], ["g", "x"])
+    r = histogram_percentiles(
+        df, "x", ["g"], {"p07": 0.07}, lo=0.0, hi=100.0, n_bins=100
+    ).collect()[0]
+    assert r.p07 == 8.0, r
+
+
+def test_histogram_percentiles_ignores_nulls(spark):
+    from cdc_pipeline_spark.operators.sketches import histogram_percentiles
+
+    rows = [(0, float(i)) for i in range(1, 11)] + [(0, None)] * 10
+    df = spark.createDataFrame(rows, "g long, x double")
+    r = histogram_percentiles(
+        df, "x", ["g"], {"p50_est": 0.5}, lo=0.0, hi=10.0, n_bins=10
+    ).collect()[0]
+    assert r.total == 10, "NULLs are not measurements"
+    # rank element 5 sits in bin [5,6) -> upper edge 6.0; counting the
+    # 10 NULLs as lo-edge points would report total=20 and p50_est=1.0
+    assert r.p50_est == 6.0

@@ -1195,3 +1195,35 @@ def test_histogram_rollup_incremental_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert again == gold
+
+
+def test_histogram_rollup_compaction_and_replay_guard(spark, tmp_path):
+    """compact_histogram_partials must fold without changing reads, and
+    a replay of an already-folded batch must be skipped by the marker
+    (folding by hand to a fresh path would lose it and double-count)."""
+    from cdc_pipeline_spark.streaming.rollup import (
+        HistogramRollupWriter,
+        compact_histogram_partials,
+        read_histogram_rollup,
+    )
+
+    batches = [
+        _rows([(i, "view", float(v)) for i, v in enumerate(range(0, 40))]),
+        _rows([(i, "view", float(v)) for i, v in enumerate(range(40, 90))]),
+    ]
+    table = str(tmp_path / "hist_compact")
+    writer = HistogramRollupWriter(
+        table, value_col="value", lo=0.0, hi=100.0, n_bins=10, run_id="run-a"
+    )
+    for i, rows in enumerate(batches):
+        writer(spark.createDataFrame(rows, EVENT_SCHEMA), i)
+    before = {
+        (r.bin): r.n for r in read_histogram_rollup(spark, table).collect()
+    }
+    compact_histogram_partials(spark, table, run_id="run-a")
+    after = {(r.bin): r.n for r in read_histogram_rollup(spark, table).collect()}
+    assert after == before, "compaction must not change merged reads"
+    # replay of folded batch 1: guard must skip it
+    writer(spark.createDataFrame(batches[1], EVENT_SCHEMA), 1)
+    replayed = {(r.bin): r.n for r in read_histogram_rollup(spark, table).collect()}
+    assert replayed == before, "replay after compaction must not double-count"
