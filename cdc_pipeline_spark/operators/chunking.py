@@ -95,14 +95,10 @@ def adjacent_pair_counts(
     aggregation collapses to distinct-pairs-per-partition before the
     single shuffle; the final top-k is a TakeOrdered (no global sort).
     """
+    from cdc_pipeline_spark.operators.text import adjacent_grams
+
     toks = tokens(text_col)
-    pairs = F.when(
-        F.size("__toks") >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size("__toks") - 2),
-            lambda i: F.concat_ws(" ", F.col("__toks")[i], F.col("__toks")[i + 1]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    pairs = adjacent_grams(F.col("__toks"))
     posting = (
         _spread(df)
         .select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))

@@ -136,7 +136,15 @@ def kmeans(
 
     for _ in range(max_iters):
         assigned = _assign(corpus, centroids, id_col, vec_col)
-        new_centroids = _update(assigned, vec_col, id_col)
+        # A cluster that received no points (possible when seed vectors
+        # collide — duplicate embeddings — and the lower id wins every
+        # tie) keeps its previous centroid instead of silently
+        # vanishing, so callers always get the k cells they sized for.
+        # The DuckDB oracle replays the same carry-forward (LEFT JOIN
+        # new means onto the previous centroid table).
+        merged = dict(centroids)
+        merged.update(dict(_update(assigned, vec_col, id_col)))
+        new_centroids = sorted(merged.items())
         converged = new_centroids == centroids
         centroids = new_centroids
         if converged:
@@ -278,7 +286,9 @@ def kcenter_greedy(
     spark = corpus.sparkSession
     base = corpus.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
     n = base.count()
-    if n == 0:
+    # k <= 0 returns an EMPTY selection (the pre-loop seed append would
+    # otherwise hand a zero-budget caller one row)
+    if n == 0 or k <= 0:
         return spark.createDataFrame(
             [], f"{id_col} long, selection_rank long, min_dist double"
         )

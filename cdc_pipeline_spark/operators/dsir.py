@@ -63,14 +63,9 @@ def hashed_gram_posting(
     )
     grams: Column = F.col("toks")
     if bigrams:
-        bi = F.when(
-            F.size("toks") >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - 2),
-                lambda i: F.concat_ws(" ", F.col("toks")[i], F.col("toks")[i + 1]),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        grams = F.concat(grams, bi)
+        from cdc_pipeline_spark.operators.text import adjacent_grams
+
+        grams = F.concat(grams, adjacent_grams(F.col("toks")))
     posting = toks.select("doc_id", F.explode(grams).alias("gram"))
     return posting.select(
         "doc_id", (portable_token_hash(F.col("gram")) % F.lit(buckets)).alias("bucket")

@@ -81,12 +81,24 @@ def connected_components(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
-    # Labels only decrease, so sum(label) strictly decreases until the
-    # fixpoint — a one-column scan of the just-checkpointed frame is the
-    # convergence test (no join against the previous round needed).
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # Convergence test: an order-insensitive (node, label) fingerprint
+    # — count + xor of row hashes, the same scalar probe the star
+    # variant uses. (An earlier sum(label) probe worked only for
+    # NUMERIC ids: on string ids the sum cast yields NULL, None ==
+    # None "converged" after one round, and chained components came
+    # back split.) One tiny scan of the just-checkpointed frame, no
+    # join against the previous round.
+    def _label_fingerprint(frame: DataFrame):
+        return tuple(
+            frame.agg(
+                F.count(F.lit(1)), F.bit_xor(F.xxhash64(F.struct("node", "label")))
+            ).collect()[0]
+        )
+
+    prev_fp = _label_fingerprint(labels)
 
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         neighbor_labels = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -99,12 +111,25 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         rounds += 1
-        new_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if new_sum == prev_sum:
+        new_fp = _label_fingerprint(labels)
+        if new_fp == prev_fp:
+            converged = True
             break
-        prev_sum = new_sum
+        prev_fp = new_fp
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components(propagation) stopped at max_iter={max_iter} "
+            "before the fixpoint: one component may carry several labels. "
+            "Raise max_iter or use algorithm='star' (O(log n) rounds) for "
+            "high-diameter graphs.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
 
     out = labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
     return _with_singletons(out, vertices, id_col)
@@ -190,10 +215,23 @@ def _star_components(
         rounds += 1
         cur = fingerprint(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    else:
+        converged = False
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components(star) stopped at max_iter={max_iter} before "
+            "the edge set stabilized: labels may be non-canonical.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
 
     # e is now a star forest pointing larger → smaller (a > b = center).
     nodes = e.select(F.col("a").alias("node"), F.col("b").alias("label"))

@@ -222,13 +222,22 @@ def temperature_mix_weights(
 
 def portable_id_bucket(col, seed: int = 7, resolution: int = 1_000_000):
     """SQL-portable bucket for :func:`deterministic_stratified_sample`
-    twins: Knuth multiplicative hash under mod-2³¹−1 arithmetic (stays
-    within long range for ids < 2²⁰ under ANSI mode; replicate in any
-    SQL engine verbatim). Weaker dispersion than xxhash64 — use for
-    cross-engine verification, not production sampling."""
+    twins: Knuth multiplicative hash under mod-2³¹−1 arithmetic. For
+    ids < 2²⁰ the product stays in int64 and any SQL engine replicates
+    the bucket verbatim (the cross-engine contract). Beyond ~3.5e9 the
+    non-ANSI product wraps negative — ``pmod`` keeps the bucket
+    NON-NEGATIVE either way, so downstream u∈(0,1] / log() math never
+    sees a negative bucket and silently nulls out (DuckDB errors on
+    BIGINT overflow rather than wrapping, so the cross-engine mirror
+    genuinely only holds in the documented id range; the engine-side
+    result is merely well-defined, not portable, past it). Weaker
+    dispersion than xxhash64 — use for cross-engine verification, not
+    production sampling."""
     from pyspark.sql import functions as F
 
-    return ((col * F.lit(2654435761) + F.lit(seed)) % F.lit(2147483647)) % F.lit(resolution)
+    return F.pmod(
+        F.pmod(col * F.lit(2654435761) + F.lit(seed), F.lit(2147483647)), F.lit(resolution)
+    )
 
 
 def epoch_shuffle_order(

@@ -196,3 +196,18 @@ def markup_counts(text_col: str = "text") -> tuple[Column, Column]:
         F.regexp_extract_all(F.col(text_col), F.lit(r"&[a-zA-Z]{2,8};|&#[0-9]{1,6};"), F.lit(0))
     )
     return n_tags, n_ents
+
+
+def adjacent_grams(toks_col: Column) -> Column:
+    """Adjacent word bigrams over a token-array column — NOT distinct
+    (occurrence counts matter for LM/pair statistics, unlike
+    :func:`word_shingles`); empty array below 2 tokens. Shared by DSIR
+    gram hashing and BPE-style pair counting so the construction cannot
+    drift between them."""
+    return F.when(
+        F.size(toks_col) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks_col) - 2),
+            lambda i: F.concat_ws(" ", toks_col[i], toks_col[i + 1]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

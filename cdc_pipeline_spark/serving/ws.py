@@ -88,8 +88,17 @@ def _read_exact(sock: socket.socket, n: int) -> bytes:
     return buf
 
 
+MAX_INBOUND_FRAME = 1 << 20  # inbound is control traffic only; 1 MiB is generous
+
+
 def decode_frame(sock: socket.socket) -> tuple[int, bytes]:
-    """Read one complete frame from ``sock`` → (opcode, payload)."""
+    """Read one complete frame from ``sock`` → (opcode, payload).
+
+    The length field is CLIENT-SUPPLIED: without a cap, one frame
+    claiming 2⁶² bytes would make ``_read_exact`` accumulate until the
+    serving process OOMs. This endpoint is one-way (inbound frames are
+    ping/close only), so anything over ``MAX_INBOUND_FRAME`` is a
+    protocol error and drops the connection."""
     b0, b1 = _read_exact(sock, 2)
     opcode = b0 & 0x0F
     masked = bool(b1 & 0x80)
@@ -98,6 +107,8 @@ def decode_frame(sock: socket.socket) -> tuple[int, bytes]:
         (n,) = struct.unpack(">H", _read_exact(sock, 2))
     elif n == 127:
         (n,) = struct.unpack(">Q", _read_exact(sock, 8))
+    if n > MAX_INBOUND_FRAME:
+        raise ConnectionError(f"inbound frame of {n} bytes exceeds cap")
     key = _read_exact(sock, 4) if masked else b""
     payload = _read_exact(sock, n) if n else b""
     if masked:
@@ -213,12 +224,20 @@ class WSHub:
     # -- client lifecycle ---------------------------------------------------
     def attach(self, sock: socket.socket) -> _Client:
         client = _Client(sock)
-        # snapshot-on-connect BEFORE registering: the client sees a full
-        # coherent snapshot first, then live frames (ws_manager.py:60-67)
-        for event in _EVENT_ORDER:
-            client.send(self._frame(event))
+        # Register FIRST, then send the snapshots (ws_manager.py:60-67
+        # semantics: full state, then live frames). The other order has
+        # a lost-update window: a publish processed by the broadcaster
+        # after a snapshot was fetched but before registration reaches
+        # nobody, and a low-frequency channel then stays stale until
+        # its NEXT publish. Registered-first, the worst case is the
+        # client seeing an update frame followed by an equal-or-newer
+        # snapshot of the same channel (snapshots are fetched after the
+        # update landed in the kv) — duplicate delivery, never a lost
+        # one. _Client.send serializes frames under the client's lock.
         with self._lock:
             self._clients.add(client)
+        for event in _EVENT_ORDER:
+            client.send(self._frame(event))
         return client
 
     def detach(self, client: _Client) -> None:

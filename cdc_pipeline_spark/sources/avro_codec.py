@@ -257,6 +257,36 @@ def decode_avro_python(df: DataFrame, avro_schema_json: str, column: str = "valu
     ts_cols = tuple(
         f.name for f in spark_schema.fields if f.dataType.typeName() == "timestamp"
     )
+    # The tz shift below reaches only TOP-LEVEL timestamp columns. A
+    # timestamp nested inside a struct/array/map would silently decode
+    # wall-clock-shifted versus the jar path under a non-UTC session —
+    # the exact disagreement this shift exists to prevent — so refuse
+    # loudly instead (flatten the schema or use the spark-avro jar).
+    def _contains_ts(dt) -> bool:
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        if dt.typeName() == "timestamp":
+            return True
+        if isinstance(dt, StructType):
+            return any(_contains_ts(f.dataType) for f in dt.fields)
+        if isinstance(dt, ArrayType):
+            return _contains_ts(dt.elementType)
+        if isinstance(dt, MapType):
+            return _contains_ts(dt.keyType) or _contains_ts(dt.valueType)
+        return False
+
+    nested_ts = [
+        f.name
+        for f in spark_schema.fields
+        if f.dataType.typeName() != "timestamp" and _contains_ts(f.dataType)
+    ]
+    if nested_ts:
+        raise NotImplementedError(
+            f"decode_avro_python: columns {nested_ts} nest timestamps below "
+            "the top level; the session-timezone alignment only covers "
+            "top-level timestamp columns. Flatten the schema or decode via "
+            "the spark-avro jar path (kafka_avro.decode_avro)."
+        )
     session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
 
     def gen(batches):

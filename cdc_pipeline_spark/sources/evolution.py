@@ -24,7 +24,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import AtomicType, DataType, StringType, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    AtomicType,
+    DataType,
+    MapType,
+    StringType,
+    StructType,
+)
 
 __all__ = ["align_to_schema", "union_evolved"]
 
@@ -44,11 +51,54 @@ _WIDENINGS: dict[tuple[str, str], bool] = {
 }
 
 
+def _same_type(src: DataType, dst: DataType) -> bool:
+    """Type equality modulo nullability/metadata: strict DataType ==
+    treats struct<a:bigint> with a nullable inner field as different
+    from the same struct with a non-null one (routine parquet-read vs
+    contract drift), failing losslessly-identical batches.
+    ``simpleString`` erases exactly the irrelevant parts."""
+    return src.simpleString() == dst.simpleString()
+
+
+def _as_nullable(dt: DataType) -> DataType:
+    """Recursively clear NOT NULL markers: ``cast`` cannot impose
+    non-nullability (Spark rejects a cast to struct<a: bigint NOT
+    NULL>), and nullability is metadata, not representation — so all
+    casts target the nullable form of the contract type."""
+    from pyspark.sql.types import StructField
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _as_nullable(f.dataType), True, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_as_nullable(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(_as_nullable(dt.keyType), _as_nullable(dt.valueType), True)
+    return dt
+
+
 def _can_widen(src: DataType, dst: DataType) -> bool:
-    if src == dst:
+    if _same_type(src, dst):
         return True
     if isinstance(dst, StringType) and isinstance(src, AtomicType):
         return True
+    # recurse into containers: a struct/array/map widens when its shape
+    # matches and every leaf widens (cast() performs the leaf casts)
+    if isinstance(src, StructType) and isinstance(dst, StructType):
+        return len(src.fields) == len(dst.fields) and all(
+            s.name == d.name and _can_widen(s.dataType, d.dataType)
+            for s, d in zip(src.fields, dst.fields)
+        )
+    if isinstance(src, ArrayType) and isinstance(dst, ArrayType):
+        return _can_widen(src.elementType, dst.elementType)
+    if isinstance(src, MapType) and isinstance(dst, MapType):
+        return _can_widen(src.keyType, dst.keyType) and _can_widen(
+            src.valueType, dst.valueType
+        )
     return _WIDENINGS.get((src.typeName(), dst.typeName()), False)
 
 
@@ -60,13 +110,15 @@ def align_to_schema(df: DataFrame, target: StructType) -> DataFrame:
     cols = []
     for field in target.fields:
         if field.name not in have:
-            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+            cols.append(F.lit(None).cast(_as_nullable(field.dataType)).alias(field.name))
             continue
         src = have[field.name]
-        if src == field.dataType:
+        if _same_type(src, field.dataType):
             cols.append(F.col(field.name))
         elif _can_widen(src, field.dataType):
-            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+            cols.append(
+                F.col(field.name).cast(_as_nullable(field.dataType)).alias(field.name)
+            )
         else:
             raise TypeError(
                 f"column {field.name!r}: cannot narrow {src.simpleString()} "

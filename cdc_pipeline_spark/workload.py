@@ -2064,13 +2064,16 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 5, dim: int = 64) -> str:
     )
     for i in range(iters):
         parts.append(assign.format(name=f"assign{i}", cent=f"cent{i}"))
+        # carry-forward: an empty cluster keeps its previous centroid
+        # (mirrors clustering.py::kmeans' merged-dict update)
         parts.append(
-            f"cent{i + 1} AS (SELECT cluster, list(m ORDER BY pos) AS c FROM ("
+            f"cent{i + 1} AS (SELECT p.cluster, coalesce(n.c, p.c) AS c FROM cent{i} p "
+            f"LEFT JOIN (SELECT cluster, list(m ORDER BY pos) AS c FROM ("
             f"SELECT a.cluster, d.pos, "
             f"list_reduce(list_prepend(0.0, list(a.v[d.pos] ORDER BY a.vec_id)), (acc, x) -> acc + x) "
             f"/ count(*) AS m "
             f"FROM assign{i} a CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS pos) d "
-            f"GROUP BY a.cluster, d.pos) GROUP BY cluster)"
+            f"GROUP BY a.cluster, d.pos) GROUP BY cluster) n USING (cluster))"
         )
     final = (
         f"SELECT vec_id, CAST(cluster AS INT) AS cluster FROM ("

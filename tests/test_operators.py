@@ -1324,3 +1324,95 @@ def test_histogram_percentiles_ignores_nulls(spark):
     # rank element 5 sits in bin [5,6) -> upper edge 6.0; counting the
     # 10 NULLs as lo-edge points would report total=20 and p50_est=1.0
     assert r.p50_est == 6.0
+
+
+def test_connected_components_string_ids_converge(spark):
+    from cdc_pipeline_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("X", "Y")], ["src", "dst"]
+    )
+    stats = {}
+    out = {
+        r.node: r.component
+        for r in connected_components(
+            edges, src="src", dst="dst", id_col="node", stats=stats
+        ).collect()
+    }
+    # a numeric-only convergence probe NULLs out on string ids and
+    # stops after one round, splitting the A-B-C chain
+    assert out == {"A": "A", "B": "A", "C": "A", "X": "X", "Y": "X"}
+    assert stats["converged"] is True
+
+
+def test_kcenter_k_zero_returns_empty(spark):
+    from cdc_pipeline_spark.operators.clustering import kcenter_greedy
+
+    df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"])
+    assert kcenter_greedy(df, k=0).count() == 0
+    assert kcenter_greedy(df, k=-3).count() == 0
+
+
+def test_kmeans_duplicate_seed_vectors(spark):
+    from cdc_pipeline_spark.operators.clustering import kmeans
+
+    # the two lowest-id vectors are identical: every point ties to the
+    # lower cluster id; the empty cluster's centroid carries forward
+    # instead of vanishing, and the run completes with valid assignments
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0]), (4, [0.0, 0.9])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r.vec_id: r.cluster for r in kmeans(df, k=2, max_iters=3).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert all(c in (0, 1) for c in got.values())
+
+
+def test_align_to_schema_nested_nullability_and_widening(spark):
+    from pyspark.sql.types import (
+        LongType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from cdc_pipeline_spark.sources.evolution import align_to_schema
+
+    df = spark.createDataFrame([((1,),)], StructType([
+        StructField("s", StructType([StructField("a", IntegerType(), True)]), True)
+    ]))
+    # same shape, inner field nullable=False + widened int->long: aligns
+    target = StructType([
+        StructField("s", StructType([StructField("a", LongType(), False)]), True)
+    ])
+    out = align_to_schema(df, target)
+    assert out.schema["s"].dataType.fields[0].dataType.typeName() == "long"
+    assert out.collect()[0].s.a == 1
+    # genuine nested narrowing still raises
+    import pytest as _pytest
+
+    narrow = StructType([
+        StructField("s", StructType([StructField("a", StructType([]), True)]), True)
+    ])
+    with _pytest.raises(TypeError, match="narrow"):
+        align_to_schema(df, narrow)
+
+
+def test_ws_decode_frame_rejects_oversized_length():
+    import socket
+    import struct as _struct
+    import threading
+
+    from cdc_pipeline_spark.serving.ws import MAX_INBOUND_FRAME, decode_frame
+
+    a, b = socket.socketpair()
+    try:
+        # text frame claiming 2^62 bytes (64-bit extended length)
+        header = bytes([0x81, 127]) + _struct.pack(">Q", 1 << 62)
+        threading.Thread(target=lambda: a.sendall(header), daemon=True).start()
+        import pytest as _pytest
+
+        with _pytest.raises(ConnectionError, match="exceeds cap"):
+            decode_frame(b)
+        assert MAX_INBOUND_FRAME < (1 << 62)
+    finally:
+        a.close()
+        b.close()
