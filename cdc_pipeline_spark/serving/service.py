@@ -77,9 +77,11 @@ class SnapshotService:
     def get_geo(self) -> dict[str, Any]:
         payload = self.kv.read_hash("nexus:geo:header")
         if not payload:
-            return {"globalLoad": "0 B/S", "updatedAt": 0}
+            # same field names/units as populated payloads
+            # (windowed_geo_header emits global_load "<n> TB/S")
+            return {"global_load": "0.0 TB/S", "request_count": 0, "updatedAt": 0}
         out = dict(payload)
-        for k in ("window_start", "window_end", "load_bytes"):
+        for k in ("window_start", "window_end", "request_count"):
             if k in out:
                 out[k] = _num(out[k])
         out["updatedAt"] = _num(payload.get("window_end"))

@@ -32,15 +32,17 @@ def write_partitioned_parquet(
     With partition columns, rows are pre-shuffled onto their partition
     (``repartition(partition_cols)``) so each task writes one file per
     directory instead of every task writing into every directory (the
-    small-files explosion).
+    small-files explosion). ``target_rows_per_file`` bounds file size in
+    BOTH modes via the writer's ``maxRecordsPerFile`` (a skewed
+    partition splits into several files instead of one huge one) — no
+    extra ``count()`` pass over the input.
     """
     out = df
     if partition_cols:
         out = out.repartition(*[F.col(c) for c in partition_cols])
-    elif target_rows_per_file:
-        total = df.count()
-        out = out.repartition(max(1, -(-total // target_rows_per_file)))  # ceil: files stay ≤ target
     writer = out.write.mode(mode)
+    if target_rows_per_file:
+        writer = writer.option("maxRecordsPerFile", int(target_rows_per_file))
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)

@@ -52,7 +52,13 @@ def start_traffic_pipeline(
     agg = aggregates.tumbling_traffic(
         source.withWatermark(time_col, watermark), time_col=time_col, duration=duration
     )
-    writer = sink_lib.capped_list_writer(kv, key, max_len=max_len, order_cols=["window_end"], channel=channel)
+    # update mode RE-EMITS a window per micro-batch as events accrue:
+    # dedupe_key upserts the revised point instead of stacking stale
+    # entries for the same window (which also evicted older windows)
+    writer = sink_lib.capped_list_writer(
+        kv, key, max_len=max_len, order_cols=["window_end"], channel=channel,
+        dedupe_key="window_end",
+    )
     return _start(agg, writer, checkpoint, "update", trigger)
 
 
@@ -167,7 +173,7 @@ def start_platform_pipeline(
     complete-mode (small, bounded cardinality = #platforms) — matching
     the reference (device_platform.py:50)."""
     agg = aggregates.platform_breakdown(source, platform_col=platform_col)
-    writer = sink_lib.snapshot_json_writer(kv, key, order_cols=["count"])
+    writer = sink_lib.snapshot_json_writer(kv, key, order_cols=["count"], channel=channel)
     return _start(agg, writer, checkpoint, "complete", trigger)
 
 

@@ -84,12 +84,23 @@ class Scd2TableWriter:
         """Unwind the touched buckets' interval rows back into change
         rows (key, attrs, version=valid_from). Partition pruning keeps
         the read to the touched directories only."""
-        if not os.path.isdir(self.path) or not buckets:
+        if not buckets:
             return None
+        # Probe by READING, not os.path (an object-store path —
+        # s3://, hdfs:// — is never a local dir, and treating it as
+        # "table absent" would rewrite touched buckets with only the
+        # current batch's keys, silently deleting everyone else's
+        # history). Only a genuinely-missing path means "first write";
+        # any other failure (transient IO, permissions) must propagate.
+        from pyspark.errors.exceptions.captured import AnalysisException
+
         try:
             hist = spark.read.parquet(self.path)
-        except Exception:
-            return None
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return None
+            raise
         return hist.filter(F.col("__kb").isin(buckets)).select(
             *self.key_cols,
             *self.attr_cols,
@@ -110,14 +121,13 @@ class Scd2TableWriter:
             return
         existing = self._existing_changes(spark, buckets)
         if existing is not None:
-            # keys NOT in this batch keep their rows verbatim; touched
-            # keys contribute their historical change rows to the rebuild
+            # touched keys contribute their historical change rows to
+            # the rebuild; keys NOT in this batch keep their interval
+            # rows verbatim (re-read below at interval grain — the
+            # change-grain projection here can't supply them)
             batch_keys = changes.select(*self.key_cols).distinct()
             touched = existing.join(F.broadcast(batch_keys), self.key_cols, "left_semi")
-            untouched = existing.join(F.broadcast(batch_keys), self.key_cols, "left_anti")
             changes = changes.unionByName(touched)
-        else:
-            untouched = None
         # idempotence under foreachBatch replay: a change row already
         # merged in a prior attempt dedups away here
         changes = changes.dropDuplicates([*self.key_cols, self.version_col])
@@ -132,7 +142,7 @@ class Scd2TableWriter:
             self.key_cols,
             self.n_buckets,
         )
-        if untouched is not None:
+        if existing is not None:
             untouched_hist = (
                 spark.read.parquet(self.path)
                 .filter(F.col("__kb").isin(buckets))

@@ -69,6 +69,14 @@ class InMemoryKV:
         if channel:
             self.publish(channel, payload)
 
+    def replace_list(self, key: str, items: list, channel: str | None = None) -> None:
+        """Atomically rewrite a list (upsert-mode capped lists)."""
+        payloads = [json.dumps(i, default=str) for i in items]
+        with self._lock:
+            self.lists[key] = payloads
+        if channel and payloads:
+            self.publish(channel, payloads[0])
+
     # K5 — hash read-back (trend baseline state)
     def read_hash(self, key: str) -> dict[str, str]:
         with self._lock:
@@ -119,6 +127,12 @@ def make_redis_kv(url: str):  # pragma: no cover - requires redis package/server
     class RedisKV:
         def write_hash(self, key, mapping, channel=None, ttl=None):
             pipe = client.pipeline()
+            # DEL first: HSET alone MERGES into an existing hash, so a
+            # field removed from the job (e.g. a dropped trend column)
+            # would survive forever — the InMemoryKV twin replaces the
+            # whole hash, and the twins must not diverge exactly where
+            # tests are blind
+            pipe.delete(key)
             pipe.hset(key, mapping={k: str(v) for k, v in mapping.items()})
             if ttl is not None:
                 pipe.expire(key, ttl)
@@ -152,6 +166,16 @@ def make_redis_kv(url: str):  # pragma: no cover - requires redis package/server
 
         def read_list(self, key, start=0, stop=-1):
             return client.lrange(key, start, stop)
+
+        def replace_list(self, key, items, channel=None):
+            payloads = [json.dumps(i, default=str) for i in items]
+            pipe = client.pipeline()
+            pipe.delete(key)
+            if payloads:
+                pipe.rpush(key, *payloads)
+                if channel:
+                    pipe.publish(channel, payloads[0])
+            pipe.execute()
 
         def publish(self, channel, payload):
             client.publish(channel, payload)
@@ -200,7 +224,11 @@ def latest_row_hash_writer(
     def write(batch: DataFrame, _batch_id: int) -> None:
         rows = batch.orderBy(*[batch[c].desc() for c in order_cols]).limit(1).collect()
         if rows:
-            kv.write_hash(key, rows[0].asDict(), channel=channel, ttl=ttl)
+            # drop NULL aggregates (e.g. a percentile over an all-null
+            # window): Redis has no NULL, and a stringified 'None' field
+            # would crash the serving layer's numeric coercion
+            snapshot = {k: v for k, v in rows[0].asDict().items() if v is not None}
+            kv.write_hash(key, snapshot, channel=channel, ttl=ttl)
 
     return write
 
@@ -227,6 +255,12 @@ def snapshot_json_writer(
     return write
 
 
+def self_read(kv, key: str) -> list:
+    import json as _json
+
+    return [_json.loads(i) for i in kv.read_list(key)]
+
+
 def capped_list_writer(
     kv,
     key: str,
@@ -234,13 +268,36 @@ def capped_list_writer(
     order_cols: list[str],
     channel: str | None = None,
     newest_first: bool = False,
+    dedupe_key: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """K4 pattern: push this batch's newest rows onto a ring buffer
     (traffic timeseries 21, activity feed 15 — reference pushes oldest
-    first so index 0 is newest, activity_enricher.py:19-26)."""
+    first so index 0 is newest, activity_enricher.py:19-26).
+
+    ``dedupe_key`` switches to UPSERT semantics for update-mode
+    windowed upstreams: one entry per key (latest revision wins),
+    ordered newest-first — without it, every re-emission of the same
+    window stacks another entry and evicts older windows early."""
 
     def write(batch: DataFrame, _batch_id: int) -> None:
         rows = batch.orderBy(*[batch[c].desc() for c in order_cols]).limit(max_len).collect()
+        if dedupe_key is not None:
+            # update-mode upstreams RE-EMIT a window whenever late
+            # events revise its aggregate; plain pushes would stack
+            # several (stale) entries for the same window and evict
+            # genuinely-older ones. Merge instead: newest value wins
+            # per dedupe_key, list rewritten newest-first, capped.
+            merged: dict = {}
+            for item in self_read(kv, key):
+                merged[item.get(dedupe_key)] = item
+            for row in rows:
+                d = row.asDict()
+                merged[d.get(dedupe_key)] = d
+            ordered = sorted(
+                merged.values(), key=lambda d: d.get(dedupe_key), reverse=True
+            )[:max_len]
+            kv.replace_list(key, ordered, channel=channel)
+            return
         if not newest_first:
             rows = list(reversed(rows))
         for row in rows:
@@ -274,17 +331,26 @@ def trend_hash_writer(
         rows = batch.orderBy(*[batch[c].desc() for c in order_cols]).limit(1).collect()
         if not rows:
             return
-        snapshot = rows[0].asDict()
+        snapshot = {k: v for k, v in rows[0].asDict().items() if v is not None}
         now_epoch = int(snapshot[order_cols[0]])
         bucket = now_epoch // period_seconds
         prev_state = kv.read_hash(f"{state_key_prefix}:{bucket - 1}")
         for col in trend_cols:
+            # a NULL aggregate (window with no non-null inputs) has no
+            # trend and contributes no baseline — never float(None)
+            if col not in snapshot:
+                snapshot[f"{col}_trend"] = 0.0
+                continue
             current = float(snapshot[col])
             prev = float(prev_state.get(col, 0) or 0)
             snapshot[f"{col}_trend"] = round((current - prev) / prev * 100.0, 2) if prev else 0.0
         this_key = f"{state_key_prefix}:{bucket}"
         if not kv.read_hash(this_key):  # first write wins for the period baseline
-            kv.write_hash(this_key, {c: snapshot[c] for c in trend_cols}, ttl=state_ttl)
+            kv.write_hash(
+                this_key,
+                {c: snapshot[c] for c in trend_cols if c in snapshot},
+                ttl=state_ttl,
+            )
         kv.write_hash(key, snapshot, channel=channel)
 
     return write
@@ -296,6 +362,7 @@ def idempotent_capped_list_writer(
     max_len: int,
     order_cols: list[str],
     channel: str | None = None,
+    run_id: str = "",
 ) -> Callable[[DataFrame, int], None]:
     """K4 with replay protection: capped-list pushes are at-least-once
     under micro-batch retry (reference accepts duplicates, SURVEY §2.9
@@ -305,12 +372,21 @@ def idempotent_capped_list_writer(
 
     def write(batch: DataFrame, batch_id: int) -> None:
         guard_key = f"{key}:__last_batch"
-        last = kv.read_hash(guard_key).get("batch_id")
-        if last is not None and int(last) >= batch_id:
+        guard = kv.read_hash(guard_key)
+        last = guard.get("batch_id")
+        # run-scoped like the rollup writers: epoch ids restart at 0
+        # when a checkpoint is recreated, and an unscoped high-water
+        # mark would then silently drop every batch until the old mark
+        # is passed again
+        if (
+            last is not None
+            and guard.get("run_id", "") == run_id
+            and int(last) >= batch_id
+        ):
             return  # replayed micro-batch — already applied
         rows = batch.orderBy(*[batch[c].desc() for c in order_cols]).limit(max_len).collect()
         for row in reversed(rows):
             kv.push_to_list(key, row.asDict(), max_len=max_len, channel=channel)
-        kv.write_hash(guard_key, {"batch_id": batch_id})
+        kv.write_hash(guard_key, {"batch_id": batch_id, "run_id": run_id})
 
     return write

@@ -40,8 +40,43 @@ ALERT_STATE_SCHEMA = StructType(
     [
         StructField("count", IntegerType()),
         StructField("status", StringType()),
+        # highest window_end already folded: an update-mode upstream
+        # re-emits the SAME window as late events revise it, and
+        # counting each re-emission would fire after one bad window
+        StructField("last_window", LongType()),
     ]
 )
+
+
+def _fold_breaches(
+    all_rows: pd.DataFrame,
+    status_col: str,
+    time_col: str,
+    count: int,
+    status: str,
+    last_window: int,
+    n_breaches: int,
+) -> tuple[int, str, int, int]:
+    """Shared Normal→Pending→Firing fold. Each WINDOW counts at most
+    once (first revision seen wins): within the batch keep one row per
+    window_end, and skip windows ≤ the already-folded high-water mark."""
+    all_rows = all_rows.sort_values(time_col).drop_duplicates(
+        subset=[time_col], keep="first"
+    )
+    last_epoch = 0
+    for _, row in all_rows.iterrows():
+        epoch = int(row[time_col])
+        last_epoch = epoch
+        if epoch <= last_window:
+            continue  # a revision of an already-counted window
+        last_window = epoch
+        if row[status_col] == "firing":
+            count += 1
+            status = "firing" if count >= n_breaches else "pending"
+        else:
+            count = 0
+            status = "normal"
+    return count, status, last_window, last_epoch
 
 
 def consecutive_breach_alerts(
@@ -65,23 +100,20 @@ def consecutive_breach_alerts(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (rule_id,) = key
-        count, status = state.get if state.exists else (0, "normal")
+        count, status, last_window = (
+            state.get if state.exists else (0, "normal", 0)
+        )
         last_epoch = 0
         # A key's rows can span multiple Arrow chunks of the iterator —
         # concatenate first, THEN sort, or the fold would process the
         # breach/ok sequence out of time order across chunk boundaries.
         chunks = list(pdfs)
         if chunks:
-            all_rows = pd.concat(chunks, ignore_index=True).sort_values(time_col)
-            for _, row in all_rows.iterrows():
-                last_epoch = int(row[time_col])
-                if row[status_col] == "firing":
-                    count += 1
-                    status = "firing" if count >= n_breaches else "pending"
-                else:
-                    count = 0
-                    status = "normal"
-        state.update((count, status))
+            count, status, last_window, last_epoch = _fold_breaches(
+                pd.concat(chunks, ignore_index=True),
+                status_col, time_col, count, status, last_window, n_breaches,
+            )
+        state.update((count, status, last_window))
         yield pd.DataFrame(
             {
                 "rule_id": [rule_id],
@@ -153,22 +185,17 @@ class BreachProcessor(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         (rule_id,) = key
         if self._state.exists():
-            count, status = self._state.get()
+            count, status, last_window = self._state.get()
         else:
-            count, status = 0, "normal"
+            count, status, last_window = 0, "normal", 0
         last_epoch = 0
         chunks = list(rows)
         if chunks:
-            all_rows = pd.concat(chunks, ignore_index=True).sort_values(self._time_col)
-            for _, row in all_rows.iterrows():
-                last_epoch = int(row[self._time_col])
-                if row[self._status_col] == "firing":
-                    count += 1
-                    status = "firing" if count >= self._n else "pending"
-                else:
-                    count = 0
-                    status = "normal"
-        self._state.update((count, status))
+            count, status, last_window, last_epoch = _fold_breaches(
+                pd.concat(chunks, ignore_index=True),
+                self._status_col, self._time_col, count, status, last_window, self._n,
+            )
+        self._state.update((count, status, last_window))
         yield pd.DataFrame(
             {
                 "rule_id": [rule_id],

@@ -140,3 +140,46 @@ def test_composite_jobs_start_and_stop(spark, tmp_path):
     assert kv.lists.get("nexus:traffic:timeseries")
     assert kv.read_hash("nexus:health:current")["cpu_avg"] == "40.0"
     assert kv.read_hash("nexus:geo:header")["request_count"] == "2"
+
+
+def test_capped_list_writer_upsert_dedupes_reemitted_windows(spark):
+    from cdc_pipeline_spark.streaming.sinks import capped_list_writer
+
+    kv = InMemoryKV()
+    writer = capped_list_writer(
+        kv, "traffic", max_len=3, order_cols=["window_end"], dedupe_key="window_end"
+    )
+    # window 100 emitted, then RE-emitted with a revised count (update
+    # mode), plus newer windows
+    writer(spark.createDataFrame([(100, 5)], "window_end long, n long"), 0)
+    writer(spark.createDataFrame([(100, 9), (110, 2)], "window_end long, n long"), 1)
+    items = [json.loads(i) for i in kv.lists["traffic"]]
+    assert [(i["window_end"], i["n"]) for i in items] == [(110, 2), (100, 9)]
+    # cap evicts the OLDEST window, not the most recently pushed
+    writer(spark.createDataFrame([(120, 1), (130, 4)], "window_end long, n long"), 2)
+    items = [json.loads(i) for i in kv.lists["traffic"]]
+    assert [i["window_end"] for i in items] == [130, 120, 110]
+
+
+def test_idempotent_list_writer_new_run_unfreezes_guard(spark):
+    kv = InMemoryKV()
+    w1 = idempotent_capped_list_writer(kv, "feed2", max_len=5, order_cols=["ts"], run_id="run-a")
+    w1(spark.createDataFrame([(1, "a")], "ts long, v string"), 500)
+    # checkpoint reset: epoch ids restart at 0 under a new run_id — the
+    # guard must not silently drop the new run's batches
+    w2 = idempotent_capped_list_writer(kv, "feed2", max_len=5, order_cols=["ts"], run_id="run-b")
+    w2(spark.createDataFrame([(2, "b")], "ts long, v string"), 0)
+    assert len(kv.lists["feed2"]) == 2
+
+
+def test_trend_hash_writer_tolerates_null_aggregates(spark):
+    kv = InMemoryKV()
+    writer = trend_hash_writer(
+        kv, "kpi:n", order_cols=["window_end"], trend_cols=["latency_p50"],
+        state_key_prefix="kpi:nh", period_seconds=3600,
+    )
+    b = spark.createDataFrame([(3600, None)], "window_end long, latency_p50 double")
+    writer(b, 0)  # must not raise float(None)
+    snap = kv.read_hash("kpi:n")
+    assert snap["latency_p50_trend"] == "0.0"
+    assert "latency_p50" not in snap, "NULL aggregates are dropped, not stringified"

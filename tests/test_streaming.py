@@ -1227,3 +1227,36 @@ def test_histogram_rollup_compaction_and_replay_guard(spark, tmp_path):
     writer(spark.createDataFrame(batches[1], EVENT_SCHEMA), 1)
     replayed = {(r.bin): r.n for r in read_histogram_rollup(spark, table).collect()}
     assert replayed == before, "replay after compaction must not double-count"
+
+
+def test_breach_alerts_count_each_window_once(spark, stream_dir, checkpoint):
+    """An update-mode upstream re-emits the SAME window as late events
+    revise it; three revisions of one breached window are ONE breach,
+    not a Normal→Firing transition."""
+    import pandas as pd
+
+    from cdc_pipeline_spark.streaming.stateful import _fold_breaches
+
+    rows = pd.DataFrame(
+        {"status": ["firing", "firing", "firing"], "window_end": [100, 100, 100]}
+    )
+    count, status, last_window, last_epoch = _fold_breaches(
+        rows, "status", "window_end", 0, "normal", 0, 3
+    )
+    assert (count, status) == (1, "pending"), "one window = one breach"
+    assert last_window == 100 and last_epoch == 100
+    # three DISTINCT consecutive breached windows still fire
+    rows2 = pd.DataFrame(
+        {"status": ["firing", "firing"], "window_end": [110, 120]}
+    )
+    count, status, last_window, _ = _fold_breaches(
+        rows2, "status", "window_end", count, status, last_window, 3
+    )
+    assert (count, status) == (3, "firing")
+    # an ok row on a NEW window resets; a stale revision of an old
+    # window changes nothing
+    rows3 = pd.DataFrame({"status": ["ok", "firing"], "window_end": [130, 120]})
+    count, status, last_window, _ = _fold_breaches(
+        rows3, "status", "window_end", count, status, last_window, 3
+    )
+    assert (count, status) == (0, "normal") and last_window == 130
