@@ -29,16 +29,19 @@ def enrich_activity(
     """Shape raw events into the activity contract
     ``{id: evt_<id>, user, action, amount?, timestamp, location}``
     (activity_enricher.py:30-55; contract DESCRIPTION.md:443-462)."""
-    action_map = action_map or {
-        "checkout_complete": "purchase",
-        "login": "login",
-        "add_to_cart": "cart",
-    }
+    if action_map is None:  # `or` would override an EXPLICIT empty map
+        action_map = {
+            "checkout_complete": "purchase",
+            "login": "login",
+            "add_to_cart": "cart",
+        }
     action = None
     for event_value, action_value in action_map.items():
-        branch = F.when(F.col(event_type_col) == event_value, F.lit(action_value))
-        action = branch if action is None else action.when(F.col(event_type_col) == event_value, F.lit(action_value))
-    action = action.otherwise(F.lit(default_action))
+        clause = (F.when(F.col(event_type_col) == event_value, F.lit(action_value))
+                  if action is None
+                  else action.when(F.col(event_type_col) == event_value, F.lit(action_value)))
+        action = clause
+    action = F.lit(default_action) if action is None else action.otherwise(F.lit(default_action))
 
     return df.select(
         F.concat(F.lit("evt_"), F.col(id_col).cast("string")).alias("id"),

@@ -339,6 +339,8 @@ def incremental_minhash_neardup(
 
     Output: (doc_id [incoming], match_id [historical], jaccard).
     """
+    if num_perm % bands:
+        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
     marked = df.withColumn("__incoming", incoming)
     sig = minhash_signatures(marked, id_col, text_col, n, num_perm)
     flags = marked.select(F.col(id_col).alias("doc_id"), "__incoming")

@@ -19,6 +19,8 @@ Both operators are pure DataFrame transforms — the write side reuses
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -92,18 +94,29 @@ def compact_small_files(
     import math
 
     df = spark.read.parquet(path)
-    total = df.count()
-    n_files = max(1, math.ceil(total / target_rows_per_file))
-    compacted = df.repartition(n_files)
+    if partition_cols:
+        # one task per partition VALUE — hash-random tasks would each
+        # write a file into (almost) every directory, MULTIPLYING small
+        # files instead of compacting; maxRecordsPerFile re-splits any
+        # hot partition that exceeds the target
+        compacted = df.repartition(*[F.col(c) for c in partition_cols])
+    else:
+        total = df.count()
+        n_files = max(1, math.ceil(total / target_rows_per_file))
+        compacted = df.repartition(n_files)
     # write to a sibling temp dir then swap — a failed in-place overwrite
     # would destroy the only copy
     tmp = path.rstrip("/") + ".__compact_tmp"
-    writer = compacted.write.mode("overwrite")
+    writer = compacted.write.mode("overwrite").option(
+        "maxRecordsPerFile", int(target_rows_per_file)
+    )
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(tmp)
+    import glob
     import shutil
 
     shutil.rmtree(path)
     shutil.move(tmp, path)
-    return n_files
+    # report what was actually written, not the planned task count
+    return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))

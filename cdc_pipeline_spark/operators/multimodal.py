@@ -88,6 +88,10 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
+            # a NULL payload (e.g. a null source column) has no media to
+            # decode: skip it like the JVM-side stages' explode_outer +
+            # filter — len(None)/bytes(None) would kill the Python worker
+            batch = batch[batch["payload"].notna()]
             payloads = batch["payload"]
             yield pd.DataFrame(
                 {
@@ -149,6 +153,7 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32, id_col: str 
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
+            batch = batch[batch["payload"].notna()]
             resized = batch["payload"].map(lambda p: resize_stub(bytes(p), width, height))
             yield pd.DataFrame(
                 {
@@ -174,6 +179,8 @@ def sample_frames(df: DataFrame, n_frames: int = 4, id_col: str = "doc_id", payl
         for batch in batches:
             ids, idxs, offsets, digests = [], [], [], []
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                if payload is None:
+                    continue
                 data = bytes(payload)
                 window = max(1, len(data) // max(n_frames, 1))
                 for i in range(n_frames):

@@ -96,17 +96,10 @@ def repetition_stats(
     unigram = toks.select("doc_id", F.explode_outer("toks").alias("g")).filter(
         F.col("g").isNotNull()
     )
+    from cdc_pipeline_spark.operators.text import adjacent_grams
+
     bigram = toks.select(
-        "doc_id",
-        F.explode_outer(
-            F.when(
-                F.size("toks") >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - 2),
-                    lambda i: F.concat_ws(" ", F.col("toks")[i], F.col("toks")[i + 1]),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
+        "doc_id", F.explode_outer(adjacent_grams(F.col("toks"))).alias("g")
     ).filter(F.col("g").isNotNull())
 
     def profile(grams: DataFrame, prefix: str) -> DataFrame:
@@ -271,29 +264,23 @@ def ngram_contamination(
     count, fraction, and the ≥ ``flag_threshold`` flag.
     """
 
+    from cdc_pipeline_spark.operators.partitioning import spread
+    from cdc_pipeline_spark.operators.text import word_shingles
+
     def shingles(df: DataFrame) -> DataFrame:
-        toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
-        return toks.select(
-            "doc_id",
-            F.explode_outer(
-                F.when(
-                    F.size("toks") >= n,
-                    F.array_distinct(
-                        F.transform(
-                            F.sequence(F.lit(0), F.size("toks") - n),
-                            lambda i: F.concat_ws(
-                                " ", *[F.col("toks")[i + j] for j in range(n)]
-                            ),
-                        )
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("shingle"),
+        # same construction as benchmark_containment_pairs — the shared
+        # helper keeps the two contamination passes from drifting
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(word_shingles(text_col, n)).alias("shingle"),
         )
 
     bench_shingles = (
         shingles(benchmark).filter(F.col("shingle").isNotNull()).select("shingle").distinct()
     )
-    corpus_shingles = shingles(corpus)
+    # spread: a single-file corpus arrives as ONE partition and would
+    # serialize the shingling scan onto one core
+    corpus_shingles = shingles(spread(corpus))
     hits = (
         corpus_shingles.filter(F.col("shingle").isNotNull())
         .join(F.broadcast(bench_shingles), "shingle", "left_semi")
@@ -347,11 +334,19 @@ def iqr_outliers(
         round_half_up(F.col("__q1") - k * (F.col("__q3") - F.col("__q1")), 4).alias("__lo"),
         round_half_up(F.col("__q3") + k * (F.col("__q3") - F.col("__q1")), 4).alias("__hi"),
     )
-    return df.join(F.broadcast(stats), group_col).select(
-        id_col,
-        group_col,
-        F.col(value_col),
-        ((v < F.col("__lo")) | (v > F.col("__hi"))).alias("is_outlier"),
+    # null-SAFE group join: a plain equi-join drops every row whose
+    # group is NULL (the grouped stats row for the NULL group exists,
+    # but null-rejecting equality never matches it), silently shrinking
+    # a pass that promises one flag per input row
+    stats = stats.withColumnRenamed(group_col, "__grp")
+    return (
+        df.join(F.broadcast(stats), F.col(group_col).eqNullSafe(F.col("__grp")))
+        .select(
+            id_col,
+            group_col,
+            F.col(value_col),
+            ((v < F.col("__lo")) | (v > F.col("__hi"))).alias("is_outlier"),
+        )
     )
 
 

@@ -50,6 +50,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Undefined at the origin: 0/0 = NaN, and Spark ORDERS NaN as the
+    LARGEST double — an unguarded zero vector would rank first for
+    every query. Every top-k scorer below therefore filters zero-norm
+    rows from both sides before ranking."""
     return dot(a, b) / (norm(a) * norm(b))
 
 
@@ -66,8 +70,8 @@ def brute_force_topk(
     top-k. Output: (query_id, vec_id, score, rank)."""
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")).withColumn(
         "__qnorm", norm(F.col("__qvec"))
-    )
-    c = _spread(corpus, parallelism).withColumn("__cnorm", norm(F.col(vec_col)))
+    ).filter(F.col("__qnorm") > 0)
+    c = _spread(corpus, parallelism).withColumn("__cnorm", norm(F.col(vec_col))).filter(F.col("__cnorm") > 0)
     scored = c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).select(
         query_id_col,
         id_col,
@@ -134,7 +138,7 @@ def ivf_topk(
     """IVF-bucketed ANN: route each query to its n_probe nearest
     centroids, then brute-force only those cells. Output matches
     brute_force_topk (rank recomputed within probed cells)."""
-    centroids = ivf_centroids(corpus, cell_col, vec_col)
+    centroids = ivf_centroids(corpus, cell_col, vec_col, id_col)
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
     routed = grouped_top_k(
         q.crossJoin(F.broadcast(centroids)).select(
@@ -147,10 +151,10 @@ def ivf_topk(
         order_by=[F.col("__cscore").desc(), F.col(cell_col).asc()],
         k=n_probe,
         rank_col="__crank",
-    ).select(query_id_col, F.col("__qvec"), norm(F.col("__qvec")).alias("__qnorm"), cell_col)
+    ).select(query_id_col, F.col("__qvec"), norm(F.col("__qvec")).alias("__qnorm"), cell_col).filter(F.col("__qnorm") > 0)
     scored = (
         _spread(corpus, parallelism)
-        .withColumn("__cnorm", norm(F.col(vec_col)))
+        .withColumn("__cnorm", norm(F.col(vec_col))).filter(F.col("__cnorm") > 0)
         .join(F.broadcast(routed), [cell_col])
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
@@ -274,14 +278,23 @@ def rp_lsh_topk(
     per query ≈ N · (1 + n_planes·probe_bits) / 2^n_planes."""
     c = _with_bucket(_spread(corpus, parallelism), vec_col, "__bucket", dim, n_planes).withColumn(
         "__cnorm", norm(F.col(vec_col))
-    )
+    ).filter(F.col("__cnorm") > 0)
     q = _with_bucket(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
         "__qvec", "__qbucket", dim, n_planes,
-    ).withColumn("__qnorm", norm(F.col("__qvec")))
+    ).withColumn("__qnorm", norm(F.col("__qvec"))).filter(F.col("__qnorm") > 0)
+    # every bucket within probe_bits bit flips: XOR masks of Hamming
+    # weight 1..probe_bits (probe_bits >= 2 was previously a silent
+    # no-op — only single-flip probes were ever generated)
+    from itertools import combinations
+
     probes = [F.col("__qbucket")]
-    if probe_bits >= 1:
-        probes += [F.col("__qbucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+    for r in range(1, min(probe_bits, n_planes) + 1):
+        for bits in combinations(range(n_planes), r):
+            mask = 0
+            for j in bits:
+                mask |= 1 << j
+            probes.append(F.col("__qbucket").bitwiseXOR(F.lit(mask)))
     q_probed = q.withColumn("__bucket", F.explode(F.array(*probes)))
     scored = c.join(F.broadcast(q_probed), ["__bucket"]).filter(
         F.col(id_col) != F.col(query_id_col)
@@ -393,8 +406,8 @@ def hard_negative_topk(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
         F.col(label_col).alias("__qlabel"),
-    ).withColumn("__qnorm", norm(F.col("__qvec")))
-    c = _spread(corpus, parallelism).withColumn("__cnorm", norm(F.col(vec_col)))
+    ).withColumn("__qnorm", norm(F.col("__qvec"))).filter(F.col("__qnorm") > 0)
+    c = _spread(corpus, parallelism).withColumn("__cnorm", norm(F.col(vec_col))).filter(F.col("__cnorm") > 0)
     scored = c.join(
         F.broadcast(q),
         (F.col(label_col) != F.col("__qlabel")) & (F.col(id_col) != F.col(query_id_col)),
@@ -436,7 +449,7 @@ def semantic_dedup(
 
     Output: one row per input vector — (vec_id, cell, is_kept).
     """
-    centroids = ivf_centroids(corpus, cell_col, vec_col)
+    centroids = ivf_centroids(corpus, cell_col, vec_col, id_col)
     v = _spread(corpus.select(id_col, vec_col), parallelism)
     assigned = (
         grouped_top_k(

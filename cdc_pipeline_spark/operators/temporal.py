@@ -46,6 +46,12 @@ def asof_join(
     right_value_cols = right_value_cols or [
         c for c in right.columns if c not in key_cols and c != right_time
     ]
+    # SQL ASOF semantics (and the DuckDB oracle) use null-REJECTING key
+    # equality; Window.partitionBy groups NULL keys together and would
+    # match them. Right rows with a NULL key can match nothing — drop
+    # them, so NULL-key left rows correctly carry NULLs.
+    for kc in key_cols:
+        right = right.filter(F.col(kc).isNotNull())
     if right_tiebreakers:
         from cdc_pipeline_spark.operators.cdc import latest_state
 

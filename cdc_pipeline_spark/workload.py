@@ -3248,7 +3248,7 @@ def doc_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id, d.source, d.n_chars,
            (d.n_chars < f.lo OR d.n_chars > f.hi) AS is_outlier
-    FROM documents d JOIN fences f USING (source)
+    FROM documents d JOIN fences f ON d.source IS NOT DISTINCT FROM f.source
     """,
 )
 def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:

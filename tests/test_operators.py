@@ -1416,3 +1416,89 @@ def test_ws_decode_frame_rejects_oversized_length():
     finally:
         a.close()
         b.close()
+
+
+def test_topk_ignores_zero_norm_vectors(spark):
+    from cdc_pipeline_spark.operators.similarity import brute_force_topk
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0]), (4, [0.5, 0.5])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = [r.vec_id for r in brute_force_topk(emb, queries, k=2).collect()]
+    # the zero vector's NaN score sorts as the LARGEST double — without
+    # the norm>0 guard it would displace a real neighbor at rank 1
+    assert 3 not in got and got[0] == 2
+
+
+def test_ivf_topk_honors_id_col(spark):
+    from cdc_pipeline_spark.operators.similarity import ivf_topk
+
+    rows = [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [0.0, 1.0], 1)]
+    emb = spark.createDataFrame(rows, ["doc_id", "embedding", "label"])
+    queries = emb.filter(F.col("doc_id") == 1).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    got = ivf_topk(emb, queries, k=1, id_col="doc_id", n_probe=2).collect()
+    assert [r.doc_id for r in got] == [2]
+
+
+def test_rp_lsh_probe_bits_two_expands_candidates(spark):
+    from cdc_pipeline_spark.operators.similarity import rp_lsh_topk
+
+    rows = [(i, [float((i >> j) & 1) - 0.5 for j in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n1 = rp_lsh_topk(emb, queries, dim=8, k=10, n_planes=6, probe_bits=1).count()
+    n2 = rp_lsh_topk(emb, queries, dim=8, k=10, n_planes=6, probe_bits=2).count()
+    assert n2 >= n1, "probe_bits=2 must never shrink the candidate set"
+
+
+def test_incremental_minhash_rejects_bad_bands(spark):
+    import pytest as _pytest
+
+    from cdc_pipeline_spark.operators.dedup import incremental_minhash_neardup
+
+    df = spark.createDataFrame([(1, "a b c", False)], ["doc_id", "text", "is_new"])
+    with _pytest.raises(ValueError, match="must divide"):
+        incremental_minhash_neardup(df, F.col("is_new"), num_perm=64, bands=10)
+
+
+def test_iqr_outliers_keeps_null_groups(spark):
+    from cdc_pipeline_spark.operators.quality import iqr_outliers
+
+    rows = [(i, "a", float(i)) for i in range(10)] + [(20, None, 5.0), (21, None, 500.0)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n double")
+    out = iqr_outliers(df, "n", "source")
+    assert out.count() == 12, "NULL-group rows must not vanish from a per-row profile"
+
+
+def test_asof_join_null_keys_do_not_match(spark):
+    from cdc_pipeline_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(None, 5, "x"), (1, 5, "y")], "k int, t long, tag string")
+    right = spark.createDataFrame([(None, 3, 1.0), (1, 3, 2.0)], "k int, t long, v double")
+    out = {r.tag: r.v for r in asof_join(
+        left, right, key_cols=["k"], left_time="t", right_time="t"
+    ).collect()}
+    # SQL ASOF key equality is null-rejecting (the DuckDB oracle's
+    # semantics): the NULL-key left row carries NULL, not the NULL-key
+    # right row's value
+    assert out == {"x": None, "y": 2.0}
+
+
+def test_enrich_activity_explicit_empty_map(spark):
+    from cdc_pipeline_spark.operators.activity import enrich_activity
+
+    import datetime as _dt
+
+    df = spark.createDataFrame(
+        [(1, "Ann", "checkout_complete", 9.99, _dt.datetime(2024, 1, 1), "Paris", "FR")],
+        "id long, user_display_name string, event_type string, amount double,"
+        " created_at timestamp, city string, country_code string",
+    )
+    out = enrich_activity(df, action_map={}).collect()[0]
+    assert out.action == "view", "an explicit empty map means every event falls through"
