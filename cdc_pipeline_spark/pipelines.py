@@ -84,6 +84,8 @@ def prepare_training_corpus_budgeted(
     """
     from cdc_pipeline_spark.operators.sampling import token_budget_select
 
+    from cdc_pipeline_spark.operators.text import quality_score
+
     gated = docs.select(
         id_col, shard_col, text_col, *quality_rule_columns(text_col)
     ).filter(F.col("keep"))
@@ -91,11 +93,14 @@ def prepare_training_corpus_budgeted(
     canonical = (
         gated.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
+        .withColumn("__toks", tokens(text_col))
+        # the SHARED text.quality_score formula — a local re-derivation
+        # here previously made a third copy that could drift from it
         .select(
             id_col,
             shard_col,
-            F.size(tokens(text_col)).cast("long").alias("n_tokens"),
-            quality_score_from_text(text_col).alias("__q"),
+            F.size(F.col("__toks")).cast("long").alias("n_tokens"),
+            quality_score("__toks", text_col).alias("__q"),
         )
     )
     selected = token_budget_select(
@@ -114,16 +119,4 @@ def prepare_training_corpus_budgeted(
     )
 
 
-def quality_score_from_text(text_col: str):
-    """The text.quality_score formula over a transient tokens expression
-    (quality_score itself expects a pre-built tokens COLUMN name)."""
-    from cdc_pipeline_spark.operators.rounding import round_half_up
-    from cdc_pipeline_spark.operators.text import punct_ratio
-    from cdc_pipeline_spark.operators.text import tokens as _tokens
 
-    toks = _tokens(text_col)
-    length_score = F.least(F.length(text_col) / F.lit(500.0), F.lit(1.0))
-    diversity = F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
-    return round_half_up(
-        0.3 * length_score + 0.4 * diversity + 0.3 * (1.0 - punct_ratio(text_col)), 4
-    )

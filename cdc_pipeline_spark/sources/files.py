@@ -67,7 +67,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, schema: StructType |
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     nanos_cols = _nanos_ts_cols(path, name)
     declared = schema if schema is not None else schema_registry.TESTDATA.get(name)
-    if name == "events" and nanos_cols and schema is None:
+    if name == "events" and nanos_cols:
+        # the nanos file must be READ with long-typed ts (the conversion
+        # below restores TimestampType) — this holds for an explicitly
+        # passed timestamp schema too, which would otherwise crash the
+        # `div` on a TimestampType column
         declared = schema_registry.EVENTS_NANOS
     reader = spark.read
     if declared is not None:
@@ -86,8 +90,12 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
 
 
 def read_csv(spark: SparkSession, path: str, schema: StructType, **options) -> DataFrame:
-    """Batch CSV scan with declared schema (no inference pass)."""
-    return spark.read.options(header="true", **options).schema(schema).csv(path)
+    """Batch CSV scan with declared schema (no inference pass).
+    ``header`` defaults to true but stays overridable through
+    ``**options`` (a literal keyword would raise TypeError on the one
+    option a headerless file must override)."""
+    options.setdefault("header", "true")
+    return spark.read.options(**options).schema(schema).csv(path)
 
 
 def read_json(spark: SparkSession, path: str, schema: StructType, **options) -> DataFrame:

@@ -31,7 +31,7 @@ def register_views(spark: SparkSession) -> list[str]:
     views = {
         # CDC-style latest event per user (mirrors operators.cdc.latest_state)
         "events_latest": """
-            SELECT * FROM (
+            SELECT * EXCEPT (__rn) FROM (
                 SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS __rn
                 FROM events
             ) WHERE __rn = 1

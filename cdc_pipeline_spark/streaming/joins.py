@@ -45,6 +45,11 @@ def stream_stream_interval_join(
     sides often share a schema); the join keys keep the left's values
     under their bare names.
     """
+    if left_time in key_cols or right_time in key_cols:
+        raise ValueError(
+            "left_time/right_time must not be join keys: key columns keep "
+            "bare names while the interval predicate uses l_/r_ prefixes"
+        )
     lt, rt = f"l_{left_time}", f"r_{right_time}"
     lprefixed = left.withWatermark(left_time, left_watermark).select(
         *[F.col(c) for c in key_cols],
@@ -70,7 +75,13 @@ def stream_stream_interval_join(
     for eq in key_eq:
         cond = eq & cond
     joined = lprefixed.join(rprefixed, cond, how)
-    return joined.drop(*[f"__rk_{k}" for k in key_cols])
+    # outer joins: an unmatched RIGHT row has NULL left-side keys, so
+    # the bare key must coalesce from the right's __rk_ twin — dropping
+    # it unconditionally would emit unattributable all-NULL-key rows
+    out_cols = [
+        F.coalesce(F.col(k), F.col(f"__rk_{k}")).alias(k) for k in key_cols
+    ] + [F.col(c) for c in joined.columns if c not in key_cols and not c.startswith("__rk_")]
+    return joined.select(*out_cols)
 
 
 def stream_static_enrich(

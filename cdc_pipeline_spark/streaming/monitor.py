@@ -43,6 +43,11 @@ class KvProgressListener(StreamingQueryListener):
     def __init__(self, kv: Any, prefix: str = DIRECTORY_KEY) -> None:
         self.kv = kv
         self.prefix = prefix
+        # names already registered in the directory hash — lets
+        # onQueryProgress skip the directory read-modify-rewrite on
+        # every micro-batch (it only matters the FIRST time a name is
+        # seen, e.g. when the listener attached after the query started)
+        self._registered: set[str] = set()
 
     # -- StreamingQueryListener interface -------------------------------
     def onQueryStarted(self, event) -> None:
@@ -55,11 +60,26 @@ class KvProgressListener(StreamingQueryListener):
         # that crashes during batch 0 must still be findable by
         # onQueryTerminated's id match, or its exception is lost exactly
         # when the health panel needs it most
+        self._register(name)
+
+    def _register(self, name: str) -> None:
+        if name in self._registered:
+            return
+        self._registered.add(name)
         directory = self.kv.read_hash(self.prefix)
-        directory.setdefault(name, "started")
-        self.kv.write_hash(self.prefix, directory)
+        if name not in directory:
+            directory[name] = "registered"
+            self.kv.write_hash(self.prefix, directory)
 
     def onQueryProgress(self, event) -> None:
+        import math
+
+        def _rate(v) -> float:
+            # Spark reports NaN on the first trigger (no previous batch
+            # to delta against); NaN is TRUTHY, so `or 0.0` alone would
+            # write the string 'nan' into the serving kv
+            return 0.0 if v is None or math.isnan(v) else round(v, 2)
+
         p = event.progress
         name = p.name or str(p.id)
         state_rows = sum(s.numRowsTotal for s in p.stateOperators)
@@ -69,15 +89,17 @@ class KvProgressListener(StreamingQueryListener):
             "batch_id": p.batchId,
             "timestamp": p.timestamp,
             "num_input_rows": p.numInputRows,
-            "input_rows_per_second": round(p.inputRowsPerSecond or 0.0, 2),
-            "processed_rows_per_second": round(p.processedRowsPerSecond or 0.0, 2),
+            "input_rows_per_second": _rate(p.inputRowsPerSecond),
+            "processed_rows_per_second": _rate(p.processedRowsPerSecond),
             "trigger_duration_ms": (p.durationMs or {}).get("triggerExecution", 0),
             "state_rows": state_rows,
         }
         self.kv.write_hash(f"{self.prefix}:{name}", payload)
-        directory = self.kv.read_hash(self.prefix)
-        directory[name] = p.timestamp
-        self.kv.write_hash(self.prefix, directory)
+        # first-seen-only directory registration (onQueryTerminated
+        # iterates the directory KEYS to match ids; the old per-batch
+        # read-modify-rewrite of the whole hash doubled driver-side kv
+        # round-trips for a value nothing reads)
+        self._register(name)
 
     def onQueryTerminated(self, event) -> None:
         # keep the last metrics but mark the stream stopped; exception

@@ -1260,3 +1260,60 @@ def test_breach_alerts_count_each_window_once(spark, stream_dir, checkpoint):
         rows3, "status", "window_end", count, status, last_window, 3
     )
     assert (count, status) == (0, "normal") and last_window == 130
+
+
+def test_interval_join_outer_keeps_right_keys(spark):
+    """Unmatched right rows in a full-outer interval join must keep
+    their key values (the bare key coalesces from the right twin)."""
+    import datetime as _dt
+
+    from cdc_pipeline_spark.streaming.joins import stream_stream_interval_join
+
+    t0 = _dt.datetime(2024, 1, 1, 0, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t0, "l1")], "user_id long, lt timestamp, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, t0, "r1"), (42, t0, "r-orphan")], "user_id long, rt timestamp, rv string"
+    )
+    out = stream_stream_interval_join(
+        left, right, key_cols=["user_id"], left_time="lt", right_time="rt",
+        how="full_outer",
+    )
+    got = {r.user_id: r.r_rv for r in out.collect()}
+    assert 42 in got and got[42] == "r-orphan", "orphan right row must keep its key"
+    # a time column used as a join key is a contract error, not silent
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must not be join keys"):
+        stream_stream_interval_join(
+            left, right, key_cols=["user_id", "lt"], left_time="lt", right_time="rt"
+        )
+
+
+def test_monitor_sanitizes_nan_rates(spark):
+    import math
+
+    from cdc_pipeline_spark.streaming.monitor import DIRECTORY_KEY, KvProgressListener
+    from cdc_pipeline_spark.streaming.sinks import InMemoryKV
+
+    class _P:  # minimal QueryProgress stand-in
+        name = "q1"
+        id = "abc"
+        batchId = 0
+        timestamp = "2024-01-01T00:00:00Z"
+        numInputRows = 10
+        inputRowsPerSecond = float("nan")
+        processedRowsPerSecond = 5.0
+        durationMs = {"triggerExecution": 12}
+        stateOperators = ()
+
+    class _E:
+        progress = _P()
+
+    kv = InMemoryKV()
+    listener = KvProgressListener(kv)
+    listener.onQueryProgress(_E())
+    snap = kv.read_hash(f"{DIRECTORY_KEY}:q1")
+    assert snap["input_rows_per_second"] == "0.0", snap
+    assert snap["processed_rows_per_second"] == "5.0"
