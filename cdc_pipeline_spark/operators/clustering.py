@@ -278,7 +278,10 @@ def kcenter_greedy(
     The corpus frame is localCheckpoint'd once and reused by all rounds.
 
     Output: (``id_col``, selection_rank 1-based, min_dist — null for the
-    seed, which has no prior set to be far from). Assumes non-zero
+    seed, which has no prior set to be far from). Selection is WITHOUT
+    replacement by id and stops early (fewer than k rows) when every
+    remaining vector is at rounded distance 0 from the selected set —
+    duplicate vectors add no diversity, so they are never re-picked. Assumes non-zero
     vectors (cosine distance is undefined at the origin); zero vectors
     yield NaN distances and should be filtered upstream (the quality
     gate's embedding-presence check).
@@ -306,8 +309,8 @@ def kcenter_greedy(
     def _norm(vec: list[float]) -> float:
         return sum(x * x for x in vec) ** 0.5
 
-    # k capped at the corpus size: once every point is selected another
-    # round could only re-pick an existing point at distance 0
+    # k capped at the corpus size; rounds can still stop EARLY (below)
+    # when every remaining vector duplicates the selected set.
     for _ in range(min(k, n) - 1):
         sel_lit = spark.createDataFrame(
             [([(vec, _norm(vec)) for _, vec, _ in selected],)], _SELECTED_SCHEMA
@@ -321,13 +324,25 @@ def kcenter_greedy(
                 ),
             )
         )
-        pick = (
-            base.crossJoin(F.broadcast(sel_lit))
+        # Already-selected IDs are excluded from the candidate scan:
+        # without this, a corpus whose unselected vectors are all exact
+        # duplicates of the selected set (min_dist 0 everywhere) would
+        # re-pick the smallest selected id — selection is WITHOUT
+        # replacement by id, and k caps distinct picks, not rows.
+        picked_ids = [i for i, _, _ in selected]
+        picks = (
+            base.filter(~F.col(id_col).isin(picked_ids))
+            .crossJoin(F.broadcast(sel_lit))
             .select(F.col(id_col), F.col(vec_col), mind.alias("__md"))
             .orderBy(F.col("__md").desc(), F.col(id_col).asc())
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not picks or float(picks[0][2]) == 0.0:
+            # nothing left, or the farthest remaining point coincides
+            # with the selected set — further rounds add zero diversity
+            break
+        pick = picks[0]
         selected.append((pick[0], [float(x) for x in pick[1]], float(pick[2])))
 
     return spark.createDataFrame(

@@ -19,8 +19,12 @@ bit_count) — no Python in the hot path.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 from cdc_pipeline_spark.operators.rounding import round_half_up
 
@@ -83,6 +87,53 @@ def _posting(sh: DataFrame, array_col: str = "shingles", out_col: str = "shingle
     return sh.select("doc_id", F.explode_outer(F.col(array_col)).alias(out_col)).filter(
         F.col(out_col).isNotNull()
     )
+
+
+def prune_hot_buckets(
+    posting: DataFrame,
+    keys: list[str],
+    max_bucket: int | None,
+    what: str = "band bucket",
+) -> DataFrame:
+    """Hot-bucket guard for LSH band self-joins — the 100 TB safety rail.
+
+    A band bucket with k members generates k² candidate pairs before
+    verification; heavy boilerplate (or many empty/near-empty docs) can
+    put millions of docs in ONE bucket, turning the candidate join
+    quadratic. When ``max_bucket`` is set, buckets with more than that
+    many members are dropped from the posting BEFORE the self-join via a
+    broadcast anti-join on the (tiny) hot-bucket list — the same shape
+    as ``ngram_jaccard_pairs``'s ``max_df`` shingle guard. Pairs inside
+    a dropped bucket can still be found through their OTHER bands, so
+    the cap costs recall only for pairs whose every agreeing band is
+    hot (overwhelmingly boilerplate clusters, which a corpus build
+    handles with exact dedup first).
+
+    No silent truncation: the hot-bucket list is materialized eagerly
+    (``localCheckpoint``, bounded: only over-cap buckets) and a WARNING
+    with the dropped-bucket count is logged whenever anything is pruned.
+    ``max_bucket=None`` (the default everywhere) is a no-op, preserving
+    exact candidate enumeration for the oracle-checked paths.
+    """
+    if max_bucket is None:
+        return posting
+    if max_bucket < 1:
+        raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
+    hot = (
+        posting.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__bucket_n"))
+        .filter(F.col("__bucket_n") > max_bucket)
+        .select(*keys)
+        .localCheckpoint()
+    )
+    n_hot = hot.count()
+    if n_hot:
+        _LOG.warning(
+            "prune_hot_buckets: dropping %d %s(s) with more than %d members "
+            "from the candidate join (recall-only effect; verification stays exact)",
+            n_hot, what, max_bucket,
+        )
+    return posting.join(F.broadcast(hot), keys, "left_anti")
 
 
 def ngram_jaccard_pairs(
@@ -268,6 +319,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.3,
     verify: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band the signature (bands × rows),
     bucket-join docs sharing any band hash, then (optionally) verify
@@ -276,7 +328,10 @@ def minhash_lsh_pairs(
     With 64 perms / 16 bands / 4 rows the S-curve crosses ~50% recall at
     J ≈ (1/16)^(1/4) ≈ 0.5 and is near-1 for J ≥ 0.7; verification makes
     precision exact. At scale, candidates per bucket are bounded by band
-    collisions, not corpus size.
+    collisions, not corpus size — EXCEPT when boilerplate concentrates a
+    corpus slice into one bucket; set ``max_bucket`` (see
+    :func:`prune_hot_buckets`) to cap per-bucket membership and keep the
+    candidate join linear. Default ``None`` = exact enumeration.
     """
     if num_perm % bands != 0 or num_perm < bands:
         raise ValueError(
@@ -284,7 +339,9 @@ def minhash_lsh_pairs(
             "otherwise permutations are silently dropped or band hashes degenerate"
         )
     sig = minhash_signatures(df, id_col, text_col, n, num_perm)
-    melted = band_posting(sig, num_perm, bands)
+    melted = prune_hot_buckets(
+        band_posting(sig, num_perm, bands), ["band", "bucket"], max_bucket
+    )
     pairs = (
         melted.alias("l")
         .join(melted.alias("r"), ["band", "bucket"])
@@ -320,6 +377,7 @@ def incremental_minhash_neardup(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup detection: probe an incoming batch against
     the historical corpus' LSH band index — the fuzzy twin of the exact
@@ -346,7 +404,13 @@ def incremental_minhash_neardup(
     flags = marked.select(F.col(id_col).alias("doc_id"), "__incoming")
     # Both probe sides filter this frame; localCheckpoint so the 64-hash
     # signature pass runs once, not once per side (bands rows/doc — tiny).
-    melted = band_posting(sig, num_perm, bands).join(flags, "doc_id").localCheckpoint()
+    # The hot-bucket cap counts BOTH sides together: the hazard is a hot
+    # historical bucket multiplying every probe that lands in it.
+    melted = prune_hot_buckets(
+        band_posting(sig, num_perm, bands).join(flags, "doc_id").localCheckpoint(),
+        ["band", "bucket"],
+        max_bucket,
+    )
     new_side = melted.filter(F.col("__incoming")).select("doc_id", "band", "bucket")
     hist_side = melted.filter(~F.col("__incoming")).select(
         F.col("doc_id").alias("match_id"), "band", "bucket"
@@ -422,10 +486,16 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     token_hash=None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the signature into `bands` chunks
     (pigeonhole: hamming ≤ bands−1 guarantees an identical chunk), join on
-    chunk equality, verify with ``bit_count(xor) ≤ max_hamming``."""
+    chunk equality, verify with ``bit_count(xor) ≤ max_hamming``.
+
+    ``max_bucket`` caps per-(band, chunk) membership before the
+    self-join (see :func:`prune_hot_buckets`) — with only ``chunk``-bit
+    keys, bucket crowding sets in far sooner than for MinHash bands, so
+    this guard matters even at moderate corpus sizes."""
     chunk = bits // bands
     mask = (1 << chunk) - 1
     sig = simhash_signatures(df, id_col, text_col, bits, token_hash=token_hash)
@@ -444,6 +514,7 @@ def simhash_pairs(
             )
         ).alias("bc"),
     ).select("doc_id", "simhash", "bc.band", "bc.chunk")
+    banded = prune_hot_buckets(banded, ["band", "chunk"], max_bucket, what="simhash chunk")
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(r, ["band", "chunk"])
@@ -679,21 +750,31 @@ def segment_dedup(
     iff it is the first occurrence of its content in (doc_id, pos)
     order; each document is rebuilt from its surviving segments.
 
-    Two shuffles: (1) keeper selection — row_number over a window
-    partitioned by segment content (at 100 TB partition by a segment
-    fingerprint instead to shuffle 16-byte keys, trading a negligible
-    collision probability for ~1× corpus shuffle volume); (2) per-doc
-    rebuild (collect surviving segments, sort by pos, join). Both are
-    hash exchanges; no global sort.
+    Two shuffles: (1) keeper selection — ``min(struct(doc_id, pos))``
+    per segment content; a PARTIAL-AGGREGABLE min, so a boilerplate
+    segment repeated in millions of docs collapses map-side instead of
+    landing on one reducer the way a segment-partitioned row_number
+    window would (at 100 TB group by a segment fingerprint instead to
+    shuffle 16-byte keys, trading a negligible collision probability
+    for ~1× corpus shuffle volume); (2) per-doc rebuild (collect
+    surviving segments, sort by pos). Both are hash exchanges; no
+    global sort, no skew-prone window.
 
     Output: (doc_id, n_segments, n_kept, dedup_text) — docs whose every
     segment was seen earlier rebuild to ''.
     """
-    from pyspark.sql import Window
-
     posting = segment_posting(df, id_col, text_col, seg_tokens)
-    w = Window.partitionBy("segment").orderBy("doc_id", "pos")
-    kept = posting.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    # struct comparison is lexicographic field-by-field, so the min IS
+    # the globally-first (doc_id, pos) occurrence of each segment.
+    kept = (
+        posting.groupBy("segment")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("__first"))
+        .select(
+            F.col("__first.doc_id").alias("doc_id"),
+            F.col("__first.pos").alias("pos"),
+            "segment",
+        )
+    )
     totals = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segments"))
     rebuilt = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),

@@ -14,8 +14,12 @@ fact side, and the fact scan keeps its partitioning for downstream aggs.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 def broadcast_enrich(
@@ -24,8 +28,29 @@ def broadcast_enrich(
     on: list[str] | None = None,
     how: str = "left",
     condition=None,
+    max_broadcast_rows: int | None = None,
 ) -> DataFrame:
-    """Left broadcast equi-join of a fact stream/table with a dimension."""
+    """Left broadcast equi-join of a fact stream/table with a dimension.
+
+    ``max_broadcast_rows=None`` (default) pins the hint unconditionally —
+    the contract is then that ``dim`` is a genuinely tiny static
+    reference (city/country maps). For dimensions that GROW with the
+    data (users, products — fact-sized at 100×), pass a row budget: the
+    dim's size is probed once at plan-build time with a bounded
+    ``limit(n+1).count()`` (never a full scan past the budget), and an
+    over-budget dim joins WITHOUT the hint so AQE picks the strategy —
+    a forced broadcast hint bypasses AQE's demotion and OOMs the
+    driver/executors on a fact-sized "dimension".
+    """
+    if max_broadcast_rows is not None:
+        probed = dim.limit(max_broadcast_rows + 1).count()
+        if probed > max_broadcast_rows:
+            _LOG.warning(
+                "broadcast_enrich: dim exceeds max_broadcast_rows=%d; "
+                "omitting the broadcast hint (AQE decides the join strategy)",
+                max_broadcast_rows,
+            )
+            return fact.join(dim, on=on if condition is None else condition, how=how)
     return fact.join(F.broadcast(dim), on=on if condition is None else condition, how=how)
 
 

@@ -321,7 +321,12 @@ def weighted_priority_sample(
     # EVERY seed and never be sampled). All intermediates stay within
     # int64 for ids < 2^20 (documented like portable_id_bucket).
     p = F.lit(2147483647)
-    h1 = ((F.col(id_col).cast("long") + F.lit(seed + 1)) * F.lit(KNUTH + 2 * seed)) % p
+    # pmod, not %: a negative id would otherwise make h1 (and hence
+    # log(u)) negative/NULL and the row would silently never be sampled.
+    # With pmod h1 is always in [0, p), so every id draws a valid u;
+    # for the documented non-negative id range pmod == %, keeping the
+    # sample (and the SQL twin below) unchanged.
+    h1 = F.pmod((F.col(id_col).cast("long") + F.lit(seed + 1)) * F.lit(KNUTH + 2 * seed), p)
     h = ((h1 * F.lit(KNUTH)) % p) % F.lit(resolution)
     u = (h + F.lit(1)) / F.lit(float(resolution))
     w_eff = round_half_up(
@@ -351,10 +356,12 @@ def weighted_priority_sql(
     same quantized-floor key. round(...) here is rewritten to the floor
     form at registration like every oracle."""
     w_eff = f"round(least(greatest(CAST({weight_expr} AS DOUBLE), {w_min}), {w_max}), 6)"
-    h = (
-        f"(((((({id_expr}) + {seed + 1}) * {KNUTH + 2 * seed}) % 2147483647)"
-        f" * {KNUTH}) % 2147483647) % {resolution}"
+    # ((x % p) + p) % p mirrors Spark's pmod for negative ids
+    h1 = (
+        f"((((({id_expr}) + {seed + 1}) * {KNUTH + 2 * seed}) % 2147483647"
+        f" + 2147483647) % 2147483647)"
     )
+    h = f"((({h1}) * {KNUTH}) % 2147483647) % {resolution}"
     u = f"(({h}) + 1) / {float(resolution)}"
     priority = f"CAST(floor(ln({u}) / ({w_eff}) * {float(quant)}) AS BIGINT)"
     return w_eff, priority

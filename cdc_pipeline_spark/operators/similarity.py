@@ -321,6 +321,7 @@ def rp_lsh_neardup_pairs(
     vec_col: str = "embedding",
     seed: int = 11,
     parallelism: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS via banded sign-bit LSH —
     the distributed scale path beside the all-pairs
@@ -340,7 +341,14 @@ def rp_lsh_neardup_pairs(
     traffic = n_bands × corpus, cheap at embedding dims) so verification
     needs no second join against the corpus; multi-band duplicate
     candidates collapse in one distinct on the verified pair row.
+
+    ``max_bucket`` caps per-(band, key) membership before the self-join
+    (``dedup.prune_hot_buckets``): with only ``band_bits``-bit keys a
+    dense region of embedding space (near-constant vectors, zero-ish
+    embeddings) crowds one bucket into |bucket|² candidates — the cap
+    keeps the join linear at the cost of recall inside hot buckets only.
     """
+    from cdc_pipeline_spark.operators.dedup import prune_hot_buckets
     n_planes = n_bands * band_bits
     mask = (1 << band_bits) - 1
     sig = _with_bucket(_spread(corpus, parallelism), vec_col, "__sig", dim, n_planes, seed)
@@ -357,6 +365,7 @@ def rp_lsh_neardup_pairs(
     bands = sig.select(
         F.col(id_col), F.col(vec_col), F.col("__norm"), F.explode(entries).alias("__e")
     ).select(id_col, vec_col, "__norm", F.col("__e.band").alias("band"), F.col("__e.bkey").alias("bkey"))
+    bands = prune_hot_buckets(bands, ["band", "bkey"], max_bucket, what="rp-lsh bucket")
     left = bands.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
         F.col("__norm").alias("__na"), "band", "bkey",

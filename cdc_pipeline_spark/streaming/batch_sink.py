@@ -26,6 +26,7 @@ def write_partitioned_parquet(
     partition_cols: list[str] | None = None,
     target_rows_per_file: int | None = None,
     mode: str = "overwrite",
+    num_output_files: int | None = None,
 ) -> None:
     """Write a DataFrame as a partitioned parquet table.
 
@@ -36,10 +37,19 @@ def write_partitioned_parquet(
     BOTH modes via the writer's ``maxRecordsPerFile`` (a skewed
     partition splits into several files instead of one huge one) — no
     extra ``count()`` pass over the input.
+
+    ``maxRecordsPerFile`` only ever SPLITS large tasks — it never merges
+    small ones, so a many-partition input of small batches in the
+    NON-partitioned mode would still write one tiny file per task. Pass
+    ``num_output_files`` there to consolidate via a shuffle-free
+    ``coalesce``; without it, non-partitioned callers are expected to
+    pre-coalesce.
     """
     out = df
     if partition_cols:
         out = out.repartition(*[F.col(c) for c in partition_cols])
+    elif num_output_files:
+        out = out.coalesce(num_output_files)
     writer = out.write.mode(mode)
     if target_rows_per_file:
         writer = writer.option("maxRecordsPerFile", int(target_rows_per_file))

@@ -277,7 +277,14 @@ def capped_list_writer(
     ``dedupe_key`` switches to UPSERT semantics for update-mode
     windowed upstreams: one entry per key (latest revision wins),
     ordered newest-first — without it, every re-emission of the same
-    window stacks another entry and evicts older windows early."""
+    window stacks another entry and evicts older windows early.
+
+    The dedupe path is a read-merge-replace and assumes a SINGLE writer
+    per list key (the foreachBatch contract — one streaming query owns
+    one sink key); concurrent writers would lose updates. Pre-existing
+    or incoming entries WITHOUT the dedupe key are skipped (they cannot
+    be ordered against keyed entries — sorting None against values
+    would throw inside foreachBatch and fail the streaming query)."""
 
     def write(batch: DataFrame, _batch_id: int) -> None:
         rows = batch.orderBy(*[batch[c].desc() for c in order_cols]).limit(max_len).collect()
@@ -289,12 +296,14 @@ def capped_list_writer(
             # per dedupe_key, list rewritten newest-first, capped.
             merged: dict = {}
             for item in self_read(kv, key):
-                merged[item.get(dedupe_key)] = item
+                if item.get(dedupe_key) is not None:
+                    merged[item[dedupe_key]] = item
             for row in rows:
                 d = row.asDict()
-                merged[d.get(dedupe_key)] = d
+                if d.get(dedupe_key) is not None:
+                    merged[d[dedupe_key]] = d
             ordered = sorted(
-                merged.values(), key=lambda d: d.get(dedupe_key), reverse=True
+                merged.values(), key=lambda d: d[dedupe_key], reverse=True
             )[:max_len]
             kv.replace_list(key, ordered, channel=channel)
             return

@@ -46,6 +46,18 @@ ALERT_STATE_SCHEMA = StructType(
         StructField("last_window", LongType()),
     ]
 )
+# STATE SCHEMA HISTORY: last_window was ADDED after the first release of
+# this schema. Stateful state schemas cannot evolve in place — a
+# checkpoint written with the 2-field schema replayed against the 3-field
+# declaration yields short state tuples, so both processors below unpack
+# defensively (missing last_window defaults to 0, which only risks
+# double-counting one window's revisions right at the upgrade boundary).
+# For a clean cut, recreate the alert checkpoint on upgrade.
+
+
+def _unpack_alert_state(raw) -> tuple[int, str, int]:
+    count, status, *rest = tuple(raw)
+    return int(count), str(status), int(rest[0]) if rest and rest[0] is not None else 0
 
 
 def _fold_breaches(
@@ -101,7 +113,7 @@ def consecutive_breach_alerts(
     ) -> Iterator[pd.DataFrame]:
         (rule_id,) = key
         count, status, last_window = (
-            state.get if state.exists else (0, "normal", 0)
+            _unpack_alert_state(state.get) if state.exists else (0, "normal", 0)
         )
         last_epoch = 0
         # A key's rows can span multiple Arrow chunks of the iterator —
@@ -185,7 +197,7 @@ class BreachProcessor(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         (rule_id,) = key
         if self._state.exists():
-            count, status, last_window = self._state.get()
+            count, status, last_window = _unpack_alert_state(self._state.get())
         else:
             count, status, last_window = 0, "normal", 0
         last_epoch = 0

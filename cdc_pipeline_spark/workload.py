@@ -664,7 +664,13 @@ def region_windowed_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("region_name")
     )
-    enriched = broadcast_enrich(broadcast_enrich(ev, cust, on=["user_id"]), nation, on=["c_nationkey"])
+    # customer GROWS with the data (fact-sized at 100x) -> size-guarded
+    # hint: over-budget dims join un-hinted and AQE picks the strategy
+    enriched = broadcast_enrich(
+        broadcast_enrich(ev, cust, on=["user_id"], max_broadcast_rows=2_000_000),
+        nation,
+        on=["c_nationkey"],
+    )
     shaped = enriched.select(
         "ts",
         "region_name",
@@ -1667,7 +1673,13 @@ def region_flows_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("region_name")
     )
-    enriched = broadcast_enrich(broadcast_enrich(ev, cust, on=["user_id"]), nation, on=["c_nationkey"])
+    # customer GROWS with the data (fact-sized at 100x) -> size-guarded
+    # hint: over-budget dims join un-hinted and AQE picks the strategy
+    enriched = broadcast_enrich(
+        broadcast_enrich(ev, cust, on=["user_id"], max_broadcast_rows=2_000_000),
+        nation,
+        on=["c_nationkey"],
+    )
     shaped = enriched.select(
         "ts", "region_name", F.lit(0.0).alias("sales"), F.lit(1).alias("request_count")
     )
