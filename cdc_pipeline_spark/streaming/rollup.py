@@ -24,6 +24,7 @@ files accumulate one dir per batch; fold them periodically with
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -95,8 +96,9 @@ class RollupTableWriter:
             )
             .withColumn("batch_id", F.lit(int(batch_id)))
         )
-        # overwrite THIS batch's partition only → replay-idempotent
-        with temp_conf(
+        # overwrite THIS batch's partition only → replay-idempotent;
+        # the table lock keeps the write out of a compaction's dir swap
+        with _table_lock(self.path), temp_conf(
             batch_df.sparkSession, "spark.sql.sources.partitionOverwriteMode", "dynamic"
         ):
             partials.coalesce(1).write.mode("overwrite").partitionBy("batch_id").parquet(self.path)
@@ -120,6 +122,59 @@ def read_rollup(spark: SparkSession, path: str, grain: str = "5min") -> DataFram
 
 
 _COMPACTION_MARKER = "_compaction.json"
+_LOCK_SUFFIX = ".compact.lock"
+_LOCK_STALE_SECONDS = 600.0
+
+
+@contextlib.contextmanager
+def _table_lock(path: str, timeout: float = 30.0):
+    """Cross-process mutual exclusion between the per-batch partial
+    writers and compaction, via an O_EXCL sidecar lock file.
+
+    Compaction rename-aside swaps the whole table directory; a partial
+    write landing mid-swap would vanish with the ``.old`` dir. The
+    writers hold this lock for one partition write (fast), compaction
+    for the fold+swap — so "run compaction from the maintenance
+    cadence, not per micro-batch" is now ENFORCED rather than advised:
+    a compaction that overlaps an active writer waits its turn, and two
+    concurrent compactions serialize (the loser folds an already-folded
+    table — a no-op by the marker guard).
+
+    A lock older than ``_LOCK_STALE_SECONDS`` is presumed left by a
+    crash and broken (compaction runs are seconds, not minutes). On
+    timeout the caller gets a RuntimeError rather than a silent
+    corruption window.
+    """
+    import time
+
+    lock = path.rstrip("/") + _LOCK_SUFFIX
+    deadline = time.time() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()}\n".encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock) > _LOCK_STALE_SECONDS:
+                    os.unlink(lock)  # crash leftover
+                    continue
+            except OSError:
+                continue  # holder released between the check and the stat
+            if time.time() > deadline:
+                raise RuntimeError(
+                    f"rollup table {path} is locked by another writer/compaction "
+                    f"({lock}); retry from the maintenance cadence"
+                )
+            time.sleep(0.1)
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
 
 
 def _compaction_state(path: str) -> tuple[int, str]:
@@ -141,7 +196,9 @@ def _compacted_through(path: str) -> int:
     return _compaction_state(path)[0]
 
 
-def compact_partials(spark: SparkSession, path: str, run_id: str = "") -> int:
+def compact_partials(
+    spark: SparkSession, path: str, run_id: str = "", lock_timeout: float = 30.0
+) -> int:
     """Fold all per-batch partials into one ``batch_id=-1`` partition
     (merging by bucket), dropping the per-batch dirs. Returns the number
     of partial rows after compaction. Run from the maintenance cadence —
@@ -157,16 +214,17 @@ def compact_partials(spark: SparkSession, path: str, run_id: str = "") -> int:
     Concurrent readers mid-swap can transiently error on the rename (a
     lakehouse table format turns this into an atomic metadata commit);
     run it from the maintenance cadence, not per micro-batch."""
-    partials = spark.read.parquet(path)
-    folded = (
-        partials.groupBy("bucket_start")
-        .agg(
-            F.sum("n_events").alias("n_events"),
-            F.sum("v").cast("decimal(28,2)").alias("v"),
+    with _table_lock(path, timeout=lock_timeout):
+        partials = spark.read.parquet(path)
+        folded = (
+            partials.groupBy("bucket_start")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("v").cast("decimal(28,2)").alias("v"),
+            )
+            .withColumn("batch_id", F.lit(-1))
         )
-        .withColumn("batch_id", F.lit(-1))
-    )
-    return _swap_compacted(spark, path, partials, folded, run_id)
+        return _swap_compacted(spark, path, partials, folded, run_id)
 
 
 def _swap_compacted(
@@ -275,17 +333,22 @@ def read_histogram_rollup(
 
 
 def compact_histogram_partials(
-    spark: SparkSession, path: str, group_cols: tuple[str, ...] = (), run_id: str = ""
+    spark: SparkSession,
+    path: str,
+    group_cols: tuple[str, ...] = (),
+    run_id: str = "",
+    lock_timeout: float = 30.0,
 ) -> int:
     """Fold histogram per-batch partials into one ``batch_id=-1``
     partition (exact integer merge), with the same replay marker and
     crash-safe rename-aside swap as :func:`compact_partials` — so an
     at-least-once replay of an already-folded batch id is skipped by
     the writer's guard instead of double-counting."""
-    partials = spark.read.parquet(path)
-    folded = (
-        partials.groupBy(*group_cols, "bin")
-        .agg(F.sum("n").cast("long").alias("n"))
-        .withColumn("batch_id", F.lit(-1))
-    )
-    return _swap_compacted(spark, path, partials, folded, run_id)
+    with _table_lock(path, timeout=lock_timeout):
+        partials = spark.read.parquet(path)
+        folded = (
+            partials.groupBy(*group_cols, "bin")
+            .agg(F.sum("n").cast("long").alias("n"))
+            .withColumn("batch_id", F.lit(-1))
+        )
+        return _swap_compacted(spark, path, partials, folded, run_id)

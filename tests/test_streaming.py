@@ -1317,3 +1317,71 @@ def test_monitor_sanitizes_nan_rates(spark):
     snap = kv.read_hash(f"{DIRECTORY_KEY}:q1")
     assert snap["input_rows_per_second"] == "0.0", snap
     assert snap["processed_rows_per_second"] == "5.0"
+
+
+def test_compaction_lock_serializes_with_writers(spark, tmp_path):
+    """The table lock enforces 'compaction from the maintenance cadence':
+    a held lock makes compaction fail loudly instead of swapping dirs
+    under an active writer; a stale (crash-leftover) lock is broken."""
+    from cdc_pipeline_spark.streaming import rollup
+    from cdc_pipeline_spark.streaming.rollup import (
+        RollupTableWriter,
+        compact_partials,
+        read_rollup,
+    )
+
+    table = str(tmp_path / "locked-rollup")
+    writer = RollupTableWriter(table, time_col="created_at", value_col="value")
+    writer(spark.createDataFrame(_rows([(0, "view", 1.0), (70, "view", 2.0)]), EVENT_SCHEMA), 0)
+    before = {r.bucket_start: r.n_events for r in read_rollup(spark, table).collect()}
+
+    lock = table + rollup._LOCK_SUFFIX
+    with open(lock, "w") as fh:
+        fh.write("held\n")
+    with pytest.raises(RuntimeError, match="locked"):
+        compact_partials(spark, table, lock_timeout=0.5)
+    # table untouched by the refused compaction
+    assert {r.bucket_start: r.n_events for r in read_rollup(spark, table).collect()} == before
+
+    # stale lock (older than the staleness horizon) is broken and
+    # compaction proceeds; the lock is released afterwards
+    old = time.time() - rollup._LOCK_STALE_SECONDS - 5
+    os.utime(lock, (old, old))
+    compact_partials(spark, table, lock_timeout=5)
+    assert not os.path.exists(lock)
+    assert {r.bucket_start: r.n_events for r in read_rollup(spark, table).collect()} == before
+
+
+def test_backlogged_file_source_drains_in_bounded_batches(spark, tmp_path):
+    """Rate limiting replaces the reference's checkpoint-wipe backlog
+    dodge: a pre-existing backlog with maxFilesPerTrigger=1 drains
+    across N bounded micro-batches, and the final sink state equals the
+    single-batch (unbounded) run."""
+    batches = [
+        _rows([(0, "view", 1), (3, "view", 2)]),
+        _rows([(12, "click", 3)]),
+        _rows([(14, "view", 4)]),
+        _rows([(21, "purchase", 5)]),
+        _rows([(33, "view", 6)]),
+    ]
+
+    def run(base, limit):
+        _write_batches(spark, base, batches)
+        source = stream_parquet(spark, base, EVENT_SCHEMA, max_files_per_trigger=limit)
+        kv = InMemoryKV()
+        q = jobs.start_traffic_pipeline(
+            source, kv, str(tmp_path / f"ckpt-{limit}"), time_col="created_at",
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        newest = {}
+        for item in reversed([json.loads(i) for i in kv.lists["nexus:traffic:timeseries"]]):
+            newest[item["window_start"]] = item["value"]
+        return n_batches, newest
+
+    bounded_batches, bounded = run(str(tmp_path / "backlog-bounded"), 1)
+    unbounded_batches, unbounded = run(str(tmp_path / "backlog-all"), None)
+    assert bounded_batches >= len(batches), "each file must arrive in its own micro-batch"
+    assert unbounded_batches == 1, "no limit -> the whole backlog in one batch"
+    assert bounded == unbounded, "drained state must be independent of batch slicing"
