@@ -2096,6 +2096,64 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 5, dim: int = 64) -> str:
     return ",\n".join(parts) + "\n" + final
 
 
+def _minibatch_kmeans_oracle_sql(
+    k: int = 8, iters: int = 5, dim: int = 64, fraction: float = 0.25, seed: int = 7
+) -> str:
+    """DuckDB replay of ``clustering.minibatch_kmeans``: identical CTE
+    chain to :func:`_kmeans_oracle_sql`, except each iteration's assign
+    runs over the deterministic hash mini-batch
+    (``portable_id_bucket(id, seed+i) < fraction·resolution`` — the
+    Knuth multiplicative hash both engines compute verbatim for the
+    testdata id range) and empty-in-batch clusters carry forward."""
+    cut = int(fraction * 1_000_000)
+    parts = [
+        "WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v AS c "
+        f"FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {k}))",
+    ]
+    assign = (
+        "{name} AS (SELECT vec_id, v, cluster FROM ("
+        "SELECT e.vec_id, e.v, c.cluster, row_number() OVER (PARTITION BY e.vec_id "
+        "ORDER BY list_inner_product(c.c, c.c) - 2 * list_inner_product(e.v, c.c), c.cluster) AS rn "
+        "FROM {src} e CROSS JOIN {cent} c) WHERE rn = 1)"
+    )
+    for i in range(iters):
+        parts.append(
+            f"sample{i} AS (SELECT vec_id, v FROM emb "
+            f"WHERE ((vec_id * 2654435761 + {seed + i}) % 2147483647) % 1000000 < {cut})"
+        )
+        parts.append(assign.format(name=f"assign{i}", src=f"sample{i}", cent=f"cent{i}"))
+        parts.append(
+            f"cent{i + 1} AS (SELECT p.cluster, coalesce(n.c, p.c) AS c FROM cent{i} p "
+            f"LEFT JOIN (SELECT cluster, list(m ORDER BY pos) AS c FROM ("
+            f"SELECT a.cluster, d.pos, "
+            f"list_reduce(list_prepend(0.0, list(a.v[d.pos] ORDER BY a.vec_id)), (acc, x) -> acc + x) "
+            f"/ count(*) AS m "
+            f"FROM assign{i} a CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS pos) d "
+            f"GROUP BY a.cluster, d.pos) GROUP BY cluster) n USING (cluster))"
+        )
+    final = (
+        f"SELECT vec_id, CAST(cluster AS INT) AS cluster FROM ("
+        f"SELECT e.vec_id, c.cluster, row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY list_inner_product(c.c, c.c) - 2 * list_inner_product(e.v, c.c), c.cluster) AS rn "
+        f"FROM emb e CROSS JOIN cent{iters} c) WHERE rn = 1"
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
+@register("embedding_minibatch_kmeans", _minibatch_kmeans_oracle_sql())
+def embedding_minibatch_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mini-batch k-means (Sculley 2010) — the 100 TB scale path for
+    ``embedding_kmeans``: each of the 5 iterations assigns/updates over
+    a deterministic 25% hash mini-batch (iteration cost ∝ fraction),
+    final assignment over the full corpus. The oracle replays every
+    iteration, including the hash-sample membership, in DuckDB."""
+    from cdc_pipeline_spark.operators.clustering import minibatch_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return minibatch_kmeans(emb, k=8, max_iters=5, batch_fraction=0.25)
+
+
 @register("embedding_kmeans", _kmeans_oracle_sql())
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative Lloyd's k-means (5 iterations, deterministic lowest-id

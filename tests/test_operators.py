@@ -285,6 +285,29 @@ def test_kmeans_assigns_all_and_improves(spark):
     assert again == first
 
 
+def test_minibatch_kmeans_near_full_lloyd_quality(spark):
+    """Mini-batch k-means must (a) assign the FULL corpus, (b) be
+    rerun-deterministic (hash-sampled batches, no RNG), and (c) land
+    within a modest distortion bound of full Lloyd — the price of
+    scanning only a fraction per iteration."""
+    from cdc_pipeline_spark.operators.clustering import distortion, kmeans, minibatch_kmeans
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    mb = minibatch_kmeans(emb, k=4, max_iters=5, batch_fraction=0.25)
+    assert mb.count() == n
+    assert mb.select("cluster").distinct().count() <= 4
+    d_full = distortion(emb, kmeans(emb, k=4, max_iters=5))
+    d_mb = distortion(emb, mb)
+    assert d_mb <= 1.5 * d_full, f"mini-batch distortion too far from Lloyd ({d_mb} vs {d_full})"
+    again = {r.vec_id: r.cluster for r in minibatch_kmeans(emb, k=4, max_iters=5, batch_fraction=0.25).collect()}
+    assert again == {r.vec_id: r.cluster for r in mb.collect()}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="batch_fraction"):
+        minibatch_kmeans(emb, k=4, batch_fraction=0.0)
+
+
 def test_sql_round_rewriter_paren_matching():
     from cdc_pipeline_spark.operators.rounding import rewrite_sql_rounds
 
