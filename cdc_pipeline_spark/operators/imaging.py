@@ -1,0 +1,195 @@
+"""Pure-Python image codec for the multimodal decode stages.
+
+The container ships no media libraries, so the real decode bodies the
+multimodal operators need are implemented here from the file-format
+specs with stdlib ``zlib``/``struct`` + numpy only:
+
+  * PNG (RFC 2083): 8-bit greyscale / RGB / RGBA, all five scanline
+    filters (None/Sub/Up/Average/Paeth), non-interlaced — the shapes a
+    training-data pipeline actually stores; interlaced or 16-bit inputs
+    raise cleanly and the caller's skip/quarantine path handles them.
+  * BMP (BITMAPINFOHEADER): uncompressed 24-bit bottom-up rows.
+  * ``encode_png`` (filter 0 + zlib) so tests can build real fixtures
+    and prove a byte-exact decode roundtrip without shipping binaries.
+
+Everything here is per-payload Python executed INSIDE Arrow-batched
+``mapInPandas`` workers (operators/multimodal.py) — the JVM never sees
+pixel data, and the decode cost parallelizes with the partition spread
+the multimodal operators already apply.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# PNG color type → samples per pixel (spec §4.1.2; palette unsupported)
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def encode_png(pixels: "np.ndarray") -> bytes:
+    """Minimal PNG encoder (filter 0, one IDAT) for 8-bit grey / grey+A
+    / RGB / RGBA arrays shaped (h, w) or (h, w, c)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """Decode a non-interlaced 8-bit PNG to a (h, w, c) uint8 array,
+    unfiltering every scanline per spec §6."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if color_type not in _CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color_type}")
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    channels = _CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub
+            cur = line.copy()
+            for x in range(channels, stride):
+                cur[x] = (cur[x] + cur[x - channels]) & 0xFF
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - channels] if x >= channels else 0
+                cur[x] = (cur[x] + (left + prev[x]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - channels] if x >= channels else 0
+                ul = prev[x - channels] if x >= channels else 0
+                cur[x] = (cur[x] + _paeth(int(left), int(prev[x]), int(ul))) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(height, width, channels)
+
+
+def decode_bmp(payload: bytes) -> "np.ndarray":
+    """Decode an uncompressed 24-bit BITMAPINFOHEADER BMP to (h, w, 3)
+    uint8 RGB (BMP stores BGR bottom-up; both are undone here)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack("<I", payload[10:14])
+    header_size, width, height = struct.unpack("<Iii", payload[14:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if bpp != 24 or compression != 0 or height <= 0:
+        raise ValueError(
+            f"unsupported BMP (bpp={bpp}, compression={compression}, height={height})"
+        )
+    row_size = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    out = np.zeros((height, width, 3), dtype=np.uint8)
+    for y in range(height):
+        off = data_offset + y * row_size
+        row = np.frombuffer(payload, dtype=np.uint8, count=width * 3, offset=off)
+        out[height - 1 - y] = row.reshape(width, 3)[:, ::-1]  # BGR→RGB, bottom-up
+    return out
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Sniff-and-decode: PNG or BMP by signature → (h, w, c) uint8.
+    Raises ValueError on anything else (the multimodal stages skip or
+    quarantine undecodable payloads; they never crash the worker)."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise ValueError("unrecognized image format")
+
+
+def resize_nearest(pixels: "np.ndarray", width: int, height: int) -> "np.ndarray":
+    """Nearest-neighbor resize to (height, width, c) — the deterministic
+    baseline every engine reproduces bit-for-bit (no resampling kernels,
+    no float rounding ambiguity)."""
+    h, w = pixels.shape[:2]
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return pixels[ys][:, xs]
+
+
+def image_feature(pixels: "np.ndarray", dim: int = 8) -> list[float]:
+    """Deterministic low-dim image descriptor: per-channel mean and std
+    over the first channels, padded with (h, w) aspect terms — enough
+    signal for dedup/quality gates without a model, and bit-stable
+    because the accumulation order is fixed (C-order float64 sums)."""
+    arr = pixels.astype(np.float64) / 255.0
+    h, w = arr.shape[:2]
+    c = arr.shape[2] if arr.ndim == 3 else 1
+    flat = arr.reshape(h * w, c)
+    feats: list[float] = []
+    for ch in range(min(c, 3)):
+        feats.append(float(flat[:, ch].mean()))
+        feats.append(float(flat[:, ch].std()))
+    feats.append(h / max(w, 1))
+    feats.append(min(h * w / 1_000_000.0, 1.0))
+    feats = feats[:dim]
+    feats += [0.0] * (dim - len(feats))
+    return [round(f, 6) for f in feats]

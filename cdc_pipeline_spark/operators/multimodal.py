@@ -6,13 +6,18 @@ resize / frame-sampling as Arrow-batched Pandas stages (`mapInPandas`) —
 per-row Python UDFs would be 10–100× slower and decode libraries only
 exist in the Python workers anyway.
 
-The decode step itself is STUBBED here (no image/audio libs in this
-container): `decode_stub` raises NotImplementedError unless
-`fake=True`, in which case it produces a deterministic fake feature
-vector from the payload bytes. The Spark-side plumbing — schema,
-partition-preserving mapInPandas, Arrow batch shape, output contract —
-is real and tested; swapping the stub for PIL/librosa is a one-function
-change.
+Decode bodies come in two tiers:
+
+  * REAL image decode (``decoder="image"``): PNG/BMP via the
+    pure-stdlib codec in ``operators.imaging`` (zlib + struct + numpy —
+    no external media libs needed), with undecodable payloads skipped,
+    not crashed on. ``resize_images(real=True)`` decodes and
+    nearest-neighbor-resizes actual pixels.
+  * the deterministic byte-level stand-in (``decode_stub``, the
+    default) for payloads that are not images at all (the testdata's
+    UTF-8 text payloads) and for audio/video codecs that genuinely
+    need external libraries — those still raise ``NotImplementedError``
+    unless ``fake=True``.
 """
 
 from __future__ import annotations
@@ -71,6 +76,7 @@ def extract_features(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     fake_decode: bool = True,
+    decoder: str = "stub",
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
@@ -78,6 +84,13 @@ def extract_features(
     processes whole Arrow record batches per Python call. Metadata columns
     (byte length, digest) are computed in the same pass as the decode so
     the payload bytes cross the JVM→Python boundary exactly once.
+
+    ``decoder="image"`` runs the REAL PNG/BMP decode
+    (``operators.imaging``) and emits a per-channel mean/std descriptor;
+    payloads that fail to decode are dropped from the output (the
+    quarantine pattern — a corrupt blob must never kill the worker).
+    ``decoder="stub"`` (default) keeps the byte-level stand-in used by
+    the oracle-checked byte-stats query.
     """
     from cdc_pipeline_spark.operators.partitioning import spread
 
@@ -86,6 +99,20 @@ def extract_features(
     # expensive stage in a real media pipeline)
     narrow = spread(df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")))
 
+    if decoder == "image":
+        from cdc_pipeline_spark.operators.imaging import decode_image, image_feature
+
+        def decode(p: bytes):
+            try:
+                return image_feature(decode_image(p), dim=FEATURE_DIM)
+            except ValueError:
+                return None
+    elif decoder == "stub":
+        def decode(p: bytes):
+            return decode_stub(p, fake=fake_decode)
+    else:
+        raise ValueError(f"unknown decoder {decoder!r} (expected 'stub' or 'image')")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             # a NULL payload (e.g. a null source column) has no media to
@@ -93,14 +120,16 @@ def extract_features(
             # filter — len(None)/bytes(None) would kill the Python worker
             batch = batch[batch["payload"].notna()]
             payloads = batch["payload"]
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "doc_id": batch["doc_id"],
                     "n_bytes": payloads.map(len).astype("int64"),
                     "content_digest": payloads.map(lambda p: hashlib.sha256(bytes(p)).hexdigest()),
-                    "feature": payloads.map(lambda p: decode_stub(bytes(p), fake=fake_decode)),
+                    "feature": payloads.map(lambda p: decode(bytes(p))),
                 }
             )
+            # undecodable payloads (decode -> None) are quarantined out
+            yield out[out["feature"].notna()]
 
     return narrow.mapInPandas(run, FEATURE_SCHEMA)
 
@@ -143,26 +172,52 @@ def resize_stub(payload: bytes, width: int, height: int, fake: bool = True) -> b
     return (payload * reps)[:target]
 
 
-def resize_images(df: DataFrame, width: int = 32, height: int = 32, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
-    """Arrow-batched 'resize' stage: payload → fixed-size pseudo-image,
-    reported as (dims, digest) so tests can assert byte-exactness without
-    shipping the blobs back."""
+def resize_images(
+    df: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    real: bool = False,
+) -> DataFrame:
+    """Arrow-batched resize stage, reported as (dims, digest) so tests
+    can assert byte-exactness without shipping the blobs back.
+
+    ``real=True``: decode actual PNG/BMP pixels (``operators.imaging``)
+    and nearest-neighbor resize them — the digest is over the resized
+    RGB(A) bytes; undecodable payloads are quarantined out. ``False``:
+    the deterministic byte-stream stand-in (non-image payloads)."""
     from cdc_pipeline_spark.operators.partitioning import spread
 
     narrow = spread(df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")))
 
+    if real:
+        from cdc_pipeline_spark.operators.imaging import decode_image, resize_nearest
+
+        def resize(p: bytes):
+            try:
+                return resize_nearest(decode_image(p), width, height).tobytes()
+            except ValueError:
+                return None
+    else:
+        def resize(p: bytes):
+            return resize_stub(p, width, height)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             batch = batch[batch["payload"].notna()]
-            resized = batch["payload"].map(lambda p: resize_stub(bytes(p), width, height))
-            yield pd.DataFrame(
+            resized = batch["payload"].map(lambda p: resize(bytes(p)))
+            out = pd.DataFrame(
                 {
                     "doc_id": batch["doc_id"],
                     "width": width,
                     "height": height,
-                    "resized": resized.map(lambda b: hashlib.sha256(b).hexdigest()),
+                    "resized": resized.map(
+                        lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
+                    ),
                 }
             )
+            yield out[out["resized"].notna()]
 
     return narrow.mapInPandas(run, RESIZED_SCHEMA)
 

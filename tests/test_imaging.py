@@ -1,0 +1,161 @@
+"""Pure-Python PNG/BMP codec (operators/imaging.py) and the real-decode
+multimodal paths: roundtrips, every PNG scanline filter, quarantine of
+undecodable payloads."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from cdc_pipeline_spark.operators.imaging import (
+    decode_bmp,
+    decode_image,
+    decode_png,
+    encode_png,
+    image_feature,
+    resize_nearest,
+)
+
+
+def _rng_image(h, w, c, seed=5):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8) if c > 1 else rng.integers(
+        0, 256, size=(h, w), dtype=np.uint8
+    )
+
+
+@pytest.mark.parametrize("shape", [(5, 7, 3), (4, 4, 4), (6, 3, 1)])
+def test_png_roundtrip(shape):
+    h, w, c = shape
+    img = _rng_image(h, w, c)
+    decoded = decode_png(encode_png(img))
+    assert decoded.shape == (h, w, c)
+    expected = img[:, :, None] if img.ndim == 2 else img
+    assert np.array_equal(decoded, expected)
+
+
+def _png_with_filter(img: np.ndarray, filter_type: int) -> bytes:
+    """Build a PNG whose every scanline uses the given filter — applying
+    the spec's forward transform so decode must invert it."""
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    stride = w * c
+    flat = img.reshape(h, stride).astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        cur = flat[y]
+        left = np.concatenate([np.zeros(c, dtype=np.int64), cur[:-c]]) if stride > c else np.zeros(stride, dtype=np.int64)
+        ul = np.concatenate([np.zeros(c, dtype=np.int64), prev[:-c]]) if stride > c else np.zeros(stride, dtype=np.int64)
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = (cur - left) % 256
+        elif filter_type == 2:
+            filt = (cur - prev) % 256
+        elif filter_type == 3:
+            filt = (cur - (left + prev) // 2) % 256
+        else:  # Paeth
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            filt = (cur - pred) % 256
+        raw.append(filter_type)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag, payload):
+        return struct.pack(">I", len(payload)) + tag + payload + struct.pack(
+            ">I", zlib.crc32(tag + payload) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_all_scanline_filters(filter_type):
+    img = _rng_image(6, 5, 3, seed=filter_type)
+    decoded = decode_png(_png_with_filter(img, filter_type))
+    assert np.array_equal(decoded, img), f"filter {filter_type} unfilters wrong"
+
+
+def test_bmp_decode_with_row_padding():
+    # 3x2 24-bit BMP: width 3 → 9 bytes/row padded to 12
+    pixels = np.arange(18, dtype=np.uint8).reshape(2, 3, 3)  # RGB rows
+    row_size = 12
+    data = bytearray()
+    for y in range(1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(3):
+            r, g, b = pixels[y, x]
+            row += bytes([b, g, r])  # BGR on disk
+        row += b"\x00" * (row_size - len(row))
+        data += row
+    header = bytearray(b"BM")
+    header += struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    header += struct.pack("<Iii", 40, 3, 2)
+    header += struct.pack("<HH", 1, 24)
+    header += struct.pack("<IIiiII", 0, len(data), 2835, 2835, 0, 0)
+    decoded = decode_bmp(bytes(header) + bytes(data))
+    assert np.array_equal(decoded, pixels)
+
+
+def test_decode_image_sniffs_and_rejects():
+    img = _rng_image(3, 3, 3)
+    assert np.array_equal(decode_image(encode_png(img)), img)
+    with pytest.raises(ValueError, match="unrecognized"):
+        decode_image(b"not an image at all")
+    with pytest.raises(ValueError, match="bit depth|color type|interlaced|unsupported", ):
+        # 16-bit depth header
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+        chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
+            ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+        )
+        decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
+
+
+def test_resize_nearest_downsamples_expected_pixels():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    small = resize_nearest(img, 2, 2)
+    assert small[:, :, 0].tolist() == [[0, 2], [8, 10]]
+    up = resize_nearest(img, 8, 8)
+    assert up.shape == (8, 8, 1) and up[0, 0, 0] == 0 and up[7, 7, 0] == 15
+
+
+def test_extract_features_image_decoder_quarantines(spark):
+    from cdc_pipeline_spark.operators.multimodal import FEATURE_DIM, extract_features
+
+    good1 = encode_png(_rng_image(8, 6, 3, seed=1))
+    good2 = encode_png(_rng_image(4, 4, 1, seed=2))
+    rows = [(1, bytearray(good1)), (2, bytearray(good2)), (3, bytearray(b"junk-bytes"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in extract_features(df, decoder="image").collect()}
+    assert set(out) == {1, 2}, "undecodable payload must be quarantined, not crash"
+    expected = image_feature(decode_image(good1), dim=FEATURE_DIM)
+    assert list(out[1].feature) == pytest.approx(expected)
+    assert out[1].n_bytes == len(good1)
+    with pytest.raises(ValueError, match="unknown decoder"):
+        extract_features(df, decoder="bogus")
+
+
+def test_resize_images_real_matches_local_resize(spark):
+    import hashlib
+
+    from cdc_pipeline_spark.operators.multimodal import resize_images
+
+    img = _rng_image(9, 7, 3, seed=9)
+    rows = [(1, bytearray(encode_png(img))), (2, bytearray(b"nope"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r.resized for r in resize_images(df, width=4, height=4, real=True).collect()}
+    assert set(out) == {1}
+    local = hashlib.sha256(resize_nearest(img, 4, 4).tobytes()).hexdigest()
+    assert out[1] == local
