@@ -40,11 +40,18 @@ def encode_event(event: str, payload) -> str:
     return f"event: {event}\ndata: {json.dumps(payload, separators=(',', ':'))}\n\n"
 
 
-def create_app(kv):
+def create_app(kv, generator_manager=None):
+    """``generator_manager`` (serving.generator_control.GeneratorManager)
+    optionally attaches the reference's load-generator control routes
+    (start/stop/status, routes/generator.py) to the same app."""
     from flask import Flask, Response, jsonify
 
     app = Flask("cdc-pipeline-spark-serving")
     service = SnapshotService(kv)
+    if generator_manager is not None:
+        from cdc_pipeline_spark.serving.generator_control import register_routes
+
+        register_routes(app, generator_manager)
 
     for route, event in SNAPSHOT_ROUTES.items():
 

@@ -305,34 +305,58 @@ def generate_batches(
         gen = JourneyGenerator(seed=seed)
     if rate is None:
         rate = 10.0
-    dirs = {t: os.path.join(out_base, t) for t in TABLE_SCHEMAS}
-    for d in dirs.values():
-        os.makedirs(d, exist_ok=True)
+    dirs = make_table_dirs(out_base)
     import time as _time
 
     mtime0 = _time.time()
     for tick in range(n_ticks):
-        rows: dict[str, list[dict[str, Any]]] = {t: [] for t in TABLE_SCHEMAS}
-        cycles = int(rate * tick_seconds)
-        for c in range(cycles):
-            now = _BASE + dt.timedelta(
-                seconds=tick * tick_seconds + (c / max(cycles, 1)) * tick_seconds
-            )
-            for table, out in gen.cycle(now).items():
-                rows[table].extend(out)
-        for table, schema in TABLE_SCHEMAS.items():
-            df = spark.createDataFrame(rows[table], schema).coalesce(1)
-            staging = os.path.join(dirs[table], f"_stage_{tick}")
-            df.write.mode("overwrite").parquet(staging)
-            data = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
-            dest = os.path.join(dirs[table], f"{tick:05d}.parquet")
-            os.rename(os.path.join(staging, data), dest)
-            import shutil
-
-            shutil.rmtree(staging)
-            t = mtime0 + tick
-            os.utime(dest, (t, t))
+        write_tick(spark, gen, dirs, tick, rate, tick_seconds, mtime0 + tick)
     return dirs
+
+
+def make_table_dirs(out_base: str) -> dict[str, str]:
+    dirs = {t: os.path.join(out_base, t) for t in TABLE_SCHEMAS}
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+    return dirs
+
+
+def write_tick(
+    spark: SparkSession,
+    gen: JourneyGenerator,
+    dirs: dict[str, str],
+    tick: int,
+    rate: float,
+    tick_seconds: float,
+    mtime: float,
+) -> int:
+    """Emit one micro-batch tick: ``rate × tick_seconds`` journey cycles
+    across all four tables, one parquet file per table with the given
+    mtime (the file source ingests in mtime order). The event clock is
+    VIRTUAL (base epoch + tick offsets) so replays are byte-identical;
+    ``mtime`` is the only wall-clock input. Returns rows written."""
+    import shutil
+
+    rows: dict[str, list[dict[str, Any]]] = {t: [] for t in TABLE_SCHEMAS}
+    cycles = int(rate * tick_seconds)
+    for c in range(cycles):
+        now = _BASE + dt.timedelta(
+            seconds=tick * tick_seconds + (c / max(cycles, 1)) * tick_seconds
+        )
+        for table, out in gen.cycle(now).items():
+            rows[table].extend(out)
+    n = 0
+    for table, schema in TABLE_SCHEMAS.items():
+        df = spark.createDataFrame(rows[table], schema).coalesce(1)
+        staging = os.path.join(dirs[table], f"_stage_{tick}")
+        df.write.mode("overwrite").parquet(staging)
+        data = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+        dest = os.path.join(dirs[table], f"{tick:05d}.parquet")
+        os.rename(os.path.join(staging, data), dest)
+        shutil.rmtree(staging)
+        os.utime(dest, (mtime, mtime))
+        n += len(rows[table])
+    return n
 
 
 def kpi_components_from_cdc(

@@ -308,3 +308,43 @@ def test_ws_pipelined_frame_with_handshake_not_lost(kv):
         server.shutdown()
         server.server_close()
         hub.close()
+
+
+def test_generator_control_routes(spark, kv, tmp_path):
+    """Reference generator control surface (routes/generator.py):
+    status → start (409 on double-start, 400 on unknown preset) → the
+    daemon emits ingestible micro-batch files → stop."""
+    import time as _time
+
+    from cdc_pipeline_spark.serving.app import create_app
+    from cdc_pipeline_spark.serving.generator_control import GeneratorManager
+    from cdc_pipeline_spark.streaming import generator as genmod
+
+    manager = GeneratorManager(spark, str(tmp_path / "genctl"))
+    client = create_app(kv, generator_manager=manager).test_client()
+
+    assert client.get("/api/generator/status").get_json()["running"] is False
+    r = client.post(
+        "/api/generator/start",
+        json={"rate": 5, "duration": 2, "tick_seconds": 0.2},
+    )
+    assert r.status_code == 200 and r.get_json()["running"] is True
+    assert client.post("/api/generator/start", json={}).status_code == 409
+    # wait for the run to finish (10 ticks x 0.2s + write overhead)
+    deadline = _time.time() + 60
+    while client.get("/api/generator/status").get_json()["running"]:
+        assert _time.time() < deadline, "generator run should finish"
+        _time.sleep(0.3)
+    status = client.get("/api/generator/status").get_json()
+    assert status["rows"] > 0 and status["ticks"] >= 1
+    # a stopped manager accepts a new start; unknown preset is a 400
+    assert client.post("/api/generator/start", json={"preset": "warp"}).status_code == 400
+    # emitted files parse under the declared CDC schemas
+    orders = spark.read.schema(genmod.TABLE_SCHEMAS["orders"]).parquet(
+        status["dirs"]["orders"]
+    )
+    assert orders.count() > 0 and "__op" in orders.columns
+    r = client.post("/api/generator/start", json={"preset": "light", "duration": 30})
+    assert r.status_code == 200 and r.get_json()["rate"] == 5
+    stopped = client.post("/api/generator/stop").get_json()
+    assert stopped["running"] is False
