@@ -4053,108 +4053,70 @@ def docs_token_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50
-# registered queries per round (CORRECTNESS_r01 stopped at entry 50 of 81,
-# leaving the TPC-H q2–q22 battery, the analytic battery and the sampling/
-# sketch queries without a hard-signal row). Re-order the registry so the
-# least-driver-verified queries land inside the window: round-1-unchecked
-# first, then queries whose output changed (TF-IDF max-df pruning,
-# winnowing serialization) or whose oracle is new, then the already-green
-# remainder in original registration order.
+# registered queries per round (CORRECTNESS_r01 stopped at entry 50 of 81).
+# Re-order the registry so the queries most in need of a fresh driver row
+# land inside the window. After round 3 every registered query has been
+# driver-green at least once, so the round-4 ordering is: new/changed
+# implementations first, then the queries whose last green is oldest
+# (round 1), then the recently-verified remainder in registration order.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- never received a driver row (registered past the 50-entry window
-    # in both r1 and r2; VERDICT r2 "What's missing" item 1) --
-    "doc_perplexity_buckets",
-    "doc_length_outliers",
-    "doc_span_coverage",
-    "events_multigrain_rollup",
-    "corpus_profile",
-    "training_corpus_budgeted",
-    "embedding_cluster_medoids",
-    "corpus_mix_weights",
-    "user_retention_cohorts",
-    "event_funnel_counts",
-    "event_transition_matrix",
-    "ann_hard_negatives",
-    "corpus_budget_mixture",
-    "events_daily_distinct_hll",
-    "embedding_kmeans",
-    # -- red in CORRECTNESS_r02 (type alignment fixed this round);
-    # re-verify --
-    "orders_grouping_sets",
-    "doc_sequence_packing",
-    "training_corpus_pipeline",
-    # -- new queries registered in round 3 --
-    "dsir_target_selection",
+    # -- round 4: the new query, then every query whose operator
+    # implementation was touched by the round-4 scale guards (hot-bucket
+    # caps, size-guarded broadcast, min-struct segment dedup, kcenter
+    # no-replacement, pmod sampling hash, real-decode plumbing) --
+    "embedding_minibatch_kmeans",
     "doc_segment_dedup",
-    "training_epoch_order",
-    "doc_quality_classifier",
-    "docs_incremental_neardup",
-    "ann_pq_adc_topk",
-    "doc_rag_chunks",
-    "corpus_pair_merges",
-    "doc_eval_containment",
-    "split_leakage_audit",
-    "dedup_graph_pagerank",
-    "doc_source_quality_rank",
-    "doc_markup_profile",
-    "embedding_kcenter_select",
-    "corpus_vocab_coverage",
-    "docs_token_weighted_sample",
-    "lineitem_histogram_percentiles",
-    "doc_padded_batches",
-    "corpus_token_cms",
-    # -- round-2 greens, backfill to the 50-entry window --
-    "q2_min_price_per_type",
-    "q4_priority_late_orders",
-    "q7_volume_shipping",
-    "q8_nation_market_share",
-    "q9_nation_year_profit",
-    "q10_returned_items",
-    "q11_top_value_parts",
-    "q12_priority_by_status",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_revenue_supplier",
-    "q16_part_supplier_variety",
-    "q17_small_qty_avg_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_bulk_part_suppliers",
-    "q21_sole_late_supplier",
-    "q22_idle_customer_balance",
-    "customer_order_window_battery",
-    "lineitem_exact_percentiles",
-    "events_gapfill_5min",
-    "lineitem_stats_profile",
-    "doc_split_quality",
-    "events_per_user_downsample",
-    "embeddings_stratified_sample",
-    "corpus_token_topk",
-    "docs_incremental_new",
-    "doc_tfidf_cosine_pairs",
-    "doc_winnowing_fingerprints",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "ann_ivf_topk",
-    # -- (entries below are past position 50; r1/r2-green or streaming-
-    # covered; order is informational only) --
-    "ann_rp_lsh_topk",
-    "multimodal_frame_sample",
-    "two_level_region_resolution",
-    "dedup_clusters_star",
-    "doc_quality_rules",
-    "doc_repetition_stats",
-    "doc_pii_redaction",
-    "doc_benchmark_contamination",
-    "cdc_scd2_history",
-    "doc_unigram_logprob",
-    "lineitem_measures_unpivot",
-    "fuzzy_source_join",
-    "dedup_canonical_docs",
     "embedding_neardup_lsh",
-    "embedding_semantic_dedup",
+    "docs_incremental_neardup",
+    "embedding_kcenter_select",
+    "docs_token_weighted_sample",
+    "region_windowed_sales",
+    "region_flows_top5",
+    "customer_region_enrichment",
+    "two_level_region_resolution",
+    "multimodal_byte_stats",
+    "multimodal_frame_sample",
+    # -- stalest greens: last driver-checked in round 1 --
+    "activity_feed_top15",
+    "alert_threshold_frame",
+    "ann_topk_bruteforce",
+    "asof_latest_order",
+    "big_purchasers_not_big_clickers",
+    "cdc_latest_state",
+    "customer_running_revenue",
+    "customers_with_open_orders",
+    "customers_without_orders",
+    "dedup_duplicate_clusters",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "distinct_user_event_pairs",
+    "doc_bpe_token_counts",
+    "doc_lang_charclass",
+    "doc_text_features",
+    "embedding_neardup_pairs",
+    "event_type_pivot",
+    "events_cube",
+    "geo_header_load",
+    "grouped_topk_events",
+    "health_conditional_avg",
+    "hourly_value_trend",
+    "kpi_sliding_window",
+    "order_status_rollup",
+    "orders_rollup",
+    "parts_below_brand_avg",
+    "platform_breakdown",
+    "props_json_stats",
+    "purchase_error_full_outer",
+    "purchasing_clickers",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_volume",
+    "q6_revenue_forecast",
+    "range_pair_counts",
 ]
 
 
