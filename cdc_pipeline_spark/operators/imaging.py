@@ -108,10 +108,11 @@ def decode_png(payload: bytes) -> "np.ndarray":
         ).astype(np.int64)
         if f == 0:
             cur = line
-        elif f == 1:  # Sub
-            cur = line.copy()
-            for x in range(channels, stride):
-                cur[x] = (cur[x] + cur[x - channels]) & 0xFF
+        elif f == 1:  # Sub — recon[x] = line[x] + recon[x−c] is a
+            # per-channel-lane prefix sum; mod-256 distributes over the
+            # cumsum, so this vectorizes (the hot decode path — a Python
+            # per-byte loop here costs w·c interpreter steps per row)
+            cur = (np.cumsum(line.reshape(width, channels), axis=0) & 0xFF).reshape(stride)
         elif f == 2:  # Up
             cur = (line + prev) & 0xFF
         elif f == 3:  # Average
@@ -156,12 +157,19 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
 
 def decode_image(payload: bytes) -> "np.ndarray":
     """Sniff-and-decode: PNG or BMP by signature → (h, w, c) uint8.
-    Raises ValueError on anything else (the multimodal stages skip or
-    quarantine undecodable payloads; they never crash the worker)."""
-    if payload[:8] == _PNG_SIG:
-        return decode_png(payload)
-    if payload[:2] == b"BM":
-        return decode_bmp(payload)
+    Raises ValueError on anything else — INCLUDING truncated/corrupt
+    payloads whose parse dies inside struct/zlib (neither
+    ``struct.error`` nor ``zlib.error`` subclasses ValueError, and the
+    multimodal quarantine catches only ValueError; without this
+    normalization one corrupt blob would kill the mapInPandas worker
+    and fail the whole stage)."""
+    try:
+        if payload[:8] == _PNG_SIG:
+            return decode_png(payload)
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+    except (struct.error, zlib.error, IndexError) as exc:
+        raise ValueError(f"corrupt image payload: {exc}") from exc
     raise ValueError("unrecognized image format")
 
 

@@ -39,6 +39,9 @@ class GeneratorManager:
         self._stop = threading.Event()
         self._log: deque[str] = deque(maxlen=200)
         self._state: dict[str, Any] = {"running": False}
+        # each start gets a fresh filename prefix: the file source tracks
+        # processed files by path, so tick names must never repeat
+        self._run_seq = 0
         self.dirs = make_table_dirs(out_base)
 
     # -- public API ---------------------------------------------------
@@ -52,12 +55,22 @@ class GeneratorManager:
         tick_seconds: float = 1.0,
         seed: int = 7,
     ) -> dict[str, Any]:
+        # validate BEFORE the thread exists: a bad JSON body (string
+        # rate, zero tick_seconds) must 400 at the route, not kill the
+        # daemon after start already returned 200 running=true
+        rate, duration = float(rate), float(duration)
+        error_rate, tick_seconds = float(error_rate), float(tick_seconds)
+        if rate <= 0 or duration <= 0 or tick_seconds <= 0:
+            raise ValueError("rate, duration and tick_seconds must be > 0")
+        if not 0.0 <= error_rate <= 1.0:
+            raise ValueError("error_rate must be in [0, 1]")
         with self._lock:
             if self._thread is not None and self._thread.is_alive():
                 raise RuntimeError("generator is already running")
             if preset != "custom":
                 conf = PRESETS[preset]  # KeyError → 400 at the route
                 rate, error_rate = conf["rate"], conf["error_rate"]
+            self._run_seq += 1
             self._stop.clear()
             self._state = {
                 "running": True,
@@ -73,7 +86,7 @@ class GeneratorManager:
             gen = JourneyGenerator(seed=seed, error_rate=error_rate)
             self._thread = threading.Thread(
                 target=self._run,
-                args=(gen, rate, duration, tick_seconds),
+                args=(gen, rate, duration, tick_seconds, f"run{self._run_seq:03d}-"),
                 daemon=True,
                 name="cdc-load-generator",
             )
@@ -99,22 +112,29 @@ class GeneratorManager:
 
     # -- worker -------------------------------------------------------
 
-    def _run(self, gen: JourneyGenerator, rate: float, duration: float, tick_seconds: float) -> None:
-        n_ticks = max(1, int(duration / tick_seconds))
+    def _run(
+        self, gen: JourneyGenerator, rate: float, duration: float,
+        tick_seconds: float, prefix: str,
+    ) -> None:
         try:
+            n_ticks = max(1, int(duration / tick_seconds))
             for tick in range(n_ticks):
                 if self._stop.is_set():
                     break
                 t0 = time.time()
-                n = write_tick(self._spark, gen, self.dirs, tick, rate, tick_seconds, time.time())
+                n = write_tick(
+                    self._spark, gen, self.dirs, tick, rate, tick_seconds,
+                    time.time(), prefix=prefix,
+                )
                 with self._lock:
                     self._state["ticks"] = tick + 1
                     self._state["rows"] += n
                 self._log.append(f"tick {tick}: {n} rows in {time.time() - t0:.2f}s")
                 # wall-clock pacing: sleep out the remainder of the tick
+                # (the stop event cuts the sleep short)
                 remainder = tick_seconds - (time.time() - t0)
-                if remainder > 0 and not self._stop.wait(remainder):
-                    pass
+                if remainder > 0:
+                    self._stop.wait(remainder)
         except Exception as exc:  # surfaced via status, never kills the server
             self._log.append(f"generator error: {type(exc).__name__}: {exc}")
         finally:
@@ -147,6 +167,8 @@ def register_routes(app, manager: GeneratorManager) -> None:
             return jsonify({"error": str(exc)}), 409
         except KeyError as exc:
             return jsonify({"error": f"unknown preset {exc}"}), 400
+        except (ValueError, TypeError) as exc:
+            return jsonify({"error": f"bad parameter: {exc}"}), 400
 
     @app.route("/api/generator/stop", methods=["POST"])
     def generator_stop():

@@ -115,7 +115,11 @@ class JourneyGenerator:
         self._next_event = 1
         self._next_order = 1
         self._next_request = 1
-        self._sessions: dict[int, str] = {}
+        # uid → (session_id, started_at): the close 'u' row must carry
+        # the session's ORIGINAL start time (immutable columns must not
+        # churn between CDC versions — SCD2/latest-state consumers key
+        # change detection on exactly that)
+        self._sessions: dict[int, tuple[str, dt.datetime]] = {}
         self._session_seq = 0
         rng = self._rng
         self.users = []
@@ -162,14 +166,14 @@ class JourneyGenerator:
             return rng.choice([400, 401, 403, 404, 429]), True
         return rng.choice([500, 502, 503, 504]), True
 
-    def _session_for(self, uid: int, now: dt.datetime) -> tuple[str, bool]:
-        sid = self._sessions.get(uid)
-        if sid is not None:
-            return sid, False
+    def _session_for(self, uid: int, now: dt.datetime) -> tuple[str, dt.datetime, bool]:
+        entry = self._sessions.get(uid)
+        if entry is not None:
+            return entry[0], entry[1], False
         self._session_seq += 1
         sid = f"session-{self._session_seq:08d}"
-        self._sessions[uid] = sid
-        return sid, True
+        self._sessions[uid] = (sid, now)
+        return sid, now, True
 
     def cycle(self, now: dt.datetime) -> dict[str, list[dict[str, Any]]]:
         rng = self._rng
@@ -180,7 +184,7 @@ class JourneyGenerator:
         )[0].split()
         qty = rng.randint(1, 4)
         order_total = round(product["price"] * qty, 2)
-        sid, is_new = self._session_for(user["id"], now)
+        sid, session_start, is_new = self._session_for(user["id"], now)
         # final status mix (generate_test_data.py:846-852)
         roll = rng.random()
         final_status = "failed" if roll < 0.05 else ("refunded" if roll < 0.08 else "completed")
@@ -263,10 +267,13 @@ class JourneyGenerator:
             self._sessions.pop(user["id"], None)
             out["sessions"].append(
                 {
-                    "id": sid, "user_id": user["id"], "started_at": now, "ended_at": end,
+                    "id": sid, "user_id": user["id"],
+                    # the ORIGINAL start — not this cycle's now — so the
+                    # c→u chain only mutates genuinely mutable columns
+                    "started_at": session_start, "ended_at": end,
                     "platform": user["platform"], "country_code": user["country_code"],
                     "city": user["city"], "region_name": user["region_name"],
-                    "is_active": False, "created_at": now,
+                    "is_active": False, "created_at": session_start,
                     **_meta("u", "user_sessions", end),
                 }
             )
@@ -329,12 +336,20 @@ def write_tick(
     rate: float,
     tick_seconds: float,
     mtime: float,
+    prefix: str = "",
 ) -> int:
     """Emit one micro-batch tick: ``rate × tick_seconds`` journey cycles
     across all four tables, one parquet file per table with the given
     mtime (the file source ingests in mtime order). The event clock is
     VIRTUAL (base epoch + tick offsets) so replays are byte-identical;
-    ``mtime`` is the only wall-clock input. Returns rows written."""
+    ``mtime`` is the only wall-clock input. Returns rows written.
+
+    ``prefix`` must be unique per generator RUN when several runs share
+    an output directory: Spark's file source tracks processed files BY
+    PATH, so a restarted run re-using ``00000.parquet`` would silently
+    replace an already-ingested file and never be picked up (and can
+    corrupt an in-flight read). The control surface passes ``run<seq>-``.
+    """
     import shutil
 
     rows: dict[str, list[dict[str, Any]]] = {t: [] for t in TABLE_SCHEMAS}
@@ -348,10 +363,10 @@ def write_tick(
     n = 0
     for table, schema in TABLE_SCHEMAS.items():
         df = spark.createDataFrame(rows[table], schema).coalesce(1)
-        staging = os.path.join(dirs[table], f"_stage_{tick}")
+        staging = os.path.join(dirs[table], f"_stage_{prefix}{tick}")
         df.write.mode("overwrite").parquet(staging)
         data = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
-        dest = os.path.join(dirs[table], f"{tick:05d}.parquet")
+        dest = os.path.join(dirs[table], f"{prefix}{tick:05d}.parquet")
         os.rename(os.path.join(staging, data), dest)
         shutil.rmtree(staging)
         os.utime(dest, (mtime, mtime))

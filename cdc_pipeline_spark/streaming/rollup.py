@@ -141,27 +141,46 @@ def _table_lock(path: str, timeout: float = 30.0):
     table — a no-op by the marker guard).
 
     A lock older than ``_LOCK_STALE_SECONDS`` is presumed left by a
-    crash and broken (compaction runs are seconds, not minutes). On
+    crash and broken ATOMICALLY (rename-aside — two waiters cannot both
+    claim the same stale lock; the rename loser just re-polls). Holders
+    therefore must finish within the staleness horizon; both writer
+    partition writes and compaction folds are seconds, not minutes. On
     timeout the caller gets a RuntimeError rather than a silent
-    corruption window.
+    corruption window. Release checks an owner token so a breaker's
+    fresh lock is never unlinked by the stale holder's cleanup.
     """
     import time
+    import uuid
 
     lock = path.rstrip("/") + _LOCK_SUFFIX
+    parent = os.path.dirname(lock)
+    if parent:
+        # before the table's first write nothing has created the parent
+        # (Spark's writer does it lazily) — the lock must not be the
+        # thing that crashes the first micro-batch
+        os.makedirs(parent, exist_ok=True)
+    token = f"{os.getpid()}:{uuid.uuid4().hex}"
     deadline = time.time() + timeout
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, f"{os.getpid()}\n".encode())
+            os.write(fd, token.encode())
             os.close(fd)
             break
         except FileExistsError:
             try:
-                if time.time() - os.path.getmtime(lock) > _LOCK_STALE_SECONDS:
-                    os.unlink(lock)  # crash leftover
-                    continue
+                stale = time.time() - os.path.getmtime(lock) > _LOCK_STALE_SECONDS
             except OSError:
                 continue  # holder released between the check and the stat
+            if stale:
+                # atomic break: exactly one waiter wins the rename; the
+                # loser's rename raises and it simply re-polls
+                try:
+                    os.rename(lock, f"{lock}.broken.{token}")
+                    os.unlink(f"{lock}.broken.{token}")
+                except OSError:
+                    pass
+                continue
             if time.time() > deadline:
                 raise RuntimeError(
                     f"rollup table {path} is locked by another writer/compaction "
@@ -172,7 +191,11 @@ def _table_lock(path: str, timeout: float = 30.0):
         yield
     finally:
         try:
-            os.unlink(lock)
+            # only release OUR lock: if a breaker replaced it after
+            # declaring us stale, the file now carries their token
+            with open(lock) as fh:
+                if fh.read() == token:
+                    os.unlink(lock)
         except OSError:
             pass
 
@@ -314,7 +337,9 @@ class HistogramRollupWriter:
             .agg(F.count(F.lit(1)).alias("n"))
             .withColumn("batch_id", F.lit(int(batch_id)))
         )
-        with temp_conf(
+        # same table lock as RollupTableWriter: a partial landing inside
+        # compaction's rename-aside swap would vanish with the .old dir
+        with _table_lock(self.path), temp_conf(
             batch_df.sparkSession, "spark.sql.sources.partitionOverwriteMode", "dynamic"
         ):
             partials.coalesce(1).write.mode("overwrite").partitionBy("batch_id").parquet(self.path)

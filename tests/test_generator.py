@@ -112,3 +112,21 @@ def test_generated_batches_replay_identically(spark, tmp_path):
     # preset ladder resolves
     with pytest.raises(KeyError):
         generate_batches(spark, str(tmp_path / "g3"), preset="nope")
+
+
+def test_session_close_preserves_original_start_time():
+    """The close 'u' row must carry the session's ORIGINAL started_at —
+    immutable columns churning between CDC versions breaks SCD2/change
+    detection downstream."""
+    gen = JourneyGenerator(seed=1)
+    base = dt.datetime(2024, 1, 1)
+    starts: dict[str, object] = {}
+    for i in range(400):
+        out = gen.cycle(base + dt.timedelta(seconds=i))
+        for row in out["sessions"]:
+            if row["__op"] == "c":
+                starts[row["id"]] = row["started_at"]
+            else:
+                assert row["started_at"] == starts[row["id"]], row["id"]
+                assert row["ended_at"] > row["started_at"]
+    assert any(r["__op"] == "u" for c in [gen.cycle(base)] for r in c["sessions"]) or starts

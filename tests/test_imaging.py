@@ -159,3 +159,24 @@ def test_resize_images_real_matches_local_resize(spark):
     assert set(out) == {1}
     local = hashlib.sha256(resize_nearest(img, 4, 4).tobytes()).hexdigest()
     assert out[1] == local
+
+
+def test_corrupt_payloads_raise_valueerror_not_struct_zlib_errors():
+    """Truncated/corrupt blobs must surface as ValueError — struct.error
+    and zlib.error do NOT subclass it, and the multimodal quarantine
+    catches only ValueError; anything else kills the Spark worker."""
+    img = encode_png(_rng_image(4, 4, 3))
+    corrupt_idat = img[:40] + bytes([img[40] ^ 0xFF]) + img[41:]
+    for payload in [b"BM", b"BM" + b"\x00" * 10, img[:20], corrupt_idat]:
+        with pytest.raises(ValueError):
+            decode_image(payload)
+
+
+def test_extract_features_survives_truncated_image_payloads(spark):
+    from cdc_pipeline_spark.operators.multimodal import extract_features
+
+    good = encode_png(_rng_image(4, 4, 3))
+    rows = [(1, bytearray(good)), (2, bytearray(b"BM")), (3, bytearray(good[:20]))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = extract_features(df, decoder="image").collect()
+    assert [r.doc_id for r in out] == [1], "truncated blobs must be quarantined"

@@ -348,3 +348,37 @@ def test_generator_control_routes(spark, kv, tmp_path):
     assert r.status_code == 200 and r.get_json()["rate"] == 5
     stopped = client.post("/api/generator/stop").get_json()
     assert stopped["running"] is False
+
+
+def test_generator_restart_never_reuses_filenames(spark, kv, tmp_path):
+    """Spark's file source tracks processed files BY PATH: a second run
+    must emit fresh filenames, never overwrite the first run's batches.
+    Bad parameters 400 at the route instead of killing the daemon."""
+    import os as _os
+    import time as _time
+
+    from cdc_pipeline_spark.serving.app import create_app
+    from cdc_pipeline_spark.serving.generator_control import GeneratorManager
+
+    manager = GeneratorManager(spark, str(tmp_path / "genrestart"))
+    client = create_app(kv, generator_manager=manager).test_client()
+    assert client.post("/api/generator/start", json={"tick_seconds": 0}).status_code == 400
+    assert client.post("/api/generator/start", json={"rate": "fast"}).status_code == 400
+
+    def run_once():
+        r = client.post(
+            "/api/generator/start", json={"rate": 5, "duration": 0.4, "tick_seconds": 0.2}
+        )
+        assert r.status_code == 200
+        deadline = _time.time() + 60
+        while client.get("/api/generator/status").get_json()["running"]:
+            assert _time.time() < deadline
+            _time.sleep(0.2)
+        return client.get("/api/generator/status").get_json()
+
+    s1 = run_once()
+    files1 = set(_os.listdir(s1["dirs"]["orders"]))
+    s2 = run_once()
+    files2 = set(_os.listdir(s2["dirs"]["orders"]))
+    assert files1 <= files2 and files2 - files1, "second run must ADD files, not overwrite"
+    assert s2["rows"] > 0
