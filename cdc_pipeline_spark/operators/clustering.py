@@ -77,40 +77,15 @@ def _update(
     assigned: DataFrame, vec_col: str, id_col: str = "vec_id"
 ) -> list[tuple[int, list[float]]]:
     # Per-dimension mean as an ORDERED left fold over id-sorted values —
-    # NOT F.avg: distributed partial-aggregation order varies with
-    # partition layout, and one flipped low-order bit can move an argmin
-    # near a tie, so the DuckDB oracle replay (workload.py, same
-    # id-ordered fold via list(... ORDER BY) + list_reduce) would drift.
-    # collect_list holds one cluster's values per (cluster, dim) group —
-    # fine at oracle scale; at cluster scale swap back to F.avg and drop
-    # the bit-exact-replay requirement.
-    ordered_sum = F.aggregate(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.col(id_col).alias("i"), F.col("__val").alias("x"))
-                )
-            ),
-            lambda s: s["x"],
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    updated = (
-        assigned.select(
-            "cluster", id_col, F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__val")
-        )
-        .groupBy("cluster", "__pos")
-        .agg((ordered_sum / F.count(F.lit(1))).alias("__mean"))
-        .groupBy("cluster")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__mean"))),
-                lambda s: s["__mean"],
-            ).alias("centroid")
-        )
-        .collect()
-    )
+    # NOT F.avg (one flipped low-order bit can move an argmin near a tie
+    # and the DuckDB oracle replay would drift). The fold lives in ONE
+    # place, similarity.grouped_vector_means, shared with ivf_centroids:
+    # both derive persisted replay contracts from it.
+    from cdc_pipeline_spark.operators.similarity import grouped_vector_means
+
+    updated = grouped_vector_means(
+        assigned, "cluster", id_col=id_col, vec_col=vec_col
+    ).collect()
     return sorted((int(r.cluster), list(r.centroid)) for r in updated)
 
 

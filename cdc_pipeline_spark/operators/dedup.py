@@ -38,19 +38,20 @@ _MERSENNE_P = (1 << 31) - 1
 
 
 def _perm_params(num_perm: int, seed: int = 7) -> list[tuple[int, int]]:
-    """Deterministic pseudo-random (a, b) pairs derived from a seed via a
-    splitmix-style integer scramble (no RNG state, reproducible across
-    runs/cluster sizes)."""
+    """Deterministic pseudo-random (a, b) pairs from the shared
+    splitmix64 scramble (``operators.prng`` — one copy feeds both this
+    and the RP-LSH hyperplanes; the derived signatures are persisted,
+    so the two sites must never drift apart). ``a`` uses the scrambled
+    output; ``b`` intentionally uses the raw advanced state — both
+    bit-identical to the original inline implementation."""
+    from cdc_pipeline_spark.operators.prng import splitmix64
+
     params = []
     x = seed & 0xFFFFFFFFFFFFFFFF
     for _ in range(num_perm):
-        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-        z = x
-        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-        z ^= z >> 31
+        x, z = splitmix64(x)
         a = (z % (_MERSENNE_P - 1)) + 1
-        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        x, _ = splitmix64(x)
         b = x % _MERSENNE_P
         params.append((a, b))
     return params
@@ -561,7 +562,11 @@ def tfidf_cosine_pairs(
             F.col(id_col).alias("doc_id"),
             F.explode_outer(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
         )
-        .filter(F.col("token").isNotNull())
+        # split('') yields [''] — without the emptiness filter every
+        # empty/whitespace-only doc carries one phantom '' token and all
+        # such docs pair at cosine 1.0 (the n-gram paths emit nothing
+        # for them; the two dedup families must agree on empty docs)
+        .filter(F.col("token").isNotNull() & (F.col("token") != ""))
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
@@ -591,6 +596,11 @@ def tfidf_cosine_pairs(
             .cast("decimal(18,0)")
             .alias("wq"),
         )
+        # four downstream references (left/right posting sides + both
+        # norm joins): Catalyst shares no subplans, so without this the
+        # corpus-wide tokenize + tf/df aggregates run four times (same
+        # rationale as semantic_dedup / incremental_minhash_neardup)
+        .localCheckpoint()
     )
     norms = w.groupBy("doc_id").agg(
         F.sum((F.col("wq") * F.col("wq")).cast("decimal(38,0)")).alias("norm2")
@@ -640,14 +650,23 @@ def keep_best_canonical(
     One shuffle: the component join is a plain equi-join on ``id_col``
     (broadcast when quality is a thin projection), and rank + member
     count share one window partitioning on the component label.
+
+    The quality join is LEFT: a document missing from the quality frame
+    (quality computed on a filtered subset) still exists in its cluster
+    — an inner join would silently delete it from the keep-list, and a
+    singleton cluster would vanish entirely. Scoreless members rank
+    LAST (``desc_nulls_last``), so they are kept only when the whole
+    cluster is scoreless (best_quality then null).
     """
     from pyspark.sql import Window
 
-    j = components.join(quality, id_col)
+    j = components.join(quality, id_col, "left")
     w = Window.partitionBy(component_col)
     ranked = j.withColumn(
         "__rn",
-        F.row_number().over(w.orderBy(F.col(quality_col).desc(), F.col(id_col).asc())),
+        F.row_number().over(
+            w.orderBy(F.col(quality_col).desc_nulls_last(), F.col(id_col).asc())
+        ),
     ).withColumn("members", F.count(F.lit(1)).over(w))
     return (
         ranked.filter(F.col("__rn") == 1)

@@ -85,21 +85,23 @@ def brute_force_topk(
     )
 
 
-def ivf_centroids(
-    corpus: DataFrame,
-    cell_col: str = "label",
-    vec_col: str = "embedding",
+def grouped_vector_means(
+    df: DataFrame,
+    group_col: str,
     id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "centroid",
 ) -> DataFrame:
-    """Per-cell mean vector (double precision).
-
-    The per-dimension mean is an id-ORDERED left fold, not ``F.avg``:
+    """Per-group mean vector (double precision) with a DETERMINISTIC
+    per-dimension mean: an id-ORDERED left fold, not ``F.avg`` —
     distributed partial-aggregation order varies with partition layout,
     and downstream routing argmaxes (IVF probe order, SemDeDup cell
-    assignment) must replay bit-identically in the DuckDB oracle
-    (same fix as clustering._update). collect_list holds one cell's
-    values per (cell, dim) group — fine at oracle scale; at cluster
-    scale swap to F.avg and drop the bit-exact-replay requirement."""
+    assignment, Lloyd updates) must replay bit-identically in the
+    DuckDB oracles. This is the ONE shared implementation behind both
+    ``ivf_centroids`` and ``clustering._update`` — the persisted
+    replay contract means the two must never drift. collect_list holds
+    one group's values per (group, dim) cell — fine at oracle scale; at
+    cluster scale swap to F.avg and drop the bit-exact requirement."""
     ordered_sum = F.aggregate(
         F.transform(
             F.array_sort(
@@ -110,18 +112,29 @@ def ivf_centroids(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    exploded = corpus.select(
-        cell_col, id_col, F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__val")
+    exploded = df.select(
+        group_col, id_col, F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__val")
     )
-    means = exploded.groupBy(cell_col, "__pos").agg(
+    means = exploded.groupBy(group_col, "__pos").agg(
         (ordered_sum / F.count(F.lit(1))).alias("__mean")
     )
-    return means.groupBy(cell_col).agg(
+    return means.groupBy(group_col).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("__pos", "__mean"))),
             lambda s: s["__mean"],
-        ).alias("centroid")
+        ).alias(out_col)
     )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-cell mean vector — :func:`grouped_vector_means` keyed by the
+    IVF cell label."""
+    return grouped_vector_means(corpus, cell_col, id_col=id_col, vec_col=vec_col)
 
 
 def ivf_topk(
@@ -207,18 +220,17 @@ def cosine_neardup_pairs(
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 11) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes via a splitmix scramble
-    (reproducible across runs and cluster sizes — no RNG state)."""
+    """Deterministic pseudo-random hyperplanes from the shared
+    splitmix64 scramble (``operators.prng`` — same primitive as the
+    MinHash parameters; persisted signatures pin both streams)."""
+    from cdc_pipeline_spark.operators.prng import splitmix64
+
     planes = []
     x = seed & 0xFFFFFFFFFFFFFFFF
     for _ in range(n_planes):
         row = []
         for _ in range(dim):
-            x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-            z = x
-            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-            z ^= z >> 31
+            x, z = splitmix64(x)
             row.append((z / float(1 << 64)) * 2.0 - 1.0)
         planes.append(row)
     return planes

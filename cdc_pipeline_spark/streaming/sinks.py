@@ -40,12 +40,28 @@ class InMemoryKV:
         self.expiries: dict[str, float] = {}
         self._subscribers: list[tuple[tuple[str, ...], Any]] = []
 
+    def _purge_if_expired(self, key: str) -> None:
+        """Redis-twin expiry semantics, enforced lazily at read time —
+        without this, reads here return baselines the Redis backend
+        would have expired (e.g. trend_hash_writer's 2-period TTL after
+        a long restart gap), and expired keys accumulate forever.
+        Caller must hold ``self._lock``."""
+        exp = self.expiries.get(key)
+        if exp is not None and time.time() > exp:
+            self.expiries.pop(key, None)
+            self.hashes.pop(key, None)
+            self.strings.pop(key, None)
+            self.lists.pop(key, None)
+
     # K2 — hash snapshot + optional expiry + publish
     def write_hash(self, key: str, mapping: dict[str, Any], channel: str | None = None, ttl: int | None = None) -> None:
         with self._lock:
             self.hashes[key] = {k: str(v) for k, v in mapping.items()}
             if ttl is not None:
                 self.expiries[key] = time.time() + ttl
+            else:
+                # the Redis twin DELs before HSET, which clears any TTL
+                self.expiries.pop(key, None)
         if channel:
             self.publish(channel, json.dumps(mapping, default=str))
 
@@ -56,6 +72,8 @@ class InMemoryKV:
             self.strings[key] = payload
             if ttl is not None:
                 self.expiries[key] = time.time() + ttl
+            else:
+                self.expiries.pop(key, None)  # SET clears TTL in Redis
         if channel:
             self.publish(channel, payload)
 
@@ -80,6 +98,7 @@ class InMemoryKV:
     # K5 — hash read-back (trend baseline state)
     def read_hash(self, key: str) -> dict[str, str]:
         with self._lock:
+            self._purge_if_expired(key)
             return dict(self.hashes.get(key, {}))
 
     def publish(self, channel: str, payload: str) -> None:
@@ -93,11 +112,13 @@ class InMemoryKV:
     # GET / LRANGE / HGETALL, redis_service.py:57-163)
     def read_json(self, key: str):
         with self._lock:
+            self._purge_if_expired(key)
             payload = self.strings.get(key)
         return json.loads(payload) if payload else None
 
     def read_list(self, key: str, start: int = 0, stop: int = -1) -> list[str]:
         with self._lock:
+            self._purge_if_expired(key)
             items = list(self.lists.get(key, []))
         return items[start:] if stop == -1 else items[start : stop + 1]
 
@@ -299,7 +320,13 @@ def capped_list_writer(
                 if item.get(dedupe_key) is not None:
                     merged[item[dedupe_key]] = item
             for row in rows:
-                d = row.asDict()
+                # JSON-round-trip the FRESH rows before merging: stored
+                # entries come back as json.dumps(default=str) output
+                # (timestamps → ISO strings), and mixing those with raw
+                # Row values would (a) sort str against datetime →
+                # TypeError inside foreachBatch, (b) keep str and
+                # datetime forms of the SAME window as separate entries
+                d = json.loads(json.dumps(row.asDict(), default=str))
                 if d.get(dedupe_key) is not None:
                     merged[d[dedupe_key]] = d
             ordered = sorted(
@@ -341,7 +368,14 @@ def trend_hash_writer(
         if not rows:
             return
         snapshot = {k: v for k, v in rows[0].asDict().items() if v is not None}
-        now_epoch = int(snapshot[order_cols[0]])
+        raw_ts = rows[0][order_cols[0]]
+        if raw_ts is None:
+            # a null ordering value can't be bucketed into a period —
+            # skip rather than KeyError the streaming query (the
+            # None-filter above already dropped it from the snapshot)
+            return
+        # epoch seconds OR a real timestamp column both bucket correctly
+        now_epoch = int(raw_ts.timestamp()) if hasattr(raw_ts, "timestamp") else int(raw_ts)
         bucket = now_epoch // period_seconds
         prev_state = kv.read_hash(f"{state_key_prefix}:{bucket - 1}")
         for col in trend_cols:

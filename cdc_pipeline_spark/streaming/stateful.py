@@ -72,7 +72,10 @@ def _fold_breaches(
     """Shared Normal→Pending→Firing fold. Each WINDOW counts at most
     once (first revision seen wins): within the batch keep one row per
     window_end, and skip windows ≤ the already-folded high-water mark."""
-    all_rows = all_rows.sort_values(time_col).drop_duplicates(
+    # mergesort (stable) — Arrow-chunk arrival order is nondeterministic,
+    # and an unstable sort would make "first revision of a window" (and
+    # hence the folded alert state) vary between reruns of the same batch
+    all_rows = all_rows.sort_values(time_col, kind="mergesort").drop_duplicates(
         subset=[time_col], keep="first"
     )
     last_epoch = 0
@@ -240,10 +243,29 @@ def breach_alerts_tws(
     if not _HAS_TWS:  # pragma: no cover
         raise NotImplementedError("transformWithStateInPandas requires pyspark >= 4.0")
     spark = evaluated.sparkSession
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    rocksdb = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    hdfs_default = "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    current = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    if current not in (None, "", rocksdb, hdfs_default):
+        # the provider conf is SESSION-wide: silently flipping it would
+        # break restarts of OTHER checkpointed queries in this session
+        # (their HDFS-provider state is unreadable through RocksDB).
+        # Refuse loudly; run TWS queries from a dedicated session.
+        raise RuntimeError(
+            f"session state-store provider is pinned to {current}; "
+            "transformWithStateInPandas needs RocksDB — use a separate "
+            "SparkSession (or clear the conf) rather than flipping it "
+            "under existing checkpoints"
+        )
+    if current != rocksdb:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "setting session-wide state-store provider to RocksDB for "
+            "transformWithStateInPandas; other stateful queries started "
+            "from this session will use it too"
+        )
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", rocksdb)
     return evaluated.groupBy(rule_col).transformWithStateInPandas(
         statefulProcessor=BreachProcessor(n_breaches, status_col, time_col),
         outputStructType=ALERT_OUTPUT_SCHEMA,

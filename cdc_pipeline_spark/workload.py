@@ -911,8 +911,10 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TFIDF_ORACLE = r"""
     WITH tok AS (
-        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
-        FROM documents
+        SELECT doc_id, token FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+            FROM documents
+        ) WHERE token <> ''
     ),
     tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
     dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),

@@ -193,3 +193,115 @@ def test_write_parquet_consolidates_without_partition_cols(spark, tmp_path):
     files = [f for f in __import__("os").listdir(path) if f.endswith(".parquet")]
     assert len(files) == 1, f"expected one consolidated file, got {files}"
     assert spark.read.parquet(path).count() == 1000
+
+
+# ---------------------------------------------------------------------------
+# Round-4 second review batch regressions
+# ---------------------------------------------------------------------------
+
+
+def test_keep_best_canonical_keeps_quality_less_docs(spark):
+    """A doc missing from the quality frame must survive as a cluster
+    member (LEFT join) — an inner join silently deleted it (and whole
+    singleton clusters) from the keep-list."""
+    from cdc_pipeline_spark.operators.dedup import keep_best_canonical
+
+    comps = spark.createDataFrame(
+        [(1, 10), (2, 10), (5, 50)], "doc_id long, component long"
+    )
+    quality = spark.createDataFrame([(1, 0.3), (2, 0.9)], "doc_id long, quality double")
+    out = {r.component: r for r in keep_best_canonical(comps, quality).collect()}
+    assert out[10].canonical_id == 2 and out[10].members == 2
+    assert 50 in out, "singleton without a quality row must not vanish"
+    assert out[50].canonical_id == 5 and out[50].best_quality is None
+
+
+def test_capped_list_dedupe_with_timestamp_key(spark):
+    """Stored entries come back as ISO strings (json default=str); fresh
+    rows carry datetimes — merging both must not TypeError on sort and
+    must collapse the SAME window's revisions."""
+    import datetime as dt
+
+    from cdc_pipeline_spark.streaming.sinks import InMemoryKV, capped_list_writer, self_read
+
+    kv = InMemoryKV()
+    writer = capped_list_writer(kv, "feed", max_len=5, order_cols=["w"], dedupe_key="w")
+    t1, t2 = dt.datetime(2024, 1, 1, 0, 0, 10), dt.datetime(2024, 1, 1, 0, 0, 20)
+    writer(spark.createDataFrame([(t1, 1)], "w timestamp, v int"), 0)
+    writer(spark.createDataFrame([(t1, 2), (t2, 3)], "w timestamp, v int"), 1)
+    items = self_read(kv, "feed")
+    assert [i["v"] for i in items] == [3, 2], f"latest revision per window, newest first: {items}"
+
+
+def test_inmemory_kv_enforces_ttl(monkeypatch):
+    import time as _time
+
+    from cdc_pipeline_spark.streaming.sinks import InMemoryKV
+
+    kv = InMemoryKV()
+    kv.write_hash("h", {"a": 1}, ttl=100)
+    kv.write_json("j", {"b": 2}, ttl=100)
+    kv.push_to_list("l", {"c": 3}, max_len=5)
+    kv.expiries["l"] = _time.time() + 100
+    assert kv.read_hash("h") == {"a": "1"}
+    real = _time.time
+    monkeypatch.setattr("time.time", lambda: real() + 101)
+    assert kv.read_hash("h") == {}, "expired hash must read as empty like Redis"
+    assert kv.read_json("j") is None
+    assert kv.read_list("l") == []
+    # a TTL-less overwrite clears the expiry (Redis SET/DEL+HSET semantics)
+    kv.write_hash("h2", {"x": 1}, ttl=100)
+    kv.write_hash("h2", {"x": 2})
+    monkeypatch.setattr("time.time", lambda: real() + 500)
+    assert kv.read_hash("h2") == {"x": "2"}
+
+
+def test_trend_writer_skips_null_order_value(spark):
+    from cdc_pipeline_spark.streaming.sinks import InMemoryKV, trend_hash_writer
+
+    kv = InMemoryKV()
+    writer = trend_hash_writer(
+        kv, "kpi", order_cols=["window_end"], trend_cols=["revenue"],
+        state_key_prefix="kpi:snap",
+    )
+    batch = spark.createDataFrame([(None, 5.0)], "window_end long, revenue double")
+    writer(batch, 0)  # must not KeyError the streaming query
+    assert kv.read_hash("kpi") == {}
+    # a real timestamp order column buckets via .timestamp()
+    import datetime as dt
+
+    ts_batch = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 1, 0, 0), 5.0)], "window_end timestamp, revenue double"
+    )
+    writer(ts_batch, 1)
+    snap = kv.read_hash("kpi")
+    assert snap["revenue"] == "5.0" and snap["revenue_trend"] == "0.0"
+
+
+def test_tfidf_ignores_empty_documents(spark):
+    """Empty/whitespace docs must not pair at cosine 1.0 via a phantom
+    '' token — the n-gram paths emit nothing for them and the dedup
+    families must agree."""
+    from cdc_pipeline_spark.operators.dedup import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real words here"), (4, "real words here")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b) for r in tfidf_cosine_pairs(df, threshold=0.5, max_df_ratio=1.0).collect()}
+    assert (1, 2) not in pairs, "empty docs must not pair"
+    assert (3, 4) in pairs
+
+
+def test_splitmix_helper_streams_are_frozen():
+    """The shared splitmix64 primitive must keep producing the exact
+    parameter streams the persisted MinHash/RP-LSH signatures derive
+    from (values frozen from the original inline implementations)."""
+    from cdc_pipeline_spark.operators.dedup import _perm_params
+    from cdc_pipeline_spark.operators.similarity import _hyperplanes
+
+    a0, b0 = _perm_params(1, seed=7)[0]
+    assert (a0, b0) == (1751225710, 2004016919), "MinHash param stream drifted"
+    h = _hyperplanes(2, 1, seed=11)[0]
+    assert h[0] == pytest.approx(-0.36751121415818355, abs=0)
+    assert h[1] == pytest.approx(-0.47526969645256345, abs=0)
