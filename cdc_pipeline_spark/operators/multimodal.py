@@ -87,10 +87,12 @@ def extract_features(
 
     ``decoder="image"`` runs the REAL PNG/BMP decode
     (``operators.imaging``) and emits a per-channel mean/std descriptor;
-    payloads that fail to decode are dropped from the output (the
-    quarantine pattern — a corrupt blob must never kill the worker).
-    ``decoder="stub"`` (default) keeps the byte-level stand-in used by
-    the oracle-checked byte-stats query.
+    ``decoder="audio"`` runs the REAL RIFF/WAVE decode
+    (``operators.audio``) and emits a duration/RMS/ZCR/band descriptor.
+    In both, payloads that fail to decode are dropped from the output
+    (the quarantine pattern — a corrupt blob must never kill the
+    worker). ``decoder="stub"`` (default) keeps the byte-level stand-in
+    used by the oracle-checked byte-stats query.
     """
     from cdc_pipeline_spark.operators.partitioning import spread
 
@@ -107,11 +109,22 @@ def extract_features(
                 return image_feature(decode_image(p), dim=FEATURE_DIM)
             except ValueError:
                 return None
+    elif decoder == "audio":
+        from cdc_pipeline_spark.operators.audio import audio_feature, decode_wav
+
+        def decode(p: bytes):
+            try:
+                samples, rate = decode_wav(p)
+                return audio_feature(samples, rate, dim=FEATURE_DIM)
+            except ValueError:
+                return None
     elif decoder == "stub":
         def decode(p: bytes):
             return decode_stub(p, fake=fake_decode)
     else:
-        raise ValueError(f"unknown decoder {decoder!r} (expected 'stub' or 'image')")
+        raise ValueError(
+            f"unknown decoder {decoder!r} (expected 'stub', 'image' or 'audio')"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

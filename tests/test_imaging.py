@@ -180,3 +180,61 @@ def test_extract_features_survives_truncated_image_payloads(spark):
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = extract_features(df, decoder="image").collect()
     assert [r.doc_id for r in out] == [1], "truncated blobs must be quarantined"
+
+
+# ---------------------------------------------------------------------------
+# Audio (RIFF/WAVE) codec — operators/audio.py
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_pcm16():
+    from cdc_pipeline_spark.operators.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(3)
+    samples = rng.integers(-32768, 32767, size=(480, 2), dtype=np.int16)
+    decoded, rate = decode_wav(encode_wav(samples, sample_rate=16000))
+    assert rate == 16000 and decoded.shape == (480, 2)
+    assert np.allclose(decoded * 32768.0, samples.astype(np.float64))
+
+
+def test_wav_float32_and_odd_chunk_padding():
+    import struct as _struct
+
+    from cdc_pipeline_spark.operators.audio import decode_wav
+
+    vals = np.array([0.5, -0.25, 0.125], dtype="<f4")
+    fmt = _struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    # an odd-sized junk chunk before fmt exercises even-offset padding
+    junk = b"JUNK" + _struct.pack("<I", 3) + b"abc" + b"\x00"
+    body = b"WAVE" + junk + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + _struct.pack("<I", len(vals.tobytes())) + vals.tobytes()
+    payload = b"RIFF" + _struct.pack("<I", len(body)) + body
+    decoded, rate = decode_wav(payload)
+    assert rate == 8000
+    assert np.allclose(decoded[:, 0], vals.astype(np.float64))
+
+
+def test_wav_corrupt_payloads_raise_valueerror():
+    from cdc_pipeline_spark.operators.audio import decode_wav, encode_wav
+
+    good = encode_wav(np.zeros(100, dtype=np.int16))
+    for payload in [b"RIFF", b"RIFFxxxxWAVE", good[:30], b"ID3\x03mp3-junk" * 4]:
+        with pytest.raises(ValueError):
+            decode_wav(payload)
+
+
+def test_extract_features_audio_decoder(spark):
+    from cdc_pipeline_spark.operators.audio import audio_feature, decode_wav, encode_wav
+    from cdc_pipeline_spark.operators.multimodal import FEATURE_DIM, extract_features
+
+    t = np.arange(1600)
+    tone = (np.sin(2 * np.pi * 440 * t / 16000) * 20000).astype(np.int16)
+    wav = encode_wav(tone, sample_rate=16000)
+    rows = [(1, bytearray(wav)), (2, bytearray(b"not audio"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in extract_features(df, decoder="audio").collect()}
+    assert set(out) == {1}
+    expected = audio_feature(*decode_wav(wav), dim=FEATURE_DIM)
+    assert list(out[1].feature) == pytest.approx(expected)
+    # 440 Hz tone: zcr ≈ 2 * 440 / 16000
+    assert out[1].feature[2] == pytest.approx(0.055, abs=0.005)
