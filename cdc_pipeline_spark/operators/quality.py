@@ -197,6 +197,79 @@ def unigram_logprob_score(
     )
 
 
+def bigram_logprob_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Interpolated bigram corpus-LM fluency score — the next model up
+    from :func:`unigram_logprob_score` (Jelinek–Mercer interpolation,
+    the classic smoothing the KenLM-style corpus filters build on):
+    per document, mean −ln P(w_i | w_{i−1}) with
+    ``P = λ·c(w1,w2)/c(w1·) + (1−λ)·c(w2)/N`` — the unigram backoff
+    term keeps every observed bigram finite without add-α vocabulary
+    sweeps. Junk word ORDER now scores high even when the vocabulary
+    is in-distribution (a shuffled fluent doc fools the unigram score,
+    not this one).
+
+    Shape: two count aggregations (bigram, unigram — one shuffle each),
+    the conditional margin c(w1·) as a sum over the bigram table, then
+    one join of per-bigram logprobs back to the doc postings and a
+    per-doc aggregate. Per-bigram −ln p rounds to DECIMAL(18,6) BEFORE
+    the per-doc sum (fold-order-free, the module's standard trick). The
+    bigram vocabulary is corpus-sized-ish at 100 TB — the logprob join
+    is left un-hinted (AQE decides); prune rare bigrams upstream if the
+    model table must broadcast. Documents with < 2 tokens have no
+    bigrams and are omitted (oracle mirrors).
+
+    Output: (doc_id, n_bigrams, mean_neg_logprob).
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+    posting = toks.select("doc_id", F.explode_outer("t").alias("token")).filter(
+        F.col("token").isNotNull()
+    )
+    uni = posting.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = uni.agg(F.sum("tf").cast("double").alias("n"))
+    bi = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bic = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bic.groupBy("w1").agg(F.sum("c12").cast("double").alias("c1"))
+    probs = (
+        bic.join(c1, "w1")
+        .join(uni.select(F.col("token").alias("w2"), F.col("tf").alias("tf2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            round_half_up(
+                -F.log(
+                    F.lit(lam) * F.col("c12") / F.col("c1")
+                    + F.lit(1.0 - lam) * F.col("tf2") / F.col("n")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("nlp"),
+        )
+    )
+    scored = bi.join(probs, ["w1", "w2"])
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        round_half_up(F.sum("nlp").cast("double") / F.count(F.lit(1)), 4).alias(
+            "mean_neg_logprob"
+        ),
+    )
+
+
 def perplexity_buckets(
     df: DataFrame,
     group_col: str = "lang",

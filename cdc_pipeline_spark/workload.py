@@ -3225,6 +3225,48 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_bigram_logprob",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    uni AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM uni),
+    bipos AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2
+    ),
+    bi AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM bipos),
+    bic AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(sum(c12) AS DOUBLE) AS c1 FROM bic GROUP BY w1),
+    probs AS (
+        SELECT bic.w1, bic.w2,
+               CAST(round(-ln(0.75 * c12 / c1.c1 + 0.25 * uni.tf / tot.n), 6)
+                    AS DECIMAL(18,6)) AS nlp
+        FROM bic
+        JOIN c1 USING (w1)
+        JOIN uni ON uni.token = bic.w2
+        CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(nlp) AS DOUBLE) / count(*), 4) AS mean_neg_logprob
+    FROM bi JOIN probs USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram corpus-LM fluency
+    (quality.py::bigram_logprob_score, λ=0.75 Jelinek–Mercer): catches
+    junk word ORDER the unigram score is blind to. Same
+    round-to-decimal-before-sum determinism as the unigram twin."""
+    from cdc_pipeline_spark.operators.quality import bigram_logprob_score
+
+    return bigram_logprob_score(_t(spark, sf_dir, "documents"), lam=0.75)
+
+
+@register(
     "doc_perplexity_buckets",
     r"""
     WITH tok AS (
@@ -4064,11 +4106,16 @@ def docs_token_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- round 4: the new query, then every query whose operator
+    # -- round 4: the new queries, then every query whose operator
     # implementation was touched by the round-4 scale guards (hot-bucket
     # caps, size-guarded broadcast, min-struct segment dedup, kcenter
     # no-replacement, pmod sampling hash, real-decode plumbing) --
     "embedding_minibatch_kmeans",
+    "doc_bigram_logprob",
+    "doc_tfidf_cosine_pairs",
+    "dedup_canonical_docs",
+    "ann_ivf_topk",
+    "doc_unigram_logprob",
     "doc_segment_dedup",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -1525,3 +1525,26 @@ def test_enrich_activity_explicit_empty_map(spark):
     )
     out = enrich_activity(df, action_map={}).collect()[0]
     assert out.action == "view", "an explicit empty map means every event falls through"
+
+
+def test_bigram_logprob_penalizes_word_order(spark):
+    """The interpolated bigram score must separate fluent word ORDER
+    from shuffled order even when the unigram vocabulary is identical —
+    exactly the gap the unigram gate cannot see."""
+    from cdc_pipeline_spark.operators.quality import (
+        bigram_logprob_score,
+        unigram_logprob_score,
+    )
+
+    fluent = "the quick brown fox jumps over the lazy dog " * 6
+    shuffled = "dog the over quick lazy fox the brown jumps " * 6
+    rows = [(i, fluent) for i in range(8)] + [(100, shuffled)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bi = {r.doc_id: r.mean_neg_logprob for r in bigram_logprob_score(df).collect()}
+    uni = {r.doc_id: r.mean_neg_logprob for r in unigram_logprob_score(df).collect()}
+    assert uni[100] == uni[0], "unigram is order-blind (same vocabulary)"
+    assert bi[100] > bi[0] + 0.5, f"bigram must punish shuffled order: {bi}"
+    # docs with < 2 tokens are omitted, not scored
+    tiny = spark.createDataFrame([(1, "word"), (2, "two words")], "doc_id long, text string")
+    out = bigram_logprob_score(tiny).collect()
+    assert [r.doc_id for r in out] == [2] and out[0].n_bigrams == 1
