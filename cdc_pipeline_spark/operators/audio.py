@@ -51,6 +51,11 @@ def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
             tag = payload[pos : pos + 4]
             (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
             body = payload[pos + 8 : pos + 8 + size]
+            if tag in (b"fmt ", b"data") and len(body) < size:
+                # a blob cut off mid-chunk must hit the quarantine, not
+                # silently decode the surviving prefix as a shorter
+                # (wrong) recording
+                raise ValueError(f"truncated {tag!r} chunk")
             if tag == b"fmt ":
                 if len(body) < 16:
                     raise ValueError("truncated fmt chunk")
@@ -82,6 +87,9 @@ def audio_feature(samples: "np.ndarray", sample_rate: int, dim: int = 8) -> list
     low/high half-band energy split (first differences as a crude
     high-pass), channels/8] — fixed C-order float64 accumulation, so
     replays are bit-stable at any partitioning."""
+    samples = np.asarray(samples)
+    if samples.ndim == 1:  # accept the same mono convention encode_wav does
+        samples = samples[:, None]
     if samples.size == 0:
         return [0.0] * dim
     mono = samples[:, 0].astype(np.float64)

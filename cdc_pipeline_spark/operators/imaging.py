@@ -82,6 +82,10 @@ def decode_png(payload: bytes) -> "np.ndarray":
             width, height, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
+            if width == 0 or height == 0:
+                # spec requires nonzero dims; a zero-area array would
+                # IndexError resize_nearest and NaN image_feature
+                raise ValueError("zero-dimension PNG")
             if depth != 8:
                 raise ValueError(f"unsupported PNG bit depth {depth}")
             if color_type not in _CHANNELS:
@@ -142,11 +146,18 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
     header_size, width, height = struct.unpack("<Iii", payload[14:26])
     planes, bpp = struct.unpack("<HH", payload[26:30])
     (compression,) = struct.unpack("<I", payload[30:34])
-    if bpp != 24 or compression != 0 or height <= 0:
+    if bpp != 24 or compression != 0 or height <= 0 or width <= 0:
         raise ValueError(
-            f"unsupported BMP (bpp={bpp}, compression={compression}, height={height})"
+            f"unsupported BMP (bpp={bpp}, compression={compression}, "
+            f"height={height}, width={width})"
         )
     row_size = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    # validate the payload actually CONTAINS the advertised pixel data
+    # BEFORE allocating from untrusted header fields — a hostile 60-byte
+    # header claiming 2^28 × 2^20 would otherwise MemoryError the worker
+    # (not a ValueError, so the quarantine would miss it)
+    if data_offset + height * row_size > len(payload):
+        raise ValueError("truncated BMP pixel data")
     out = np.zeros((height, width, 3), dtype=np.uint8)
     for y in range(height):
         off = data_offset + y * row_size

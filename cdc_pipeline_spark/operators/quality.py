@@ -57,7 +57,12 @@ def quality_rule_columns(
     n_words = F.size(toks)
     n_chars_nospace = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
     mean_word_len = n_chars_nospace / F.greatest(n_words, F.lit(1))
-    n_symbols = F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+    # Unicode-aware class (\p{L}\p{N}, supported identically by Java
+    # regex and DuckDB's RE2): an ASCII-only [A-Za-z0-9] counted every
+    # non-Latin letter as a "symbol", so fluent Chinese/Russian/accented
+    # text blew past max_symbol_ratio and the gate dropped whole
+    # non-English corpora
+    n_symbols = F.length(F.regexp_replace(F.col(text_col), r"[\p{L}\p{N}\s]", ""))
     symbol_ratio = n_symbols / F.greatest(F.length(text_col), F.lit(1))
     distinct_stops = F.size(
         F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS]))
@@ -225,7 +230,13 @@ def bigram_logprob_score(
 
     Output: (doc_id, n_bigrams, mean_neg_logprob).
     """
-    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+    # three downstream lineages (unigram counts, bigram counts, the
+    # scoring join) — materialize the tokenization once; Catalyst shares
+    # no subplans and the corpus-wide split is the expensive stage
+    # (same precedent as perplexity_buckets)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
+    ).localCheckpoint()
     posting = toks.select("doc_id", F.explode_outer("t").alias("token")).filter(
         F.col("token").isNotNull()
     )
@@ -307,7 +318,13 @@ def perplexity_buckets(
             f"percentile_disc({c2!r}) WITHIN GROUP (ORDER BY mean_neg_logprob)"
         ).alias("__c2"),
     )
-    return scores.join(F.broadcast(cutoffs), group_col).select(
+    # eqNullSafe: a NULL group (unknown lang) gets its own cutoff row,
+    # and a null-rejecting equi-join would silently drop every such doc
+    # from the output (same fix iqr_outliers carries)
+    cutoffs = cutoffs.withColumnRenamed(group_col, "__grp")
+    return scores.join(
+        F.broadcast(cutoffs), F.col(group_col).eqNullSafe(F.col("__grp"))
+    ).select(
         "doc_id",
         group_col,
         "mean_neg_logprob",
@@ -354,21 +371,25 @@ def ngram_contamination(
     # spread: a single-file corpus arrives as ONE partition and would
     # serialize the shingling scan onto one core
     corpus_shingles = shingles(spread(corpus))
-    hits = (
-        corpus_shingles.filter(F.col("shingle").isNotNull())
-        .join(F.broadcast(bench_shingles), "shingle", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    # ONE corpus pass: a broadcast LEFT join marks hits, and totals +
+    # hit counts come out of the same per-doc aggregate — the previous
+    # separate semi-join + totals aggregation re-ran the corpus-wide
+    # shingling scan twice (Catalyst shares no subplans), doubling the
+    # dominant cost at 100 TB for zero semantic difference. Null
+    # shingles (docs with < n tokens) never match the join and count
+    # into neither total.
+    marked = corpus_shingles.join(
+        F.broadcast(bench_shingles.withColumn("__hit", F.lit(1))), "shingle", "left"
     )
-    totals = corpus_shingles.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("shingle").isNotNull(), 1).otherwise(0)).alias("n_ngrams")
-    )
-    out = totals.join(hits, "doc_id", "left").select(
+    out = marked.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("shingle").isNotNull(), 1).otherwise(0)).alias("n_ngrams"),
+        F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_contaminated"),
+    ).select(
         "doc_id",
         "n_ngrams",
-        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        "n_contaminated",
         round_half_up(
-            F.coalesce("n_contaminated", F.lit(0)) / F.greatest("n_ngrams", F.lit(1)), 6
+            F.col("n_contaminated") / F.greatest("n_ngrams", F.lit(1)), 6
         ).alias("contaminated_frac"),
     )
     return out.withColumn(

@@ -3042,7 +3042,7 @@ _STOPLIST_SQL = "['the','a','of','and','is','to','in','that','it','for']"
            CAST(len(toks) AS BIGINT) AS n_words,
            round(length(regexp_replace(text, '\s', '', 'g'))
                  / greatest(len(toks), 1), 4) AS mean_word_len,
-           round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+           round(length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g'))
                  / greatest(length(text), 1), 4) AS symbol_ratio,
            CAST(len(list_intersect(list_distinct(toks), {_STOPLIST_SQL})) AS BIGINT)
                AS distinct_stopwords,
@@ -3050,13 +3050,13 @@ _STOPLIST_SQL = "['the','a','of','and','is','to','in','that','it','for']"
            (length(regexp_replace(text, '\s', '', 'g')) / greatest(len(toks), 1) >= 2.0
             AND length(regexp_replace(text, '\s', '', 'g')) / greatest(len(toks), 1) <= 12.0)
                AS r_mean_word_len,
-           (length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+           (length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g'))
                 / greatest(length(text), 1) <= 0.1) AS r_symbol_ratio,
            (len(list_intersect(list_distinct(toks), {_STOPLIST_SQL})) >= 2) AS r_stopwords,
            ((len(toks) >= 10 AND len(toks) <= 100000)
             AND (length(regexp_replace(text, '\s', '', 'g')) / greatest(len(toks), 1) >= 2.0
                  AND length(regexp_replace(text, '\s', '', 'g')) / greatest(len(toks), 1) <= 12.0)
-            AND (length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+            AND (length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g'))
                  / greatest(length(text), 1) <= 0.1)
             AND (len(list_intersect(list_distinct(toks), {_STOPLIST_SQL})) >= 2)) AS keep
     FROM t
@@ -3291,11 +3291,11 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                percentile_disc(0.6666666666666666) WITHIN GROUP (ORDER BY mean_neg_logprob) AS c2
         FROM scores GROUP BY lang
     )
-    SELECT doc_id, lang, mean_neg_logprob,
+    SELECT scores.doc_id, scores.lang, mean_neg_logprob,
            CASE WHEN mean_neg_logprob <= c1 THEN 'head'
                 WHEN mean_neg_logprob <= c2 THEN 'middle'
                 ELSE 'tail' END AS ppl_bucket
-    FROM scores JOIN cut USING (lang)
+    FROM scores JOIN cut ON scores.lang IS NOT DISTINCT FROM cut.lang
     """,
 )
 def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3489,7 +3489,7 @@ def fuzzy_source_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE (len(toks) >= 10 AND len(toks) <= 100000)
           AND (length(regexp_replace(text, '\s', '', 'g')) / greatest(len(toks), 1) >= 2.0
                AND length(regexp_replace(text, '\s', '', 'g')) / greatest(len(toks), 1) <= 12.0)
-          AND (length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+          AND (length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g'))
                / greatest(length(text), 1) <= 0.1)
           AND (len(list_intersect(list_distinct(toks), {_STOPLIST_SQL})) >= 2)
     ),
@@ -3542,7 +3542,7 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE (len(toks) >= 10 AND len(toks) <= 100000)
           AND (length(regexp_replace(text, '\s', '', 'g')) / greatest(len(toks), 1) >= 2.0
                AND length(regexp_replace(text, '\s', '', 'g')) / greatest(len(toks), 1) <= 12.0)
-          AND (length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+          AND (length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g'))
                / greatest(length(text), 1) <= 0.1)
           AND (len(list_intersect(list_distinct(toks), {_STOPLIST_SQL})) >= 2)
     ),

@@ -238,3 +238,39 @@ def test_extract_features_audio_decoder(spark):
     assert list(out[1].feature) == pytest.approx(expected)
     # 440 Hz tone: zcr ≈ 2 * 440 / 16000
     assert out[1].feature[2] == pytest.approx(0.055, abs=0.005)
+
+
+def test_bmp_hostile_header_rejected_before_allocation():
+    import struct as _struct
+
+    header = bytearray(b"BM")
+    header += _struct.pack("<IHHI", 60, 0, 0, 54)
+    header += _struct.pack("<Iii", 40, 1 << 20, 1 << 28)  # absurd dims
+    header += _struct.pack("<HH", 1, 24)
+    header += _struct.pack("<IIiiII", 0, 0, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="truncated BMP"):
+        decode_bmp(bytes(header) + b"\x00" * 6)
+
+
+def test_zero_dimension_png_rejected():
+    with pytest.raises(ValueError, match="zero-dimension"):
+        decode_png(encode_png(np.zeros((0, 5, 3), dtype=np.uint8)))
+    with pytest.raises(ValueError, match="zero-dimension"):
+        decode_png(encode_png(np.zeros((5, 0, 3), dtype=np.uint8)))
+
+
+def test_wav_truncated_data_chunk_rejected():
+    from cdc_pipeline_spark.operators.audio import decode_wav, encode_wav
+
+    good = encode_wav(np.ones(400, dtype=np.int16))
+    cut = good[: len(good) - 100]  # mid-data truncation
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(cut)
+
+
+def test_audio_feature_accepts_mono_1d():
+    from cdc_pipeline_spark.operators.audio import audio_feature
+
+    f1 = audio_feature(np.ones(100) * 0.5, 16000)
+    f2 = audio_feature(np.ones((100, 1)) * 0.5, 16000)
+    assert f1 == f2

@@ -305,3 +305,31 @@ def test_splitmix_helper_streams_are_frozen():
     h = _hyperplanes(2, 1, seed=11)[0]
     assert h[0] == pytest.approx(-0.36751121415818355, abs=0)
     assert h[1] == pytest.approx(-0.47526969645256345, abs=0)
+
+
+def test_quality_gate_keeps_non_latin_scripts(spark):
+    """A fluent non-Latin document must not fail the symbol-ratio rule:
+    the class is Unicode-aware (\\p{L}\\p{N}), not ASCII-only."""
+    from cdc_pipeline_spark.operators.quality import quality_rule_columns
+
+    ru = "очень хорошая статья про науку и технологии сегодня " * 6
+    zh = "这 是 一 篇 关 于 科 学 的 好 文 章 非 常 值 得 阅 读 " * 6
+    junk = "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) ____ " * 6
+    df = spark.createDataFrame(
+        [(1, ru), (2, zh), (3, junk)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in df.select("doc_id", *quality_rule_columns()).collect()}
+    assert out[1].r_symbol_ratio and out[2].r_symbol_ratio, "scripts are letters, not symbols"
+    assert not out[3].r_symbol_ratio, "actual symbol soup must still fail"
+
+
+def test_perplexity_buckets_keeps_null_group_docs(spark):
+    from cdc_pipeline_spark.operators.quality import perplexity_buckets
+
+    rows = [(i, "en", f"common words {i} appear here") for i in range(6)]
+    rows += [(100, None, "null language document text one"), (101, None, "null language document text two")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = perplexity_buckets(df)
+    got = {r.doc_id for r in out.collect()}
+    assert {100, 101} <= got, "NULL-lang docs must bucket, not vanish"
+    assert len(got) == 8
