@@ -27,6 +27,23 @@ from cdc_pipeline_spark.operators.quality import quality_rule_columns
 from cdc_pipeline_spark.operators.text import fingerprint, tokens
 
 
+def _gate_and_dedup(
+    docs: DataFrame, id_col: str, shard_col: str, text_col: str
+) -> DataFrame:
+    """Shared quality-gate + exact-dedup prefix of both corpus builds:
+    apply the rule columns, keep passing docs, and keep one canonical
+    row per normalized-content fingerprint (lowest doc id). Both
+    pipeline variants MUST run this exact prefix — a per-variant copy
+    previously risked the gate or the canonical tie-break drifting
+    between them. Returns the gated frame with the dedup bookkeeping
+    column ``__rn`` already filtered to the canonical rows."""
+    gated = docs.select(
+        id_col, shard_col, text_col, *quality_rule_columns(text_col)
+    ).filter(F.col("keep"))
+    w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col).asc())
+    return gated.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+
+
 def prepare_training_corpus(
     docs: DataFrame,
     budget: int = 256,
@@ -41,19 +58,10 @@ def prepare_training_corpus(
     one window shuffle on the content fingerprint; packing is one window
     shuffle on the shard. Three stages, two shuffles, one plan.
     """
-    gated = docs.select(
-        id_col, shard_col, text_col, *quality_rule_columns(text_col)
-    ).filter(F.col("keep"))
-    # canonical = lowest doc id per normalized-content fingerprint
-    w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col).asc())
-    canonical = (
-        gated.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            id_col,
-            shard_col,
-            F.size(tokens(text_col)).cast("long").alias("n_tokens"),
-        )
+    canonical = _gate_and_dedup(docs, id_col, shard_col, text_col).select(
+        id_col,
+        shard_col,
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
     )
     return pack_sequences(
         canonical,
@@ -86,13 +94,8 @@ def prepare_training_corpus_budgeted(
 
     from cdc_pipeline_spark.operators.text import quality_score
 
-    gated = docs.select(
-        id_col, shard_col, text_col, *quality_rule_columns(text_col)
-    ).filter(F.col("keep"))
-    w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col).asc())
     canonical = (
-        gated.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        _gate_and_dedup(docs, id_col, shard_col, text_col)
         .withColumn("__toks", tokens(text_col))
         # the SHARED text.quality_score formula — a local re-derivation
         # here previously made a third copy that could drift from it

@@ -225,26 +225,46 @@ def q9_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q11_top_value_parts",
     """
-    SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+    SELECT l_partkey,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2)
+               AS part_value
     FROM lineitem
     GROUP BY l_partkey
-    HAVING sum(l_extendedprice * (1 - l_discount)) >
-           (SELECT 0.0006 * sum(l_extendedprice * (1 - l_discount)) FROM lineitem)
+    HAVING sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) >
+           (SELECT CAST(0.0006 AS DECIMAL(10,6))
+                   * sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(17,6)))
+            FROM lineitem)
     """,
 )
 def q11_top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: grouped value HAVING > fraction-of-global-total.
     The global total is a one-row aggregate broadcast into the filter —
     two scans of lineitem but zero extra shuffles (both aggregates are
-    partial+final)."""
+    partial+final).
+
+    The HAVING compares sums in DECIMAL, not double: decimal addition is
+    exact and associative, so Spark's partial+final fold order and
+    DuckDB's sequential fold produce bit-identical sums and the row SET
+    is engine-stable even for parts that sit within double-noise of the
+    threshold (the per-row double→decimal cast is the only rounding, and
+    it is the same in both engines — binary doubles can never land on an
+    exact half-micro tie). The total side casts per-row to decimal(17,6)
+    so Spark's product type is exactly decimal(38,12) — one more integer
+    digit and Spark's decimal-multiply precision cap (38) would round the
+    scale-12 product to scale 11, re-introducing an (astronomically
+    small) engine gap vs DuckDB's exact scale-12 product."""
     li = _t(spark, sf_dir, "lineitem")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    vol17 = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(17,6)")
     per_part = li.groupBy("l_partkey").agg(F.sum(vol).alias("raw_value"))
-    total = li.agg((F.lit(0.0006) * F.sum(vol)).alias("threshold"))
+    total = li.agg((F.lit(0.0006).cast("decimal(10,6)") * F.sum(vol17)).alias("threshold"))
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("raw_value") > F.col("threshold"))
-        .select("l_partkey", round_half_up(F.col("raw_value"), 2).alias("part_value"))
+        .select(
+            "l_partkey",
+            round_half_up(F.col("raw_value").cast("double"), 2).alias("part_value"),
+        )
     )
 
 

@@ -35,3 +35,17 @@ def test_rows_only_queries_execute(spark, name):
     execute — round 1's winnowing array column passed `.count()` locally
     but crashed the real gate."""
     assert rows_only_check(spark, workload.QUERIES[name], SF_DIR) >= 0
+
+
+def test_driver_window_is_exactly_fifty():
+    """The correctness driver re-checks only the FIRST 50 registered
+    queries. The priority list must therefore hold exactly 50 names —
+    a longer list silently parks its tail outside the window while
+    still reading as 'covered' (review batch 4 finding). Carryover
+    names are tracked separately and must directly follow the window."""
+    assert len(workload._DRIVER_WINDOW_PRIORITY) == 50
+    regs = list(workload.QUERIES)
+    assert regs[:50] == workload._DRIVER_WINDOW_PRIORITY
+    n_carry = len(workload._DRIVER_WINDOW_CARRYOVER)
+    assert regs[50 : 50 + n_carry] == workload._DRIVER_WINDOW_CARRYOVER
+    assert set(workload.QUERIES) == set(workload.ORACLE_SQL)
