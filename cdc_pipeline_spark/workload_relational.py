@@ -225,45 +225,55 @@ def q9_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q11_top_value_parts",
     """
-    SELECT l_partkey,
-           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2)
-               AS part_value
-    FROM lineitem
-    GROUP BY l_partkey
-    HAVING sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) >
-           (SELECT CAST(0.0006 AS DECIMAL(10,6))
-                   * sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(17,6)))
-            FROM lineitem)
+    WITH per_part AS (
+        SELECT l_partkey,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5)
+                        AS BIGINT)) AS raw_micros
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(CAST(raw_micros AS DOUBLE) / 1000000.0, 2) AS part_value
+    FROM per_part
+    WHERE raw_micros * 10000 > (SELECT sum(raw_micros) * 6 FROM per_part)
     """,
 )
 def q11_top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: grouped value HAVING > fraction-of-global-total.
-    The global total is a one-row aggregate broadcast into the filter —
-    two scans of lineitem but zero extra shuffles (both aggregates are
-    partial+final).
 
-    The HAVING compares sums in DECIMAL, not double: decimal addition is
-    exact and associative, so Spark's partial+final fold order and
-    DuckDB's sequential fold produce bit-identical sums and the row SET
-    is engine-stable even for parts that sit within double-noise of the
-    threshold (the per-row double→decimal cast is the only rounding, and
-    it is the same in both engines — binary doubles can never land on an
-    exact half-micro tie). The total side casts per-row to decimal(17,6)
-    so Spark's product type is exactly decimal(38,12) — one more integer
-    digit and Spark's decimal-multiply precision cap (38) would round the
-    scale-12 product to scale 11, re-introducing an (astronomically
-    small) engine gap vs DuckDB's exact scale-12 product."""
+    The HAVING compares sums of MICRO-QUANTIZED LONGS, not doubles:
+    integer addition is exact and associative, so Spark's partial+final
+    fold order and DuckDB's sequential fold produce identical sums and
+    the row SET is engine-stable even for parts that sit within
+    double-noise of the threshold (SCALE.md determinism policy: integer
+    sums first). The per-row half-up micro quantization is the only
+    rounding and is identical in both engines. The 0.0006 fraction is
+    applied as an integer cross-multiply (raw·10000 > total·6) so no
+    fractional arithmetic exists anywhere in the compare; long sums also
+    keep the aggregation on the fast codegen path the earlier
+    decimal(28,6) variant fell off (~4× slower per bench). Bounds: total
+    micros ≈ 2.3e15 at sf0.1 and the cross-multiply peaks ~1.4e16, both
+    well inside int64; a >sf100 deployment would move the sums to
+    decimal(38,0).
+
+    ONE lineitem scan: the global total re-aggregates the per-part sums
+    (exact, since integer addition is associative) instead of
+    re-scanning the fact table; the one-row threshold is broadcast into
+    the filter."""
     li = _t(spark, sf_dir, "lineitem")
-    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-    vol17 = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(17,6)")
-    per_part = li.groupBy("l_partkey").agg(F.sum(vol).alias("raw_value"))
-    total = li.agg((F.lit(0.0006).cast("decimal(10,6)") * F.sum(vol17)).alias("threshold"))
+    vol_micros = F.floor(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * F.lit(1000000.0)
+        + F.lit(0.5)
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(vol_micros).alias("raw_micros"))
+    total = per_part.agg((F.sum("raw_micros") * F.lit(6)).alias("threshold"))
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("raw_value") > F.col("threshold"))
+        .filter(F.col("raw_micros") * F.lit(10000) > F.col("threshold"))
         .select(
             "l_partkey",
-            round_half_up(F.col("raw_value").cast("double"), 2).alias("part_value"),
+            round_half_up(
+                F.col("raw_micros").cast("double") / F.lit(1000000.0), 2
+            ).alias("part_value"),
         )
     )
 
