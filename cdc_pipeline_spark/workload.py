@@ -4102,6 +4102,205 @@ def docs_token_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Distributed exact linear algebra (operators/linalg.py): integer-exact
+# Gram/covariance via mapInPandas partials, driver-side integer power
+# iteration, broadcast projection. The oracles replay the quantized
+# arithmetic end to end in DuckDB HUGEINTs — every compare is on exact
+# integers, so any partitioning/fold order matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_LINALG_DIM = 64
+_GRAM_SCALE_TOPK = 1 << 20  # fine quantization for the covariance profile
+_GRAM_SCALE_PI = 1 << 12  # coarser for power iteration (HUGEINT headroom)
+_PI_ITERS = 8
+_PI_VSCALE = 4096
+_PROJ_SCALE = 1 << 20
+
+
+def _gram_cte_sql(scale: int, dim: int = _LINALG_DIM) -> str:
+    """Shared DuckDB CTE chain computing the FULL (not just upper
+    triangle) centered integer Gram G = n·S − m·mᵀ over the half-up
+    quantization at ``scale`` — mirrors linalg.quantized_gram exactly
+    (same double multiply, same floor, integer sums thereafter)."""
+    return (
+        f"e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
+        f"WHERE embedding IS NOT NULL),\n"
+        f"dims AS (SELECT unnest(generate_series(0, {dim - 1})) AS i),\n"
+        f"q AS MATERIALIZED (SELECT e.vec_id, d.i, "
+        f"CAST(floor(e.v[d.i + 1] * {float(scale)} + 0.5) AS BIGINT) AS x "
+        f"FROM e CROSS JOIN dims d),\n"
+        f"s AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS s "
+        f"FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),\n"
+        f"m AS MATERIALIZED (SELECT i, sum(x) AS m FROM q GROUP BY i),\n"
+        f"nn AS MATERIALIZED (SELECT count(*) AS n FROM e),\n"
+        f"g AS MATERIALIZED (SELECT s.i, s.j, (SELECT n FROM nn) * s.s - mi.m * mj.m AS g "
+        f"FROM s JOIN m mi ON s.i = mi.i JOIN m mj ON s.j = mj.i)"
+    )
+
+
+def _power_iter_cte_sql(
+    iters: int = _PI_ITERS, v_scale: int = _PI_VSCALE, scale: int = _GRAM_SCALE_PI
+) -> str:
+    """CTE chain ending in ``fv(i, v)`` — the sign-fixed final iterate of
+    linalg.power_iteration_top replayed in exact DuckDB integers. The
+    renormalizing division only ever sees non-negative operands (abs and
+    sign split out), where DuckDB's truncating ``//`` equals Python's
+    flooring ``//``. Every iteration CTE is MATERIALIZED: each v{t+1}
+    references v{t} more than once, and DuckDB's default CTE inlining
+    would re-evaluate the whole chain exponentially (observed as a
+    too-many-open-files explosion on the parquet scan)."""
+    parts = ["WITH " + _gram_cte_sql(scale)]
+    parts.append(
+        "r AS MATERIALIZED (SELECT i FROM g WHERE i = j ORDER BY g DESC, i LIMIT 1)"
+    )
+    parts.append(
+        f"v0 AS MATERIALIZED (SELECT d.i, CASE WHEN d.i = (SELECT i FROM r) "
+        f"THEN {v_scale} ELSE 0 END AS v FROM dims d)"
+    )
+    for t in range(iters):
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT d.i, coalesce(sum(g.g * v.v), 0) AS w "
+            f"FROM dims d LEFT JOIN g ON g.i = d.i "
+            f"LEFT JOIN v{t} v ON g.j = v.i GROUP BY d.i)"
+        )
+        parts.append(f"mx{t} AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM w{t})")
+        parts.append(
+            f"v{t + 1} AS MATERIALIZED (SELECT w.i, CASE "
+            f"WHEN (SELECT mx FROM mx{t}) = 0 THEN pv.v "
+            f"WHEN w.w < 0 THEN -(((-w.w) * {v_scale}) // (SELECT mx FROM mx{t})) "
+            f"ELSE (w.w * {v_scale}) // (SELECT mx FROM mx{t}) END AS v "
+            f"FROM w{t} w JOIN v{t} pv ON pv.i = w.i)"
+        )
+    parts.append(
+        f"sf AS MATERIALIZED (SELECT CASE WHEN (SELECT v FROM v{iters} WHERE v <> 0 "
+        f"ORDER BY i LIMIT 1) < 0 THEN -1 ELSE 1 END AS s)"
+    )
+    parts.append(
+        f"fv AS MATERIALIZED (SELECT i, v * (SELECT s FROM sf) AS v FROM v{iters})"
+    )
+    return ",\n".join(parts)
+
+
+def _covariance_topk_sql() -> str:
+    return (
+        "WITH "
+        + _gram_cte_sql(_GRAM_SCALE_TOPK)
+        + "\nSELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, CAST(g AS BIGINT) AS g\n"
+        "FROM g WHERE i < j\n"
+        "ORDER BY abs(g) DESC, i, j LIMIT 20"
+    )
+
+
+def _principal_component_sql() -> str:
+    return (
+        _power_iter_cte_sql()
+        + "\nSELECT CAST(i AS INT) AS i, CAST(v AS BIGINT) AS v FROM fv"
+    )
+
+
+def _principal_projection_sql() -> str:
+    return (
+        _power_iter_cte_sql()
+        + f""",
+qp AS (SELECT e.vec_id, d.i,
+              CAST(floor(e.v[d.i + 1] * {float(_PROJ_SCALE)} + 0.5) AS BIGINT) AS x
+       FROM e CROSS JOIN dims d),
+pr AS (SELECT qp.vec_id, sum(qp.x * fv.v) AS proj
+       FROM qp JOIN fv ON qp.i = fv.i GROUP BY qp.vec_id)
+SELECT vec_id, CAST(proj AS BIGINT) AS proj
+FROM pr ORDER BY proj DESC, vec_id LIMIT 50"""
+    )
+
+
+def _collected_gram(spark: SparkSession, sf_dir: str, scale: int):
+    """Gram upper triangle → driver ints (d(d+1)/2 rows of control
+    state, same budget class as k-means centroids)."""
+    from cdc_pipeline_spark.operators.linalg import quantized_gram
+    from cdc_pipeline_spark.operators.partitioning import spread
+
+    emb = spread(
+        _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    )
+    return [
+        (r["i"], r["j"], int(r["g"]))
+        for r in quantized_gram(emb, scale=scale).collect()
+    ]
+
+
+@register("embedding_covariance_topk", _covariance_topk_sql())
+def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 off-diagonal entries of the exact integer covariance Gram
+    (|G_ij| desc) — the per-dimension correlation audit of an embedding
+    corpus, computed with O(batches·d²) shuffle rows at any scale. The
+    long output cast is safe while n²·(scale·max|x|)² < 2⁶³ — holds
+    through sf0.1 with 6 orders of magnitude to spare."""
+    from cdc_pipeline_spark.operators.linalg import quantized_gram
+    from cdc_pipeline_spark.operators.partitioning import spread
+
+    emb = spread(
+        _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    )
+    g = quantized_gram(emb, scale=_GRAM_SCALE_TOPK)
+    return (
+        g.filter(F.col("i") < F.col("j"))
+        .orderBy(F.abs(F.col("g")).desc(), "i", "j")
+        .limit(20)
+        .select("i", "j", F.col("g").cast("long").alias("g"))
+    )
+
+
+@register("embedding_principal_component", _principal_component_sql())
+def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized top principal direction of the embedding
+    corpus: distributed exact Gram (one scan + kilobyte shuffle), then
+    8 integer-renormalized power-iteration steps on the collected d×d
+    matrix (driver control state). Output: 64 rows (dim index, component
+    at max-abs scale 4096), sign-fixed. The oracle replays every
+    iteration in DuckDB HUGEINTs — bit-exact, no float tolerance."""
+    from cdc_pipeline_spark.operators.linalg import power_iteration_top
+
+    v = power_iteration_top(
+        _collected_gram(spark, sf_dir, _GRAM_SCALE_PI),
+        dim=_LINALG_DIM,
+        iters=_PI_ITERS,
+        v_scale=_PI_VSCALE,
+    )
+    return spark.createDataFrame(
+        [(i, int(x)) for i, x in enumerate(v)], schema="i int, v long"
+    )
+
+
+@register("embedding_principal_projection", _principal_projection_sql())
+def embedding_principal_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector's exact integer projection onto the power-iteration
+    principal direction; top 50 by projection. The direction is
+    broadcast as a literal array and the dot product is a zero-shuffle
+    zip_with/aggregate fold — the whitening/score pass of a 100 TB
+    embedding pipeline in one scan."""
+    from cdc_pipeline_spark.operators.linalg import (
+        power_iteration_top,
+        project_quantized,
+    )
+    from cdc_pipeline_spark.operators.partitioning import spread
+
+    v = power_iteration_top(
+        _collected_gram(spark, sf_dir, _GRAM_SCALE_PI),
+        dim=_LINALG_DIM,
+        iters=_PI_ITERS,
+        v_scale=_PI_VSCALE,
+    )
+    emb = spread(
+        _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    )
+    return (
+        project_quantized(emb, v, scale=_PROJ_SCALE)
+        .orderBy(F.col("proj").desc(), "vec_id")
+        .limit(50)
+        .select("vec_id", "proj")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50
 # registered queries per round (CORRECTNESS_r01 stopped at entry 50 of 81).
 # Re-order the registry so the queries most in need of a fresh driver row
@@ -4142,6 +4341,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "two_level_region_resolution",
     "multimodal_byte_stats",
     "multimodal_frame_sample",
+    # -- late-round-4 additions (never driver-checked) --
+    "embedding_covariance_topk",
+    "embedding_principal_component",
+    "embedding_principal_projection",
     # -- stalest greens: last driver-checked in round 1 --
     "activity_feed_top15",
     "alert_threshold_frame",
@@ -4171,14 +4374,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "orders_rollup",
     "parts_below_brand_avg",
     "platform_breakdown",
-    "props_json_stats",
-    "purchase_error_full_outer",
-    "purchasing_clickers",
 ]
 
 # Round-1-stale queries that do not fit in the 50-query window this
 # round; first in line for the round-5 window.
 _DRIVER_WINDOW_CARRYOVER = [
+    "props_json_stats",
+    "purchase_error_full_outer",
+    "purchasing_clickers",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_volume",

@@ -1,0 +1,124 @@
+"""Unit tests for operators/linalg.py — exact distributed Gram,
+integer power iteration, and broadcast projection."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_pipeline_spark.operators.linalg import (
+    power_iteration_top,
+    project_quantized,
+    quantized_gram,
+)
+
+DIM = 6
+SCALE = 1 << 12
+
+
+def _random_vectors(n: int, seed: int = 11) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.uniform(-0.6, 0.6) for _ in range(DIM)] for _ in range(n)]
+
+
+def _numpy_gram(vecs: list[list[float]], scale: int) -> dict[tuple[int, int], int]:
+    """Brute-force exact reference: quantize half-up, integer G = n·S − m·mᵀ."""
+    Q = np.floor(np.array(vecs, dtype=np.float64) * scale + 0.5).astype(object)
+    n = len(vecs)
+    out = {}
+    for i in range(DIM):
+        for j in range(i, DIM):
+            s = int(sum(int(Q[r, i]) * int(Q[r, j]) for r in range(n)))
+            mi = int(sum(int(Q[r, i]) for r in range(n)))
+            mj = int(sum(int(Q[r, j]) for r in range(n)))
+            out[(i, j)] = n * s - mi * mj
+    return out
+
+
+def test_quantized_gram_matches_bruteforce_and_partitioning(spark):
+    vecs = _random_vectors(40)
+    expected = _numpy_gram(vecs, SCALE)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    for parts in (1, 7):
+        got = {
+            (r["i"], r["j"]): int(r["g"])
+            for r in quantized_gram(df.repartition(parts), scale=SCALE).collect()
+        }
+        assert got == expected, f"partitioning {parts} diverged"
+
+
+def test_quantized_gram_skips_null_vectors(spark):
+    vecs = _random_vectors(10)
+    rows = [(i, v) for i, v in enumerate(vecs)] + [(99, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["i"], r["j"]): int(r["g"])
+        for r in quantized_gram(
+            df.filter(F.col("embedding").isNotNull()), scale=SCALE
+        ).collect()
+    }
+    assert got == _numpy_gram(vecs, SCALE)
+
+
+def test_power_iteration_aligns_with_numpy_eigh():
+    # Build an integer symmetric matrix with a clearly dominant direction.
+    rng = random.Random(3)
+    u = np.array([rng.uniform(-1, 1) for _ in range(DIM)])
+    u /= np.linalg.norm(u)
+    M = 100000 * np.outer(u, u) + np.diag([rng.uniform(0, 1000) for _ in range(DIM)])
+    M = ((M + M.T) / 2).astype(np.int64)
+    rows = [(i, j, int(M[i, j])) for i in range(DIM) for j in range(i, DIM)]
+    v = power_iteration_top(rows, dim=DIM, iters=12, v_scale=4096)
+    vv = np.array(v, dtype=np.float64)
+    cos = abs(vv @ u) / (np.linalg.norm(vv) * np.linalg.norm(u))
+    assert cos > 0.99
+    assert max(abs(x) for x in v) <= 4096
+    first = next((x for x in v if x != 0), 0)
+    assert first >= 0  # sign fix: first nonzero entry is positive
+
+
+def test_power_iteration_zero_and_empty_matrices():
+    assert power_iteration_top([], dim=4) == [0, 0, 0, 0]
+    # all-zero matrix: start vector e_r (r = argmax over equal diag -> 0)
+    zero_rows = [(i, j, 0) for i in range(4) for j in range(i, 4)]
+    assert power_iteration_top(zero_rows, dim=4, v_scale=64) == [64, 0, 0, 0]
+
+
+def test_power_iteration_matches_oracle_division_semantics():
+    """Negative w components must renormalize identically to the DuckDB
+    replay: sign split out, division on non-negative operands only."""
+    rows = [(0, 0, -5), (0, 1, 3), (1, 1, -5)]
+    v = power_iteration_top(rows, dim=2, iters=1, v_scale=100)
+    # v0 = [100, 0] (diag tie -5 -> index 0); w = [-500, 300]
+    # renorm: [-(500*100//500), 300*100//500] = [-100, 60] -> sign-fix -> [100, -60]
+    assert v == [100, -60]
+
+
+def test_project_quantized_matches_python(spark):
+    vecs = _random_vectors(25, seed=5)
+    direction = [3, -2, 5, 0, -1, 4]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r["proj"]
+        for r in project_quantized(df, direction, scale=1 << 20).collect()
+    }
+    for i, v in enumerate(vecs):
+        q = [math.floor(x * (1 << 20) + 0.5) for x in v]
+        assert got[i] == sum(a * b for a, b in zip(q, direction))
+
+
+def test_project_quantized_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(_random_vectors(8))],
+        "vec_id long, embedding array<double>",
+    )
+    plan = project_quantized(df, [1] * DIM)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
