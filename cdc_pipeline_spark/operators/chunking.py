@@ -17,8 +17,20 @@ its text passthrough in src/streaming/transforms/activity_enricher.py):
     aggregation does the heavy lifting — pair counts collapse before
     the shuffle) + a TakeOrdered top-k: no global sort.
 
-Everything is JVM built-ins (split/slice/transform/sequence/explode);
-no Python UDFs anywhere.
+  * ``bpe_train_merges`` — full iterative BPE merge training (Sennrich
+    et al. 2016, without the end-of-word marker): k rounds of
+    (weighted pair count → argmax merge → greedy left-to-right apply)
+    over the corpus word-frequency table. Each round is ONE shuffle
+    whose rows are map-side-combined distinct pairs; the winning merge
+    is a 1-row TakeOrdered collect (driver control state, k rows
+    total); the merge APPLICATION is a pure JVM ``aggregate`` fold over
+    the symbol arrays — no Python UDF, no per-word driver work. Round
+    t re-derives symbols from the base character split through the t
+    accumulated merge folds, so no distributed state persists between
+    rounds and lineage stays one scan deep.
+
+Everything is JVM built-ins (split/slice/transform/sequence/explode/
+aggregate); no Python UDFs anywhere.
 """
 
 from __future__ import annotations
@@ -110,3 +122,101 @@ def adjacent_pair_counts(
         F.count(F.lit(1)).alias("n_occurrences"),
     )
     return counts.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc()).limit(k)
+
+
+def merge_pair_expr(syms, a: str, b: str):
+    """Greedy left-to-right non-overlapping merge of adjacent symbol
+    pair (a, b) into ``a+b`` — the apply step of one BPE merge round,
+    as a pure JVM ``aggregate`` fold (state: emitted prefix + one
+    pending symbol; '' is the no-pending sentinel, impossible as a real
+    symbol since characters and merges are non-empty).
+
+    Greedy semantics match the classic implementation: "aaa" under
+    (a,a) becomes ["aa","a"], and a merged token is not reconsidered as
+    the LEFT side within the same round (it is appended to the result,
+    never to the pending slot)."""
+
+    def _acc(res, prev):
+        return F.struct(res.alias("res"), prev.alias("prev"))
+
+    init = _acc(F.array().cast("array<string>"), F.lit(""))
+
+    def step(acc, s):
+        return (
+            F.when(acc["prev"] == F.lit(""), _acc(acc["res"], s))
+            .when(
+                (acc["prev"] == F.lit(a)) & (s == F.lit(b)),
+                _acc(F.concat(acc["res"], F.array(F.lit(a + b))), F.lit("")),
+            )
+            .otherwise(_acc(F.concat(acc["res"], F.array(acc["prev"])), s))
+        )
+
+    def fin(acc):
+        return F.when(acc["prev"] == F.lit(""), acc["res"]).otherwise(
+            F.concat(acc["res"], F.array(acc["prev"]))
+        )
+
+    return F.aggregate(syms, init, step, fin)
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 8,
+) -> list[tuple[str, str, int]]:
+    """Train ``rounds`` BPE merges over the corpus; returns the ordered
+    merge table [(left, right, score)].
+
+    The distributed state is the word-frequency table (one groupBy of
+    the token explode — at 100 TB this is the standard vocab-count
+    shuffle, map-side combined). Per round: symbols = base character
+    split run through the accumulated merge folds (re-derived, so no
+    cached distributed state and replay-stable lineage); adjacent pair
+    counts weighted by word frequency collapse map-side before ONE
+    shuffle; the argmax merge (count DESC, pair ASC — deterministic)
+    is a 1-row collect. Stops early when no pair remains. Counts are
+    integer sums — exact under any partitioning, which is what lets a
+    SQL replay match bit-for-bit.
+    """
+    words = (
+        _spread(df)
+        .select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .persist()
+    )
+    try:
+        merges: list[tuple[str, str, int]] = []
+        for _ in range(rounds):
+            syms = F.split(F.col("word"), "")
+            for a, b, _score in merges:
+                syms = merge_pair_expr(syms, a, b)
+            sc = F.col("__syms")
+            n = F.size(sc)
+            idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+            pair = F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(sc, i).alias("a"),
+                    F.element_at(sc, i + 1).alias("b"),
+                ),
+            )
+            best = (
+                words.withColumn("__syms", syms)
+                .select("freq", F.explode(pair).alias("p"))
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            r = best[0]
+            merges.append((r["a"], r["b"], int(r["cnt"])))
+        return merges
+    finally:
+        words.unpersist()

@@ -3665,6 +3665,101 @@ def corpus_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adjacent_pair_counts(_t(spark, sf_dir, "documents"), k=30)
 
 
+def _bpe_train_oracle_sql(rounds: int = 8) -> str:
+    """DuckDB replay of chunking.bpe_train_merges: per round, weighted
+    adjacent-pair counts over the evolving symbol lists pick the argmax
+    merge (count DESC, pair ASC), then a gaps-and-islands window dance
+    applies it greedily left-to-right (within each run of consecutive
+    hit positions, odd ranks merge — exactly the classic scan-skip-2
+    semantics the engine's aggregate fold implements). All counts are
+    integer sums → bit-exact at any partitioning. CTEs MATERIALIZED to
+    stop DuckDB's inliner re-evaluating the round chain exponentially."""
+    parts = [
+        r"""WITH w AS MATERIALIZED (
+    SELECT word, count(*) AS freq FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  t -> t <> '')) AS word
+        FROM documents) GROUP BY word),
+tok0 AS MATERIALIZED (SELECT word, freq, string_split(word, '') AS syms FROM w)"""
+    ]
+    for t in range(rounds):
+        parts.append(
+            f"u{t} AS MATERIALIZED (\n"
+            f"    SELECT word, freq, i, syms[i] AS s, syms[i + 1] AS nxt\n"
+            f"    FROM (SELECT word, freq, syms, "
+            f"unnest(generate_series(1, len(syms))) AS i FROM tok{t}))"
+        )
+        parts.append(
+            f"best{t} AS MATERIALIZED (\n"
+            f"    SELECT s AS a, nxt AS b, sum(freq) AS cnt FROM u{t} "
+            f"WHERE nxt IS NOT NULL\n"
+            f"    GROUP BY s, nxt ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        if t < rounds - 1:
+            parts.append(
+                f"isl{t} AS MATERIALIZED (\n"
+                f"    SELECT word, freq, i, s,\n"
+                f"           (s = (SELECT a FROM best{t}) AND "
+                f"nxt = (SELECT b FROM best{t})) AS hit\n"
+                f"    FROM u{t})"
+            )
+            parts.append(
+                f"grp{t} AS MATERIALIZED (\n"
+                f"    SELECT word, freq, i, s, hit,\n"
+                f"           CASE WHEN hit THEN i - row_number() OVER "
+                f"(PARTITION BY word, hit ORDER BY i) END AS grp\n"
+                f"    FROM isl{t})"
+            )
+            parts.append(
+                f"mrk{t} AS MATERIALIZED (\n"
+                f"    SELECT word, freq, i, s,\n"
+                f"           coalesce(hit AND (row_number() OVER "
+                f"(PARTITION BY word, grp ORDER BY i) % 2 = 1), false) AS m\n"
+                f"    FROM grp{t})"
+            )
+            parts.append(
+                f"nm{t} AS MATERIALIZED (\n"
+                f"    SELECT word, freq, i, s, m,\n"
+                f"           coalesce(lag(m) OVER (PARTITION BY word ORDER BY i), "
+                f"false) AS pm\n"
+                f"    FROM mrk{t})"
+            )
+            parts.append(
+                f"tok{t + 1} AS MATERIALIZED (\n"
+                f"    SELECT word, freq,\n"
+                f"           list(CASE WHEN m THEN s || (SELECT b FROM best{t}) "
+                f"ELSE s END ORDER BY i)\n"
+                f"               FILTER (WHERE m OR NOT pm) AS syms\n"
+                f"    FROM nm{t} GROUP BY word, freq)"
+            )
+    selects = [
+        f"SELECT {t} AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, "
+        f"CAST(cnt AS BIGINT) AS score FROM best{t}"
+        for t in range(rounds)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("corpus_bpe_train", _bpe_train_oracle_sql())
+def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative BPE merge training (8 rounds) over the corpus —
+    the tokenizer-training loop itself, not just one scoring pass
+    (which `corpus_pair_merges` covers). Each round: ONE shuffle of
+    map-side-combined weighted pair counts over the word-frequency
+    table, a 1-row argmax collect (driver control state), and a pure
+    JVM aggregate-fold merge application; round t re-derives symbols
+    from the base character split so no distributed state persists
+    between rounds. The oracle replays every round — pair counts,
+    tie-breaks, AND the greedy merge application — in DuckDB."""
+    from cdc_pipeline_spark.operators.chunking import bpe_train_merges
+
+    merges = bpe_train_merges(_t(spark, sf_dir, "documents"), rounds=8)
+    return spark.createDataFrame(
+        [(t, a, b, a + b, int(c)) for t, (a, b, c) in enumerate(merges)],
+        schema="merge_rank int, lhs string, rhs string, merged string, score long",
+    )
+
+
 @register(
     "doc_eval_containment",
     r"""
@@ -4345,6 +4440,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_covariance_topk",
     "embedding_principal_component",
     "embedding_principal_projection",
+    "corpus_bpe_train",
     # -- stalest greens: last driver-checked in round 1 --
     "activity_feed_top15",
     "alert_threshold_frame",
@@ -4373,12 +4469,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "order_status_rollup",
     "orders_rollup",
     "parts_below_brand_avg",
-    "platform_breakdown",
 ]
 
 # Round-1-stale queries that do not fit in the 50-query window this
 # round; first in line for the round-5 window.
 _DRIVER_WINDOW_CARRYOVER = [
+    "platform_breakdown",
     "props_json_stats",
     "purchase_error_full_outer",
     "purchasing_clickers",

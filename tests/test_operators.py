@@ -1548,3 +1548,71 @@ def test_bigram_logprob_penalizes_word_order(spark):
     tiny = spark.createDataFrame([(1, "word"), (2, "two words")], "doc_id long, text string")
     out = bigram_logprob_score(tiny).collect()
     assert [r.doc_id for r in out] == [2] and out[0].n_bigrams == 1
+
+
+def test_merge_pair_expr_greedy_left_to_right(spark):
+    """The BPE apply fold must match the classic scan-skip-2 greedy:
+    overlapping occurrences resolve left-first, merged tokens are not
+    re-eligible as the LEFT side within the same round."""
+    from cdc_pipeline_spark.operators.chunking import merge_pair_expr
+
+    cases = [
+        (["a", "a", "a"], ("a", "a"), ["aa", "a"]),
+        (["a", "a", "a", "a"], ("a", "a"), ["aa", "aa"]),
+        (["a", "b", "a", "b"], ("a", "b"), ["ab", "ab"]),
+        (["a", "b", "b"], ("a", "b"), ["ab", "b"]),
+        (["x"], ("a", "b"), ["x"]),
+        (["b", "a", "b", "c"], ("a", "b"), ["b", "ab", "c"]),
+    ]
+    df = spark.createDataFrame(
+        [(i, syms) for i, (syms, _, _) in enumerate(cases)], "id int, syms array<string>"
+    )
+    for i, (_, (a, b), want) in enumerate(cases):
+        got = (
+            df.filter(F.col("id") == i)
+            .select(merge_pair_expr(F.col("syms"), a, b).alias("m"))
+            .first()["m"]
+        )
+        assert got == want, f"case {i}: {got} != {want}"
+
+
+def test_bpe_train_matches_classic_reference(spark):
+    """8 Spark-trained merges equal a pure-Python classic BPE (Sennrich
+    get_stats/merge loop) on the same corpus, including tie-breaks."""
+    from collections import Counter
+
+    from cdc_pipeline_spark.operators.chunking import bpe_train_merges
+
+    corpus = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "wider wide new banana bandana",
+    ]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = bpe_train_merges(df, rounds=8)
+
+    words = Counter(w for t in corpus for w in t.split())
+    toks = {w: list(w) for w in words}
+    want = []
+    for _ in range(8):
+        pc = Counter()
+        for w, f in words.items():
+            s = toks[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        mx = max(pc.values())
+        a, b = sorted(p for p, c in pc.items() if c == mx)[0]
+        want.append((a, b, mx))
+        for w, s in toks.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            toks[w] = out
+    assert got == want
