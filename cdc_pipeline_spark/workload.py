@@ -3665,7 +3665,7 @@ def corpus_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adjacent_pair_counts(_t(spark, sf_dir, "documents"), k=30)
 
 
-def _bpe_train_oracle_sql(rounds: int = 8) -> str:
+def _bpe_train_oracle_sql(rounds: int = 8, with_final_tok: bool = False) -> str:
     """DuckDB replay of chunking.bpe_train_merges: per round, weighted
     adjacent-pair counts over the evolving symbol lists pick the argmax
     merge (count DESC, pair ASC), then a gaps-and-islands window dance
@@ -3695,7 +3695,7 @@ tok0 AS MATERIALIZED (SELECT word, freq, string_split(word, '') AS syms FROM w)"
             f"WHERE nxt IS NOT NULL\n"
             f"    GROUP BY s, nxt ORDER BY cnt DESC, a, b LIMIT 1)"
         )
-        if t < rounds - 1:
+        if t < rounds - 1 or with_final_tok:
             parts.append(
                 f"isl{t} AS MATERIALIZED (\n"
                 f"    SELECT word, freq, i, s,\n"
@@ -3732,12 +3732,78 @@ tok0 AS MATERIALIZED (SELECT word, freq, string_split(word, '') AS syms FROM w)"
                 f"               FILTER (WHERE m OR NOT pm) AS syms\n"
                 f"    FROM nm{t} GROUP BY word, freq)"
             )
+    if with_final_tok:
+        return ",\n".join(parts)
     selects = [
         f"SELECT {t} AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, "
         f"CAST(cnt AS BIGINT) AS score FROM best{t}"
         for t in range(rounds)
     ]
     return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _bpe_segmentation_oracle_sql(rounds: int = 8) -> str:
+    """Train the 8 merges (same chain as `corpus_bpe_train`, but keeping
+    the FINAL symbol state tok{rounds}), then tokenize every document by
+    joining its words to the trained symbol table — per-doc word, char
+    and BPE-token counts. All integer aggregates."""
+    chain = _bpe_train_oracle_sql(rounds, with_final_tok=True)
+    return (
+        chain
+        + f""",
+dw AS MATERIALIZED (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              t -> t <> '')) AS word
+    FROM documents)
+SELECT dw.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(dw.word)) AS BIGINT) AS n_chars,
+       CAST(sum(len(t.syms)) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN tok{rounds} t USING (word)
+GROUP BY dw.doc_id"""
+    )
+
+
+@register("doc_bpe_segmentation", _bpe_segmentation_oracle_sql())
+def doc_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→apply: tokenize every document with the 8 trained BPE
+    merges. The fold chain runs once per DISTINCT word (the vocab
+    table), which then broadcast-joins back to the exploded corpus —
+    per-occurrence cost is a hash probe, not a re-segmentation, the
+    same trick a production tokenizer's word cache plays. Output:
+    per-doc word/char/BPE-token counts (all integers)."""
+    from cdc_pipeline_spark.operators.chunking import (
+        bpe_train_merges,
+        merge_pair_expr,
+    )
+    from cdc_pipeline_spark.operators.partitioning import spread
+    from cdc_pipeline_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train_merges(docs, rounds=8)
+    exploded = (
+        spread(docs)
+        .select("doc_id", F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    syms = F.split(F.col("word"), "")
+    for a, b, _score in merges:
+        syms = merge_pair_expr(syms, a, b)
+    vocab = (
+        exploded.select("word")
+        .distinct()
+        .select("word", F.size(syms).alias("n_syms"))
+    )
+    return (
+        exploded.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+    )
 
 
 @register("corpus_bpe_train", _bpe_train_oracle_sql())
@@ -4441,6 +4507,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_principal_component",
     "embedding_principal_projection",
     "corpus_bpe_train",
+    "doc_bpe_segmentation",
     # -- stalest greens: last driver-checked in round 1 --
     "activity_feed_top15",
     "alert_threshold_frame",
@@ -4468,12 +4535,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "kpi_sliding_window",
     "order_status_rollup",
     "orders_rollup",
-    "parts_below_brand_avg",
 ]
 
 # Round-1-stale queries that do not fit in the 50-query window this
 # round; first in line for the round-5 window.
 _DRIVER_WINDOW_CARRYOVER = [
+    "parts_below_brand_avg",
     "platform_breakdown",
     "props_json_stats",
     "purchase_error_full_outer",
