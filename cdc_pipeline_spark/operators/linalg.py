@@ -111,27 +111,24 @@ def _gram_partials(
     yield pd.DataFrame({"i": rows_i, "j": rows_j, "v": rows_v})
 
 
-def quantized_gram(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    scale: int = 1 << 12,
+def gram_partial_rows(
+    df: DataFrame, vec_col: str = "embedding", scale: int = 1 << 12
 ) -> DataFrame:
-    """Exact centered Gram matrix of an embedding column.
-
-    Returns the upper triangle (i ≤ j) of ``G = n·S − m·mᵀ`` over the
-    half-up integer quantization ``q = floor(x·scale + 0.5)`` — G is
-    n² times the sample covariance of the quantized vectors, kept in
-    integer form (decimal(38,0)) so it is bit-identical under any
-    partitioning or engine. Columns: ``i int, j int, g decimal(38,0)``.
-
-    One scan + one tiny shuffle (O(batches·d²) partial rows); the
-    d(d+1)/2-row result is broadcast-sized for any realistic d.
-    """
+    """The raw per-partition Gram partials (sentinel-encoded: S upper
+    triangle at (i, j≥0), column sums at (i, −1), row count at
+    (−1, −1)) — ADDITIVE rows, the streaming-maintainable form. Batch
+    callers want :func:`quantized_gram`; the streaming rollup writer
+    persists these per micro-batch and merges exactly on read."""
     sc = int(scale)
-    partials = df.select(vec_col).mapInPandas(
+    return df.select(vec_col).mapInPandas(
         lambda it: _gram_partials(it, vec_col, sc), schema=_PARTIAL_SCHEMA
     )
-    sums = partials.groupBy("i", "j").agg(F.sum("v").alias("v"))
+
+
+def assemble_centered_gram(sums: DataFrame) -> DataFrame:
+    """Assemble the centered Gram ``G = n·S − m·mᵀ`` from MERGED partial
+    sums (i, j, v). Exact decimal arithmetic; the inputs are tiny
+    (≤ d(d+1)/2 + d + 1 rows), so every join is a broadcast."""
     s = sums.filter((F.col("i") >= 0) & (F.col("j") >= 0))
     mcol = sums.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
         F.col("i").alias("mi_i"), F.col("v").alias("m")
@@ -153,6 +150,27 @@ def quantized_gram(
             (F.col("n") * F.col("v") - F.col("m_i") * F.col("m_j")).alias("g"),
         )
     )
+
+
+def quantized_gram(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1 << 12,
+) -> DataFrame:
+    """Exact centered Gram matrix of an embedding column.
+
+    Returns the upper triangle (i ≤ j) of ``G = n·S − m·mᵀ`` over the
+    half-up integer quantization ``q = floor(x·scale + 0.5)`` — G is
+    n² times the sample covariance of the quantized vectors, kept in
+    integer form (decimal(38,0)) so it is bit-identical under any
+    partitioning or engine. Columns: ``i int, j int, g decimal(38,0)``.
+
+    One scan + one tiny shuffle (O(batches·d²) partial rows); the
+    d(d+1)/2-row result is broadcast-sized for any realistic d.
+    """
+    partials = gram_partial_rows(df, vec_col, scale)
+    sums = partials.groupBy("i", "j").agg(F.sum("v").alias("v"))
+    return assemble_centered_gram(sums)
 
 
 def power_iteration_top(

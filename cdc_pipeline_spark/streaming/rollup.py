@@ -39,6 +39,9 @@ __all__ = [
     "HistogramRollupWriter",
     "read_histogram_rollup",
     "compact_histogram_partials",
+    "GramRollupWriter",
+    "read_gram_rollup",
+    "compact_gram_partials",
 ]
 
 _GRAIN_SECONDS = {"5min": 300, "hour": 3600, "day": 86400}
@@ -374,6 +377,89 @@ def compact_histogram_partials(
         folded = (
             partials.groupBy(*group_cols, "bin")
             .agg(F.sum("n").cast("long").alias("n"))
+            .withColumn("batch_id", F.lit(-1))
+        )
+        return _swap_compacted(spark, path, partials, folded, run_id)
+
+
+class GramRollupWriter:
+    """``foreachBatch`` writer maintaining the exact integer Gram/
+    covariance partials of an embedding stream: each micro-batch
+    appends its sentinel-encoded partial rows (upper-triangle XᵀX at
+    (i, j≥0), column sums at (i, −1), row count at (−1, −1) — see
+    ``operators.linalg.gram_partial_rows``) under ``batch_id=<n>``,
+    with the same idempotence-by-layout, run-scoped replay guard and
+    table lock as the other rollup writers. Partials are ADDITIVE
+    decimal(38,0) integers, so readers merge them exactly (fold-order
+    free) and :func:`read_gram_rollup` assembles the same centered
+    ``G = n·S − m·mᵀ`` a from-scratch batch pass would produce — a
+    continuously-maintained covariance/PCA precompute whose per-batch
+    write volume is ≤ d(d+1)/2 + d + 1 rows regardless of batch size.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        vec_col: str = "embedding",
+        scale: int = 1 << 12,
+        run_id: str = "",
+    ) -> None:
+        self.path = path
+        self.vec_col = vec_col
+        self.scale = int(scale)
+        self.run_id = run_id
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from cdc_pipeline_spark.operators.linalg import gram_partial_rows
+
+        through, marker_run = _compaction_state(self.path)
+        if marker_run == self.run_id and int(batch_id) <= through:
+            return
+        partials = (
+            gram_partial_rows(
+                batch_df.filter(F.col(self.vec_col).isNotNull()),
+                vec_col=self.vec_col,
+                scale=self.scale,
+            )
+            .groupBy("i", "j")
+            .agg(F.sum("v").alias("v"))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        with _table_lock(self.path), temp_conf(
+            batch_df.sparkSession, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
+            partials.coalesce(1).write.mode("overwrite").partitionBy("batch_id").parquet(self.path)
+
+
+def read_gram_rollup(spark: SparkSession, path: str) -> DataFrame:
+    """Merge Gram partials and assemble the centered Gram upper
+    triangle (i, j, g) — exact regardless of batch layout (decimal
+    integer sums), bit-equal to ``operators.linalg.quantized_gram``
+    over the full history (golden-tested)."""
+    from cdc_pipeline_spark.operators.linalg import assemble_centered_gram
+
+    sums = (
+        spark.read.parquet(path)
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+    )
+    return assemble_centered_gram(sums)
+
+
+def compact_gram_partials(
+    spark: SparkSession,
+    path: str,
+    run_id: str = "",
+    lock_timeout: float = 30.0,
+) -> int:
+    """Fold Gram per-batch partials into one ``batch_id=-1`` partition
+    (exact decimal merge), with the same replay marker and crash-safe
+    rename-aside swap as the other compactors."""
+    with _table_lock(path, timeout=lock_timeout):
+        partials = spark.read.parquet(path)
+        folded = (
+            partials.groupBy("i", "j")
+            .agg(F.sum("v").alias("v"))
             .withColumn("batch_id", F.lit(-1))
         )
         return _swap_compacted(spark, path, partials, folded, run_id)

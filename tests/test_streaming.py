@@ -1385,3 +1385,49 @@ def test_backlogged_file_source_drains_in_bounded_batches(spark, tmp_path):
     assert bounded_batches >= len(batches), "each file must arrive in its own micro-batch"
     assert unbounded_batches == 1, "no limit -> the whole backlog in one batch"
     assert bounded == unbounded, "drained state must be independent of batch slicing"
+
+
+def test_gram_rollup_incremental_matches_batch(spark, tmp_path):
+    """Streaming-maintained covariance precompute: per-batch Gram
+    partials merged at read time must BIT-EXACTLY equal the batch
+    quantized_gram over the union (decimal integer state, no
+    tolerance), replay must not change the table, and compaction must
+    fold without changing reads or re-admitting folded batches."""
+    import random
+
+    from cdc_pipeline_spark.operators.linalg import quantized_gram
+    from cdc_pipeline_spark.streaming.rollup import (
+        GramRollupWriter,
+        compact_gram_partials,
+        read_gram_rollup,
+    )
+
+    rng = random.Random(17)
+    dim, scale = 5, 1 << 12
+    mk = lambda n, base: [
+        (base + i, [rng.uniform(-0.5, 0.5) for _ in range(dim)]) for i in range(n)
+    ]
+    batches = [mk(30, 0), mk(20, 100), mk(25, 200)]
+    schema = "vec_id long, embedding array<double>"
+    table = str(tmp_path / "gram_rollup")
+    writer = GramRollupWriter(table, scale=scale, run_id="run-g")
+    for i, rows in enumerate(batches):
+        writer(spark.createDataFrame(rows, schema), i)
+
+    def snap(df):
+        return {(r["i"], r["j"]): int(r["g"]) for r in df.collect()}
+
+    got = snap(read_gram_rollup(spark, table))
+    union = [r for b in batches for r in b]
+    gold = snap(quantized_gram(spark.createDataFrame(union, schema), scale=scale))
+    assert got == gold
+
+    # at-least-once replay: same batch id overwrites its own partition
+    writer(spark.createDataFrame(batches[1], schema), 1)
+    assert snap(read_gram_rollup(spark, table)) == gold
+
+    # compaction folds exactly; replay of a folded id is guard-skipped
+    compact_gram_partials(spark, table, run_id="run-g")
+    assert snap(read_gram_rollup(spark, table)) == gold
+    writer(spark.createDataFrame(batches[2], schema), 2)
+    assert snap(read_gram_rollup(spark, table)) == gold
