@@ -61,11 +61,17 @@ def chunk_documents(
     the sparse-sampling mode — strided windows with gaps between them
     (the text analogue of video frame sampling).
 
-    Plan shape: narrow (no shuffle). The explode multiplies rows by
-    ~n_tokens/stride, so downstream consumers should expect the row
-    count, not the byte count, to grow: each token lands in
-    ``window/stride`` chunks (~1.33× bytes at the 64/48 default).
+    Plan shape: narrow (project/explode — no shuffle on an input that
+    already has adequate partitions; an under-partitioned source, e.g.
+    one small parquet file, gets a one-time repartition via
+    ``ensure_parallelism`` so the explode doesn't serialize onto one
+    core). The explode multiplies rows by ~n_tokens/stride, so
+    downstream consumers should expect the row count, not the byte
+    count, to grow: each token lands in ``window/stride`` chunks
+    (~1.33× bytes at the 64/48 default).
     """
+    from cdc_pipeline_spark.operators.partitioning import ensure_parallelism
+
     if window <= 0 or stride <= 0:
         raise ValueError("window and stride must be positive")
     # drop the [''] artifact split() yields for empty/whitespace text:
@@ -74,7 +80,7 @@ def chunk_documents(
     toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
     starts = F.sequence(F.lit(0), F.greatest(F.size("__toks") - 1, F.lit(0)), F.lit(stride))
     return (
-        _spread(df)
+        ensure_parallelism(df)
         .select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
         .filter(F.size("__toks") > 0)
         .select("doc_id", "__toks", F.size("__toks").alias("__n"), F.posexplode(starts))

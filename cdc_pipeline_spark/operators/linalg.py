@@ -80,18 +80,37 @@ def _gram_partials(
         if len(col) == 0:
             continue
         X = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        if not np.isfinite(X).all():
+            # NaN/Inf would cast to INT64_MIN silently (numpy undefined
+            # behavior) and corrupt the "exact" Gram; the SQL replay
+            # engines error or NULL on the same input — fail loudly and
+            # let callers filter non-finite rows upstream (the streaming
+            # writer does).
+            raise ValueError(
+                "gram partials: non-finite embedding component — filter "
+                "NaN/Inf rows before quantized_gram/gram_partial_rows"
+            )
         Q = np.floor(X * float(scale) + 0.5).astype(np.int64)
         if S is None:
             d = Q.shape[1]
             S = np.zeros((d, d), dtype=object)
             m = np.zeros(d, dtype=object)
         max_q = int(np.abs(Q).max()) if Q.size else 0
-        # int64 matmul bound: rows_per_chunk * max_q^2 < 2^62
-        chunk = len(Q) if max_q == 0 else max(1, (1 << 62) // (max_q * max_q + 1))
-        for lo in range(0, len(Q), chunk):
-            sub = Q[lo : lo + chunk]
-            S += (sub.T @ sub).astype(object)
-        m += Q.sum(axis=0, dtype=np.int64).astype(object)
+        # int64 matmul bound: rows_per_chunk * max_q^2 < 2^62. When even
+        # ONE row's product exceeds the bound (max_q^2 >= 2^62 — absurdly
+        # large components for the quantization scale, but possible), the
+        # int64 fast path would wrap silently; fall back to exact
+        # object-dtype arithmetic for this batch instead.
+        if max_q and max_q * max_q >= (1 << 62):
+            Qo = Q.astype(object)
+            S += Qo.T @ Qo
+            m += Qo.sum(axis=0)
+        else:
+            chunk = len(Q) if max_q == 0 else max(1, (1 << 62) // (max_q * max_q + 1))
+            for lo in range(0, len(Q), chunk):
+                sub = Q[lo : lo + chunk]
+                S += (sub.T @ sub).astype(object)
+            m += Q.sum(axis=0, dtype=np.int64).astype(object)
         count += len(Q)
     if S is None:
         return

@@ -30,8 +30,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cdc_pipeline_spark.session import temp_conf
-
 __all__ = [
     "RollupTableWriter",
     "read_rollup",
@@ -75,13 +73,6 @@ class RollupTableWriter:
         self.run_id = run_id
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        # foreachBatch is at-least-once: a batch replayed AFTER compaction
-        # folded it into batch_id=-1 would re-create its partition and
-        # double-count on merge — skip ids the marker says are folded,
-        # but only for THIS run's id sequence (see class docstring)
-        through, marker_run = _compaction_state(self.path)
-        if marker_run == self.run_id and int(batch_id) <= through:
-            return
         partials = (
             batch_df.groupBy(
                 (
@@ -101,10 +92,10 @@ class RollupTableWriter:
         )
         # overwrite THIS batch's partition only → replay-idempotent;
         # the table lock keeps the write out of a compaction's dir swap
-        with _table_lock(self.path), temp_conf(
-            batch_df.sparkSession, "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        ):
-            partials.coalesce(1).write.mode("overwrite").partitionBy("batch_id").parquet(self.path)
+        with _table_lock(self.path):
+            if _replay_folded(self.path, self.run_id, batch_id):
+                return
+            _write_partials(partials, self.path)
 
 
 def read_rollup(spark: SparkSession, path: str, grain: str = "5min") -> DataFrame:
@@ -127,6 +118,38 @@ def read_rollup(spark: SparkSession, path: str, grain: str = "5min") -> DataFram
 _COMPACTION_MARKER = "_compaction.json"
 _LOCK_SUFFIX = ".compact.lock"
 _LOCK_STALE_SECONDS = 600.0
+
+
+def _replay_folded(path: str, run_id: str, batch_id: int) -> bool:
+    """foreachBatch is at-least-once: a batch replayed AFTER compaction
+    folded it into ``batch_id=-1`` would re-create its partition and
+    double-count on merge — skip ids the marker says are folded, but
+    only for THIS run's id sequence (batch ids restart at 0 when a
+    checkpoint is recreated). MUST be called while holding the table
+    lock: checking the marker before acquiring it races a concurrent
+    compaction (the fold lands and advances the marker between the
+    check and the write — the classic TOCTOU the lock exists to stop).
+    """
+    through, marker_run = _compaction_state(path)
+    return marker_run == run_id and int(batch_id) <= through
+
+
+def _write_partials(partials: DataFrame, path: str) -> None:
+    """Overwrite exactly this batch's ``batch_id=<n>`` partition.
+
+    The dynamic-overwrite mode rides on the WRITER (per-write option),
+    not the session conf: a session-level temp_conf here raced other
+    concurrent foreachBatch writers on the same SparkSession — one
+    writer's restore could downgrade another's in-flight overwrite to
+    static mode, which deletes every existing partition of that table.
+    """
+    (
+        partials.coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
 
 
 @contextlib.contextmanager
@@ -171,10 +194,19 @@ def _table_lock(path: str, timeout: float = 30.0):
             os.close(fd)
             break
         except FileExistsError:
+            # deadline is checked FIRST so every branch below (stale
+            # break failing persistently, stat races) still terminates
+            # in the promised RuntimeError instead of spinning forever
+            if time.time() > deadline:
+                raise RuntimeError(
+                    f"rollup table {path} is locked by another writer/compaction "
+                    f"({lock}); retry from the maintenance cadence"
+                )
             try:
                 stale = time.time() - os.path.getmtime(lock) > _LOCK_STALE_SECONDS
             except OSError:
-                continue  # holder released between the check and the stat
+                time.sleep(0.05)  # holder released between check and stat
+                continue
             if stale:
                 # atomic break: exactly one waiter wins the rename; the
                 # loser's rename raises and it simply re-polls
@@ -182,17 +214,31 @@ def _table_lock(path: str, timeout: float = 30.0):
                     os.rename(lock, f"{lock}.broken.{token}")
                     os.unlink(f"{lock}.broken.{token}")
                 except OSError:
-                    pass
+                    time.sleep(0.05)
                 continue
-            if time.time() > deadline:
-                raise RuntimeError(
-                    f"rollup table {path} is locked by another writer/compaction "
-                    f"({lock}); retry from the maintenance cadence"
-                )
             time.sleep(0.1)
+    # heartbeat: refresh the lock mtime while held so a write that
+    # legitimately outlives _LOCK_STALE_SECONDS (stalled executors,
+    # skewed micro-batch) is not declared stale and broken mid-write —
+    # the staleness horizon now only fires on genuinely dead holders
+    import threading
+
+    stop_beat = threading.Event()
+
+    def _beat() -> None:
+        while not stop_beat.wait(_LOCK_STALE_SECONDS / 10):
+            try:
+                os.utime(lock)
+            except OSError:
+                return  # lock gone (broken/released) — stop quietly
+
+    beater = threading.Thread(target=_beat, daemon=True)
+    beater.start()
     try:
         yield
     finally:
+        stop_beat.set()
+        beater.join(timeout=1.0)
         try:
             # only release OUR lock: if a breaker replaced it after
             # declaring us stale, the file now carries their token
@@ -214,12 +260,11 @@ def _compaction_state(path: str) -> tuple[int, str]:
         with open(marker) as fh:
             data = json.load(fh)
         return int(data["compacted_through"]), str(data.get("run_id", ""))
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError):
+        # TypeError: valid-JSON-but-not-a-dict marker (truncated or
+        # hand-edited) must degrade to "never compacted" like every
+        # other corruption shape, not crash the streaming query
         return -1, ""
-
-
-def _compacted_through(path: str) -> int:
-    return _compaction_state(path)[0]
 
 
 def compact_partials(
@@ -326,9 +371,6 @@ class HistogramRollupWriter:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from cdc_pipeline_spark.operators.sketches import histogram_bin
 
-        through, marker_run = _compaction_state(self.path)
-        if marker_run == self.run_id and int(batch_id) <= through:
-            return
         partials = (
             batch_df.filter(F.col(self.value_col).isNotNull())
             .groupBy(
@@ -342,10 +384,10 @@ class HistogramRollupWriter:
         )
         # same table lock as RollupTableWriter: a partial landing inside
         # compaction's rename-aside swap would vanish with the .old dir
-        with _table_lock(self.path), temp_conf(
-            batch_df.sparkSession, "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        ):
-            partials.coalesce(1).write.mode("overwrite").partitionBy("batch_id").parquet(self.path)
+        with _table_lock(self.path):
+            if _replay_folded(self.path, self.run_id, batch_id):
+                return
+            _write_partials(partials, self.path)
 
 
 def read_histogram_rollup(
@@ -412,23 +454,28 @@ class GramRollupWriter:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from cdc_pipeline_spark.operators.linalg import gram_partial_rows
 
-        through, marker_run = _compaction_state(self.path)
-        if marker_run == self.run_id and int(batch_id) <= through:
-            return
-        partials = (
-            gram_partial_rows(
-                batch_df.filter(F.col(self.vec_col).isNotNull()),
-                vec_col=self.vec_col,
-                scale=self.scale,
+        # non-finite components would corrupt the integer partials (and
+        # gram_partial_rows raises on them) — a streaming writer must
+        # drop such rows rather than kill the query; the count sentinel
+        # reflects the rows actually folded in
+        finite = batch_df.filter(
+            F.col(self.vec_col).isNotNull()
+            & ~F.exists(
+                F.col(self.vec_col),
+                lambda x: F.isnan(x.cast("double"))
+                | (F.abs(x.cast("double")) == F.lit(float("inf"))),
             )
+        )
+        partials = (
+            gram_partial_rows(finite, vec_col=self.vec_col, scale=self.scale)
             .groupBy("i", "j")
             .agg(F.sum("v").alias("v"))
             .withColumn("batch_id", F.lit(int(batch_id)))
         )
-        with _table_lock(self.path), temp_conf(
-            batch_df.sparkSession, "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        ):
-            partials.coalesce(1).write.mode("overwrite").partitionBy("batch_id").parquet(self.path)
+        with _table_lock(self.path):
+            if _replay_folded(self.path, self.run_id, batch_id):
+                return
+            _write_partials(partials, self.path)
 
 
 def read_gram_rollup(spark: SparkSession, path: str) -> DataFrame:

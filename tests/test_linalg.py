@@ -122,3 +122,34 @@ def test_project_quantized_plan_is_shuffle_free(spark):
     )
     plan = project_quantized(df, [1] * DIM)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_quantized_gram_huge_components_fall_back_exact(spark):
+    """A single component large enough that q^2 wraps int64 must take
+    the object-dtype fallback and still be exact (review finding:
+    chunk=1 cannot bound a one-row product)."""
+    vecs = [[1.0e6, 0.5], [0.0, -0.25], [2.0, 1.0]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r["i"], r["j"]): int(r["g"])
+        for r in quantized_gram(df, scale=1 << 12).collect()
+    }
+    q = [[math.floor(x * (1 << 12) + 0.5) for x in v] for v in vecs]
+    n = len(vecs)
+    for i in range(2):
+        for j in range(i, 2):
+            s = sum(q[r][i] * q[r][j] for r in range(n))
+            mi = sum(q[r][i] for r in range(n))
+            mj = sum(q[r][j] for r in range(n))
+            assert got[(i, j)] == n * s - mi * mj
+
+
+def test_quantized_gram_rejects_non_finite(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, float("nan")]), (1, [0.5, 0.25])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="non-finite"):
+        quantized_gram(df, scale=1 << 12).collect()

@@ -1431,3 +1431,41 @@ def test_gram_rollup_incremental_matches_batch(spark, tmp_path):
     assert snap(read_gram_rollup(spark, table)) == gold
     writer(spark.createDataFrame(batches[2], schema), 2)
     assert snap(read_gram_rollup(spark, table)) == gold
+
+
+def test_compaction_marker_tolerates_non_dict_json(tmp_path):
+    """A valid-JSON-but-not-a-dict marker must degrade to 'never
+    compacted' like every other corruption shape (review finding:
+    TypeError escaped the except and killed the streaming query)."""
+    import os
+
+    from cdc_pipeline_spark.streaming.rollup import (
+        _COMPACTION_MARKER,
+        _compaction_state,
+    )
+
+    table = tmp_path / "marker_tbl"
+    table.mkdir()
+    (table / _COMPACTION_MARKER).write_text('["not", "a", "dict"]')
+    assert _compaction_state(str(table)) == (-1, "")
+
+
+def test_gram_rollup_drops_non_finite_rows(spark, tmp_path):
+    """A NaN/Inf embedding row must be dropped by the writer (not kill
+    the query), and the merged Gram must equal a batch pass over the
+    finite rows only."""
+    from cdc_pipeline_spark.operators.linalg import quantized_gram
+    from cdc_pipeline_spark.streaming.rollup import GramRollupWriter, read_gram_rollup
+
+    schema = "vec_id long, embedding array<double>"
+    good = [(0, [0.5, -0.25]), (1, [0.125, 0.75])]
+    bad = [(2, [float("nan"), 1.0]), (3, [float("inf"), 0.0]), (4, None)]
+    table = str(tmp_path / "gram_nan")
+    writer = GramRollupWriter(table, scale=1 << 12, run_id="run-n")
+    writer(spark.createDataFrame(good + bad, schema), 0)
+    got = {(r["i"], r["j"]): int(r["g"]) for r in read_gram_rollup(spark, table).collect()}
+    gold = {
+        (r["i"], r["j"]): int(r["g"])
+        for r in quantized_gram(spark.createDataFrame(good, schema), scale=1 << 12).collect()
+    }
+    assert got == gold
