@@ -4271,7 +4271,12 @@ def docs_token_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LINALG_DIM = 64
-_GRAM_SCALE_TOPK = 1 << 20  # fine quantization for the covariance profile
+# Quantization for the covariance profile: 2^18 keeps per-component
+# error at ~4e-6 while leaving ~100× headroom under the long output
+# cast — the bound is n²·(scale·max|x|)², and at 2^20 the sf0.1 margin
+# was under ONE order of magnitude (review batch 6 caught the docstring
+# claiming six).
+_GRAM_SCALE_TOPK = 1 << 18
 _GRAM_SCALE_PI = 1 << 12  # coarser for power iteration (HUGEINT headroom)
 _PI_ITERS = 8
 _PI_VSCALE = 4096
@@ -4373,19 +4378,39 @@ FROM pr ORDER BY proj DESC, vec_id LIMIT 50"""
     )
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings read every linalg query shares (null-filtered,
+    spread against single-file inputs)."""
+    from cdc_pipeline_spark.operators.partitioning import spread
+
+    return spread(
+        _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    )
+
+
 def _collected_gram(spark: SparkSession, sf_dir: str, scale: int):
     """Gram upper triangle → driver ints (d(d+1)/2 rows of control
     state, same budget class as k-means centroids)."""
     from cdc_pipeline_spark.operators.linalg import quantized_gram
-    from cdc_pipeline_spark.operators.partitioning import spread
 
-    emb = spread(
-        _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    )
     return [
         (r["i"], r["j"], int(r["g"]))
-        for r in quantized_gram(emb, scale=scale).collect()
+        for r in quantized_gram(_emb(spark, sf_dir), scale=scale).collect()
     ]
+
+
+def _principal_direction(spark: SparkSession, sf_dir: str) -> list[int]:
+    """The ONE principal-direction computation both linalg queries use —
+    a single definition so the (scale, dim, iters, v_scale) tuple can
+    never drift between them and the shared _power_iter_cte_sql oracle."""
+    from cdc_pipeline_spark.operators.linalg import power_iteration_top
+
+    return power_iteration_top(
+        _collected_gram(spark, sf_dir, _GRAM_SCALE_PI),
+        dim=_LINALG_DIM,
+        iters=_PI_ITERS,
+        v_scale=_PI_VSCALE,
+    )
 
 
 @register("embedding_covariance_topk", _covariance_topk_sql())
@@ -4393,15 +4418,14 @@ def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 off-diagonal entries of the exact integer covariance Gram
     (|G_ij| desc) — the per-dimension correlation audit of an embedding
     corpus, computed with O(batches·d²) shuffle rows at any scale. The
-    long output cast is safe while n²·(scale·max|x|)² < 2⁶³ — holds
-    through sf0.1 with 6 orders of magnitude to spare."""
+    long output cast is safe while n²·(scale·max|x|)² < 2⁶³: with
+    scale 2¹⁸, n=2000 and max|x|≈0.58 that is ~9e16 vs 9.2e18 — about
+    two orders of magnitude of margin at sf0.1. A deployment at much
+    larger n should keep the operator's native decimal output instead
+    of casting down."""
     from cdc_pipeline_spark.operators.linalg import quantized_gram
-    from cdc_pipeline_spark.operators.partitioning import spread
 
-    emb = spread(
-        _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    )
-    g = quantized_gram(emb, scale=_GRAM_SCALE_TOPK)
+    g = quantized_gram(_emb(spark, sf_dir), scale=_GRAM_SCALE_TOPK)
     return (
         g.filter(F.col("i") < F.col("j"))
         .orderBy(F.abs(F.col("g")).desc(), "i", "j")
@@ -4418,14 +4442,7 @@ def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame
     matrix (driver control state). Output: 64 rows (dim index, component
     at max-abs scale 4096), sign-fixed. The oracle replays every
     iteration in DuckDB HUGEINTs — bit-exact, no float tolerance."""
-    from cdc_pipeline_spark.operators.linalg import power_iteration_top
-
-    v = power_iteration_top(
-        _collected_gram(spark, sf_dir, _GRAM_SCALE_PI),
-        dim=_LINALG_DIM,
-        iters=_PI_ITERS,
-        v_scale=_PI_VSCALE,
-    )
+    v = _principal_direction(spark, sf_dir)
     return spark.createDataFrame(
         [(i, int(x)) for i, x in enumerate(v)], schema="i int, v long"
     )
@@ -4438,23 +4455,11 @@ def embedding_principal_projection(spark: SparkSession, sf_dir: str) -> DataFram
     broadcast as a literal array and the dot product is a zero-shuffle
     zip_with/aggregate fold — the whitening/score pass of a 100 TB
     embedding pipeline in one scan."""
-    from cdc_pipeline_spark.operators.linalg import (
-        power_iteration_top,
-        project_quantized,
-    )
-    from cdc_pipeline_spark.operators.partitioning import spread
+    from cdc_pipeline_spark.operators.linalg import project_quantized
 
-    v = power_iteration_top(
-        _collected_gram(spark, sf_dir, _GRAM_SCALE_PI),
-        dim=_LINALG_DIM,
-        iters=_PI_ITERS,
-        v_scale=_PI_VSCALE,
-    )
-    emb = spread(
-        _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    )
+    v = _principal_direction(spark, sf_dir)
     return (
-        project_quantized(emb, v, scale=_PROJ_SCALE)
+        project_quantized(_emb(spark, sf_dir), v, scale=_PROJ_SCALE)
         .orderBy(F.col("proj").desc(), "vec_id")
         .limit(50)
         .select("vec_id", "proj")
@@ -4475,7 +4480,8 @@ def embedding_principal_projection(spark: SparkSession, sf_dir: str) -> DataFram
 # queries that did not fit go in _DRIVER_WINDOW_CARRYOVER, placed
 # immediately after the window so they are first in line for round 5;
 # they are listed explicitly so the exclusion is a recorded decision,
-# not a silent off-by-five (all five are untouched since round 1).
+# not a silent off-by-N (all are untouched since round 1; the count
+# grew to ten as the five late-round-4 queries displaced five more).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
@@ -4538,7 +4544,9 @@ _DRIVER_WINDOW_PRIORITY = [
 ]
 
 # Round-1-stale queries that do not fit in the 50-query window this
-# round; first in line for the round-5 window.
+# round (TEN after the late-round-4 additions displaced five more);
+# first in line for the round-5 window. Listed explicitly so the
+# exclusion is a recorded decision, not a silent off-by-N.
 _DRIVER_WINDOW_CARRYOVER = [
     "parts_below_brand_avg",
     "platform_breakdown",
