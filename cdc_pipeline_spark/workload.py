@@ -4281,6 +4281,11 @@ _GRAM_SCALE_PI = 1 << 12  # coarser for power iteration (HUGEINT headroom)
 _PI_ITERS = 8
 _PI_VSCALE = 4096
 _PROJ_SCALE = 1 << 20
+# Residual scoring quantizes coarser (2^10): the Cauchy–Schwarz form
+# (v·v)(x·x) − (x·v)² multiplies TWO quadratic terms, so the bound is
+# vv·xx ≈ 64·4096² · 64·(scale·max|x|)² — at 2^10 that is ~2.4e16 vs
+# 2^63 (≈400× margin); 2^20 would overflow by ~2^20.
+_RESID_SCALE = 1 << 10
 
 
 def _gram_cte_sql(scale: int, dim: int = _LINALG_DIM) -> str:
@@ -4378,6 +4383,24 @@ FROM pr ORDER BY proj DESC, vec_id LIMIT 50"""
     )
 
 
+def _pc_residual_sql() -> str:
+    return (
+        _power_iter_cte_sql()
+        + f""",
+vv AS MATERIALIZED (SELECT sum(v * v) AS vv FROM fv),
+qr AS (SELECT e.vec_id, d.i,
+              CAST(floor(e.v[d.i + 1] * {float(_RESID_SCALE)} + 0.5) AS BIGINT) AS x
+       FROM e CROSS JOIN dims d),
+sc AS (SELECT qr.vec_id,
+              sum(qr.x * qr.x) AS xx,
+              sum(qr.x * fv.v) AS xv
+       FROM qr JOIN fv ON qr.i = fv.i GROUP BY qr.vec_id)
+SELECT vec_id,
+       CAST((SELECT vv FROM vv) * xx - xv * xv AS BIGINT) AS resid
+FROM sc ORDER BY resid ASC, vec_id LIMIT 50"""
+    )
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings read every linalg query shares (null-filtered,
     spread against single-file inputs)."""
@@ -4466,6 +4489,25 @@ def embedding_principal_projection(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register("embedding_pc_residual", _pc_residual_sql())
+def embedding_pc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 50 vectors the principal direction explains BEST (lowest
+    orthogonal residual, Cauchy–Schwarz integer form
+    (v·v)(x·x) − (x·v)² — no division, so the whole score stays in
+    exact integers). Low residual flags template-like embeddings; the
+    complement of this ranking is a diversity/outlier score. Zero
+    shuffle after the Gram: broadcast direction, JVM folds."""
+    from cdc_pipeline_spark.operators.linalg import pc_residual
+
+    v = _principal_direction(spark, sf_dir)
+    return (
+        pc_residual(_emb(spark, sf_dir), v, scale=_RESID_SCALE)
+        .orderBy(F.col("resid").asc(), "vec_id")
+        .limit(50)
+        .select("vec_id", "resid")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50
 # registered queries per round (CORRECTNESS_r01 stopped at entry 50 of 81).
@@ -4514,6 +4556,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_principal_projection",
     "corpus_bpe_train",
     "doc_bpe_segmentation",
+    "embedding_pc_residual",
     # -- stalest greens: last driver-checked in round 1 --
     "activity_feed_top15",
     "alert_threshold_frame",
@@ -4540,7 +4583,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "hourly_value_trend",
     "kpi_sliding_window",
     "order_status_rollup",
-    "orders_rollup",
 ]
 
 # Round-1-stale queries that do not fit in the 50-query window this
@@ -4548,6 +4590,7 @@ _DRIVER_WINDOW_PRIORITY = [
 # first in line for the round-5 window. Listed explicitly so the
 # exclusion is a recorded decision, not a silent off-by-N.
 _DRIVER_WINDOW_CARRYOVER = [
+    "orders_rollup",
     "parts_below_brand_avg",
     "platform_breakdown",
     "props_json_stats",

@@ -153,3 +153,34 @@ def test_quantized_gram_rejects_non_finite(spark):
     )
     with pytest.raises(Exception, match="non-finite"):
         quantized_gram(df, scale=1 << 12).collect()
+
+
+def test_pc_residual_matches_python_and_is_nonnegative(spark):
+    from cdc_pipeline_spark.operators.linalg import pc_residual
+
+    vecs = _random_vectors(20, seed=9)
+    direction = [7, -3, 0, 2, -5, 1]
+    vv = sum(c * c for c in direction)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r["resid"]
+        for r in pc_residual(df, direction, scale=1 << 10).collect()
+    }
+    for i, v in enumerate(vecs):
+        q = [math.floor(x * (1 << 10) + 0.5) for x in v]
+        xx = sum(a * a for a in q)
+        xv = sum(a * b for a, b in zip(q, direction))
+        assert got[i] == vv * xx - xv * xv
+        assert got[i] >= 0  # Cauchy–Schwarz
+
+
+def test_pc_residual_zero_for_parallel_vector(spark):
+    from cdc_pipeline_spark.operators.linalg import pc_residual
+
+    direction = [2, -1, 3, 0, 1, -2]
+    # a vector exactly parallel to the direction at the quant scale
+    vec = [c / 4.0 for c in direction]
+    df = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<double>")
+    assert pc_residual(df, direction, scale=1 << 10).first()["resid"] == 0
