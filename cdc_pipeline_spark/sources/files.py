@@ -149,3 +149,63 @@ def read_binary_files(
     if max_bytes is not None:
         df = df.filter(F.col("length") <= F.lit(int(max_bytes)))
     return df
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None, **options) -> DataFrame:
+    """Batch ORC scan. Like parquet, ORC is columnar with embedded
+    schema, predicate pushdown, and column pruning — a declared schema
+    is optional (pass one to pin the contract against drifted files;
+    Spark then projects/casts to it per file rather than trusting the
+    footer)."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "error", **options) -> None:
+    """ORC writer counterpart (snappy by default, like parquet)."""
+    df.write.mode(mode).options(**options).orc(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    row_tag: str = "row",
+    **options,
+) -> DataFrame:
+    """Batch XML scan (Spark 4's built-in ``xml`` source; no external
+    package). Schema is REQUIRED here, unlike ORC: XML carries no type
+    metadata, so inference would both cost a full extra pass over the
+    data and guess strings/decimals differently run to run — the
+    declared-schema-everywhere policy (module docstring) matters most
+    on exactly this format."""
+    return (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .options(**options)
+        .schema(schema)
+        .load(path)
+    )
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "error",
+    **options,
+) -> None:
+    """XML writer counterpart. XML is an INTERCHANGE edge, not a lake
+    format — row-oriented, no pushdown, no pruning; use it to accept or
+    emit third-party feeds and convert to parquet/ORC at the boundary."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode(mode)
+        .options(**options)
+        .save(path)
+    )

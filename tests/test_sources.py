@@ -466,3 +466,30 @@ def test_avro_negative_length_is_dropped_not_rewound(spark):
         compile_decoder(schema)(bad)
     df = spark.createDataFrame([(bytearray(bad),)], "value binary")
     assert decode_avro_python(df, schema).count() == 0
+
+
+def test_orc_roundtrip_preserves_values_and_schema(spark, tmp_path):
+    """ORC write→read must reproduce the parquet-loaded table exactly
+    (columnar with embedded schema — the lake-format alternative)."""
+    from cdc_pipeline_spark.sources.files import load_table, read_orc, write_orc
+
+    src = load_table(spark, "/root/testdata/sf0.001", "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path, schema=src.schema)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_xml_roundtrip_with_declared_schema(spark, tmp_path):
+    """XML write→read under a declared schema must reproduce values —
+    the interchange edge for third-party feeds (no type metadata in the
+    format, so the schema contract carries everything)."""
+    from cdc_pipeline_spark.sources.files import load_table, read_xml, write_xml
+
+    src = load_table(spark, "/root/testdata/sf0.001", "region")
+    path = str(tmp_path / "region_xml")
+    write_xml(src, path, row_tag="region", root_tag="regions")
+    back = read_xml(spark, path, schema=src.schema, row_tag="region")
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
