@@ -232,3 +232,90 @@ def test_chunking_covers_every_token_with_correct_overlap(spark, toks_ints, wind
     if stride == window:
         rebuilt = " ".join(r.chunk_text for r in rows).split(" ")
         assert rebuilt == toks
+
+
+# ---------------------------------------------------------------------------
+# BPE greedy-merge model: the aggregate-fold twin (merge_pair_expr) and
+# the DuckDB gaps-and-islands replay were both derived from the classic
+# scan-skip-2 loop — guard that model's invariants over generated
+# symbol sequences, then pin the Spark twin against it on a sample.
+# ---------------------------------------------------------------------------
+
+
+def _greedy_merge(syms: list[str], a: str, b: str) -> list[str]:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+_SYMS = st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12)
+
+
+@given(_SYMS, st.sampled_from(["a", "b", "c"]), st.sampled_from(["a", "b", "c"]))
+@settings(max_examples=1500, deadline=None)
+def test_greedy_merge_model_invariants(syms, a, b):
+    out = _greedy_merge(syms, a, b)
+    # token conservation: concatenation is unchanged
+    assert "".join(out) == "".join(syms)
+    # no adjacent (a, b) pair of ORIGINAL single-char symbols survives —
+    # with a single-char alphabet a merged token ("ab", len 2) can never
+    # equal the left element a, so scan-skip-2 must have consumed every
+    # original pair occurrence
+    for i in range(len(out) - 1):
+        assert not (out[i] == a and out[i + 1] == b), (
+            f"surviving pair at {i} in {out} from {syms}"
+        )
+    # hence a second application is a no-op (idempotence on the output)
+    assert _greedy_merge(out, a, b) == out
+
+
+@given(st.data())
+@settings(max_examples=30, deadline=None)
+def test_merge_pair_expr_matches_model_sampled(spark, data):
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_spark.operators.chunking import merge_pair_expr
+
+    cases = [
+        data.draw(_SYMS) for _ in range(8)
+    ]
+    a = data.draw(st.sampled_from(["a", "b", "c"]))
+    b = data.draw(st.sampled_from(["a", "b", "c"]))
+    df = spark.createDataFrame(
+        [(i, syms) for i, syms in enumerate(cases)], "id int, syms array<string>"
+    )
+    got = {
+        r["id"]: list(r["m"])
+        for r in df.select("id", merge_pair_expr(F.col("syms"), a, b).alias("m")).collect()
+    }
+    for i, syms in enumerate(cases):
+        assert got[i] == _greedy_merge(syms, a, b), (syms, a, b)
+
+
+# ---------------------------------------------------------------------------
+# Integer power-iteration renormalization: sign-split division must
+# equal Python's floor division on the signed value ONLY for
+# non-negative operands — the property that makes DuckDB's truncating
+# `//` and Python's flooring `//` interchangeable in the oracle replay.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.integers(min_value=-(10**18), max_value=10**18),
+    st.integers(min_value=1, max_value=10**12),
+    st.integers(min_value=1, max_value=10**6),
+)
+@settings(max_examples=2000, deadline=None)
+def test_sign_split_division_is_engine_portable(w, mx, v_scale):
+    ours = -(((-w) * v_scale) // mx) if w < 0 else (w * v_scale) // mx
+    # truncating division on the signed product (what DuckDB's CASE
+    # computes, since its operands are made non-negative first)
+    trunc = int(abs(w) * v_scale // mx) * (1 if w >= 0 else -1)
+    assert ours == trunc
+    assert abs(ours) <= abs(w) * v_scale // mx + (1 if w < 0 else 0)
