@@ -4362,6 +4362,15 @@ def _covariance_topk_sql() -> str:
     )
 
 
+def _dim_variance_sql() -> str:
+    return (
+        "WITH "
+        + _gram_cte_sql(_GRAM_SCALE_TOPK)
+        + "\nSELECT CAST(i AS INT) AS i, CAST(g AS BIGINT) AS var_g\n"
+        "FROM g WHERE i = j"
+    )
+
+
 def _principal_component_sql() -> str:
     return (
         _power_iter_cte_sql()
@@ -4454,6 +4463,21 @@ def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("g")).desc(), "i", "j")
         .limit(20)
         .select("i", "j", F.col("g").cast("long").alias("g"))
+    )
+
+
+@register("embedding_dim_variance", _dim_variance_sql())
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance audit — the Gram diagonal (G_ii = n²·var
+    of the quantized component): the standard feature-health check
+    before whitening/ANN indexing (dead dimensions have G_ii ≈ 0,
+    dominant ones dwarf the rest). 64 rows, exact integers, same
+    kilobyte-shuffle Gram pass as the covariance profile."""
+    from cdc_pipeline_spark.operators.linalg import quantized_gram
+
+    g = quantized_gram(_emb(spark, sf_dir), scale=_GRAM_SCALE_TOPK)
+    return g.filter(F.col("i") == F.col("j")).select(
+        "i", F.col("g").cast("long").alias("var_g")
     )
 
 
