@@ -169,6 +169,7 @@ def bpe_train_merges(
     df: DataFrame,
     text_col: str = "text",
     rounds: int = 8,
+    max_word_chars: int | None = None,
 ) -> list[tuple[str, str, int]]:
     """Train ``rounds`` BPE merges over the corpus; returns the ordered
     merge table [(left, right, score)].
@@ -183,6 +184,13 @@ def bpe_train_merges(
     is a 1-row collect. Stops early when no pair remains. Counts are
     integer sums — exact under any partitioning, which is what lets a
     SQL replay match bit-for-bit.
+
+    ``max_word_chars`` (default off — the oracle-checked semantics)
+    drops pathologically long "words" (URLs, base64 blobs) before the
+    character split: on web-scale corpora a handful of megabyte tokens
+    would otherwise dominate the per-round symbol rows and the fold
+    cost while contributing nothing to a useful merge table. At 100 TB,
+    set it (the classic tokenizers pre-tokenize such spans away too).
     """
     words = (
         _spread(df)
@@ -190,8 +198,10 @@ def bpe_train_merges(
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .persist()
     )
+    if max_word_chars is not None:
+        words = words.filter(F.length("word") <= int(max_word_chars))
+    words = words.persist()
     try:
         merges: list[tuple[str, str, int]] = []
         for _ in range(rounds):

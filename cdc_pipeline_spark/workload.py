@@ -3795,8 +3795,12 @@ def doc_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("word", F.size(syms).alias("n_syms"))
     )
+    # no forced broadcast hint: the vocab is tiny at test scale (AQE
+    # broadcasts it on its own) but a web-scale corpus has a 10⁸-word
+    # vocabulary — the same reasoning that size-guarded broadcast_enrich
+    # this round says let AQE pick the join strategy here
     return (
-        exploded.join(F.broadcast(vocab), "word")
+        exploded.join(vocab, "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
