@@ -30,6 +30,12 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # PNG color type → samples per pixel (spec §4.1.2; palette unsupported)
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+# Hard ceiling on decoded pixel bytes per payload (≈ a 8192×8192 RGBA
+# frame). Training-data images are far smaller; anything above this is
+# hostile or misrouted and goes to the quarantine path instead of an
+# unbounded allocation inside an Arrow worker.
+_MAX_DECODED_BYTES = 256 * 1024 * 1024
+
 
 def encode_png(pixels: "np.ndarray") -> bytes:
     """Minimal PNG encoder (filter 0, one IDAT) for 8-bit grey / grey+A
@@ -99,9 +105,19 @@ def decode_png(payload: bytes) -> "np.ndarray":
     if width is None:
         raise ValueError("PNG missing IHDR")
     channels = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    # bound BEFORE decompressing: a 60-byte payload can declare 2^31×2^31
+    # IHDR dims or wrap a zlib bomb, and an unbounded zlib.decompress
+    # would MemoryError the mapInPandas worker (not a ValueError, so the
+    # multimodal quarantine would miss it and the whole stage would fail)
+    if expected > _MAX_DECODED_BYTES:
+        raise ValueError(
+            f"PNG decoded size {expected} exceeds cap {_MAX_DECODED_BYTES}"
+        )
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
         raise ValueError("PNG pixel data length mismatch")
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
@@ -179,7 +195,7 @@ def decode_image(payload: bytes) -> "np.ndarray":
             return decode_png(payload)
         if payload[:2] == b"BM":
             return decode_bmp(payload)
-    except (struct.error, zlib.error, IndexError) as exc:
+    except (struct.error, zlib.error, IndexError, MemoryError) as exc:
         raise ValueError(f"corrupt image payload: {exc}") from exc
     raise ValueError("unrecognized image format")
 

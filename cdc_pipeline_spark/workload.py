@@ -4551,7 +4551,7 @@ def embedding_pc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 # immediately after the window so they are first in line for round 5;
 # they are listed explicitly so the exclusion is a recorded decision,
 # not a silent off-by-N (all are untouched since round 1; the count
-# grew to ten as the five late-round-4 queries displaced five more).
+# grew to eleven as the late-round-4 queries displaced more).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
@@ -4614,7 +4614,7 @@ _DRIVER_WINDOW_PRIORITY = [
 ]
 
 # Round-1-stale queries that do not fit in the 50-query window this
-# round (TEN after the late-round-4 additions displaced five more);
+# round (ELEVEN after the late-round-4 additions displaced more);
 # first in line for the round-5 window. Listed explicitly so the
 # exclusion is a recorded decision, not a silent off-by-N.
 _DRIVER_WINDOW_CARRYOVER = [

@@ -274,3 +274,47 @@ def test_audio_feature_accepts_mono_1d():
     f1 = audio_feature(np.ones(100) * 0.5, 16000)
     f2 = audio_feature(np.ones((100, 1)) * 0.5, 16000)
     assert f1 == f2
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def test_png_hostile_dims_rejected_before_decompression():
+    # A tiny payload declaring 2^16 × 2^16 RGBA (16 GiB decoded) must be
+    # rejected by the pre-decompression size bound, not by a MemoryError
+    # deep inside zlib — otherwise one hostile blob kills the Arrow
+    # worker instead of quarantining.
+    ihdr = struct.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 6, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="exceeds cap"):
+        decode_png(payload)
+    with pytest.raises(ValueError):
+        decode_image(payload)
+
+
+def test_png_zlib_bomb_decompression_is_bounded():
+    # Valid small dims but an IDAT stream that inflates to far more than
+    # height*(stride+1): the bounded decompressobj must stop at
+    # expected+1 bytes and raise the length-mismatch ValueError rather
+    # than materializing the whole bomb.
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)  # expects 4*(4+1)=20 bytes
+    bomb = zlib.compress(b"\x00" * (64 * 1024 * 1024), 9)  # 64 MiB of zeros, ~64 KiB wire
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", bomb)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_png(payload)
