@@ -17,6 +17,25 @@ its text passthrough in src/streaming/transforms/activity_enricher.py):
     aggregation does the heavy lifting — pair counts collapse before
     the shuffle) + a TakeOrdered top-k: no global sort.
 
+  * ``bpe_vocab_segments`` / ``bpe_vocab_token_counts`` — the
+    production-merge-count APPLY path: broadcast the merge-rank dict to
+    every executor and tokenize each distinct word inside an Arrow
+    ``mapInPandas`` batch with the classic rank-priority loop. The
+    nested-fold apply (``merge_pair_expr`` chained per merge) is the
+    right plan at oracle-checked merge counts — pure JVM, no Python —
+    but its Catalyst expression tree grows O(#merges) deep and cannot
+    compile at a production tokenizer's 32k merges;
+    ``bpe_vocab_token_counts`` routes between the two on a threshold.
+    The two paths are provably equivalent (see ``segment_word``) and an
+    equivalence test pins it.
+  * ``bpe_train_merges_local`` — the production-vocab TRAIN path: the
+    distributed word-frequency shuffle stays (that is the 100 TB part),
+    then the vocab — which fits the driver; classic tokenizers train
+    exactly this way — is collected ONCE and merges are learned with a
+    lazy-invalidation heap and incremental pair-count deltas:
+    O(affected words) per round instead of a full corpus shuffle per
+    round, which is what makes 32k rounds feasible.
+
   * ``bpe_train_merges`` — full iterative BPE merge training (Sennrich
     et al. 2016, without the end-of-word marker): k rounds of
     (weighted pair count → argmax merge → greedy left-to-right apply)
@@ -236,3 +255,233 @@ def bpe_train_merges(
         return merges
     finally:
         words.unpersist()
+
+# Catalyst nested-expression depth ceiling for the fold-apply path: one
+# `aggregate` fold per merge chains the expression tree O(#merges) deep,
+# which stops compiling (and stops being the fast plan) long before a
+# production tokenizer's 32k merges. Above this, route to the Arrow
+# rank-priority tokenizer. 64 keeps every oracle-checked configuration
+# (8 rounds) on the pure-JVM path with a wide safety margin.
+FOLD_APPLY_MAX_MERGES = 64
+
+
+def bpe_rank_table(merges) -> dict[tuple[str, str], int]:
+    """Merge list [(a, b, ...)] → rank dict {(a, b): training order}."""
+    return {(m[0], m[1]): i for i, m in enumerate(merges)}
+
+
+def segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Classic rank-priority BPE application: repeatedly merge the
+    lowest-rank adjacent pair present (greedy left-to-right within the
+    pass) until no ranked pair remains.
+
+    Provably equivalent to applying each merge fully in rank order
+    (the ``merge_pair_expr`` fold chain): a merge's output symbol can
+    only be consumed by LATER merges (the symbol did not exist when
+    earlier merges were learned), so merging the minimum-rank pair
+    first never creates or destroys an opportunity for a lower rank —
+    the two strategies produce identical segmentations. The
+    equivalence test in tests/test_properties.py pins this against the
+    fold path on a trained merge table.
+    """
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, (syms[i], syms[i + 1])
+        if best is None:
+            break
+        a, b = best
+        merged = a + b
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_vocab_segments(words: DataFrame, merges, word_col: str = "word") -> DataFrame:
+    """Segment each word with the trained merge table inside Arrow
+    ``mapInPandas`` batches → (word, syms array<string>).
+
+    The rank dict travels as a real ``SparkContext.broadcast`` (one
+    copy per executor, not per task — a 32k-merge table is ~1 MB and a
+    100 TB corpus runs millions of tasks). Partition-preserving: no
+    shuffle; callers feed the DISTINCT vocab so the per-occurrence cost
+    downstream is a hash-join probe, not a re-segmentation.
+    """
+    import pandas as pd
+
+    ranks = bpe_rank_table(merges)
+    bc = words.sparkSession.sparkContext.broadcast(ranks)
+
+    def run(batches):
+        r = bc.value
+        for batch in batches:
+            col = batch[word_col]
+            yield pd.DataFrame(
+                {"word": col.values, "syms": [segment_word(w, r) for w in col]}
+            )
+
+    return _spread(words.select(F.col(word_col).alias(word_col))).mapInPandas(
+        run, "word string, syms array<string>"
+    )
+
+
+def bpe_vocab_token_counts(
+    words: DataFrame,
+    merges,
+    word_col: str = "word",
+    fold_max_merges: int = FOLD_APPLY_MAX_MERGES,
+) -> DataFrame:
+    """(word, n_syms) per distinct word — the apply-step core of BPE
+    token counting. Routes by merge count: the pure-JVM fold chain
+    under the Catalyst depth ceiling, the broadcast-ranks Arrow
+    tokenizer beyond it (identical output either way)."""
+    if len(merges) <= fold_max_merges:
+        syms = F.split(F.col(word_col), "")
+        for m in merges:
+            syms = merge_pair_expr(syms, m[0], m[1])
+        return words.select(
+            F.col(word_col).alias("word"), F.size(syms).alias("n_syms")
+        )
+    return bpe_vocab_segments(words, merges, word_col).select(
+        "word", F.size("syms").alias("n_syms")
+    )
+
+
+def bpe_train_merges_local(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 8,
+    max_word_chars: int | None = None,
+    max_vocab_rows: int = 5_000_000,
+) -> list[tuple[str, str, int]]:
+    """Train ``rounds`` BPE merges with the distributed word-frequency
+    shuffle + a driver-side heap — bit-identical merges and scores to
+    ``bpe_train_merges`` (equivalence test pins it), but O(affected
+    words) per round instead of one full corpus shuffle per round,
+    which is what makes production merge counts (32k) feasible.
+
+    The ONLY distributed stage is the word-frequency groupBy — the same
+    map-side-combined shuffle the per-round trainer starts from, and
+    the only stage whose cost scales with corpus size. The distinct
+    vocab (NOT the corpus) is then collected once; a web-scale corpus'
+    vocab is millions of rows, which fits any driver — this is exactly
+    how the classic tokenizers train. ``max_vocab_rows`` guards the
+    collect: exceeding it raises instead of silently truncating (raise
+    ``max_word_chars`` filtering or the cap itself).
+
+    Driver-side: pair counts are maintained incrementally (subtract a
+    touched word's old adjacent pairs, re-add its new ones — integer
+    deltas, exact) with a pair→words index so each round touches only
+    words containing the winning pair, and the argmax is a
+    lazy-invalidation heap keyed (-count, a, b) — the same
+    (count DESC, pair ASC) tie-break as the distributed trainer and the
+    DuckDB oracle replay. Python compares strings by code point and
+    Spark/DuckDB by UTF-8 bytes; UTF-8 byte order equals code-point
+    order, so the tie-break agrees across engines.
+    """
+    import heapq
+    from collections import defaultdict
+
+    words_df = (
+        _spread(df)
+        .select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if max_word_chars is not None:
+        words_df = words_df.filter(F.length("word") <= int(max_word_chars))
+    rows = words_df.limit(max_vocab_rows + 1).collect()
+    if len(rows) > max_vocab_rows:
+        raise ValueError(
+            f"vocabulary exceeds max_vocab_rows={max_vocab_rows}; raise the cap "
+            "or set max_word_chars to drop pathological tokens"
+        )
+    # sort for a reproducible build order (results are order-independent
+    # — integer counts and a total argmax tie-break — but determinism in
+    # the construction makes failures replayable)
+    vocab = sorted((r["word"], int(r["freq"])) for r in rows)
+
+    words = [list(w) for w, _ in vocab]
+    freqs = [f for _, f in vocab]
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, syms in enumerate(words):
+        f = freqs[wi]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += f
+            pair_words[p].add(wi)
+
+    heap = [(-c, a, b) for (a, b), c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(rounds):
+        # pop until the top entry matches the live count (lazy invalidation)
+        best = None
+        while heap:
+            nc, a, b = heap[0]
+            cur = pair_counts.get((a, b), 0)
+            if cur <= 0:
+                heapq.heappop(heap)
+                pair_counts.pop((a, b), None)
+                continue
+            if -nc != cur:
+                heapq.heappop(heap)  # stale entry; a fresh one was pushed
+                continue
+            best = (a, b, cur)
+            break
+        if best is None:
+            break
+        a, b, score = best
+        merges.append((a, b, score))
+        merged = a + b
+
+        affected = pair_words.pop((a, b), set())
+        touched: set[tuple[str, str]] = set()
+        for wi in affected:
+            syms = words[wi]
+            f = freqs[wi]
+            # subtract the word's old pair contributions, re-add after the
+            # greedy pass — exact integer deltas, and a stale index entry
+            # (word no longer contains the pair) nets to zero harmlessly
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] -= f
+                touched.add(p)
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wi] = out
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pair_counts[p] += f
+                pair_words[p].add(wi)
+                touched.add(p)
+        pair_counts.pop((a, b), None)
+        for p in touched:
+            c = pair_counts.get(p, 0)
+            if c <= 0:
+                pair_counts.pop(p, None)
+            elif p != (a, b):
+                heapq.heappush(heap, (-c, p[0], p[1]))
+    return merges

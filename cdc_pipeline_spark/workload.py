@@ -1650,11 +1650,11 @@ def segment_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN nation  n ON c.c_nationkey = n.n_nationkey
     ),
     expanded AS (
-        SELECT CAST(floor(epoch(ts) / 15) * 15 AS BIGINT) - o.off AS window_start, enriched.*
-        FROM enriched CROSS JOIN (VALUES (0), (15)) o(off)
+        SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - o.off AS window_start, enriched.*
+        FROM enriched CROSS JOIN (VALUES (0), (1800)) o(off)
     ),
     agg AS (
-        SELECT window_start + 30 AS window_end, region_name,
+        SELECT window_start + 3600 AS window_end, region_name,
                least(sum(request_count) * 5.0, 100.0) AS intensity
         FROM expanded GROUP BY window_start, region_name
     ),
@@ -1671,7 +1671,12 @@ def segment_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def region_flows_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flows contract (§2.7 'Top-5 flows by intensity'): latest window's
     top regions flow into the rank-1 hub — the reference's driver-side
-    Python ranking re-expressed as a distributed window + broadcast."""
+    Python ranking re-expressed as a distributed window + broadcast.
+    Grain is 1 h sliding 30 min here (the streaming job keeps the
+    reference's 30 s/15 s): the batch fixture spans 30 days at ~0.004
+    events/s·SF, so a 30 s latest window held ≤1 region at EVERY SF and
+    the oracle hash compared empty sets (r04 finding); the hour grain
+    makes the latest-window ranking non-vacuous at sf0.01+."""
     from cdc_pipeline_spark.operators.enrich import broadcast_enrich
 
     ev = _t(spark, sf_dir, "events")
@@ -1691,7 +1696,7 @@ def region_flows_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     regions = aggregates.windowed_region(
         shaped, time_col="ts", region_col="region_name", sales_col="sales",
-        request_col="request_count", duration="30 seconds", slide="15 seconds",
+        request_col="request_count", duration="1 hour", slide="30 minutes",
     )
     return aggregates.derive_flows(regions, k=5)
 
@@ -1810,16 +1815,25 @@ def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 250000
+    )
     """,
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left anti join (NOT EXISTS): customers with no orders at all."""
+    """Left anti join (NOT EXISTS): customers with no high-value order
+    (> 250k). The build side is pre-filtered before the anti join —
+    predicate pushdown shrinks the shuffled/broadcast side, the shape a
+    100 TB anti join wants. (The unfiltered variant was vacuously true
+    at small SFs — the TPC-H-ish generator gives every customer an
+    order, so the r04 hash check compared empty sets; the threshold
+    makes every SF produce a non-empty, still-selective result.)"""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    return cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti").select(
-        "c_custkey", "c_name"
-    )
+    big_orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return cust.join(
+        big_orders, cust["c_custkey"] == big_orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
 
 
 @register(
@@ -3773,28 +3787,30 @@ def doc_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-occurrence cost is a hash probe, not a re-segmentation, the
     same trick a production tokenizer's word cache plays. Output:
     per-doc word/char/BPE-token counts (all integers)."""
-    from cdc_pipeline_spark.operators.chunking import (
-        bpe_train_merges,
-        merge_pair_expr,
-    )
-    from cdc_pipeline_spark.operators.partitioning import spread
-    from cdc_pipeline_spark.operators.text import tokens
+    from cdc_pipeline_spark.operators.chunking import bpe_train_merges
 
     docs = _t(spark, sf_dir, "documents")
     merges = bpe_train_merges(docs, rounds=8)
+    return _bpe_segmentation_counts(docs, merges)
+
+
+def _bpe_segmentation_counts(docs: DataFrame, merges, fold_max_merges=None) -> DataFrame:
+    """Shared apply step: per-doc word/char/BPE-token counts from a
+    trained merge table. The per-distinct-word token counts come from
+    `bpe_vocab_token_counts` — the pure-JVM fold chain at oracle merge
+    counts, the broadcast-ranks Arrow tokenizer beyond
+    FOLD_APPLY_MAX_MERGES (or when forced via ``fold_max_merges=0``)."""
+    from cdc_pipeline_spark.operators.chunking import bpe_vocab_token_counts
+    from cdc_pipeline_spark.operators.partitioning import spread
+    from cdc_pipeline_spark.operators.text import tokens
+
     exploded = (
         spread(docs)
         .select("doc_id", F.explode(tokens("text")).alias("word"))
         .filter(F.col("word") != "")
     )
-    syms = F.split(F.col("word"), "")
-    for a, b, _score in merges:
-        syms = merge_pair_expr(syms, a, b)
-    vocab = (
-        exploded.select("word")
-        .distinct()
-        .select("word", F.size(syms).alias("n_syms"))
-    )
+    kwargs = {} if fold_max_merges is None else {"fold_max_merges": fold_max_merges}
+    vocab = bpe_vocab_token_counts(exploded.select("word").distinct(), merges, **kwargs)
     # no forced broadcast hint: the vocab is tiny at test scale (AQE
     # broadcasts it on its own) but a web-scale corpus has a 10⁸-word
     # vocabulary — the same reasoning that size-guarded broadcast_enrich
@@ -3808,6 +3824,23 @@ def doc_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_syms").alias("n_bpe_tokens"),
         )
     )
+
+
+@register("doc_bpe_segmentation_arrow", _bpe_segmentation_oracle_sql())
+def doc_bpe_segmentation_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-merge-count apply path under the same oracle as
+    `doc_bpe_segmentation`: merge ranks broadcast to executors, each
+    distinct word tokenized by the classic rank-priority loop inside an
+    Arrow `mapInPandas` batch (`chunking.py::bpe_vocab_segments`). At 8
+    merges the fold chain is the faster plan — this registration exists
+    to hash-verify the Arrow tokenizer against the DuckDB replay, since
+    at a production tokenizer's 32k merges it is the ONLY viable plan
+    (the fold path's Catalyst tree stops compiling ~64 merges)."""
+    from cdc_pipeline_spark.operators.chunking import bpe_train_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train_merges(docs, rounds=8)
+    return _bpe_segmentation_counts(docs, merges, fold_max_merges=0)
 
 
 @register("corpus_bpe_train", _bpe_train_oracle_sql())
@@ -3824,6 +3857,26 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pipeline_spark.operators.chunking import bpe_train_merges
 
     merges = bpe_train_merges(_t(spark, sf_dir, "documents"), rounds=8)
+    return spark.createDataFrame(
+        [(t, a, b, a + b, int(c)) for t, (a, b, c) in enumerate(merges)],
+        schema="merge_rank int, lhs string, rhs string, merged string, score long",
+    )
+
+
+@register("corpus_bpe_train_local", _bpe_train_oracle_sql())
+def corpus_bpe_train_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-vocab training path under the same oracle as
+    `corpus_bpe_train`: ONE distributed word-frequency shuffle (the only
+    corpus-size-proportional stage), then the collected vocab trains
+    merges driver-side with a lazy-invalidation heap and incremental
+    pair-count deltas (`chunking.py::bpe_train_merges_local`) — the
+    plan that makes 32k merges feasible, hash-verified here against the
+    DuckDB per-round replay at the oracle's 8 rounds (equivalence to
+    the distributed trainer is additionally pinned bit-for-bit in
+    tests/test_bpe_scale.py)."""
+    from cdc_pipeline_spark.operators.chunking import bpe_train_merges_local
+
+    merges = bpe_train_merges_local(_t(spark, sf_dir, "documents"), rounds=8)
     return spark.createDataFrame(
         [(t, a, b, a + b, int(c)) for t, (a, b, c) in enumerate(merges)],
         schema="merge_rank int, lhs string, rhs string, merged string, score long",
