@@ -11,6 +11,14 @@ collect that still evaluates EVERY output column. A bare ``count()``
 would let Catalyst prune unreferenced projections, so projection-heavy
 queries (text features, winnowing) would measure the scan instead of
 their expressions.
+
+``--check [BASELINE_QUERIES.json|BASELINE.md]`` (default
+BASELINE_QUERIES.json next to this file) additionally compares every
+query against its frozen per-query baseline and exits 1 on regression:
+measured > 1.5x frozen AND measured above the 1-second noise floor
+(local[32] sub-second timings jitter ±30% from scheduling alone — see
+BASELINE.md — so sub-second rows can't gate at a ratio). Queries new
+since the freeze are reported informationally, never failed.
 """
 
 from __future__ import annotations
@@ -56,7 +64,62 @@ HEADLINE = [
 ]
 
 
+REGRESSION_RATIO = 1.5
+NOISE_FLOOR_SEC = 1.0
+
+
+def load_baseline(path: str) -> dict[str, float]:
+    """Per-query frozen timings from BASELINE_QUERIES.json ({"queries":
+    {name: sec}}) or from BASELINE.md's freeze table (| `name` | sec |)."""
+    if path.endswith(".json"):
+        with open(path) as fh:
+            doc = json.load(fh)
+        return {str(k): float(v) for k, v in doc["queries"].items()}
+    import re
+
+    out: dict[str, float] = {}
+    with open(path) as fh:
+        for line in fh:
+            m = re.match(r"\s*\|\s*`([a-z0-9_]+)`\s*\|\s*([0-9.]+)\s*\|\s*$", line)
+            if m:
+                out[m.group(1)] = float(m.group(2))
+    if not out:
+        raise ValueError(f"no per-query baseline rows found in {path}")
+    return out
+
+
+def find_regressions(
+    timings: dict[str, float],
+    baseline: dict[str, float],
+    ratio: float = REGRESSION_RATIO,
+    noise_floor: float = NOISE_FLOOR_SEC,
+) -> tuple[dict[str, tuple[float, float]], list[str]]:
+    """(regressions {name: (measured, frozen)}, new-query names).
+
+    A query regresses when measured > ratio x frozen AND measured
+    exceeds the absolute noise floor — sub-second timings on local[32]
+    jitter ±30% from scheduling alone, so a pure ratio would flag noise.
+    """
+    regressions: dict[str, tuple[float, float]] = {}
+    new: list[str] = []
+    for name, measured in timings.items():
+        frozen = baseline.get(name)
+        if frozen is None:
+            new.append(name)
+        elif measured > ratio * frozen and measured > noise_floor:
+            regressions[name] = (measured, frozen)
+    return regressions, new
+
+
 def main() -> None:
+    check_path = None
+    if "--check" in sys.argv:
+        i = sys.argv.index("--check")
+        check_path = (
+            sys.argv[i + 1]
+            if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-")
+            else os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_QUERIES.json")
+        )
     spark = create_spark_session(
         app_name="cdc-pipeline-spark-bench",
         master=f"local[{CPUS}]",
@@ -101,6 +164,24 @@ def main() -> None:
         )
     )
     spark.stop()
+
+    if check_path is not None:
+        regressions, new = find_regressions(timings, load_baseline(check_path))
+        for name in new:
+            print(f"# new since freeze (not gated): {name}", file=sys.stderr)
+        for name, (measured, frozen) in sorted(regressions.items()):
+            print(
+                f"REGRESSION {name}: {measured:.3f}s vs frozen {frozen:.3f}s "
+                f"({measured / frozen:.2f}x > {REGRESSION_RATIO}x)",
+                file=sys.stderr,
+            )
+        if regressions:
+            sys.exit(1)
+        print(
+            f"# regression gate: OK ({len(timings) - len(new)} gated, "
+            f"{len(new)} new)",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

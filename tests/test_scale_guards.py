@@ -333,3 +333,58 @@ def test_perplexity_buckets_keeps_null_group_docs(spark):
     got = {r.doc_id for r in out.collect()}
     assert {100, 101} <= got, "NULL-lang docs must bucket, not vanish"
     assert len(got) == 8
+
+
+# ---------------------------------------------------------------------------
+# bench.py --check: the per-query regression gate against the frozen
+# baseline (round-4 freeze in BASELINE_QUERIES.json / BASELINE.md)
+# ---------------------------------------------------------------------------
+
+
+def test_find_regressions_ratio_and_noise_floor():
+    import bench
+
+    baseline = {"fast": 0.2, "slow": 2.0, "mid": 1.0}
+    timings = {
+        "fast": 0.9,   # 4.5x frozen but under the 1 s noise floor -> exempt
+        "slow": 3.5,   # 1.75x and >1 s -> regression
+        "mid": 1.4,    # 1.4x < 1.5x -> fine
+        "brand_new": 9.9,  # not frozen -> informational, never failed
+    }
+    regressions, new = bench.find_regressions(timings, baseline)
+    assert regressions == {"slow": (3.5, 2.0)}
+    assert new == ["brand_new"]
+
+
+def test_load_baseline_json_and_md_agree():
+    import bench
+
+    js = bench.load_baseline("/root/repo/BASELINE_QUERIES.json")
+    md = bench.load_baseline("/root/repo/BASELINE.md")
+    assert js and md
+    # the md freeze table is the human rendering of the same freeze run,
+    # rounded to 2 decimals; every md row must match the json artifact
+    # within that rendering precision
+    shared = set(js) & set(md)
+    assert len(shared) >= 100
+    assert all(abs(js[k] - md[k]) <= 0.005 + 1e-9 for k in shared)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_BENCH_GATE"),
+    reason="full sf0.1 bench gate is opt-in: set SPARK_GRAFT_BENCH_GATE=1",
+)
+def test_bench_regression_gate_full_run():
+    """Opt-in end-to-end gate: run the whole bench at $SPARK_GRAFT_SF_DIR
+    and fail on any >1.5x per-query regression vs the frozen baseline."""
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.run(
+        [_sys.executable, "/root/repo/bench.py", "--check"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=3600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
