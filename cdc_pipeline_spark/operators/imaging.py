@@ -228,3 +228,55 @@ def image_feature(pixels: "np.ndarray", dim: int = 8) -> list[float]:
     feats = feats[:dim]
     feats += [0.0] * (dim - len(feats))
     return [round(f, 6) for f in feats]
+
+
+# ---------------------------------------------------------------------------
+# Optional compressed-codec fallback (JPEG/GIF/WebP/…): probed ONCE per
+# Python worker process. This container ships no media libraries, so the
+# probe fails here and decode_image_any degrades to exactly decode_image
+# (quarantine handles compressed payloads); a deployment that installs
+# Pillow on its workers gets real compressed decode with zero config.
+# ---------------------------------------------------------------------------
+
+_PIL_PROBE: list | None = None
+
+
+def _pil_image_module():
+    """Worker-side probe for Pillow, cached per process ([] = absent)."""
+    global _PIL_PROBE
+    if _PIL_PROBE is None:
+        try:
+            from PIL import Image  # noqa: PLC0415
+
+            _PIL_PROBE = [Image]
+        except Exception:
+            _PIL_PROBE = []
+    return _PIL_PROBE[0] if _PIL_PROBE else None
+
+
+def decode_image_any(payload: bytes) -> "np.ndarray":
+    """decode_image (pure-stdlib PNG/BMP), falling back to Pillow for
+    compressed codecs when it is installed on the worker. Every failure
+    is normalized to ValueError so the mapInPandas quarantine path
+    applies uniformly. Pillow's own decompression-bomb guard
+    (Image.MAX_IMAGE_PIXELS) stays active and lands in the same
+    ValueError normalization."""
+    try:
+        return decode_image(payload)
+    except ValueError:
+        image_mod = _pil_image_module()
+        if image_mod is None:
+            raise
+        import io
+
+        try:
+            with image_mod.open(io.BytesIO(payload)) as im:
+                target = {"1": "L", "L": "L", "LA": "LA", "RGBA": "RGBA"}.get(im.mode, "RGB")
+                arr = np.asarray(im.convert(target), dtype=np.uint8)
+        except Exception as exc:
+            raise ValueError(f"undecodable image payload: {exc}") from exc
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        if arr.size == 0:
+            raise ValueError("zero-dimension decoded image")
+        return arr

@@ -102,11 +102,14 @@ def extract_features(
     narrow = spread(df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")))
 
     if decoder == "image":
-        from cdc_pipeline_spark.operators.imaging import decode_image, image_feature
+        # decode_image_any: pure-stdlib PNG/BMP always; compressed codecs
+        # (JPEG/GIF/WebP) too when Pillow is installed on the workers
+        # (probed once per process) — quarantined otherwise
+        from cdc_pipeline_spark.operators.imaging import decode_image_any, image_feature
 
         def decode(p: bytes):
             try:
-                return image_feature(decode_image(p), dim=FEATURE_DIM)
+                return image_feature(decode_image_any(p), dim=FEATURE_DIM)
             except ValueError:
                 return None
     elif decoder == "audio":
@@ -205,11 +208,11 @@ def resize_images(
     narrow = spread(df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")))
 
     if real:
-        from cdc_pipeline_spark.operators.imaging import decode_image, resize_nearest
+        from cdc_pipeline_spark.operators.imaging import decode_image_any, resize_nearest
 
         def resize(p: bytes):
             try:
-                return resize_nearest(decode_image(p), width, height).tobytes()
+                return resize_nearest(decode_image_any(p), width, height).tobytes()
             except ValueError:
                 return None
     else:

@@ -318,3 +318,34 @@ def test_png_zlib_bomb_decompression_is_bounded():
     )
     with pytest.raises(ValueError, match="length mismatch"):
         decode_png(payload)
+
+
+def test_decode_image_any_without_pillow_matches_decode_image():
+    # this container has no Pillow: the fallback must degrade to exactly
+    # the stdlib decoder — same pixels for PNG/BMP, same ValueError for
+    # compressed payloads (quarantine path)
+    img = _rng_image(5, 4, 3)
+    from cdc_pipeline_spark.operators.imaging import decode_image_any
+
+    np.testing.assert_array_equal(
+        decode_image_any(encode_png(img)), decode_image(encode_png(img))
+    )
+    with pytest.raises(ValueError):
+        decode_image_any(b"\xff\xd8\xff\xe0 not a real jpeg")
+
+
+def test_decode_image_any_uses_pillow_when_available():
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from cdc_pipeline_spark.operators import imaging
+
+    imaging._PIL_PROBE = None  # re-probe in case an earlier test cached absence
+    arr = _rng_image(6, 5, 3)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+    decoded = imaging.decode_image_any(buf.getvalue())
+    assert decoded.shape == (6, 5, 3)
+    assert decoded.dtype == np.uint8
+    # JPEG is lossy: assert proximity, not equality
+    assert float(np.abs(decoded.astype(int) - arr.astype(int)).mean()) < 16.0
