@@ -1943,6 +1943,92 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(docs, n_frames=4)
 
 
+# ---------------------------------------------------------------------------
+# Alternate lake/interchange formats under the oracle: mirror a parquet
+# table to ORC / XML, read it back through the engine's source module,
+# and aggregate — proving the non-parquet readers preserve values, not
+# just that they parse (the r04 review asked for exactly this upgrade
+# from unit-only coverage). The oracle runs on the parquet original, so
+# any roundtrip corruption breaks the hash.
+# ---------------------------------------------------------------------------
+
+
+def _format_mirror_path(sf_dir: str, fmt: str, table: str) -> str:
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        "cdc-spark-format-mirrors",
+        os.path.basename(sf_dir.rstrip("/")),
+        fmt,
+        table,
+    )
+
+
+@register(
+    "orders_priority_from_orc",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(max(epoch(o_orderdate)) AS BIGINT) AS last_order_epoch
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_priority_from_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source under the oracle: orders is mirrored to ORC (snappy)
+    and read back via sources.files.read_orc with the declared schema,
+    then aggregated per priority (q1's round-after-sum double pattern),
+    so a value-hash match proves faithful ORC roundtrip of every row —
+    ORC keeps parquet's pushdown/pruning contract, and the max-epoch
+    column covers ORC's distinct timestamp encoding."""
+    from cdc_pipeline_spark.sources.files import read_orc, write_orc
+
+    orders = _t(spark, sf_dir, "orders")
+    mirror = _format_mirror_path(sf_dir, "orc", "orders")
+    write_orc(orders, mirror, mode="overwrite")
+    back = read_orc(spark, mirror, schema=orders.schema)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        round_half_up(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.max(F.col("o_orderdate").cast("long")).alias("last_order_epoch"),
+    )
+
+
+@register(
+    "nations_from_xml",
+    """
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           min(n_name) AS first_nation,
+           max(n_name) AS last_nation
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def nations_from_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML interchange edge under the oracle: nation is mirrored to XML
+    and read back via sources.files.read_xml with the declared schema
+    (XML carries no types — the declared-schema policy is load-bearing
+    here), then aggregated per region with min/max string fidelity
+    checks riding through XML escaping. XML is the third-party feed
+    boundary, not a lake format; the mirrored table is dimension-sized
+    by design."""
+    from cdc_pipeline_spark.sources.files import read_xml, write_xml
+
+    nation = _t(spark, sf_dir, "nation")
+    mirror = _format_mirror_path(sf_dir, "xml", "nation")
+    write_xml(nation.coalesce(1), mirror, mode="overwrite")
+    back = read_xml(spark, mirror, schema=nation.schema)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+        F.max("n_name").alias("last_nation"),
+    )
+
+
 def _rp_lsh_oracle_sql(dim: int = 64, n_planes: int = 8, k: int = 5) -> str:
     """Generate the DuckDB replica of rp_lsh_topk: the deterministic
     hyperplanes (similarity.py::_hyperplanes, splitmix-scrambled seed)
