@@ -1967,6 +1967,42 @@ def _format_mirror_path(sf_dir: str, fmt: str, table: str) -> str:
 
 
 @register(
+    "bloom_probe_orders",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM customer
+        WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING'
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def bloom_probe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom runtime-filter semi join (`operators/bloom.py`): the
+    BUILDING-segment customer keys aggregate into a fixed 2^20-bit
+    bitmap (bounded control state), whose pure-JVM membership predicate
+    prunes the orders SCAN before any exchange; the exact left_semi
+    join then removes Bloom false positives, so the result is
+    bit-identical to the plain semi join the oracle runs — while the
+    shuffle carries only ~matches + epsilon*facts rows. The explicit,
+    testable form of the engine-injected runtime bloom filter, for the
+    100 TB case where the optimizer's statistics can't see the
+    selectivity."""
+    from cdc_pipeline_spark.operators.bloom import bloom_semi_join
+
+    orders = _t(spark, sf_dir, "orders")
+    build = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    joined = bloom_semi_join(orders, build, fact_key="o_custkey", build_key="c_custkey")
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        round_half_up(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
     "orders_priority_from_orc",
     """
     SELECT o_orderpriority,
@@ -4685,78 +4721,29 @@ def embedding_pc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (round 1), then the recently-verified remainder in registration order.
 #
 # _DRIVER_WINDOW_PRIORITY holds EXACTLY 50 names (asserted below) — the
-# set the driver will actually re-check this round. The round-1-stale
-# queries that did not fit go in _DRIVER_WINDOW_CARRYOVER, placed
-# immediately after the window so they are first in line for round 5;
-# they are listed explicitly so the exclusion is a recorded decision,
-# not a silent off-by-N (all are untouched since round 1; the count
-# grew to eleven as the late-round-4 queries displaced more).
+# set the driver will actually re-check this round. Queries that did
+# not fit go in _DRIVER_WINDOW_CARRYOVER, placed immediately after the
+# window so they are first in line for round 6; they are listed
+# explicitly so the exclusion is a recorded decision, not a silent
+# off-by-N (all were green in round 4's window or full sweep).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- round 4: the new queries, then every query whose operator
-    # implementation was touched by the round-4 scale guards (hot-bucket
-    # caps, size-guarded broadcast, min-struct segment dedup, kcenter
-    # no-replacement, pmod sampling hash, real-decode plumbing) --
-    "embedding_minibatch_kmeans",
-    "doc_bigram_logprob",
-    "doc_tfidf_cosine_pairs",
-    "dedup_canonical_docs",
-    "ann_ivf_topk",
-    "doc_unigram_logprob",
-    "doc_segment_dedup",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "embedding_neardup_lsh",
-    "docs_incremental_neardup",
-    "embedding_kcenter_select",
-    "docs_token_weighted_sample",
-    "region_windowed_sales",
+    # -- round 5: the new registrations, then every query whose operator
+    # path was touched this round (BPE router, flow-grain +
+    # anti-join de-vacuation, decode_image_any wiring) --
+    "doc_bpe_segmentation_arrow",
+    "corpus_bpe_train_local",
+    "orders_priority_from_orc",
+    "nations_from_xml",
+    "bloom_probe_orders",
+    "doc_bpe_segmentation",
+    "corpus_bpe_train",
     "region_flows_top5",
-    "customer_region_enrichment",
-    "two_level_region_resolution",
+    "customers_without_orders",
     "multimodal_byte_stats",
     "multimodal_frame_sample",
-    # -- late-round-4 additions (never driver-checked) --
-    "embedding_covariance_topk",
-    "embedding_principal_component",
-    "embedding_principal_projection",
-    "corpus_bpe_train",
-    "doc_bpe_segmentation",
-    "embedding_pc_residual",
-    # -- stalest greens: last driver-checked in round 1 --
-    "activity_feed_top15",
-    "alert_threshold_frame",
-    "ann_topk_bruteforce",
-    "asof_latest_order",
-    "big_purchasers_not_big_clickers",
-    "cdc_latest_state",
-    "customer_running_revenue",
-    "customers_with_open_orders",
-    "customers_without_orders",
-    "dedup_duplicate_clusters",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "distinct_user_event_pairs",
-    "doc_bpe_token_counts",
-    "doc_lang_charclass",
-    "doc_text_features",
-    "embedding_neardup_pairs",
-    "event_type_pivot",
-    "events_cube",
-    "geo_header_load",
-    "grouped_topk_events",
-    "health_conditional_avg",
-    "hourly_value_trend",
-    "kpi_sliding_window",
-    "order_status_rollup",
-]
-
-# Round-1-stale queries that do not fit in the 50-query window this
-# round (ELEVEN after the late-round-4 additions displaced more);
-# first in line for the round-5 window. Listed explicitly so the
-# exclusion is a recorded decision, not a silent off-by-N.
-_DRIVER_WINDOW_CARRYOVER = [
+    # -- the round-4 carryover (stalest, promised first in line) --
     "orders_rollup",
     "parts_below_brand_avg",
     "platform_breakdown",
@@ -4768,6 +4755,90 @@ _DRIVER_WINDOW_CARRYOVER = [
     "q5_nation_volume",
     "q6_revenue_forecast",
     "range_pair_counts",
+    # -- next-stalest: not in the round-4 driver window (last checked by
+    # a driver in rounds 1-3; all green in the r4 full sweep) --
+    "ann_hard_negatives",
+    "ann_pq_adc_topk",
+    "ann_rp_lsh_topk",
+    "cdc_scd2_history",
+    "corpus_budget_mixture",
+    "corpus_mix_weights",
+    "corpus_pair_merges",
+    "corpus_profile",
+    "corpus_token_cms",
+    "corpus_token_topk",
+    "corpus_vocab_coverage",
+    "customer_order_window_battery",
+    "dedup_clusters_star",
+    "dedup_graph_pagerank",
+    "doc_benchmark_contamination",
+    "doc_eval_containment",
+    "doc_length_outliers",
+    "doc_markup_profile",
+    "doc_padded_batches",
+    "doc_perplexity_buckets",
+    "doc_pii_redaction",
+    "doc_quality_classifier",
+    "doc_quality_rules",
+    "doc_rag_chunks",
+    "doc_repetition_stats",
+    "doc_sequence_packing",
+    "doc_source_quality_rank",
+    "doc_span_coverage",
+]
+
+# Everything else not yet re-checked this round (each was green in the
+# round-4 full sweep; the driver window simply cannot hold all 140) —
+# ordered explicitly so the registry rotation is a recorded decision,
+# not a silent off-by-N, and first in line for the round-6 window.
+_DRIVER_WINDOW_CARRYOVER = [
+    "doc_split_quality",
+    "doc_winnowing_fingerprints",
+    "docs_incremental_new",
+    "dsir_target_selection",
+    "embedding_cluster_medoids",
+    "embedding_dim_variance",
+    "embedding_kmeans",
+    "embedding_semantic_dedup",
+    "embeddings_stratified_sample",
+    "event_funnel_counts",
+    "event_transition_matrix",
+    "events_daily_distinct_hll",
+    "events_gapfill_5min",
+    "events_multigrain_rollup",
+    "events_per_user_downsample",
+    "fuzzy_source_join",
+    "lineitem_exact_percentiles",
+    "lineitem_histogram_percentiles",
+    "lineitem_measures_unpivot",
+    "lineitem_stats_profile",
+    "orders_grouping_sets",
+    "q10_returned_items",
+    "q11_top_value_parts",
+    "q12_priority_by_status",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_revenue_supplier",
+    "q16_part_supplier_variety",
+    "q17_small_qty_avg_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_bulk_part_suppliers",
+    "q21_sole_late_supplier",
+    "q22_idle_customer_balance",
+    "q2_min_price_per_type",
+    "q4_priority_late_orders",
+    "q7_volume_shipping",
+    "q8_nation_market_share",
+    "q9_nation_year_profit",
+    "segment_top_customers",
+    "split_leakage_audit",
+    "traffic_tumbling_count",
+    "training_corpus_budgeted",
+    "training_corpus_pipeline",
+    "training_epoch_order",
+    "user_retention_cohorts",
+    "user_sessionization",
 ]
 
 

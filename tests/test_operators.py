@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cdc_pipeline_spark import workload
@@ -1616,3 +1618,84 @@ def test_bpe_train_matches_classic_reference(spark):
                     i += 1
             toks[w] = out
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Bloom runtime pre-filter (operators/bloom.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_bounded_false_positives(spark):
+    from cdc_pipeline_spark.operators.bloom import (
+        bloom_filter_words,
+        bloom_might_contain,
+    )
+    from pyspark.sql import functions as F
+
+    members = spark.range(0, 500).select((F.col("id") * 7 + 3).alias("k"))
+    words = bloom_filter_words(members, "k", n_bits=1 << 14, n_hashes=5)
+    assert len(words) == (1 << 14) // 64 and any(words)
+
+    probe = spark.range(0, 20000).select(F.col("id").alias("k"))
+    hits = set(
+        r["k"] for r in probe.filter(bloom_might_contain(words, F.col("k"), 5)).collect()
+    )
+    true_members = {i * 7 + 3 for i in range(500)}
+    # no false negatives: every member must probe true
+    assert true_members <= hits
+    # false positives bounded: ~ (1 - e^(-kn/m))^k ≈ 0.3% at these params
+    fp = len(hits - true_members) / (20000 - len(true_members))
+    assert fp < 0.05, fp
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    from cdc_pipeline_spark.operators.bloom import bloom_semi_join
+    from pyspark.sql import functions as F
+
+    facts = spark.range(0, 5000).select(
+        F.col("id").alias("fid"), F.pmod(F.col("id"), F.lit(997)).alias("key")
+    )
+    build = spark.range(0, 120).select((F.col("id") * 13).alias("bkey"))
+    got = bloom_semi_join(facts, build, fact_key="key", build_key="bkey", n_bits=1 << 12)
+    expected = facts.join(
+        build.select(F.col("bkey").alias("key")).distinct(), "key", "left_semi"
+    )
+    assert sorted(r["fid"] for r in got.collect()) == sorted(
+        r["fid"] for r in expected.collect()
+    )
+
+
+def test_bloom_prefilter_sits_before_the_join_exchange(spark):
+    """The point of the operator: the membership predicate must be a
+    scan-side Filter (inside WholeStageCodegen, before any Exchange),
+    not post-join."""
+    from cdc_pipeline_spark.operators.bloom import bloom_semi_join
+    from pyspark.sql import functions as F
+
+    facts = spark.range(0, 1000).select(F.col("id").alias("key"), F.lit(1).alias("v"))
+    build = spark.range(0, 10).select((F.col("id") * 3).alias("key"))
+    out = bloom_semi_join(facts, build, fact_key="key", n_bits=1 << 10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    join_pos = plan.find("Join")
+    filter_pos = plan.find("Filter")
+    assert join_pos != -1 and filter_pos != -1
+    # executed-plan tree prints top-down: the Filter must appear BELOW
+    # the join node (larger offset = deeper in the printed tree)
+    assert filter_pos > join_pos, plan
+
+
+def test_bloom_rejects_bad_bit_count(spark):
+    from cdc_pipeline_spark.operators.bloom import bloom_filter_words
+
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_filter_words(spark.range(3).selectExpr("id as k"), "k", n_bits=100)
+
+
+def test_bloom_null_keys_ignored_in_build_and_never_match(spark):
+    from cdc_pipeline_spark.operators.bloom import bloom_semi_join
+    from pyspark.sql import functions as F
+
+    facts = spark.createDataFrame([(1, 5), (2, None), (3, 7)], "fid int, key int")
+    build = spark.createDataFrame([(5,), (None,)], "bkey int")
+    got = bloom_semi_join(facts, build, fact_key="key", build_key="bkey", n_bits=1 << 10)
+    assert [r["fid"] for r in got.collect()] == [1]
