@@ -113,6 +113,7 @@ def find_regressions(
 
 def main() -> None:
     check_path = None
+    baseline = None
     if "--check" in sys.argv:
         i = sys.argv.index("--check")
         check_path = (
@@ -120,6 +121,9 @@ def main() -> None:
             if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-")
             else os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_QUERIES.json")
         )
+        # load BEFORE the multi-minute run: a typo'd path must fail in
+        # milliseconds, not after the whole benchmark has been measured
+        baseline = load_baseline(check_path)
     spark = create_spark_session(
         app_name="cdc-pipeline-spark-bench",
         master=f"local[{CPUS}]",
@@ -165,8 +169,8 @@ def main() -> None:
     )
     spark.stop()
 
-    if check_path is not None:
-        regressions, new = find_regressions(timings, load_baseline(check_path))
+    if baseline is not None:
+        regressions, new = find_regressions(timings, baseline)
         for name in new:
             print(f"# new since freeze (not gated): {name}", file=sys.stderr)
         for name, (measured, frozen) in sorted(regressions.items()):

@@ -119,6 +119,18 @@ def bloom_semi_join(
     ``facts.join(build, ..., "left_semi")`` — the oracle property — but
     the shuffle/broadcast input is the pruned fact side."""
     build_key = build_key or fact_key
+    fact_type = dict(facts.dtypes)[fact_key]
+    build_type = dict(build.dtypes)[build_key]
+    if fact_type != build_type:
+        # xxhash64 is TYPE-sensitive (hash(5 as int) != hash(5L)) while
+        # the exact join would coerce — mismatched dtypes would prune
+        # every genuine member as a "guaranteed non-member" and silently
+        # return nothing. Refuse loudly; the caller casts explicitly.
+        raise ValueError(
+            f"bloom_semi_join key dtypes must match exactly: "
+            f"facts.{fact_key} is {fact_type}, build.{build_key} is {build_type} "
+            "(cast one side first — xxhash64 membership is type-sensitive)"
+        )
     words = bloom_filter_words(build, build_key, n_bits, n_hashes)
     pruned = facts.filter(bloom_might_contain(words, F.col(fact_key), n_hashes))
     return pruned.join(

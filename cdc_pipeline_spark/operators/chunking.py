@@ -270,6 +270,24 @@ def bpe_rank_table(merges) -> dict[tuple[str, str], int]:
     return {(m[0], m[1]): i for i, m in enumerate(merges)}
 
 
+def _merge_pass(syms: list[str], a: str, b: str, merged: str) -> list[str]:
+    """One greedy left-to-right non-overlapping pass replacing adjacent
+    (a, b) with ``merged`` — the SINGLE Python twin of
+    ``merge_pair_expr``'s JVM fold, shared by the segmenter and the
+    driver-side trainer so their greedy semantics cannot drift apart
+    (the bit-for-bit equivalence tests rely on them being identical)."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Classic rank-priority BPE application: repeatedly merge the
     lowest-rank adjacent pair present (greedy left-to-right within the
@@ -295,17 +313,7 @@ def segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
         if best is None:
             break
         a, b = best
-        merged = a + b
-        out: list[str] = []
-        i = 0
-        while i < len(syms):
-            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
-                out.append(merged)
-                i += 2
-            else:
-                out.append(syms[i])
-                i += 1
-        syms = out
+        syms = _merge_pass(syms, a, b, a + b)
     return syms
 
 
@@ -332,9 +340,15 @@ def bpe_vocab_segments(words: DataFrame, merges, word_col: str = "word") -> Data
                 {"word": col.values, "syms": [segment_word(w, r) for w in col]}
             )
 
-    return _spread(words.select(F.col(word_col).alias(word_col))).mapInPandas(
-        run, "word string, syms array<string>"
+    # drop empty words so the contract matches the fold path, where
+    # F.split('', '') yields [''] (1 phantom symbol) but segment_word('')
+    # yields [] — the one input the two paths would disagree on. A BPE
+    # vocab has no empty word anyway (tokenizers filter them upstream,
+    # as do the workload callers).
+    cleaned = words.select(F.col(word_col).alias(word_col)).filter(
+        F.col(word_col) != ""
     )
+    return _spread(cleaned).mapInPandas(run, "word string, syms array<string>")
 
 
 def bpe_vocab_token_counts(
@@ -346,12 +360,14 @@ def bpe_vocab_token_counts(
     """(word, n_syms) per distinct word — the apply-step core of BPE
     token counting. Routes by merge count: the pure-JVM fold chain
     under the Catalyst depth ceiling, the broadcast-ranks Arrow
-    tokenizer beyond it (identical output either way)."""
+    tokenizer beyond it (identical output either way; empty words are
+    dropped on BOTH paths — they are the one input where F.split and
+    segment_word disagree, and no real vocab contains them)."""
     if len(merges) <= fold_max_merges:
         syms = F.split(F.col(word_col), "")
         for m in merges:
             syms = merge_pair_expr(syms, m[0], m[1])
-        return words.select(
+        return words.filter(F.col(word_col) != "").select(
             F.col(word_col).alias("word"), F.size(syms).alias("n_syms")
         )
     return bpe_vocab_segments(words, merges, word_col).select(
@@ -462,15 +478,7 @@ def bpe_train_merges_local(
                 p = (syms[i], syms[i + 1])
                 pair_counts[p] -= f
                 touched.add(p)
-            out: list[str] = []
-            i = 0
-            while i < len(syms):
-                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
+            out = _merge_pass(syms, a, b, merged)
             words[wi] = out
             for i in range(len(out) - 1):
                 p = (out[i], out[i + 1])

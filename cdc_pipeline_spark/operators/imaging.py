@@ -242,12 +242,18 @@ _PIL_PROBE: list | None = None
 
 
 def _pil_image_module():
-    """Worker-side probe for Pillow, cached per process ([] = absent)."""
+    """Worker-side probe for Pillow, cached per process ([] = absent).
+    Pillow's own bomb guard defaults to ~89M pixels — well past our
+    256 MiB decoded-bytes cap at 4 bytes/px — so the probe tightens
+    MAX_IMAGE_PIXELS to the cap's pixel equivalent: a hostile header
+    then raises DecompressionBombError at parse time (normalized to
+    ValueError below), never allocating."""
     global _PIL_PROBE
     if _PIL_PROBE is None:
         try:
             from PIL import Image  # noqa: PLC0415
 
+            Image.MAX_IMAGE_PIXELS = _MAX_DECODED_BYTES // 4
             _PIL_PROBE = [Image]
         except Exception:
             _PIL_PROBE = []
@@ -258,9 +264,11 @@ def decode_image_any(payload: bytes) -> "np.ndarray":
     """decode_image (pure-stdlib PNG/BMP), falling back to Pillow for
     compressed codecs when it is installed on the worker. Every failure
     is normalized to ValueError so the mapInPandas quarantine path
-    applies uniformly. Pillow's own decompression-bomb guard
-    (Image.MAX_IMAGE_PIXELS) stays active and lands in the same
-    ValueError normalization."""
+    applies uniformly. The probe tightens Pillow's bomb guard
+    (MAX_IMAGE_PIXELS) to our _MAX_DECODED_BYTES cap so the fallback
+    cannot allocate what decode_png just refused; a belt-and-braces
+    post-decode size check covers multi-frame/mode corner cases the
+    pixel-count guard can miss."""
     try:
         return decode_image(payload)
     except ValueError:
@@ -279,4 +287,8 @@ def decode_image_any(payload: bytes) -> "np.ndarray":
             arr = arr[:, :, None]
         if arr.size == 0:
             raise ValueError("zero-dimension decoded image")
+        if arr.nbytes > _MAX_DECODED_BYTES:
+            raise ValueError(
+                f"decoded image size {arr.nbytes} exceeds cap {_MAX_DECODED_BYTES}"
+            )
         return arr

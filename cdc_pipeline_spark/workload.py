@@ -1954,13 +1954,20 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _format_mirror_path(sf_dir: str, fmt: str, table: str) -> str:
+    """Scratch location for a format-mirrored table. Keyed by a hash of
+    the ABSOLUTE sf_dir (two checkouts with the same basename must not
+    share a mirror) plus the process id: a concurrent run's
+    mode='overwrite' would otherwise delete the directory out from
+    under this process's lazily-evaluated read-back scan."""
+    import hashlib
     import os
     import tempfile
 
+    dir_key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     return os.path.join(
         tempfile.gettempdir(),
         "cdc-spark-format-mirrors",
-        os.path.basename(sf_dir.rstrip("/")),
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{dir_key}-pid{os.getpid()}",
         fmt,
         table,
     )
@@ -4839,6 +4846,54 @@ _DRIVER_WINDOW_CARRYOVER = [
     "training_epoch_order",
     "user_retention_cohorts",
     "user_sessionization",
+    # -- freshest: green in the round-4 driver window (CORRECTNESS_r04),
+    # so last in line — listed anyway so EVERY registered query's
+    # rotation position is recorded, none placed by silent
+    # registration-order fallthrough --
+    "activity_feed_top15",
+    "alert_threshold_frame",
+    "ann_ivf_topk",
+    "ann_topk_bruteforce",
+    "asof_latest_order",
+    "big_purchasers_not_big_clickers",
+    "cdc_latest_state",
+    "customer_region_enrichment",
+    "customer_running_revenue",
+    "customers_with_open_orders",
+    "dedup_canonical_docs",
+    "dedup_duplicate_clusters",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "distinct_user_event_pairs",
+    "doc_bigram_logprob",
+    "doc_bpe_token_counts",
+    "doc_lang_charclass",
+    "doc_segment_dedup",
+    "doc_text_features",
+    "doc_tfidf_cosine_pairs",
+    "doc_unigram_logprob",
+    "docs_incremental_neardup",
+    "docs_token_weighted_sample",
+    "embedding_covariance_topk",
+    "embedding_kcenter_select",
+    "embedding_minibatch_kmeans",
+    "embedding_neardup_lsh",
+    "embedding_neardup_pairs",
+    "embedding_pc_residual",
+    "embedding_principal_component",
+    "embedding_principal_projection",
+    "event_type_pivot",
+    "events_cube",
+    "geo_header_load",
+    "grouped_topk_events",
+    "health_conditional_avg",
+    "hourly_value_trend",
+    "kpi_sliding_window",
+    "order_status_rollup",
+    "region_windowed_sales",
+    "two_level_region_resolution",
 ]
 
 

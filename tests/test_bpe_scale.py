@@ -233,3 +233,19 @@ def test_arrow_tokenizer_handles_1k_merges_fold_path_cannot(spark):
     for w, n in sample.items():
         assert 1 <= n <= len(w)
         assert len(segment_word(w, ranks)) == n
+
+
+def test_vocab_token_counts_drops_empty_words_on_both_paths(spark):
+    # '' is the one input where F.split and segment_word disagree
+    # (1 phantom symbol vs 0); both router paths must drop it so the
+    # "identical output either way" contract holds (round-5 review)
+    merges = [("a", "b", 2)]
+    vocab = spark.createDataFrame([("",), ("ab",), ("ba",)], "word string")
+    jvm = {r["word"]: r["n_syms"] for r in bpe_vocab_token_counts(vocab, merges).collect()}
+    arrow = {
+        r["word"]: r["n_syms"]
+        for r in bpe_vocab_token_counts(vocab, merges, fold_max_merges=0).collect()
+    }
+    assert jvm == arrow == {"ab": 1, "ba": 2}
+    segs = {r["word"]: r["syms"] for r in bpe_vocab_segments(vocab, merges).collect()}
+    assert segs == {"ab": ["ab"], "ba": ["b", "a"]}

@@ -1699,3 +1699,25 @@ def test_bloom_null_keys_ignored_in_build_and_never_match(spark):
     build = spark.createDataFrame([(5,), (None,)], "bkey int")
     got = bloom_semi_join(facts, build, fact_key="key", build_key="bkey", n_bits=1 << 10)
     assert [r["fid"] for r in got.collect()] == [1]
+
+
+def test_bloom_semi_join_rejects_mismatched_key_dtypes(spark):
+    # xxhash64 is type-sensitive while the exact join coerces: an
+    # int-vs-long key pair would prune every genuine member (round-5
+    # review finding) — must refuse loudly instead
+    from cdc_pipeline_spark.operators.bloom import bloom_semi_join
+    from pyspark.sql import functions as F
+
+    facts = spark.range(0, 100).select(F.col("id").cast("int").alias("key"))
+    build = spark.range(0, 100, 7).select(F.col("id").alias("bkey"))  # long
+    with pytest.raises(ValueError, match="dtypes must match"):
+        bloom_semi_join(facts, build, fact_key="key", build_key="bkey")
+    # and the explicit cast the error asks for works
+    got = bloom_semi_join(
+        facts,
+        build.select(F.col("bkey").cast("int").alias("bkey")),
+        fact_key="key",
+        build_key="bkey",
+        n_bits=1 << 10,
+    )
+    assert sorted(r["key"] for r in got.collect()) == list(range(0, 100, 7))

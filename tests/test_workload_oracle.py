@@ -48,4 +48,10 @@ def test_driver_window_is_exactly_fifty():
     assert regs[:50] == workload._DRIVER_WINDOW_PRIORITY
     n_carry = len(workload._DRIVER_WINDOW_CARRYOVER)
     assert regs[50 : 50 + n_carry] == workload._DRIVER_WINDOW_CARRYOVER
+    # EVERY registered query must appear in one of the two lists: the
+    # stated invariant is that rotation position is a recorded decision,
+    # never silent registration-order fallthrough (round-5 review finding)
+    listed = workload._DRIVER_WINDOW_PRIORITY + workload._DRIVER_WINDOW_CARRYOVER
+    assert len(listed) == len(set(listed)), "duplicate names across window lists"
+    assert set(listed) == set(workload.QUERIES)
     assert set(workload.QUERIES) == set(workload.ORACLE_SQL)
