@@ -493,3 +493,121 @@ def bpe_train_merges_local(
             elif p != (a, b):
                 heapq.heappush(heap, (-c, p[0], p[1]))
     return merges
+
+
+# ---------------------------------------------------------------------------
+# WordPiece-style greedy tokenizer: the other classic subword family
+# beside BPE. Deliberately formulated with INTEGER-only decisions —
+# vocabulary selection by (weighted count DESC, piece ASC) and greedy
+# longest-prefix-match segmentation — so both stages replay exactly in
+# SQL (no EM float scores; hard greedy matching is the deterministic
+# member of the unigram-LM family and what production WordPiece
+# inference actually runs).
+# ---------------------------------------------------------------------------
+
+
+def wordpiece_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 500,
+    max_piece_len: int = 4,
+    max_word_chars: int = 64,
+) -> DataFrame:
+    """Select the top-``vocab_size`` subword pieces by corpus-weighted
+    substring frequency → (piece, weight, rank).
+
+    Plan: ONE word-frequency shuffle (the same 100 TB vocab-count stage
+    BPE training starts from), then substring enumeration runs over the
+    DISTINCT word table (bounded by vocab, not corpus), one more
+    map-side-combined groupBy, and a TakeOrdered top-k. Every piece at
+    every start position counts, weighted by word frequency — integer
+    sums, exact under any partitioning. ``max_word_chars`` bounds the
+    per-word substring blowup (a w-char word emits ≤ w·max_piece_len
+    pieces) against megabyte URL/base64 tokens.
+    """
+    words = (
+        _spread(df)
+        .select(F.explode(tokens(text_col)).alias("word"))
+        .filter((F.col("word") != "") & (F.length("word") <= max_word_chars))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    starts = F.sequence(F.lit(1), F.length("word"))
+    lens = F.sequence(F.lit(1), F.lit(max_piece_len))
+    pieces = (
+        words.select("freq", F.explode(starts).alias("start"), F.col("word"))
+        .select("freq", "word", "start", F.explode(lens).alias("len"))
+        .filter(F.col("start") + F.col("len") - 1 <= F.length("word"))
+        .select(
+            F.substring(F.col("word"), F.col("start"), F.col("len")).alias("piece"),
+            "freq",
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("weight"))
+    )
+    # top-k FIRST (TakeOrderedAndProject — no global sort shuffle over
+    # the full piece table), then rank the tiny selected set
+    from pyspark.sql import Window
+
+    top = pieces.orderBy(F.col("weight").desc(), F.col("piece").asc()).limit(vocab_size)
+    w = Window.orderBy(F.col("weight").desc(), F.col("piece").asc())
+    return top.select(
+        "piece", "weight", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+def wordpiece_segment_counts(
+    words: DataFrame,
+    vocab_pieces: list[str],
+    word_col: str = "word",
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """Greedy longest-prefix-match token counts per distinct word →
+    (word, n_pieces, n_unk). At each position the longest vocab piece
+    matching the prefix is consumed; no match consumes one character as
+    UNK. Deterministic and integer-only, so a SQL recursive CTE replays
+    it bit-for-bit.
+
+    The vocab travels as a real broadcast (length-bucketed hash sets —
+    one copy per executor); matching runs inside Arrow ``mapInPandas``
+    batches over the DISTINCT vocab of the corpus (the word-cache
+    pattern: per-occurrence cost downstream is a join probe)."""
+    import pandas as pd
+
+    by_len: dict[int, set] = {}
+    for p in vocab_pieces:
+        by_len.setdefault(len(p), set()).add(p)
+    bc = words.sparkSession.sparkContext.broadcast(by_len)
+    lengths = sorted(by_len, reverse=True)
+
+    def segment(word: str, table: dict[int, set]) -> tuple[int, int]:
+        n_pieces = n_unk = 0
+        pos, n = 0, len(word)
+        while pos < n:
+            step = 1
+            matched = False
+            for ln in lengths:
+                if ln <= n - pos and word[pos : pos + ln] in table.get(ln, ()):
+                    step, matched = ln, True
+                    break
+            if not matched:
+                n_unk += 1
+            n_pieces += 1
+            pos += step
+        return n_pieces, n_unk
+
+    def run(batches):
+        table = bc.value
+        for batch in batches:
+            col = batch[word_col]
+            segs = [segment(w, table) for w in col]
+            yield pd.DataFrame(
+                {
+                    "word": col.values,
+                    "n_pieces": [s[0] for s in segs],
+                    "n_unk": [s[1] for s in segs],
+                }
+            )
+
+    cleaned = words.select(F.col(word_col).alias(word_col)).filter(F.col(word_col) != "")
+    return _spread(cleaned).mapInPandas(run, "word string, n_pieces long, n_unk long")

@@ -1973,6 +1973,113 @@ def _format_mirror_path(sf_dir: str, fmt: str, table: str) -> str:
     )
 
 
+_WORDPIECE_WORDS_SQL = r"""words AS (
+    SELECT word, count(*) AS freq FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS word
+        FROM documents)
+    WHERE length(word) <= 64
+    GROUP BY word),
+pieces AS (
+    SELECT substr(w.word, CAST(s.start AS INTEGER), l.len) AS piece, sum(w.freq) AS weight
+    FROM words w, unnest(range(1, length(w.word) + 1)) AS s(start), (VALUES (1),(2),(3),(4)) l(len)
+    WHERE CAST(s.start AS INTEGER) + l.len - 1 <= length(w.word)
+    GROUP BY piece)"""
+
+
+@register(
+    "corpus_wordpiece_vocab",
+    f"""
+    WITH {_WORDPIECE_WORDS_SQL}
+    SELECT piece, CAST(weight AS BIGINT) AS weight,
+           CAST(row_number() OVER (ORDER BY weight DESC, piece) AS BIGINT) AS rank
+    FROM pieces ORDER BY weight DESC, piece LIMIT 120
+    """,
+)
+def corpus_wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style vocabulary selection
+    (`chunking.py::wordpiece_vocab`): top-120 subword pieces by
+    corpus-weighted substring frequency (all start positions, lengths
+    1-4, weighted by word frequency). Integer sums + (weight DESC,
+    piece ASC) total order make the selection exact under any
+    partitioning; the plan is the BPE trainer's word-frequency shuffle
+    + one map-side-combined piece groupBy + TakeOrdered."""
+    from cdc_pipeline_spark.operators.chunking import wordpiece_vocab
+
+    return wordpiece_vocab(_t(spark, sf_dir, "documents"), vocab_size=120)
+
+
+@register(
+    "doc_wordpiece_segmentation",
+    f"""
+    WITH RECURSIVE {_WORDPIECE_WORDS_SQL},
+    vocab AS (
+        SELECT piece FROM pieces ORDER BY weight DESC, piece LIMIT 120),
+    dw AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS word
+        FROM documents),
+    uw AS (SELECT DISTINCT word FROM dw),
+    seg AS (
+        SELECT word, 0 AS pos, 0 AS n_pieces, 0 AS n_unk FROM uw
+        UNION ALL
+        SELECT s.word,
+               s.pos + coalesce(m.len, 1),
+               s.n_pieces + 1,
+               s.n_unk + CASE WHEN m.len IS NULL THEN 1 ELSE 0 END
+        FROM seg s
+        LEFT JOIN LATERAL (
+            SELECT max(length(v.piece)) AS len FROM vocab v
+            WHERE v.piece = substr(s.word, s.pos + 1, length(v.piece))
+        ) m ON true
+        WHERE s.pos < length(s.word)),
+    done AS (SELECT word, n_pieces, n_unk FROM seg WHERE pos = length(word))
+    SELECT dw.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(d.n_pieces) AS BIGINT) AS n_pieces,
+           CAST(sum(d.n_unk) AS BIGINT) AS n_unk
+    FROM dw JOIN done d USING (word)
+    GROUP BY dw.doc_id
+    """,
+)
+def doc_wordpiece_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→apply for the greedy WordPiece family: the 120-piece vocab
+    (bounded control state — collected like centroids) broadcasts into
+    an Arrow `mapInPandas` greedy longest-prefix-match over the DISTINCT
+    corpus words (`chunking.py::wordpiece_segment_counts`), which joins
+    back to the exploded corpus for per-doc piece/UNK totals. All
+    decisions are integer-only (no EM float scores), which is what lets
+    the DuckDB recursive CTE replay the greedy matching bit-for-bit —
+    the deterministic member of the unigram-LM tokenizer family, and
+    what production WordPiece inference actually runs."""
+    from cdc_pipeline_spark.operators.chunking import (
+        wordpiece_segment_counts,
+        wordpiece_vocab,
+    )
+    from cdc_pipeline_spark.operators.partitioning import spread
+    from cdc_pipeline_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = [
+        r["piece"]
+        for r in wordpiece_vocab(docs, vocab_size=120).select("piece").collect()
+    ]
+    exploded = (
+        spread(docs)
+        .select("doc_id", F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    counts = wordpiece_segment_counts(exploded.select("word").distinct(), vocab)
+    return (
+        exploded.join(counts, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.sum("n_unk").alias("n_unk"),
+        )
+    )
+
+
 @register(
     "bloom_probe_orders",
     """
@@ -4744,6 +4851,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "orders_priority_from_orc",
     "nations_from_xml",
     "bloom_probe_orders",
+    "corpus_wordpiece_vocab",
+    "doc_wordpiece_segmentation",
     "doc_bpe_segmentation",
     "corpus_bpe_train",
     "region_flows_top5",
@@ -4790,8 +4899,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_rag_chunks",
     "doc_repetition_stats",
     "doc_sequence_packing",
-    "doc_source_quality_rank",
-    "doc_span_coverage",
 ]
 
 # Everything else not yet re-checked this round (each was green in the
@@ -4799,6 +4906,8 @@ _DRIVER_WINDOW_PRIORITY = [
 # ordered explicitly so the registry rotation is a recorded decision,
 # not a silent off-by-N, and first in line for the round-6 window.
 _DRIVER_WINDOW_CARRYOVER = [
+    "doc_source_quality_rank",
+    "doc_span_coverage",
     "doc_split_quality",
     "doc_winnowing_fingerprints",
     "docs_incremental_new",

@@ -249,3 +249,44 @@ def test_vocab_token_counts_drops_empty_words_on_both_paths(spark):
     assert jvm == arrow == {"ab": 1, "ba": 2}
     segs = {r["word"]: r["syms"] for r in bpe_vocab_segments(vocab, merges).collect()}
     assert segs == {"ab": ["ab"], "ba": ["b", "a"]}
+
+
+# ---------------------------------------------------------------------------
+# WordPiece greedy family (chunking.py::wordpiece_vocab / segment_counts)
+# ---------------------------------------------------------------------------
+
+
+def test_wordpiece_greedy_prefers_longest_match(spark):
+    from cdc_pipeline_spark.operators.chunking import wordpiece_segment_counts
+
+    words = spark.createDataFrame([("abcd",), ("abca",), ("zzzz",)], "word string")
+    vocab = ["abc", "ab", "a", "b", "c", "d"]
+    got = {
+        r["word"]: (r["n_pieces"], r["n_unk"])
+        for r in wordpiece_segment_counts(words, vocab).collect()
+    }
+    # abcd -> abc|d (longest-first, not ab|c|d); abca -> abc|a;
+    # zzzz -> 4 single-char UNKs
+    assert got == {"abcd": (2, 0), "abca": (2, 0), "zzzz": (4, 4)}
+
+
+def test_wordpiece_vocab_total_order_and_weighting(spark):
+    from cdc_pipeline_spark.operators.chunking import wordpiece_vocab
+
+    # "aa" appears twice (freq weight), so pieces of it outweigh "bc"'s
+    df = spark.createDataFrame([("aa aa bc",)], "text string")
+    rows = wordpiece_vocab(df, vocab_size=10).collect()
+    ranked = [(r["piece"], r["weight"], r["rank"]) for r in rows]
+    assert ranked[0] == ("a", 4, 1)  # 2 positions x freq 2
+    assert ranked[1] == ("aa", 2, 2)
+    # ties (weight 1: b, bc, c) break on piece ASC
+    assert [p for p, w, _ in ranked if w == 1] == ["b", "bc", "c"]
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_wordpiece_segment_counts_drops_empty_and_handles_empty_vocab(spark):
+    from cdc_pipeline_spark.operators.chunking import wordpiece_segment_counts
+
+    words = spark.createDataFrame([("",), ("xy",)], "word string")
+    got = {r["word"]: (r["n_pieces"], r["n_unk"]) for r in wordpiece_segment_counts(words, []).collect()}
+    assert got == {"xy": (2, 2)}  # every char is UNK under an empty vocab
