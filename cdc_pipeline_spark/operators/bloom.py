@@ -92,17 +92,28 @@ def bloom_might_contain(
     """Pure-JVM membership predicate over the bitmap literal: true iff
     every probe bit is set (false ⇒ definitely absent). Evaluates inside
     the scan's codegen stage — place it BEFORE the join so the exchange
-    never sees pruned rows."""
+    never sees pruned rows.
+
+    Literal-construction matters at this size (measured on a 150k-row
+    scan, 2^20 bits): ``F.lit(list)``/``F.array(*lits)`` pay py4j
+    per-element — 7-30 s of DRIVER time per plan build — so the bitmap
+    goes through ONE ``F.expr("array(...)")`` parse (~30 ms), and the
+    ``forall`` lambda references that literal once instead of
+    duplicating it per probe. (A hex-string literal + substr probe was
+    also rejected: UTF8String charAt is O(position) — 70 s/200k rows.)
+    """
     n_bits = len(words) * 64
-    lit_words = F.array(*[F.lit(w).cast("long") for w in words])
-    pred = F.lit(True)
-    for pos in _positions(key, n_bits, n_hashes):
-        word = F.element_at(lit_words, (pos / 64).cast("int") + 1)
+    arr = F.expr("array(" + ",".join(f"{int(w)}L" for w in words) + ")")
+    probes = F.array(*_positions(key, n_bits, n_hashes))
+
+    def bit_set(pos: Column) -> Column:
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
         mask = F.call_function(
             "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")
         )
-        pred = pred & (word.bitwiseAND(mask) != 0)
-    return pred
+        return word.bitwiseAND(mask) != 0
+
+    return F.forall(probes, bit_set)
 
 
 def bloom_semi_join(
