@@ -1,0 +1,176 @@
+"""Continuous near-duplicate detection: a streaming-maintained MinHash
+LSH band index with probe-on-ingest.
+
+`streaming/corpus_ingest.py` deliberately keeps near-dup OUT of its
+hot append path and defers it to a maintenance pass; this module is
+the other layering — for pipelines that must REJECT (or flag)
+near-duplicates of the historical corpus at ingest time, each
+micro-batch:
+
+  1. probes its documents' band postings against the index of every
+     STRICTLY EARLIER batch (incoming x history only, never history x
+     history — per-batch probe cost is proportional to the batch), and
+     verifies candidates with exact Jaccard against the stored shingle
+     sets, landing matches >= threshold;
+  2. appends its own postings + shingle sets to the index.
+
+Storage layout mirrors `streaming/rollup.py`: three parquet tables
+under ``path`` (``postings/``, ``shingles/``, ``matches/``), each
+partitioned by ``batch_id`` with per-batch dynamic-partition
+overwrite — a replayed micro-batch rewrites exactly its own partition,
+and because the probe reads only ``batch_id < current``, the replay
+re-derives the SAME matches (its own postings are excluded), so the
+whole operator is replay-idempotent with no marker files.
+
+At 100 TB: postings are (band, bucket, doc_id) — `bands` rows/doc —
+and the probe is a band-bucket equi-join, so bucketing ``postings/``
+by (band, bucket) makes each increment's probe shuffle-free on the
+corpus side; `max_bucket` caps hot boilerplate buckets exactly as in
+`dedup.prune_hot_buckets`. The batch twin is
+`dedup.incremental_minhash_neardup`, and the golden test pins
+stream-maintained matches == the batch twin run per increment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_pipeline_spark.operators.dedup import (
+    _shingled,
+    band_posting,
+    minhash_signatures,
+    prune_hot_buckets,
+)
+from cdc_pipeline_spark.operators.rounding import round_half_up
+
+
+class NearDupIndexWriter:
+    """``foreachBatch`` writer: probe-then-append continuous near-dup.
+
+    Call with ``(batch_df, batch_id)``; ``batch_df`` needs
+    ``(id_col, text_col)``. Matches land under ``<path>/matches/`` as
+    (doc_id [incoming], match_id [historical], jaccard, batch_id).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+        num_perm: int = 64,
+        bands: int = 16,
+        threshold: float = 0.5,
+        max_bucket: int | None = None,
+    ) -> None:
+        if num_perm % bands:
+            raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
+        self.path = path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n = n
+        self.num_perm = num_perm
+        self.bands = bands
+        self.threshold = threshold
+        self.max_bucket = max_bucket
+
+    def _sub(self, name: str) -> str:
+        return os.path.join(self.path, name)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        docs = batch_df.select(
+            F.col(self.id_col).alias("doc_id"), F.col(self.text_col).alias("text")
+        ).localCheckpoint()  # signatures + shingles + probe read it; cut lineage once
+
+        sig = minhash_signatures(docs, "doc_id", "text", self.n, self.num_perm)
+        posting = band_posting(sig, self.num_perm, self.bands).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        shingles = (
+            _shingled(docs, "doc_id", "text", self.n)
+            .select("doc_id", "shingles")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+
+        matches = self._probe(spark, posting, shingles, batch_id)
+        # probe BEFORE appending (and against batch_id < current only):
+        # a replayed batch sees exactly the history it saw the first
+        # time, so every table rewrite below is bit-identical
+        _write_batch_partition(matches, self._sub("matches"))
+        _write_batch_partition(posting, self._sub("postings"))
+        _write_batch_partition(shingles, self._sub("shingles"))
+
+    def _probe(
+        self, spark: SparkSession, posting: DataFrame, shingles: DataFrame, batch_id: int
+    ) -> DataFrame:
+        empty = spark.createDataFrame(
+            [], "doc_id long, match_id long, jaccard double, batch_id int"
+        )
+        if not os.path.isdir(self._sub("postings")):
+            return empty
+        hist_posting = spark.read.parquet(self._sub("postings")).filter(
+            F.col("batch_id") < batch_id
+        )
+        hist_shingles = spark.read.parquet(self._sub("shingles")).filter(
+            F.col("batch_id") < batch_id
+        )
+        # the cap counts both sides together, like the batch twin: the
+        # hazard is a hot HISTORICAL bucket multiplying every probe
+        both = prune_hot_buckets(
+            posting.select("band", "bucket", "doc_id", F.lit(True).alias("__inc"))
+            .unionByName(
+                hist_posting.select(
+                    "band", "bucket", "doc_id", F.lit(False).alias("__inc")
+                )
+            )
+            .localCheckpoint(),
+            ["band", "bucket"],
+            self.max_bucket,
+        )
+        cand = (
+            both.filter(F.col("__inc"))
+            .select("band", "bucket", "doc_id")
+            .join(
+                both.filter(~F.col("__inc")).select(
+                    "band", "bucket", F.col("doc_id").alias("match_id")
+                ),
+                ["band", "bucket"],
+            )
+            .select("doc_id", "match_id")
+            .distinct()
+        )
+        a = shingles.select("doc_id", F.col("shingles").alias("__sa"))
+        b = hist_shingles.select(
+            F.col("doc_id").alias("match_id"), F.col("shingles").alias("__sb")
+        )
+        inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+        jacc = inter / (F.size("__sa") + F.size("__sb") - inter)
+        return (
+            cand.join(a, "doc_id")
+            .join(b, "match_id")
+            .withColumn("jaccard", round_half_up(jacc, 6))
+            .filter(F.col("jaccard") >= self.threshold)
+            .select("doc_id", "match_id", "jaccard")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+
+
+def _write_batch_partition(df: DataFrame, path: str) -> None:
+    """Overwrite exactly this batch's partition (same contract as
+    rollup._write_partials; per-write dynamic mode, never session conf)."""
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def read_matches(spark: SparkSession, path: str) -> DataFrame:
+    """All landed near-dup matches: (doc_id, match_id, jaccard, batch_id)."""
+    return spark.read.parquet(os.path.join(path, "matches"))

@@ -1469,3 +1469,67 @@ def test_gram_rollup_drops_non_finite_rows(spark, tmp_path):
         for r in quantized_gram(spark.createDataFrame(good, schema), scale=1 << 12).collect()
     }
     assert got == gold
+
+
+def test_neardup_index_writer_matches_batch_twin_and_replays(spark, tmp_path):
+    """Continuous near-dup (streaming/neardup_index.py): per-batch
+    probe-then-append against the landed LSH index must produce exactly
+    the matches of the batch twin (incremental_minhash_neardup run per
+    increment over the same history), and replaying a batch must leave
+    every table bit-identical (probe reads batch_id < current only)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cdc_pipeline_spark.operators.dedup import incremental_minhash_neardup
+    from cdc_pipeline_spark.streaming.neardup_index import (
+        NearDupIndexWriter,
+        read_matches,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    batches = [
+        [(1, base), (2, "completely different content about spark engines")],
+        [(3, base + " tail"), (4, "unrelated second batch text entirely")],
+        [(5, base), (6, "completely different content about spark engines plus")],
+    ]
+    path = str(tmp_path / "ndidx")
+    writer = NearDupIndexWriter(path, threshold=0.4)
+    for i, rows in enumerate(batches):
+        writer(spark.createDataFrame(rows, schema), i)
+
+    got = {
+        (r["doc_id"], r["match_id"], r["jaccard"])
+        for r in read_matches(spark, path).collect()
+    }
+
+    # batch twin: for each increment, history = union of earlier batches
+    expected = set()
+    for i in range(1, len(batches)):
+        hist = [r for b in batches[:i] for r in b]
+        inc = batches[i]
+        df = spark.createDataFrame(hist + inc, schema)
+        inc_ids = {d for d, _ in inc}
+        twin = incremental_minhash_neardup(
+            df, F.col("doc_id").isin(list(inc_ids)), threshold=0.4
+        )
+        expected |= {
+            (r["doc_id"], r["match_id"], r["jaccard"]) for r in twin.collect()
+        }
+    assert got == expected
+    assert got, "fixture must produce at least one near-dup match"
+    # doc 5 duplicates docs 1 and 3 from earlier batches
+    assert {(d, m) for d, m, _ in got} >= {(5, 1), (5, 3)}
+
+    # replay batch 1: all three tables unchanged
+    def snapshot():
+        out = {}
+        for sub in ("matches", "postings", "shingles"):
+            rows = spark.read.parquet(f"{path}/{sub}").collect()
+            out[sub] = sorted(map(str, rows))
+        return out
+
+    before = snapshot()
+    writer(spark.createDataFrame(batches[1], schema), 1)
+    assert snapshot() == before
