@@ -4022,11 +4022,18 @@ def doc_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     table), which then broadcast-joins back to the exploded corpus —
     per-occurrence cost is a hash probe, not a re-segmentation, the
     same trick a production tokenizer's word cache plays. Output:
-    per-doc word/char/BPE-token counts (all integers)."""
-    from cdc_pipeline_spark.operators.chunking import bpe_train_merges
+    per-doc word/char/BPE-token counts (all integers).
+
+    Training uses the heap trainer (`bpe_train_merges_local`) — proven
+    bit-identical to the per-round distributed trainer in
+    tests/test_bpe_scale.py, and itself hash-verified against the same
+    DuckDB replay by `corpus_bpe_train_local` — so this query spends
+    its time on the APPLY stage it exists to verify instead of paying
+    8 training shuffles the `corpus_bpe_train` row already covers."""
+    from cdc_pipeline_spark.operators.chunking import bpe_train_merges_local
 
     docs = _t(spark, sf_dir, "documents")
-    merges = bpe_train_merges(docs, rounds=8)
+    merges = bpe_train_merges_local(docs, rounds=8)
     return _bpe_segmentation_counts(docs, merges)
 
 
@@ -4071,11 +4078,14 @@ def doc_bpe_segmentation_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges the fold chain is the faster plan — this registration exists
     to hash-verify the Arrow tokenizer against the DuckDB replay, since
     at a production tokenizer's 32k merges it is the ONLY viable plan
-    (the fold path's Catalyst tree stops compiling ~64 merges)."""
-    from cdc_pipeline_spark.operators.chunking import bpe_train_merges
+    (the fold path's Catalyst tree stops compiling ~64 merges).
+    Training uses the heap trainer (bit-identical, separately
+    hash-verified by `corpus_bpe_train_local`) so the measured time is
+    the Arrow apply, not redundant training shuffles."""
+    from cdc_pipeline_spark.operators.chunking import bpe_train_merges_local
 
     docs = _t(spark, sf_dir, "documents")
-    merges = bpe_train_merges(docs, rounds=8)
+    merges = bpe_train_merges_local(docs, rounds=8)
     return _bpe_segmentation_counts(docs, merges, fold_max_merges=0)
 
 
