@@ -152,6 +152,13 @@ def _start_health(spark, src_dir, kv, ckpt):
     )
 
 
+def _start_geo(spark, src_dir, kv, ckpt):
+    source = stream_parquet(spark, src_dir, EVENT_SCHEMA, max_files_per_trigger=1)
+    return jobs.start_geo_pipeline(
+        source, kv, ckpt, time_col="created_at", trigger={"availableNow": True}
+    )
+
+
 def _start_platform(spark, src_dir, kv, ckpt):
     source = stream_parquet(spark, src_dir, EVENT_SCHEMA, max_files_per_trigger=1)
     return jobs.start_platform_pipeline(
@@ -192,8 +199,13 @@ def _state_platform(kv):
     )
 
 
+def _state_geo(kv):
+    return dict(kv.read_hash("nexus:geo:header"))
+
+
 PIPELINES = {
     "kpi": (_start_kpi, _state_kpi),
+    "geo": (_start_geo, _state_geo),
     "traffic": (_start_traffic, _state_traffic),
     "region": (_start_region, _state_region),
     "health": (_start_health, _state_health),
