@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -87,13 +88,19 @@ class NearDupIndexWriter:
         ).localCheckpoint()  # signatures + shingles + probe read it; cut lineage once
 
         sig = minhash_signatures(docs, "doc_id", "text", self.n, self.num_perm)
-        posting = band_posting(sig, self.num_perm, self.bands).withColumn(
-            "batch_id", F.lit(int(batch_id))
+        # both are probed AND written, and the probe's hot-bucket cap
+        # evaluates its input more than once — one O(batch)
+        # materialization each, never one of the full history
+        posting = (
+            band_posting(sig, self.num_perm, self.bands)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .localCheckpoint()
         )
         shingles = (
             _shingled(docs, "doc_id", "text", self.n)
             .select("doc_id", "shingles")
             .withColumn("batch_id", F.lit(int(batch_id)))
+            .localCheckpoint()
         )
 
         matches = self._probe(spark, posting, shingles, batch_id)
@@ -107,27 +114,36 @@ class NearDupIndexWriter:
     def _probe(
         self, spark: SparkSession, posting: DataFrame, shingles: DataFrame, batch_id: int
     ) -> DataFrame:
-        empty = spark.createDataFrame(
-            [], "doc_id long, match_id long, jaccard double, batch_id int"
-        )
-        if not os.path.isdir(self._sub("postings")):
+        empty = spark.createDataFrame([], _MATCH_SCHEMA)
+        # existence is decided by the READ, not a driver-local
+        # os.path probe: the index path may be HDFS/S3 (the module's
+        # stated 100 TB layout), where os.path.isdir is always False
+        # and would silently disable detection forever
+        try:
+            hist_posting = spark.read.parquet(self._sub("postings")).filter(
+                F.col("batch_id") < batch_id
+            )
+            hist_shingles_raw = spark.read.parquet(self._sub("shingles")).filter(
+                F.col("batch_id") < batch_id
+            )
+        except AnalysisException:  # no index yet (first batch)
             return empty
-        hist_posting = spark.read.parquet(self._sub("postings")).filter(
-            F.col("batch_id") < batch_id
-        )
-        hist_shingles = spark.read.parquet(self._sub("shingles")).filter(
-            F.col("batch_id") < batch_id
-        )
+        # a doc re-ingested in several batches has one shingle row per
+        # batch; keep one (latest) so each (doc, match) pair verifies
+        # once — matching the batch twin's per-doc_id signature grouping
+        hist_shingles = hist_shingles_raw.groupBy(
+            F.col("doc_id").alias("match_id")
+        ).agg(F.max_by("shingles", "batch_id").alias("__sb"))
         # the cap counts both sides together, like the batch twin: the
         # hazard is a hot HISTORICAL bucket multiplying every probe
         both = prune_hot_buckets(
-            posting.select("band", "bucket", "doc_id", F.lit(True).alias("__inc"))
-            .unionByName(
+            posting.select(
+                "band", "bucket", "doc_id", F.lit(True).alias("__inc")
+            ).unionByName(
                 hist_posting.select(
                     "band", "bucket", "doc_id", F.lit(False).alias("__inc")
                 )
-            )
-            .localCheckpoint(),
+            ),
             ["band", "bucket"],
             self.max_bucket,
         )
@@ -144,9 +160,7 @@ class NearDupIndexWriter:
             .distinct()
         )
         a = shingles.select("doc_id", F.col("shingles").alias("__sa"))
-        b = hist_shingles.select(
-            F.col("doc_id").alias("match_id"), F.col("shingles").alias("__sb")
-        )
+        b = hist_shingles
         inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
         jacc = inter / (F.size("__sa") + F.size("__sb") - inter)
         return (
@@ -171,6 +185,17 @@ def _write_batch_partition(df: DataFrame, path: str) -> None:
     )
 
 
+_MATCH_SCHEMA = "doc_id long, match_id long, jaccard double, batch_id int"
+
+
 def read_matches(spark: SparkSession, path: str) -> DataFrame:
-    """All landed near-dup matches: (doc_id, match_id, jaccard, batch_id)."""
-    return spark.read.parquet(os.path.join(path, "matches"))
+    """All landed near-dup matches: (doc_id, match_id, jaccard, batch_id).
+
+    The schema is explicit: a clean corpus writes zero match FILES per
+    batch, and schema inference over a file-less directory raises
+    ``UNABLE_TO_INFER_SCHEMA`` — here it returns an empty typed frame.
+    """
+    try:
+        return spark.read.schema(_MATCH_SCHEMA).parquet(os.path.join(path, "matches"))
+    except AnalysisException:  # directory never created (no batch ran)
+        return spark.createDataFrame([], _MATCH_SCHEMA)

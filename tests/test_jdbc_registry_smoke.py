@@ -19,6 +19,12 @@ import os
 import pytest
 
 JDBC_URL = os.environ.get("JDBC_URL")
+# all three must be present, or a partially-configured environment
+# (e.g. a trust-auth database with no JDBC_USER yet) turns the skip
+# into a KeyError test ERROR
+JDBC_READY = bool(
+    JDBC_URL and os.environ.get("JDBC_USER") and os.environ.get("JDBC_PASSWORD")
+)
 JDBC_TABLE = os.environ.get("JDBC_TABLE", "pg_catalog.pg_tables")
 REGISTRY_URL = os.environ.get("SCHEMA_REGISTRY_URL")
 REGISTRY_SUBJECT = os.environ.get("SCHEMA_REGISTRY_SUBJECT")
@@ -33,7 +39,9 @@ def _require_jdbc_driver(spark):
         pytest.skip("org.postgresql.Driver not on the Spark classpath")
 
 
-@pytest.mark.skipif(not JDBC_URL, reason="set JDBC_URL/JDBC_USER/JDBC_PASSWORD to run")
+@pytest.mark.skipif(
+    not JDBC_READY, reason="set JDBC_URL/JDBC_USER/JDBC_PASSWORD to run"
+)
 def test_jdbc_snapshot_reads_rows(spark):
     from cdc_pipeline_spark.sources.jdbc import read_table_snapshot
 
@@ -49,7 +57,9 @@ def test_jdbc_snapshot_reads_rows(spark):
     assert df.limit(1).count() in (0, 1)  # read path executes end-to-end
 
 
-@pytest.mark.skipif(not JDBC_URL, reason="set JDBC_URL/JDBC_USER/JDBC_PASSWORD to run")
+@pytest.mark.skipif(
+    not JDBC_READY, reason="set JDBC_URL/JDBC_USER/JDBC_PASSWORD to run"
+)
 def test_jdbc_partitioned_read_matches_single_partition(spark):
     """The scale path: a range-partitioned read must return exactly the
     rows of the plain read (no dropped/duplicated boundary rows)."""
@@ -94,9 +104,15 @@ def test_schema_registry_fetch_returns_parsable_avro():
 
     schema_json = fetch_schema_from_registry(REGISTRY_URL, REGISTRY_SUBJECT)
     schema = json.loads(schema_json)
-    assert schema.get("type") in ("record", "string", "bytes", "long") or isinstance(
-        schema, list
-    )
+    # Avro unions parse to a list and bare primitives to a str — check
+    # the shape BEFORE calling .get, which only dicts have
+    if isinstance(schema, list):
+        assert schema, "union schema must name at least one branch"
+        return
+    if isinstance(schema, str):
+        assert schema in ("string", "bytes", "long", "int", "boolean", "double")
+        return
+    assert schema.get("type") in ("record", "string", "bytes", "long")
     if schema.get("type") == "record":
         # must be decodable by the jar-free codec too
         from cdc_pipeline_spark.sources.avro_codec import compile_decoder

@@ -1533,3 +1533,67 @@ def test_neardup_index_writer_matches_batch_twin_and_replays(spark, tmp_path):
     before = snapshot()
     writer(spark.createDataFrame(batches[1], schema), 1)
     assert snapshot() == before
+
+
+def test_neardup_index_clean_corpus_reads_empty(spark, tmp_path):
+    """A corpus with zero near-dups writes file-less matches/ partitions;
+    read_matches must return an empty TYPED frame, not raise
+    UNABLE_TO_INFER_SCHEMA. Also: before any batch ran, the directory
+    does not exist at all — same contract."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cdc_pipeline_spark.streaming.neardup_index import (
+        NearDupIndexWriter,
+        read_matches,
+    )
+
+    path = str(tmp_path / "ndidx_clean")
+    pre = read_matches(spark, path)  # nothing written yet
+    assert pre.count() == 0
+    assert pre.columns == ["doc_id", "match_id", "jaccard", "batch_id"]
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    writer = NearDupIndexWriter(path, threshold=0.4)
+    writer(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")], schema
+        ),
+        0,
+    )
+    writer(
+        spark.createDataFrame(
+            [(2, "omicron sigma tau upsilon phi chi psi omega")], schema
+        ),
+        1,
+    )
+    out = read_matches(spark, path)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "match_id", "jaccard", "batch_id"]
+
+
+def test_neardup_index_reingested_doc_matches_once(spark, tmp_path):
+    """A historical doc re-ingested in several batches has one shingle
+    row per batch; the probe must still emit each (doc, match) pair
+    exactly once — same multiplicity as the batch twin."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cdc_pipeline_spark.streaming.neardup_index import (
+        NearDupIndexWriter,
+        read_matches,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    path = str(tmp_path / "ndidx_reingest")
+    writer = NearDupIndexWriter(path, threshold=0.4)
+    writer(spark.createDataFrame([(7, base)], schema), 0)
+    writer(spark.createDataFrame([(7, base)], schema), 1)  # re-ingest
+    writer(spark.createDataFrame([(9, base + " tail")], schema), 2)
+
+    rows = read_matches(spark, path).filter("doc_id = 9").collect()
+    assert len(rows) == 1, f"expected one (9, 7) match, got {rows}"
+    assert rows[0]["match_id"] == 7
