@@ -506,6 +506,22 @@ def bpe_train_merges_local(
 # ---------------------------------------------------------------------------
 
 
+def word_freq_table(
+    df: DataFrame, text_col: str = "text", max_word_chars: int = 64
+) -> DataFrame:
+    """Distinct-word frequency table → (word, freq): the shared 100 TB
+    entry stage of every tokenizer trainer here (BPE / WordPiece /
+    unigram) — one map-side-combined shuffle bounded by the corpus
+    VOCABULARY, not its token count."""
+    return (
+        _spread(df)
+        .select(F.explode(tokens(text_col)).alias("word"))
+        .filter((F.col("word") != "") & (F.length("word") <= max_word_chars))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
 def wordpiece_vocab(
     df: DataFrame,
     text_col: str = "text",
@@ -525,13 +541,7 @@ def wordpiece_vocab(
     per-word substring blowup (a w-char word emits ≤ w·max_piece_len
     pieces) against megabyte URL/base64 tokens.
     """
-    words = (
-        _spread(df)
-        .select(F.explode(tokens(text_col)).alias("word"))
-        .filter((F.col("word") != "") & (F.length("word") <= max_word_chars))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
+    words = word_freq_table(df, text_col, max_word_chars)
     starts = F.sequence(F.lit(1), F.length("word"))
     lens = F.sequence(F.lit(1), F.lit(max_piece_len))
     pieces = (
@@ -601,6 +611,159 @@ def wordpiece_segment_counts(
         for batch in batches:
             col = batch[word_col]
             segs = [segment(w, table) for w in col]
+            yield pd.DataFrame(
+                {
+                    "word": col.values,
+                    "n_pieces": [s[0] for s in segs],
+                    "n_unk": [s[1] for s in segs],
+                }
+            )
+
+    cleaned = words.select(F.col(word_col).alias(word_col)).filter(F.col(word_col) != "")
+    return _spread(cleaned).mapInPandas(run, "word string, n_pieces long, n_unk long")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM-style tokenizer: the third classic subword family beside
+# BPE (merge-rank) and WordPiece (greedy longest-match). Inference is
+# the OPTIMAL segmentation of each word by Viterbi DP — what
+# SentencePiece's unigram model runs — and training is one hard-EM
+# refinement: segment the corpus under a seed vocabulary, re-weight
+# every piece by its corpus usage, keep the top-k. Formulated with
+# INTEGER-only decisions (the true model's float log-probs cannot
+# replay bit-for-bit across engines): the DP objective is the total
+# lexicographic order (fewest pieces, fewest UNKs, greatest summed
+# piece weight, longest trailing piece), so every choice — and
+# therefore every hard-EM count — replays exactly in SQL.
+# ---------------------------------------------------------------------------
+
+
+def unigram_viterbi(
+    word: str, weights: dict[str, int], max_piece_len: int = 4
+) -> tuple[int, int, list[str]]:
+    """Optimal DP segmentation of one word → (n_pieces, n_unk, pieces).
+
+    dp[i] covers the first i characters; candidates at i are every
+    vocab piece ending there (length 1..max_piece_len) plus a 1-char
+    UNK fallback. Best by (n_pieces ASC, n_unk ASC, weight DESC,
+    piece_len DESC) — a total order: candidates of equal length differ
+    in piece (hence weight-path), and UNK differs from the 1-char vocab
+    candidate in n_unk, so no tie is ever left to iteration order.
+    UNK positions are excluded from ``pieces``."""
+    n = len(word)
+    dp: list[tuple[int, int, int, int, str | None]] = [(0, 0, 0, 0, None)] + [
+        None
+    ] * n  # type: ignore[list-item]
+    for i in range(1, n + 1):
+        prev = dp[i - 1]
+        best = (prev[0] + 1, prev[1] + 1, prev[2], 1, None)  # UNK char
+        for j in range(1, min(max_piece_len, i) + 1):
+            piece = word[i - j : i]
+            w = weights.get(piece)
+            if w is None:
+                continue
+            p = dp[i - j]
+            cand = (p[0] + 1, p[1], p[2] + w, j, piece)
+            if (cand[0], cand[1], -cand[2], -cand[3]) < (
+                best[0],
+                best[1],
+                -best[2],
+                -best[3],
+            ):
+                best = cand
+        dp[i] = best
+    pieces: list[str] = []
+    pos = n
+    while pos > 0:
+        _, _, _, j, piece = dp[pos]
+        if piece is not None:
+            pieces.append(piece)
+        pos -= j
+    return dp[n][0], dp[n][1], pieces
+
+
+def _viterbi_usage(
+    words: DataFrame, weights: dict[str, int], max_piece_len: int = 4
+) -> DataFrame:
+    """Hard-EM E-step: Viterbi-segment every DISTINCT word under
+    ``weights`` and aggregate corpus piece usage → (piece, weight).
+    The vocab travels as one broadcast per executor; segmentation runs
+    in Arrow batches over the vocabulary (bounded by distinct words,
+    not corpus tokens); usage is one map-side-combined integer shuffle."""
+    import pandas as pd
+
+    bc = words.sparkSession.sparkContext.broadcast(weights)
+
+    def run(batches):
+        table = bc.value
+        for batch in batches:
+            out_piece: list[str] = []
+            out_freq: list[int] = []
+            for w_, f_ in zip(batch["word"], batch["freq"]):
+                for p in unigram_viterbi(w_, table, max_piece_len)[2]:
+                    out_piece.append(p)
+                    out_freq.append(f_)
+            yield pd.DataFrame({"piece": out_piece, "freq": out_freq})
+
+    return (
+        _spread(words)
+        .mapInPandas(run, "piece string, freq long")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("weight"))
+    )
+
+
+def unigram_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 200,
+    seed_size: int = 600,
+    max_piece_len: int = 4,
+    max_word_chars: int = 16,
+) -> DataFrame:
+    """Hard-EM unigram vocabulary → (piece, weight, rank).
+
+    Seed = top-``seed_size`` substrings by corpus-weighted frequency
+    (``wordpiece_vocab`` — the same one-shuffle vocab-count stage);
+    E-step = Viterbi usage under the seed; M-step = keep the
+    top-``vocab_size`` pieces by (usage DESC, piece ASC), weight =
+    usage. Only the seed (bounded control state, like centroids) is
+    ever collected; both corpus passes are distinct-word-bounded."""
+    from pyspark.sql import Window
+
+    seed = {
+        r["piece"]: r["weight"]
+        for r in wordpiece_vocab(
+            df, text_col, seed_size, max_piece_len, max_word_chars
+        ).collect()
+    }
+    words = word_freq_table(df, text_col, max_word_chars)
+    usage = _viterbi_usage(words, seed, max_piece_len)
+    top = usage.orderBy(F.col("weight").desc(), F.col("piece").asc()).limit(vocab_size)
+    w = Window.orderBy(F.col("weight").desc(), F.col("piece").asc())
+    return top.select(
+        "piece", "weight", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+def unigram_segment_counts(
+    words: DataFrame,
+    weights: dict[str, int],
+    word_col: str = "word",
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """Viterbi token counts per distinct word → (word, n_pieces, n_unk)
+    under a trained unigram vocabulary (the inference half; same
+    broadcast + Arrow-batch shape as ``wordpiece_segment_counts``)."""
+    import pandas as pd
+
+    bc = words.sparkSession.sparkContext.broadcast(weights)
+
+    def run(batches):
+        table = bc.value
+        for batch in batches:
+            col = batch[word_col]
+            segs = [unigram_viterbi(w_, table, max_piece_len)[:2] for w_ in col]
             yield pd.DataFrame(
                 {
                     "word": col.values,

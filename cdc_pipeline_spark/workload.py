@@ -2080,6 +2080,190 @@ def doc_wordpiece_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Unigram-LM tokenizer oracle: a generated chained-CTE Viterbi DP --
+#
+# `chunking.unigram_viterbi` is a per-word DP: dp[i] = best cover of the
+# first i characters by (n_pieces ASC, n_unk ASC, weight DESC, piece_len
+# DESC) — a TOTAL integer order, so SQL can replay every choice. The
+# oracle unrolls the DP positionally: one MATERIALIZED CTE per character
+# position (dp[i] reads dp[i-1..i-4]; MATERIALIZED matters — inlining
+# would re-expand the 4-way recurrence exponentially), then ONE linear
+# recursive CTE walks the chosen path backwards for the hard-EM usage
+# counts. Word length is capped at 16 chars on BOTH sides, which bounds
+# the chain depth.
+
+_UNIGRAM_MAX_WORD = 16
+_UNIGRAM_SEED = 600
+_UNIGRAM_VOCAB = 200
+
+_UNIGRAM_WORDS_SQL = r"""words AS MATERIALIZED (
+    SELECT word, count(*) AS freq FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS word
+        FROM documents)
+    WHERE length(word) <= 16
+    GROUP BY word),
+pieces AS (
+    SELECT substr(w.word, CAST(s.start AS INTEGER), l.len) AS piece, sum(w.freq) AS weight
+    FROM words w, unnest(range(1, length(w.word) + 1)) AS s(start), (VALUES (1),(2),(3),(4)) l(len)
+    WHERE CAST(s.start AS INTEGER) + l.len - 1 <= length(w.word)
+    GROUP BY piece),
+seed AS MATERIALIZED (
+    SELECT piece, CAST(weight AS BIGINT) AS weight FROM pieces
+    ORDER BY weight DESC, piece LIMIT 600)"""
+
+
+def _unigram_dp_sql(prefix: str, vocab_cte: str) -> str:
+    """CTE chain replaying `chunking.unigram_viterbi` over `words`
+    against `{vocab_cte}`(piece, weight): emits {prefix}_0..{prefix}_16
+    (best dp tuple per word and position), {prefix}_all, and the
+    linear-recursive path walk {prefix}_walk (one row per chosen piece
+    or UNK, keyed by the position it ends at)."""
+    steps = [
+        f"{prefix}_0 AS MATERIALIZED (SELECT word, 0 AS pos, 0 AS np, 0 AS nu, "
+        f"CAST(0 AS BIGINT) AS wt, CAST(NULL AS VARCHAR) AS piece, 0 AS j FROM words)"
+    ]
+    for i in range(1, _UNIGRAM_MAX_WORD + 1):
+        cands = [
+            f"SELECT p.word, p.np + 1 AS np, p.nu + 1 AS nu, p.wt AS wt, "
+            f"CAST(NULL AS VARCHAR) AS piece, 1 AS j "
+            f"FROM {prefix}_{i - 1} p WHERE length(p.word) >= {i}"
+        ]
+        for j in range(1, min(4, i) + 1):
+            cands.append(
+                f"SELECT p.word, p.np + 1, p.nu, p.wt + v.weight, v.piece, {j} "
+                f"FROM {prefix}_{i - j} p JOIN {vocab_cte} v "
+                f"ON length(v.piece) = {j} AND v.piece = substr(p.word, {i - j + 1}, {j}) "
+                f"WHERE length(p.word) >= {i}"
+            )
+        union = "\n            UNION ALL\n            ".join(cands)
+        steps.append(
+            f"""{prefix}_{i} AS MATERIALIZED (
+    SELECT word, {i} AS pos, np, nu, wt, piece, j FROM (
+        SELECT c.*, row_number() OVER (
+            PARTITION BY word ORDER BY np ASC, nu ASC, wt DESC, j DESC) AS rn
+        FROM ({union}) c)
+    WHERE rn = 1)"""
+        )
+    steps.append(
+        f"{prefix}_all AS MATERIALIZED ("
+        + " UNION ALL ".join(
+            f"SELECT * FROM {prefix}_{i}" for i in range(1, _UNIGRAM_MAX_WORD + 1)
+        )
+        + ")"
+    )
+    steps.append(
+        f"""{prefix}_walk AS (
+    SELECT word, pos, piece, j FROM {prefix}_all WHERE pos = length(word)
+    UNION ALL
+    SELECT w.word, d.pos, d.piece, d.j
+    FROM {prefix}_walk w JOIN {prefix}_all d ON d.word = w.word AND d.pos = w.pos - w.j
+    WHERE w.pos > w.j)"""
+    )
+    return ",\n".join(steps)
+
+
+_UNIGRAM_TRAIN_SQL = f"""{_UNIGRAM_WORDS_SQL},
+{_unigram_dp_sql("tr", "seed")},
+tr_usage AS MATERIALIZED (
+    SELECT piece, CAST(sum(freq) AS BIGINT) AS weight
+    FROM tr_walk JOIN words USING (word)
+    WHERE piece IS NOT NULL
+    GROUP BY piece)"""
+
+
+@register(
+    "corpus_unigram_vocab",
+    f"""
+    WITH RECURSIVE {_UNIGRAM_TRAIN_SQL}
+    SELECT piece, weight,
+           CAST(row_number() OVER (ORDER BY weight DESC, piece) AS BIGINT) AS rank
+    FROM tr_usage ORDER BY weight DESC, piece LIMIT {_UNIGRAM_VOCAB}
+    """,
+)
+def corpus_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-EM unigram-LM vocabulary (`chunking.py::unigram_vocab`):
+    seed by substring frequency (the WordPiece counting stage), Viterbi-
+    segment every distinct word under the seed in Arrow batches, keep
+    the top pieces by integer corpus usage. Completes the tokenizer trio
+    — BPE (merge-rank), WordPiece (greedy longest-match), unigram
+    (optimal DP) — with the same 100 TB shape: one vocab-count shuffle,
+    distinct-word-bounded Python, bounded control-state collects."""
+    from cdc_pipeline_spark.operators.chunking import unigram_vocab
+
+    return unigram_vocab(
+        _t(spark, sf_dir, "documents"),
+        vocab_size=_UNIGRAM_VOCAB,
+        seed_size=_UNIGRAM_SEED,
+        max_word_chars=_UNIGRAM_MAX_WORD,
+    )
+
+
+@register(
+    "doc_unigram_segmentation",
+    f"""
+    WITH RECURSIVE {_UNIGRAM_TRAIN_SQL},
+    vocab1 AS MATERIALIZED (
+        SELECT piece, weight FROM tr_usage
+        ORDER BY weight DESC, piece LIMIT {_UNIGRAM_VOCAB}),
+    {_unigram_dp_sql("sg", "vocab1")},
+    ends AS (SELECT word, np, nu FROM sg_all WHERE pos = length(word)),
+    dwf AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS word
+        FROM documents)
+    SELECT dwf.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(e.np) AS BIGINT) AS n_pieces,
+           CAST(sum(e.nu) AS BIGINT) AS n_unk
+    FROM dwf JOIN ends e USING (word)
+    WHERE length(dwf.word) <= {_UNIGRAM_MAX_WORD}
+    GROUP BY dwf.doc_id
+    """,
+)
+def doc_unigram_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→apply for the unigram family: the 200-piece hard-EM vocab
+    (bounded control state) broadcasts into a Viterbi-DP Arrow
+    `mapInPandas` over the DISTINCT corpus words
+    (`chunking.py::unigram_segment_counts`), joined back to the exploded
+    corpus for per-doc piece/UNK totals. Words over 16 chars are
+    excluded on BOTH sides (they bound the oracle's DP-chain depth;
+    production would raise the cap, the plan is unchanged)."""
+    from cdc_pipeline_spark.operators.chunking import (
+        unigram_segment_counts,
+        unigram_vocab,
+    )
+    from cdc_pipeline_spark.operators.partitioning import spread
+    from cdc_pipeline_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = {
+        r["piece"]: r["weight"]
+        for r in unigram_vocab(
+            docs,
+            vocab_size=_UNIGRAM_VOCAB,
+            seed_size=_UNIGRAM_SEED,
+            max_word_chars=_UNIGRAM_MAX_WORD,
+        )
+        .select("piece", "weight")
+        .collect()
+    }
+    exploded = (
+        spread(docs)
+        .select("doc_id", F.explode(tokens("text")).alias("word"))
+        .filter((F.col("word") != "") & (F.length("word") <= _UNIGRAM_MAX_WORD))
+    )
+    counts = unigram_segment_counts(exploded.select("word").distinct(), weights)
+    return (
+        exploded.join(counts, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.sum("n_unk").alias("n_unk"),
+        )
+    )
+
+
 @register(
     "bloom_probe_orders",
     """
@@ -4856,6 +5040,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # -- round 5: the new registrations, then every query whose operator
     # path was touched this round (BPE router, flow-grain +
     # anti-join de-vacuation, decode_image_any wiring) --
+    "corpus_unigram_vocab",
+    "doc_unigram_segmentation",
     "doc_bpe_segmentation_arrow",
     "corpus_bpe_train_local",
     "orders_priority_from_orc",
@@ -4907,8 +5093,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_quality_classifier",
     "doc_quality_rules",
     "doc_rag_chunks",
-    "doc_repetition_stats",
-    "doc_sequence_packing",
 ]
 
 # Everything else not yet re-checked this round (each was green in the
@@ -4916,6 +5100,10 @@ _DRIVER_WINDOW_PRIORITY = [
 # ordered explicitly so the registry rotation is a recorded decision,
 # not a silent off-by-N, and first in line for the round-6 window.
 _DRIVER_WINDOW_CARRYOVER = [
+    # evicted from the round-5 window by the two unigram registrations;
+    # first in line for round 6
+    "doc_repetition_stats",
+    "doc_sequence_packing",
     "doc_source_quality_rank",
     "doc_span_coverage",
     "doc_split_quality",

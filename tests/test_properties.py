@@ -319,3 +319,61 @@ def test_sign_split_division_is_engine_portable(w, mx, v_scale):
     trunc = int(abs(w) * v_scale // mx) * (1 if w >= 0 else -1)
     assert ours == trunc
     assert abs(ours) <= abs(w) * v_scale // mx + (1 if w < 0 else 0)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM Viterbi DP (chunking.unigram_viterbi): the DP must find the
+# true optimum of the total lexicographic objective — verified against a
+# brute-force enumeration of EVERY segmentation — and its path must
+# reconstruct the word exactly.
+# ---------------------------------------------------------------------------
+
+
+def _all_segmentations(word, vocab, max_piece_len=4):
+    """Every (n_pieces, n_unk, weight) over all covers of `word` by
+    vocab pieces (len 1..max_piece_len) and 1-char UNKs."""
+    n = len(word)
+    if n == 0:
+        return [(0, 0, 0)]
+    out = []
+
+    def rec(pos, np_, nu, wt):
+        if pos == n:
+            out.append((np_, nu, wt))
+            return
+        for j in range(1, min(max_piece_len, n - pos) + 1):
+            piece = word[pos : pos + j]
+            if piece in vocab:
+                rec(pos + j, np_ + 1, nu, wt + vocab[piece])
+        rec(pos + 1, np_ + 1, nu + 1, wt)  # UNK char
+
+    rec(0, 0, 0, 0)
+    return out
+
+
+_UNI_WORD = st.text(alphabet="abc", min_size=0, max_size=8)
+_UNI_VOCAB = st.dictionaries(
+    st.text(alphabet="abc", min_size=1, max_size=4),
+    st.integers(min_value=1, max_value=50),
+    max_size=12,
+)
+
+
+@given(_UNI_WORD, _UNI_VOCAB)
+@settings(max_examples=800, deadline=None)
+def test_unigram_viterbi_is_optimal_and_reconstructs(word, vocab):
+    from cdc_pipeline_spark.operators.chunking import unigram_viterbi
+
+    np_, nu, pieces = unigram_viterbi(word, vocab)
+    wt = sum(vocab[p] for p in pieces)
+    # optimality under (n_pieces ASC, n_unk ASC, weight DESC)
+    best = min((np2, nu2, -w2) for np2, nu2, w2 in _all_segmentations(word, vocab))
+    assert (np_, nu, -wt) == best, (word, vocab, (np_, nu, wt), best)
+    # path accounting: pieces + UNKs tile the word exactly
+    assert np_ == len(pieces) + nu
+    assert sum(len(p) for p in pieces) + nu == len(word)
+    for p in pieces:
+        assert p in vocab and p in word
+    # full single-char coverage → no UNKs
+    if all(c in vocab for c in set(word)):
+        assert nu == 0
