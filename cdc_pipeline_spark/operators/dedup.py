@@ -730,6 +730,68 @@ def cross_doc_span_coverage(
     )
 
 
+def max_dup_span(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Longest contiguous duplicated span per document — the actionable
+    half of span-level dedup (Lee et al. 2021 cut the duplicated
+    substring, not the document): where `cross_doc_span_coverage` says
+    HOW MUCH of a doc is shared, this says WHERE the biggest shared
+    block is, as a token length you can cut against a threshold.
+
+    A window (fixed n-gram) is duplicated when it occurs in ≥ 2
+    documents; consecutive duplicated windows merge into one span via
+    gaps-and-islands (pos − row_number() per doc — positions are unique
+    per doc, so the grouping is deterministic), and a run of r windows
+    covers r + n − 1 tokens. Same plan skeleton as span coverage: one
+    window-frequency shuffle, one postings join back, one per-doc
+    window aggregate — all integer counts, exact under any
+    partitioning. Docs shorter than ``n`` tokens have no windows and
+    are omitted; docs with no duplicated window report zeros.
+
+    Output: (doc_id, n_windows, max_dup_run, max_span_tokens).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t")
+    ).filter(F.size("__t") >= n)
+    windows = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - n),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i + 1, n)),
+            )
+        ).alias("pos", "w"),
+    )
+    df_counts = windows.groupBy("w").agg(F.count_distinct("doc_id").alias("__df"))
+    dup = windows.join(df_counts, "w").filter(F.col("__df") >= 2)
+    isl = dup.withColumn(
+        "__grp",
+        F.col("pos") - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    best = (
+        isl.groupBy("doc_id", "__grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("doc_id")
+        .agg(F.max("run").alias("max_dup_run"))
+    )
+    totals = windows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    run = F.coalesce(F.col("max_dup_run"), F.lit(0))
+    return totals.join(best, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        run.cast("long").alias("max_dup_run"),
+        F.when(run > 0, run + n - 1).otherwise(F.lit(0)).cast("long").alias(
+            "max_span_tokens"
+        ),
+    )
+
+
 def segment_posting(
     df: DataFrame,
     id_col: str = "doc_id",

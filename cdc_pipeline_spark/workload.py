@@ -3786,6 +3786,49 @@ def doc_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_max_dup_span",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    w AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos,
+               array_to_string(t[CAST(i AS INTEGER):CAST(i AS INTEGER)+7], ' ') AS w
+        FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+        WHERE len(t) >= 8
+    ),
+    dfc AS (SELECT w, count(DISTINCT doc_id) AS df FROM w GROUP BY w),
+    dup AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM w JOIN dfc USING (w) WHERE df >= 2
+    ),
+    best AS (
+        SELECT doc_id, max(run) AS max_dup_run FROM (
+            SELECT doc_id, grp, count(*) AS run FROM dup GROUP BY doc_id, grp)
+        GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(t.n_windows AS BIGINT) AS n_windows,
+           CAST(coalesce(b.max_dup_run, 0) AS BIGINT) AS max_dup_run,
+           CAST(CASE WHEN coalesce(b.max_dup_run, 0) > 0
+                     THEN b.max_dup_run + 7 ELSE 0 END AS BIGINT) AS max_span_tokens
+    FROM totals t LEFT JOIN best b USING (doc_id)
+    """,
+)
+def doc_max_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest contiguous duplicated span per doc
+    (`dedup.py::max_dup_span`): gaps-and-islands over the positions of
+    8-token windows shared with another document — the WHERE-to-cut
+    signal of Lee et al. 2021 span dedup, complementing
+    `doc_span_coverage`'s how-much signal. Integer counts end-to-end."""
+    from cdc_pipeline_spark.operators.dedup import max_dup_span
+
+    return max_dup_span(_t(spark, sf_dir, "documents"), n=8)
+
+
+@register(
     "doc_length_outliers",
     """
     WITH stats AS (
@@ -5042,6 +5085,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # anti-join de-vacuation, decode_image_any wiring) --
     "corpus_unigram_vocab",
     "doc_unigram_segmentation",
+    "doc_max_dup_span",
     "doc_bpe_segmentation_arrow",
     "corpus_bpe_train_local",
     "orders_priority_from_orc",
@@ -5092,7 +5136,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_pii_redaction",
     "doc_quality_classifier",
     "doc_quality_rules",
-    "doc_rag_chunks",
 ]
 
 # Everything else not yet re-checked this round (each was green in the
@@ -5100,8 +5143,9 @@ _DRIVER_WINDOW_PRIORITY = [
 # ordered explicitly so the registry rotation is a recorded decision,
 # not a silent off-by-N, and first in line for the round-6 window.
 _DRIVER_WINDOW_CARRYOVER = [
-    # evicted from the round-5 window by the two unigram registrations;
-    # first in line for round 6
+    # evicted from the round-5 window by the unigram + dup-span
+    # registrations; first in line for round 6
+    "doc_rag_chunks",
     "doc_repetition_stats",
     "doc_sequence_packing",
     "doc_source_quality_rank",

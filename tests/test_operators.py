@@ -772,6 +772,32 @@ def test_cross_doc_span_coverage_planted(spark):
     assert got[3].n_dup_windows == 0, "within-doc repetition is not cross-doc"
 
 
+def test_max_dup_span_planted(spark):
+    """A 10-token block shared by two docs yields a 3-window island
+    (10 − 8 + 1) → max_span_tokens 10; non-adjacent duplicated windows
+    don't merge; clean docs report zeros; short docs are omitted."""
+    from cdc_pipeline_spark.operators.dedup import max_dup_span
+
+    shared = "a b c d e f g h i j"  # 10 tokens → three 8-token windows
+    rows = [
+        (1, shared + " x1 y1 z1 w1 v1 u1"),
+        (2, shared + " x2 y2 z2 w2 v2 u2"),
+        # doc 3 contains the shared block's FIRST and LAST windows but
+        # separated by its own token, so its islands have run 1
+        (3, "a b c d e f g h QQ c d e f g h i j"),
+        (4, "entirely unique tokens q r s t u v w x y z"),
+        (5, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in max_dup_span(df, n=8).collect()}
+    assert 5 not in got
+    assert got[1].max_dup_run == 3 and got[1].max_span_tokens == 10
+    assert got[2].max_dup_run == 3 and got[2].max_span_tokens == 10
+    assert got[3].max_dup_run == 1 and got[3].max_span_tokens == 8
+    assert got[4].max_dup_run == 0 and got[4].max_span_tokens == 0
+    assert got[4].n_windows == 6  # 13 tokens → 13 − 8 + 1 windows
+
+
 def test_cluster_medoids_planted(spark):
     """The medoid is the member closest to everyone (not the first, not
     the centroid); singleton cells emit themselves with mean_sim 0."""
