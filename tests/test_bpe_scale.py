@@ -290,3 +290,51 @@ def test_wordpiece_segment_counts_drops_empty_and_handles_empty_vocab(spark):
     words = spark.createDataFrame([("",), ("xy",)], "word string")
     got = {r["word"]: (r["n_pieces"], r["n_unk"]) for r in wordpiece_segment_counts(words, []).collect()}
     assert got == {"xy": (2, 2)}  # every char is UNK under an empty vocab
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM family (chunking.py::unigram_vocab / unigram_segment_counts)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_dp_beats_greedy_where_optimal_differs(spark):
+    """The DP must find the GLOBALLY optimal split where greedy
+    longest-match would not: with vocab {abc, ab, cd}, greedy takes
+    abc + UNK(d); the DP takes ab|cd (2 pieces, 0 UNK)."""
+    from cdc_pipeline_spark.operators.chunking import unigram_segment_counts
+
+    words = spark.createDataFrame([("abcd",)], "word string")
+    weights = {"abc": 5, "ab": 1, "cd": 1}
+    got = {
+        r["word"]: (r["n_pieces"], r["n_unk"])
+        for r in unigram_segment_counts(words, weights).collect()
+    }
+    assert got == {"abcd": (2, 0)}
+
+
+def test_unigram_segment_counts_empty_vocab_and_empty_word(spark):
+    from cdc_pipeline_spark.operators.chunking import unigram_segment_counts
+
+    words = spark.createDataFrame([("",), ("xy",)], "word string")
+    got = {
+        r["word"]: (r["n_pieces"], r["n_unk"])
+        for r in unigram_segment_counts(words, {}).collect()
+    }
+    assert got == {"xy": (2, 2)}  # every char is UNK under an empty vocab
+
+
+def test_unigram_vocab_hard_em_reweights_by_usage(spark):
+    """Hard-EM usage, not raw substring counts, ranks the final vocab:
+    every substring seeds, but only pieces the Viterbi path actually
+    uses survive with weight > 0."""
+    from cdc_pipeline_spark.operators.chunking import unigram_vocab
+
+    df = spark.createDataFrame([("aa aa bc",)], "text string")
+    rows = unigram_vocab(df, vocab_size=10, seed_size=10).collect()
+    ranked = {r["piece"]: (r["weight"], r["rank"]) for r in rows}
+    # seed weights: a=4, aa=2, b=bc=c=1. DP segments "aa" as the single
+    # piece "aa" (1 piece beats a|a), used twice -> usage 2; "bc" as the
+    # single piece "bc" -> usage 1. "a", "b", "c" are never on a path.
+    assert ranked == {"aa": (2, 1), "bc": (1, 2)}
+    # determinism: ranks are dense from 1
+    assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
