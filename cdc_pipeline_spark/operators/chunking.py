@@ -555,15 +555,54 @@ def wordpiece_vocab(
         .groupBy("piece")
         .agg(F.sum("freq").alias("weight"))
     )
-    # top-k FIRST (TakeOrderedAndProject — no global sort shuffle over
-    # the full piece table), then rank the tiny selected set
+    return _rank_top_pieces(pieces, vocab_size)
+
+
+def _rank_top_pieces(pieces: DataFrame, k: int) -> DataFrame:
+    """Deterministic vocab-selection tail shared by the tokenizer
+    trainers: top-k FIRST by (weight DESC, piece ASC) — a
+    TakeOrderedAndProject, no global sort shuffle over the full piece
+    table — then a dense rank over the tiny selected set."""
     from pyspark.sql import Window
 
-    top = pieces.orderBy(F.col("weight").desc(), F.col("piece").asc()).limit(vocab_size)
-    w = Window.orderBy(F.col("weight").desc(), F.col("piece").asc())
-    return top.select(
-        "piece", "weight", F.row_number().over(w).cast("long").alias("rank")
+    order = [F.col("weight").desc(), F.col("piece").asc()]
+    return (
+        pieces.orderBy(*order)
+        .limit(k)
+        .select(
+            "piece",
+            "weight",
+            F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
+        )
     )
+
+
+def _segment_counts_map(words: DataFrame, word_col: str, payload, segment) -> DataFrame:
+    """Shared apply harness of the tokenizer families: broadcast
+    ``payload`` (one copy per executor) and run ``segment(word,
+    payload) -> (n_pieces, n_unk)`` per DISTINCT word in Arrow batches
+    → (word, n_pieces, n_unk). Empty words are dropped on entry."""
+    import pandas as pd
+
+    bc = words.sparkSession.sparkContext.broadcast(payload)
+
+    def run(batches):
+        table = bc.value
+        for batch in batches:
+            col = batch[word_col]
+            segs = [segment(w_, table) for w_ in col]
+            yield pd.DataFrame(
+                {
+                    "word": col.values,
+                    "n_pieces": [s[0] for s in segs],
+                    "n_unk": [s[1] for s in segs],
+                }
+            )
+
+    cleaned = words.select(F.col(word_col).alias(word_col)).filter(
+        F.col(word_col) != ""
+    )
+    return _spread(cleaned).mapInPandas(run, "word string, n_pieces long, n_unk long")
 
 
 def wordpiece_segment_counts(
@@ -582,22 +621,20 @@ def wordpiece_segment_counts(
     one copy per executor); matching runs inside Arrow ``mapInPandas``
     batches over the DISTINCT vocab of the corpus (the word-cache
     pattern: per-occurrence cost downstream is a join probe)."""
-    import pandas as pd
-
     by_len: dict[int, set] = {}
     for p in vocab_pieces:
         by_len.setdefault(len(p), set()).add(p)
-    bc = words.sparkSession.sparkContext.broadcast(by_len)
     lengths = sorted(by_len, reverse=True)
 
-    def segment(word: str, table: dict[int, set]) -> tuple[int, int]:
+    def segment(word: str, table) -> tuple[int, int]:
+        buckets, lens = table
         n_pieces = n_unk = 0
         pos, n = 0, len(word)
         while pos < n:
             step = 1
             matched = False
-            for ln in lengths:
-                if ln <= n - pos and word[pos : pos + ln] in table.get(ln, ()):
+            for ln in lens:
+                if ln <= n - pos and word[pos : pos + ln] in buckets.get(ln, ()):
                     step, matched = ln, True
                     break
             if not matched:
@@ -606,21 +643,7 @@ def wordpiece_segment_counts(
             pos += step
         return n_pieces, n_unk
 
-    def run(batches):
-        table = bc.value
-        for batch in batches:
-            col = batch[word_col]
-            segs = [segment(w, table) for w in col]
-            yield pd.DataFrame(
-                {
-                    "word": col.values,
-                    "n_pieces": [s[0] for s in segs],
-                    "n_unk": [s[1] for s in segs],
-                }
-            )
-
-    cleaned = words.select(F.col(word_col).alias(word_col)).filter(F.col(word_col) != "")
-    return _spread(cleaned).mapInPandas(run, "word string, n_pieces long, n_unk long")
+    return _segment_counts_map(words, word_col, (by_len, lengths), segment)
 
 
 # ---------------------------------------------------------------------------
@@ -729,8 +752,6 @@ def unigram_vocab(
     top-``vocab_size`` pieces by (usage DESC, piece ASC), weight =
     usage. Only the seed (bounded control state, like centroids) is
     ever collected; both corpus passes are distinct-word-bounded."""
-    from pyspark.sql import Window
-
     seed = {
         r["piece"]: r["weight"]
         for r in wordpiece_vocab(
@@ -738,12 +759,7 @@ def unigram_vocab(
         ).collect()
     }
     words = word_freq_table(df, text_col, max_word_chars)
-    usage = _viterbi_usage(words, seed, max_piece_len)
-    top = usage.orderBy(F.col("weight").desc(), F.col("piece").asc()).limit(vocab_size)
-    w = Window.orderBy(F.col("weight").desc(), F.col("piece").asc())
-    return top.select(
-        "piece", "weight", F.row_number().over(w).cast("long").alias("rank")
-    )
+    return _rank_top_pieces(_viterbi_usage(words, seed, max_piece_len), vocab_size)
 
 
 def unigram_segment_counts(
@@ -753,24 +769,11 @@ def unigram_segment_counts(
     max_piece_len: int = 4,
 ) -> DataFrame:
     """Viterbi token counts per distinct word → (word, n_pieces, n_unk)
-    under a trained unigram vocabulary (the inference half; same
-    broadcast + Arrow-batch shape as ``wordpiece_segment_counts``)."""
-    import pandas as pd
-
-    bc = words.sparkSession.sparkContext.broadcast(weights)
-
-    def run(batches):
-        table = bc.value
-        for batch in batches:
-            col = batch[word_col]
-            segs = [unigram_viterbi(w_, table, max_piece_len)[:2] for w_ in col]
-            yield pd.DataFrame(
-                {
-                    "word": col.values,
-                    "n_pieces": [s[0] for s in segs],
-                    "n_unk": [s[1] for s in segs],
-                }
-            )
-
-    cleaned = words.select(F.col(word_col).alias(word_col)).filter(F.col(word_col) != "")
-    return _spread(cleaned).mapInPandas(run, "word string, n_pieces long, n_unk long")
+    under a trained unigram vocabulary (the inference half; shared
+    broadcast + Arrow-batch harness with ``wordpiece_segment_counts``)."""
+    return _segment_counts_map(
+        words,
+        word_col,
+        weights,
+        lambda w_, table: unigram_viterbi(w_, table, max_piece_len)[:2],
+    )

@@ -739,14 +739,21 @@ def max_dup_span(
     """Longest contiguous duplicated span per document — the actionable
     half of span-level dedup (Lee et al. 2021 cut the duplicated
     substring, not the document): where `cross_doc_span_coverage` says
-    HOW MUCH of a doc is shared, this says WHERE the biggest shared
-    block is, as a token length you can cut against a threshold.
+    HOW MUCH of a doc is shared, this locates the biggest block of it
+    as a token length you can cut against a threshold.
 
     A window (fixed n-gram) is duplicated when it occurs in ≥ 2
     documents; consecutive duplicated windows merge into one span via
     gaps-and-islands (pos − row_number() per doc — positions are unique
     per doc, so the grouping is deterministic), and a run of r windows
-    covers r + n − 1 tokens. Same plan skeleton as span coverage: one
+    covers r + n − 1 tokens. Semantics of the merge: every n-gram of
+    the span is shared with SOME other document, but adjacent windows
+    may match different partners, so the span length UPPER-BOUNDS the
+    longest single-partner block (it is exact when one partner covers
+    the run, the common boilerplate case). That is the right contract
+    for cut-candidate flagging; per-partner exactness would need
+    partner-keyed postings (pairwise in the worst case) for a signal
+    the threshold decision rarely changes on. Same plan skeleton as span coverage: one
     window-frequency shuffle, one postings join back, one per-doc
     window aggregate — all integer counts, exact under any
     partitioning. Docs shorter than ``n`` tokens have no windows and

@@ -2095,29 +2095,35 @@ def doc_wordpiece_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNIGRAM_MAX_WORD = 16
 _UNIGRAM_SEED = 600
 _UNIGRAM_VOCAB = 200
+_UNIGRAM_MAX_PIECE = 4
 
-_UNIGRAM_WORDS_SQL = r"""words AS MATERIALIZED (
+# every limit is interpolated from the constants above — editing one
+# cannot silently desync the oracle's word set from the Spark path's
+_UNIGRAM_WORDS_SQL = rf"""words AS MATERIALIZED (
     SELECT word, count(*) AS freq FROM (
         SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS word
         FROM documents)
-    WHERE length(word) <= 16
+    WHERE length(word) <= {_UNIGRAM_MAX_WORD}
     GROUP BY word),
 pieces AS (
     SELECT substr(w.word, CAST(s.start AS INTEGER), l.len) AS piece, sum(w.freq) AS weight
-    FROM words w, unnest(range(1, length(w.word) + 1)) AS s(start), (VALUES (1),(2),(3),(4)) l(len)
+    FROM words w, unnest(range(1, length(w.word) + 1)) AS s(start),
+         (VALUES {",".join(f"({j})" for j in range(1, _UNIGRAM_MAX_PIECE + 1))}) l(len)
     WHERE CAST(s.start AS INTEGER) + l.len - 1 <= length(w.word)
     GROUP BY piece),
 seed AS MATERIALIZED (
     SELECT piece, CAST(weight AS BIGINT) AS weight FROM pieces
-    ORDER BY weight DESC, piece LIMIT 600)"""
+    ORDER BY weight DESC, piece LIMIT {_UNIGRAM_SEED})"""
 
 
-def _unigram_dp_sql(prefix: str, vocab_cte: str) -> str:
+def _unigram_dp_sql(prefix: str, vocab_cte: str, include_walk: bool = True) -> str:
     """CTE chain replaying `chunking.unigram_viterbi` over `words`
     against `{vocab_cte}`(piece, weight): emits {prefix}_0..{prefix}_16
-    (best dp tuple per word and position), {prefix}_all, and the
-    linear-recursive path walk {prefix}_walk (one row per chosen piece
-    or UNK, keyed by the position it ends at)."""
+    (best dp tuple per word and position), {prefix}_all, and — only
+    when ``include_walk`` (training needs the chosen pieces; inference
+    only reads the end states) — the linear-recursive path walk
+    {prefix}_walk (one row per chosen piece or UNK, keyed by the
+    position it ends at)."""
     steps = [
         f"{prefix}_0 AS MATERIALIZED (SELECT word, 0 AS pos, 0 AS np, 0 AS nu, "
         f"CAST(0 AS BIGINT) AS wt, CAST(NULL AS VARCHAR) AS piece, 0 AS j FROM words)"
@@ -2128,7 +2134,7 @@ def _unigram_dp_sql(prefix: str, vocab_cte: str) -> str:
             f"CAST(NULL AS VARCHAR) AS piece, 1 AS j "
             f"FROM {prefix}_{i - 1} p WHERE length(p.word) >= {i}"
         ]
-        for j in range(1, min(4, i) + 1):
+        for j in range(1, min(_UNIGRAM_MAX_PIECE, i) + 1):
             cands.append(
                 f"SELECT p.word, p.np + 1, p.nu, p.wt + v.weight, v.piece, {j} "
                 f"FROM {prefix}_{i - j} p JOIN {vocab_cte} v "
@@ -2151,14 +2157,15 @@ def _unigram_dp_sql(prefix: str, vocab_cte: str) -> str:
         )
         + ")"
     )
-    steps.append(
-        f"""{prefix}_walk AS (
+    if include_walk:
+        steps.append(
+            f"""{prefix}_walk AS (
     SELECT word, pos, piece, j FROM {prefix}_all WHERE pos = length(word)
     UNION ALL
     SELECT w.word, d.pos, d.piece, d.j
     FROM {prefix}_walk w JOIN {prefix}_all d ON d.word = w.word AND d.pos = w.pos - w.j
     WHERE w.pos > w.j)"""
-    )
+        )
     return ",\n".join(steps)
 
 
@@ -2194,6 +2201,7 @@ def corpus_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"),
         vocab_size=_UNIGRAM_VOCAB,
         seed_size=_UNIGRAM_SEED,
+        max_piece_len=_UNIGRAM_MAX_PIECE,
         max_word_chars=_UNIGRAM_MAX_WORD,
     )
 
@@ -2205,7 +2213,7 @@ def corpus_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab1 AS MATERIALIZED (
         SELECT piece, weight FROM tr_usage
         ORDER BY weight DESC, piece LIMIT {_UNIGRAM_VOCAB}),
-    {_unigram_dp_sql("sg", "vocab1")},
+    {_unigram_dp_sql("sg", "vocab1", include_walk=False)},
     ends AS (SELECT word, np, nu FROM sg_all WHERE pos = length(word)),
     dwf AS (
         SELECT doc_id,
@@ -2242,6 +2250,7 @@ def doc_unigram_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs,
             vocab_size=_UNIGRAM_VOCAB,
             seed_size=_UNIGRAM_SEED,
+            max_piece_len=_UNIGRAM_MAX_PIECE,
             max_word_chars=_UNIGRAM_MAX_WORD,
         )
         .select("piece", "weight")
@@ -2252,7 +2261,9 @@ def doc_unigram_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(tokens("text")).alias("word"))
         .filter((F.col("word") != "") & (F.length("word") <= _UNIGRAM_MAX_WORD))
     )
-    counts = unigram_segment_counts(exploded.select("word").distinct(), weights)
+    counts = unigram_segment_counts(
+        exploded.select("word").distinct(), weights, max_piece_len=_UNIGRAM_MAX_PIECE
+    )
     return (
         exploded.join(counts, "word")
         .groupBy("doc_id")
@@ -3820,9 +3831,12 @@ def doc_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_max_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest contiguous duplicated span per doc
     (`dedup.py::max_dup_span`): gaps-and-islands over the positions of
-    8-token windows shared with another document — the WHERE-to-cut
+    8-token windows shared with another document — the where-to-cut
     signal of Lee et al. 2021 span dedup, complementing
-    `doc_span_coverage`'s how-much signal. Integer counts end-to-end."""
+    `doc_span_coverage`'s how-much signal. Adjacent windows may match
+    different partner docs, so the span length upper-bounds the longest
+    single-partner block (exact when one partner covers the run — see
+    the operator docstring). Integer counts end-to-end."""
     from cdc_pipeline_spark.operators.dedup import max_dup_span
 
     return max_dup_span(_t(spark, sf_dir, "documents"), n=8)

@@ -798,6 +798,27 @@ def test_max_dup_span_planted(spark):
     assert got[4].n_windows == 6  # 13 tokens → 13 − 8 + 1 windows
 
 
+def test_max_dup_span_merges_across_different_partners(spark):
+    """Documented upper-bound semantics: adjacent duplicated windows
+    merge even when they match DIFFERENT partner docs, so the reported
+    span can exceed the longest single-partner block."""
+    from cdc_pipeline_spark.operators.dedup import max_dup_span
+
+    a = [f"a{i}" for i in range(1, 10)]  # 9 tokens → windows at pos 0, 1
+    rows = [
+        (1, " ".join(a)),
+        (2, " ".join(a[:8]) + " xb yb zb"),  # shares only window a1..a8
+        (3, "xc yc zc " + " ".join(a[1:])),  # shares only window a2..a9
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in max_dup_span(df, n=8).collect()}
+    # doc 1's two windows are each shared with a different partner; the
+    # island still merges → span 9, though no partner holds all 9 tokens
+    assert got[1].max_dup_run == 2 and got[1].max_span_tokens == 9
+    assert got[2].max_dup_run == 1 and got[2].max_span_tokens == 8
+    assert got[3].max_dup_run == 1 and got[3].max_span_tokens == 8
+
+
 def test_cluster_medoids_planted(spark):
     """The medoid is the member closest to everyone (not the first, not
     the centroid); singleton cells emit themselves with mean_sim 0."""
