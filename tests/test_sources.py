@@ -493,3 +493,108 @@ def test_xml_roundtrip_with_declared_schema(spark, tmp_path):
     back = read_xml(spark, path, schema=src.schema, row_tag="region")
     assert back.schema == src.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_schema_registry_fetch_against_wire_compatible_local_server():
+    """S10 (`kafka_avro.fetch_schema_from_registry`) exercised against a
+    real HTTP server speaking the Confluent REST wire shape on loopback
+    (GET /subjects/<subject>/versions/latest → {"schema": "<json>"}).
+    Upgrades the row from code-only to protocol-tested without external
+    infrastructure; the fetched schema must feed the jar-free codec."""
+    import http.server
+    import json as _json
+    import threading
+
+    from cdc_pipeline_spark.sources.avro_codec import compile_decoder
+    from cdc_pipeline_spark.sources.kafka_avro import fetch_schema_from_registry
+
+    schema = {
+        "type": "record",
+        "name": "Transaction",
+        "fields": [
+            {"name": "transaction_id", "type": "string"},
+            {"name": "amount", "type": "double"},
+        ],
+    }
+    seen = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            seen.append(self.path)
+            if self.path == "/subjects/transactions-value/versions/latest":
+                body = _json.dumps(
+                    {"subject": "transactions-value", "version": 3, "id": 17,
+                     "schema": _json.dumps(schema)}
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/vnd.schemaregistry.v1+json")
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        got = fetch_schema_from_registry(url, "transactions-value")
+        assert _json.loads(got) == schema
+        assert seen == ["/subjects/transactions-value/versions/latest"]
+        assert compile_decoder(got) is not None
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_jdbc_snapshot_roundtrip_on_embedded_derby(spark):
+    """S9 (`jdbc.read_table_snapshot`) exercised against a REAL JDBC
+    database — Derby embedded, which ships in Spark's classpath — with
+    no external infrastructure: write a table through Spark's JDBC sink,
+    read it back plain AND range-partitioned, and require identical
+    rows (no dropped/duplicated boundary rows), the same contract the
+    env-gated Postgres smoke checks in production."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_spark.sources.jdbc import read_table_snapshot
+
+    url = "jdbc:derby:memory:s9db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    src = spark.range(0, 97).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 3 % 11).cast("int").alias("v"),
+    )
+    (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "snap")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    # Derby resolves unqualified names against the connection USER's
+    # schema; the sink above wrote as the default APP user
+    plain = read_table_snapshot(
+        spark, url, "APP.snap", user="u", password="p", driver=driver
+    )
+    assert plain.count() == 97
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, src.collect()))
+
+    parted = read_table_snapshot(
+        spark,
+        url,
+        "APP.snap",
+        user="u",
+        password="p",
+        driver=driver,
+        partition_column="k",
+        lower_bound=0,
+        upper_bound=97,
+        num_partitions=4,
+    )
+    assert parted.rdd.getNumPartitions() == 4
+    assert sorted(map(tuple, parted.collect())) == sorted(map(tuple, src.collect()))
