@@ -564,6 +564,11 @@ def test_jdbc_snapshot_roundtrip_on_embedded_derby(spark):
 
     url = "jdbc:derby:memory:s9db;create=true"
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    # Derby writes derby.log to the working directory at engine boot;
+    # point it at tmp (a no-op if the engine already booted this JVM)
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", "/tmp/derby-test.log"
+    )
     src = spark.range(0, 97).select(
         F.col("id").cast("int").alias("k"),
         (F.col("id") * 3 % 11).cast("int").alias("v"),
