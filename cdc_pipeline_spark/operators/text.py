@@ -211,3 +211,135 @@ def adjacent_grams(toks_col: Column) -> Column:
             lambda i: F.concat_ws(" ", toks_col[i], toks_col[i + 1]),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_rank_langid(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    profile_k: int = 20,
+    max_gram: int = 3,
+    head_chars: int = 400,
+) -> DataFrame:
+    """Rank-order character-n-gram language ID (Cavnar & Trenkle 1994,
+    "N-Gram-Based Text Categorization") — the canonical n-gram
+    heuristic: each class keeps its top-``profile_k`` character n-grams
+    (lengths 1..``max_gram``) ranked by frequency; a document is scored
+    against every class by OUT-OF-PLACE distance (sum over the doc's
+    own ranked profile of |doc_rank − class_rank|, missing grams paying
+    ``profile_k``) and labeled with the argmin. Profiles here are built
+    from the corpus' OWN labels (self-supervised fit), so the output
+    doubles as a label-consistency audit: (id, label, predicted,
+    oop_distance).
+
+    Every decision is an integer with a total tie order — rank by
+    (count DESC, gram ASC), predict by (distance ASC, class ASC) — so
+    the DuckDB oracle replays it exactly. Only the first ``head_chars``
+    characters profile a document (the classic cap: per-doc work is
+    O(head·max_gram), independent of document size). Plan: one
+    explode + two count shuffles (doc grams; class grams aggregate the
+    per-doc counts), a ``profile_k``-row window per doc/class, and a
+    classes-sized broadcast cross join — the per-doc side never exceeds
+    ``profile_k × n_classes`` rows after the profile truncation.
+    """
+    from pyspark.sql import Window
+
+    from cdc_pipeline_spark.operators.partitioning import spread
+
+    # spread BEFORE the explode: small parquet inputs arrive as one
+    # partition and would serialize the gram generation onto one core
+    base = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.lower(F.col(text_col).substr(1, head_chars)).alias("__s"),
+    )
+    # the transform lambda MUST take exactly one parameter: F.transform
+    # inspects the signature and feeds a second parameter the ELEMENT
+    # INDEX, so the idiomatic `lambda i, n=n:` loop-capture silently
+    # rebinds n to the index — a factory closure captures n safely
+    def _gram_array(n: int):
+        return F.when(
+            F.length("__s") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length("__s") - n + 1),
+                lambda i: F.substring(F.col("__s"), i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    gram_arrays = [_gram_array(n) for n in range(1, max_gram + 1)]
+    grams = base.select(
+        "id", "label", F.explode(F.concat(*gram_arrays)).alias("gram")
+    )
+    doc_counts = grams.groupBy("id", "label", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # per-doc top-k WITHOUT a global window (a row_number window would
+    # shuffle-and-SORT every (doc, gram) row; this shuffles the same
+    # rows but sorts only within each doc's ~head·max_gram-entry array
+    # — measured 8.4s → ~3s at sf0.1). Struct sort = (cnt DESC, gram
+    # ASC), the same total order the oracle's row_number uses.
+    top = F.slice(
+        F.sort_array(
+            F.collect_list(
+                F.struct((-F.col("cnt")).alias("nc"), F.col("gram").alias("gram"))
+            )
+        ),
+        1,
+        profile_k,
+    )
+    doc_profile = (
+        doc_counts.groupBy("id", "label")
+        .agg(top.alias("__t"))
+        .select("id", "label", F.posexplode("__t").alias("pos", "e"))
+        .select(
+            "id",
+            "label",
+            F.col("e.gram").alias("gram"),
+            (F.col("pos") + 1).alias("rd"),
+        )
+    )
+    cls_counts = doc_counts.groupBy(
+        F.col("label").alias("cls"), "gram"
+    ).agg(F.sum("cnt").alias("ccnt"))
+    cls_rank = Window.partitionBy("cls").orderBy(
+        F.col("ccnt").desc(), F.col("gram").asc()
+    )
+    cls_profile = cls_counts.withColumn(
+        "rc", F.row_number().over(cls_rank)
+    ).filter(F.col("rc") <= profile_k)
+    # classes and cls_profile share doc_counts lineage with doc_profile;
+    # re-alias the right side's join keys to FRESH attributes or Spark's
+    # self-join resolution collapses the equi-join onto one subtree
+    # (silently matching nothing but identical-rank grams)
+    classes = cls_counts.select(F.col("cls").alias("__c")).distinct()
+    cp = cls_profile.select(
+        F.col("cls").alias("__pc"), F.col("gram").alias("__pg"), "rc"
+    )
+    scored = (
+        doc_profile.crossJoin(F.broadcast(classes))
+        .join(
+            F.broadcast(cp),
+            (F.col("__c") == F.col("__pc")) & (F.col("gram") == F.col("__pg")),
+            "left",
+        )
+        .groupBy("id", "label", F.col("__c").alias("cls"))
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("rd") - F.col("rc")), F.lit(profile_k)
+                )
+            ).alias("dist")
+        )
+    )
+    pick = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("cls").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "id",
+            "label",
+            F.col("cls").alias("predicted"),
+            F.col("dist").cast("long").alias("oop_distance"),
+        )
+    )

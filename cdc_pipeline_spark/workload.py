@@ -2450,6 +2450,63 @@ def doc_lang_charclass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_lang_ngram_rank",
+    """
+    WITH base AS (
+        SELECT doc_id AS id, lang AS label, lower(substr(text, 1, 400)) AS s
+        FROM documents
+    ),
+    grams AS (
+        SELECT id, label, substr(s, CAST(i AS INTEGER), l.n) AS gram
+        FROM base, unnest(range(1, length(s) + 1)) AS u(i), (VALUES (1),(2),(3)) l(n)
+        WHERE CAST(i AS INTEGER) + l.n - 1 <= length(s)
+    ),
+    doc_counts AS (
+        SELECT id, label, gram, count(*) AS cnt FROM grams GROUP BY id, label, gram
+    ),
+    doc_profile AS (
+        SELECT * FROM (
+            SELECT id, label, gram,
+                   row_number() OVER (PARTITION BY id ORDER BY cnt DESC, gram) AS rd
+            FROM doc_counts) WHERE rd <= 20
+    ),
+    cls_counts AS (
+        SELECT label AS cls, gram, sum(cnt) AS ccnt FROM doc_counts GROUP BY label, gram
+    ),
+    cls_profile AS (
+        SELECT * FROM (
+            SELECT cls, gram,
+                   row_number() OVER (PARTITION BY cls ORDER BY ccnt DESC, gram) AS rc
+            FROM cls_counts) WHERE rc <= 20
+    ),
+    classes AS (SELECT DISTINCT cls FROM cls_profile),
+    scored AS (
+        SELECT d.id, d.label, c.cls, sum(coalesce(abs(d.rd - p.rc), 20)) AS dist
+        FROM doc_profile d CROSS JOIN classes c
+        LEFT JOIN cls_profile p ON p.cls = c.cls AND p.gram = d.gram
+        GROUP BY d.id, d.label, c.cls
+    )
+    SELECT id, label, cls AS predicted, CAST(dist AS BIGINT) AS oop_distance
+    FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cls) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+def doc_lang_ngram_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-order character-n-gram language ID
+    (`text.py::ngram_rank_langid` — Cavnar & Trenkle 1994, the
+    canonical n-gram heuristic): per-language top-20 n-gram profiles,
+    out-of-place distance, argmin class. All-integer decisions with
+    total tie orders; profiles are built from the corpus' own `lang`
+    labels, so the output audits label consistency. Complements the
+    script-range heuristic `doc_lang_charclass` with the
+    statistics-driven classic."""
+    from cdc_pipeline_spark.operators.text import ngram_rank_langid
+
+    return ngram_rank_langid(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "doc_winnowing_fingerprints",
     r"""
     WITH g AS (
@@ -5100,6 +5157,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_unigram_vocab",
     "doc_unigram_segmentation",
     "doc_max_dup_span",
+    "doc_lang_ngram_rank",
     "doc_bpe_segmentation_arrow",
     "corpus_bpe_train_local",
     "orders_priority_from_orc",
@@ -5149,7 +5207,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_perplexity_buckets",
     "doc_pii_redaction",
     "doc_quality_classifier",
-    "doc_quality_rules",
 ]
 
 # Everything else not yet re-checked this round (each was green in the
@@ -5157,8 +5214,9 @@ _DRIVER_WINDOW_PRIORITY = [
 # ordered explicitly so the registry rotation is a recorded decision,
 # not a silent off-by-N, and first in line for the round-6 window.
 _DRIVER_WINDOW_CARRYOVER = [
-    # evicted from the round-5 window by the unigram + dup-span
-    # registrations; first in line for round 6
+    # evicted from the round-5 window by the unigram / dup-span /
+    # ngram-langid registrations; first in line for round 6
+    "doc_quality_rules",
     "doc_rag_chunks",
     "doc_repetition_stats",
     "doc_sequence_packing",

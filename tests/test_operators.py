@@ -1768,3 +1768,26 @@ def test_bloom_semi_join_rejects_mismatched_key_dtypes(spark):
         n_bits=1 << 10,
     )
     assert sorted(r["key"] for r in got.collect()) == list(range(0, 100, 7))
+
+
+def test_ngram_rank_langid_planted(spark):
+    """Two synthetic 'languages' with disjoint character inventories
+    must classify perfectly; a doc whose grams straddle both goes to
+    the closer profile; ties break on class name ascending."""
+    from cdc_pipeline_spark.operators.text import ngram_rank_langid
+
+    alpha = "aba bab aab bba abb baa ab ba aa bb"
+    omega = "xyz zyx xxz zzy xyy zxx xy zx xx zz"
+    rows = [
+        (1, "aa", alpha),
+        (2, "aa", alpha + " aba bab"),
+        (3, "zz", omega),
+        (4, "zz", omega + " xyz zyx"),
+        (5, "aa", alpha),  # reinforce class aa
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.id: r for r in ngram_rank_langid(df, profile_k=10).collect()}
+    assert all(got[i].predicted == "aa" for i in (1, 2, 5))
+    assert all(got[i].predicted == "zz" for i in (3, 4))
+    # distances are integers and bounded by profile_k * profile_k
+    assert all(0 <= r.oop_distance <= 100 for r in got.values())
