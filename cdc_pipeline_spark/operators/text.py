@@ -213,6 +213,28 @@ def adjacent_grams(toks_col: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def char_grams(col: Column, n: int) -> Column:
+    """Array of every character n-gram of ``col`` (empty below n
+    chars). Shared so the construction cannot drift — and because the
+    transform lambda MUST take exactly one parameter: ``F.transform``
+    feeds a second parameter the ELEMENT INDEX, so the classic
+    loop-capture idiom ``lambda i, n=n:`` silently rebinds n to the
+    index (``winnowing_fingerprints`` fuses its hash into this same
+    sequence+substring pattern rather than materializing gram strings —
+    a deliberate plan difference — and shares the caveat)."""
+    return F.when(
+        F.length(col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(col) - n + 1),
+            lambda i: F.substring(col, i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
 def ngram_rank_langid(
     df: DataFrame,
     label_col: str = "lang",
@@ -248,26 +270,21 @@ def ngram_rank_langid(
     from cdc_pipeline_spark.operators.partitioning import spread
 
     # spread BEFORE the explode: small parquet inputs arrive as one
-    # partition and would serialize the gram generation onto one core
+    # partition and would serialize the gram generation onto one core.
+    # Case folding is ASCII-ONLY via translate — a plain codepoint map
+    # both engines implement identically; full Unicode lower() is NOT
+    # cross-engine deterministic (Java maps U+0130 'İ' to two
+    # codepoints and folds Σ context-sensitively, utf8proc does
+    # neither), and locale-sensitive folding is the wrong default for a
+    # language *detector* anyway
     base = spread(df).select(
         F.col(id_col).alias("id"),
         F.col(label_col).alias("label"),
-        F.lower(F.col(text_col).substr(1, head_chars)).alias("__s"),
+        F.translate(
+            F.col(text_col).substr(1, head_chars), _ASCII_UPPER, _ASCII_LOWER
+        ).alias("__s"),
     )
-    # the transform lambda MUST take exactly one parameter: F.transform
-    # inspects the signature and feeds a second parameter the ELEMENT
-    # INDEX, so the idiomatic `lambda i, n=n:` loop-capture silently
-    # rebinds n to the index — a factory closure captures n safely
-    def _gram_array(n: int):
-        return F.when(
-            F.length("__s") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.length("__s") - n + 1),
-                lambda i: F.substring(F.col("__s"), i, F.lit(n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    gram_arrays = [_gram_array(n) for n in range(1, max_gram + 1)]
+    gram_arrays = [char_grams(F.col("__s"), n) for n in range(1, max_gram + 1)]
     grams = base.select(
         "id", "label", F.explode(F.concat(*gram_arrays)).alias("gram")
     )
@@ -332,7 +349,11 @@ def ngram_rank_langid(
             ).alias("dist")
         )
     )
-    pick = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("cls").asc())
+    # (id, label) everywhere — a duplicated id with two labels is two
+    # independent classification rows on BOTH engine and oracle
+    pick = Window.partitionBy("id", "label").orderBy(
+        F.col("dist").asc(), F.col("cls").asc()
+    )
     return (
         scored.withColumn("__rn", F.row_number().over(pick))
         .filter(F.col("__rn") == 1)

@@ -2453,7 +2453,10 @@ def doc_lang_charclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_lang_ngram_rank",
     """
     WITH base AS (
-        SELECT doc_id AS id, lang AS label, lower(substr(text, 1, 400)) AS s
+        SELECT doc_id AS id, lang AS label,
+               translate(substr(text, 1, 400),
+                         'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                         'abcdefghijklmnopqrstuvwxyz') AS s
         FROM documents
     ),
     grams AS (
@@ -2467,7 +2470,8 @@ def doc_lang_charclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_profile AS (
         SELECT * FROM (
             SELECT id, label, gram,
-                   row_number() OVER (PARTITION BY id ORDER BY cnt DESC, gram) AS rd
+                   row_number() OVER (PARTITION BY id, label
+                                      ORDER BY cnt DESC, gram) AS rd
             FROM doc_counts) WHERE rd <= 20
     ),
     cls_counts AS (
@@ -2487,7 +2491,8 @@ def doc_lang_charclass(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.id, d.label, c.cls
     )
     SELECT id, label, cls AS predicted, CAST(dist AS BIGINT) AS oop_distance
-    FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cls) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY id, label
+                                       ORDER BY dist, cls) AS rn
           FROM scored)
     WHERE rn = 1
     """,

@@ -1791,3 +1791,50 @@ def test_ngram_rank_langid_planted(spark):
     assert all(got[i].predicted == "zz" for i in (3, 4))
     # distances are integers and bounded by profile_k * profile_k
     assert all(0 <= r.oop_distance <= 100 for r in got.values())
+
+
+def test_ngram_rank_langid_oracle_parity_on_duplicate_ids_and_unicode(spark, tmp_path):
+    """Engine ≡ oracle on the two inputs that USED to diverge: a
+    duplicated doc_id with two labels (profile/pick windows must
+    partition by (id, label) on both sides) and non-ASCII case edges
+    ('İ', 'Σ' — full Unicode lower() folds differently in Java vs
+    utf8proc, which is why folding is ASCII-translate only)."""
+    import shutil
+
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from oracle import compare
+
+    from cdc_pipeline_spark import workload
+
+    src = "/root/testdata/sf0.001"
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        shutil.copy(f"{src}/{t}.parquet", tmp_path / f"{t}.parquet")
+    planted = spark.createDataFrame(
+        [
+            (3, "aa", "ababab xx", "s", 9),
+            (3, "bb", "xyxyxy ab", "s", 9),
+            (4, "bb", "xyzxyz", "s", 6),
+            (11, "tr", "İİİ abc", "s", 7),
+            (12, "en", "iii abc", "s", 7),
+            (13, "el", "ΣΣΣ abc", "s", 7),
+        ],
+        "doc_id long, lang string, text string, source string, n_chars long",
+    )
+    # single FILE (pyarrow), not a Spark directory — the oracle reads
+    # '<dir>/documents.parquet' as one file like the real fixtures
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.Table.from_pandas(planted.toPandas()), tmp_path / "documents.parquet"
+    )
+    problems = compare(
+        spark,
+        workload.QUERIES["doc_lang_ngram_rank"],
+        workload.ORACLE_SQL["doc_lang_ngram_rank"],
+        str(tmp_path),
+    )
+    assert not problems, problems
