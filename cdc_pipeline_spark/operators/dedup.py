@@ -203,6 +203,101 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    tau_num: int = 3,
+    tau_den: int = 5,
+) -> DataFrame:
+    """Exact Jaccard self-join with LOSSLESS prefix filtering — the
+    high-threshold scale path beside ``ngram_jaccard_pairs``.
+
+    SSJoin / All-Pairs prefix filtering (Chaudhuri, Ganti & Kaushik,
+    ICDE'06; Bayardo, Ma & Srikant, WWW'07; prefix lemma as in Xiao et
+    al.'s PPJoin): order each doc's shingle set by GLOBAL rarity
+    ``(df(shingle) ASC, shingle ASC)``; if ``J(A,B) ≥ τ`` then
+    ``|A∩B| ≥ α := max(⌈τ|A|⌉, ⌈τ|B|⌉)``, and any two sets overlapping
+    in ≥ α elements must share a token inside their
+    ``(|s| − α + 1)``-prefixes — so joining only the
+    ``|s| − ⌈τ|s|⌉ + 1`` rarest shingles per doc (a superset of those
+    prefixes) finds EVERY qualifying pair. Unlike the ``max_df`` hot-
+    shingle prune (lossy lower bound) this drops no pairs; the candidate
+    join posts only the RARE end of the df distribution, so bucket
+    fanout is bounded by rare-shingle df instead of boilerplate df.
+    A symmetric length filter (``τ|A| ≤ |B| ∧ τ|B| ≤ |A|``) prunes
+    candidates before verification; verification joins full postings of
+    candidate pairs only (candidate-proportional, never corpus²).
+
+    τ is an exact rational ``tau_num/tau_den`` so both the prefix length
+    (``⌈τs⌉ = (tau_num·s + tau_den − 1) div tau_den``) and the final
+    threshold (``tau_den·inter ≥ tau_num·union``) are pure integer
+    decisions — no float-boundary drift between engines.
+
+    Returns ``(id_a < id_b, intersection, union_size, jaccard)`` for all
+    pairs with ``J ≥ τ``.
+    """
+    from pyspark.sql import Window
+
+    sh = _shingled(df, id_col, text_col, n)
+    posting = _posting(sh).localCheckpoint()  # 4 downstream refs: rank, sizes, verify ×2
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    dfreq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    ceil_tau = (F.lit(tau_num) * F.col("set_size") + F.lit(tau_den - 1)).cast("long") / F.lit(
+        tau_den
+    )
+    prefix_len = F.col("set_size") - F.floor(ceil_tau) + F.lit(1)
+    ranked = (
+        posting.join(dfreq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.col("sdf"), F.col("shingle"))
+            ),
+        )
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "shingle", "set_size")
+    )
+    cand = (
+        ranked.select(F.col("doc_id").alias("id_a"), "shingle", F.col("set_size").alias("size_a"))
+        .join(
+            ranked.select(
+                F.col("doc_id").alias("id_b"), "shingle", F.col("set_size").alias("size_b")
+            ),
+            "shingle",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.lit(tau_num) * F.col("size_a") <= F.lit(tau_den) * F.col("size_b"))
+            & (F.lit(tau_num) * F.col("size_b") <= F.lit(tau_den) * F.col("size_a"))
+        )
+        .select("id_a", "id_b", "size_a", "size_b")
+        .distinct()
+    )
+    pa = posting.select(F.col("doc_id").alias("id_a"), "shingle")
+    pb = posting.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(pa, "id_a")
+        .join(pb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    union_size = F.col("size_a") + F.col("size_b") - F.col("intersection")
+    return (
+        inter.withColumn("union_size", union_size)
+        .filter(F.lit(tau_den) * F.col("intersection") >= F.lit(tau_num) * F.col("union_size"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("intersection").cast("long").alias("intersection"),
+            F.col("union_size").cast("long").alias("union_size"),
+            round_half_up(F.col("intersection") / F.col("union_size"), 6).alias("jaccard"),
+        )
+    )
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,

@@ -1,0 +1,139 @@
+"""BM25 ranked retrieval over a document corpus.
+
+Okapi BM25 with the Lucene non-negative idf variant
+``idf(t) = ln(1 + (N − df + 0.5) / (df + 0.5))`` and the standard
+length-normalized tf ``tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+(Robertson & Spärck Jones; Robertson et al., TREC-3).
+
+Reference parity: the reference engine has no retrieval surface — this
+module is part of the §2.12 training-data mandate: benchmark-contamination
+lookup, RAG context retrieval and lexical hard-negative mining all reduce
+to ranked term retrieval over the corpus.
+
+Determinism (SCALE.md cross-engine policy): per-(doc, term) BM25 weights
+are computed once in double precision from scalar corpus statistics (no
+float summation), quantized to 6-decimal fixed point
+(``floor(w·1e6 + 0.5)`` → ``decimal(18,0)``), and per-query scores are
+EXACT decimal sums of those integers — order-independent at any
+partitioning, bit-replayable in the DuckDB oracle (the same pattern as
+``dedup.tfidf_cosine_pairs``). Ranking ties break on the exact quantized
+score then ``doc_id``.
+
+Scale shape (100 TB corpus): tf / df / dl / N are map-side-combined
+aggregates; the (doc, term) weight table is data-proportional; the
+query-term join is a broadcast semi-join that prunes the corpus to
+matching postings BEFORE any shuffle, so per-query work is proportional
+to the postings of the query's terms, not the corpus. Ranking shuffles
+candidates on ``query_id`` — reducer parallelism equals the (small)
+query-batch size; for broad single-term queries over the full corpus,
+swap the window for a per-partition heap + merge (``topk.top_k`` shape)
+before the final rank.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_pipeline_spark.operators.rounding import round_half_up
+from cdc_pipeline_spark.operators.topk import grouped_top_k
+
+# Default retrieval batch for the workload query / oracle pair. Terms are
+# drawn from the synthetic corpus vocabulary (TESTDATA.md): a mix of
+# near-universal terms (idf ≈ ln(1 + ~0.3)) and the one rare term 'dup'
+# (df ≈ 5% of docs) so idf contrast is actually exercised.
+BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, ("spark", "hash", "join")),
+    (1, ("merge", "sort", "batch")),
+    (2, ("dup", "key", "scan")),
+    (3, ("the", "vector", "line", "fast")),
+)
+
+QUANT = 1_000_000.0  # 6-decimal fixed-point weight quantization
+
+
+def bm25_term_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-(doc, token) quantized BM25 weights: ``(doc_id, token, wq)``
+    with ``wq = floor(idf·tfnorm·1e6 + 0.5)`` as ``decimal(18,0)``.
+
+    Tokenization is the corpus-wide convention (lower, split ``\\s+``,
+    drop empties — same as ``dedup.tfidf_cosine_pairs``). ``N`` counts
+    ALL documents (token-less docs score 0 everywhere but still shape
+    idf/avgdl); ``avgdl = Σdl / N`` as a double.
+    """
+    tok = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token").isNotNull() & (F.col("token") != ""))
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        tf.agg(F.sum("tf").alias("total_tok"))
+    )
+    avgdl = F.col("total_tok").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "token")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "token",
+            F.floor(idf * tfn * F.lit(QUANT) + F.lit(0.5)).cast("decimal(18,0)").alias("wq"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: Sequence[tuple[int, tuple[str, ...]]] = BM25_QUERIES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 retrieval for a batch of term queries:
+    ``(query_id, doc_id, score, rank)``, rank 1..k per query.
+
+    ``score = Σ_t wq(doc, t) / 1e6`` over the query's DISTINCT terms
+    (bag-of-words queries re-weight client-side), summed exactly in
+    decimal; ranking orders by the exact quantized sum before rounding.
+    """
+    rows = [(int(qid), t) for qid, terms in queries for t in dict.fromkeys(terms)]
+    qdf = df.sparkSession.createDataFrame(rows, "query_id long, token string")
+    w = bm25_term_weights(df, id_col=id_col, text_col=text_col, k1=k1, b=b)
+    scored = (
+        w.join(F.broadcast(qdf), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("wq").alias("scoreq"))
+    )
+    ranked = grouped_top_k(
+        scored,
+        ["query_id"],
+        [F.col("scoreq").desc(), F.col("doc_id")],
+        k,
+    )
+    return ranked.select(
+        "query_id",
+        "doc_id",
+        round_half_up(F.col("scoreq").cast("double") / F.lit(QUANT), 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )

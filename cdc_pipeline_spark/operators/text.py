@@ -364,3 +364,61 @@ def ngram_rank_langid(
             F.col("dist").cast("long").alias("oop_distance"),
         )
     )
+
+
+# natural-log-of-2 literal shared with the oracle SQL (repr round-trips
+# the exact double, so both engines divide by the same constant)
+LN2 = 0.6931471805599453
+
+ENTROPY_QUANT = 1_000_000_000.0  # 9-decimal fixed point for Σ n·ln(n)
+
+
+def _shannon_entropy_bits(elems: Column) -> Column:
+    """Shannon entropy (bits) of the multiset in an array column,
+    computed entirely inside one row — ZERO shuffle, no exchange:
+    ``H = (ln(L) − (Σ_c n_c·ln(n_c)) / L) / ln 2``.
+
+    The Σ n·ln(n) term is quantized per distinct element
+    (``floor((n·ln n)·1e9 + 0.5)``) and summed as exact integers, so the
+    result is independent of `array_distinct` ordering and replays
+    bit-for-bit in DuckDB's `list_transform`/`list_sum` (whose distinct
+    order is unspecified). Cost is O(L·d) per row (d = distinct
+    elements) — JVM codegen, no Python, no aggregation exchange: the
+    100 TB shape is a single corpus scan."""
+    n_total = F.size(elems)
+    counts = F.transform(
+        F.array_distinct(elems), lambda c: F.size(F.filter(elems, lambda x: x == c))
+    )
+    sq = F.aggregate(
+        counts,
+        F.lit(0).cast("long"),
+        lambda acc, n: acc
+        + F.floor((n.cast("double") * F.log(n.cast("double"))) * F.lit(ENTROPY_QUANT) + F.lit(0.5)),
+    )
+    return (
+        F.log(n_total.cast("double"))
+        - (sq.cast("double") / F.lit(ENTROPY_QUANT)) / n_total
+    ) / F.lit(LN2)
+
+
+def entropy_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document entropy quality signals (the repetition/diversity
+    filters of C4 / Gopher / RefinedWeb-style cleaning, where low
+    character- or word-entropy flags boilerplate, keyboard-mash and
+    template text): character entropy, whitespace-token entropy, and
+    the distinct counts behind them. Docs with no characters after
+    filtering are excluded (entropy undefined on an empty multiset)."""
+    chars = F.filter(F.split(F.col(text_col), ""), lambda c: c != F.lit(""))
+    toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    out = df.select(
+        F.col(id_col).alias("doc_id"), chars.alias("__chars"), toks.alias("__toks")
+    ).filter((F.size("__chars") > 0) & (F.size("__toks") > 0))
+    return out.select(
+        "doc_id",
+        round_half_up(_shannon_entropy_bits(F.col("__chars")), 6).alias("char_entropy"),
+        round_half_up(_shannon_entropy_bits(F.col("__toks")), 6).alias("token_entropy"),
+        F.size(F.array_distinct("__chars")).cast("long").alias("distinct_chars"),
+        F.size(F.array_distinct("__toks")).cast("long").alias("distinct_tokens"),
+    )

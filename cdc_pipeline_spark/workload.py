@@ -5139,6 +5139,166 @@ def embedding_pc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 late additions: ranked retrieval (BM25) and the lossless
+# prefix-filter set-similarity join.
+# ---------------------------------------------------------------------------
+
+
+def _bm25_oracle_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """BM25 replay: same quantized-weight pipeline as
+    ``retrieval.bm25_topk``. The weight formula is interpolated from the
+    SAME Python constants on both sides (``repr`` round-trips the exact
+    doubles), every float subexpression is parenthesized to the Spark
+    association, and per-query scores are exact DECIMAL sums of the
+    quantized weights — so the hash check covers tokenization, corpus
+    stats, the weight formula, quantization, and ranking tie-breaks."""
+    from cdc_pipeline_spark.operators.retrieval import BM25_QUERIES
+
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in BM25_QUERIES for t in dict.fromkeys(terms)
+    )
+    c1, omb = repr(k1 + 1.0), repr(1.0 - b)
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY doc_id, token),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                     (SELECT sum(tf) FROM tf) AS total_tok),
+    w AS (
+        SELECT tf.doc_id, tf.token,
+               CAST(floor((ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                           * ((tf.tf * {c1}) / (tf.tf + {k1!r} * ({omb} + ({b!r} * dl.dl)
+                               / (CAST(s.total_tok AS DOUBLE) / s.n_docs)))))
+                          * 1000000.0 + 0.5) AS DECIMAL(18,0)) AS wq
+        FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token) CROSS JOIN stats s
+    ),
+    q(query_id, token) AS (VALUES {vals}),
+    scored AS (
+        SELECT q.query_id, w.doc_id, sum(w.wq) AS scoreq
+        FROM q JOIN w USING (token) GROUP BY 1, 2
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           round(CAST(scoreq AS DOUBLE) / 1000000.0, 6) AS score,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY scoreq DESC, doc_id) AS rn
+          FROM scored)
+    WHERE rn <= {k}
+    """
+
+
+@register("doc_bm25_topk", _bm25_oracle_sql())
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BM25 retrieval for a 4-query batch over the documents
+    corpus (`retrieval.bm25_topk` — Okapi BM25, Lucene non-negative
+    idf). The §2.12 retrieval surface: contamination lookup, RAG
+    context fetch and lexical hard-negative mining are all this shape.
+    Corpus stats are map-side-combined aggregates; the query join is a
+    broadcast semi-join pruning the corpus to matching postings before
+    any shuffle; scores are exact decimal sums of 6dp-quantized weights
+    so ranking replays bit-for-bit in the oracle."""
+    from cdc_pipeline_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"))
+
+
+def _entropy_oracle_sql() -> str:
+    """Entropy replay: the Σ n·ln(n) term is quantized per distinct
+    element and summed as exact BIGINTs, so DuckDB's unspecified
+    `list_distinct` order cannot change the sum; the outer expression
+    is parenthesized to the Spark association and divides by the same
+    repr-round-tripped ln 2 literal."""
+    from cdc_pipeline_spark.operators.text import ENTROPY_QUANT, LN2
+
+    quant = repr(ENTROPY_QUANT)
+
+    def h(col: str) -> str:
+        n = f"len(list_filter({col}, x -> x = e))"
+        return (
+            f"(ln(CAST(len({col}) AS DOUBLE)) - "
+            f"(CAST(list_sum(list_transform(list_distinct({col}), "
+            f"e -> CAST(floor(({n} * ln(CAST({n} AS DOUBLE))) * {quant} + 0.5) AS BIGINT)"
+            f")) AS DOUBLE) / {quant}) / len({col})) / {LN2!r}"
+        )
+
+    return f"""
+    WITH c AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ''), x -> x <> '') AS chars,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           round({h("chars")}, 6) AS char_entropy,
+           round({h("toks")}, 6) AS token_entropy,
+           CAST(len(list_distinct(chars)) AS BIGINT) AS distinct_chars,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS distinct_tokens
+    FROM c
+    WHERE len(chars) > 0 AND len(toks) > 0
+    """
+
+
+@register("doc_entropy_profile", _entropy_oracle_sql())
+def doc_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character- and token-level Shannon entropy per document
+    (`text.entropy_profile`) — the low-entropy boilerplate/keyboard-mash
+    filter of C4/Gopher/RefinedWeb-style cleaning. ZERO-shuffle plan:
+    both entropies are computed inside the row with JVM higher-order
+    functions (quantized integer Σ n·ln n), so the 100 TB shape is one
+    corpus scan with no exchange at all."""
+    from cdc_pipeline_spark.operators.text import entropy_profile
+
+    return entropy_profile(_t(spark, sf_dir, "documents"))
+
+
+_PREFIX_JACCARD_ORACLE = r"""
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                            i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+        FROM tok
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(c AS BIGINT) AS intersection,
+           CAST(na.n + nb.n - c AS BIGINT) AS union_size,
+           round(c / (na.n + nb.n - c), 6) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE 5 * c >= 3 * (na.n + nb.n - c)
+"""
+
+
+@register("dedup_prefix_filter", _PREFIX_JACCARD_ORACLE)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs at τ = 3/5 via LOSSLESS prefix
+    filtering (`dedup.prefix_filter_jaccard_pairs` — SSJoin/All-Pairs):
+    the candidate join posts only each doc's |s| − ⌈τs⌉ + 1 RAREST
+    shingles, yet provably finds every qualifying pair — the
+    high-threshold scale path that makes `ngram_jaccard_pairs`' lossy
+    `max_df` prune unnecessary. The oracle is the NAIVE full
+    posting-join specification, so the hash check proves the pruned
+    plan is output-equivalent to the spec; τ and the prefix lengths are
+    exact integer decisions (no float ceil at bucket boundaries)."""
+    from cdc_pipeline_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50
 # registered queries per round (CORRECTNESS_r01 stopped at entry 50 of 81).
 # Re-order the registry so the queries most in need of a fresh driver row
@@ -5159,6 +5319,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # -- round 5: the new registrations, then every query whose operator
     # path was touched this round (BPE router, flow-grain +
     # anti-join de-vacuation, decode_image_any wiring) --
+    "doc_bm25_topk",
+    "dedup_prefix_filter",
+    "doc_entropy_profile",
     "corpus_unigram_vocab",
     "doc_unigram_segmentation",
     "doc_max_dup_span",
@@ -5209,9 +5372,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_length_outliers",
     "doc_markup_profile",
     "doc_padded_batches",
-    "doc_perplexity_buckets",
-    "doc_pii_redaction",
-    "doc_quality_classifier",
 ]
 
 # Everything else not yet re-checked this round (each was green in the
@@ -5220,7 +5380,11 @@ _DRIVER_WINDOW_PRIORITY = [
 # not a silent off-by-N, and first in line for the round-6 window.
 _DRIVER_WINDOW_CARRYOVER = [
     # evicted from the round-5 window by the unigram / dup-span /
-    # ngram-langid registrations; first in line for round 6
+    # ngram-langid / bm25 / prefix-filter / entropy registrations; first
+    # in line for round 6
+    "doc_perplexity_buckets",
+    "doc_pii_redaction",
+    "doc_quality_classifier",
     "doc_quality_rules",
     "doc_rag_chunks",
     "doc_repetition_stats",

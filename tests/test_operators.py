@@ -1838,3 +1838,128 @@ def test_ngram_rank_langid_oracle_parity_on_duplicate_ids_and_unicode(spark, tmp
         str(tmp_path),
     )
     assert not problems, problems
+
+
+def test_prefix_filter_equals_naive_jaccard(spark):
+    """The prefix-filter join is LOSSLESS: at τ = 3/5 its output must
+    equal the naive full-posting-join pairs on the real corpus (the
+    fixtures carry planted near-dups, so the comparison is non-vacuous).
+    No rounding-boundary hazard: at sf0.001 union sizes are ≤ ~60, and
+    |p/q − 3/5| ≥ 1/(5q) ≫ 1e-6 for every fraction with q ≤ 60, so the
+    rounded-≥ and integer-≥ thresholds agree exactly."""
+    from cdc_pipeline_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = load_table(spark, SF_DIR, "documents")
+    naive = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    pruned = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_jaccard_pairs(docs, tau_num=3, tau_den=5).collect()
+    }
+    assert pruned == naive
+    assert pruned, "corpus should contain planted pairs at J >= 0.6"
+
+
+def test_prefix_filter_planted_edges(spark):
+    """Planted edge shapes: identical docs (J=1), a shingle-subset pair,
+    docs shorter than the shingle width (no shingles → never paired),
+    and a pair failing the symmetric length filter."""
+    from cdc_pipeline_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                      # 6 shingles
+            (2, base),                      # identical → J = 1
+            (3, base + " iota kappa"),      # superset: 8 shingles, inter 6 → J = 0.75
+            (4, "tiny doc"),                # < 3 tokens → no shingles
+            (5, base + " " + " ".join(f"w{i}" for i in range(30))),  # length filter prune
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): (r.intersection, r.union_size, r.jaccard)
+        for r in prefix_filter_jaccard_pairs(docs, tau_num=3, tau_den=5).collect()
+    }
+    assert got[(1, 2)] == (6, 6, 1.0)
+    assert got[(1, 3)] == (6, 8, 0.75)
+    assert got[(2, 3)] == (6, 8, 0.75)
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_bm25_matches_hand_computation(spark):
+    """bm25_topk on a 3-doc corpus must reproduce a from-scratch Python
+    BM25 (same Lucene idf, same quantization) — scores, tie-breaks and
+    ranks."""
+    import math
+
+    from cdc_pipeline_spark.operators.retrieval import bm25_topk
+
+    corpus = {1: "apple banana apple", 2: "apple cherry", 3: "banana banana banana banana"}
+    queries = ((0, ("apple",)), (1, ("banana", "cherry")))
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+
+    toks = {d: t.split() for d, t in corpus.items()}
+    n_docs, total = len(corpus), sum(len(t) for t in toks.values())
+    avgdl = float(total) / n_docs
+    k1, b = 1.2, 0.75
+
+    def wq(d: int, term: str) -> int:
+        tf = toks[d].count(term)
+        if tf == 0:
+            return 0
+        df = sum(term in t for t in toks.values())
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        tfn = (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + (b * len(toks[d])) / avgdl))
+        return math.floor(idf * tfn * 1e6 + 0.5)
+
+    expected = {}
+    for qid, terms in queries:
+        scores = {
+            d: sum(wq(d, t) for t in terms)
+            for d in corpus
+            if any(t in toks[d] for t in terms)
+        }
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rank, (d, s) in enumerate(ranked, start=1):
+            expected[(qid, d)] = (round(s / 1e6, 6), rank)
+
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in bm25_topk(docs, queries, k=10).collect()
+    }
+    assert got == expected
+    # rare term outranks: cherry (df=1) gives doc 2 the top slot for query 1
+    assert got[(1, 2)][1] == 1
+
+
+def test_entropy_profile_planted_values(spark):
+    """Hand-computable entropies: uniform multisets hit exactly log2(d)
+    bits; single-symbol docs hit exactly 0."""
+    from cdc_pipeline_spark.operators.text import entropy_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa"),            # char H = 0 (one symbol); 1 token
+            (2, "ab ab"),           # chars {a:2, b:2, ' ':1}; tokens {ab:2} → token H = 0
+            (3, "abcd"),            # 4 uniform chars → H = 2.0
+            (4, "x y x y"),         # tokens {x:2, y:2} → token H = 1.0
+            (5, ""),                # empty → excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.char_entropy, r.token_entropy, r.distinct_chars, r.distinct_tokens)
+        for r in entropy_profile(docs).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] == (0.0, 0.0, 1, 1)
+    assert got[3][0] == 2.0 and got[3][2] == 4
+    assert got[2][1] == 0.0 and got[2][3] == 1
+    assert got[4][1] == 1.0 and got[4][3] == 2
+    # 5-char "ab ab": H = log2(5) - (2·log2(2) + 2·log2(2))/5... computed:
+    import math
+    expected = (math.log(5) - (2 * math.log(2) + 2 * math.log(2) + 1 * math.log(1)) / 5) / math.log(2)
+    assert abs(got[2][0] - round(expected, 6)) < 2e-6
