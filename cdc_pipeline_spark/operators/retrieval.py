@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cdc_pipeline_spark.operators.rounding import round_half_up
-from cdc_pipeline_spark.operators.topk import grouped_top_k
+from cdc_pipeline_spark.operators.topk import grouped_top_k_salted
 
 # Default retrieval batch for the workload query / oracle pair. Terms are
 # drawn from the synthetic corpus vocabulary (TESTDATA.md): a mix of
@@ -125,11 +125,15 @@ def bm25_topk(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("wq").alias("scoreq"))
     )
-    ranked = grouped_top_k(
+    # two-phase ranking: query batches are low-cardinality groups, so a
+    # plain per-query window is one reducer per query at 100 TB; the
+    # salted variant is output-identical (total order) and n_salts× wider
+    ranked = grouped_top_k_salted(
         scored,
         ["query_id"],
         [F.col("scoreq").desc(), F.col("doc_id")],
         k,
+        salt_col="doc_id",
     )
     return ranked.select(
         "query_id",

@@ -34,3 +34,34 @@ def grouped_top_k(df: DataFrame, partition_by: list[str], order_by: list[Column]
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def grouped_top_k_salted(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    k: int,
+    salt_col: str,
+    n_salts: int = 32,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Two-phase grouped top-k for LOW-cardinality groups: the plain
+    window sends EVERY row of a group through one reducer — with 4
+    groups over a 100 TB candidate set that is 4 tasks doing all the
+    work. Phase 1 ranks within ``(group, salt)`` — ``n_salts``×
+    parallelism, keeping ≤ k rows per salt; phase 2 ranks the surviving
+    ≤ k·n_salts rows per group (tiny). Output is IDENTICAL to
+    ``grouped_top_k`` whenever ``order_by`` is a total order: each
+    group's true top-k survives phase 1 from whichever salt bucket each
+    row landed in (the same superset argument as ``skew.salted_agg``).
+    The salt is ``pmod(xxhash64(salt_col), n_salts)`` — deterministic,
+    so plans replay identically under task retries."""
+    salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts))
+    w1 = Window.partitionBy(*partition_by, "__salt").orderBy(*order_by)
+    pruned = (
+        df.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__salt", "__r1")
+    )
+    return grouped_top_k(pruned, partition_by, order_by, k, rank_col)

@@ -1963,3 +1963,24 @@ def test_entropy_profile_planted_values(spark):
     import math
     expected = (math.log(5) - (2 * math.log(2) + 2 * math.log(2) + 1 * math.log(1)) / 5) / math.log(2)
     assert abs(got[2][0] - round(expected, 6)) < 2e-6
+
+
+def test_grouped_top_k_salted_equals_plain(spark):
+    """The two-phase salted grouped top-k must be output-identical to
+    the single-window form on a total order — checked over a skewed
+    synthetic frame at several k."""
+    from cdc_pipeline_spark.operators.topk import grouped_top_k, grouped_top_k_salted
+
+    rows = [(g, i, (i * 37) % 101) for g in range(3) for i in range(g * 40 + 5)]
+    df = spark.createDataFrame(rows, "grp int, item long, score long")
+    order = [F.col("score").desc(), F.col("item")]
+    for k in (1, 7, 50):
+        plain = {
+            (r.grp, r.item, r.rank)
+            for r in grouped_top_k(df, ["grp"], order, k).collect()
+        }
+        salted = {
+            (r.grp, r.item, r.rank)
+            for r in grouped_top_k_salted(df, ["grp"], order, k, salt_col="item", n_salts=8).collect()
+        }
+        assert salted == plain, k
