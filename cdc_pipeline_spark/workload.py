@@ -5144,6 +5144,145 @@ def embedding_pc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _hll_est_over(s: str, v: str) -> str:
+    """The portable-HLL estimate formula over arbitrarily named state
+    columns (the module constant hardcodes s_total/v_zero)."""
+    return _HLL_ESTIMATE_SQL.replace("s_total", s).replace("v_zero", v)
+
+
+_HLL_STATE_AGG = (
+    "CAST(sum(shiftleft(CAST(1 AS BIGINT), 53 - CAST(r AS INT))) AS BIGINT)"
+    " + (256 - count(*)) * shiftleft(CAST(1 AS BIGINT), 53)"
+)
+
+_RETENTION_HLL_ORACLE = f"""
+    WITH h AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        FROM events
+    ),
+    d AS (
+        SELECT day, hv % 256 AS idx,
+               CASE WHEN hv // 256 = 0 THEN 53
+                    ELSE 53 - length(bin(hv // 256)) END AS rho
+        FROM h
+    ),
+    regs AS (SELECT day, idx, max(rho) AS r FROM d GROUP BY day, idx),
+    sd AS (
+        SELECT day,
+               CAST(sum(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT)
+               + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS s,
+               256 - count(*) AS v
+        FROM regs GROUP BY day
+    ),
+    days AS (SELECT DISTINCT day FROM regs),
+    pairs AS (SELECT a.day AS day, b.day AS next_day
+              FROM days a JOIN days b ON b.day = a.day + 1),
+    ureg AS (
+        SELECT p.day, p.next_day, r.idx, max(r.r) AS r
+        FROM pairs p JOIN regs r ON r.day = p.day OR r.day = p.next_day
+        GROUP BY 1, 2, 3
+    ),
+    su AS (
+        SELECT day, next_day,
+               CAST(sum(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT)
+               + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS s,
+               256 - count(*) AS v
+        FROM ureg GROUP BY day, next_day
+    )
+    SELECT CAST(p.day AS VARCHAR) AS day, CAST(p.next_day AS VARCHAR) AS next_day,
+           {_hll_est_over("a.s", "a.v")} AS est_day,
+           {_hll_est_over("b.s", "b.v")} AS est_next,
+           {_hll_est_over("u.s", "u.v")} AS est_union,
+           ({_hll_est_over("a.s", "a.v")}) + ({_hll_est_over("b.s", "b.v")})
+           - ({_hll_est_over("u.s", "u.v")}) AS retained_est
+    FROM pairs p
+    JOIN sd a ON a.day = p.day
+    JOIN sd b ON b.day = p.next_day
+    JOIN su u ON u.day = p.day AND u.next_day = p.next_day
+"""
+
+
+@register("events_retention_hll", _RETENTION_HLL_ORACLE)
+def events_retention_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-algebra retention: day-over-day retained-user ESTIMATES by
+    inclusion–exclusion over mergeable HLL register vectors —
+    ``|A∩B| ≈ est(A) + est(B) − est(A∪B)`` where the union sketch is the
+    register-wise max of the two day sketches. This is the 100 TB
+    retention shape: per-day sketches are 256 small integers maintained
+    incrementally (`events_daily_distinct_hll`); EVERY pairwise overlap
+    then costs a sketch merge, never a re-scan of either day's events —
+    the set-operation algebra the exact `user_retention_cohorts` query
+    cannot afford at scale. Same portable integer-exact HLL as the
+    daily query, so the oracle replays estimates bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    regs = (
+        ev.selectExpr(
+            "to_date(ts) AS day",
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS hv",
+        )
+        .selectExpr(
+            "day",
+            "hv % 256 AS idx",
+            "CASE WHEN hv div 256 = 0 THEN 53 ELSE 53 - length(bin(hv div 256)) END AS rho",
+        )
+        .groupBy("day", "idx")
+        .agg(F.max("rho").alias("r"))
+        # regs feeds four consumers (per-day states, the pair list, both
+        # sides of the union merge); without the checkpoint the whole
+        # events tokenize/hash scan runs four times
+        .localCheckpoint()
+    )
+    state_day = regs.groupBy("day").agg(
+        F.expr(_HLL_STATE_AGG).alias("s"), F.expr("256 - count(*)").alias("v")
+    )
+    days = regs.select("day").distinct()
+    pairs = (
+        days.alias("a")
+        .join(days.alias("b"), F.expr("b.day = date_add(a.day, 1)"))
+        .select(F.col("a.day").alias("day"), F.col("b.day").alias("next_day"))
+    )
+    rd = regs.withColumnRenamed("day", "rd")
+    ra = pairs.join(rd, F.col("rd") == F.col("day")).select("day", "next_day", "idx", "r")
+    rb = pairs.join(rd, F.col("rd") == F.col("next_day")).select("day", "next_day", "idx", "r")
+    state_union = (
+        ra.unionByName(rb)
+        .groupBy("day", "next_day", "idx")
+        .agg(F.max("r").alias("r"))
+        .groupBy("day", "next_day")
+        .agg(F.expr(_HLL_STATE_AGG).alias("s"), F.expr("256 - count(*)").alias("v"))
+    )
+    joined = (
+        pairs.join(
+            state_day.select(F.col("day").alias("day"), F.col("s").alias("s_a"), F.col("v").alias("v_a")),
+            "day",
+        )
+        .join(
+            state_day.select(
+                F.col("day").alias("next_day"), F.col("s").alias("s_b"), F.col("v").alias("v_b")
+            ),
+            "next_day",
+        )
+        .join(
+            state_union.select(
+                "day", "next_day", F.col("s").alias("s_u"), F.col("v").alias("v_u")
+            ),
+            ["day", "next_day"],
+        )
+    )
+    return joined.selectExpr(
+        # DATE serializes differently through the two engines' pandas
+        # canonicalization (date vs datetime64) — string on both sides
+        "CAST(day AS STRING) AS day",
+        "CAST(next_day AS STRING) AS next_day",
+        f"{_hll_est_over('s_a', 'v_a')} AS est_day",
+        f"{_hll_est_over('s_b', 'v_b')} AS est_next",
+        f"{_hll_est_over('s_u', 'v_u')} AS est_union",
+        f"({_hll_est_over('s_a', 'v_a')}) + ({_hll_est_over('s_b', 'v_b')})"
+        f" - ({_hll_est_over('s_u', 'v_u')}) AS retained_est",
+    )
+
+
 def _bm25_oracle_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
     """BM25 replay: same quantized-weight pipeline as
     ``retrieval.bm25_topk``. The weight formula is interpolated from the
@@ -5322,6 +5461,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_bm25_topk",
     "dedup_prefix_filter",
     "doc_entropy_profile",
+    "events_retention_hll",
     "corpus_unigram_vocab",
     "doc_unigram_segmentation",
     "doc_max_dup_span",
@@ -5371,7 +5511,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_eval_containment",
     "doc_length_outliers",
     "doc_markup_profile",
-    "doc_padded_batches",
 ]
 
 # Everything else not yet re-checked this round (each was green in the
@@ -5380,8 +5519,9 @@ _DRIVER_WINDOW_PRIORITY = [
 # not a silent off-by-N, and first in line for the round-6 window.
 _DRIVER_WINDOW_CARRYOVER = [
     # evicted from the round-5 window by the unigram / dup-span /
-    # ngram-langid / bm25 / prefix-filter / entropy registrations; first
-    # in line for round 6
+    # ngram-langid / bm25 / prefix-filter / entropy / hll-retention
+    # registrations; first in line for round 6
+    "doc_padded_batches",
     "doc_perplexity_buckets",
     "doc_pii_redaction",
     "doc_quality_classifier",
