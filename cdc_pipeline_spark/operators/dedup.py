@@ -298,6 +298,82 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    block_chars: int = 12,
+    window: int = 4,
+    tau_num: int = 1,
+    tau_den: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (Hernández & Stolfo's
+    merge/purge) — the third classic blocking family beside LSH
+    (`minhash_lsh_pairs`) and prefix filtering
+    (`prefix_filter_jaccard_pairs`).
+
+    Docs are keyed by whitespace-normalized lowercase text; each block
+    (first ``block_chars`` of the key) is sorted and every doc is
+    compared ONLY to its ``window − 1`` successors, then candidate
+    pairs are verified with exact word-n-gram Jaccard
+    (``array_intersect`` on the carried shingle sets —
+    candidate-proportional, ≤ (window−1)·|corpus| pairs by
+    construction, never df²). By design SNM trades recall for a HARD
+    candidate bound: near-dups whose sort keys land far apart (edits in
+    the first words) are missed — production runs do multiple passes
+    with rotated keys; LSH is the recall-safe path. τ is an exact
+    rational and the sort key is totally ordered (key, doc_id), so the
+    candidate set replays identically in the oracle.
+
+    Scale: the only shuffle is the per-block sort; blocks are
+    high-cardinality key prefixes (parallel), and the window bound
+    makes the compare stage linear in the corpus.
+    """
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    keyed = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            norm.alias("sort_key"),
+            word_shingles(text_col, n).alias("sh"),
+        )
+        .withColumn("block", F.substring("sort_key", 1, block_chars))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("block").orderBy("sort_key", "doc_id")),
+        )
+    )
+    a = keyed.select(
+        "block", F.col("rn").alias("rn_a"), F.col("doc_id").alias("ida"), F.col("sh").alias("sha")
+    )
+    b = keyed.select(
+        "block", F.col("rn").alias("rn_b"), F.col("doc_id").alias("idb"), F.col("sh").alias("shb")
+    )
+    pairs = a.join(b, "block").filter(
+        (F.col("rn_b") > F.col("rn_a")) & (F.col("rn_b") - F.col("rn_a") <= window - 1)
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    return (
+        pairs.select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            inter.cast("long").alias("intersection"),
+            union.cast("long").alias("union_size"),
+        )
+        .filter(
+            (F.col("union_size") > 0)
+            & (F.lit(tau_den) * F.col("intersection") >= F.lit(tau_num) * F.col("union_size"))
+        )
+        .withColumn(
+            "jaccard", round_half_up(F.col("intersection") / F.col("union_size"), 6)
+        )
+    )
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdc_pipeline_spark.operators.rounding import round_half_up
@@ -54,21 +54,10 @@ BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
 QUANT = 1_000_000.0  # 6-decimal fixed-point weight quantization
 
 
-def bm25_term_weights(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """Per-(doc, token) quantized BM25 weights: ``(doc_id, token, wq)``
-    with ``wq = floor(idf·tfnorm·1e6 + 0.5)`` as ``decimal(18,0)``.
-
-    Tokenization is the corpus-wide convention (lower, split ``\\s+``,
-    drop empties — same as ``dedup.tfidf_cosine_pairs``). ``N`` counts
-    ALL documents (token-less docs score 0 everywhere but still shape
-    idf/avgdl); ``avgdl = Σdl / N`` as a double.
-    """
+def token_tf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-(doc, token) term frequencies ``(doc_id, token, tf)`` under
+    the corpus-wide tokenization convention (lower, split ``\\s+``, drop
+    empties — same as ``dedup.tfidf_cosine_pairs``)."""
     tok = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -76,11 +65,35 @@ def bm25_term_weights(
         )
         .filter(F.col("token").isNotNull() & (F.col("token") != ""))
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    return tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def doc_lengths(df: DataFrame, tf: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``(doc_id, dl)`` for EVERY document — token-less docs carry
+    ``dl = 0`` (they score 0 everywhere but still shape N and avgdl)."""
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(dl, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("dl"), F.lit(0)).cast("long").alias("dl"))
+    )
+
+
+def bm25_term_weights_from_stats(
+    tf: DataFrame,
+    doclens: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-(doc, token) quantized BM25 weights: ``(doc_id, token, wq)``
+    with ``wq = floor(idf·tfnorm·1e6 + 0.5)`` as ``decimal(18,0)``,
+    derived from a ``(doc_id, token, tf)`` table and a ``(doc_id, dl)``
+    table — the two tables a streaming index maintains incrementally
+    (`streaming/retrieval_index.py`). ``N = count(doclens)``,
+    ``avgdl = Σdl / N`` as a double."""
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    stats = df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        tf.agg(F.sum("tf").alias("total_tok"))
+    stats = doclens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tok")
     )
     avgdl = F.col("total_tok").cast("double") / F.col("n_docs")
     idf = F.log(
@@ -90,7 +103,7 @@ def bm25_term_weights(
         F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
     )
     return (
-        tf.join(dl, "doc_id")
+        tf.join(doclens, "doc_id")
         .join(dfreq, "token")
         .join(F.broadcast(stats))
         .select(
@@ -101,25 +114,35 @@ def bm25_term_weights(
     )
 
 
-def bm25_topk(
+def bm25_term_weights(
     df: DataFrame,
-    queries: Sequence[tuple[int, tuple[str, ...]]] = BM25_QUERIES,
     id_col: str = "doc_id",
     text_col: str = "text",
-    k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """Top-k BM25 retrieval for a batch of term queries:
-    ``(query_id, doc_id, score, rank)``, rank 1..k per query.
+    """Batch form: tokenize + stats + weights in one plan (see
+    ``bm25_term_weights_from_stats`` for the shared weight formula)."""
+    tf = token_tf(df, id_col=id_col, text_col=text_col)
+    return bm25_term_weights_from_stats(
+        tf, doc_lengths(df, tf, id_col=id_col), k1=k1, b=b
+    )
+
+
+def bm25_topk_from_weights(
+    w: DataFrame,
+    queries: Sequence[tuple[int, tuple[str, ...]]] = BM25_QUERIES,
+    k: int = 10,
+) -> DataFrame:
+    """Rank a ``(doc_id, token, wq)`` weight table against a term-query
+    batch: ``(query_id, doc_id, score, rank)``, rank 1..k per query.
 
     ``score = Σ_t wq(doc, t) / 1e6`` over the query's DISTINCT terms
     (bag-of-words queries re-weight client-side), summed exactly in
     decimal; ranking orders by the exact quantized sum before rounding.
     """
     rows = [(int(qid), t) for qid, terms in queries for t in dict.fromkeys(terms)]
-    qdf = df.sparkSession.createDataFrame(rows, "query_id long, token string")
-    w = bm25_term_weights(df, id_col=id_col, text_col=text_col, k1=k1, b=b)
+    qdf = w.sparkSession.createDataFrame(rows, "query_id long, token string")
     scored = (
         w.join(F.broadcast(qdf), "token")
         .groupBy("query_id", "doc_id")
@@ -140,4 +163,63 @@ def bm25_topk(
         "doc_id",
         round_half_up(F.col("scoreq").cast("double") / F.lit(QUANT), 6).alias("score"),
         F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: Sequence[tuple[int, tuple[str, ...]]] = BM25_QUERIES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batch top-k BM25 retrieval over a document corpus — tokenize,
+    weight, rank in one plan (`bm25_term_weights` →
+    `bm25_topk_from_weights`)."""
+    return bm25_topk_from_weights(
+        bm25_term_weights(df, id_col=id_col, text_col=text_col, k1=k1, b=b),
+        queries,
+        k,
+    )
+
+
+def top_tfidf_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document keyword extraction: the top-k tokens by
+    ``tf·ln(N/df)`` — ``(doc_id, token, weight, rank)``.
+
+    The classic doc-tagging / index-summarization primitive (and the
+    per-doc half of `dedup.tfidf_cosine_pairs`' weighting). Weights are
+    6dp-quantized integers so ranking ties are exact and replayable;
+    the tie order is total (weight DESC, token ASC). All-zero-weight
+    docs (every token at df = N) still emit k rows ranked by token —
+    deterministic, and a useful boilerplate signal. The per-doc window
+    partitions on doc_id (high-cardinality → fully parallel; no salted
+    phase needed, unlike the per-query ranking above)."""
+    tf = token_tf(df, id_col=id_col, text_col=text_col)
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    wq = F.floor(
+        (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))) * F.lit(QUANT)
+        + F.lit(0.5)
+    ).cast("long")
+    weighted = (
+        tf.join(dfreq, "token").join(F.broadcast(n_docs)).select("doc_id", "token", wq.alias("wq"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("wq").desc(), F.col("token"))
+    return (
+        weighted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "token",
+            round_half_up(F.col("wq").cast("double") / F.lit(QUANT), 6).alias("weight"),
+            F.col("rank").cast("long").alias("rank"),
+        )
     )

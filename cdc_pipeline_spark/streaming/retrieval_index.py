@@ -1,0 +1,104 @@
+"""Continuously maintained BM25 index: a ``foreachBatch`` writer that
+lands each micro-batch's term-frequency postings and document lengths,
+plus a query-time scorer over the accumulated state.
+
+Design (the incremental-retrieval shape at 100 TB): the corpus-global
+BM25 inputs — df(t), N, avgdl — CHANGE with every ingested document, so
+a streaming index must not bake final weights at write time. Instead
+each micro-batch appends only its LOCAL, immutable facts:
+
+  * ``tf/``       (doc_id, token, tf)   — the batch's postings
+  * ``doclens/``  (doc_id, dl)          — every batch doc, incl. dl = 0
+
+both partitioned by ``batch_id`` with per-batch dynamic-partition
+overwrite, so a replayed micro-batch rewrites exactly its own partition
+and the index is replay-idempotent with no marker files (same layout
+contract as ``streaming/neardup_index.py`` / ``streaming/rollup.py``).
+Per-batch work is proportional to the batch; nothing re-reads history.
+At query time ``bm25_topk_over_index`` derives the corpus stats from
+the accumulated tables and ranks — bit-identical to running the batch
+operator over the full corpus (pinned by the golden twin test), because
+``operators/retrieval.py`` computes weights from exactly these two
+tables. Bucketing ``tf/`` by token makes the query-term probe
+shuffle-free on the corpus side.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_pipeline_spark.operators.retrieval import (
+    BM25_QUERIES,
+    bm25_term_weights_from_stats,
+    bm25_topk_from_weights,
+    doc_lengths,
+    token_tf,
+)
+from cdc_pipeline_spark.streaming.neardup_index import _write_batch_partition
+
+_TF_SCHEMA = "doc_id long, token string, tf long, batch_id int"
+_DL_SCHEMA = "doc_id long, dl long, batch_id int"
+
+
+class Bm25IndexWriter:
+    """``foreachBatch`` writer maintaining the BM25 index tables.
+
+    Call with ``(batch_df, batch_id)``; ``batch_df`` needs
+    ``(id_col, text_col)``. Document ids are assumed unique across
+    batches (the CDC/corpus-ingest convention); re-ingesting an id in a
+    LATER batch double-counts it — route updates through a replay of
+    the original batch id instead.
+    """
+
+    def __init__(self, path: str, id_col: str = "doc_id", text_col: str = "text") -> None:
+        self.path = path
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.select(
+            F.col(self.id_col).alias("doc_id"), F.col(self.text_col).alias("text")
+        ).localCheckpoint()  # tf and doclens both re-read the batch; cut lineage once
+        tf = token_tf(docs).withColumn("batch_id", F.lit(int(batch_id)))
+        dls = doc_lengths(docs, tf.drop("batch_id")).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        _write_batch_partition(tf, os.path.join(self.path, "tf"))
+        _write_batch_partition(dls, os.path.join(self.path, "doclens"))
+
+
+def read_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """The accumulated ``(tf, doclens)`` tables (explicit schemas — a
+    never-started index or an empty-corpus batch leaves file-less
+    directories that schema inference cannot read)."""
+
+    def _read(sub: str, schema: str) -> DataFrame:
+        try:
+            return spark.read.schema(schema).parquet(os.path.join(path, sub))
+        except AnalysisException:
+            return spark.createDataFrame([], schema)
+
+    return _read("tf", _TF_SCHEMA), _read("doclens", _DL_SCHEMA)
+
+
+def bm25_topk_over_index(
+    spark: SparkSession,
+    path: str,
+    queries: Sequence[tuple[int, tuple[str, ...]]] = BM25_QUERIES,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Rank a term-query batch against the streaming-maintained index —
+    corpus stats (df, N, avgdl) are derived from the accumulated state
+    at query time, so results always reflect every ingested batch."""
+    tf, dls = read_index(spark, path)
+    w = bm25_term_weights_from_stats(
+        tf.drop("batch_id"), dls.drop("batch_id"), k1=k1, b=b
+    )
+    return bm25_topk_from_weights(w, queries, k)

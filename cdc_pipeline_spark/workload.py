@@ -5394,6 +5394,93 @@ def doc_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entropy_profile(_t(spark, sf_dir, "documents"))
 
 
+_SNM_ORACLE = r"""
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS sort_key
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, sort_key,
+               list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                            i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+        FROM tok
+    ),
+    keyed AS (
+        SELECT doc_id, sort_key, shingles, substr(sort_key, 1, 12) AS block,
+               row_number() OVER (PARTITION BY substr(sort_key, 1, 12)
+                                  ORDER BY sort_key, doc_id) AS rn
+        FROM sh
+    ),
+    pairs AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb, a.shingles AS sha, b.shingles AS shb
+        FROM keyed a JOIN keyed b
+          ON a.block = b.block AND b.rn > a.rn AND b.rn - a.rn <= 3
+    ),
+    v AS (
+        SELECT least(ida, idb) AS id_a, greatest(ida, idb) AS id_b,
+               len(list_intersect(sha, shb)) AS i,
+               len(sha) + len(shb) - len(list_intersect(sha, shb)) AS u
+        FROM pairs
+    )
+    SELECT id_a, id_b, CAST(i AS BIGINT) AS intersection, CAST(u AS BIGINT) AS union_size,
+           round(i / u, 6) AS jaccard
+    FROM v WHERE u > 0 AND 2 * i >= u
+"""
+
+
+@register("dedup_sorted_neighborhood", _SNM_ORACLE)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs
+    (`dedup.sorted_neighborhood_pairs` — Hernández & Stolfo
+    merge/purge): block by normalized-key prefix, sort within block,
+    compare each doc to its 3 successors, verify with exact word-3-gram
+    Jaccard at τ = 1/2. Third blocking family beside MinHash-LSH and
+    prefix filtering; candidate count is HARD-bounded at
+    (window−1)·|corpus| — the trade is recall (rotated-key passes at
+    production), which the oracle replays exactly (total sort order,
+    integer τ)."""
+    from cdc_pipeline_spark.operators.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(_t(spark, sf_dir, "documents"))
+
+
+_TOP_TERMS_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY doc_id, token),
+    dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+        SELECT tf.doc_id, tf.token,
+               CAST(floor((tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS wq
+        FROM tf JOIN dfq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token,
+           round(CAST(wq AS DOUBLE) / 1000000.0, 6) AS weight,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY wq DESC, token) AS rn
+          FROM w)
+    WHERE rn <= 5
+"""
+
+
+@register("doc_top_tfidf_terms", _TOP_TERMS_ORACLE)
+def doc_top_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction (`retrieval.top_tfidf_terms`):
+    top-5 tokens by tf·ln(N/df) under a total (weight DESC, token) tie
+    order — the doc-tagging primitive of corpus indexing. Weights are
+    6dp-quantized integers, so the rank replays exactly; the per-doc
+    window partitions on doc_id (high-cardinality, fully parallel)."""
+    from cdc_pipeline_spark.operators.retrieval import top_tfidf_terms
+
+    return top_tfidf_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
 _PREFIX_JACCARD_ORACLE = r"""
     WITH tok AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
@@ -5462,6 +5549,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_prefix_filter",
     "doc_entropy_profile",
     "events_retention_hll",
+    "doc_top_tfidf_terms",
+    "dedup_sorted_neighborhood",
     "corpus_unigram_vocab",
     "doc_unigram_segmentation",
     "doc_max_dup_span",
@@ -5509,8 +5598,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_graph_pagerank",
     "doc_benchmark_contamination",
     "doc_eval_containment",
-    "doc_length_outliers",
-    "doc_markup_profile",
 ]
 
 # Everything else not yet re-checked this round (each was green in the
@@ -5519,8 +5606,11 @@ _DRIVER_WINDOW_PRIORITY = [
 # not a silent off-by-N, and first in line for the round-6 window.
 _DRIVER_WINDOW_CARRYOVER = [
     # evicted from the round-5 window by the unigram / dup-span /
-    # ngram-langid / bm25 / prefix-filter / entropy / hll-retention
-    # registrations; first in line for round 6
+    # ngram-langid / bm25 / prefix-filter / entropy / hll-retention /
+    # keyword / sorted-neighborhood registrations; first in line for
+    # round 6
+    "doc_length_outliers",
+    "doc_markup_profile",
     "doc_padded_batches",
     "doc_perplexity_buckets",
     "doc_pii_redaction",

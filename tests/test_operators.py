@@ -2013,3 +2013,59 @@ def test_retention_hll_tracks_exact_overlap(spark):
     assert set(got) == set(exact)
     for pair, est in got.items():
         assert abs(est - exact[pair]) <= max(4, 0.35 * exact[pair]), (pair, est, exact[pair])
+
+
+def test_top_tfidf_terms_planted(spark):
+    """Hand-checkable keyword extraction: a token unique to one doc must
+    outrank corpus-wide tokens; ubiquitous tokens carry weight 0; ranks
+    are dense 1..k with the (weight DESC, token ASC) tie order."""
+    from cdc_pipeline_spark.operators.retrieval import top_tfidf_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common zebra"),   # zebra df=1 → top keyword
+            (2, "common apple apple"),    # apple df=1, tf=2
+            (3, "common plain"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = top_tfidf_terms(docs, k=2).collect()
+    got = {(r.doc_id, r.rank): (r.token, r.weight) for r in rows}
+    import math
+    assert got[(1, 1)][0] == "zebra"
+    assert got[(1, 1)][1] == round(math.floor(1 * math.log(3 / 1) * 1e6 + 0.5) / 1e6, 6)
+    assert got[(2, 1)][0] == "apple"
+    assert got[(2, 1)][1] == round(math.floor(2 * math.log(3 / 1) * 1e6 + 0.5) / 1e6, 6)
+    # 'common' has df = N → weight exactly 0; still ranked (tie by token)
+    assert got[(1, 2)] == ("common", 0.0)
+    assert got[(3, 1)][0] == "plain" and got[(3, 2)] == ("common", 0.0)
+
+
+def test_sorted_neighborhood_planted(spark):
+    """SNM semantics: same-prefix near-dups are found; a near-dup whose
+    sort key diverges in the first words is MISSED by design (the
+    documented recall trade); docs beyond the window distance within a
+    block are not compared."""
+    from cdc_pipeline_spark.operators.dedup import sorted_neighborhood_pairs
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, body),
+            (2, body + " extra"),            # same prefix, J ≈ 8/9
+            (3, "zzz " + body),              # same content, different prefix → missed
+            (4, "unrelated words entirely different text here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b) for r in sorted_neighborhood_pairs(docs).collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got), got  # prefix divergence → missed
+
+    # window bound: 6 near-identical docs, doc x pairs only with ≤ 3 successors
+    many = spark.createDataFrame(
+        [(i, body + f" v{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = {(r.id_a, r.id_b) for r in sorted_neighborhood_pairs(many).collect()}
+    assert all(b - a <= 3 for a, b in pairs), pairs
+    assert (0, 1) in pairs and (0, 4) not in pairs

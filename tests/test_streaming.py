@@ -1597,3 +1597,80 @@ def test_neardup_index_reingested_doc_matches_once(spark, tmp_path):
     rows = read_matches(spark, path).filter("doc_id = 9").collect()
     assert len(rows) == 1, f"expected one (9, 7) match, got {rows}"
     assert rows[0]["match_id"] == 7
+
+
+def test_bm25_index_writer_matches_batch_twin_and_replays(spark, tmp_path):
+    """Streaming-maintained BM25 index (streaming/retrieval_index.py):
+    after ingesting N micro-batches, ranking over the accumulated index
+    must be BIT-IDENTICAL to the batch operator over the concatenated
+    corpus (corpus stats are derived at query time, so later batches
+    retroactively reshape idf/avgdl); replaying a batch must leave both
+    index tables unchanged."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cdc_pipeline_spark.operators.retrieval import bm25_topk
+    from cdc_pipeline_spark.streaming.retrieval_index import (
+        Bm25IndexWriter,
+        bm25_topk_over_index,
+        read_index,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    batches = [
+        [(1, "apple banana apple"), (2, "apple cherry")],
+        [(3, "banana banana banana banana"), (4, "")],  # dl=0 doc shapes N/avgdl
+        [(5, "cherry apple date"), (6, "date date banana")],
+    ]
+    queries = ((0, ("apple",)), (1, ("banana", "cherry")), (2, ("date",)))
+    path = str(tmp_path / "bm25idx")
+    writer = Bm25IndexWriter(path)
+    for i, rows in enumerate(batches):
+        writer(spark.createDataFrame(rows, schema), i)
+
+    got = {
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in bm25_topk_over_index(spark, path, queries, k=5).collect()
+    }
+    full = spark.createDataFrame([r for b in batches for r in b], schema)
+    expected = {
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in bm25_topk(full, queries, k=5).collect()
+    }
+    assert got == expected
+    assert got, "fixture queries must match documents"
+
+    def snapshot():
+        tf, dls = read_index(spark, path)
+        return sorted(map(str, tf.collect())), sorted(map(str, dls.collect()))
+
+    before = snapshot()
+    writer(spark.createDataFrame(batches[1], schema), 1)  # replay
+    assert snapshot() == before
+
+
+def test_bm25_index_reads_empty_before_any_batch(spark, tmp_path):
+    """Before any batch ran (or after an all-empty batch) the reader
+    must return empty TYPED frames, never UNABLE_TO_INFER_SCHEMA."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cdc_pipeline_spark.streaming.retrieval_index import (
+        Bm25IndexWriter,
+        bm25_topk_over_index,
+        read_index,
+    )
+
+    path = str(tmp_path / "bm25idx_empty")
+    tf, dls = read_index(spark, path)
+    assert tf.count() == 0 and dls.count() == 0
+    assert tf.columns == ["doc_id", "token", "tf", "batch_id"]
+    assert bm25_topk_over_index(spark, path).count() == 0
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    Bm25IndexWriter(path)(spark.createDataFrame([(1, "")], schema), 0)
+    tf, dls = read_index(spark, path)
+    assert tf.count() == 0  # empty doc yields no postings...
+    assert dls.count() == 1  # ...but still a dl=0 length row
