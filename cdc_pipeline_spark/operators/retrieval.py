@@ -122,7 +122,14 @@ def bm25_term_weights(
     b: float = 0.75,
 ) -> DataFrame:
     """Batch form: tokenize + stats + weights in one plan (see
-    ``bm25_term_weights_from_stats`` for the shared weight formula)."""
+    ``bm25_term_weights_from_stats`` for the shared weight formula).
+
+    ``tf`` feeds four consumers (df agg, dl agg, the N/Σdl stats row
+    and the weight join) but needs NO localCheckpoint: every consumer
+    sits above the same groupBy(doc, token) shuffle, which Spark
+    deduplicates via ReusedExchange — measured 1.7 s plain vs 2.1 s
+    checkpointed at sf0.1 (unlike `tfidf_cosine_pairs`, whose reuse is
+    broken by differing pruning filters between consumers)."""
     tf = token_tf(df, id_col=id_col, text_col=text_col)
     return bm25_term_weights_from_stats(
         tf, doc_lengths(df, tf, id_col=id_col), k1=k1, b=b
