@@ -57,7 +57,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cdc_pipeline_spark.operators.partitioning import spread as _spread
+from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as _spread
 from cdc_pipeline_spark.operators.text import tokens
 
 

@@ -28,7 +28,7 @@ _LOG = logging.getLogger(__name__)
 
 from cdc_pipeline_spark.operators.rounding import round_half_up
 
-from cdc_pipeline_spark.operators.partitioning import spread as _spread
+from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as _spread
 from cdc_pipeline_spark.operators.text import fingerprint, tokens, word_shingles
 
 # Deterministic affine MinHash parameters: h_i(x) = (A_i * x + B_i) mod P.

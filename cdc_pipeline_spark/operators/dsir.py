@@ -55,7 +55,7 @@ def hashed_gram_posting(
     The input is spread to full parallelism first: the codepoint-fold
     hash is interpreted (higher-order F.aggregate), so a single-file
     parquet input would otherwise run it on one core."""
-    from cdc_pipeline_spark.operators.partitioning import spread as _spread
+    from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as _spread
 
     toks = _spread(df).select(
         F.col(id_col).alias("doc_id"),

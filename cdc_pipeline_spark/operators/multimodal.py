@@ -94,7 +94,7 @@ def extract_features(
     worker). ``decoder="stub"`` (default) keeps the byte-level stand-in
     used by the oracle-checked byte-stats query.
     """
-    from cdc_pipeline_spark.operators.partitioning import spread
+    from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as spread
 
     # single-file inputs arrive as one partition → one Python worker;
     # spread so Arrow batches decode on every core (decode is the
@@ -203,7 +203,7 @@ def resize_images(
     and nearest-neighbor resize them — the digest is over the resized
     RGB(A) bytes; undecodable payloads are quarantined out. ``False``:
     the deterministic byte-stream stand-in (non-image payloads)."""
-    from cdc_pipeline_spark.operators.partitioning import spread
+    from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as spread
 
     narrow = spread(df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")))
 
@@ -242,7 +242,7 @@ def sample_frames(df: DataFrame, n_frames: int = 4, id_col: str = "doc_id", payl
     """Frame-sampling stage: n equally-spaced 'frames' (byte windows) per
     payload — the video-keyframe access pattern. Emits one row per frame
     (explode happens Python-side inside the same Arrow pass)."""
-    from cdc_pipeline_spark.operators.partitioning import spread
+    from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as spread
 
     narrow = spread(df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")))
 

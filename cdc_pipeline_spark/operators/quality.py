@@ -354,7 +354,7 @@ def ngram_contamination(
     count, fraction, and the ≥ ``flag_threshold`` flag.
     """
 
-    from cdc_pipeline_spark.operators.partitioning import spread
+    from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as spread
     from cdc_pipeline_spark.operators.text import word_shingles
 
     def shingles(df: DataFrame) -> DataFrame:
@@ -474,7 +474,7 @@ def benchmark_containment_pairs(
     collapsing to per-pair counts — the fact table itself never
     re-partitions. Output: (doc_id, bench_id, n_common, containment).
     """
-    from cdc_pipeline_spark.operators.partitioning import spread as _spread
+    from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as _spread
     from cdc_pipeline_spark.operators.text import word_shingles
 
     def posting(df: DataFrame, out_id: str) -> DataFrame:

@@ -32,7 +32,7 @@ from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
 from cdc_pipeline_spark.operators.rounding import round_half_up
 
-from cdc_pipeline_spark.operators.partitioning import spread as _spread
+from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as _spread
 from cdc_pipeline_spark.operators.topk import grouped_top_k
 
 

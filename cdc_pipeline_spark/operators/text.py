@@ -267,7 +267,7 @@ def ngram_rank_langid(
     """
     from pyspark.sql import Window
 
-    from cdc_pipeline_spark.operators.partitioning import spread
+    from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as spread
 
     # spread BEFORE the explode: small parquet inputs arrive as one
     # partition and would serialize the gram generation onto one core.

@@ -2055,7 +2055,7 @@ def doc_wordpiece_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         wordpiece_segment_counts,
         wordpiece_vocab,
     )
-    from cdc_pipeline_spark.operators.partitioning import spread
+    from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as spread
     from cdc_pipeline_spark.operators.text import tokens
 
     docs = _t(spark, sf_dir, "documents")
@@ -2240,7 +2240,7 @@ def doc_unigram_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_segment_counts,
         unigram_vocab,
     )
-    from cdc_pipeline_spark.operators.partitioning import spread
+    from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as spread
     from cdc_pipeline_spark.operators.text import tokens
 
     docs = _t(spark, sf_dir, "documents")
@@ -2551,7 +2551,7 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows through pandas, which cannot hash Python lists — round 1 recorded
     this as a harness crash (CORRECTNESS_r01 `unhashable type: 'list'`)."""
     from cdc_pipeline_spark.operators.dedup import portable_token_hash
-    from cdc_pipeline_spark.operators.partitioning import spread
+    from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as spread
     from cdc_pipeline_spark.operators.text import winnowing_fingerprints
 
     docs = spread(_t(spark, sf_dir, "documents"))
@@ -4347,7 +4347,7 @@ def _bpe_segmentation_counts(docs: DataFrame, merges, fold_max_merges=None) -> D
     counts, the broadcast-ranks Arrow tokenizer beyond
     FOLD_APPLY_MAX_MERGES (or when forced via ``fold_max_merges=0``)."""
     from cdc_pipeline_spark.operators.chunking import bpe_vocab_token_counts
-    from cdc_pipeline_spark.operators.partitioning import spread
+    from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as spread
     from cdc_pipeline_spark.operators.text import tokens
 
     exploded = (
@@ -5019,7 +5019,7 @@ FROM sc ORDER BY resid ASC, vec_id LIMIT 50"""
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings read every linalg query shares (null-filtered,
     spread against single-file inputs)."""
-    from cdc_pipeline_spark.operators.partitioning import spread
+    from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as spread
 
     return spread(
         _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
