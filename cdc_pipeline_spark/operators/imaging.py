@@ -9,6 +9,10 @@ specs with stdlib ``zlib``/``struct`` + numpy only:
     training-data pipeline actually stores; interlaced or 16-bit inputs
     raise cleanly and the caller's skip/quarantine path handles them.
   * BMP (BITMAPINFOHEADER): uncompressed 24-bit bottom-up rows.
+  * baseline JPEG (SOF0/SOF1) via ``operators/jpeg.py`` — markers,
+    stream-defined Huffman tables, restart intervals, generic chroma
+    subsampling; progressive frames quarantine (or hit the Pillow
+    probe when a deployment installs it).
   * ``encode_png`` (filter 0 + zlib) so tests can build real fixtures
     and prove a byte-exact decode roundtrip without shipping binaries.
 
@@ -183,11 +187,11 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Sniff-and-decode: PNG or BMP by signature → (h, w, c) uint8.
-    Raises ValueError on anything else — INCLUDING truncated/corrupt
-    payloads whose parse dies inside struct/zlib (neither
-    ``struct.error`` nor ``zlib.error`` subclasses ValueError, and the
-    multimodal quarantine catches only ValueError; without this
+    """Sniff-and-decode: PNG, BMP, or baseline JPEG by signature →
+    (h, w, c) uint8. Raises ValueError on anything else — INCLUDING
+    truncated/corrupt payloads whose parse dies inside struct/zlib
+    (neither ``struct.error`` nor ``zlib.error`` subclasses ValueError,
+    and the multimodal quarantine catches only ValueError; without this
     normalization one corrupt blob would kill the mapInPandas worker
     and fail the whole stage)."""
     try:
@@ -195,6 +199,10 @@ def decode_image(payload: bytes) -> "np.ndarray":
             return decode_png(payload)
         if payload[:2] == b"BM":
             return decode_bmp(payload)
+        if payload[:2] == b"\xff\xd8":
+            from cdc_pipeline_spark.operators.jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
     except (struct.error, zlib.error, IndexError, MemoryError) as exc:
         raise ValueError(f"corrupt image payload: {exc}") from exc
     raise ValueError("unrecognized image format")
@@ -231,11 +239,12 @@ def image_feature(pixels: "np.ndarray", dim: int = 8) -> list[float]:
 
 
 # ---------------------------------------------------------------------------
-# Optional compressed-codec fallback (JPEG/GIF/WebP/…): probed ONCE per
+# Optional codec fallback (GIF/WebP/progressive-JPEG/…): probed ONCE per
 # Python worker process. This container ships no media libraries, so the
 # probe fails here and decode_image_any degrades to exactly decode_image
-# (quarantine handles compressed payloads); a deployment that installs
-# Pillow on its workers gets real compressed decode with zero config.
+# (PNG/BMP/baseline-JPEG from scratch; quarantine handles the rest); a
+# deployment that installs Pillow on its workers gets the remaining
+# compressed formats with zero config.
 # ---------------------------------------------------------------------------
 
 _PIL_PROBE: list | None = None

@@ -102,9 +102,10 @@ def extract_features(
     narrow = spread(df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")))
 
     if decoder == "image":
-        # decode_image_any: pure-stdlib PNG/BMP always; compressed codecs
-        # (JPEG/GIF/WebP) too when Pillow is installed on the workers
-        # (probed once per process) — quarantined otherwise
+        # decode_image_any: pure-stdlib PNG/BMP/baseline-JPEG always;
+        # remaining codecs (GIF/WebP/progressive JPEG) when Pillow is
+        # installed on the workers (probed once per process) —
+        # quarantined otherwise
         from cdc_pipeline_spark.operators.imaging import decode_image_any, image_feature
 
         def decode(p: bytes):
