@@ -23,11 +23,12 @@ Scale shape (100 TB corpus): tf / df / dl / N are map-side-combined
 aggregates; the (doc, term) weight table is data-proportional; the
 query-term join is a broadcast semi-join that prunes the corpus to
 matching postings BEFORE any shuffle, so per-query work is proportional
-to the postings of the query's terms, not the corpus. Ranking shuffles
-candidates on ``query_id`` — reducer parallelism equals the (small)
-query-batch size; for broad single-term queries over the full corpus,
-swap the window for a per-partition heap + merge (``topk.top_k`` shape)
-before the final rank.
+to the postings of the query's terms, not the corpus. Ranking is
+per-query adaptive (``bm25_topk_from_weights``): narrow queries share
+one salted two-phase window pass; broad queries — candidate postings
+above ``broad_candidates`` — rank via TakeOrderedAndProject
+(per-partition heaps + driver merge, ``topk.top_k`` shape), so a broad
+single-term query never shuffles or sorts its corpus-sized posting set.
 """
 
 from __future__ import annotations
@@ -38,7 +39,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdc_pipeline_spark.operators.rounding import round_half_up
-from cdc_pipeline_spark.operators.topk import grouped_top_k_salted
+from cdc_pipeline_spark.operators.topk import grouped_top_k, grouped_top_k_salted
 
 # Default retrieval batch for the workload query / oracle pair. Terms are
 # drawn from the synthetic corpus vocabulary (TESTDATA.md): a mix of
@@ -136,10 +137,20 @@ def bm25_term_weights(
     )
 
 
+def _finish_ranked(ranked: DataFrame) -> DataFrame:
+    return ranked.select(
+        "query_id",
+        "doc_id",
+        round_half_up(F.col("scoreq").cast("double") / F.lit(QUANT), 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def bm25_topk_from_weights(
     w: DataFrame,
     queries: Sequence[tuple[int, tuple[str, ...]]] = BM25_QUERIES,
     k: int = 10,
+    broad_candidates: int | None = None,
 ) -> DataFrame:
     """Rank a ``(doc_id, token, wq)`` weight table against a term-query
     batch: ``(query_id, doc_id, score, rank)``, rank 1..k per query.
@@ -147,30 +158,90 @@ def bm25_topk_from_weights(
     ``score = Σ_t wq(doc, t) / 1e6`` over the query's DISTINCT terms
     (bag-of-words queries re-weight client-side), summed exactly in
     decimal; ranking orders by the exact quantized sum before rounding.
+
+    Two ranking strategies, chosen per query:
+
+    * **narrow** (default for every query when ``broad_candidates`` is
+      None): salted two-phase window top-k — one candidate shuffle, all
+      queries ranked in one plan branch.
+    * **broad** (``broad_candidates`` set): queries whose candidate
+      posting count — Σ df(t) over the query's terms, probed with ONE
+      bounded collect of ≤ |batch terms| rows — exceeds the threshold
+      are ranked per query via ``orderBy().limit(k)`` instead, which
+      compiles to TakeOrderedAndProject: per-partition heaps + a
+      k·partitions driver merge, NO candidate shuffle and no sort of
+      the full posting set (a broad single-term query over a 100 TB
+      corpus has corpus-sized candidates — even the salted window must
+      shuffle and sort all of them). Single-term broad queries skip the
+      score aggregation entirely (one posting row per doc already).
+      Every branch shares the upstream tf groupBy via ReusedExchange.
+
+    Output is strategy-independent: both rank by the same total order
+    (exact quantized score DESC, doc_id ASC) — pinned by an equivalence
+    test on a planted broad-term corpus.
     """
-    rows = [(int(qid), t) for qid, terms in queries for t in dict.fromkeys(terms)]
-    qdf = w.sparkSession.createDataFrame(rows, "query_id long, token string")
-    scored = (
-        w.join(F.broadcast(qdf), "token")
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("wq").alias("scoreq"))
-    )
-    # two-phase ranking: query batches are low-cardinality groups, so a
-    # plain per-query window is one reducer per query at 100 TB; the
-    # salted variant is output-identical (total order) and n_salts× wider
-    ranked = grouped_top_k_salted(
-        scored,
-        ["query_id"],
-        [F.col("scoreq").desc(), F.col("doc_id")],
-        k,
-        salt_col="doc_id",
-    )
-    return ranked.select(
-        "query_id",
-        "doc_id",
-        round_half_up(F.col("scoreq").cast("double") / F.lit(QUANT), 6).alias("score"),
-        F.col("rank").cast("long").alias("rank"),
-    )
+    batch = [(int(qid), tuple(dict.fromkeys(terms))) for qid, terms in queries]
+    broad_ids: set[int] = set()
+    if broad_candidates is not None and batch:
+        probe_terms = sorted({t for _, terms in batch for t in terms})
+        tdf = w.sparkSession.createDataFrame([(t,) for t in probe_terms], "token string")
+        # bounded control-state collect: one row per distinct batch term
+        dfreq = {
+            r["token"]: r["df"]
+            for r in w.join(F.broadcast(tdf), "token").groupBy("token").agg(F.count(F.lit(1)).alias("df")).collect()
+        }
+        broad_ids = {
+            qid for qid, terms in batch
+            if sum(dfreq.get(t, 0) for t in terms) > broad_candidates
+        }
+
+    parts: list[DataFrame] = []
+    narrow = [(qid, terms) for qid, terms in batch if qid not in broad_ids]
+    if narrow:
+        rows = [(qid, t) for qid, terms in narrow for t in terms]
+        qdf = w.sparkSession.createDataFrame(rows, "query_id long, token string")
+        scored = (
+            w.join(F.broadcast(qdf), "token")
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("wq").alias("scoreq"))
+        )
+        # two-phase ranking: query batches are low-cardinality groups, so a
+        # plain per-query window is one reducer per query at 100 TB; the
+        # salted variant is output-identical (total order) and n_salts× wider
+        parts.append(
+            grouped_top_k_salted(
+                scored,
+                ["query_id"],
+                [F.col("scoreq").desc(), F.col("doc_id")],
+                k,
+                salt_col="doc_id",
+            ).select("query_id", "doc_id", "scoreq", "rank")
+        )
+    for qid, terms in batch:
+        if qid not in broad_ids:
+            continue
+        tdf = w.sparkSession.createDataFrame([(t,) for t in terms], "token string")
+        cand = w.join(F.broadcast(tdf), "token")
+        if len(terms) == 1:
+            scored_q = cand.select("doc_id", F.col("wq").cast("decimal(28,0)").alias("scoreq"))
+        else:
+            scored_q = cand.groupBy("doc_id").agg(F.sum("wq").alias("scoreq"))
+        heap_k = scored_q.orderBy(F.col("scoreq").desc(), F.col("doc_id")).limit(k)
+        ranked_q = grouped_top_k(  # ≤ k surviving rows: rank assignment is trivial
+            heap_k.withColumn("query_id", F.lit(qid)),
+            ["query_id"],
+            [F.col("scoreq").desc(), F.col("doc_id")],
+            k,
+        )
+        parts.append(ranked_q.select("query_id", "doc_id", "scoreq", "rank"))
+
+    if not parts:
+        spark = w.sparkSession
+        return spark.createDataFrame([], "query_id long, doc_id long, score double, rank long")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return _finish_ranked(out)
 
 
 def bm25_topk(
@@ -181,6 +252,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    broad_candidates: int | None = None,
 ) -> DataFrame:
     """Batch top-k BM25 retrieval over a document corpus — tokenize,
     weight, rank in one plan (`bm25_term_weights` →
@@ -189,6 +261,7 @@ def bm25_topk(
         bm25_term_weights(df, id_col=id_col, text_col=text_col, k1=k1, b=b),
         queries,
         k,
+        broad_candidates=broad_candidates,
     )
 
 

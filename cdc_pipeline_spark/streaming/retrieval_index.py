@@ -40,6 +40,11 @@ from cdc_pipeline_spark.operators.retrieval import (
     token_tf,
 )
 from cdc_pipeline_spark.streaming.neardup_index import _write_batch_partition
+from cdc_pipeline_spark.streaming.rollup import (
+    _replay_folded,
+    _swap_compacted,
+    _table_lock,
+)
 
 _TF_SCHEMA = "doc_id long, token string, tf long, batch_id int"
 _DL_SCHEMA = "doc_id long, dl long, batch_id int"
@@ -53,12 +58,26 @@ class Bm25IndexWriter:
     batches (the CDC/corpus-ingest convention); re-ingesting an id in a
     LATER batch double-counts it — route updates through a replay of
     the original batch id instead.
+
+    ``run_id`` scopes the compaction replay guard exactly as in
+    :class:`~cdc_pipeline_spark.streaming.rollup.RollupTableWriter`:
+    after :func:`compact_index` folds per-batch partitions into
+    ``batch_id=-1``, a replayed (at-least-once) batch whose id the
+    marker says is folded is skipped instead of re-creating its
+    partition and double-counting postings on merge.
     """
 
-    def __init__(self, path: str, id_col: str = "doc_id", text_col: str = "text") -> None:
+    def __init__(
+        self,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        run_id: str = "",
+    ) -> None:
         self.path = path
         self.id_col = id_col
         self.text_col = text_col
+        self.run_id = run_id
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         docs = batch_df.select(
@@ -68,8 +87,46 @@ class Bm25IndexWriter:
         dls = doc_lengths(docs, tf.drop("batch_id")).withColumn(
             "batch_id", F.lit(int(batch_id))
         )
-        _write_batch_partition(tf, os.path.join(self.path, "tf"))
-        _write_batch_partition(dls, os.path.join(self.path, "doclens"))
+        # per-table lock + guard: a crash between the two folds in
+        # compact_index leaves tf folded / doclens not — per-table
+        # skipping keeps BOTH consistent under a subsequent replay
+        for frame, sub in ((tf, "tf"), (dls, "doclens")):
+            table = os.path.join(self.path, sub)
+            with _table_lock(table):
+                if _replay_folded(table, self.run_id, batch_id):
+                    continue
+                _write_batch_partition(frame, table)
+
+
+def compact_index(
+    spark: SparkSession, path: str, run_id: str = "", lock_timeout: float = 30.0
+) -> tuple[int, int]:
+    """Fold both index tables' per-batch partitions into one
+    ``batch_id=-1`` partition each, dropping the per-batch dirs —
+    thousands of micro-batches otherwise mean thousands of tiny
+    parquet partitions under ``tf/`` and ``doclens/``, and every query
+    pays the file-listing + small-file scan tax.
+
+    Postings are immutable FACTS (not mergeable aggregates), so the
+    fold rewrites rows unchanged — queries read identical data before
+    and after (pinned by the golden test). Locking, crash safety
+    (tmp-write + rename-aside) and the replay marker are shared with
+    ``rollup.compact_partials``; run from the maintenance cadence.
+    Returns (tf_rows, doclens_rows) after compaction; a never-written
+    table counts 0.
+    """
+    counts = []
+    for sub in ("tf", "doclens"):
+        table = os.path.join(path, sub)
+        with _table_lock(table, timeout=lock_timeout):
+            try:
+                partials = spark.read.parquet(table)
+            except AnalysisException:  # index never written
+                counts.append(0)
+                continue
+            folded = partials.drop("batch_id").withColumn("batch_id", F.lit(-1))
+            counts.append(_swap_compacted(spark, table, partials, folded, run_id))
+    return counts[0], counts[1]
 
 
 def read_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
@@ -93,12 +150,16 @@ def bm25_topk_over_index(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    broad_candidates: int | None = None,
 ) -> DataFrame:
     """Rank a term-query batch against the streaming-maintained index —
     corpus stats (df, N, avgdl) are derived from the accumulated state
-    at query time, so results always reflect every ingested batch."""
+    at query time, so results always reflect every ingested batch.
+    ``broad_candidates`` enables the per-query TakeOrdered heap path for
+    broad terms (see ``bm25_topk_from_weights``) — the natural setting
+    for a served index, where the df probe reads stored postings."""
     tf, dls = read_index(spark, path)
     w = bm25_term_weights_from_stats(
         tf.drop("batch_id"), dls.drop("batch_id"), k1=k1, b=b
     )
-    return bm25_topk_from_weights(w, queries, k)
+    return bm25_topk_from_weights(w, queries, k, broad_candidates=broad_candidates)

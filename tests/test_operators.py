@@ -1935,6 +1935,52 @@ def test_bm25_matches_hand_computation(spark):
     assert got[(1, 2)][1] == 1
 
 
+def test_bm25_broad_path_equivalent_and_heap_shaped(spark):
+    """Planted broad-term corpus: every doc shares the term 'common'
+    (corpus-sized posting list), a few carry 'rare'. With a low
+    broad_candidates threshold the broad queries take the per-query
+    TakeOrderedAndProject heap path; results must be IDENTICAL to the
+    salted-window path (same total order: exact score DESC, doc_id ASC),
+    and the broad plan must not window over the full posting set."""
+    from cdc_pipeline_spark import plans
+    from cdc_pipeline_spark.operators.retrieval import bm25_topk
+
+    rows = [(d, "common " + ("rare " if d % 17 == 0 else "") + f"w{d % 7} w{d % 5}") for d in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = ((0, ("common",)), (1, ("rare",)), (2, ("common", "w3")))
+
+    baseline = bm25_topk(docs, queries, k=8)  # all-narrow salted window
+    broad = bm25_topk(docs, queries, k=8, broad_candidates=50)  # 0 and 2 go broad
+
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    b_rows = sorted(baseline.collect(), key=key)
+    h_rows = sorted(broad.collect(), key=key)
+    assert [(r.query_id, r.doc_id, r.score, r.rank) for r in b_rows] == [
+        (r.query_id, r.doc_id, r.score, r.rank) for r in h_rows
+    ]
+    assert sum(r.query_id == 0 for r in h_rows) == 8  # broad query fully ranked
+
+    # plan shape: a single broad single-term query ranks via TakeOrdered
+    # heaps; the only Window left is the trivial rank stamp over <= k rows
+    single = bm25_topk(docs, ((0, ("common",)),), k=8, broad_candidates=50)
+    plan = plans.plan_string(single)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Window (") <= 1, plan
+
+
+def test_bm25_broad_threshold_keeps_narrow_queries_narrow(spark):
+    """With a huge threshold nothing goes broad: output and plan match
+    the default salted path (regression pin for the df probe)."""
+    from cdc_pipeline_spark.operators.retrieval import bm25_topk
+
+    rows = [(d, f"alpha beta w{d % 3}") for d in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = ((0, ("alpha", "w1")),)
+    base = {(r.query_id, r.rank): (r.doc_id, r.score) for r in bm25_topk(docs, queries, k=5).collect()}
+    same = {(r.query_id, r.rank): (r.doc_id, r.score) for r in bm25_topk(docs, queries, k=5, broad_candidates=10**9).collect()}
+    assert base == same and len(base) == 5
+
+
 def test_entropy_profile_planted_values(spark):
     """Hand-computable entropies: uniform multisets hit exactly log2(d)
     bits; single-symbol docs hit exactly 0."""
