@@ -66,6 +66,7 @@ class NearDupIndexWriter:
         bands: int = 16,
         threshold: float = 0.5,
         max_bucket: int | None = None,
+        run_id: str = "",
     ) -> None:
         if num_perm % bands:
             raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
@@ -77,39 +78,54 @@ class NearDupIndexWriter:
         self.bands = bands
         self.threshold = threshold
         self.max_bucket = max_bucket
+        self.run_id = run_id
 
     def _sub(self, name: str) -> str:
         return os.path.join(self.path, name)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        docs = batch_df.select(
-            F.col(self.id_col).alias("doc_id"), F.col(self.text_col).alias("text")
-        ).localCheckpoint()  # signatures + shingles + probe read it; cut lineage once
+        # The index's tables mutate as one family under the POSTINGS
+        # lock (writer here; compact_neardup_index takes the same one):
+        # the compaction replay guard must be decided for the WHOLE
+        # batch — probe included — because once this batch's postings
+        # are folded into batch_id=-1, a replayed probe would see its
+        # OWN folded postings as "history" (-1 < any id) and emit
+        # spurious self-matches. Guard + probe + all three writes form
+        # one critical section so a maintenance-cadence compaction can
+        # never fold this batch between the check and the writes.
+        from cdc_pipeline_spark.streaming.rollup import _replay_folded, _table_lock
 
-        sig = minhash_signatures(docs, "doc_id", "text", self.n, self.num_perm)
-        # both are probed AND written, and the probe's hot-bucket cap
-        # evaluates its input more than once — one O(batch)
-        # materialization each, never one of the full history
-        posting = (
-            band_posting(sig, self.num_perm, self.bands)
-            .withColumn("batch_id", F.lit(int(batch_id)))
-            .localCheckpoint()
-        )
-        shingles = (
-            _shingled(docs, "doc_id", "text", self.n)
-            .select("doc_id", "shingles")
-            .withColumn("batch_id", F.lit(int(batch_id)))
-            .localCheckpoint()
-        )
+        with _table_lock(self._sub("postings")):
+            if _replay_folded(self._sub("postings"), self.run_id, batch_id):
+                return
+            docs = batch_df.select(
+                F.col(self.id_col).alias("doc_id"), F.col(self.text_col).alias("text")
+            ).localCheckpoint()  # signatures + shingles + probe read it; cut lineage once
 
-        matches = self._probe(spark, posting, shingles, batch_id)
-        # probe BEFORE appending (and against batch_id < current only):
-        # a replayed batch sees exactly the history it saw the first
-        # time, so every table rewrite below is bit-identical
-        _write_batch_partition(matches, self._sub("matches"))
-        _write_batch_partition(posting, self._sub("postings"))
-        _write_batch_partition(shingles, self._sub("shingles"))
+            sig = minhash_signatures(docs, "doc_id", "text", self.n, self.num_perm)
+            # both are probed AND written, and the probe's hot-bucket cap
+            # evaluates its input more than once — one O(batch)
+            # materialization each, never one of the full history
+            posting = (
+                band_posting(sig, self.num_perm, self.bands)
+                .withColumn("batch_id", F.lit(int(batch_id)))
+                .localCheckpoint()
+            )
+            shingles = (
+                _shingled(docs, "doc_id", "text", self.n)
+                .select("doc_id", "shingles")
+                .withColumn("batch_id", F.lit(int(batch_id)))
+                .localCheckpoint()
+            )
+
+            matches = self._probe(spark, posting, shingles, batch_id)
+            # probe BEFORE appending (and against batch_id < current only):
+            # a replayed batch sees exactly the history it saw the first
+            # time, so every table rewrite below is bit-identical
+            _write_batch_partition(matches, self._sub("matches"))
+            _write_batch_partition(posting, self._sub("postings"))
+            _write_batch_partition(shingles, self._sub("shingles"))
 
     def _probe(
         self, spark: SparkSession, posting: DataFrame, shingles: DataFrame, batch_id: int
@@ -156,6 +172,11 @@ class NearDupIndexWriter:
                 ),
                 ["band", "bucket"],
             )
+            # a re-ingested id probing its OWN earlier postings is not a
+            # near-dup discovery — the batch twin structurally cannot
+            # emit (d, d) (one row per doc splits strictly into
+            # incoming/historical), so the stream must not either
+            .filter(F.col("doc_id") != F.col("match_id"))
             .select("doc_id", "match_id")
             .distinct()
         )
@@ -199,3 +220,59 @@ def read_matches(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.schema(_MATCH_SCHEMA).parquet(os.path.join(path, "matches"))
     except AnalysisException:  # directory never created (no batch ran)
         return spark.createDataFrame([], _MATCH_SCHEMA)
+
+
+def compact_neardup_index(
+    spark: SparkSession, path: str, run_id: str = "", lock_timeout: float = 30.0
+) -> tuple[int, int]:
+    """Fold the PROBED tables — ``postings/`` and ``shingles/`` — into
+    one ``batch_id=-1`` partition each; thousands of micro-batches
+    otherwise mean every per-batch probe pays a thousands-of-tiny-files
+    listing + scan on its history side.
+
+    Fold semantics preserve probe results exactly (pinned by the golden
+    test):
+
+    * postings fold to DISTINCT (band, bucket, doc_id) — the candidate
+      join ``.distinct()``s anyway, so duplicate rows from a doc
+      re-ingested across batches never changed results; dropping them
+      here also shrinks the index.
+    * shingles fold keeps each doc's LATEST row (``max_by(batch_id)``)
+      — exactly the row the probe's per-doc latest-pick selects today;
+      folding without the dedup would instead tie every re-ingested
+      doc's rows at batch_id=-1 and make that pick nondeterministic.
+    * ``matches/`` is an OUTPUT LOG, not probed state: its batch_id
+      column is part of the result surface (which batch detected the
+      dup), so compaction leaves it untouched.
+
+    Holds the same postings lock as the writer's critical section, so
+    a fold can't interleave a live batch's probe-then-append. The
+    replay marker (written into both folded tables, guard reads the
+    postings one) makes a replayed already-folded batch a no-op.
+    Returns (posting_rows, shingle_rows) after compaction.
+    """
+    from cdc_pipeline_spark.streaming.rollup import _swap_compacted, _table_lock
+
+    with _table_lock(os.path.join(path, "postings"), timeout=lock_timeout):
+        counts = []
+        for sub, fold in (
+            (
+                "postings",
+                lambda df: df.select("band", "bucket", "doc_id").distinct(),
+            ),
+            (
+                "shingles",
+                lambda df: df.groupBy("doc_id").agg(
+                    F.max_by("shingles", "batch_id").alias("shingles")
+                ),
+            ),
+        ):
+            table = os.path.join(path, sub)
+            try:
+                partials = spark.read.parquet(table)
+            except AnalysisException:  # index never written
+                counts.append(0)
+                continue
+            folded = fold(partials).withColumn("batch_id", F.lit(-1))
+            counts.append(_swap_compacted(spark, table, partials, folded, run_id))
+    return counts[0], counts[1]

@@ -1650,6 +1650,119 @@ def test_bm25_index_writer_matches_batch_twin_and_replays(spark, tmp_path):
     assert snapshot() == before
 
 
+def test_bm25_index_compaction_golden(spark, tmp_path):
+    """compact_index folds per-batch partitions into batch_id=-1:
+    query results must be IDENTICAL before/after, a replayed folded
+    batch must be a no-op (marker guard), and post-compaction ingest
+    must keep working and reshape results."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cdc_pipeline_spark.operators.retrieval import bm25_topk
+    from cdc_pipeline_spark.streaming.retrieval_index import (
+        Bm25IndexWriter,
+        bm25_topk_over_index,
+        compact_index,
+        read_index,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    batches = [
+        [(1, "apple banana apple"), (2, "apple cherry")],
+        [(3, "banana banana banana banana"), (4, "")],
+        [(5, "cherry apple date"), (6, "date date banana")],
+    ]
+    queries = ((0, ("apple",)), (1, ("banana", "cherry")))
+    path = str(tmp_path / "bm25cmp")
+    writer = Bm25IndexWriter(path, run_id="run-a")
+    for i, rows in enumerate(batches):
+        writer(spark.createDataFrame(rows, schema), i)
+
+    def ranked():
+        return sorted(
+            (r.query_id, r.doc_id, r.score, r.rank)
+            for r in bm25_topk_over_index(spark, path, queries, k=5).collect()
+        )
+
+    before = ranked()
+    tf_rows, dl_rows = compact_index(spark, path, run_id="run-a")
+    assert tf_rows > 0 and dl_rows == 6
+    assert ranked() == before, "compaction must not change query results"
+    tf, dls = read_index(spark, path)
+    assert {r.batch_id for r in tf.select("batch_id").distinct().collect()} == {-1}
+    assert {r.batch_id for r in dls.select("batch_id").distinct().collect()} == {-1}
+
+    # replay of a folded batch: the marker guard makes it a no-op
+    # (without it the rewrite would re-create batch_id=1 and every
+    # doc-3/4 posting would count twice on merge)
+    snap = (sorted(map(str, tf.collect())), sorted(map(str, dls.collect())))
+    writer(spark.createDataFrame(batches[1], schema), 1)
+    tf2, dls2 = read_index(spark, path)
+    assert (sorted(map(str, tf2.collect())), sorted(map(str, dls2.collect()))) == snap
+
+    # ingest continues after compaction; results = batch twin over all docs
+    writer(spark.createDataFrame([(7, "apple apple banana")], schema), 3)
+    full = spark.createDataFrame([r for b in batches for r in b] + [(7, "apple apple banana")], schema)
+    expected = sorted(
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in bm25_topk(full, queries, k=5).collect()
+    )
+    assert ranked() == expected
+
+
+def test_neardup_index_compaction_golden(spark, tmp_path):
+    """compact_neardup_index folds postings (distinct) + shingles
+    (latest per doc) into batch_id=-1, leaves the matches log alone:
+    the matches read and all FUTURE probes must behave exactly as
+    before, a replayed folded batch must be a no-op (the guard is what
+    prevents the probe from self-matching against its own folded
+    postings), and post-compaction ingest still probes history."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cdc_pipeline_spark.streaming.neardup_index import (
+        NearDupIndexWriter,
+        compact_neardup_index,
+        read_matches,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    path = str(tmp_path / "ndcmp")
+    writer = NearDupIndexWriter(path, threshold=0.4, run_id="run-a")
+    writer(spark.createDataFrame([(7, base), (2, "unrelated spark engine text")], schema), 0)
+    writer(spark.createDataFrame([(7, base)], schema), 1)  # re-ingest: shingle fold dedup case
+    writer(spark.createDataFrame([(9, base + " tail")], schema), 2)
+
+    def matches():
+        return sorted(
+            (r.doc_id, r.match_id, r.jaccard, r.batch_id)
+            for r in read_matches(spark, path).collect()
+        )
+
+    before = matches()
+    assert any(d == 9 and m == 7 for d, m, _, _ in before)
+    p_rows, s_rows = compact_neardup_index(spark, path, run_id="run-a")
+    assert p_rows > 0 and s_rows == 3  # docs 7, 2, 9 — one shingle row each after dedup
+    assert matches() == before, "matches log must survive compaction untouched"
+
+    # replay of folded batch 2: guard must skip it — otherwise its probe
+    # would see its OWN folded postings as history and emit (9, 9)
+    writer(spark.createDataFrame([(9, base + " tail")], schema), 2)
+    assert matches() == before
+    assert all(d != m for d, m, _, _ in matches())
+
+    # post-compaction ingest probes the folded history exactly as before
+    writer(spark.createDataFrame([(11, base)], schema), 3)
+    after = matches()
+    assert {(d, m) for d, m, _, _ in after} - {(d, m) for d, m, _, _ in before} == {
+        (11, 7),
+        (11, 9),
+    }
+
+
 def test_bm25_index_reads_empty_before_any_batch(spark, tmp_path):
     """Before any batch ran (or after an all-empty batch) the reader
     must return empty TYPED frames, never UNABLE_TO_INFER_SCHEMA."""
