@@ -184,17 +184,37 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
-    print(
-        json.dumps(
-            {
-                "metric": "workload_wall_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    doc = {
+        "metric": "workload_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(doc))
+    # Durable full-timings artifact: the driver's BENCH_r{N}.json keeps
+    # only a truncated stdout tail (r05 preserved 62 of 153 per-query
+    # rows), so ALSO write the complete map to BENCH_LOCAL_r{N}.json —
+    # same {"queries": ...} shape, so `--check` accepts one as a
+    # baseline file. Round number: $SPARK_GRAFT_ROUND, else one past the
+    # newest committed BENCH_r*.json.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is None:
+        import re
+
+        seen = [
+            int(m.group(1))
+            for f in os.listdir(repo)
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        rnd = f"{(max(seen) + 1 if seen else 1):02d}"
+    try:
+        with open(os.path.join(repo, f"BENCH_LOCAL_r{rnd}.json"), "w") as fh:
+            json.dump(doc, fh)
+            fh.write("\n")
+    except OSError as exc:  # read-only checkout must not fail the bench
+        print(f"# BENCH_LOCAL write skipped: {exc}", file=sys.stderr)
     spark.stop()
 
     if baseline is not None:
