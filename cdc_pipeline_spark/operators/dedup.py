@@ -298,6 +298,27 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def snm_default_key(text_col: str = "text") -> Column:
+    """The default sorted-neighborhood sort key: whitespace-normalized
+    lowercase text."""
+    return F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+
+
+def snm_reversed_key(text_col: str = "text") -> Column:
+    """Rotated SNM key: the REVERSED normalized text. A prefix edit
+    (changed first words) moves a doc arbitrarily far in the default
+    sort but leaves the reversed strings sharing a long prefix — the
+    classic second merge/purge pass."""
+    return F.reverse(snm_default_key(text_col))
+
+
+def snm_token_sorted_key(text_col: str = "text") -> Column:
+    """Rotated SNM key: tokens sorted lexicographically. Word-order
+    shuffles (a common duplication transform) map to the SAME key, so
+    shuffled near-dups become sort-adjacent."""
+    return F.concat_ws(" ", F.array_sort(F.split(snm_default_key(text_col), " ")))
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -307,60 +328,87 @@ def sorted_neighborhood_pairs(
     window: int = 4,
     tau_num: int = 1,
     tau_den: int = 2,
+    passes: list[Column] | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood near-dup pairs (Hernández & Stolfo's
     merge/purge) — the third classic blocking family beside LSH
     (`minhash_lsh_pairs`) and prefix filtering
     (`prefix_filter_jaccard_pairs`).
 
-    Docs are keyed by whitespace-normalized lowercase text; each block
+    Docs are keyed by each sort key in ``passes`` (default: one pass on
+    the whitespace-normalized lowercase text); per pass, each block
     (first ``block_chars`` of the key) is sorted and every doc is
-    compared ONLY to its ``window − 1`` successors, then candidate
-    pairs are verified with exact word-n-gram Jaccard
-    (``array_intersect`` on the carried shingle sets —
-    candidate-proportional, ≤ (window−1)·|corpus| pairs by
-    construction, never df²). By design SNM trades recall for a HARD
-    candidate bound: near-dups whose sort keys land far apart (edits in
-    the first words) are missed — production runs do multiple passes
-    with rotated keys; LSH is the recall-safe path. τ is an exact
-    rational and the sort key is totally ordered (key, doc_id), so the
-    candidate set replays identically in the oracle.
+    compared ONLY to its ``window − 1`` successors. Candidates from all
+    passes are unioned (distinct) and verified ONCE with exact
+    word-n-gram Jaccard (``array_intersect`` on the shingle sets —
+    candidate-proportional, ≤ passes·(window−1)·|corpus| pairs by
+    construction, never df²). A single pass trades recall for that
+    HARD bound: near-dups whose sort keys land far apart (edits in the
+    first words) are missed — production merge/purge runs MULTIPLE
+    passes with rotated keys (`snm_reversed_key` catches prefix edits,
+    `snm_token_sorted_key` catches word-order shuffles); LSH remains
+    the recall-safe path. τ is an exact rational and every sort is
+    totally ordered (key, doc_id), so the candidate set replays
+    identically in the oracle.
 
-    Scale: the only shuffle is the per-block sort; blocks are
-    high-cardinality key prefixes (parallel), and the window bound
-    makes the compare stage linear in the corpus.
+    Scale: one per-block sort shuffle PER PASS (blocks are
+    high-cardinality key prefixes — parallel), plus the candidate
+    verify join; the shingle table is localCheckpointed once and shared
+    by every pass's verify side, so multi-pass never re-shingles.
     """
     from pyspark.sql import Window
 
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    keyed = (
-        _spread(df)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            norm.alias("sort_key"),
-            word_shingles(text_col, n).alias("sh"),
+    if passes is None:
+        passes = [snm_default_key(text_col)]
+    base = _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        *[p.alias(f"__key{i}") for i, p in enumerate(passes)],
+        word_shingles(text_col, n).alias("sh"),
+    )
+    if len(passes) > 1:
+        # pass sorts + both verify sides all consume the shingled frame:
+        # materialize it once instead of re-shingling per consumer
+        base = base.localCheckpoint()
+    sh_tbl = base.select("doc_id", "sh")
+
+    cands: DataFrame | None = None
+    for i in range(len(passes)):
+        keyed = (
+            base.select("doc_id", F.col(f"__key{i}").alias("sort_key"))
+            .withColumn("block", F.substring("sort_key", 1, block_chars))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("block").orderBy("sort_key", "doc_id")
+                ),
+            )
         )
-        .withColumn("block", F.substring("sort_key", 1, block_chars))
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("block").orderBy("sort_key", "doc_id")),
+        a = keyed.select("block", F.col("rn").alias("rn_a"), F.col("doc_id").alias("ida"))
+        b = keyed.select("block", F.col("rn").alias("rn_b"), F.col("doc_id").alias("idb"))
+        c = (
+            a.join(b, "block")
+            .filter(
+                (F.col("rn_b") > F.col("rn_a"))
+                & (F.col("rn_b") - F.col("rn_a") <= window - 1)
+            )
+            .select(
+                F.least("ida", "idb").alias("id_a"),
+                F.greatest("ida", "idb").alias("id_b"),
+            )
         )
-    )
-    a = keyed.select(
-        "block", F.col("rn").alias("rn_a"), F.col("doc_id").alias("ida"), F.col("sh").alias("sha")
-    )
-    b = keyed.select(
-        "block", F.col("rn").alias("rn_b"), F.col("doc_id").alias("idb"), F.col("sh").alias("shb")
-    )
-    pairs = a.join(b, "block").filter(
-        (F.col("rn_b") > F.col("rn_a")) & (F.col("rn_b") - F.col("rn_a") <= window - 1)
-    )
+        cands = c if cands is None else cands.unionByName(c)
+    if len(passes) > 1:
+        cands = cands.distinct()  # a pair found by several passes verifies once
+
+    pairs = cands.join(
+        sh_tbl.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha")), "id_a"
+    ).join(sh_tbl.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb")), "id_b")
     inter = F.size(F.array_intersect("sha", "shb"))
     union = F.size("sha") + F.size("shb") - inter
     return (
         pairs.select(
-            F.least("ida", "idb").alias("id_a"),
-            F.greatest("ida", "idb").alias("id_b"),
+            "id_a",
+            "id_b",
             inter.cast("long").alias("intersection"),
             union.cast("long").alias("union_size"),
         )

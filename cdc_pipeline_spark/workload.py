@@ -5345,6 +5345,22 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t(spark, sf_dir, "documents"))
 
 
+@register("doc_bm25_broad_topk", _bm25_oracle_sql())
+def doc_bm25_broad_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME retrieval batch ranked through the broad-query heap
+    path (`bm25_topk(broad_candidates=200)`): queries whose candidate
+    postings exceed the threshold (the near-universal-term queries at
+    every test sf) rank via per-query TakeOrderedAndProject —
+    per-partition heaps + driver merge, no shuffle or sort of the
+    posting set — while narrow queries keep the shared salted window.
+    The oracle is IDENTICAL to `doc_bm25_topk`'s: ranking is
+    strategy-independent (same exact-decimal total order), so the hash
+    match proves the heap path output-equivalent."""
+    from cdc_pipeline_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), broad_candidates=200)
+
+
 def _entropy_oracle_sql() -> str:
     """Entropy replay: the Σ n·ln(n) term is quantized per distinct
     element and summed as exact BIGINTs, so DuckDB's unspecified
@@ -5445,6 +5461,71 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(_t(spark, sf_dir, "documents"))
 
 
+_SNM_MULTIPASS_ORACLE = r"""
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS sort_key
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, sort_key, reverse(sort_key) AS sort_key_rev,
+               list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                            i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+        FROM tok
+    ),
+    k1 AS (
+        SELECT doc_id, substr(sort_key, 1, 12) AS block,
+               row_number() OVER (PARTITION BY substr(sort_key, 1, 12)
+                                  ORDER BY sort_key, doc_id) AS rn
+        FROM sh
+    ),
+    k2 AS (
+        SELECT doc_id, substr(sort_key_rev, 1, 12) AS block,
+               row_number() OVER (PARTITION BY substr(sort_key_rev, 1, 12)
+                                  ORDER BY sort_key_rev, doc_id) AS rn
+        FROM sh
+    ),
+    cand AS (
+        SELECT least(a.doc_id, b.doc_id) AS id_a, greatest(a.doc_id, b.doc_id) AS id_b
+        FROM k1 a JOIN k1 b ON a.block = b.block AND b.rn > a.rn AND b.rn - a.rn <= 3
+        UNION
+        SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+        FROM k2 a JOIN k2 b ON a.block = b.block AND b.rn > a.rn AND b.rn - a.rn <= 3
+    ),
+    v AS (
+        SELECT id_a, id_b,
+               len(list_intersect(sa.shingles, sb.shingles)) AS i,
+               len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS u
+        FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, CAST(i AS BIGINT) AS intersection, CAST(u AS BIGINT) AS union_size,
+           round(i / u, 6) AS jaccard
+    FROM v WHERE u > 0 AND 2 * i >= u
+"""
+
+
+@register("dedup_snm_multipass", _SNM_MULTIPASS_ORACLE)
+def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood (`dedup.sorted_neighborhood_pairs`
+    with rotated keys): pass 1 sorts on the normalized text, pass 2 on
+    its REVERSE — a prefix edit moves a doc arbitrarily far in pass 1's
+    order but keeps the reversed keys adjacent, so the union of the two
+    passes' windows recovers the single-pass family's documented recall
+    gap while keeping the hard passes·(window−1)·|corpus| candidate
+    bound. Candidates verify once (distinct union) with exact word-3-gram
+    Jaccard at τ = 1/2; the oracle replays both passes and the union."""
+    from cdc_pipeline_spark.operators.dedup import (
+        snm_default_key,
+        snm_reversed_key,
+        sorted_neighborhood_pairs,
+    )
+
+    return sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "documents"),
+        passes=[snm_default_key(), snm_reversed_key()],
+    )
+
+
 _TOP_TERMS_ORACLE = """
     WITH tok AS (
         SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
@@ -5542,73 +5623,16 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- round 5: the new registrations, then every query whose operator
-    # path was touched this round (BPE router, flow-grain +
-    # anti-join de-vacuation, decode_image_any wiring) --
-    "doc_bm25_topk",
-    "dedup_prefix_filter",
-    "doc_entropy_profile",
-    "events_retention_hll",
-    "doc_top_tfidf_terms",
+    # -- round 6: the new registrations, then the two queries whose
+    # operator paths changed this round (SNM multi-pass refactor,
+    # BM25 adaptive ranking) --
+    "dedup_snm_multipass",
+    "doc_bm25_broad_topk",
     "dedup_sorted_neighborhood",
-    "corpus_unigram_vocab",
-    "doc_unigram_segmentation",
-    "doc_max_dup_span",
-    "doc_lang_ngram_rank",
-    "doc_bpe_segmentation_arrow",
-    "corpus_bpe_train_local",
-    "orders_priority_from_orc",
-    "nations_from_xml",
-    "bloom_probe_orders",
-    "corpus_wordpiece_vocab",
-    "doc_wordpiece_segmentation",
-    "doc_bpe_segmentation",
-    "corpus_bpe_train",
-    "region_flows_top5",
-    "customers_without_orders",
-    "multimodal_byte_stats",
-    "multimodal_frame_sample",
-    # -- the round-4 carryover (stalest, promised first in line) --
-    "orders_rollup",
-    "parts_below_brand_avg",
-    "platform_breakdown",
-    "props_json_stats",
-    "purchase_error_full_outer",
-    "purchasing_clickers",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_nation_volume",
-    "q6_revenue_forecast",
-    "range_pair_counts",
-    # -- next-stalest: not in the round-4 driver window (last checked by
-    # a driver in rounds 1-3; all green in the r4 full sweep) --
-    "ann_hard_negatives",
-    "ann_pq_adc_topk",
-    "ann_rp_lsh_topk",
-    "cdc_scd2_history",
-    "corpus_budget_mixture",
-    "corpus_mix_weights",
-    "corpus_pair_merges",
-    "corpus_profile",
-    "corpus_token_cms",
-    "corpus_token_topk",
-    "corpus_vocab_coverage",
-    "customer_order_window_battery",
-    "dedup_clusters_star",
-    "dedup_graph_pagerank",
-    "doc_benchmark_contamination",
-    "doc_eval_containment",
-]
-
-# Everything else not yet re-checked this round (each was green in the
-# round-4 full sweep; the driver window simply cannot hold all 140) —
-# ordered explicitly so the registry rotation is a recorded decision,
-# not a silent off-by-N, and first in line for the round-6 window.
-_DRIVER_WINDOW_CARRYOVER = [
-    # evicted from the round-5 window by the unigram / dup-span /
-    # ngram-langid / bm25 / prefix-filter / entropy / hll-retention /
-    # keyword / sorted-neighborhood registrations; first in line for
-    # round 6
+    "doc_bm25_topk",
+    # -- the round-5 carryover front (stalest, promised first in
+    # line; includes embedding_dim_variance — the one query that had
+    # never landed in any driver window before this round) --
     "doc_length_outliers",
     "doc_markup_profile",
     "doc_padded_batches",
@@ -5655,6 +5679,15 @@ _DRIVER_WINDOW_CARRYOVER = [
     "q20_bulk_part_suppliers",
     "q21_sole_late_supplier",
     "q22_idle_customer_balance",
+]
+
+# Everything else not yet re-checked this round (each was green in the
+# round-4 full sweep; the driver window simply cannot hold all 140) —
+# ordered explicitly so the registry rotation is a recorded decision,
+# not a silent off-by-N, and first in line for the round-6 window.
+_DRIVER_WINDOW_CARRYOVER = [
+    # round-5 carryover names the 50-slot round-6 window could not
+    # hold — first in line for round 7
     "q2_min_price_per_type",
     "q4_priority_late_orders",
     "q7_volume_shipping",
@@ -5668,10 +5701,6 @@ _DRIVER_WINDOW_CARRYOVER = [
     "training_epoch_order",
     "user_retention_cohorts",
     "user_sessionization",
-    # -- freshest: green in the round-4 driver window (CORRECTNESS_r04),
-    # so last in line — listed anyway so EVERY registered query's
-    # rotation position is recorded, none placed by silent
-    # registration-order fallthrough --
     "activity_feed_top15",
     "alert_threshold_frame",
     "ann_ivf_topk",
@@ -5716,6 +5745,56 @@ _DRIVER_WINDOW_CARRYOVER = [
     "order_status_rollup",
     "region_windowed_sales",
     "two_level_region_resolution",
+    # -- freshest: green in the round-5 driver window
+    # (CORRECTNESS_r05), so last in line --
+    "dedup_prefix_filter",
+    "doc_entropy_profile",
+    "events_retention_hll",
+    "doc_top_tfidf_terms",
+    "corpus_unigram_vocab",
+    "doc_unigram_segmentation",
+    "doc_max_dup_span",
+    "doc_lang_ngram_rank",
+    "doc_bpe_segmentation_arrow",
+    "corpus_bpe_train_local",
+    "orders_priority_from_orc",
+    "nations_from_xml",
+    "bloom_probe_orders",
+    "corpus_wordpiece_vocab",
+    "doc_wordpiece_segmentation",
+    "doc_bpe_segmentation",
+    "corpus_bpe_train",
+    "region_flows_top5",
+    "customers_without_orders",
+    "multimodal_byte_stats",
+    "multimodal_frame_sample",
+    "orders_rollup",
+    "parts_below_brand_avg",
+    "platform_breakdown",
+    "props_json_stats",
+    "purchase_error_full_outer",
+    "purchasing_clickers",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_volume",
+    "q6_revenue_forecast",
+    "range_pair_counts",
+    "ann_hard_negatives",
+    "ann_pq_adc_topk",
+    "ann_rp_lsh_topk",
+    "cdc_scd2_history",
+    "corpus_budget_mixture",
+    "corpus_mix_weights",
+    "corpus_pair_merges",
+    "corpus_profile",
+    "corpus_token_cms",
+    "corpus_token_topk",
+    "corpus_vocab_coverage",
+    "customer_order_window_battery",
+    "dedup_clusters_star",
+    "dedup_graph_pagerank",
+    "doc_benchmark_contamination",
+    "doc_eval_containment",
 ]
 
 

@@ -1981,6 +1981,45 @@ def test_bm25_broad_threshold_keeps_narrow_queries_narrow(spark):
     assert base == same and len(base) == 5
 
 
+def test_snm_multipass_catches_prefix_edit(spark):
+    """Planted recall case for multi-pass sorted-neighborhood: two docs
+    identical except for their FIRST word land in different sort blocks
+    (pass 1 misses them) but share a long suffix, so the reversed-key
+    pass sorts them adjacent — the union must contain the pair, and a
+    pair visible to both passes must still verify exactly once."""
+    from cdc_pipeline_spark.operators.dedup import (
+        snm_default_key,
+        snm_reversed_key,
+        sorted_neighborhood_pairs,
+    )
+
+    tail = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "zzzzzz " + tail),          # prefix edit pair: blocks differ,
+        (2, "aaaaaa " + tail),          # reversed keys share a long prefix
+        (3, "shared head words here exactly match fine ok"),
+        (4, "shared head words here exactly match fine okay"),  # pass-1 pair
+        (5, "totally unrelated content about query engines and planners"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    single = {
+        (r.id_a, r.id_b) for r in sorted_neighborhood_pairs(docs, window=3).collect()
+    }
+    assert (3, 4) in single and (1, 2) not in single, single
+
+    multi_rows = sorted_neighborhood_pairs(
+        docs, window=3, passes=[snm_default_key(), snm_reversed_key()]
+    ).collect()
+    multi = {(r.id_a, r.id_b) for r in multi_rows}
+    assert multi >= {(1, 2), (3, 4)}, multi
+    # (3, 4) is sort-adjacent under BOTH keys: the distinct union must
+    # emit it once, not once per pass
+    assert len(multi_rows) == len(multi)
+    j12 = next(r.jaccard for r in multi_rows if (r.id_a, r.id_b) == (1, 2))
+    assert j12 >= 0.5
+
+
 def test_entropy_profile_planted_values(spark):
     """Hand-computable entropies: uniform multisets hit exactly log2(d)
     bits; single-symbol docs hit exactly 0."""
