@@ -40,10 +40,17 @@ def encode_event(event: str, payload) -> str:
     return f"event: {event}\ndata: {json.dumps(payload, separators=(',', ':'))}\n\n"
 
 
-def create_app(kv, generator_manager=None):
+def create_app(kv, generator_manager=None, spark=None, bm25_index_path=None):
     """``generator_manager`` (serving.generator_control.GeneratorManager)
     optionally attaches the reference's load-generator control routes
-    (start/stop/status, routes/generator.py) to the same app."""
+    (start/stop/status, routes/generator.py) to the same app.
+
+    ``spark`` + ``bm25_index_path`` optionally attach the retrieval
+    route ``GET /api/retrieval/search?q=<terms>&k=<n>`` serving ranked
+    BM25 results from a streaming-maintained index directory
+    (streaming/retrieval_index.py) — the retrieval surface gets the
+    same REST parity the KPI snapshots have. Beyond the reference
+    (it has no retrieval surface); part of the §2.12 mandate."""
     from flask import Flask, Response, jsonify
 
     app = Flask("cdc-pipeline-spark-serving")
@@ -52,6 +59,36 @@ def create_app(kv, generator_manager=None):
         from cdc_pipeline_spark.serving.generator_control import register_routes
 
         register_routes(app, generator_manager)
+
+    if spark is not None and bm25_index_path is not None:
+        from flask import request
+
+        from cdc_pipeline_spark.streaming.retrieval_index import bm25_topk_over_index
+
+        @app.route("/api/retrieval/search")
+        def retrieval_search():
+            terms = tuple((request.args.get("q") or "").lower().split())
+            if not terms:
+                return jsonify({"error": "missing ?q=<terms>"}), 400
+            try:
+                k = max(1, min(int(request.args.get("k", 10)), 100))
+            except ValueError:
+                return jsonify({"error": "k must be an integer"}), 400
+            ranked = bm25_topk_over_index(
+                spark,
+                bm25_index_path,
+                queries=((0, terms),),
+                k=k,
+                # a served index is exactly the broad-path setting: the
+                # df probe reads stored postings, and a user typing one
+                # common word must not trigger a corpus-wide window sort
+                broad_candidates=100_000,
+            )
+            rows = [
+                {"doc_id": r.doc_id, "score": r.score, "rank": r.rank}
+                for r in sorted(ranked.collect(), key=lambda r: r.rank)
+            ]
+            return jsonify({"query": " ".join(terms), "k": k, "results": rows})
 
     for route, event in SNAPSHOT_ROUTES.items():
 

@@ -382,3 +382,50 @@ def test_generator_restart_never_reuses_filenames(spark, kv, tmp_path):
     files2 = set(_os.listdir(s2["dirs"]["orders"]))
     assert files1 <= files2 and files2 - files1, "second run must ADD files, not overwrite"
     assert s2["rows"] > 0
+
+
+def test_retrieval_search_route_serves_ranked_docs(spark, kv, tmp_path):
+    """GET /api/retrieval/search over a streaming-maintained BM25 index
+    directory: ranked docs come back as JSON, ranking matches the index
+    query operator (broad heap path), and bad requests 400."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cdc_pipeline_spark.streaming.retrieval_index import (
+        Bm25IndexWriter,
+        bm25_topk_over_index,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    path = str(tmp_path / "bm25serve")
+    writer = Bm25IndexWriter(path)
+    writer(
+        spark.createDataFrame(
+            [(1, "apple banana apple"), (2, "apple cherry"), (3, "banana date")], schema
+        ),
+        0,
+    )
+    writer(spark.createDataFrame([(4, "cherry apple date")], schema), 1)
+
+    client = create_app(kv, spark=spark, bm25_index_path=path).test_client()
+    resp = client.get("/api/retrieval/search?q=Apple+cherry&k=3")
+    assert resp.status_code == 200
+    body = resp.get_json()
+    assert body["query"] == "apple cherry" and body["k"] == 3
+    expected = [
+        {"doc_id": r.doc_id, "score": r.score, "rank": r.rank}
+        for r in sorted(
+            bm25_topk_over_index(
+                spark, path, queries=((0, ("apple", "cherry")),), k=3
+            ).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    assert body["results"] == expected
+    assert [r["rank"] for r in body["results"]] == list(range(1, len(expected) + 1))
+
+    assert client.get("/api/retrieval/search").status_code == 400
+    assert client.get("/api/retrieval/search?q=apple&k=x").status_code == 400
+    # route absent when the app is built without an index (snapshot-only)
+    assert create_app(kv).test_client().get("/api/retrieval/search").status_code == 404
