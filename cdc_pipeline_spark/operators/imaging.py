@@ -203,7 +203,11 @@ def decode_image(payload: bytes) -> "np.ndarray":
             from cdc_pipeline_spark.operators.jpeg import decode_jpeg
 
             return decode_jpeg(payload)
-    except (struct.error, zlib.error, IndexError, MemoryError) as exc:
+    except (struct.error, zlib.error, IndexError, MemoryError, OverflowError) as exc:
+        # OverflowError: a hostile Huffman table can make the JPEG
+        # entropy decoder produce arbitrary-precision ints (the decoder
+        # guards its size categories, but the normalization set is the
+        # last line of the quarantine contract)
         raise ValueError(f"corrupt image payload: {exc}") from exc
     raise ValueError("unrecognized image format")
 

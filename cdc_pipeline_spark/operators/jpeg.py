@@ -189,6 +189,9 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RST
             continue
+        if marker == 0xFF:  # fill byte(s) before a marker (T.81 B.1.1.2)
+            pos -= 1
+            continue
         if pos + 2 > n:
             raise ValueError("truncated JPEG segment header")
         (seg_len,) = struct.unpack(">H", payload[pos:pos + 2])
@@ -228,9 +231,15 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 raise ValueError(f"unsupported JPEG precision {precision}")
             if height == 0 or width == 0:
                 raise ValueError("zero-dimension JPEG")
-            if height * width * max(ncomp, 1) > _MAX_DECODED_BYTES:
+            # cap PEAK decode memory, not just the uint8 output: the
+            # scan decodes into float32 planes and the YCbCr->RGB pass
+            # holds ~3 full-frame float32 temporaries, so budget
+            # 16 bytes/sample against the shared cap (the PNG path's
+            # 1x-uint8 accounting would under-count this decoder ~20x
+            # and let a 242 MB-output JPEG OOM-kill the Arrow worker)
+            if height * width * max(ncomp, 1) * 16 > _MAX_DECODED_BYTES:
                 raise ValueError(
-                    f"JPEG decoded size {height * width * ncomp} exceeds cap {_MAX_DECODED_BYTES}"
+                    f"JPEG peak decode size {height * width * ncomp * 16} exceeds cap {_MAX_DECODED_BYTES}"
                 )
             comps = []
             for c in range(ncomp):
@@ -244,11 +253,20 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if img is not None:
+                # T.81 allows per-component sequential scans, but their
+                # MCU layout is the NON-interleaved rule (no sampling
+                # grid) — decoding them under the full-frame grid would
+                # silently return the last scan's plane as the image.
+                # Reject like SOF2; the Pillow probe handles them.
+                raise ValueError("multi-scan JPEG unsupported")
             ns = body[0]
             scan = []
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
+            if ns != len(frame[2]):
+                raise ValueError("non-interleaved JPEG scan unsupported")
             segments, pos = _split_entropy_segments(payload, pos)
             img = _decode_scan(frame, scan, qt, huff, segments, restart_interval)
         # APPn (0xE0–0xEF) / COM (0xFE) / DNL etc.: skipped
@@ -276,7 +294,9 @@ def _decode_scan(frame, scan, qt, huff, segments, restart_interval) -> "np.ndarr
             raise ValueError(f"JPEG missing quant table {tq}")
         if (0, td) not in huff or (1, ta) not in huff:
             raise ValueError("JPEG missing Huffman table")
-        planes[cid] = np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.float64)
+        # float32, not float64: plane + conversion temporaries are the
+        # peak-memory term the SOF cap budgets at 16 bytes/sample
+        planes[cid] = np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.float32)
         meta.append((cid, h, v, qt[tq], huff[(0, td)], huff[(1, ta)]))
 
     dc_pred = {cid: 0 for cid, *_ in meta}
@@ -300,6 +320,13 @@ def _decode_scan(frame, scan, qt, huff, segments, restart_interval) -> "np.ndarr
                 for bxx in range(h):
                     coef_z[:] = 0
                     s = reader.decode_huffman(dc_tab)
+                    if s > 11:
+                        # 8-bit baseline DC categories are 0–11 (T.81
+                        # F.1.2.1.1); a corrupted DHT symbol like 200
+                        # would otherwise receive() a 2^200 int and
+                        # blow up the int64 store with OverflowError —
+                        # which is NOT in the quarantine's ValueError set
+                        raise ValueError(f"invalid JPEG DC size category {s}")
                     dc_pred[cid] += _extend(reader.receive(s), s)
                     coef_z[0] = dc_pred[cid]
                     k = 1
@@ -314,6 +341,8 @@ def _decode_scan(frame, scan, qt, huff, segments, restart_interval) -> "np.ndarr
                         k += r
                         if k > 63:
                             raise ValueError("JPEG AC coefficient overflow")
+                        if s > 10:  # 8-bit baseline AC categories are 1–10
+                            raise ValueError(f"invalid JPEG AC size category {s}")
                         coef_z[k] = _extend(reader.receive(s), s)
                         k += 1
                     block = np.zeros(64, dtype=np.float64)
@@ -326,7 +355,7 @@ def _decode_scan(frame, scan, qt, huff, segments, restart_interval) -> "np.ndarr
 
     out_planes = []
     for cid, h, v, *_ in meta:
-        p = planes[cid] + 128.0
+        p = planes[cid] + np.float32(128.0)
         if h != hmax or v != vmax:
             p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
         out_planes.append(p[:height, :width])
@@ -337,9 +366,11 @@ def _decode_scan(frame, scan, qt, huff, segments, restart_interval) -> "np.ndarr
     if len(out_planes) != 3:
         raise ValueError(f"unsupported JPEG component count {len(out_planes)}")
     y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    cb -= np.float32(128.0)
+    cr -= np.float32(128.0)
+    r = y + np.float32(1.402) * cr
+    g = y - np.float32(0.344136) * cb - np.float32(0.714136) * cr
+    b = y + np.float32(1.772) * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 

@@ -151,6 +151,7 @@ def bm25_topk_from_weights(
     queries: Sequence[tuple[int, tuple[str, ...]]] = BM25_QUERIES,
     k: int = 10,
     broad_candidates: int | None = None,
+    probe: DataFrame | None = None,
 ) -> DataFrame:
     """Rank a ``(doc_id, token, wq)`` weight table against a term-query
     batch: ``(query_id, doc_id, score, rank)``, rank 1..k per query.
@@ -185,10 +186,15 @@ def bm25_topk_from_weights(
     if broad_candidates is not None and batch:
         probe_terms = sorted({t for _, terms in batch for t in terms})
         tdf = w.sparkSession.createDataFrame([(t,) for t in probe_terms], "token string")
-        # bounded control-state collect: one row per distinct batch term
+        # bounded control-state collect: one row per distinct batch term.
+        # `probe` lets callers with a CHEAPER per-(doc, token) source —
+        # e.g. the streaming index's stored tf table — count df without
+        # executing the full weight plan (tf ⨝ doclens ⨝ dfreq ⨝ stats)
+        # twice; df is identical on either (both are one row per posting).
+        src = w if probe is None else probe
         dfreq = {
             r["token"]: r["df"]
-            for r in w.join(F.broadcast(tdf), "token").groupBy("token").agg(F.count(F.lit(1)).alias("df")).collect()
+            for r in src.join(F.broadcast(tdf), "token").groupBy("token").agg(F.count(F.lit(1)).alias("df")).collect()
         }
         broad_ids = {
             qid for qid, terms in batch

@@ -122,10 +122,16 @@ class NearDupIndexWriter:
             matches = self._probe(spark, posting, shingles, batch_id)
             # probe BEFORE appending (and against batch_id < current only):
             # a replayed batch sees exactly the history it saw the first
-            # time, so every table rewrite below is bit-identical
+            # time, so every table rewrite below is bit-identical.
+            # postings write LAST: the replay guard reads the POSTINGS
+            # marker, so "this batch's postings are folded" must imply
+            # matches and shingles landed too — the reverse order would
+            # let a crash-after-postings + compaction make the guard
+            # skip a batch whose shingle sets never hit the index
+            # (silently unverifiable near-dups forever)
             _write_batch_partition(matches, self._sub("matches"))
-            _write_batch_partition(posting, self._sub("postings"))
             _write_batch_partition(shingles, self._sub("shingles"))
+            _write_batch_partition(posting, self._sub("postings"))
 
     def _probe(
         self, spark: SparkSession, posting: DataFrame, shingles: DataFrame, batch_id: int
@@ -150,16 +156,24 @@ class NearDupIndexWriter:
         hist_shingles = hist_shingles_raw.groupBy(
             F.col("doc_id").alias("match_id")
         ).agg(F.max_by("shingles", "batch_id").alias("__sb"))
+        hist_rows = hist_posting.select(
+            "band", "bucket", "doc_id", F.lit(False).alias("__inc")
+        )
+        if self.max_bucket is not None:
+            # a doc re-ingested across batches carries duplicate
+            # (band, bucket, doc_id) history rows; the cap must count
+            # DOCS per bucket (like the batch twin, which has one row
+            # per doc) or a boundary bucket's fate would flip when
+            # compaction dedupes postings to distinct. Only paid when a
+            # cap is set — without one, duplicate candidates are already
+            # absorbed by the candidate join's distinct.
+            hist_rows = hist_rows.dropDuplicates(["band", "bucket", "doc_id"])
         # the cap counts both sides together, like the batch twin: the
         # hazard is a hot HISTORICAL bucket multiplying every probe
         both = prune_hot_buckets(
             posting.select(
                 "band", "bucket", "doc_id", F.lit(True).alias("__inc")
-            ).unionByName(
-                hist_posting.select(
-                    "band", "bucket", "doc_id", F.lit(False).alias("__inc")
-                )
-            ),
+            ).unionByName(hist_rows),
             ["band", "bucket"],
             self.max_bucket,
         )

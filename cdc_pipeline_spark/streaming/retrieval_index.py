@@ -132,13 +132,29 @@ def compact_index(
 def read_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     """The accumulated ``(tf, doclens)`` tables (explicit schemas — a
     never-started index or an empty-corpus batch leaves file-less
-    directories that schema inference cannot read)."""
+    directories that schema inference cannot read).
+
+    "Unreadable" is NOT always "empty": a compaction that crashed
+    between its two renames leaves the complete table at ``<table>.old``
+    and nothing at ``<table>`` — treating that as an empty index would
+    silently serve zero results forever. Existence is decided by READS
+    (the path may be object storage), same principle as the near-dup
+    probe: if the table is unreadable but its ``.old`` sibling reads,
+    raise so the operator recovers by renaming it back."""
 
     def _read(sub: str, schema: str) -> DataFrame:
+        table = os.path.join(path, sub)
         try:
-            return spark.read.schema(schema).parquet(os.path.join(path, sub))
+            return spark.read.schema(schema).parquet(table)
         except AnalysisException:
-            return spark.createDataFrame([], schema)
+            try:
+                spark.read.schema(schema).parquet(table + ".old").head(1)
+            except AnalysisException:
+                return spark.createDataFrame([], schema)  # genuinely never written
+            raise RuntimeError(
+                f"index table {table} is missing but {table}.old exists — a "
+                f"compaction crashed mid-swap; rename {table}.old back to recover"
+            ) from None
 
     return _read("tf", _TF_SCHEMA), _read("doclens", _DL_SCHEMA)
 
@@ -156,10 +172,13 @@ def bm25_topk_over_index(
     corpus stats (df, N, avgdl) are derived from the accumulated state
     at query time, so results always reflect every ingested batch.
     ``broad_candidates`` enables the per-query TakeOrdered heap path for
-    broad terms (see ``bm25_topk_from_weights``) — the natural setting
-    for a served index, where the df probe reads stored postings."""
+    broad terms (see ``bm25_topk_from_weights``); the df probe counts
+    postings directly on the STORED tf table (one groupBy over a
+    broadcast-semi-pruned scan), never by executing the derived weight
+    plan a second time."""
     tf, dls = read_index(spark, path)
-    w = bm25_term_weights_from_stats(
-        tf.drop("batch_id"), dls.drop("batch_id"), k1=k1, b=b
+    tf = tf.drop("batch_id")
+    w = bm25_term_weights_from_stats(tf, dls.drop("batch_id"), k1=k1, b=b)
+    return bm25_topk_from_weights(
+        w, queries, k, broad_candidates=broad_candidates, probe=tf
     )
-    return bm25_topk_from_weights(w, queries, k, broad_candidates=broad_candidates)

@@ -480,3 +480,65 @@ def test_extract_features_image_decoder_handles_jpeg(spark):
     assert len(out[0].feature) == 8
     expected = image_feature(decode_image(good), dim=8)
     assert out[0].feature == expected
+
+
+def test_jpeg_hostile_huffman_size_category_is_valueerror():
+    """A corrupted DHT symbol (DC size category > 11 / AC > 10) must
+    raise ValueError, not OverflowError — OverflowError would escape
+    the quarantine and kill the whole Arrow stage."""
+    from cdc_pipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg_baseline
+
+    good = encode_jpeg_baseline(_gradient(8, 8, 1))
+    # DC DHT: FF C4, len, class/id byte 0x00, 16 BITS, then 12 HUFFVALs
+    # 0..11 — patch every HUFFVAL to 200 so whichever symbol the first
+    # block decodes is an out-of-range size category
+    i = good.index(b"\xff\xc4")
+    bad = bytearray(good)
+    for j in range(12):
+        bad[i + 5 + 16 + j] = 200
+    with pytest.raises(ValueError, match="size category|Huffman"):
+        decode_jpeg(bytes(bad))
+    # and the normalized entry point keeps the quarantine contract
+    with pytest.raises(ValueError):
+        decode_image(bytes(bad))
+
+
+def test_jpeg_fill_bytes_between_markers_decode():
+    """Repeated 0xFF fill bytes between marker segments are legal
+    (T.81 B.1.1.2) and must not be parsed as a marker + length."""
+    from cdc_pipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg_baseline
+
+    px = _gradient(8, 8, 1)
+    good = encode_jpeg_baseline(px)
+    i = good.index(b"\xff\xdb")  # pad before DQT
+    padded = good[:i] + b"\xff\xff\xff" + good[i:]
+    dec = decode_jpeg(padded)
+    assert int(np.abs(dec[:, :, 0].astype(int) - px.astype(int)).max()) <= 2
+
+
+def test_jpeg_multi_scan_rejected():
+    """A second SOS (per-component sequential scans) must raise — its
+    MCU layout follows the non-interleaved rule this decoder does not
+    implement; silently returning the last scan's plane would feed
+    wrong pixels into dedup."""
+    from cdc_pipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg_baseline
+
+    good = encode_jpeg_baseline(_gradient(8, 8, 1))
+    i = good.index(b"\xff\xda")
+    multi = good[:-2] + good[i:]  # SOI ... SOS1 ECS1 SOS2 ECS2 EOI
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(multi)
+
+
+def test_jpeg_peak_memory_cap_counts_float_planes():
+    """A 9500x8500x3 frame fits the uint8-output cap (~242 MB) but its
+    float32 decode planes + conversion temporaries would OOM the
+    worker; the SOF gate budgets 16 bytes/sample and must reject it."""
+    from cdc_pipeline_spark.operators.jpeg import decode_jpeg, encode_jpeg_baseline
+
+    good = encode_jpeg_baseline(_gradient(8, 8, 3))
+    i = good.index(b"\xff\xc0")
+    hostile = bytearray(good)
+    struct.pack_into(">HH", hostile, i + 5, 9500, 8500)
+    with pytest.raises(ValueError, match="exceeds cap"):
+        decode_jpeg(bytes(hostile))

@@ -1787,3 +1787,89 @@ def test_bm25_index_reads_empty_before_any_batch(spark, tmp_path):
     tf, dls = read_index(spark, path)
     assert tf.count() == 0  # empty doc yields no postings...
     assert dls.count() == 1  # ...but still a dl=0 length row
+
+
+def test_neardup_hot_bucket_cap_counts_docs_not_rows(spark, tmp_path):
+    """With max_bucket set, a doc re-ingested across batches must count
+    ONCE per bucket (like the batch twin, one row per doc) — otherwise
+    a boundary bucket's fate flips when compaction dedupes postings to
+    distinct, breaking before/after-compaction probe parity."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cdc_pipeline_spark.streaming.neardup_index import (
+        NearDupIndexWriter,
+        compact_neardup_index,
+        read_matches,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    path = str(tmp_path / "ndcap")
+    # cap=2: history doc 7 (re-ingested twice) + incoming doc 9 = 2 docs
+    # per shared bucket — allowed; row-counting would see 3 and prune
+    writer = NearDupIndexWriter(path, threshold=0.4, max_bucket=2, run_id="r")
+    writer(spark.createDataFrame([(7, base)], schema), 0)
+    writer(spark.createDataFrame([(7, base)], schema), 1)  # re-ingest
+    writer(spark.createDataFrame([(9, base + " tail")], schema), 2)
+
+    def pairs():
+        return {(r.doc_id, r.match_id) for r in read_matches(spark, path).collect()}
+
+    assert (9, 7) in pairs(), "doc-counting cap must keep the shared bucket"
+
+    # parity: an identical probe against a compacted vs uncompacted
+    # index must produce the SAME matches (build a twin index from the
+    # same batches, compact only one, ingest the same batch 3 in both)
+    twin = str(tmp_path / "ndcap_twin")
+    wtwin = NearDupIndexWriter(twin, threshold=0.4, max_bucket=2, run_id="r")
+    wtwin(spark.createDataFrame([(7, base)], schema), 0)
+    wtwin(spark.createDataFrame([(7, base)], schema), 1)
+    wtwin(spark.createDataFrame([(9, base + " tail")], schema), 2)
+    compact_neardup_index(spark, path, run_id="r")
+    batch3 = [(11, base)]
+    writer(spark.createDataFrame(batch3, schema), 3)
+    wtwin(spark.createDataFrame(batch3, schema), 3)
+    compacted = pairs()
+    uncompacted = {
+        (r.doc_id, r.match_id) for r in read_matches(spark, twin).collect()
+    }
+    assert compacted == uncompacted
+    assert (11, 7) in compacted
+
+
+def test_bm25_read_index_detects_crashed_compaction_swap(spark, tmp_path):
+    """A compaction that crashed between its two renames leaves the
+    table only at <table>.old; read_index must raise (recoverable by
+    renaming back), NEVER return an empty index — an empty 200 from the
+    serving route would be indistinguishable from a real empty corpus."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cdc_pipeline_spark.streaming.retrieval_index import (
+        Bm25IndexWriter,
+        read_index,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    path = str(tmp_path / "bm25crash")
+    Bm25IndexWriter(path)(spark.createDataFrame([(1, "apple banana")], schema), 0)
+
+    tf, dls = read_index(spark, path)  # healthy read first
+    assert tf.count() == 2 and dls.count() == 1
+
+    os.rename(os.path.join(path, "tf"), os.path.join(path, "tf") + ".old")
+    with pytest.raises(RuntimeError, match="compaction crashed mid-swap"):
+        read_index(spark, path)
+
+    os.rename(os.path.join(path, "tf") + ".old", os.path.join(path, "tf"))
+    tf, _ = read_index(spark, path)  # recovery restores reads
+    assert tf.count() == 2
+
+    # a never-written index still reads as empty typed frames
+    tf0, dls0 = read_index(spark, str(tmp_path / "nothing"))
+    assert tf0.count() == 0 and dls0.count() == 0
