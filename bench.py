@@ -199,22 +199,33 @@ def main() -> None:
     # baseline file. Round number: $SPARK_GRAFT_ROUND, else one past the
     # newest committed BENCH_r*.json.
     repo = os.path.dirname(os.path.abspath(__file__))
-    rnd = os.environ.get("SPARK_GRAFT_ROUND")
-    if rnd is None:
-        import re
+    if SF_DIR.rstrip("/") != "/root/testdata/sf0.1":
+        # only the official per-round scale writes the durable artifact:
+        # a smaller-SF spot-check must not clobber the round's full-SF
+        # timings (the file is what round N+1's judge diffs against)
+        print(f"# BENCH_LOCAL write skipped: non-default SF {SF_DIR}", file=sys.stderr)
+    else:
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd is not None:
+            try:
+                rnd = f"{int(rnd):02d}"  # normalize '6' -> '06' (r0N convention)
+            except ValueError:
+                pass
+        else:
+            import re
 
-        seen = [
-            int(m.group(1))
-            for f in os.listdir(repo)
-            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
-        ]
-        rnd = f"{(max(seen) + 1 if seen else 1):02d}"
-    try:
-        with open(os.path.join(repo, f"BENCH_LOCAL_r{rnd}.json"), "w") as fh:
-            json.dump(doc, fh)
-            fh.write("\n")
-    except OSError as exc:  # read-only checkout must not fail the bench
-        print(f"# BENCH_LOCAL write skipped: {exc}", file=sys.stderr)
+            seen = [
+                int(m.group(1))
+                for f in os.listdir(repo)
+                if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+            ]
+            rnd = f"{(max(seen) + 1 if seen else 1):02d}"
+        try:
+            with open(os.path.join(repo, f"BENCH_LOCAL_r{rnd}.json"), "w") as fh:
+                json.dump(doc, fh)
+                fh.write("\n")
+        except OSError as exc:  # read-only checkout must not fail the bench
+            print(f"# BENCH_LOCAL write skipped: {exc}", file=sys.stderr)
     spark.stop()
 
     if baseline is not None:

@@ -360,6 +360,8 @@ def sorted_neighborhood_pairs(
 
     if passes is None:
         passes = [snm_default_key(text_col)]
+    if not passes:
+        raise ValueError("sorted_neighborhood_pairs needs at least one pass key")
     base = _spread(df).select(
         F.col(id_col).alias("doc_id"),
         *[p.alias(f"__key{i}") for i, p in enumerate(passes)],

@@ -5347,18 +5347,20 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("doc_bm25_broad_topk", _bm25_oracle_sql())
 def doc_bm25_broad_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SAME retrieval batch ranked through the broad-query heap
-    path (`bm25_topk(broad_candidates=200)`): queries whose candidate
-    postings exceed the threshold (the near-universal-term queries at
-    every test sf) rank via per-query TakeOrderedAndProject —
+    """The SAME retrieval batch ranked with MIXED routing
+    (`bm25_topk(broad_candidates=1000)`): at the driver's sf0.001/0.01
+    scales the rare-term query (#2, Σdf ≈ 800) stays on the shared
+    salted window while the three common-term queries (Σdf 1150–1550)
+    exceed the threshold and rank via per-query TakeOrderedAndProject —
     per-partition heaps + driver merge, no shuffle or sort of the
-    posting set — while narrow queries keep the shared salted window.
-    The oracle is IDENTICAL to `doc_bm25_topk`'s: ranking is
+    posting set — so the oracle gate covers the heap branch AND the
+    narrow∪broad union path in one query (at sf0.1 every query routes
+    broad). The oracle is IDENTICAL to `doc_bm25_topk`'s: ranking is
     strategy-independent (same exact-decimal total order), so the hash
-    match proves the heap path output-equivalent."""
+    match proves the adaptive plan output-equivalent."""
     from cdc_pipeline_spark.operators.retrieval import bm25_topk
 
-    return bm25_topk(_t(spark, sf_dir, "documents"), broad_candidates=200)
+    return bm25_topk(_t(spark, sf_dir, "documents"), broad_candidates=1000)
 
 
 def _entropy_oracle_sql() -> str:
@@ -5624,8 +5626,13 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_WINDOW_PRIORITY = [
     # -- round 6: the new registrations, then the two queries whose
-    # operator paths changed this round (SNM multi-pass refactor,
-    # BM25 adaptive ranking) --
+    # operator INTERNALS changed this round (SNM multi-pass refactor,
+    # BM25 adaptive ranking). The spread->ensure_parallelism migration
+    # also touched the plan of ~24 operators across the carryover —
+    # far more than the window holds; instead of a window row, each was
+    # re-verified by three independent FULL 155-query sweeps this round
+    # (sf0.001, sf0.01, sf0.1) plus the adversarial local[5]/7 layout
+    # sweep, all 155/155 (COVERAGE.md round-6 closing state) --
     "dedup_snm_multipass",
     "doc_bm25_broad_topk",
     "dedup_sorted_neighborhood",
