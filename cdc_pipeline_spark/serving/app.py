@@ -40,7 +40,9 @@ def encode_event(event: str, payload) -> str:
     return f"event: {event}\ndata: {json.dumps(payload, separators=(',', ':'))}\n\n"
 
 
-def create_app(kv, generator_manager=None, spark=None, bm25_index_path=None):
+def create_app(
+    kv, generator_manager=None, spark=None, bm25_index_path=None, ann_index_path=None
+):
     """``generator_manager`` (serving.generator_control.GeneratorManager)
     optionally attaches the reference's load-generator control routes
     (start/stop/status, routes/generator.py) to the same app.
@@ -89,6 +91,44 @@ def create_app(kv, generator_manager=None, spark=None, bm25_index_path=None):
                 for r in sorted(ranked.collect(), key=lambda r: r.rank)
             ]
             return jsonify({"query": " ".join(terms), "k": k, "results": rows})
+
+    if spark is not None and ann_index_path is not None:
+        from flask import request as _request
+
+        from cdc_pipeline_spark.operators.ann_index import (
+            ivf_index_topk,
+            read_ivf_index,
+        )
+
+        @app.route("/api/retrieval/ann")
+        def retrieval_ann():
+            # query-by-example: ?like=<vec_id>&k=<n>&n_probe=<m> — the
+            # example's vector is looked up in the index itself
+            like = _request.args.get("like")
+            if like is None:
+                return jsonify({"error": "missing ?like=<vec_id>"}), 400
+            try:
+                vec_id = int(like)
+                k = max(1, min(int(_request.args.get("k", 5)), 100))
+                n_probe = max(1, min(int(_request.args.get("n_probe", 1)), 64))
+            except ValueError:
+                return jsonify({"error": "like/k/n_probe must be integers"}), 400
+            vectors, _cents = read_ivf_index(spark, ann_index_path)
+            row = vectors.filter(vectors.vec_id == vec_id).select("embedding").head(1)
+            if not row:
+                return jsonify({"error": f"vec_id {vec_id} not in index"}), 404
+            ranked = ivf_index_topk(
+                spark,
+                ann_index_path,
+                queries=[(vec_id, list(row[0].embedding))],
+                k=k,
+                n_probe=n_probe,
+            )
+            rows = [
+                {"vec_id": r.vec_id, "score": r.score, "rank": r.rank}
+                for r in sorted(ranked.collect(), key=lambda r: r.rank)
+            ]
+            return jsonify({"like": vec_id, "k": k, "n_probe": n_probe, "results": rows})
 
     for route, event in SNAPSHOT_ROUTES.items():
 

@@ -2154,3 +2154,61 @@ def test_sorted_neighborhood_planted(spark):
     pairs = {(r.id_a, r.id_b) for r in sorted_neighborhood_pairs(many).collect()}
     assert all(b - a <= 3 for a, b in pairs), pairs
     assert (0, 1) in pairs and (0, 4) not in pairs
+
+
+def test_ivf_index_matches_ivf_topk_and_prunes_partitions(spark, tmp_path):
+    """Persisted IVF index (`operators/ann_index.py`): search results
+    must be identical to the in-plan `similarity.ivf_topk` (same cells,
+    same routing order, same 6dp cosine, same total order), and the
+    probe scan must carry a PartitionFilters predicate on cell — the
+    partition pruning is the reason the index exists."""
+    from cdc_pipeline_spark import plans
+    from cdc_pipeline_spark.operators.ann_index import build_ivf_index, ivf_index_topk
+    from cdc_pipeline_spark.operators.similarity import ivf_topk
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivfidx")
+    n_cells = build_ivf_index(vecs, path, cell_col="label")
+    assert n_cells >= 2
+
+    queries = vecs.orderBy("vec_id").limit(4).select("vec_id", "embedding")
+    qrows = [(r.vec_id, list(r.embedding)) for r in queries.collect()]
+
+    got = ivf_index_topk(spark, path, qrows, k=5, n_probe=2)
+    expected = ivf_topk(vecs, queries.withColumnRenamed("vec_id", "query_id"), k=5, n_probe=2)
+    g = sorted((r.query_id, r.vec_id, r.score, r.rank) for r in got.collect())
+    e = sorted((r.query_id, r.vec_id, r.score, r.rank) for r in expected.collect())
+    assert g == e and g, "index search must equal the in-plan IVF query"
+
+    plan = plans.plan_string(got)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and any("cell" in l and "IN" in l.upper() for l in pf), plan
+    # and the pruned scan reads fewer cells than the index holds
+    assert got.count() == len(g)
+
+
+def test_ivf_index_build_with_kmeans_and_empty_query_contracts(spark, tmp_path):
+    from cdc_pipeline_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_index_topk,
+        read_ivf_index,
+    )
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    path = str(tmp_path / "ivfkm")
+    n_cells = build_ivf_index(vecs, path, n_cells=4, max_iters=3)
+    assert n_cells == 4
+    vectors, centroids = read_ivf_index(spark, path)
+    assert vectors.count() == 60 and centroids.count() == 4
+    # every vector's cell is a real centroid id
+    cells = {r.cell for r in centroids.collect()}
+    assert {r.cell for r in vectors.select("cell").distinct().collect()} <= cells
+
+    assert ivf_index_topk(spark, path, [], k=3).count() == 0
+    dim = len(vectors.select("embedding").head(1)[0].embedding)
+    assert ivf_index_topk(spark, path, [(999, [0.0] * dim)], k=3).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no IVF index"):
+        read_ivf_index(spark, str(tmp_path / "missing"))

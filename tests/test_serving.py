@@ -429,3 +429,35 @@ def test_retrieval_search_route_serves_ranked_docs(spark, kv, tmp_path):
     assert client.get("/api/retrieval/search?q=apple&k=x").status_code == 400
     # route absent when the app is built without an index (snapshot-only)
     assert create_app(kv).test_client().get("/api/retrieval/search").status_code == 404
+
+
+def test_retrieval_ann_route_serves_neighbors(spark, kv, tmp_path):
+    """GET /api/retrieval/ann over a built IVF index: query-by-example
+    returns ranked neighbors matching the index operator; unknown ids
+    404, malformed params 400, absent index config 404s the route."""
+    from cdc_pipeline_spark.operators.ann_index import build_ivf_index, ivf_index_topk
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    path = str(tmp_path / "annserve")
+    build_ivf_index(vecs, path, cell_col="label")
+    example = vecs.orderBy("vec_id").limit(1).collect()[0]
+
+    client = create_app(kv, spark=spark, ann_index_path=path).test_client()
+    resp = client.get(f"/api/retrieval/ann?like={example.vec_id}&k=3&n_probe=2")
+    assert resp.status_code == 200
+    body = resp.get_json()
+    expected = [
+        {"vec_id": r.vec_id, "score": r.score, "rank": r.rank}
+        for r in sorted(
+            ivf_index_topk(
+                spark, path, [(example.vec_id, list(example.embedding))], k=3, n_probe=2
+            ).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    assert body["results"] == expected and len(expected) == 3
+
+    assert client.get("/api/retrieval/ann?like=999999999").status_code == 404
+    assert client.get("/api/retrieval/ann?like=abc").status_code == 400
+    assert client.get("/api/retrieval/ann").status_code == 400
+    assert create_app(kv).test_client().get("/api/retrieval/ann").status_code == 404
