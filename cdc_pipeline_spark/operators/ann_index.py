@@ -57,7 +57,21 @@ def build_ivf_index(
     """Build (overwrite) an IVF index at ``path``: ``vectors/``
     partitioned by cell + ``centroids/``. Cells come from ``cell_col``
     when given (e.g. a precomputed label) or k-means otherwise.
-    Returns the number of cells written."""
+    Returns the number of cells written.
+
+    The input is VALIDATED before anything is overwritten — a rebuild
+    job fed an unexpectedly empty/poisoned upstream must fail loudly,
+    not wipe the serving index and leave the route 500ing:
+
+    * empty corpus → ValueError (an overwrite of zero rows leaves a
+      file-less, schema-less ``vectors/``);
+    * null / non-castable cell labels → ValueError (``cast('int')``
+      nulls silently; a cell=null centroid would TypeError every query);
+    * null embeddings or null ELEMENTS → ValueError (one null element
+      nulls the whole centroid fold for that dimension);
+    * duplicate ids → ValueError (the k-means assignment join would
+      square them, over-weighting centroids and crowding top-k).
+    """
     base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     if cell_col is not None:
         assigned = df.select(
@@ -72,17 +86,49 @@ def build_ivf_index(
         assigned = base.join(
             clusters.select(F.col("vec_id"), F.col("cluster").alias("cell")), "vec_id"
         )
+    # materialize once: validation actions + both writes + the count all
+    # re-read this frame (the codebase's semantic_dedup pattern)
+    assigned = assigned.localCheckpoint(eager=True)
+
+    if not assigned.head(1):
+        raise ValueError("refusing to build an IVF index over an empty corpus")
+    bad = assigned.filter(
+        F.col("cell").isNull()
+        | F.col("vec_id").isNull()
+        | F.col("embedding").isNull()
+        | F.exists(
+            "embedding",
+            lambda x: x.isNull() | F.isnan(x.cast("double")) | (F.abs(x) == float("inf")),
+        )
+    )
+    if bad.head(1):
+        raise ValueError(
+            "IVF index input has null ids/cells/embeddings (or null/NaN/Inf "
+            "vector elements) — fix upstream; refusing to build a poisoned index"
+        )
+    dup = (
+        assigned.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n")).filter("n > 1")
+    )
+    if dup.head(1):
+        raise ValueError("IVF index input has duplicate vec_ids — dedupe upstream")
+
     # one shuffle: co-locate each cell's vectors into its own partition
     # directory — the physical locality every probe depends on
-    assigned = assigned.repartition("cell")
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+    assigned.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, "vectors")
     )
     cents = grouped_vector_means(
         assigned.select("vec_id", "embedding", "cell"), "cell"
     ).select(F.col("cell").cast("int").alias("cell"), F.col("centroid"))
     cents.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
-    return cents.count()
+    # count from the tiny written table, not by re-running the fold
+    return spark_count_centroids(assigned.sparkSession, path)
+
+
+def spark_count_centroids(spark: SparkSession, path: str) -> int:
+    return spark.read.schema(_CENTROID_SCHEMA).parquet(
+        os.path.join(path, "centroids")
+    ).count()
 
 
 def read_ivf_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
@@ -115,8 +161,18 @@ def ivf_index_topk(
     directories at planning time. Query vectors with zero norm rank
     nothing (the shared zero-norm contract of the similarity family).
     """
+    import math
+
     vectors, centroids = read_ivf_index(spark, path)
-    cents = [(int(r.cell), list(r.centroid)) for r in centroids.collect()]
+    # zero-norm (or non-finite) centroids are unroutable (cosine
+    # undefined) and are excluded here AND in similarity.ivf_topk's
+    # routing — the shared zero-norm contract, so the equivalence claim
+    # holds on any corpus
+    cents = [
+        (int(r.cell), list(r.centroid))
+        for r in centroids.collect()
+        if (lambda s: s > 0.0 and math.isfinite(s))(sum(x * x for x in r.centroid))
+    ]
     if not cents or not queries:
         return spark.createDataFrame(
             [], "query_id long, vec_id long, score double, rank long"
@@ -125,14 +181,15 @@ def ivf_index_topk(
     def _cos(a: list[float], b: list[float]) -> float:
         na = sum(x * x for x in a) ** 0.5
         nb = sum(x * x for x in b) ** 0.5
-        if na == 0.0 or nb == 0.0:
-            return 0.0
         return sum(x * y for x, y in zip(a, b)) / (na * nb)
 
     probe_rows: list[tuple[int, list[float], int]] = []  # (qid, vec, cell)
     probed_cells: set[int] = set()
     for qid, vec in queries:
-        if sum(x * x for x in vec) == 0.0:
+        # skip zero-norm AND non-finite query vectors: NaN would defeat
+        # the == 0.0 check and make sorted() ordering collect-dependent
+        sq = sum(x * x for x in vec)
+        if sq == 0.0 or not math.isfinite(sq):
             continue
         # same order as ivf_topk's routing window: score DESC, cell ASC
         ranked = sorted(cents, key=lambda c: (-_cos(vec, c[1]), c[0]))[:n_probe]

@@ -151,7 +151,13 @@ def ivf_topk(
     """IVF-bucketed ANN: route each query to its n_probe nearest
     centroids, then brute-force only those cells. Output matches
     brute_force_topk (rank recomputed within probed cells)."""
-    centroids = ivf_centroids(corpus, cell_col, vec_col, id_col)
+    # zero-norm centroids are unroutable: cosine(q, 0) = NaN, and Spark
+    # orders NaN LARGEST — an all-zero cell would consume a probe slot
+    # for every query (and diverge from the persisted index's
+    # driver-side routing, which shares this exclusion contract)
+    centroids = ivf_centroids(corpus, cell_col, vec_col, id_col).filter(
+        norm(F.col("centroid")) > 0
+    )
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
     routed = grouped_top_k(
         q.crossJoin(F.broadcast(centroids)).select(

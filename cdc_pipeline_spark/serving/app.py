@@ -102,28 +102,40 @@ def create_app(
 
         @app.route("/api/retrieval/ann")
         def retrieval_ann():
-            # query-by-example: ?like=<vec_id>&k=<n>&n_probe=<m> — the
-            # example's vector is looked up in the index itself
+            # ?vec=<comma-floats> ranks directly (zero lookup scans);
+            # ?like=<vec_id> is the query-by-example convenience — it
+            # pays ONE column-pruned lookup scan of vectors/ (vec_id is
+            # not the partition key, so it cannot prune; a production
+            # server would keep an id→vector side table or cache)
             like = _request.args.get("like")
-            if like is None:
-                return jsonify({"error": "missing ?like=<vec_id>"}), 400
+            vec_arg = _request.args.get("vec")
+            if like is None and vec_arg is None:
+                return jsonify({"error": "missing ?like=<vec_id> or ?vec=<floats>"}), 400
             try:
-                vec_id = int(like)
                 k = max(1, min(int(_request.args.get("k", 5)), 100))
                 n_probe = max(1, min(int(_request.args.get("n_probe", 1)), 64))
+                vec_id = int(like) if like is not None else -1
+                qvec = (
+                    [float(x) for x in vec_arg.split(",")] if vec_arg is not None else None
+                )
             except ValueError:
-                return jsonify({"error": "like/k/n_probe must be integers"}), 400
-            vectors, _cents = read_ivf_index(spark, ann_index_path)
-            row = vectors.filter(vectors.vec_id == vec_id).select("embedding").head(1)
-            if not row:
-                return jsonify({"error": f"vec_id {vec_id} not in index"}), 404
-            ranked = ivf_index_topk(
-                spark,
-                ann_index_path,
-                queries=[(vec_id, list(row[0].embedding))],
-                k=k,
-                n_probe=n_probe,
-            )
+                return jsonify({"error": "like/k/n_probe must be integers; vec must be comma-separated floats"}), 400
+            try:
+                if qvec is None:
+                    vectors, _cents = read_ivf_index(spark, ann_index_path)
+                    row = vectors.filter(vectors.vec_id == vec_id).select("embedding").head(1)
+                    if not row or row[0].embedding is None:
+                        return jsonify({"error": f"vec_id {vec_id} not in index"}), 404
+                    qvec = [float(x) for x in row[0].embedding]
+                ranked = ivf_index_topk(
+                    spark,
+                    ann_index_path,
+                    queries=[(vec_id, qvec)],
+                    k=k,
+                    n_probe=n_probe,
+                )
+            except ValueError as exc:  # read_ivf_index: no index built yet
+                return jsonify({"error": str(exc)}), 404
             rows = [
                 {"vec_id": r.vec_id, "score": r.score, "rank": r.rank}
                 for r in sorted(ranked.collect(), key=lambda r: r.rank)

@@ -2212,3 +2212,45 @@ def test_ivf_index_build_with_kmeans_and_empty_query_contracts(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no IVF index"):
         read_ivf_index(spark, str(tmp_path / "missing"))
+
+
+def test_ivf_index_build_validates_poisoned_input(spark, tmp_path):
+    """A rebuild fed bad upstream data must fail BEFORE overwriting the
+    serving index: empty corpus, null labels/embeddings/elements,
+    NaN elements, duplicate ids each raise; the previously built index
+    stays readable afterwards."""
+    import pytest as _pytest
+
+    from cdc_pipeline_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_index_topk,
+        read_ivf_index,
+    )
+
+    good = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    path = str(tmp_path / "ivfguard")
+    build_ivf_index(good, path, cell_col="label")
+
+    cases = [
+        ("empty corpus", good.limit(0)),
+        ("null label", spark.createDataFrame([(9, [1.0, 0.0], None)], good.schema)),
+        ("null embedding", spark.createDataFrame(
+            [(9, None, 0)], "vec_id long, embedding array<double>, label int")),
+        ("null element", spark.createDataFrame(
+            [(9, [1.0, None], 0)], "vec_id long, embedding array<double>, label int")),
+        ("nan element", spark.createDataFrame(
+            [(9, [1.0, float("nan")], 0)], "vec_id long, embedding array<double>, label int")),
+        ("duplicate ids", good.unionByName(good.limit(1))),
+    ]
+    for label, frame in cases:
+        with _pytest.raises(ValueError):
+            build_ivf_index(frame, path, cell_col="label")
+
+    # every failed rebuild left the good index intact and queryable
+    vectors, centroids = read_ivf_index(spark, path)
+    assert vectors.count() == 4 and centroids.count() == 2
+    out = ivf_index_topk(spark, path, [(1, [1.0, 0.0])], k=2, n_probe=2)
+    assert [r.vec_id for r in sorted(out.collect(), key=lambda r: r.rank)] == [2, 4]

@@ -461,3 +461,27 @@ def test_retrieval_ann_route_serves_neighbors(spark, kv, tmp_path):
     assert client.get("/api/retrieval/ann?like=abc").status_code == 400
     assert client.get("/api/retrieval/ann").status_code == 400
     assert create_app(kv).test_client().get("/api/retrieval/ann").status_code == 404
+
+    # direct-vector query: no lookup scan; qid=-1 means no self to
+    # exclude, so the example itself ranks first at score 1.0
+    qs = ",".join(str(x) for x in example.embedding)
+    direct = client.get(f"/api/retrieval/ann?vec={qs}&k=3&n_probe=2").get_json()
+    expected_direct = [
+        {"vec_id": r.vec_id, "score": r.score, "rank": r.rank}
+        for r in sorted(
+            ivf_index_topk(
+                spark, path, [(-1, list(example.embedding))], k=3, n_probe=2
+            ).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    assert direct["results"] == expected_direct
+    assert direct["results"][0] == {"vec_id": example.vec_id, "score": 1.0, "rank": 1}
+    assert client.get("/api/retrieval/ann?vec=1.0,not-a-float").status_code == 400
+
+    # configured-but-unbuilt index must 404 as JSON, never 500
+    unbuilt = create_app(
+        kv, spark=spark, ann_index_path=str(tmp_path / "never_built")
+    ).test_client()
+    resp = unbuilt.get("/api/retrieval/ann?like=1")
+    assert resp.status_code == 404 and "no IVF index" in resp.get_json()["error"]
