@@ -149,3 +149,55 @@ def bloom_semi_join(
         fact_key,
         "left_semi",
     )
+
+
+def bloom_anti_join(
+    facts: DataFrame,
+    build: DataFrame,
+    fact_key: str,
+    build_key: str | None = None,
+    n_bits: int = DEFAULT_N_BITS,
+    n_hashes: int = DEFAULT_N_HASHES,
+) -> DataFrame:
+    """``facts LEFT ANTI JOIN build`` with the BUILD side Bloom-pruned —
+    the dual of :func:`bloom_semi_join`, and the incremental-ingest-dedup
+    shape: ``facts`` is the SMALL new increment, ``build`` the HUGE
+    history (every fingerprint ever ingested).
+
+    The bitmap is built on the *fact* keys (bounded: the increment is
+    the small side) and probed inside the *history* scan. Bloom has no
+    false negatives, so a history row whose probe misses cannot equal
+    any increment key — dropping it before the join can never change
+    which fact rows find a match. The join's right side shrinks from
+    |history| to ~|history∩increment| + ε·|history| while the result
+    stays bit-identical to the plain ``left_anti`` (the oracle
+    property). False positives survive the prune and are discarded by
+    the exact join; fact rows with NULL keys match nothing and are kept,
+    exactly as a plain anti join keeps them.
+
+    Scan economics at 100 TB: the increment is scanned twice (once to
+    build the kilobyte bitmap, once to join) — it is small; the history
+    is scanned ONCE with the probe predicate inside its scan's
+    WholeStageCodegen, so the exchange never carries the ~100% of
+    history fingerprints that no new doc collides with."""
+    build_key = build_key or fact_key
+    fact_type = dict(facts.dtypes)[fact_key]
+    build_type = dict(build.dtypes)[build_key]
+    if fact_type != build_type:
+        # same loud-failure contract as bloom_semi_join: xxhash64 is
+        # type-sensitive, so a dtype mismatch would prune every genuine
+        # match out of the build side and silently return ALL facts.
+        raise ValueError(
+            f"bloom_anti_join key dtypes must match exactly: "
+            f"facts.{fact_key} is {fact_type}, build.{build_key} is {build_type} "
+            "(cast one side first — xxhash64 membership is type-sensitive)"
+        )
+    words = bloom_filter_words(facts, fact_key, n_bits, n_hashes)
+    pruned_build = build.filter(
+        bloom_might_contain(words, F.col(build_key), n_hashes)
+    )
+    return facts.join(
+        pruned_build.select(F.col(build_key).alias(fact_key)).distinct(),
+        fact_key,
+        "left_anti",
+    )

@@ -465,3 +465,48 @@ def docs_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incoming.join(historical, "fingerprint", "left_anti").select(
         "doc_id", "source", "fingerprint"
     )
+
+
+@register(
+    "docs_bloom_incremental",
+    r"""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    ),
+    incoming AS (SELECT * FROM fp WHERE source IN ('src0', 'src1', 'src2')),
+    historical AS (SELECT DISTINCT fingerprint FROM fp
+                   WHERE source NOT IN ('src0', 'src1', 'src2'))
+    SELECT i.doc_id, i.source, i.fingerprint
+    FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM historical h WHERE h.fingerprint = i.fingerprint)
+    """,
+)
+def docs_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME incremental-ingest dedup spec as ``docs_incremental_new``
+    — identical oracle SQL on purpose — executed through
+    ``bloom_anti_join``: the Bloom bitmap is built on the (small)
+    increment's fingerprints and probed inside the (huge) history scan,
+    so the anti join's right side shrinks from |history| to
+    ~|overlap| + ε·|history| BEFORE any exchange. Strategy independence
+    is the proof, exactly as ``doc_bm25_broad_topk`` proves the heap
+    ranking path: a value-hash match against the naive NOT-EXISTS spec
+    shows the runtime-filtered plan is output-equivalent. This is the
+    100 TB shape for continuous corpus ingest, where history holds
+    billions of 16-byte fingerprints and each increment touches almost
+    none of them (reference analog: the upsert-id routing the CDC jobs
+    apply per micro-batch, kpi_aggregator.py's dedup-before-apply)."""
+    from cdc_pipeline_spark.operators.bloom import bloom_anti_join
+    from cdc_pipeline_spark.operators.dedup import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    incoming_src = ("src0", "src1", "src2")
+    fp = docs.select("doc_id", "source", fingerprint("text").alias("fingerprint"))
+    incoming = fp.filter(F.col("source").isin(*incoming_src))
+    historical = (
+        fp.filter(~F.col("source").isin(*incoming_src)).select("fingerprint").distinct()
+    )
+    return bloom_anti_join(
+        incoming, historical, fact_key="fingerprint", n_bits=1 << 20
+    ).select("doc_id", "source", "fingerprint")

@@ -1770,6 +1770,69 @@ def test_bloom_semi_join_rejects_mismatched_key_dtypes(spark):
     assert sorted(r["key"] for r in got.collect()) == list(range(0, 100, 7))
 
 
+def test_bloom_anti_join_equals_plain_anti_join(spark):
+    """The dual direction: bitmap built on the (small) fact side prunes
+    the (huge) build side; result must be bit-identical to a plain
+    left_anti — facts-only keys kept, overlap dropped, build-only keys
+    irrelevant."""
+    from cdc_pipeline_spark.operators.bloom import bloom_anti_join
+    from pyspark.sql import functions as F
+
+    facts = spark.range(0, 400).select(
+        F.col("id").alias("fid"), F.pmod(F.col("id"), F.lit(211)).alias("key")
+    )
+    build = spark.range(0, 5000).select((F.col("id") * 7).alias("bkey"))
+    got = bloom_anti_join(facts, build, fact_key="key", build_key="bkey", n_bits=1 << 12)
+    expected = facts.join(
+        build.select(F.col("bkey").alias("key")).distinct(), "key", "left_anti"
+    )
+    assert sorted(r["fid"] for r in got.collect()) == sorted(
+        r["fid"] for r in expected.collect()
+    )
+
+
+def test_bloom_anti_join_keeps_null_fact_keys(spark):
+    # left_anti keeps NULL-key fact rows (they match nothing); the bloom
+    # path must agree on both branches of the prune
+    from cdc_pipeline_spark.operators.bloom import bloom_anti_join
+
+    facts = spark.createDataFrame([(1, 5), (2, None), (3, 7)], "fid int, key int")
+    build = spark.createDataFrame([(5,), (None,)], "bkey int")
+    got = bloom_anti_join(facts, build, fact_key="key", build_key="bkey", n_bits=1 << 10)
+    assert sorted(r["fid"] for r in got.collect()) == [2, 3]
+
+
+def test_bloom_anti_join_prunes_build_side_before_join(spark):
+    """The operator's point: the membership Filter must sit on the
+    BUILD-side scan (below the join in the printed tree), shrinking the
+    join's right input before any exchange."""
+    from cdc_pipeline_spark.operators.bloom import bloom_anti_join
+    from pyspark.sql import functions as F
+
+    facts = spark.range(0, 10).select(F.col("id").alias("key"))
+    build = spark.range(0, 1000).select((F.col("id") * 3).alias("bkey"))
+    out = bloom_anti_join(facts, build, fact_key="key", build_key="bkey", n_bits=1 << 10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    join_pos = plan.find("Join")
+    filter_pos = plan.find("forall")
+    assert join_pos != -1 and filter_pos != -1
+    assert filter_pos > join_pos, plan
+
+
+def test_bloom_anti_join_rejects_mismatched_key_dtypes(spark):
+    # a dtype mismatch here fails OPEN (bloom prunes every genuine
+    # match out of the build side → all facts returned as "new") — the
+    # silent-wrong direction, so the loud refusal matters even more
+    # than in the semi join
+    from cdc_pipeline_spark.operators.bloom import bloom_anti_join
+    from pyspark.sql import functions as F
+
+    facts = spark.range(0, 100).select(F.col("id").cast("int").alias("key"))
+    build = spark.range(0, 100, 7).select(F.col("id").alias("bkey"))  # long
+    with pytest.raises(ValueError, match="dtypes must match"):
+        bloom_anti_join(facts, build, fact_key="key", build_key="bkey")
+
+
 def test_ngram_rank_langid_planted(spark):
     """Two synthetic 'languages' with disjoint character inventories
     must classify perfectly; a doc whose grams straddle both goes to
