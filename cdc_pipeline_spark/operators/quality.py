@@ -281,6 +281,69 @@ def bigram_logprob_score(
     )
 
 
+def source_unigram_kl(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source KL divergence D(p_source ‖ p_corpus) over the unigram
+    token distribution — the mixture diagnostic behind
+    importance-resampled data selection (DSIR, Xie et al. 2023) and
+    domain-reweighting (DoReMi): a source whose token distribution sits
+    far from the corpus mean dominates or starves a temperature-mixed
+    training run, and this table is what `temperature_mix_weights`'s
+    exponent should be sanity-checked against.
+
+    Shape: ONE corpus scan → (source, token) counts; the global vocab
+    counts are a RE-AGGREGATION of that table (map-side combined — the
+    corpus is never scanned twice); per-source totals are a second tiny
+    re-agg. Each (source, token) contributes
+    ``(c_st/C_s)·ln((c_st·N)/(C_s·c_t))`` computed in doubles from
+    exact counts, rounded to DECIMAL(28,8) BEFORE the per-source sum
+    (fold-order-free — the module's standard trick), so any
+    partitioning produces identical output. All factors stay < 2^53 as
+    doubles, so the products are IEEE-exact inputs to ``ln`` in both
+    engines.
+
+    Output: (source, n_tokens, n_terms, kl_nats), one row per source.
+    """
+    posting = df.select(
+        F.col(group_col).alias("source"), F.explode_outer(tokens(text_col)).alias("token")
+    ).filter(F.col("token").isNotNull())
+    sc = posting.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c_st"))
+    gc = sc.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    cs = sc.groupBy("source").agg(F.sum("c_st").alias("c_s"))
+    n = gc.agg(F.sum("c_t").alias("n"))
+    term = (
+        sc.join(gc, "token")
+        .join(F.broadcast(cs), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            round_half_up(
+                (F.col("c_st").cast("double") / F.col("c_s").cast("double"))
+                * F.log(
+                    (F.col("c_st").cast("double") * F.col("n").cast("double"))
+                    / (F.col("c_s").cast("double") * F.col("c_t").cast("double"))
+                ),
+                8,
+            )
+            .cast("decimal(28,8)")
+            .alias("term"),
+        )
+    )
+    agg = term.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        round_half_up(F.sum("term").cast("double"), 6).alias("kl_nats"),
+    )
+    return agg.join(F.broadcast(cs), "source").select(
+        "source",
+        F.col("c_s").cast("long").alias("n_tokens"),
+        F.col("n_terms").cast("long").alias("n_terms"),
+        "kl_nats",
+    )
+
+
 def perplexity_buckets(
     df: DataFrame,
     group_col: str = "lang",

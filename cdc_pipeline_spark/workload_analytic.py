@@ -510,3 +510,46 @@ def docs_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_anti_join(
         incoming, historical, fact_key="fingerprint", n_bits=1 << 20
     ).select("doc_id", "source", "fingerprint")
+
+
+@register(
+    "source_token_kl",
+    r"""
+    WITH tok AS (
+        SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ),
+    sc AS (SELECT source, token, count(*) AS c_st FROM tok GROUP BY source, token),
+    gc AS (SELECT token, sum(c_st) AS c_t FROM sc GROUP BY token),
+    cs AS (SELECT source, sum(c_st) AS c_s FROM sc GROUP BY source),
+    tot AS (SELECT sum(c_t) AS n FROM gc),
+    term AS (
+        SELECT sc.source,
+               CAST(round(
+                   (CAST(c_st AS DOUBLE) / CAST(c_s AS DOUBLE)) *
+                   ln((CAST(c_st AS DOUBLE) * CAST(n AS DOUBLE)) /
+                      (CAST(c_s AS DOUBLE) * CAST(c_t AS DOUBLE))), 8)
+                    AS DECIMAL(28,8)) AS term
+        FROM sc JOIN gc USING (token) JOIN cs USING (source) CROSS JOIN tot
+    ),
+    agg AS (
+        SELECT source, count(*) AS n_terms, sum(term) AS kl FROM term GROUP BY source
+    )
+    SELECT agg.source,
+           CAST(cs.c_s AS BIGINT) AS n_tokens,
+           CAST(agg.n_terms AS BIGINT) AS n_terms,
+           round(CAST(agg.kl AS DOUBLE), 6) AS kl_nats
+    FROM agg JOIN cs USING (source)
+    """,
+)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence vs the corpus distribution
+    (operators/quality.py::source_unigram_kl) — the data-mixing
+    diagnostic: sources far from the corpus mean are the ones a
+    temperature-mixed training run over- or under-samples. One corpus
+    scan; global counts re-aggregate the per-source table; per-term
+    contributions quantize to DECIMAL(28,8) before the per-source sum
+    so both engines fold order-free."""
+    from cdc_pipeline_spark.operators.quality import source_unigram_kl
+
+    return source_unigram_kl(_t(spark, sf_dir, "documents"))

@@ -1576,6 +1576,44 @@ def test_enrich_activity_explicit_empty_map(spark):
     assert out.action == "view", "an explicit empty map means every event falls through"
 
 
+def test_source_unigram_kl_planted_divergence(spark):
+    """Two sources with IDENTICAL token distributions must both score
+    KL ≈ 0 (each equals the corpus mix); a third source with a disjoint
+    vocabulary must score far higher; and the result must be invariant
+    to input partitioning (the decimal-before-sum contract)."""
+    from cdc_pipeline_spark.operators.quality import source_unigram_kl
+
+    same = "alpha beta gamma alpha beta gamma"
+    base = [
+        (1, "s_a", same),
+        (2, "s_a", same),
+        (3, "s_b", same),
+        (4, "s_b", same),
+    ]
+    clean = spark.createDataFrame(base, "doc_id long, source string, text string")
+    out0 = {r["source"]: r for r in source_unigram_kl(clean).collect()}
+    # each source's distribution IS the corpus distribution → KL = 0
+    assert abs(out0["s_a"]["kl_nats"]) < 1e-6 and abs(out0["s_b"]["kl_nats"]) < 1e-6
+    assert out0["s_a"]["n_tokens"] == 12 and out0["s_a"]["n_terms"] == 3
+
+    df = spark.createDataFrame(
+        base + [(5, "s_weird", "zork quux blip zork quux blip")],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in source_unigram_kl(df).collect()}
+    # the disjoint-vocabulary source diverges hardest; the near-corpus
+    # sources shift only by the mixture dilution
+    assert out["s_weird"]["kl_nats"] > out["s_a"]["kl_nats"] > 0
+    assert out["s_weird"]["kl_nats"] > 1.0, out["s_weird"]
+    # KL is non-negative source-wise (Gibbs); quantization can't flip it
+    assert all(r["kl_nats"] >= 0 for r in out.values())
+    repart = {
+        r["source"]: r["kl_nats"]
+        for r in source_unigram_kl(df.repartition(7)).collect()
+    }
+    assert repart == {s: r["kl_nats"] for s, r in out.items()}
+
+
 def test_bigram_logprob_penalizes_word_order(spark):
     """The interpolated bigram score must separate fluent word ORDER
     from shuffled order even when the unigram vocabulary is identical —
