@@ -297,3 +297,131 @@ def pc_residual(
     xx = fold(F.transform(q, lambda x: x * x))
     xv = fold(F.zip_with(q, dir_lit, lambda a, b: a * b))
     return df.withColumn("resid", F.lit(vv).cast("long") * xx - xv * xv)
+
+
+def dim_moments(
+    df: DataFrame, vec_col: str = "embedding", scale: int = 1 << 12
+) -> tuple[int, list[int], list[int]]:
+    """Exact per-dimension first/second moments of the half-up integer
+    quantization ``x = floor(v·scale + 0.5)``: returns ``(n, m, s)``
+    with ``m[i] = Σx_i`` and ``s[i] = Σx_i²`` as Python ints.
+
+    Pure-JVM path (no Arrow batch needed for diagonal-only moments):
+    one ``posexplode`` → map-side-combined groupBy on the dim index —
+    the shuffle carries O(partitions·d) partial rows at any corpus
+    size, and the collect is d rows of control state (same budget
+    class as k-means centroids). Sums aggregate as decimal(38,0), so
+    no corpus size can wrap them.
+    """
+    q = df.select(
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)),
+            )
+        ).alias("i", "x")
+    )
+    rows = (
+        q.groupBy("i")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("m"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("s"),
+        )
+        .collect()
+    )
+    if not rows:
+        return 0, [], []
+    d = max(r["i"] for r in rows) + 1
+    n = max(int(r["n"]) for r in rows)
+    m = [0] * d
+    s = [0] * d
+    for r in rows:
+        m[int(r["i"])] = int(r["m"])
+        s[int(r["i"])] = int(r["s"])
+    return n, m, s
+
+
+def zscore_outlier_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1 << 12,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k embedding outliers by diagonal-covariance Mahalanobis
+    distance: per vector, ``Σ_d z_d²`` with
+    ``z_d² = (n·x_d − m_d)² / (n·s_d − m_d²)`` over the quantized
+    components — the robust feature-health screen that catches vectors
+    whose per-dimension deviations are individually large even when no
+    single dot product flags them (the standard pre-filter before
+    whitening or ANN indexing; complements the Cauchy–Schwarz residual
+    in :func:`pc_residual`, which only sees the top principal axis).
+
+    Scale shape: ONE bounded collect of the d-row moment table
+    (:func:`dim_moments`), then per-vector scoring is a zero-shuffle
+    in-row expression over broadcast moment literals, and the top-k is
+    ``orderBy().limit(k)`` → TakeOrderedAndProject (per-partition
+    heaps + driver merge — no global sort).
+
+    Determinism: moments are exact ints; per-dim terms are doubles
+    computed from exact ints (< 2^53 for the documented bound
+    n·scale·max|v| < 9·10¹⁵ — the oracle replays the identical
+    expression shape) quantized to DECIMAL(28,8) BEFORE the in-row
+    sum; ranking orders on the exact decimal sum with an id tie-break.
+    Zero-variance dimensions contribute exactly 0 (guarded division).
+
+    Output: (id_col, z2_sum double) — k rows, score descending.
+    """
+    n, m, s = dim_moments(df, vec_col, scale)
+    nd = float(n)
+    md = [float(x) for x in m]
+    gd = [float(n * si - mi * mi) for mi, si in zip(m, s)]
+    # string→double literals: repr() is the shortest exact round-trip,
+    # and the CAST form survives scientific notation ('1e+16D' would
+    # not lex as a double literal)
+    md_arr = F.expr(
+        "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in md) + ")"
+    )
+    gd_arr = F.expr(
+        "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in gd) + ")"
+    )
+    from cdc_pipeline_spark.operators.rounding import round_half_up
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast(
+            "double"
+        ),
+    )
+    zero = F.lit(0).cast("decimal(28,8)")
+
+    def term(qx, i):
+        g = F.get(gd_arr, i)
+        mi = F.get(md_arr, i)
+        dev = F.lit(nd) * qx - mi
+        return F.when(g == F.lit(0.0), zero).otherwise(
+            round_half_up(dev * dev / g, 8).cast("decimal(28,8)")
+        )
+
+    # accumulator sized so acc + term NEVER exceeds precision 38:
+    # decimal(32,8) + decimal(28,8) → decimal(33,8), exact. A (38,8)
+    # accumulator would push the add to precision 39, where Spark's
+    # allowPrecisionLoss silently drops to SCALE 7 — observed as every
+    # sum ending in 0 at the 8th decimal and 2e-7 oracle drift.
+    score = F.aggregate(
+        F.transform(q, term),
+        F.lit(0).cast("decimal(32,8)"),
+        lambda acc, t: (acc + t).cast("decimal(32,8)"),
+    )
+    ranked = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), score.alias("s2"))
+        .orderBy(F.desc("s2"), id_col)
+        .limit(k)
+    )
+    # no re-round: terms are already 8dp-quantized, so the exact decimal
+    # sum casts to the identical double in both engines — re-rounding to
+    # fewer places would sit ON the half boundary whenever the sum ends
+    # in ...50 (systematic with 1e-8-grid terms) and flip by engine
+    return ranked.select(id_col, F.col("s2").cast("double").alias("z2_sum"))

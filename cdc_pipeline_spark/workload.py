@@ -5087,6 +5087,51 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZSCORE_SCALE = 1 << 12
+
+
+def _zscore_outliers_sql(scale: int = _ZSCORE_SCALE, dim: int = _LINALG_DIM) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
+    dims AS (SELECT unnest(generate_series(0, {dim - 1})) AS i),
+    q AS MATERIALIZED (SELECT e.vec_id, d.i,
+        CAST(floor(e.v[d.i + 1] * {float(scale)} + 0.5) AS BIGINT) AS x
+        FROM e CROSS JOIN dims d),
+    mo AS MATERIALIZED (SELECT i, sum(x) AS m, sum(x * x) AS s FROM q GROUP BY i),
+    nn AS (SELECT count(*) AS n FROM e),
+    mom AS (SELECT i, CAST(m AS DOUBLE) AS md,
+                   CAST((SELECT n FROM nn) AS DOUBLE) AS nd,
+                   CAST((SELECT n FROM nn) * s - m * m AS DOUBLE) AS gd
+            FROM mo),
+    term AS (SELECT q.vec_id,
+        CASE WHEN gd = 0 THEN CAST(0 AS DECIMAL(28,8))
+             ELSE CAST(round((nd * CAST(x AS DOUBLE) - md) *
+                             (nd * CAST(x AS DOUBLE) - md) / gd, 8)
+                       AS DECIMAL(28,8)) END AS t
+        FROM q JOIN mom USING (i)),
+    sc AS (SELECT vec_id, sum(t) AS s2 FROM term GROUP BY vec_id)
+    SELECT vec_id, CAST(s2 AS DOUBLE) AS z2_sum
+    FROM sc ORDER BY s2 DESC, vec_id LIMIT 50
+    """
+
+
+@register("embedding_zscore_outliers", _zscore_outliers_sql())
+def embedding_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 embedding outliers by diagonal-covariance Mahalanobis
+    distance (linalg.zscore_outlier_topk): per-dim z² from the exact
+    integer moment table, quantized to DECIMAL(28,8) before the in-row
+    sum, ranked on the exact decimal with vec_id tie-break. One bounded
+    d-row collect + a zero-shuffle scoring scan + TakeOrdered — the
+    feature-health screen that flags vectors with many moderately
+    deviant dimensions, which the top-PC residual audit cannot see."""
+    from cdc_pipeline_spark.operators.linalg import zscore_outlier_topk
+
+    return zscore_outlier_topk(
+        _emb(spark, sf_dir), scale=_ZSCORE_SCALE, k=50
+    )
+
+
 @register("embedding_principal_component", _principal_component_sql())
 def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-quantized top principal direction of the embedding

@@ -184,3 +184,53 @@ def test_pc_residual_zero_for_parallel_vector(spark):
     vec = [c / 4.0 for c in direction]
     df = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<double>")
     assert pc_residual(df, direction, scale=1 << 10).first()["resid"] == 0
+
+
+def test_dim_moments_match_bruteforce(spark):
+    from cdc_pipeline_spark.operators.linalg import dim_moments
+
+    vecs = _random_vectors(30, seed=11)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    n, m, s = dim_moments(df, scale=1 << 10)
+    assert n == 30
+    q = [[math.floor(x * (1 << 10) + 0.5) for x in v] for v in vecs]
+    for d in range(len(vecs[0])):
+        assert m[d] == sum(row[d] for row in q)
+        assert s[d] == sum(row[d] * row[d] for row in q)
+
+
+def test_zscore_outlier_topk_planted_outlier_and_invariance(spark):
+    """A vector far from the cluster in every dimension must rank
+    first; a constant (zero-variance) dimension must contribute 0
+    instead of dividing by zero; the ranking must be invariant to
+    input partitioning (the decimal-before-sum contract)."""
+    from cdc_pipeline_spark.operators.linalg import zscore_outlier_topk
+
+    base = _random_vectors(40, seed=3)
+    # pin dimension 0 constant across ALL rows → zero variance
+    rows = [(i, [0.25] + v[1:]) for i, v in enumerate(base)]
+    rows.append((999, [0.25] + [9.0] * (len(base[0]) - 1)))  # the outlier
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = zscore_outlier_topk(df, scale=1 << 10, k=5).collect()
+    assert got[0]["vec_id"] == 999
+    assert got[0]["z2_sum"] > got[1]["z2_sum"]
+    again = zscore_outlier_topk(df.repartition(7), scale=1 << 10, k=5).collect()
+    assert [(r["vec_id"], r["z2_sum"]) for r in got] == [
+        (r["vec_id"], r["z2_sum"]) for r in again
+    ]
+
+
+def test_zscore_outlier_topk_zero_variance_everywhere(spark):
+    # all-identical corpus: every dim has zero variance → every score
+    # is exactly 0.0 and the guard never divides
+    from cdc_pipeline_spark.operators.linalg import zscore_outlier_topk
+
+    df = spark.createDataFrame(
+        [(i, [0.5, -0.5, 0.25]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    got = zscore_outlier_topk(df, scale=1 << 10, k=3).collect()
+    assert [r["z2_sum"] for r in got] == [0.0, 0.0, 0.0]
+    assert [r["vec_id"] for r in got] == [0, 1, 2]  # id tie-break
