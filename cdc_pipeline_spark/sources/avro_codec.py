@@ -34,8 +34,10 @@ from __future__ import annotations
 
 import json
 import struct as _struct
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from typing import Any, Callable
+
+_EPOCH_NAIVE = datetime(1970, 1, 1)
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
@@ -54,7 +56,13 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["avro_to_spark_schema", "compile_decoder", "decode_avro_python"]
+__all__ = [
+    "avro_to_spark_schema",
+    "compile_decoder",
+    "compile_encoder",
+    "decode_avro_python",
+    "spark_to_avro_schema",
+]
 
 
 class _Cursor:
@@ -113,7 +121,10 @@ def _spark_type(schema: Any) -> tuple[DataType, bool]:
             raise ValueError("only 2-branch null unions are supported")
         inner, _ = _spark_type(branches[0])
         return inner, nullable
-    if kind == "long" and node.get("logicalType") == "timestamp-millis":
+    if kind == "long" and node.get("logicalType") in (
+        "timestamp-millis",
+        "timestamp-micros",
+    ):
         return TimestampType(), False
     scalar = {
         "null": StringType(),  # degenerate; never used alone in practice
@@ -174,6 +185,10 @@ def _compile(schema: Any) -> Callable[[_Cursor], Any]:
     if kind in ("int", "long"):
         if node.get("logicalType") == "timestamp-millis":
             return lambda cur: datetime.fromtimestamp(cur.read_long() / 1000.0, tz=timezone.utc).replace(tzinfo=None)
+        if node.get("logicalType") == "timestamp-micros":
+            # integer path — float division would round micros above
+            # ~2^53/1e6 seconds; timedelta arithmetic is exact
+            return lambda cur: _EPOCH_NAIVE + timedelta(microseconds=cur.read_long())
         return lambda cur: cur.read_long()
     if kind == "float":
         return lambda cur: _struct.unpack("<f", cur.take(4))[0]
@@ -236,6 +251,10 @@ def compile_decoder(avro_schema_json: str) -> Callable[[bytes], dict]:
             raise ValueError("trailing bytes after record")
         return out
 
+    # cursor-level entry point for container formats (avro_ocf): block
+    # records are back-to-back, so the full-consumption check above
+    # moves to the block boundary there
+    decode.reader = reader  # type: ignore[attr-defined]
     return decode
 
 
@@ -314,3 +333,178 @@ def decode_avro_python(df: DataFrame, avro_schema_json: str, column: str = "valu
             yield out
 
     return df.select(column).mapInPandas(gen, schema=spark_schema)
+
+
+# ---------------------------------------------------------------------------
+# Encoder — the symmetric half (jar-free Avro writes: OCF batch mirror,
+# Kafka producer payloads). Same supported subset as the decoder; a
+# round-trip through compile_encoder → compile_decoder is the identity
+# for every supported type.
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_bytes(n: int) -> bytes:
+    """Avro long: zig-zag then base-128 varint, little-endian groups."""
+    # canonical (n << 1) ^ (n >> 63) on the 64-bit value; Python ints
+    # never wrap, so mask to the u64 the varint loop expects
+    z = ((n << 1) ^ (n >> 63)) & 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _ts_micros(value: Any) -> int:
+    """datetime/pandas-Timestamp/int → exact epoch micros (naive = UTC)."""
+    if isinstance(value, int):
+        return value
+    if hasattr(value, "to_pydatetime"):  # pandas Timestamp
+        value = value.to_pydatetime()
+    if isinstance(value, datetime):
+        if value.tzinfo is not None:
+            value = value.astimezone(timezone.utc).replace(tzinfo=None)
+        delta = value - _EPOCH_NAIVE
+        return (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+    raise TypeError(f"cannot encode {type(value).__name__} as timestamp-micros")
+
+
+def _compile_writer(schema: Any) -> Callable[[Any, bytearray], None]:
+    kind, node = _normalize(schema)
+    if kind == "union":
+        branches = node["branches"]
+        null_idx = next((i for i, b in enumerate(branches) if b == "null"), None)
+        others = [(i, _compile_writer(b)) for i, b in enumerate(branches) if b != "null"]
+        if null_idx is None or len(others) != 1:
+            raise ValueError("only 2-branch null unions are supported")
+        (val_idx, write_val) = others[0]
+
+        def write_union(value, buf, _n=null_idx, _v=val_idx, _w=write_val):
+            if value is None:
+                buf += _zigzag_bytes(_n)
+            else:
+                buf += _zigzag_bytes(_v)
+                _w(value, buf)
+
+        return write_union
+    if kind == "null":
+        return lambda value, buf: None
+    if kind == "boolean":
+        return lambda value, buf: buf.append(1 if value else 0)
+    if kind in ("int", "long"):
+        if node.get("logicalType") == "timestamp-millis":
+            return lambda value, buf: buf.__iadd__(
+                _zigzag_bytes(_ts_micros(value) // 1000)
+            )
+        if node.get("logicalType") == "timestamp-micros":
+            return lambda value, buf: buf.__iadd__(_zigzag_bytes(_ts_micros(value)))
+        return lambda value, buf: buf.__iadd__(_zigzag_bytes(int(value)))
+    if kind == "float":
+        return lambda value, buf: buf.__iadd__(_struct.pack("<f", float(value)))
+    if kind == "double":
+        return lambda value, buf: buf.__iadd__(_struct.pack("<d", float(value)))
+    if kind == "bytes":
+        def write_bytes(value, buf):
+            data = bytes(value)
+            buf += _zigzag_bytes(len(data))
+            buf += data
+
+        return write_bytes
+    if kind == "string":
+        def write_string(value, buf):
+            data = str(value).encode("utf-8")
+            buf += _zigzag_bytes(len(data))
+            buf += data
+
+        return write_string
+    if kind == "record":
+        writers = [(f["name"], _compile_writer(f["type"])) for f in node["fields"]]
+
+        def write_record(value, buf, _writers=writers):
+            for name, writer in _writers:
+                writer(value[name], buf)
+
+        return write_record
+    if kind == "array":
+        item = _compile_writer(node["items"])
+
+        def write_array(value, buf, _item=item):
+            items = list(value)
+            if items:
+                buf += _zigzag_bytes(len(items))
+                for v in items:
+                    _item(v, buf)
+            buf += _zigzag_bytes(0)
+
+        return write_array
+    if kind == "map":
+        val = _compile_writer(node["values"])
+
+        def write_map(value, buf, _val=val):
+            entries = dict(value)
+            if entries:
+                buf += _zigzag_bytes(len(entries))
+                for k, v in entries.items():
+                    data = str(k).encode("utf-8")
+                    buf += _zigzag_bytes(len(data))
+                    buf += data
+                    _val(v, buf)
+            buf += _zigzag_bytes(0)
+
+        return write_map
+    raise ValueError(f"unsupported Avro type: {kind}")
+
+
+def compile_encoder(avro_schema_json: str) -> Callable[[dict], bytes]:
+    """record dict → Avro binary bytes (inverse of compile_decoder)."""
+    writer = _compile_writer(json.loads(avro_schema_json))
+
+    def encode(record: dict) -> bytes:
+        buf = bytearray()
+        writer(record, buf)
+        return bytes(buf)
+
+    return encode
+
+
+def spark_to_avro_schema(schema: StructType, name: str = "row") -> str:
+    """Spark StructType → Avro record schema JSON (inverse of
+    avro_to_spark_schema for the supported subset; timestamps map to
+    ``timestamp-micros`` — Spark's native resolution, lossless)."""
+
+    def field_type(dt: DataType, nullable: bool) -> Any:
+        t = dt.typeName()
+        scalar = {
+            "boolean": "boolean",
+            "integer": "int",
+            "long": "long",
+            "float": "float",
+            "double": "double",
+            "binary": "bytes",
+            "string": "string",
+        }
+        if t in scalar:
+            out: Any = scalar[t]
+        elif t == "timestamp":
+            out = {"type": "long", "logicalType": "timestamp-micros"}
+        elif isinstance(dt, StructType):
+            out = json.loads(spark_to_avro_schema(dt, name=f"{name}_struct"))
+        elif isinstance(dt, ArrayType):
+            out = {"type": "array", "items": field_type(dt.elementType, dt.containsNull)}
+        elif isinstance(dt, MapType):
+            if dt.keyType.typeName() != "string":
+                raise ValueError("Avro maps require string keys")
+            out = {"type": "map", "values": field_type(dt.valueType, dt.valueContainsNull)}
+        else:
+            raise ValueError(f"unsupported Spark type for Avro: {t}")
+        return ["null", out] if nullable else out
+
+    fields = [
+        {"name": f.name, "type": field_type(f.dataType, f.nullable)}
+        for f in schema.fields
+    ]
+    return json.dumps({"type": "record", "name": name, "fields": fields})

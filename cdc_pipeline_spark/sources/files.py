@@ -209,3 +209,158 @@ def write_xml(
         .options(**options)
         .save(path)
     )
+
+
+def write_avro(
+    df: DataFrame,
+    path: str,
+    codec: str = "null",
+    mode: str = "error",
+    records_per_block: int = 1000,
+) -> None:
+    """Jar-free Avro OCF writer (``sources.avro_ocf``): each partition
+    encodes into ONE container file inside an Arrow ``mapInPandas``
+    pass — no shuffle, no driver funnel — streamed block-by-block per
+    Arrow batch (partition size never buffers in worker memory beyond
+    one batch). Files land as ``part-{pid:05d}.avro`` via tmp+rename
+    with a deterministic sync marker, so a retried task attempt
+    rewrites byte-identical output (idempotent under task retries).
+
+    Timestamps encode as ``timestamp-micros`` on the true epoch: Arrow
+    hands the UDF naive wall clocks in the session zone, so non-UTC
+    sessions are shifted to UTC before encoding (symmetric with
+    ``read_avro``'s shift back). Like XML, Avro here is an INTERCHANGE
+    edge: row-oriented, no pushdown — convert to parquet at the
+    boundary. Local/shared-filesystem paths only (object stores need a
+    committer; write parquet there instead).
+    """
+    import os
+    import shutil
+
+    from cdc_pipeline_spark.sources.avro_codec import (
+        compile_encoder,
+        spark_to_avro_schema,
+    )
+    from cdc_pipeline_spark.sources.avro_ocf import (
+        _sync_marker,
+        ocf_block_bytes,
+        ocf_header_bytes,
+    )
+
+    if os.path.exists(path):
+        if mode == "overwrite":
+            shutil.rmtree(path)
+        elif mode == "error":
+            raise FileExistsError(f"write_avro target exists: {path}")
+        else:
+            raise ValueError(f"write_avro supports modes error/overwrite, got {mode!r}")
+    os.makedirs(path, exist_ok=True)
+    schema_json = spark_to_avro_schema(df.schema)
+    ts_cols = tuple(
+        f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp"
+    )
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+
+    def gen(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        encode = compile_encoder(schema_json)
+        sync = _sync_marker(schema_json, str(pid))
+        tmp = os.path.join(path, f".part-{pid:05d}.avro.tmp")
+        final = os.path.join(path, f"part-{pid:05d}.avro")
+        n = 0
+        fh = None
+        try:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                if ts_cols and session_tz not in ("UTC", "Etc/UTC", "GMT"):
+                    for c in ts_cols:
+                        pdf[c] = (
+                            pd.to_datetime(pdf[c])
+                            .dt.tz_localize(session_tz)
+                            .dt.tz_convert("UTC")
+                            .dt.tz_localize(None)
+                        )
+                # object-cast so NaN/NaT become encodable None (nullable
+                # branch); ints/strings pass through as Python objects
+                recs = pdf.astype(object).where(pd.notna(pdf), None).to_dict("records")
+                if fh is None:
+                    fh = open(tmp, "wb")
+                    fh.write(ocf_header_bytes(schema_json, codec, sync))
+                for lo in range(0, len(recs), records_per_block):
+                    fh.write(
+                        ocf_block_bytes(
+                            recs[lo : lo + records_per_block], encode, codec, sync
+                        )
+                    )
+                n += len(recs)
+        finally:
+            if fh is not None:
+                fh.close()
+        if fh is not None:
+            os.replace(tmp, final)
+            yield pd.DataFrame({"path": [final], "n_records": [n]})
+
+    manifest = df.mapInPandas(gen, schema="path string, n_records long")
+    manifest.collect()  # bounded: one row per non-empty partition
+
+
+def read_avro(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    max_block_bytes: int | None = None,
+) -> DataFrame:
+    """Jar-free Avro OCF reader: ``binaryFile`` scan (one task per
+    container file — parallel across the files ``write_avro`` laid
+    down) + Arrow ``mapInPandas`` block decode with the embedded writer
+    schema. Pass ``schema`` to pin the output contract (and to skip the
+    driver-side single-header peek an inference read performs); the
+    decode itself always uses the embedded schema — no resolution, by
+    the codec module's contract. Corrupt containers raise (a silently
+    short table is worse than a loud file name); corrupt single records
+    cannot exist in a container whose sync markers verify."""
+    from cdc_pipeline_spark.sources.avro_codec import avro_to_spark_schema
+    from cdc_pipeline_spark.sources.avro_ocf import (
+        DEFAULT_MAX_BLOCK_BYTES,
+        read_ocf_bytes,
+        read_ocf_schema,
+    )
+
+    limit = DEFAULT_MAX_BLOCK_BYTES if max_block_bytes is None else int(max_block_bytes)
+    blobs = read_binary_files(spark, path, glob="*.avro")
+    if schema is None:
+        first = blobs.select("content").limit(1).collect()
+        if not first:
+            raise ValueError(
+                f"read_avro: no .avro files under {path} and no schema given"
+            )
+        schema = avro_to_spark_schema(read_ocf_schema(bytes(first[0]["content"])))
+    out_schema = schema
+    out_cols = out_schema.fieldNames()
+    ts_cols = tuple(
+        f.name for f in out_schema.fields if f.dataType.typeName() == "timestamp"
+    )
+    session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                recs = list(read_ocf_bytes(bytes(blob), max_block_bytes=limit))
+                out = pd.DataFrame(recs, columns=out_cols)
+                if len(out) and ts_cols and session_tz not in ("UTC", "Etc/UTC", "GMT"):
+                    for c in ts_cols:
+                        out[c] = (
+                            pd.to_datetime(out[c])
+                            .dt.tz_localize("UTC")
+                            .dt.tz_convert(session_tz)
+                            .dt.tz_localize(None)
+                        )
+                yield out
+
+    return blobs.select("content").mapInPandas(gen, schema=out_schema)

@@ -2343,6 +2343,40 @@ def orders_priority_from_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_from_avro",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(max(epoch(o_orderdate)) AS BIGINT) AS last_order_epoch
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_from_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OCF source under the oracle: orders is mirrored to Avro
+    container files by the from-scratch jar-free writer
+    (sources/avro_ocf.py, deflate codec to exercise the RFC-1951 path)
+    and read back via sources.files.read_avro, then aggregated per
+    priority exactly like the ORC mirror query — a value-hash match
+    proves faithful per-row round-trip through the binary encoder,
+    the container framing, AND timestamp-micros encoding (the
+    max-epoch column). Completes the S11 format matrix: parquet / CSV
+    / JSON / ORC / XML / binaryFile / Avro."""
+    from cdc_pipeline_spark.sources.files import read_avro, write_avro
+
+    orders = _t(spark, sf_dir, "orders")
+    mirror = _format_mirror_path(sf_dir, "avro", "orders")
+    write_avro(orders, mirror, mode="overwrite", codec="deflate")
+    back = read_avro(spark, mirror, schema=orders.schema)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        round_half_up(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.max(F.col("o_orderdate").cast("long")).alias("last_order_epoch"),
+    )
+
+
+@register(
     "nations_from_xml",
     """
     SELECT n_regionkey,

@@ -603,3 +603,157 @@ def test_jdbc_snapshot_roundtrip_on_embedded_derby(spark):
     )
     assert parted.rdd.getNumPartitions() == 4
     assert sorted(map(tuple, parted.collect())) == sorted(map(tuple, src.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Avro encoder + OCF container (sources/avro_codec.py, avro_ocf.py)
+# ---------------------------------------------------------------------------
+
+
+def _ocf_schema():
+    import json
+
+    return json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "name", "type": ["null", "string"]},
+                {"name": "price", "type": "double"},
+                {"name": "flag", "type": "boolean"},
+                {"name": "raw", "type": "bytes"},
+                {"name": "tags", "type": {"type": "array", "items": "string"}},
+                {"name": "kv", "type": {"type": "map", "values": "long"}},
+                {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+            ],
+        }
+    )
+
+
+def _ocf_records(n=2500):
+    import datetime
+
+    return [
+        {
+            "id": i,
+            "name": None if i % 3 == 0 else f"név{i}",
+            "price": i * 0.5,
+            "flag": i % 2 == 0,
+            "raw": bytes([i % 256, 0, 255]),
+            "tags": [f"t{i}", "x"] if i % 5 else [],
+            "kv": {"a": i, "b": -i} if i % 7 else {},
+            "ts": datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=i, microseconds=i),
+        }
+        for i in range(n)
+    ]
+
+
+def test_ocf_roundtrip_null_and_deflate_codecs():
+    from cdc_pipeline_spark.sources.avro_ocf import read_ocf_bytes, write_ocf_bytes
+
+    schema, recs = _ocf_schema(), _ocf_records()
+    for codec in ("null", "deflate"):
+        blob = write_ocf_bytes(recs, schema, codec=codec, records_per_block=700)
+        assert list(read_ocf_bytes(blob)) == recs
+    # deflate must actually compress this redundant data
+    assert len(write_ocf_bytes(recs, schema, codec="deflate")) < len(
+        write_ocf_bytes(recs, schema)
+    )
+
+
+def test_ocf_encoder_long_extremes_and_empty():
+    from cdc_pipeline_spark.sources.avro_codec import compile_decoder, compile_encoder
+    from cdc_pipeline_spark.sources.avro_ocf import read_ocf_bytes, write_ocf_bytes
+    import json
+
+    schema = json.dumps(
+        {"type": "record", "name": "r", "fields": [{"name": "v", "type": "long"}]}
+    )
+    enc, dec = compile_encoder(schema), compile_decoder(schema)
+    for v in (0, -1, 1, 63, -64, 2**62, -(2**62), 2**63 - 1, -(2**63)):
+        assert dec(enc({"v": v})) == {"v": v}, v
+    assert list(read_ocf_bytes(write_ocf_bytes([], schema))) == []
+
+
+def test_ocf_rejects_corruption_and_bad_magic():
+    import pytest
+
+    from cdc_pipeline_spark.sources.avro_ocf import read_ocf_bytes, write_ocf_bytes
+
+    schema, recs = _ocf_schema(), _ocf_records(10)
+    blob = write_ocf_bytes(recs, schema)
+    with pytest.raises(ValueError, match="sync marker"):
+        list(read_ocf_bytes(blob[:-5] + b"XXXXX"))
+    with pytest.raises(ValueError, match="bad magic"):
+        list(read_ocf_bytes(b"NOPE" + blob[4:]))
+    with pytest.raises(ValueError, match="unsupported Avro codec"):
+        write_ocf_bytes(recs, schema, codec="snappy")
+
+
+def test_ocf_deflate_bomb_bounded():
+    """A tiny deflate block expanding past max_block_bytes must raise
+    without allocating the expansion (bound enforced DURING inflate)."""
+    import json
+
+    import pytest
+
+    from cdc_pipeline_spark.sources.avro_ocf import read_ocf_bytes, write_ocf_bytes
+
+    schema = json.dumps(
+        {"type": "record", "name": "r", "fields": [{"name": "s", "type": "string"}]}
+    )
+    # 8 MiB of zeros deflates to ~8 KiB
+    recs = [{"s": "\x00" * (1 << 23)}]
+    blob = write_ocf_bytes(recs, schema, codec="deflate")
+    assert len(blob) < 1 << 16
+    with pytest.raises(ValueError, match="max_block_bytes"):
+        list(read_ocf_bytes(blob, max_block_bytes=1 << 16))
+    # and within budget it decodes fine
+    assert next(read_ocf_bytes(blob, max_block_bytes=1 << 24))["s"] == "\x00" * (1 << 23)
+
+
+def test_write_read_avro_spark_roundtrip(spark, tmp_path):
+    """Distributed round-trip: nullable strings, doubles, timestamps
+    across multiple partitions/files; read back equals the original."""
+    import datetime
+
+    from cdc_pipeline_spark.sources.files import read_avro, write_avro
+
+    rows = [
+        (
+            i,
+            None if i % 4 == 0 else f"u{i}",
+            i * 1.25,
+            datetime.datetime(2024, 2, 1) + datetime.timedelta(minutes=i),
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, amt double, ts timestamp")
+    target = str(tmp_path / "avro_rt")
+    write_avro(df.repartition(4), target, mode="overwrite")
+    import os
+
+    parts = [p for p in os.listdir(target) if p.endswith(".avro")]
+    assert len(parts) == 4  # one container per partition, no tmp leftovers
+    back = read_avro(spark, target)
+    assert back.schema == df.schema
+    assert sorted(back.collect()) == sorted(df.collect())
+    # mode=error refuses to clobber
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        write_avro(df, target, mode="error")
+
+
+def test_read_avro_empty_dir_requires_schema(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from cdc_pipeline_spark.sources.files import read_avro
+
+    empty = str(tmp_path / "none")
+    os.makedirs(empty)
+    with pytest.raises(Exception):  # binaryFile on empty dir or explicit raise
+        read_avro(spark, empty).collect()
