@@ -5712,6 +5712,13 @@ _DRIVER_WINDOW_PRIORITY = [
     # re-verified by three independent FULL 155-query sweeps this round
     # (sf0.001, sf0.01, sf0.1) plus the adversarial local[5]/7 layout
     # sweep, all 155/155 (COVERAGE.md round-6 closing state) --
+    # -- round-6 session-2 registrations (newest first): bloom anti-join
+    # ingest dedup, per-source KL mixture diagnostic, diagonal-
+    # Mahalanobis embedding outliers, Avro OCF round-trip --
+    "docs_bloom_incremental",
+    "source_token_kl",
+    "embedding_zscore_outliers",
+    "orders_from_avro",
     "dedup_snm_multipass",
     "doc_bm25_broad_topk",
     "dedup_sorted_neighborhood",
@@ -5761,10 +5768,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "q16_part_supplier_variety",
     "q17_small_qty_avg_revenue",
     "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_bulk_part_suppliers",
-    "q21_sole_late_supplier",
-    "q22_idle_customer_balance",
 ]
 
 # Everything else not yet re-checked this round (each was green in the
@@ -5772,6 +5775,12 @@ _DRIVER_WINDOW_PRIORITY = [
 # ordered explicitly so the registry rotation is a recorded decision,
 # not a silent off-by-N, and first in line for the round-6 window.
 _DRIVER_WINDOW_CARRYOVER = [
+    # evicted from the round-6 window by the session-2 registrations —
+    # first in line for round 7 (all green in this round's full sweeps)
+    "q19_disjunctive_revenue",
+    "q20_bulk_part_suppliers",
+    "q21_sole_late_supplier",
+    "q22_idle_customer_balance",
     # round-5 carryover names the 50-slot round-6 window could not
     # hold — first in line for round 7
     "q2_min_price_per_type",
