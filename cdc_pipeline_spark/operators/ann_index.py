@@ -71,30 +71,23 @@ def build_ivf_index(
       nulls the whole centroid fold for that dimension);
     * duplicate ids → ValueError (the k-means assignment join would
       square them, over-weighting centroids and crowding top-k).
+
+    Validation runs BEFORE k-means (a null embedding would TypeError
+    inside kmeans' seed collect, not reach these checks) and the new
+    index is built into a staging directory, then swapped in: the live
+    ``vectors/``+``centroids/`` pair moves aside as a unit before the
+    staged pair moves in, so a reader during the swap sees a clean
+    "no index" (the serving route 404s briefly) — never a MIXED read
+    of new vectors against stale centroids — and a build that dies
+    mid-write leaves the old index fully intact.
     """
+    import shutil
+
     base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-    if cell_col is not None:
-        assigned = df.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("embedding"),
-            F.col(cell_col).cast("int").alias("cell"),
-        )
-    else:
-        from cdc_pipeline_spark.operators.clustering import kmeans
-
-        clusters = kmeans(base, k=n_cells, max_iters=max_iters)
-        assigned = base.join(
-            clusters.select(F.col("vec_id"), F.col("cluster").alias("cell")), "vec_id"
-        )
-    # materialize once: validation actions + both writes + the count all
-    # re-read this frame (the codebase's semantic_dedup pattern)
-    assigned = assigned.localCheckpoint(eager=True)
-
-    if not assigned.head(1):
+    if not base.head(1):
         raise ValueError("refusing to build an IVF index over an empty corpus")
-    bad = assigned.filter(
-        F.col("cell").isNull()
-        | F.col("vec_id").isNull()
+    bad = base.filter(
+        F.col("vec_id").isNull()
         | F.col("embedding").isNull()
         | F.exists(
             "embedding",
@@ -103,24 +96,65 @@ def build_ivf_index(
     )
     if bad.head(1):
         raise ValueError(
-            "IVF index input has null ids/cells/embeddings (or null/NaN/Inf "
+            "IVF index input has null ids/embeddings (or null/NaN/Inf "
             "vector elements) — fix upstream; refusing to build a poisoned index"
         )
-    dup = (
-        assigned.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n")).filter("n > 1")
-    )
+    dup = base.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n")).filter("n > 1")
     if dup.head(1):
         raise ValueError("IVF index input has duplicate vec_ids — dedupe upstream")
 
+    if cell_col is not None:
+        assigned = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            F.col(cell_col).cast("int").alias("cell"),
+        )
+        if assigned.filter(F.col("cell").isNull()).head(1):
+            raise ValueError(
+                "IVF index input has null/non-castable cell labels — "
+                "refusing to build a poisoned index"
+            )
+    else:
+        from cdc_pipeline_spark.operators.clustering import kmeans
+
+        clusters = kmeans(base, k=n_cells, max_iters=max_iters)
+        assigned = base.join(
+            clusters.select(F.col("vec_id"), F.col("cluster").alias("cell")), "vec_id"
+        )
+    # materialize once: both writes re-read this frame (the codebase's
+    # semantic_dedup pattern)
+    assigned = assigned.localCheckpoint(eager=True)
+
+    # stage the full new index first — the live pair stays untouched
+    # until both staged writes have committed
+    stage = os.path.join(path, ".build-staging")
+    if os.path.exists(stage):
+        shutil.rmtree(stage)  # leftover from a dead build; old index intact
     # one shuffle: co-locate each cell's vectors into its own partition
     # directory — the physical locality every probe depends on
     assigned.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "vectors")
+        os.path.join(stage, "vectors")
     )
     cents = grouped_vector_means(
         assigned.select("vec_id", "embedding", "cell"), "cell"
     ).select(F.col("cell").cast("int").alias("cell"), F.col("centroid"))
-    cents.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    cents.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "centroids"))
+
+    # swap: old pair aside AS A UNIT, staged pair in, old removed. A
+    # reader between the renames finds a missing table and raises the
+    # clean "no IVF index" (route 404s), never stale-centroid routing.
+    old = os.path.join(path, ".build-old")
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.makedirs(old)
+    for part in ("vectors", "centroids"):
+        live = os.path.join(path, part)
+        if os.path.exists(live):
+            os.rename(live, os.path.join(old, part))
+    for part in ("vectors", "centroids"):
+        os.rename(os.path.join(stage, part), os.path.join(path, part))
+    shutil.rmtree(old)
+    shutil.rmtree(stage, ignore_errors=True)
     # count from the tiny written table, not by re-running the fold
     return spark_count_centroids(assigned.sparkSession, path)
 

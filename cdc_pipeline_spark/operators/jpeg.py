@@ -244,7 +244,14 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             comps = []
             for c in range(ncomp):
                 cid, hv, tqi = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 0x0F, tqi))
+                h, v = hv >> 4, hv & 0x0F
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    # T.81 bounds sampling factors to 1..4; a zero here
+                    # would reach the MCU divisions as ZeroDivisionError,
+                    # which is NOT in decode_image's quarantine set and
+                    # would kill the whole Arrow stage on one bad blob
+                    raise ValueError(f"JPEG sampling factor out of range: {h}x{v}")
+                comps.append((cid, h, v, tqi))
             frame = (height, width, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG (progressive/lossless/arithmetic) unsupported")

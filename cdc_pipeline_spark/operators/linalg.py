@@ -325,6 +325,7 @@ def dim_moments(
         q.groupBy("i")
         .agg(
             F.count(F.lit(1)).alias("n"),
+            F.count("x").alias("n_x"),
             F.sum(F.col("x").cast("decimal(38,0)")).alias("m"),
             F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("s"),
         )
@@ -332,6 +333,16 @@ def dim_moments(
     )
     if not rows:
         return 0, [], []
+    if any(int(r["n_x"]) != int(r["n"]) for r in rows):
+        # a NULL element quantizes to NULL: count() would still tally the
+        # row while sum() skips it, silently skewing EVERY vector's score
+        # on that dimension (and NULL-scoring the afflicted vector) —
+        # same loud-failure contract as the gram partials' non-finite
+        # guard: filter upstream
+        raise ValueError(
+            "dim_moments: null embedding component — filter rows with "
+            "null elements before zscore_outlier_topk/dim_moments"
+        )
     d = max(r["i"] for r in rows) + 1
     n = max(int(r["n"]) for r in rows)
     m = [0] * d

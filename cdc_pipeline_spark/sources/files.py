@@ -265,10 +265,15 @@ def write_avro(
         import pandas as pd
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         encode = compile_encoder(schema_json)
         sync = _sync_marker(schema_json, str(pid))
-        tmp = os.path.join(path, f".part-{pid:05d}.avro.tmp")
+        # tmp name is PER-ATTEMPT: concurrent attempts of the same
+        # partition (speculation, zombie retries) must not interleave
+        # writes into one tmp file; each attempt builds its own and the
+        # byte-identical winners race harmlessly at the atomic rename
+        tmp = os.path.join(path, f".part-{pid:05d}-{ctx.taskAttemptId()}.avro.tmp")
         final = os.path.join(path, f"part-{pid:05d}.avro")
         n = 0
         fh = None

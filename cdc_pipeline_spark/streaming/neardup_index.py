@@ -96,29 +96,37 @@ class NearDupIndexWriter:
         # never fold this batch between the check and the writes.
         from cdc_pipeline_spark.streaming.rollup import _replay_folded, _table_lock
 
+        # Pure derivation from batch_df — signatures, postings, shingle
+        # sets — happens OUTSIDE the lock: it reads no index state, and
+        # it is the expensive part of a large micro-batch. Holding the
+        # postings lock across it would blow the lock's 600 s staleness
+        # horizon (_LOCK_STALE_SECONDS), letting a maintenance-cadence
+        # compaction "break" a live writer's lock and rename-aside the
+        # table mid-write. A folded replay wastes this compute once —
+        # correctness is unaffected (the guard still gates the writes).
+        docs = batch_df.select(
+            F.col(self.id_col).alias("doc_id"), F.col(self.text_col).alias("text")
+        ).localCheckpoint()  # signatures + shingles + probe read it; cut lineage once
+
+        sig = minhash_signatures(docs, "doc_id", "text", self.n, self.num_perm)
+        # both are probed AND written, and the probe's hot-bucket cap
+        # evaluates its input more than once — one O(batch)
+        # materialization each, never one of the full history
+        posting = (
+            band_posting(sig, self.num_perm, self.bands)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .localCheckpoint()
+        )
+        shingles = (
+            _shingled(docs, "doc_id", "text", self.n)
+            .select("doc_id", "shingles")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .localCheckpoint()
+        )
+
         with _table_lock(self._sub("postings")):
             if _replay_folded(self._sub("postings"), self.run_id, batch_id):
                 return
-            docs = batch_df.select(
-                F.col(self.id_col).alias("doc_id"), F.col(self.text_col).alias("text")
-            ).localCheckpoint()  # signatures + shingles + probe read it; cut lineage once
-
-            sig = minhash_signatures(docs, "doc_id", "text", self.n, self.num_perm)
-            # both are probed AND written, and the probe's hot-bucket cap
-            # evaluates its input more than once — one O(batch)
-            # materialization each, never one of the full history
-            posting = (
-                band_posting(sig, self.num_perm, self.bands)
-                .withColumn("batch_id", F.lit(int(batch_id)))
-                .localCheckpoint()
-            )
-            shingles = (
-                _shingled(docs, "doc_id", "text", self.n)
-                .select("doc_id", "shingles")
-                .withColumn("batch_id", F.lit(int(batch_id)))
-                .localCheckpoint()
-            )
-
             matches = self._probe(spark, posting, shingles, batch_id)
             # probe BEFORE appending (and against batch_id < current only):
             # a replayed batch sees exactly the history it saw the first

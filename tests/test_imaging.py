@@ -434,6 +434,13 @@ def test_jpeg_rejects_progressive_and_hostile():
     # truncation anywhere in the marker stream must be ValueError
     with pytest.raises(ValueError):
         decode_jpeg(good[: i + 4])
+    # zero sampling factor: hv byte 0x00 would reach the MCU divisions
+    # as ZeroDivisionError — outside decode_image's quarantine set, so
+    # it must be refused at SOF parse as ValueError instead
+    zerosamp = bytearray(good)
+    zerosamp[i + 11] = 0x00  # first component's h/v nibbles
+    with pytest.raises(ValueError, match="sampling factor"):
+        decode_jpeg(bytes(zerosamp))
 
 
 def test_jpeg_truncated_entropy_data_does_not_crash():

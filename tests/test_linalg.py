@@ -234,3 +234,18 @@ def test_zscore_outlier_topk_zero_variance_everywhere(spark):
     got = zscore_outlier_topk(df, scale=1 << 10, k=3).collect()
     assert [r["z2_sum"] for r in got] == [0.0, 0.0, 0.0]
     assert [r["vec_id"] for r in got] == [0, 1, 2]  # id tie-break
+
+
+def test_dim_moments_rejects_null_elements(spark):
+    # a NULL element would inflate n against m/s (count vs sum
+    # disagreement) and silently skew every score — loud refusal,
+    # matching the gram partials' non-finite contract (review finding)
+    import pytest
+
+    from cdc_pipeline_spark.operators.linalg import dim_moments
+
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.5]), (2, [0.5, None])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="null embedding component"):
+        dim_moments(df)

@@ -2355,3 +2355,47 @@ def test_ivf_index_build_validates_poisoned_input(spark, tmp_path):
     assert vectors.count() == 4 and centroids.count() == 2
     out = ivf_index_topk(spark, path, [(1, [1.0, 0.0])], k=2, n_probe=2)
     assert [r.vec_id for r in sorted(out.collect(), key=lambda r: r.rank)] == [2, 4]
+
+    # the k-means branch must ALSO validate before computing: kmeans'
+    # seed collect would TypeError on a null embedding if the checks
+    # ran after it (review finding)
+    with _pytest.raises(ValueError, match="poisoned"):
+        build_ivf_index(
+            spark.createDataFrame(
+                [(1, [1.0, 0.0]), (2, None)], "vec_id long, embedding array<double>"
+            ),
+            path,
+            n_cells=2,
+        )
+
+
+def test_ivf_index_rebuild_swaps_atomically(spark, tmp_path):
+    """A successful rebuild must replace vectors+centroids AS A UNIT
+    (no stale staging/old dirs left), and the rebuilt index serves the
+    NEW corpus — the staged-swap contract that keeps a mid-build crash
+    from wiping the live index."""
+    import os
+
+    from cdc_pipeline_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_index_topk,
+        read_ivf_index,
+    )
+
+    v1 = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    path = str(tmp_path / "ivfswap")
+    build_ivf_index(v1, path, cell_col="label")
+    v2 = spark.createDataFrame(
+        [(10, [1.0, 0.0], 0), (11, [0.9, 0.1], 0), (12, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    build_ivf_index(v2, path, cell_col="label")
+    vectors, centroids = read_ivf_index(spark, path)
+    assert {r.vec_id for r in vectors.collect()} == {10, 11, 12}
+    assert not os.path.exists(os.path.join(path, ".build-staging"))
+    assert not os.path.exists(os.path.join(path, ".build-old"))
+    out = ivf_index_topk(spark, path, [(10, [1.0, 0.0])], k=1)
+    assert [r.vec_id for r in out.collect()] == [11]
