@@ -40,6 +40,18 @@ def create_spark_session(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or DEFAULT_MASTER)
+        # In local mode the driver JVM IS the executor, and pyspark's
+        # default is 1 GiB — with 32 concurrent tasks that is ~14 MiB of
+        # execution memory each, and a long query suite accumulates
+        # enough driver state (listener/AQE/py4j) that late queries GC-
+        # thrash: measured 0.84 s → 4.1 s for the winnowing query after
+        # 71 prior queries at 1 GiB. On a real cluster spark-submit has
+        # already launched the driver before this builder runs, so the
+        # setting is inert there and executor memory comes from cluster
+        # conf as usual.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
