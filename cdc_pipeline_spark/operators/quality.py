@@ -310,7 +310,18 @@ def source_unigram_kl(
     posting = df.select(
         F.col(group_col).alias("source"), F.explode_outer(tokens(text_col)).alias("token")
     ).filter(F.col("token").isNotNull())
-    sc = posting.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c_st"))
+    # FOUR consumers read the (source, token) table (global re-agg,
+    # per-source totals, the term join, the output join) and Catalyst
+    # shares no subplans — without materialization each one re-scans
+    # and re-tokenizes the corpus (observed: 5 parquet scans, pinned by
+    # test_source_kl_single_corpus_scan). One checkpoint of the count
+    # table (vocab × sources rows, far smaller than the corpus) makes
+    # the docstring's one-scan claim physically true.
+    sc = (
+        posting.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .localCheckpoint()
+    )
     gc = sc.groupBy("token").agg(F.sum("c_st").alias("c_t"))
     cs = sc.groupBy("source").agg(F.sum("c_st").alias("c_s"))
     n = gc.agg(F.sum("c_t").alias("n"))

@@ -342,3 +342,48 @@ def test_ensure_parallelism_no_exchange_on_parallel_input(spark):
         pre = table.repartition(par, key)
         assert pre.rdd.getNumPartitions() >= par
         assert rr_count(op(pre)) == 0, f"{name}: well-partitioned input must pass through untouched"
+
+
+def test_zscore_outliers_is_take_ordered_zero_shuffle_scoring(spark):
+    """embedding_zscore_outliers: scoring is an in-row expression over
+    broadcast moment literals (no Exchange between the scan and the
+    ranking) and the top-k is TakeOrderedAndProject, not a global
+    Sort."""
+    plan = plan_of(spark, "embedding_zscore_outliers")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan or "TakeOrdered" in plan
+    # the final query (moments already collected driver-side) must not
+    # shuffle the corpus to score it — the only allowed Exchange is the
+    # single-file input spread (RoundRobin from ensure_parallelism)
+    import re
+
+    # formatted plans list node partitioning in the details section:
+    # every Exchange node must be the RoundRobin input spread
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    n_roundrobin = plan.count("RoundRobinPartitioning")
+    assert n_exchanges == n_roundrobin, plan
+
+
+def test_source_kl_single_corpus_scan(spark):
+    """source_token_kl: the global vocabulary and per-source totals are
+    RE-AGGREGATIONS of the (source, token) counts — the documents
+    parquet must be scanned exactly once."""
+    plan = plan_of(spark, "source_token_kl")
+    # the (source, token) count table is localCheckpointed, so the
+    # final plan's leaves are the materialized RDD — the corpus parquet
+    # appears at most once (at checkpoint time it is not in this plan
+    # at all); without the checkpoint this was FIVE full corpus scans
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l]
+    assert len(scans) <= 1, plan
+    if not scans:
+        assert "ExistingRDD" in plan, plan
+
+
+def test_bloom_anti_join_filter_on_build_scan(spark):
+    """docs_bloom_incremental: the bloom membership predicate must sit
+    on the HISTORY (build) side scan, below the anti join."""
+    plan = plan_of(spark, "docs_bloom_incremental")
+    join_pos = plan.find("LeftAnti")
+    forall_pos = plan.find("forall")
+    assert join_pos != -1 and forall_pos != -1
+    assert forall_pos > join_pos, plan

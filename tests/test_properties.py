@@ -377,3 +377,81 @@ def test_unigram_viterbi_is_optimal_and_reconstructs(word, vocab):
     # full single-char coverage → no UNKs
     if all(c in vocab for c in set(word)):
         assert nu == 0
+
+
+# ---------------------------------------------------------------------------
+# Avro binary codec round-trip (sources/avro_codec.py) — pure Python,
+# no Spark: encode→decode must be the identity over the supported
+# subset for ARBITRARY values, not just the fixture rows.
+# ---------------------------------------------------------------------------
+
+_AVRO_PROP_SCHEMA = None
+
+
+def _avro_prop_tools():
+    global _AVRO_PROP_SCHEMA
+    import json
+
+    from cdc_pipeline_spark.sources.avro_codec import compile_decoder, compile_encoder
+
+    if _AVRO_PROP_SCHEMA is None:
+        _AVRO_PROP_SCHEMA = json.dumps(
+            {
+                "type": "record",
+                "name": "r",
+                "fields": [
+                    {"name": "l", "type": "long"},
+                    {"name": "s", "type": ["null", "string"]},
+                    {"name": "d", "type": "double"},
+                    {"name": "b", "type": "bytes"},
+                    {"name": "arr", "type": {"type": "array", "items": "long"}},
+                    {"name": "m", "type": {"type": "map", "values": "string"}},
+                ],
+            }
+        )
+    return compile_encoder(_AVRO_PROP_SCHEMA), compile_decoder(_AVRO_PROP_SCHEMA)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    l=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    s=st.one_of(st.none(), st.text(max_size=80)),
+    d=st.floats(allow_nan=False),  # NaN != NaN breaks dict equality, not the codec
+    b=st.binary(max_size=60),
+    arr=st.lists(st.integers(-(2**62), 2**62), max_size=12),
+    m=st.dictionaries(st.text(max_size=10), st.text(max_size=10), max_size=6),
+)
+def test_avro_codec_roundtrip_identity(l, s, d, b, arr, m):
+    enc, dec = _avro_prop_tools()
+    rec = {"l": l, "s": s, "d": d, "b": b, "arr": arr, "m": m}
+    assert dec(enc(rec)) == rec
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-(2**40), 2**40), st.text(max_size=30)), max_size=40
+    ),
+    per_block=st.integers(1, 7),
+    codec=st.sampled_from(["null", "deflate"]),
+)
+def test_avro_ocf_container_roundtrip_any_blocking(rows, per_block, codec):
+    """Container framing must be block-size invariant: any
+    records_per_block and either codec reproduce the record stream."""
+    import json
+
+    from cdc_pipeline_spark.sources.avro_ocf import read_ocf_bytes, write_ocf_bytes
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "k", "type": "long"},
+                {"name": "v", "type": "string"},
+            ],
+        }
+    )
+    recs = [{"k": k, "v": v} for k, v in rows]
+    blob = write_ocf_bytes(recs, schema, codec=codec, records_per_block=per_block)
+    assert list(read_ocf_bytes(blob)) == recs
