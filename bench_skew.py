@@ -125,6 +125,43 @@ def measure_agg(spark, ev, salted: bool):
     return rows, round(time.perf_counter() - start, 3)
 
 
+def ingest_frames(spark, n_history: int = 1_000_000, n_increment: int = 200_000,
+                  n_overlap: int = 10_000):
+    """Incremental-ingest shape: a big fingerprint history, a small
+    increment, ~5% true overlap — the docs_bloom_incremental scenario
+    at a history:increment ratio the sandbox corpus can't produce."""
+    hist = (
+        spark.range(n_history)
+        .select(
+            F.when(F.col("id") < n_overlap, F.md5(F.concat(F.lit("i"), F.col("id"))))
+            .otherwise(F.md5(F.concat(F.lit("h"), F.col("id"))))
+            .alias("fingerprint")
+        )
+        .localCheckpoint()
+    )
+    inc = (
+        spark.range(n_increment)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.md5(F.concat(F.lit("i"), F.col("id"))).alias("fingerprint"),
+        )
+        .localCheckpoint()
+    )
+    return hist, inc
+
+
+def measure_anti(spark, hist, inc, bloom: bool):
+    from cdc_pipeline_spark.operators.bloom import bloom_anti_join
+
+    start = time.perf_counter()
+    if bloom:
+        out = bloom_anti_join(inc, hist, fact_key="fingerprint", n_bits=1 << 22)
+    else:
+        out = inc.join(hist, "fingerprint", "left_anti")
+    rows = out.count()
+    return rows, round(time.perf_counter() - start, 3)
+
+
 def main() -> None:
     spark = create_spark_session(
         app_name="cdc-pipeline-spark-bench-skew",
@@ -150,6 +187,21 @@ def main() -> None:
     salted_rows, salted_sec = measure_agg(spark, ev, salted=True)
     assert plain_rows == salted_rows
 
+    # incremental-ingest anti join: how many history rows survive the
+    # bloom prune (the join's right-side input — THE deterministic
+    # metric; wall clock on local[32] is the secondary one)
+    from cdc_pipeline_spark.operators.bloom import bloom_filter_words, bloom_might_contain
+
+    hist, inc = ingest_frames(spark)
+    n_history = hist.count()
+    words = bloom_filter_words(inc, "fingerprint", n_bits=1 << 22)
+    pruned_history = hist.filter(
+        bloom_might_contain(words, F.col("fingerprint"))
+    ).count()
+    plain_new, plain_anti_sec = measure_anti(spark, hist, inc, bloom=False)
+    bloom_new, bloom_anti_sec = measure_anti(spark, hist, inc, bloom=True)
+    assert plain_new == bloom_new
+
     print(
         json.dumps(
             {
@@ -171,6 +223,13 @@ def main() -> None:
                     "salted_max_partition_rows": salted_skew,
                     "plain_sec": plain_sec,
                     "salted_sec": salted_sec,
+                },
+                "bloom_anti_ingest": {
+                    "history_rows": n_history,
+                    "pruned_history_rows": pruned_history,
+                    "new_docs": plain_new,
+                    "plain_anti_sec": plain_anti_sec,
+                    "bloom_anti_sec": bloom_anti_sec,
                 },
             }
         )
