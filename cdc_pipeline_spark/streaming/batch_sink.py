@@ -119,3 +119,34 @@ def write_training_shards(
     ).parquet(path)
     back = df.sparkSession.read.parquet(path)
     return back.groupBy(*partition_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def avro_batch_writer(path: str, codec: str = "null"):
+    """``foreachBatch`` writer landing each micro-batch as Avro OCF
+    container files under ``<path>/batch-<id>/`` — the interchange-edge
+    sink for consumers that ingest Avro (vendor feeds, Kafka-ecosystem
+    tooling), mirroring the jar-free batch writer
+    (``sources.files.write_avro``).
+
+    Replay-idempotent by construction: foreachBatch is at-least-once,
+    and a replayed batch rewrites ``batch-<id>/`` with byte-identical
+    containers — same partition file names, same DETERMINISTIC sync
+    markers (``avro_ocf._sync_marker`` is keyed on schema + partition,
+    not randomness), so the at-least-once delivery collapses to
+    exactly-once output. Each container lands via tmp+rename, and the
+    batch directory gains a ``_SUCCESS`` marker only after every
+    partition committed — consumers that filter on the marker never
+    see a crash-truncated batch (a replay rewrites the directory,
+    marker last, and converges to the identical bytes).
+    """
+    import os
+
+    from cdc_pipeline_spark.sources.files import write_avro
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        target = os.path.join(path, f"batch-{int(batch_id):06d}")
+        write_avro(batch_df, target, codec=codec, mode="overwrite")
+        with open(os.path.join(target, "_SUCCESS"), "w"):
+            pass
+
+    return write
