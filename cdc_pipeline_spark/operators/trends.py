@@ -50,3 +50,69 @@ def period_over_period(
             ),
         )
     return out.withColumn("period_start", F.col("period_start").cast("long"))
+
+
+def count_anomaly_minutes(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    k_sigma: int = 3,
+) -> DataFrame:
+    """Per-group event-RATE anomaly minutes: flag each minute whose
+    event count deviates from the group's mean by more than ``k_sigma``
+    standard deviations — the volume-spike/outage screen a streaming
+    monitor runs over its own throughput (reference analog: the
+    traffic-per-minute rollup the monitor pages on,
+    ``kpi_aggregator.py``'s traffic path; here batch + exact).
+
+    EXACT integer decision, no floats anywhere: with n observed
+    minutes, counts c_i, S1 = Σc, S2 = Σc², the test
+    ``|c − mean| > k·σ`` multiplies through by n² to
+    ``(n·c − S1)² > k²·(n·S2 − S1²)`` — all BIGINT, so the flag
+    replays bit-identically in any engine and under any partitioning
+    (and a zero-variance group flags nothing, no division ever
+    happens). Overflow bound: n·c_max < ~3·10⁹ keeps the square in
+    int64 — far above any minute-grain corpus here; cast to decimal
+    past that.
+
+    Statistics are over OBSERVED minutes only (a minute with zero
+    events contributes no row — gap-filling is `events_gapfill_5min`'s
+    job). One scan: the (group, minute) count table is checkpointed and
+    re-aggregated for the moments, so the corpus is read once.
+
+    Output: (group, minute_epoch, n_events, dev2, bound) sorted, where
+    ``dev2 = (n·c − S1)²`` and ``bound = k²·(n·S2 − S1²)`` — the two
+    sides of the exact inequality, kept for auditability.
+    """
+    counts = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.date_trunc("minute", F.col(ts_col)).alias("minute"),
+        )
+        .groupBy("grp", "minute")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    stats = counts.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    dev = F.col("n") * F.col("c") - F.col("s1")
+    dev2 = (dev * dev).alias("dev2")
+    bound = (
+        F.lit(int(k_sigma) * int(k_sigma))
+        * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+    ).alias("bound")
+    flagged = (
+        counts.join(F.broadcast(stats), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("minute").cast("long").alias("minute_epoch"),
+            F.col("c").cast("long").alias("n_events"),
+            dev2.cast("long").alias("dev2"),
+            bound.cast("long").alias("bound"),
+        )
+        .filter(F.col("dev2") > F.col("bound"))
+    )
+    return flagged.orderBy(group_col, "minute_epoch")

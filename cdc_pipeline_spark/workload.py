@@ -5715,6 +5715,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # -- round-6 session-2 registrations (newest first): bloom anti-join
     # ingest dedup, per-source KL mixture diagnostic, diagonal-
     # Mahalanobis embedding outliers, Avro OCF round-trip --
+    "events_anomaly_minutes",
     "docs_bloom_incremental",
     "source_token_kl",
     "embedding_zscore_outliers",
@@ -5767,7 +5768,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "q15_top_revenue_supplier",
     "q16_part_supplier_variety",
     "q17_small_qty_avg_revenue",
-    "q18_large_orders",
 ]
 
 # Everything else not yet re-checked this round (each was green in the
@@ -5777,6 +5777,7 @@ _DRIVER_WINDOW_PRIORITY = [
 _DRIVER_WINDOW_CARRYOVER = [
     # evicted from the round-6 window by the session-2 registrations —
     # first in line for round 7 (all green in this round's full sweeps)
+    "q18_large_orders",
     "q19_disjunctive_revenue",
     "q20_bulk_part_suppliers",
     "q21_sole_late_supplier",

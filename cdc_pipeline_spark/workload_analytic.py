@@ -553,3 +553,38 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pipeline_spark.operators.quality import source_unigram_kl
 
     return source_unigram_kl(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "events_anomaly_minutes",
+    """
+    WITH counts AS (
+        SELECT event_type AS grp, date_trunc('minute', ts) AS minute,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT grp, count(*) AS n, sum(c) AS s1, sum(c * c) AS s2
+        FROM counts GROUP BY grp
+    )
+    SELECT c.grp AS event_type,
+           CAST(epoch(c.minute) AS BIGINT) AS minute_epoch,
+           CAST(c.c AS BIGINT) AS n_events,
+           CAST((s.n * c.c - s.s1) * (s.n * c.c - s.s1) AS BIGINT) AS dev2,
+           CAST(9 * (s.n * s.s2 - s.s1 * s.s1) AS BIGINT) AS bound
+    FROM counts c JOIN stats s USING (grp)
+    WHERE (s.n * c.c - s.s1) * (s.n * c.c - s.s1) > 9 * (s.n * s.s2 - s.s1 * s.s1)
+    ORDER BY event_type, minute_epoch
+    """,
+)
+def events_anomaly_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type rate-anomaly minutes at 3σ
+    (operators/trends.py::count_anomaly_minutes): the exact-integer
+    Chebyshev screen — |c − mean| > 3σ multiplied through by n² so the
+    whole decision is BIGINT arithmetic, bit-identical in any engine,
+    zero-variance groups flag nothing, and no division or rounding
+    exists to drift. One corpus scan (the per-minute count table is
+    materialized and re-aggregated for the moments)."""
+    from cdc_pipeline_spark.operators.trends import count_anomaly_minutes
+
+    return count_anomaly_minutes(_t(spark, sf_dir, "events"), k_sigma=3)

@@ -2399,3 +2399,33 @@ def test_ivf_index_rebuild_swaps_atomically(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, ".build-old"))
     out = ivf_index_topk(spark, path, [(10, [1.0, 0.0])], k=1)
     assert [r.vec_id for r in out.collect()] == [11]
+
+
+def test_count_anomaly_minutes_planted_spike(spark):
+    """A spike minute among quiet uniform minutes must flag (and only
+    it); a zero-variance group flags nothing; the decision is exact
+    integers so repartitioning changes nothing."""
+    import datetime as _dt
+
+    from cdc_pipeline_spark.operators.trends import count_anomaly_minutes
+
+    base = _dt.datetime(2024, 5, 1, 12, 0)
+    rows = []
+    eid = 0
+    # 'spiky': 10 minutes at 5 events, one minute at 100
+    for m in range(10):
+        for _ in range(5):
+            rows.append((eid, "spiky", base + _dt.timedelta(minutes=m))); eid += 1
+    for _ in range(100):
+        rows.append((eid, "spiky", base + _dt.timedelta(minutes=30))); eid += 1
+    # 'flat': constant rate — zero variance, nothing may flag
+    for m in range(8):
+        for _ in range(7):
+            rows.append((eid, "flat", base + _dt.timedelta(minutes=m))); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    got = count_anomaly_minutes(df, k_sigma=3).collect()
+    assert len(got) == 1 and got[0]["event_type"] == "spiky"
+    assert got[0]["n_events"] == 100
+    assert got[0]["dev2"] > got[0]["bound"] >= 0
+    again = count_anomaly_minutes(df.repartition(7), k_sigma=3).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
