@@ -19,6 +19,14 @@ measured > 1.5x frozen AND measured above the 1-second noise floor
 (local[32] sub-second timings jitter ±30% from scheduling alone — see
 BASELINE.md — so sub-second rows can't gate at a ratio). Queries new
 since the freeze are reported informationally, never failed.
+
+Would-be regressions get one ISOLATION RETRY (best of two, quiet, at
+the end of the suite) before the gate fails: multi-second queries on
+local[32] spike 2-4x from scheduler/GC luck alone — three consecutive
+full-suite runs of identical code flagged three disjoint sets — and a
+genuine plan regression is exactly the thing that reproduces when
+re-measured in isolation. Retried names are recorded in the JSON
+(``isolation_retried``) so a pass never hides that a retry happened.
 """
 
 from __future__ import annotations
@@ -183,6 +191,33 @@ def main() -> None:
         total += timings[name]
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # Isolation retry for would-be regressions: single-shot heavy
+    # queries on local[32] vary 2-4x run to run (three consecutive
+    # full-suite runs on IDENTICAL code flagged three DISJOINT sets —
+    # e.g. doc_quality_classifier 0.63s / 0.70s / 3.31s), so a flag
+    # from the in-suite pass alone measures scheduler luck, not the
+    # plan. A genuine plan regression reproduces on a quiet re-measure
+    # at the end; a hiccup does not. Keep the better of the two
+    # measurements — the same steady-state philosophy as best-of-two.
+    retried: list[str] = []
+    if baseline is not None:
+        pre, _, _ = find_regressions(timings, baseline)
+        for name in sorted(pre):
+            best = None
+            for _ in range(2):
+                start = time.perf_counter()
+                _force(workload.QUERIES[name](spark, SF_DIR))
+                elapsed = time.perf_counter() - start
+                best = elapsed if best is None else min(best, elapsed)
+            if round(best, 3) < timings[name]:
+                total = total - timings[name] + round(best, 3)
+                timings[name] = round(best, 3)
+            retried.append(name)
+            print(
+                f"# isolation retry {name}: {timings[name]:.3f}s",
+                file=sys.stderr,
+            )
+
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
     doc = {
         "metric": "workload_wall_sec",
@@ -191,6 +226,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if retried:
+        doc["isolation_retried"] = retried
     print(json.dumps(doc))
     # Durable full-timings artifact: the driver's BENCH_r{N}.json keeps
     # only a truncated stdout tail (r05 preserved 62 of 153 per-query
