@@ -125,6 +125,7 @@ def find_regressions(
     baseline: dict[str, float],
     ratio: float = REGRESSION_RATIO,
     noise_floor: float = NOISE_FLOOR_SEC,
+    drift: float | None = None,
 ) -> tuple[dict[str, tuple[float, float]], list[str], float]:
     """(regressions {name: (measured, frozen)}, new-query names, drift).
 
@@ -133,9 +134,14 @@ def find_regressions(
     timings on local[32] jitter ±30% from scheduling alone, so a pure
     ratio would flag noise, and `host_drift` cancels uniform
     machine-speed shifts since the freeze (a genuine single-query
-    regression still stands out against the median).
+    regression still stands out against the median). Pass ``drift`` to
+    pin a previously computed ratio — the isolation-retry pass must
+    re-evaluate under the SAME drift it selected retries with, or
+    lowering the retried timings would lower the median and flag a
+    query that never got its retry.
     """
-    drift = host_drift(timings, baseline)
+    if drift is None:
+        drift = host_drift(timings, baseline)
     regressions: dict[str, tuple[float, float]] = {}
     new: list[str] = []
     for name, measured in timings.items():
@@ -199,9 +205,19 @@ def main() -> None:
     # plan. A genuine plan regression reproduces on a quiet re-measure
     # at the end; a hiccup does not. Keep the better of the two
     # measurements — the same steady-state philosophy as best-of-two.
+    # Gate timings are a SEPARATE view: the durable artifact keeps the
+    # in-suite best-of-2 for every query (a retried query must not get
+    # a tighter frozen baseline than its never-flagged peers — that
+    # would bias future freezes low for exactly the jitteriest
+    # queries), while the gate judges the flake-filtered values. The
+    # drift ratio is pinned from the in-suite pass for the same reason:
+    # retries lowering the median must not move the threshold under a
+    # query that never received its retry.
     retried: list[str] = []
+    gate_timings = dict(timings)
+    drift0: float | None = None
     if baseline is not None:
-        pre, _, _ = find_regressions(timings, baseline)
+        pre, _, drift0 = find_regressions(timings, baseline)
         for name in sorted(pre):
             best = None
             for _ in range(2):
@@ -209,12 +225,10 @@ def main() -> None:
                 _force(workload.QUERIES[name](spark, SF_DIR))
                 elapsed = time.perf_counter() - start
                 best = elapsed if best is None else min(best, elapsed)
-            if round(best, 3) < timings[name]:
-                total = total - timings[name] + round(best, 3)
-                timings[name] = round(best, 3)
+            gate_timings[name] = min(timings[name], round(best, 3))
             retried.append(name)
             print(
-                f"# isolation retry {name}: {timings[name]:.3f}s",
+                f"# isolation retry {name}: {gate_timings[name]:.3f}s",
                 file=sys.stderr,
             )
 
@@ -266,7 +280,9 @@ def main() -> None:
     spark.stop()
 
     if baseline is not None:
-        regressions, new, drift = find_regressions(timings, baseline)
+        regressions, new, drift = find_regressions(
+            gate_timings, baseline, drift=drift0
+        )
         print(f"# host drift vs freeze (median ratio): {drift:.2f}x", file=sys.stderr)
         for name in new:
             print(f"# new since freeze (not gated): {name}", file=sys.stderr)

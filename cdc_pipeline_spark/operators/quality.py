@@ -320,7 +320,11 @@ def source_unigram_kl(
     sc = (
         posting.groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("c_st"))
-        .localCheckpoint()
+        # lazy: defers the corpus scan to the first action (eager would
+        # run it at DataFrame-construction time — plan inspection must
+        # not cost a Spark job); all four consumers share the
+        # materialized RDD from then on
+        .localCheckpoint(eager=False)
     )
     gc = sc.groupBy("token").agg(F.sum("c_st").alias("c_t"))
     cs = sc.groupBy("source").agg(F.sum("c_st").alias("c_s"))

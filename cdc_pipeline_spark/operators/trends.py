@@ -71,9 +71,10 @@ def count_anomaly_minutes(
     ``(n·c − S1)² > k²·(n·S2 − S1²)`` — all BIGINT, so the flag
     replays bit-identically in any engine and under any partitioning
     (and a zero-variance group flags nothing, no division ever
-    happens). Overflow bound: n·c_max < ~3·10⁹ keeps the square in
-    int64 — far above any minute-grain corpus here; cast to decimal
-    past that.
+    happens). Overflow bound: the BOUND side carries the k² factor, so
+    int64 safety needs k²·(n·c_max)² < 2⁶³ — at k=3 that is
+    n·c_max < ~1.0·10⁹ (the dev² side alone would allow ~3·10⁹) —
+    far above any minute-grain corpus here; cast to decimal past that.
 
     Statistics are over OBSERVED minutes only (a minute with zero
     events contributes no row — gap-filling is `events_gapfill_5min`'s
@@ -91,7 +92,11 @@ def count_anomaly_minutes(
         )
         .groupBy("grp", "minute")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
+        # lazy: materializes at the FIRST action and is shared by both
+        # consumers (moments + flag join) from then on — eager would
+        # run a full corpus aggregation at DataFrame-CONSTRUCTION time,
+        # turning every plan inspection into a real Spark job
+        .localCheckpoint(eager=False)
     )
     stats = counts.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n"),

@@ -21,6 +21,24 @@ DEFAULT_MASTER = os.environ.get("SPARK_MASTER_URL", f"local[{os.environ.get('SPA
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_SQL_SHUFFLE_PARTITIONS", "32")
 
 
+def _default_driver_memory() -> str:
+    """Local-mode heap default: SPARK_GRAFT_DRIVER_MEM, else a quarter
+    of the host's MemTotal clamped to [2g, 16g] (unreadable /proc →
+    conservative 2g)."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    gib = int(line.split()[1]) // (1 << 20)  # kB → GiB
+                    return f"{max(2, min(16, gib // 4))}g"
+    except OSError:
+        pass
+    return "2g"
+
+
 def create_spark_session(
     app_name: str = "cdc-pipeline-spark",
     master: str | None = None,
@@ -45,13 +63,13 @@ def create_spark_session(
         # execution memory each, and a long query suite accumulates
         # enough driver state (listener/AQE/py4j) that late queries GC-
         # thrash: measured 0.84 s → 4.1 s for the winnowing query after
-        # 71 prior queries at 1 GiB. On a real cluster spark-submit has
-        # already launched the driver before this builder runs, so the
-        # setting is inert there and executor memory comes from cluster
-        # conf as usual.
-        .config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
-        )
+        # 71 prior queries at 1 GiB. Sized from the HOST's RAM (quarter
+        # of MemTotal, clamped to [2g, 16g]) rather than hardcoded, so
+        # a small CI container is not OOM-killed by a harness-sized
+        # -Xmx. On a real cluster spark-submit has already launched the
+        # driver before this builder runs, so the setting is inert
+        # there and executor memory comes from cluster conf as usual.
+        .config("spark.driver.memory", _default_driver_memory())
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -132,21 +132,32 @@ def avro_batch_writer(path: str, codec: str = "null"):
     and a replayed batch rewrites ``batch-<id>/`` with byte-identical
     containers — same partition file names, same DETERMINISTIC sync
     markers (``avro_ocf._sync_marker`` is keyed on schema + partition,
-    not randomness), so the at-least-once delivery collapses to
-    exactly-once output. Each container lands via tmp+rename, and the
-    batch directory gains a ``_SUCCESS`` marker only after every
-    partition committed — consumers that filter on the marker never
-    see a crash-truncated batch (a replay rewrites the directory,
-    marker last, and converges to the identical bytes).
+    not randomness), so the at-least-once delivery converges to
+    exactly-once output. The replay lands WRITE-ASIDE: the whole batch
+    (containers + ``_SUCCESS`` marker, marker last) is rewritten into
+    ``batch-<id>.inprogress/`` and swapped in with two directory
+    renames — a replay of an already-committed, consumer-visible batch
+    never takes it offline for the duration of the rewrite (an
+    in-place overwrite would), only for the swap itself; a crash
+    mid-rewrite leaves the committed directory untouched.
     """
     import os
+    import shutil
 
     from cdc_pipeline_spark.sources.files import write_avro
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         target = os.path.join(path, f"batch-{int(batch_id):06d}")
-        write_avro(batch_df, target, codec=codec, mode="overwrite")
-        with open(os.path.join(target, "_SUCCESS"), "w"):
+        staging = target + ".inprogress"
+        write_avro(batch_df, staging, codec=codec, mode="overwrite")
+        with open(os.path.join(staging, "_SUCCESS"), "w"):
             pass
+        old = target + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(target):
+            os.rename(target, old)
+        os.rename(staging, target)
+        shutil.rmtree(old, ignore_errors=True)
 
     return write

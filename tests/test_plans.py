@@ -351,7 +351,10 @@ def test_zscore_outliers_is_take_ordered_zero_shuffle_scoring(spark):
     Sort."""
     plan = plan_of(spark, "embedding_zscore_outliers")
     assert "TakeOrderedAndProject" in plan
-    assert "Sort " not in plan or "TakeOrdered" in plan
+    # no standalone Sort node may appear — TakeOrdered IS the ranking
+    # ("Sort (" matches the node line, never the TakeOrdered substring;
+    # the previous disjunct form was vacuously true)
+    assert "Sort (" not in plan, plan
     # the final query (moments already collected driver-side) must not
     # shuffle the corpus to score it — the only allowed Exchange is the
     # single-file input spread (RoundRobin from ensure_parallelism)
@@ -381,9 +384,20 @@ def test_source_kl_single_corpus_scan(spark):
 
 def test_bloom_anti_join_filter_on_build_scan(spark):
     """docs_bloom_incremental: the bloom membership predicate must sit
-    on the HISTORY (build) side scan, below the anti join."""
-    plan = plan_of(spark, "docs_bloom_incremental")
+    on the HISTORY (build) side scan, below the anti join. Uses the
+    executed plan's tree string (node lines carry their conditions
+    there) — the formatted mode prints conditions only in the details
+    section, which always follows the tree and made the first version
+    of this assertion vacuous."""
+    from cdc_pipeline_spark import workload
+
+    df = workload.QUERIES["docs_bloom_incremental"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     join_pos = plan.find("LeftAnti")
     forall_pos = plan.find("forall")
     assert join_pos != -1 and forall_pos != -1
+    # tree prints top-down: the filter must be DEEPER than the join
     assert forall_pos > join_pos, plan
+    # and it guards the build (history) side scan, not the output: no
+    # forall may appear ABOVE the join
+    assert "forall" not in plan[:join_pos], plan
