@@ -167,3 +167,42 @@ def test_avro_batch_writer_idempotent_replay(spark, tmp_path):
     assert digest() == first, "replay must rewrite byte-identical containers"
     back = read_avro(spark, bdir)
     assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_avro_batch_writer_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between the staging write and the swap leaves
+    batch-<id>.inprogress/ behind (and possibly no target); the next
+    replay must converge to a committed batch regardless."""
+    from cdc_pipeline_spark.sources.files import read_avro
+    from cdc_pipeline_spark.streaming.batch_sink import avro_batch_writer
+
+    out = str(tmp_path / "avro_crash")
+    writer = avro_batch_writer(out)
+    df = spark.createDataFrame([(i, f"x{i}") for i in range(50)], "id long, s string")
+    writer(df, 3)
+    target = os.path.join(out, "batch-000003")
+    staging = target + ".inprogress"
+    # simulate the crash: committed batch gone, stale staging present
+    os.rename(target, staging + ".stale")
+    os.rename(staging + ".stale", staging)
+    assert not os.path.exists(target) and os.path.exists(staging)
+    writer(df, 3)  # replay
+    assert os.path.exists(os.path.join(target, "_SUCCESS"))
+    assert not os.path.exists(staging) and not os.path.exists(target + ".old")
+    assert sorted(read_avro(spark, target).collect()) == sorted(df.collect())
+
+
+def test_default_driver_memory_clamps():
+    from cdc_pipeline_spark.session import _default_driver_memory
+
+    val = _default_driver_memory()
+    assert val.endswith("g")
+    assert 2 <= int(val[:-1]) <= 16
+    # env override wins verbatim
+    import os as _os
+
+    _os.environ["SPARK_GRAFT_DRIVER_MEM"] = "3g"
+    try:
+        assert _default_driver_memory() == "3g"
+    finally:
+        del _os.environ["SPARK_GRAFT_DRIVER_MEM"]
