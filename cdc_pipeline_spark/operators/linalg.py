@@ -345,6 +345,15 @@ def dim_moments(
         )
     d = max(r["i"] for r in rows) + 1
     n = max(int(r["n"]) for r in rows)
+    if min(int(r["n"]) for r in rows) != n or len(rows) != d:
+        # ragged vector lengths: shorter dimensions would silently skew
+        # every z-score (and longer rows NULL-score via out-of-range
+        # F.get) — same loud-failure contract as the null-element guard
+        raise ValueError(
+            "dim_moments: ragged embedding lengths (per-dimension counts "
+            "differ) — enforce a uniform vector length before "
+            "zscore_outlier_topk/dim_moments"
+        )
     m = [0] * d
     s = [0] * d
     for r in rows:

@@ -168,9 +168,13 @@ def read_ocf_bytes(
             # bound enforced DURING decompress — a deflate bomb cannot
             # allocate past the budget before the check fires
             data = do.decompress(data, max_block_bytes + 1)
-            if len(data) > max_block_bytes or not do.eof:
+            if len(data) > max_block_bytes or not do.eof or do.unused_data:
+                # unused_data: trailing garbage after the deflate stream
+                # is rejected like every other trailing-bytes case here
                 raise ValueError(
                     f"OCF deflate block exceeds max_block_bytes={max_block_bytes}"
+                    if len(data) > max_block_bytes or not do.eof
+                    else "trailing bytes after OCF deflate stream"
                 )
         elif size > max_block_bytes:
             raise ValueError(

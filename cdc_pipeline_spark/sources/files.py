@@ -219,20 +219,24 @@ def write_avro(
     records_per_block: int = 1000,
 ) -> None:
     """Jar-free Avro OCF writer (``sources.avro_ocf``): each partition
-    encodes into ONE container file inside an Arrow ``mapInPandas``
+    encodes into ONE container file inside an Arrow ``mapInArrow``
     pass — no shuffle, no driver funnel — streamed block-by-block per
     Arrow batch (partition size never buffers in worker memory beyond
     one batch). Files land as ``part-{pid:05d}.avro`` via tmp+rename
     with a deterministic sync marker, so a retried task attempt
     rewrites byte-identical output (idempotent under task retries).
 
-    Timestamps encode as ``timestamp-micros`` on the true epoch: Arrow
-    hands the UDF naive wall clocks in the session zone, so non-UTC
-    sessions are shifted to UTC before encoding (symmetric with
-    ``read_avro``'s shift back). Like XML, Avro here is an INTERCHANGE
-    edge: row-oriented, no pushdown — convert to parquet at the
-    boundary. Local/shared-filesystem paths only (object stores need a
-    committer; write parquet there instead).
+    Arrow-native row extraction (``RecordBatch.to_pylist``), NOT a
+    pandas detour: a nullable long column keeps exact Python ints (no
+    float64 widening under nulls, so values past 2^53 are lossless),
+    and genuine NaN doubles stay distinct from nulls (NaN encodes as an
+    Avro double, null as the union's null branch). Timestamps arrive
+    tz-aware in the session zone and encode as ``timestamp-micros`` on
+    the true epoch — including timestamps nested in structs/arrays.
+    Like XML, Avro here is an INTERCHANGE edge: row-oriented, no
+    pushdown — convert to parquet at the boundary. Local/shared-
+    filesystem paths only (object stores need a committer; write
+    parquet there instead).
     """
     import os
     import shutil
@@ -247,22 +251,20 @@ def write_avro(
         ocf_header_bytes,
     )
 
+    if mode not in ("error", "overwrite"):
+        # validated BEFORE the exists-branch: a typo'd mode must fail on
+        # the first (fresh-path) run, not silently write then error next
+        raise ValueError(f"write_avro supports modes error/overwrite, got {mode!r}")
     if os.path.exists(path):
         if mode == "overwrite":
             shutil.rmtree(path)
-        elif mode == "error":
-            raise FileExistsError(f"write_avro target exists: {path}")
         else:
-            raise ValueError(f"write_avro supports modes error/overwrite, got {mode!r}")
+            raise FileExistsError(f"write_avro target exists: {path}")
     os.makedirs(path, exist_ok=True)
     schema_json = spark_to_avro_schema(df.schema)
-    ts_cols = tuple(
-        f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp"
-    )
-    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
 
     def gen(batches):
-        import pandas as pd
+        import pyarrow as pa
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
@@ -278,20 +280,10 @@ def write_avro(
         n = 0
         fh = None
         try:
-            for pdf in batches:
-                if not len(pdf):
+            for batch in batches:
+                if not batch.num_rows:
                     continue
-                if ts_cols and session_tz not in ("UTC", "Etc/UTC", "GMT"):
-                    for c in ts_cols:
-                        pdf[c] = (
-                            pd.to_datetime(pdf[c])
-                            .dt.tz_localize(session_tz)
-                            .dt.tz_convert("UTC")
-                            .dt.tz_localize(None)
-                        )
-                # object-cast so NaN/NaT become encodable None (nullable
-                # branch); ints/strings pass through as Python objects
-                recs = pdf.astype(object).where(pd.notna(pdf), None).to_dict("records")
+                recs = batch.to_pylist()
                 if fh is None:
                     fh = open(tmp, "wb")
                     fh.write(ocf_header_bytes(schema_json, codec, sync))
@@ -307,9 +299,9 @@ def write_avro(
                 fh.close()
         if fh is not None:
             os.replace(tmp, final)
-            yield pd.DataFrame({"path": [final], "n_records": [n]})
+            yield pa.RecordBatch.from_pydict({"path": [final], "n_records": [n]})
 
-    manifest = df.mapInPandas(gen, schema="path string, n_records long")
+    manifest = df.mapInArrow(gen, schema="path string, n_records long")
     manifest.collect()  # bounded: one row per non-empty partition
 
 
@@ -325,15 +317,20 @@ def read_avro(
     schema. Pass ``schema`` to pin the output contract (and to skip the
     driver-side single-header peek an inference read performs); the
     decode itself always uses the embedded schema — no resolution, by
-    the codec module's contract. Corrupt containers raise (a silently
-    short table is worse than a loud file name); corrupt single records
-    cannot exist in a container whose sync markers verify."""
+    the codec module's contract, and a pinned schema whose field names
+    don't match the embedded writer schema raises per file (silently
+    all-null columns would contradict this contract). Corrupt
+    containers raise (a silently short table is worse than a loud file
+    name); corrupt single records cannot exist in a container whose
+    sync markers verify."""
     from cdc_pipeline_spark.sources.avro_codec import avro_to_spark_schema
     from cdc_pipeline_spark.sources.avro_ocf import (
         DEFAULT_MAX_BLOCK_BYTES,
         read_ocf_bytes,
         read_ocf_schema,
     )
+
+    from pyspark.sql.pandas.types import to_arrow_schema
 
     limit = DEFAULT_MAX_BLOCK_BYTES if max_block_bytes is None else int(max_block_bytes)
     blobs = read_binary_files(spark, path, glob="*.avro")
@@ -346,26 +343,29 @@ def read_avro(
         schema = avro_to_spark_schema(read_ocf_schema(bytes(first[0]["content"])))
     out_schema = schema
     out_cols = out_schema.fieldNames()
-    ts_cols = tuple(
-        f.name for f in out_schema.fields if f.dataType.typeName() == "timestamp"
-    )
-    session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    # Arrow-native output (no pandas detour): nullable longs stay exact
+    # ints past 2^53, NaN doubles stay distinct from nulls, and the
+    # decoder's naive-UTC datetimes map onto tz=UTC Arrow instants —
+    # Spark renders them in the session zone with no manual shift
+    arrow_schema = to_arrow_schema(out_schema, timestamp_utc=True)
 
     def gen(batches):
-        import pandas as pd
+        import json as _json
 
-        for pdf in batches:
-            for blob in pdf["content"]:
-                recs = list(read_ocf_bytes(bytes(blob), max_block_bytes=limit))
-                out = pd.DataFrame(recs, columns=out_cols)
-                if len(out) and ts_cols and session_tz not in ("UTC", "Etc/UTC", "GMT"):
-                    for c in ts_cols:
-                        out[c] = (
-                            pd.to_datetime(out[c])
-                            .dt.tz_localize("UTC")
-                            .dt.tz_convert(session_tz)
-                            .dt.tz_localize(None)
-                        )
-                yield out
+        import pyarrow as pa
 
-    return blobs.select("content").mapInPandas(gen, schema=out_schema)
+        for batch in batches:
+            for blob in batch.column(0).to_pylist():
+                raw = bytes(blob)
+                emb = _json.loads(read_ocf_schema(raw))
+                emb_names = sorted(f["name"] for f in emb.get("fields", []))
+                if emb_names != sorted(out_cols):
+                    raise ValueError(
+                        "read_avro: pinned schema fields "
+                        f"{sorted(out_cols)} do not match embedded writer "
+                        f"schema fields {emb_names}"
+                    )
+                recs = list(read_ocf_bytes(raw, max_block_bytes=limit))
+                yield pa.RecordBatch.from_pylist(recs, schema=arrow_schema)
+
+    return blobs.select("content").mapInArrow(gen, schema=out_schema)

@@ -249,3 +249,17 @@ def test_dim_moments_rejects_null_elements(spark):
     )
     with pytest.raises(ValueError, match="null embedding component"):
         dim_moments(df)
+
+
+def test_dim_moments_rejects_ragged_vector_lengths(spark):
+    """Ragged embedding lengths silently skew every z-score on the
+    shorter dimensions — the moments pass fails loudly instead."""
+    import pytest
+
+    from cdc_pipeline_spark.operators.linalg import dim_moments
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        dim_moments(df)
