@@ -376,11 +376,12 @@ def bpe_vocab_token_counts(
 
 
 def bpe_train_merges_local(
-    df: DataFrame,
+    df: DataFrame | None,
     text_col: str = "text",
     rounds: int = 8,
     max_word_chars: int | None = None,
     max_vocab_rows: int = 5_000_000,
+    words_freq: DataFrame | None = None,
 ) -> list[tuple[str, str, int]]:
     """Train ``rounds`` BPE merges with the distributed word-frequency
     shuffle + a driver-side heap — bit-identical merges and scores to
@@ -410,13 +411,19 @@ def bpe_train_merges_local(
     import heapq
     from collections import defaultdict
 
-    words_df = (
-        _spread(df)
-        .select(F.explode(tokens(text_col)).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
+    if words_freq is not None:
+        # caller already holds the (word, freq) table (e.g. derived from
+        # a materialized per-doc word-count frame a train→apply pipeline
+        # shares) — don't re-tokenize the corpus for it
+        words_df = words_freq
+    else:
+        words_df = (
+            _spread(df)
+            .select(F.explode(tokens(text_col)).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
     if max_word_chars is not None:
         words_df = words_df.filter(F.length("word") <= int(max_word_chars))
     rows = words_df.limit(max_vocab_rows + 1).collect()
@@ -542,9 +549,17 @@ def wordpiece_vocab(
     pieces) against megabyte URL/base64 tokens.
     """
     words = word_freq_table(df, text_col, max_word_chars)
+    return _rank_top_pieces(_substring_piece_weights(words, max_piece_len), vocab_size)
+
+
+def _substring_piece_weights(words: DataFrame, max_piece_len: int) -> DataFrame:
+    """Corpus-weighted substring frequencies over a (word, freq) table →
+    (piece, weight): the shared seed-counting stage of the WordPiece and
+    unigram trainers, separated so a caller that already holds the word
+    table (unigram's hard-EM loop) doesn't recompute the corpus scan."""
     starts = F.sequence(F.lit(1), F.length("word"))
     lens = F.sequence(F.lit(1), F.lit(max_piece_len))
-    pieces = (
+    return (
         words.select("freq", F.explode(starts).alias("start"), F.col("word"))
         .select("freq", "word", "start", F.explode(lens).alias("len"))
         .filter(F.col("start") + F.col("len") - 1 <= F.length("word"))
@@ -555,7 +570,6 @@ def wordpiece_vocab(
         .groupBy("piece")
         .agg(F.sum("freq").alias("weight"))
     )
-    return _rank_top_pieces(pieces, vocab_size)
 
 
 def _rank_top_pieces(pieces: DataFrame, k: int) -> DataFrame:
@@ -737,12 +751,13 @@ def _viterbi_usage(
 
 
 def unigram_vocab(
-    df: DataFrame,
+    df: DataFrame | None,
     text_col: str = "text",
     vocab_size: int = 200,
     seed_size: int = 600,
     max_piece_len: int = 4,
     max_word_chars: int = 16,
+    words_freq: DataFrame | None = None,
 ) -> DataFrame:
     """Hard-EM unigram vocabulary → (piece, weight, rank).
 
@@ -751,14 +766,27 @@ def unigram_vocab(
     E-step = Viterbi usage under the seed; M-step = keep the
     top-``vocab_size`` pieces by (usage DESC, piece ASC), weight =
     usage. Only the seed (bounded control state, like centroids) is
-    ever collected; both corpus passes are distinct-word-bounded."""
+    ever collected; both corpus passes are distinct-word-bounded.
+
+    The (word, freq) table is materialized ONCE and shared by the seed
+    count and the E-step: the two run in separate jobs (the seed is
+    collected before the E-step plan exists), so without the checkpoint
+    the corpus tokenize+groupBy executes twice. The cached table is
+    vocabulary-bounded, not corpus-bounded. A caller already holding a
+    (word, freq) table (length-capped to ``max_word_chars``; e.g. the
+    train→apply pipeline's shared per-doc word counts) passes it via
+    ``words_freq`` and no corpus scan happens here at all."""
+    words = (
+        words_freq
+        if words_freq is not None
+        else word_freq_table(df, text_col, max_word_chars).localCheckpoint(eager=True)
+    )
     seed = {
         r["piece"]: r["weight"]
-        for r in wordpiece_vocab(
-            df, text_col, seed_size, max_piece_len, max_word_chars
+        for r in _rank_top_pieces(
+            _substring_piece_weights(words, max_piece_len), seed_size
         ).collect()
     }
-    words = word_freq_table(df, text_col, max_word_chars)
     return _rank_top_pieces(_viterbi_usage(words, seed, max_piece_len), vocab_size)
 
 

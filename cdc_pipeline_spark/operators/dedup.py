@@ -161,7 +161,13 @@ def ngram_jaccard_pairs(
     path); LSH (``minhash_lsh_pairs``) is the principled scale path.
     """
     sh = _shingled(df, id_col, text_col, n)
-    posting = _posting(sh)
+    # Materialize the posting ONCE: it feeds three plan references (set
+    # sizes + both self-join sides), and without this the interpreted
+    # shingling expression re-evaluates per reference (~3x tokenize).
+    # This is the documented small-N/verifier path, so the materialized
+    # posting is candidate-set-sized, not corpus-sized (the corpus-scale
+    # path is LSH, which checkpoints its own band postings).
+    posting = _posting(sh).localCheckpoint(eager=True)
     join_posting = posting
     if max_df is not None:
         hot = (
@@ -447,6 +453,12 @@ def fuzzy_join(
     sizes, pass the SMALLER table as ``right`` — its posting list is the
     one a future optimization would broadcast.
     """
+    # Each posting feeds two plan references (candidate join + set
+    # sizes). Measured: recomputing the shingling per reference inside
+    # ONE fused job beats eagerly materializing each posting first (two
+    # serialized checkpoint jobs + cache write/read cost more than the
+    # duplicate tokenize, interleaved A/B at sf0.1: ~1.9s vs ~2.5s) —
+    # so no localCheckpoint here, unlike the 3-reference self-join case.
     lsh = _posting(_shingled(left, id_col, text_col, n)).select(
         F.col("doc_id").alias("left_id"), "shingle"
     )

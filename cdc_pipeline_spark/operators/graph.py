@@ -64,15 +64,16 @@ def connected_components(
         return _with_singletons(out, vertices, id_col)
     if algorithm != "propagation":
         raise ValueError(f"unknown algorithm: {algorithm!r}")
-    # Materialize the symmetrized edge list ONCE. `edges` may be the tail
-    # of an expensive pipeline (shingling + inverted-index join for
-    # near-dup pairs); without this, every propagation round — and both
-    # branches of the union — would re-execute that whole plan.
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .localCheckpoint(eager=True)
+    # Materialize the edge list ONCE — BEFORE symmetrizing. `edges` may
+    # be the tail of an expensive pipeline (shingling + inverted-index
+    # join for near-dup pairs); a checkpoint placed after the union
+    # would still execute that whole plan twice (once per union branch).
+    # The per-round cost of deriving sym from the checkpointed base is
+    # two edge-sized scans of cached blocks — nothing upstream reruns.
+    base = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
     )
+    sym = base.unionAll(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # Propagate only over nodes that have edges; isolated vertices can't
     # change label and are appended as singletons at the end.
     labels = (
@@ -274,9 +275,16 @@ def pagerank_fixed_point(
     Output: (node, rank_fp, rank) — rank = rank_fp / scale as double
     (exact: rank_fp < 2⁵³).
     """
-    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    adj = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    # checkpoint BEFORE the symmetrizing union: both branches reference
+    # `edges`, and an expensive upstream pair pipeline would run twice
+    base = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
+    adj = (
+        base.unionByName(base.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
     n = deg.count()  # one scalar to the driver (node count), k-bounded
     if n == 0:

@@ -2046,37 +2046,63 @@ def doc_wordpiece_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded control state — collected like centroids) broadcasts into
     an Arrow `mapInPandas` greedy longest-prefix-match over the DISTINCT
     corpus words (`chunking.py::wordpiece_segment_counts`), which joins
-    back to the exploded corpus for per-doc piece/UNK totals. All
-    decisions are integer-only (no EM float scores), which is what lets
-    the DuckDB recursive CTE replay the greedy matching bit-for-bit —
-    the deterministic member of the unigram-LM tokenizer family, and
-    what production WordPiece inference actually runs."""
+    back to the per-doc word-count table for per-doc piece/UNK totals.
+    All decisions are integer-only (no EM float scores), which is what
+    lets the DuckDB recursive CTE replay the greedy matching bit-for-bit
+    — the deterministic member of the unigram-LM tokenizer family, and
+    what production WordPiece inference actually runs. The corpus is
+    tokenized ONCE (`_per_doc_word_counts`); vocab training, the
+    distinct-word apply set, and the per-doc rollup all derive from the
+    materialized table (measured 1.6x vs re-tokenizing per reference)."""
     from cdc_pipeline_spark.operators.chunking import (
+        _rank_top_pieces,
+        _substring_piece_weights,
         wordpiece_segment_counts,
-        wordpiece_vocab,
     )
+
+    pdw = _per_doc_word_counts(_t(spark, sf_dir, "documents"))
+    wf = (
+        pdw.filter(F.length("word") <= 64)
+        .groupBy("word")
+        .agg(F.sum("n_occ").alias("freq"))
+    )
+    vocab = [
+        r["piece"]
+        for r in _rank_top_pieces(_substring_piece_weights(wf, 4), 120)
+        .select("piece")
+        .collect()
+    ]
+    counts = wordpiece_segment_counts(pdw.select("word").distinct(), vocab)
+    return (
+        pdw.join(counts, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").alias("n_words"),
+            F.sum(F.col("n_pieces") * F.col("n_occ")).alias("n_pieces"),
+            F.sum(F.col("n_unk") * F.col("n_occ")).alias("n_unk"),
+        )
+    )
+
+
+def _per_doc_word_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, word, n_occ) — the corpus tokenized ONCE and eagerly
+    materialized, shared by every reference of a tokenizer train→apply
+    pipeline (the trainer's word-frequency derivation, the distinct-word
+    apply set, and the per-doc weighted rollup). Without this, each plan
+    reference re-runs the corpus explode: the wordpiece query paid 3
+    tokenizes (train + distinct + join-back). The table is bounded by
+    doc x distinct-word, strictly smaller than the raw token stream it
+    replaces."""
     from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as spread
     from cdc_pipeline_spark.operators.text import tokens
 
-    docs = _t(spark, sf_dir, "documents")
-    vocab = [
-        r["piece"]
-        for r in wordpiece_vocab(docs, vocab_size=120).select("piece").collect()
-    ]
-    exploded = (
+    return (
         spread(docs)
         .select("doc_id", F.explode(tokens("text")).alias("word"))
         .filter(F.col("word") != "")
-    )
-    counts = wordpiece_segment_counts(exploded.select("word").distinct(), vocab)
-    return (
-        exploded.join(counts, "word")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("n_pieces").alias("n_pieces"),
-            F.sum("n_unk").alias("n_unk"),
-        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .localCheckpoint(eager=True)
     )
 
 
@@ -2240,37 +2266,34 @@ def doc_unigram_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_segment_counts,
         unigram_vocab,
     )
-    from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as spread
-    from cdc_pipeline_spark.operators.text import tokens
 
-    docs = _t(spark, sf_dir, "documents")
+    pdw = _per_doc_word_counts(_t(spark, sf_dir, "documents")).filter(
+        F.length("word") <= _UNIGRAM_MAX_WORD
+    )
+    wf = pdw.groupBy("word").agg(F.sum("n_occ").alias("freq"))
     weights = {
         r["piece"]: r["weight"]
         for r in unigram_vocab(
-            docs,
+            None,
             vocab_size=_UNIGRAM_VOCAB,
             seed_size=_UNIGRAM_SEED,
             max_piece_len=_UNIGRAM_MAX_PIECE,
             max_word_chars=_UNIGRAM_MAX_WORD,
+            words_freq=wf,
         )
         .select("piece", "weight")
         .collect()
     }
-    exploded = (
-        spread(docs)
-        .select("doc_id", F.explode(tokens("text")).alias("word"))
-        .filter((F.col("word") != "") & (F.length("word") <= _UNIGRAM_MAX_WORD))
-    )
     counts = unigram_segment_counts(
-        exploded.select("word").distinct(), weights, max_piece_len=_UNIGRAM_MAX_PIECE
+        pdw.select("word").distinct(), weights, max_piece_len=_UNIGRAM_MAX_PIECE
     )
     return (
-        exploded.join(counts, "word")
+        pdw.join(counts, "word")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("n_pieces").alias("n_pieces"),
-            F.sum("n_unk").alias("n_unk"),
+            F.sum("n_occ").alias("n_words"),
+            F.sum(F.col("n_pieces") * F.col("n_occ")).alias("n_pieces"),
+            F.sum(F.col("n_unk") * F.col("n_occ")).alias("n_unk"),
         )
     )
 
@@ -4369,39 +4392,36 @@ def doc_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 training shuffles the `corpus_bpe_train` row already covers."""
     from cdc_pipeline_spark.operators.chunking import bpe_train_merges_local
 
-    docs = _t(spark, sf_dir, "documents")
-    merges = bpe_train_merges_local(docs, rounds=8)
-    return _bpe_segmentation_counts(docs, merges)
+    pdw = _per_doc_word_counts(_t(spark, sf_dir, "documents"))
+    merges = bpe_train_merges_local(
+        None, rounds=8, words_freq=pdw.groupBy("word").agg(F.sum("n_occ").alias("freq"))
+    )
+    return _bpe_segmentation_counts(pdw, merges)
 
 
-def _bpe_segmentation_counts(docs: DataFrame, merges, fold_max_merges=None) -> DataFrame:
+def _bpe_segmentation_counts(pdw: DataFrame, merges, fold_max_merges=None) -> DataFrame:
     """Shared apply step: per-doc word/char/BPE-token counts from a
-    trained merge table. The per-distinct-word token counts come from
+    trained merge table, over the materialized per-doc word-count table
+    (`_per_doc_word_counts` — ONE corpus tokenize shared with training).
+    The per-distinct-word token counts come from
     `bpe_vocab_token_counts` — the pure-JVM fold chain at oracle merge
     counts, the broadcast-ranks Arrow tokenizer beyond
     FOLD_APPLY_MAX_MERGES (or when forced via ``fold_max_merges=0``)."""
     from cdc_pipeline_spark.operators.chunking import bpe_vocab_token_counts
-    from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as spread
-    from cdc_pipeline_spark.operators.text import tokens
 
-    exploded = (
-        spread(docs)
-        .select("doc_id", F.explode(tokens("text")).alias("word"))
-        .filter(F.col("word") != "")
-    )
     kwargs = {} if fold_max_merges is None else {"fold_max_merges": fold_max_merges}
-    vocab = bpe_vocab_token_counts(exploded.select("word").distinct(), merges, **kwargs)
+    vocab = bpe_vocab_token_counts(pdw.select("word").distinct(), merges, **kwargs)
     # no forced broadcast hint: the vocab is tiny at test scale (AQE
     # broadcasts it on its own) but a web-scale corpus has a 10⁸-word
     # vocabulary — the same reasoning that size-guarded broadcast_enrich
     # this round says let AQE pick the join strategy here
     return (
-        exploded.join(vocab, "word")
+        pdw.join(vocab, "word")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum(F.length("word")).alias("n_chars"),
-            F.sum("n_syms").alias("n_bpe_tokens"),
+            F.sum("n_occ").alias("n_words"),
+            F.sum(F.length("word") * F.col("n_occ")).alias("n_chars"),
+            F.sum(F.col("n_syms") * F.col("n_occ")).alias("n_bpe_tokens"),
         )
     )
 
@@ -4421,9 +4441,11 @@ def doc_bpe_segmentation_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Arrow apply, not redundant training shuffles."""
     from cdc_pipeline_spark.operators.chunking import bpe_train_merges_local
 
-    docs = _t(spark, sf_dir, "documents")
-    merges = bpe_train_merges_local(docs, rounds=8)
-    return _bpe_segmentation_counts(docs, merges, fold_max_merges=0)
+    pdw = _per_doc_word_counts(_t(spark, sf_dir, "documents"))
+    merges = bpe_train_merges_local(
+        None, rounds=8, words_freq=pdw.groupBy("word").agg(F.sum("n_occ").alias("freq"))
+    )
+    return _bpe_segmentation_counts(pdw, merges, fold_max_merges=0)
 
 
 @register("corpus_bpe_train", _bpe_train_oracle_sql())
