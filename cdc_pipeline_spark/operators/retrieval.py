@@ -262,12 +262,22 @@ def bm25_topk(
 ) -> DataFrame:
     """Batch top-k BM25 retrieval over a document corpus — tokenize,
     weight, rank in one plan (`bm25_term_weights` →
-    `bm25_topk_from_weights`)."""
+    `bm25_topk_from_weights`). The broad-routing df probe runs against
+    the bare tf table, not the full weight plan: df per token is
+    identical on either (one row per posting), and probing through the
+    weight plan would pay the dfreq/doclens/stats joins twice (measured
+    ~3.0 s → ~2.5 s at sf0.1; an eager tf checkpoint measured slower
+    than letting both jobs recompute the fused tokenize)."""
+    tf = token_tf(df, id_col=id_col, text_col=text_col)
+    w = bm25_term_weights_from_stats(
+        tf, doc_lengths(df, tf, id_col=id_col), k1=k1, b=b
+    )
     return bm25_topk_from_weights(
-        bm25_term_weights(df, id_col=id_col, text_col=text_col, k1=k1, b=b),
+        w,
         queries,
         k,
         broad_candidates=broad_candidates,
+        probe=tf,
     )
 
 
