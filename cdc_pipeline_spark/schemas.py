@@ -53,9 +53,9 @@ def with_cdc_meta(schema: StructType) -> StructType:
 USERS = StructType(
     [
         StructField("id", LongType(), False),
-        StructField("username", StringType()),
-        StructField("display_name", StringType()),
-        StructField("email", StringType()),
+        StructField("username", StringType(), False),
+        StructField("display_name", StringType(), False),
+        StructField("email", StringType(), False),
         StructField("country_code", StringType()),
         StructField("city", StringType()),
         StructField("region_name", StringType()),
@@ -68,9 +68,9 @@ USERS = StructType(
 PRODUCTS = StructType(
     [
         StructField("id", LongType(), False),
-        StructField("name", StringType()),
+        StructField("name", StringType(), False),
         StructField("category", StringType()),
-        StructField("price", DoubleType()),
+        StructField("price", DoubleType(), False),
         StructField("merchant_region", StringType()),
         StructField("created_at", TimestampType()),
         StructField("updated_at", TimestampType()),
@@ -81,7 +81,7 @@ ORDERS = StructType(
     [
         StructField("id", LongType(), False),
         StructField("user_id", LongType()),
-        StructField("total_amount", DoubleType()),
+        StructField("total_amount", DoubleType(), False),
         StructField("currency", StringType()),
         StructField("status", StringType(), False),
         StructField("region_name", StringType()),
@@ -97,8 +97,8 @@ ORDER_ITEMS = StructType(
         StructField("id", LongType(), False),
         StructField("order_id", LongType()),
         StructField("product_id", LongType()),
-        StructField("quantity", IntegerType()),
-        StructField("unit_price", DoubleType()),
+        StructField("quantity", IntegerType(), False),
+        StructField("unit_price", DoubleType(), False),
         StructField("created_at", TimestampType()),
     ]
 )
@@ -108,7 +108,7 @@ CART_ITEMS = StructType(
         StructField("id", LongType(), False),
         StructField("user_id", LongType()),
         StructField("product_id", LongType()),
-        StructField("quantity", IntegerType()),
+        StructField("quantity", IntegerType(), False),
         StructField("added_at", TimestampType()),
         StructField("removed_at", TimestampType()),
     ]

@@ -1,0 +1,154 @@
+"""Golden-wire Avro differential test (round-6 verdict item 3).
+
+Recorded Debezium/Confluent frames (``fixtures_debezium_wire`` — built
+by an INDEPENDENT spec-direct encoder hand-wired from the reference's
+registered writer schemas) are pushed through the engine's full jar-free
+decode chain — ``strip_confluent_header`` → ``decode_avro_python`` →
+``normalize_cdc`` — and the flattened rows are asserted field-for-field:
+union ordering (string-first ZonedTimestamp, boolean-first is_active,
+string-first currency, null-first plains), all three CDC timestamp
+formats, the __op c/u/r keep + d drop, and the PERMISSIVE corrupt-frame
+drop. Reference chain: kafka_sources.py:66-99; writer schemas:
+schemas.py:181-189. The reader schemas here come from the engine's OWN
+``avro_reader_schema`` derivation, so the test simultaneously proves
+that derivation wire-compatible with Debezium's registered schemas.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from fixtures_debezium_wire import (
+    FRAMES_HEX,
+    ORDERS_SCHEMA_ID,
+    SESSIONS_SCHEMA_ID,
+    USERS_SCHEMA_ID,
+    build_frames,
+)
+
+from cdc_pipeline_spark import schemas
+from cdc_pipeline_spark.operators.cdc import normalize_cdc
+from cdc_pipeline_spark.sources.avro_codec import decode_avro_python
+from cdc_pipeline_spark.sources.kafka_avro import (
+    avro_reader_schema,
+    confluent_schema_id,
+    strip_confluent_header,
+)
+
+ZONED_DEFAULT = "1970-01-01T00:00:00.000000Z"
+
+
+def _reader_schema(table: str) -> str:
+    if table == "users":
+        return avro_reader_schema(
+            schemas.with_cdc_meta(schemas.USERS),
+            "UsersCdc",
+            zoned_ts_cols=("created_at", "updated_at"),
+            defaults={"id": 0, "created_at": ZONED_DEFAULT, "updated_at": ZONED_DEFAULT},
+        )
+    if table == "orders":
+        return avro_reader_schema(
+            schemas.with_cdc_meta(schemas.ORDERS),
+            "OrdersCdc",
+            zoned_ts_cols=("created_at", "updated_at"),
+            defaults={
+                "id": 0,
+                "currency": "USD",
+                "created_at": ZONED_DEFAULT,
+                "updated_at": ZONED_DEFAULT,
+            },
+        )
+    if table == "sessions":
+        return avro_reader_schema(
+            schemas.with_cdc_meta(schemas.SESSIONS),
+            "SessionsCdc",
+            zoned_ts_cols=("started_at", "ended_at", "created_at"),
+            uuid_cols=("id",),
+            defaults={
+                "id": "00000000-0000-0000-0000-000000000000",
+                "is_active": True,
+                "created_at": ZONED_DEFAULT,
+            },
+        )
+    raise AssertionError(table)
+
+
+def test_committed_frames_match_regenerated():
+    """Fixture-drift guard: the committed hex bytes ARE what the
+    independent encoder produces from the documented field values."""
+    built = build_frames()
+    assert set(built) == set(FRAMES_HEX)
+    for table, frames in built.items():
+        assert [f.hex() for f in frames] == FRAMES_HEX[table], table
+
+
+def _decode(spark, table: str, ts_cols: list[str]):
+    frames = [bytes.fromhex(h) for h in FRAMES_HEX[table]]
+    df = spark.createDataFrame([(f,) for f in frames], "value binary")
+    stripped = df.select(strip_confluent_header("value").alias("value"))
+    decoded = decode_avro_python(stripped, _reader_schema(table), "value")
+    return normalize_cdc(decoded, ts_cols)
+
+
+def test_users_wire_chain(spark):
+    rows = {r["id"]: r for r in _decode(spark, "users", ["updated_at"]).collect()}
+    # delete (103) filtered by the op filter; corrupt frame (105) dropped
+    assert set(rows) == {101, 102, 104}
+    u1 = rows[101]
+    assert (u1["username"], u1["__op"], u1["__table"]) == ("ada", "c", "users")
+    assert u1["country_code"] == "GB" and u1["city"] is None
+    # µs-precision ZonedTimestamp normalized to an exact timestamp
+    assert u1["updated_at"] == datetime.datetime(2024, 3, 1, 8, 15, 30, 123456)
+    # non-normalized ZonedTimestamp columns stay ISO strings (reference
+    # normalizes only the designated column, kafka_sources.py:90-99)
+    assert u1["created_at"] == "2024-03-01T08:15:30.123456Z"
+    assert u1["__source_ts_ms"] == 1709280930123 and u1["__deleted"] == "false"
+    u2 = rows[102]
+    assert u2["updated_at"] is None and u2["platform"] is None
+    assert u2["city"] == "Lyon" and u2["__op"] == "u"
+    u4 = rows[104]  # plain (no-Z) format through the coalesce fallback
+    assert u4["updated_at"] == datetime.datetime(2024, 3, 1, 10, 30, 0)
+    assert u4["__op"] == "r"
+
+
+def test_orders_wire_chain(spark):
+    rows = {r["id"]: r for r in _decode(spark, "orders", ["updated_at"]).collect()}
+    assert set(rows) == {9001, 9002}  # 9003 is a delete
+    o1 = rows[9001]
+    assert o1["currency"] == "USD" and o1["total_amount"] == 149.99
+    assert o1["updated_at"] == datetime.datetime(2024, 3, 2, 10, 0, 0, 500000)
+    o2 = rows[9002]
+    # null branch of the STRING-FIRST currency union
+    assert o2["currency"] is None and o2["user_id"] is None
+    assert o2["status"] == "completed"
+    assert o2["updated_at"] == datetime.datetime(2024, 3, 2, 11, 30, 0)
+
+
+def test_sessions_wire_chain(spark):
+    rows = {r["id"][:8]: r for r in _decode(spark, "sessions", ["started_at"]).collect()}
+    assert set(rows) == {"0b0e7b32", "1c1f8c43", "2d2f9d54"}  # c, u, r all kept
+    s1 = rows["0b0e7b32"]
+    assert s1["is_active"] is True and s1["ended_at"] is None
+    assert s1["started_at"] == datetime.datetime(2024, 3, 3, 7, 45, 10, 250000)
+    s2 = rows["1c1f8c43"]
+    # null branch of the BOOLEAN-FIRST is_active union
+    assert s2["is_active"] is None and s2["user_id"] is None
+    assert s2["started_at"] == datetime.datetime(2024, 3, 3, 8, 0, 0)
+    assert s2["ended_at"] == "2024-03-03T08:20:05.000001Z"  # stays a string
+    s3 = rows["2d2f9d54"]
+    assert s3["is_active"] is False
+    assert s3["started_at"] == datetime.datetime(2024, 3, 3, 9, 15, 0)
+
+
+def test_wire_header_schema_ids(spark):
+    """The 4-byte big-endian registry id survives the header parse for
+    every golden frame (schema-evolution routing, S2+)."""
+    for table, want in (
+        ("users", USERS_SCHEMA_ID),
+        ("orders", ORDERS_SCHEMA_ID),
+        ("sessions", SESSIONS_SCHEMA_ID),
+    ):
+        frames = [bytes.fromhex(h) for h in FRAMES_HEX[table]]
+        df = spark.createDataFrame([(f,) for f in frames], "value binary")
+        ids = {r["schema_id"] for r in df.select(confluent_schema_id("value")).collect()}
+        assert ids == {want}, table
