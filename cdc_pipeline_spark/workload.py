@@ -5726,86 +5726,32 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- round 6: the new registrations, then the two queries whose
-    # operator INTERNALS changed this round (SNM multi-pass refactor,
-    # BM25 adaptive ranking). The spread->ensure_parallelism migration
-    # also touched the plan of ~24 operators across the carryover —
-    # far more than the window holds; instead of a window row, each was
-    # re-verified by three independent FULL 155-query sweeps this round
-    # (sf0.001, sf0.01, sf0.1) plus the adversarial local[5]/7 layout
-    # sweep, all 155/155 (COVERAGE.md round-6 closing state) --
-    # -- round-6 session-2 registrations (newest first): bloom anti-join
-    # ingest dedup, per-source KL mixture diagnostic, diagonal-
-    # Mahalanobis embedding outliers, Avro OCF round-trip --
-    "events_anomaly_minutes",
-    "docs_bloom_incremental",
-    "source_token_kl",
-    "embedding_zscore_outliers",
+    # -- round 7: queries whose PLANS changed this round (Arrow-native
+    # Avro reader, prefix-filter set-verification, CC/pagerank edge
+    # checkpoint, single-tokenize train->apply restructure, BM25 df
+    # probe) -- every one re-earns a fresh driver row --
     "orders_from_avro",
-    "dedup_snm_multipass",
-    "doc_bm25_broad_topk",
-    "dedup_sorted_neighborhood",
+    "dedup_prefix_filter",
+    "dedup_ngram_jaccard",
+    "dedup_canonical_docs",
+    "dedup_duplicate_clusters",
+    "dedup_clusters_star",
+    "dedup_graph_pagerank",
+    "doc_wordpiece_segmentation",
+    "doc_unigram_segmentation",
+    "doc_bpe_segmentation",
+    "doc_bpe_segmentation_arrow",
+    "corpus_unigram_vocab",
     "doc_bm25_topk",
-    # -- the round-5 carryover front (stalest, promised first in
-    # line; includes embedding_dim_variance — the one query that had
-    # never landed in any driver window before this round) --
-    "doc_length_outliers",
-    "doc_markup_profile",
-    "doc_padded_batches",
-    "doc_perplexity_buckets",
-    "doc_pii_redaction",
-    "doc_quality_classifier",
-    "doc_quality_rules",
-    "doc_rag_chunks",
-    "doc_repetition_stats",
-    "doc_sequence_packing",
-    "doc_source_quality_rank",
-    "doc_span_coverage",
-    "doc_split_quality",
-    "doc_winnowing_fingerprints",
-    "docs_incremental_new",
-    "dsir_target_selection",
-    "embedding_cluster_medoids",
-    "embedding_dim_variance",
-    "embedding_kmeans",
-    "embedding_semantic_dedup",
-    "embeddings_stratified_sample",
-    "event_funnel_counts",
-    "event_transition_matrix",
-    "events_daily_distinct_hll",
-    "events_gapfill_5min",
-    "events_multigrain_rollup",
-    "events_per_user_downsample",
+    "doc_bm25_broad_topk",
     "fuzzy_source_join",
-    "lineitem_exact_percentiles",
-    "lineitem_histogram_percentiles",
-    "lineitem_measures_unpivot",
-    "lineitem_stats_profile",
-    "orders_grouping_sets",
-    "q10_returned_items",
-    "q11_top_value_parts",
-    "q12_priority_by_status",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_revenue_supplier",
-    "q16_part_supplier_variety",
-    "q17_small_qty_avg_revenue",
-]
-
-# Everything else not yet re-checked this round (each was green in the
-# round-4 full sweep; the driver window simply cannot hold all 140) —
-# ordered explicitly so the registry rotation is a recorded decision,
-# not a silent off-by-N, and first in line for the round-6 window.
-_DRIVER_WINDOW_CARRYOVER = [
-    # evicted from the round-6 window by the session-2 registrations —
-    # first in line for round 7 (all green in this round's full sweeps)
+    # -- stalest carryover front (last green: round-4 full sweep /
+    # early windows), promised first in line by round 6 --
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q20_bulk_part_suppliers",
     "q21_sole_late_supplier",
     "q22_idle_customer_balance",
-    # round-5 carryover names the 50-slot round-6 window could not
-    # hold — first in line for round 7
     "q2_min_price_per_type",
     "q4_priority_late_orders",
     "q7_volume_shipping",
@@ -5829,16 +5775,22 @@ _DRIVER_WINDOW_CARRYOVER = [
     "customer_region_enrichment",
     "customer_running_revenue",
     "customers_with_open_orders",
-    "dedup_canonical_docs",
-    "dedup_duplicate_clusters",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "dedup_simhash",
     "distinct_user_event_pairs",
     "doc_bigram_logprob",
     "doc_bpe_token_counts",
     "doc_lang_charclass",
+]
+
+# Everything else not yet re-checked this round (each was green in the
+# round-4 full sweep; the driver window simply cannot hold all 140) —
+# ordered explicitly so the registry rotation is a recorded decision,
+# not a silent off-by-N, and first in line for the round-6 window.
+_DRIVER_WINDOW_CARRYOVER = [
+    # round-6 carryover middle the 50-slot window still cannot hold --
+    # first in line for round 8 (all green in round-6/7 full sweeps)
     "doc_segment_dedup",
     "doc_text_features",
     "doc_tfidf_cosine_pairs",
@@ -5863,24 +5815,16 @@ _DRIVER_WINDOW_CARRYOVER = [
     "order_status_rollup",
     "region_windowed_sales",
     "two_level_region_resolution",
-    # -- freshest: green in the round-5 driver window
-    # (CORRECTNESS_r05), so last in line --
-    "dedup_prefix_filter",
     "doc_entropy_profile",
     "events_retention_hll",
     "doc_top_tfidf_terms",
-    "corpus_unigram_vocab",
-    "doc_unigram_segmentation",
     "doc_max_dup_span",
     "doc_lang_ngram_rank",
-    "doc_bpe_segmentation_arrow",
     "corpus_bpe_train_local",
     "orders_priority_from_orc",
     "nations_from_xml",
     "bloom_probe_orders",
     "corpus_wordpiece_vocab",
-    "doc_wordpiece_segmentation",
-    "doc_bpe_segmentation",
     "corpus_bpe_train",
     "region_flows_top5",
     "customers_without_orders",
@@ -5909,10 +5853,56 @@ _DRIVER_WINDOW_CARRYOVER = [
     "corpus_token_topk",
     "corpus_vocab_coverage",
     "customer_order_window_battery",
-    "dedup_clusters_star",
-    "dedup_graph_pagerank",
     "doc_benchmark_contamination",
     "doc_eval_containment",
+    # -- freshest: green in the round-6 driver window
+    # (CORRECTNESS_r06), so last in line --
+    "events_anomaly_minutes",
+    "docs_bloom_incremental",
+    "source_token_kl",
+    "embedding_zscore_outliers",
+    "dedup_snm_multipass",
+    "dedup_sorted_neighborhood",
+    "doc_length_outliers",
+    "doc_markup_profile",
+    "doc_padded_batches",
+    "doc_perplexity_buckets",
+    "doc_pii_redaction",
+    "doc_quality_classifier",
+    "doc_quality_rules",
+    "doc_rag_chunks",
+    "doc_repetition_stats",
+    "doc_sequence_packing",
+    "doc_source_quality_rank",
+    "doc_span_coverage",
+    "doc_split_quality",
+    "doc_winnowing_fingerprints",
+    "docs_incremental_new",
+    "dsir_target_selection",
+    "embedding_cluster_medoids",
+    "embedding_dim_variance",
+    "embedding_kmeans",
+    "embedding_semantic_dedup",
+    "embeddings_stratified_sample",
+    "event_funnel_counts",
+    "event_transition_matrix",
+    "events_daily_distinct_hll",
+    "events_gapfill_5min",
+    "events_multigrain_rollup",
+    "events_per_user_downsample",
+    "lineitem_exact_percentiles",
+    "lineitem_histogram_percentiles",
+    "lineitem_measures_unpivot",
+    "lineitem_stats_profile",
+    "orders_grouping_sets",
+    "q10_returned_items",
+    "q11_top_value_parts",
+    "q12_priority_by_status",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_revenue_supplier",
+    "q16_part_supplier_variety",
+    "q17_small_qty_avg_revenue",
 ]
 
 

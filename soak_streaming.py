@@ -1,0 +1,407 @@
+#!/usr/bin/env python
+"""Streaming soak with LIVE compaction (SCALE.md round-7 evidence).
+
+Runs both continuously-maintained indexes — the BM25 retrieval index
+(``streaming/retrieval_index.py``) and the near-dup probe index
+(``streaming/neardup_index.py``) — from rate-source micro-batches for
+``SPARK_GRAFT_SOAK_SECS`` (default 600 s), while a maintenance thread
+fires ``compact_index`` + ``compact_neardup_index`` against the LIVE
+writers every ``SPARK_GRAFT_SOAK_COMPACT_SECS`` (default 45 s) — the
+lock/replay-marker contract under real concurrency, not a unit test's
+sequenced calls.
+
+Afterwards it asserts, and prints as ONE JSON line:
+
+* **zero loss / zero duplication, BM25**: ranking over the accumulated
+  (and repeatedly compacted) index is row-identical to the batch
+  operator over the reconstructed corpus;
+* **zero loss / zero duplication, near-dup**: the landed matches table
+  EQUALS the one-pass batch twin (band-posting candidates restricted to
+  cross-batch pairs, exact-Jaccard verified) — same pairs, same scores,
+  no duplicate (doc_id, match_id) rows;
+* **bounded directories**: post-soak file counts under every index
+  table stay far below one-partition-per-batch growth, and checkpoint
+  directories stay small (stateless foreachBatch pipelines).
+
+Document text is a PURE COLUMN EXPRESSION of the doc id (18 words from
+the id's group + 2 unique words → planted cross-batch near-dups with
+shingle Jaccard 0.8), so the batch twins reconstruct the exact corpus
+from ids alone — nothing depends on what the rate source happened to
+batch where, except the recorded (doc_id, batch_id) membership the
+near-dup twin needs, which the foreachBatch wrapper lands next to the
+index.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import threading
+import time
+
+from pyspark.sql import functions as F
+
+from cdc_pipeline_spark.session import create_spark_session
+
+SOAK_SECS = int(os.environ.get("SPARK_GRAFT_SOAK_SECS", "600"))
+COMPACT_SECS = int(os.environ.get("SPARK_GRAFT_SOAK_COMPACT_SECS", "45"))
+RATE = int(os.environ.get("SPARK_GRAFT_SOAK_RATE", "40"))  # docs/s per stream
+TRIGGER = "5 seconds"
+# doc_id % GROUPS shares 18 of 20 words → shingle J = 0.8; sized for
+# ~8 docs per group over the soak's expected corpus, so planted
+# near-dups recur across many distinct micro-batches
+GROUPS = max(50, (RATE * SOAK_SECS) // 8)
+VOCAB = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray"
+).split()
+
+
+def text_expr(idcol):
+    """Deterministic 20-word text: 18 drawn from the id's GROUP hash
+    (shared by every doc with the same ``id % GROUPS``), 2 from the id
+    itself (unique tail) — reconstructible from the id alone."""
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    group = F.pmod(idcol, F.lit(GROUPS))
+    words = [
+        F.element_at(
+            vocab, (F.pmod(F.xxhash64(group, F.lit(i)), F.lit(len(VOCAB))) + 1).cast("int")
+        )
+        for i in range(18)
+    ]
+    words += [
+        F.element_at(
+            vocab,
+            (F.pmod(F.xxhash64(idcol, F.lit(100 + i)), F.lit(len(VOCAB))) + 1).cast("int"),
+        )
+        for i in range(2)
+    ]
+    return F.concat_ws(" ", *words)
+
+
+def docs_stream(spark):
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(RATE))
+        .option("numPartitions", "4")
+        .load()
+    )
+    return src.select(F.col("value").alias("doc_id"), text_expr(F.col("value")).alias("text"))
+
+
+def count_files(root: str) -> int:
+    n = 0
+    for dirpath, _, files in os.walk(root):
+        if "_temporary" in dirpath or ".compact.tmp" in dirpath:
+            continue  # uncommitted task output / in-flight fold staging
+        n += sum(1 for f in files if not f.startswith(("_", ".")))
+    return n
+
+
+def dir_bytes(root: str) -> int:
+    total = 0
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+
+def main() -> None:
+    spark = create_spark_session(
+        app_name="soak-streaming", master="local[32]", shuffle_partitions=32
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from cdc_pipeline_spark.streaming.neardup_index import (
+        NearDupIndexWriter,
+        compact_neardup_index,
+        read_matches,
+    )
+    from cdc_pipeline_spark.streaming.retrieval_index import (
+        Bm25IndexWriter,
+        bm25_topk_over_index,
+        compact_index,
+        read_index,
+    )
+
+    base = tempfile.mkdtemp(prefix="soak-")
+    bm25_path = os.path.join(base, "bm25")
+    nd_path = os.path.join(base, "neardup")
+    member_path = os.path.join(base, "membership")
+    ck_bm25 = os.path.join(base, "ck_bm25")
+    ck_nd = os.path.join(base, "ck_nd")
+    run_id = "soak-r7"
+
+    bm25_writer = Bm25IndexWriter(bm25_path, run_id=run_id)
+    nd_writer = NearDupIndexWriter(nd_path, run_id=run_id)
+
+    def bm25_batch(batch_df, batch_id):
+        bm25_writer(batch_df, batch_id)
+
+    def nd_batch(batch_df, batch_id):
+        # membership parquet first: if we crash between the two writes,
+        # the twin sees a batch with no matches partition — a replay
+        # rewrites both (idempotent per-batch partition contract)
+        (
+            batch_df.select("doc_id")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append")
+            .parquet(member_path)
+        )
+        nd_writer(batch_df, batch_id)
+
+    q_bm25 = (
+        docs_stream(spark)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck_bm25)
+        .foreachBatch(bm25_batch)
+        .trigger(processingTime=TRIGGER)
+        .start()
+    )
+    q_nd = (
+        docs_stream(spark)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck_nd)
+        .foreachBatch(nd_batch)
+        .trigger(processingTime=TRIGGER)
+        .start()
+    )
+
+    stop = threading.Event()
+    compactions = {"n": 0, "errors": []}
+
+    def maintenance():
+        while not stop.wait(COMPACT_SECS):
+            try:
+                compact_index(spark, bm25_path, run_id=run_id)
+                compact_neardup_index(spark, nd_path, run_id=run_id)
+                compactions["n"] += 1
+            except Exception as e:  # noqa: BLE001 — recorded, assert below
+                compactions["errors"].append(f"{type(e).__name__}: {e}")
+
+    mt = threading.Thread(target=maintenance, daemon=True)
+    mt.start()
+    time.sleep(SOAK_SECS)
+    stop.set()
+    mt.join(timeout=COMPACT_SECS + 60)
+
+    def stop_when_idle(q, grace: float = 15.0):
+        # stop() interrupts a mid-flight foreachBatch; waiting for an
+        # idle trigger makes the interrupted-batch window rare (the
+        # reconciliation below handles the residual race soundly)
+        deadline = time.time() + grace
+        while time.time() < deadline and q.status.get("isTriggerActive"):
+            time.sleep(0.2)
+        q.stop()
+
+    stop_when_idle(q_bm25)
+    stop_when_idle(q_nd)
+    q_bm25.awaitTermination(60)
+    q_nd.awaitTermination(60)
+
+    # --- teardown reconciliation. An abrupt stop mid-foreachBatch is
+    # the writers' documented REPLAY scenario: on restart the batch
+    # replays and completes. The soak ends instead of restarting, so at
+    # most ONE batch per index (the last started) can be partial. A
+    # batch is complete iff its LAST-written table has the batch
+    # partition — or the index's own fold marker says it was already
+    # folded (the same `_replay_folded` source of truth the writers
+    # consult). Partial leftovers are pruned exactly as a replay would
+    # overwrite them, and the harness membership table drops the batch.
+    import shutil as _shutil
+
+    from cdc_pipeline_spark.streaming.rollup import _replay_folded
+
+    def _batch_complete(table_of_last_write: str, batch_id: int) -> bool:
+        return os.path.isdir(
+            os.path.join(table_of_last_write, f"batch_id={batch_id}")
+        ) or _replay_folded(table_of_last_write, run_id, batch_id)
+
+    def _listed_batches(table: str) -> set[int]:
+        try:
+            return {
+                int(d.split("=", 1)[1])
+                for d in os.listdir(table)
+                if d.startswith("batch_id=") and not d.endswith("=-1")
+            }
+        except FileNotFoundError:
+            return set()
+
+    partial_batches: dict[str, list[int]] = {"bm25": [], "neardup": []}
+    # bm25: tf written before doclens — prune tf dirs with no doclens twin
+    for b in sorted(_listed_batches(os.path.join(bm25_path, "tf"))):
+        if not _batch_complete(os.path.join(bm25_path, "doclens"), b):
+            _shutil.rmtree(os.path.join(bm25_path, "tf", f"batch_id={b}"))
+            partial_batches["bm25"].append(b)
+    # neardup: matches → shingles → postings; postings marks completion
+    nd_started = _listed_batches(os.path.join(nd_path, "matches")) | _listed_batches(
+        os.path.join(nd_path, "shingles")
+    )
+    for b in sorted(nd_started):
+        if not _batch_complete(os.path.join(nd_path, "postings"), b):
+            for sub in ("matches", "shingles"):
+                d = os.path.join(nd_path, sub, f"batch_id={b}")
+                if os.path.isdir(d):
+                    _shutil.rmtree(d)
+            partial_batches["neardup"].append(b)
+
+    # one final compaction so the bounded-size numbers describe the
+    # steady maintained state, not whatever the last trigger left
+    compact_index(spark, bm25_path, run_id=run_id)
+    compact_neardup_index(spark, nd_path, run_id=run_id)
+
+    checks: dict = {"teardown_partial_batches": partial_batches}
+
+    # --- BM25: index ranking == batch operator over reconstructed corpus
+    from cdc_pipeline_spark.operators.retrieval import bm25_topk
+
+    tf, doclens = read_index(spark, bm25_path)
+    ingested = doclens.select("doc_id").distinct().localCheckpoint(eager=True)
+    n_docs_bm25 = ingested.count()
+    corpus = ingested.select("doc_id", text_expr(F.col("doc_id")).alias("text"))
+    queries = (
+        (0, (VOCAB[0], VOCAB[3])),
+        (1, (VOCAB[7],)),
+        (2, (VOCAB[11], VOCAB[19], VOCAB[2])),
+    )
+    got = {
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in bm25_topk_over_index(spark, bm25_path, queries, k=10).collect()
+    }
+    want = {
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in bm25_topk(corpus, queries, k=10).collect()
+    }
+    checks["bm25_docs"] = n_docs_bm25
+    checks["bm25_rows"] = len(got)
+    checks["bm25_equal_batch_twin"] = bool(got and got == want)
+
+    # --- near-dup: matches table == one-pass cross-batch twin
+    from cdc_pipeline_spark.operators.dedup import (
+        band_posting,
+        minhash_signatures,
+        round_half_up,
+    )
+    from cdc_pipeline_spark.operators.text import word_shingles
+
+    member = spark.read.parquet(member_path)
+    # harness membership lands BEFORE the index writer: drop batches the
+    # writer never completed (same completeness rule as the pruning
+    # above — postings partition present or fold marker says folded)
+    member_batches = sorted(
+        r.batch_id for r in member.select("batch_id").distinct().collect()
+    )
+    valid = [
+        b
+        for b in member_batches
+        if _batch_complete(os.path.join(nd_path, "postings"), b)
+    ]
+    member = member.filter(F.col("batch_id").isin(valid)).localCheckpoint(eager=True)
+    n_docs_nd = member.count()
+    nd_corpus = member.select(
+        "doc_id", "batch_id", text_expr(F.col("doc_id")).alias("text")
+    ).localCheckpoint(eager=True)
+    sig = minhash_signatures(nd_corpus, "doc_id", "text", nd_writer.n, nd_writer.num_perm)
+    posting = band_posting(sig, nd_writer.num_perm, nd_writer.bands).join(
+        member, "doc_id"
+    )
+    cand = (
+        posting.select("band", "bucket", "doc_id", "batch_id")
+        .join(
+            posting.select(
+                "band",
+                "bucket",
+                F.col("doc_id").alias("match_id"),
+                F.col("batch_id").alias("match_batch"),
+            ),
+            ["band", "bucket"],
+        )
+        .filter(F.col("batch_id") > F.col("match_batch"))  # strictly-earlier history
+        .select("doc_id", "match_id")
+        .distinct()
+    )
+    sets_ = nd_corpus.select(
+        "doc_id", word_shingles("text", nd_writer.n).alias("sh")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jacc = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    twin = (
+        cand.join(sets_.select("doc_id", F.col("sh").alias("sh_a")), "doc_id")
+        .join(
+            sets_.select(F.col("doc_id").alias("match_id"), F.col("sh").alias("sh_b")),
+            "match_id",
+        )
+        .withColumn("jaccard", round_half_up(jacc, 6))
+        .filter(F.col("jaccard") >= nd_writer.threshold)
+        .select("doc_id", "match_id", "jaccard")
+    )
+    got_matches = [
+        (r.doc_id, r.match_id, float(r.jaccard))
+        for r in read_matches(spark, nd_path).select("doc_id", "match_id", "jaccard").collect()
+    ]
+    want_matches = {
+        (r.doc_id, r.match_id, float(r.jaccard)) for r in twin.collect()
+    }
+    checks["neardup_docs"] = n_docs_nd
+    checks["neardup_matches"] = len(got_matches)
+    checks["neardup_no_duplicates"] = len(got_matches) == len(set(got_matches))
+    checks["neardup_equal_batch_twin"] = bool(
+        got_matches and set(got_matches) == want_matches
+    )
+
+    # --- bounded state: file counts and checkpoint sizes
+    n_batches = max(
+        int(p["batchId"]) for p in (q_bm25.recentProgress or [{"batchId": 0}])
+    ) + 1
+    files = {
+        sub: count_files(os.path.join(p, sub))
+        for p, subs in ((bm25_path, ("tf", "doclens")), (nd_path, ("postings", "shingles")))
+        for sub in subs
+    }
+    checks["n_batches_observed"] = n_batches
+    checks["index_files"] = files
+    # steady state after compaction: ~1 folded partition per table (+ a
+    # handful of per-batch stragglers landed after the final fold)
+    checks["index_files_bounded"] = all(v <= 128 for v in files.values())
+    checks["matches_files"] = count_files(os.path.join(nd_path, "matches"))
+    checks["checkpoint_mib"] = {
+        "bm25": round(dir_bytes(ck_bm25) / 2**20, 2),
+        "neardup": round(dir_bytes(ck_nd) / 2**20, 2),
+    }
+    checks["checkpoints_bounded"] = all(
+        v < 64.0 for v in checks["checkpoint_mib"].values()
+    )
+    checks["compactions_fired"] = compactions["n"]
+    checks["compaction_errors"] = compactions["errors"]
+
+    ok = (
+        checks["bm25_equal_batch_twin"]
+        and checks["neardup_equal_batch_twin"]
+        and checks["neardup_no_duplicates"]
+        and checks["index_files_bounded"]
+        and checks["checkpoints_bounded"]
+        and compactions["n"] >= 3
+        and not compactions["errors"]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_soak",
+                "soak_secs": SOAK_SECS,
+                "compact_every_secs": COMPACT_SECS,
+                "rate_docs_per_sec": RATE,
+                "ok": ok,
+                **checks,
+            }
+        )
+    )
+    spark.stop()
+    raise SystemExit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
