@@ -231,15 +231,26 @@ def breach_alerts_tws(
     status_col: str = "status",
     time_col: str = "window_end",
 ) -> DataFrame:
-    """transformWithStateInPandas wiring for BreachProcessor. Requires the
-    RocksDB state store provider; this sets it on the owning session (a
-    per-session conf — existing checkpoints made with the HDFS-backed
-    provider are not readable through RocksDB, so use fresh checkpoint
-    dirs when switching APIs).
+    """transformWithStateInPandas wiring for BreachProcessor.
 
-    Plan construction needs only the pyspark API; executing the query
-    additionally needs google.protobuf on the driver — probe with
-    ``tws_available()`` before starting the stream."""
+    **EXPERIMENTAL — not runtime-verified in this build.** The
+    production breach operator is :func:`consecutive_breach_alerts`
+    (``applyInPandasWithState``), which executes in the test suite
+    including restart/golden coverage; prefer it unless you
+    specifically need TWS features (named state variables, timers,
+    RocksDB-only deployment). This wiring shares the exact state
+    machine (``_fold_breaches``) and is plan-build tested, but query
+    EXECUTION additionally needs ``google.protobuf`` on the driver
+    (the TWS Python runner speaks protobuf to the JVM; without it the
+    stream crashes with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE
+    at start) — this container has no protobuf, so the execution test
+    is environment-skipped, not passed. Probe ``tws_available()``
+    before starting the stream.
+
+    Requires the RocksDB state store provider; this sets it on the
+    owning session (a per-session conf — existing checkpoints made
+    with the HDFS-backed provider are not readable through RocksDB, so
+    use fresh checkpoint dirs when switching APIs)."""
     if not _HAS_TWS:  # pragma: no cover
         raise NotImplementedError("transformWithStateInPandas requires pyspark >= 4.0")
     spark = evaluated.sparkSession
