@@ -267,6 +267,12 @@ def derive_flows(region_df: DataFrame, k: int = 5) -> DataFrame:
 
     latest_end = region_df.select(F.max("window_end").alias("__max_end"))
     latest = region_df.join(F.broadcast(latest_end), F.col("window_end") == F.col("__max_end")).drop("__max_end")
+    # Partition-less Window: a deliberate single-reducer sort. The input
+    # is ONE window's region rows — cardinality = #regions, a dimension
+    # bounded by the enrichment mapping (dozens), matching the
+    # reference's driver-side sorted() over the same rows. If flows are
+    # ever derived over a data-driven high-cardinality key, rank via
+    # topk.top_k (TakeOrderedAndProject) instead of this window.
     ranked = latest.withColumn(
         "__rank",
         F.row_number().over(Window.orderBy(F.col("intensity").desc(), F.col("region_name").asc())),

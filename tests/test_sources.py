@@ -855,3 +855,36 @@ def test_ocf_deflate_rejects_trailing_garbage():
     bad = header + zz(count) + zz(len(tampered)) + tampered + sync
     with pytest.raises(ValueError, match="trailing bytes after OCF deflate"):
         list(read_ocf_bytes(bad))
+
+
+def test_write_read_avro_non_utc_session_preserves_instants(spark, tmp_path):
+    """Timestamps must land on the TRUE epoch under a non-UTC session:
+    the writer receives tz-aware Arrow instants and the reader emits
+    tz=UTC Arrow instants, so the stored epoch — asserted via
+    ``cast(ts as long)``, which is session-zone-independent — survives
+    a DST-crossing pair of values exactly, read back from EITHER a
+    non-UTC or a UTC session. (Wall-clock RENDERING of a naive datetime
+    is a session concern outside this contract: `newSession()` +
+    runtime tz conf interprets createDataFrame's naive inputs
+    self-consistently but surprisingly, so the pin is on instants.)"""
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_spark.sources.files import read_avro, write_avro
+
+    ny = spark.newSession()
+    ny.conf.set("spark.sql.session.timeZone", "America/New_York")
+    df = ny.createDataFrame(
+        [(1, 1706788800), (2, 1719815400), (3, None)], "id long, epoch long"
+    ).select("id", F.col("epoch").cast("timestamp").alias("ts"))
+    target = str(tmp_path / "avro_tz")
+    write_avro(df, target, mode="overwrite")
+    stored_in = {r.id: r.epoch for r in df.select("id", F.col("ts").cast("long").alias("epoch")).collect()}
+    assert stored_in == {1: 1706788800, 2: 1719815400, 3: None}
+    for session in (ny, spark):
+        back = {
+            r.id: r.epoch
+            for r in read_avro(session, target)
+            .select("id", F.col("ts").cast("long").alias("epoch"))
+            .collect()
+        }
+        assert back == stored_in, session.conf.get("spark.sql.session.timeZone")
