@@ -152,3 +152,50 @@ def test_wire_header_schema_ids(spark):
         df = spark.createDataFrame([(f,) for f in frames], "value binary")
         ids = {r["schema_id"] for r in df.select(confluent_schema_id("value")).collect()}
         assert ids == {want}, table
+
+
+def test_wire_differential_fuzz_users():
+    """Property differential: RANDOM field values encoded by the
+    independent spec-direct encoder must decode to exactly the same
+    values through the engine codec (no Spark needed — the codec layer
+    is where union-ordering/varint bugs would live). Complements the
+    fixed golden frames with generated coverage of the union space."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fixtures_debezium_wire import _users_body
+    from cdc_pipeline_spark.sources.avro_codec import compile_decoder
+
+    schema = _reader_schema("users")
+    decode = compile_decoder(schema)
+
+    text = st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=40,
+    )
+    opt_text = st.none() | text
+    opt_long = st.none() | st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        id_=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        username=text, display_name=text, email=text,
+        country=opt_text, city=opt_text, region=opt_text, platform=opt_text,
+        created=opt_text, updated=opt_text,
+        op=opt_text, table=opt_text, ts=opt_long, deleted=opt_text,
+    )
+    def roundtrip(id_, username, display_name, email, country, city, region,
+                  platform, created, updated, op, table, ts, deleted):
+        body = _users_body(id_, username, display_name, email, country, city,
+                           region, platform, created, updated, op, table, ts, deleted)
+        got = decode(body)
+        assert got == {
+            "id": id_, "username": username, "display_name": display_name,
+            "email": email, "country_code": country, "city": city,
+            "region_name": region, "platform": platform,
+            "created_at": created, "updated_at": updated,
+            "__op": op, "__table": table, "__source_ts_ms": ts,
+            "__deleted": deleted,
+        }
+
+    roundtrip()
