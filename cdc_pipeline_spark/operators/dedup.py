@@ -166,8 +166,11 @@ def ngram_jaccard_pairs(
     # shingling expression re-evaluates per reference (~3x tokenize).
     # This is the documented small-N/verifier path, so the materialized
     # posting is candidate-set-sized, not corpus-sized (the corpus-scale
-    # path is LSH, which checkpoints its own band postings).
-    posting = _posting(sh).localCheckpoint(eager=True)
+    # path is LSH, which checkpoints its own band postings). LAZY, not
+    # eager: plan construction must stay job-free (plan tests inspect
+    # the spread), and the first action materializes it once for all
+    # three references anyway.
+    posting = _posting(sh).localCheckpoint(eager=False)
     join_posting = posting
     if max_df is not None:
         hot = (

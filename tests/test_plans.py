@@ -317,7 +317,7 @@ def test_ensure_parallelism_no_exchange_on_parallel_input(spark):
     the session parallelism flows through with exactly the ONE roundrobin
     exchange the caller added, while the raw single-file scan (one
     partition) still gets spread — the tiny-input fix keeps working."""
-    from cdc_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from cdc_pipeline_spark.operators.dedup import _posting, _shingled
     from cdc_pipeline_spark.operators.multimodal import extract_features
     from cdc_pipeline_spark.operators.similarity import brute_force_topk
 
@@ -330,7 +330,16 @@ def test_ensure_parallelism_no_exchange_on_parallel_input(spark):
         return plans.plan_string(df).count("RoundRobinPartitioning")
 
     cases = [
-        ("ngram_jaccard_pairs", lambda d: ngram_jaccard_pairs(d), docs, "doc_id"),
+        # ngram_jaccard_pairs now localCheckpoints its posting (three plan
+        # references share one tokenize), and a checkpoint truncates the
+        # explain output — so the spread contract is inspected on the
+        # pre-checkpoint posting sub-plan, which is where _spread applies
+        (
+            "ngram_jaccard_posting",
+            lambda d: _posting(_shingled(d, "doc_id", "text", 3)),
+            docs,
+            "doc_id",
+        ),
         ("brute_force_topk", lambda v: brute_force_topk(v, queries, k=3), vecs, "vec_id"),
         ("extract_features", lambda d: extract_features(d, payload_col="text"), docs, "doc_id"),
     ]
