@@ -74,6 +74,7 @@ def frame(schema_id: int, body: bytes) -> bytes:
 USERS_SCHEMA_ID = 7001
 ORDERS_SCHEMA_ID = 7002
 SESSIONS_SCHEMA_ID = 7003
+USER_EVENTS_SCHEMA_ID = 7004
 
 
 def _users_body(
@@ -148,6 +149,33 @@ def _sessions_body(
     return out
 
 
+def _user_events_body(
+    id_, user_id, event_type, page_url, referrer_url, user_agent, ip_address,
+    session_id, metadata, user_display_name, region_name, city, country_code,
+    platform, amount, created_at, op, table, source_ts_ms, deleted,
+) -> bytes:
+    """USER_EVENTS_AVRO_SCHEMA (schemas.py:186): id long; user_id
+    ["null","long"]; event_type string; page_url/referrer_url/user_agent/
+    ip_address ["null","string"]; session_id ["null", Uuid-string];
+    metadata ["null", Json-string]; user_display_name/region_name/city/
+    country_code/platform ["null","string"]; amount ["null","double"];
+    created_at [ZonedTimestamp-string,"null"]; CDC metadata as in users."""
+    out = zz(id_)
+    out += u(0) if user_id is None else u(1, zz(user_id))
+    out += s(event_type)
+    for v in (page_url, referrer_url, user_agent, ip_address, session_id, metadata):
+        out += u(0) if v is None else u(1, s(v))
+    for v in (user_display_name, region_name, city, country_code, platform):
+        out += u(0) if v is None else u(1, s(v))
+    out += u(0) if amount is None else u(1, d(amount))
+    out += u(1) if created_at is None else u(0, s(created_at))  # string-first
+    for v in (op, table):
+        out += u(0) if v is None else u(1, s(v))
+    out += u(0) if source_ts_ms is None else u(1, zz(source_ts_ms))
+    out += u(0) if deleted is None else u(1, s(deleted))
+    return out
+
+
 def build_frames() -> dict[str, list[bytes]]:
     users = [
         # insert, µs-precision ZonedTimestamp
@@ -210,7 +238,33 @@ def build_frames() -> dict[str, list[bytes]]:
             False, "2024-03-03 09:15:00",
             "r", "sessions", 1709457300000, "false")),
     ]
-    return {"users": users, "orders": orders, "sessions": sessions}
+    user_events = [
+        # purchase with JSONB metadata + amount through the double union
+        frame(USER_EVENTS_SCHEMA_ID, _user_events_body(
+            41, 101, "purchase", "/checkout", "/cart", "UA/1.0", "10.0.0.7",
+            "3e3fae65-cf42-7d91-b254-60b13d4e5f60", '{"sku":"A-7","qty":2}',
+            "Ada L", "West", None, "GB", "web", 149.99,
+            "2024-03-04T14:05:06.000007Z",
+            "c", "user_events", 1709561106000, "false")),
+        # page_view with every optional string on its null branch
+        frame(USER_EVENTS_SCHEMA_ID, _user_events_body(
+            42, None, "page_view", None, None, None, None,
+            None, None, None, None, None, None, None, None,
+            "2024-03-04T15:00:00Z",
+            "r", "user_events", 1709564400000, "false")),
+        # delete — dropped by the op filter
+        frame(USER_EVENTS_SCHEMA_ID, _user_events_body(
+            43, 102, "error", "/api", None, None, "10.0.0.9",
+            None, '{"code":500}', "Bob", "Sud", "Lyon", "FR", "ios", None,
+            "2024-03-04 16:30:00",
+            "d", "user_events", 1709569800000, "true")),
+    ]
+    return {
+        "users": users,
+        "orders": orders,
+        "sessions": sessions,
+        "user_events": user_events,
+    }
 
 
 # Committed golden bytes (hex). Regenerated-equals-committed is asserted
@@ -232,5 +286,10 @@ FRAMES_HEX: dict[str, list[str]] = {
         "0000001b5b4830623065376233322d396331662d346136652d386632312d33643866306131623263336402ca0136323032342d30332d30335430373a34353a31302e3235303030305a000206776562020447420002085765737400010036323032342d30332d30335430373a34353a31302e3235303030305a020263021073657373696f6e7302d4f1b0b4c063020a66616c7365",
         "0000001b5b4831633166386334332d616432302d356237662d393033322d3465396631623263336434650028323032342d30332d30335430383a30303a30305a0236323032342d30332d30335430383a32303a30352e3030303030315a000002084c796f6e00020028323032342d30332d30335430383a30303a30305a020275021073657373696f6e730280c09db5c063020a66616c7365",
         "0000001b5b4832643266396435342d626533312d366338302d613134332d35666130326333643465356602cc0126323032342d30332d30332030393a31353a3030000206696f7302044652020a5061726973020653756400000026323032342d30332d30332030393a31353a3030020272021073657373696f6e7302c0e8c2b9c063020a66616c7365",
+    ],
+    "user_events": [
+        "0000001b5c5202ca0110707572636861736502122f636865636b6f7574020a2f63617274020c55412f312e30021031302e302e302e37024833653366616536352d636634322d376439312d623235342d363062313364346535663630022a7b22736b75223a22412d37222c22717479223a327d020a416461204c020857657374000204474202067765620248e17a14aebf62400036323032342d30332d30345431343a30353a30362e3030303030375a0202630216757365725f6576656e747302a0b9c29cc163020a66616c7365",
+        "0000001b5c540012706167655f766965770000000000000000000000000028323032342d30332d30345431353a30303a30305a0202720216757365725f6576656e74730280c6d49fc163020a66616c7365",
+        "0000001b5c5602cc010a6572726f7202082f6170690000021031302e302e302e390002187b22636f6465223a3530307d0206426f62020653756402084c796f6e020446520206696f73000026323032342d30332d30342031363a33303a30300202640216757365725f6576656e74730280dde7a4c163020874727565",
     ],
 }

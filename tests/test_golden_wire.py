@@ -199,3 +199,43 @@ def test_wire_differential_fuzz_users():
         }
 
     roundtrip()
+
+
+def test_user_events_wire_chain(spark):
+    """The widest null-first union surface + the Debezium Json and Uuid
+    connect types, through the same full chain (reference
+    read_user_events normalizes created_at, kafka_sources.py:139-141)."""
+    import json as _json
+
+    from fixtures_debezium_wire import USER_EVENTS_SCHEMA_ID
+
+    from cdc_pipeline_spark.sources.kafka_avro import avro_reader_schema
+
+    schema = avro_reader_schema(
+        schemas.with_cdc_meta(schemas.USER_EVENTS),
+        "UserEventsCdc",
+        zoned_ts_cols=("created_at",),
+        uuid_cols=("session_id",),
+        json_cols=("metadata",),
+        defaults={"id": 0, "created_at": ZONED_DEFAULT},
+    )
+    frames = [bytes.fromhex(h) for h in FRAMES_HEX["user_events"]]
+    df = spark.createDataFrame([(f,) for f in frames], "value binary")
+    stripped = df.select(strip_confluent_header("value").alias("value"))
+    out = normalize_cdc(decode_avro_python(stripped, schema, "value"), ["created_at"])
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {41, 42}  # 43 is a delete
+    e1 = rows[41]
+    assert e1["event_type"] == "purchase" and e1["amount"] == 149.99
+    assert _json.loads(e1["metadata"]) == {"sku": "A-7", "qty": 2}
+    assert e1["session_id"] == "3e3fae65-cf42-7d91-b254-60b13d4e5f60"
+    assert e1["created_at"] == datetime.datetime(2024, 3, 4, 14, 5, 6, 7)
+    e2 = rows[42]
+    # every optional column on its null branch survives as NULL
+    for c in ("user_id", "page_url", "referrer_url", "user_agent",
+              "ip_address", "session_id", "metadata", "user_display_name",
+              "region_name", "city", "country_code", "platform", "amount"):
+        assert e2[c] is None, c
+    assert e2["created_at"] == datetime.datetime(2024, 3, 4, 15, 0, 0)
+    ids = {r["schema_id"] for r in df.select(confluent_schema_id("value")).collect()}
+    assert ids == {USER_EVENTS_SCHEMA_ID}
