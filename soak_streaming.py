@@ -127,17 +127,26 @@ def main() -> None:
         compact_index,
         read_index,
     )
+    from cdc_pipeline_spark.streaming.rollup import (
+        RollupTableWriter,
+        compact_partials,
+        read_rollup,
+    )
 
     base = tempfile.mkdtemp(prefix="soak-")
     bm25_path = os.path.join(base, "bm25")
     nd_path = os.path.join(base, "neardup")
+    rollup_path = os.path.join(base, "rollup")
     member_path = os.path.join(base, "membership")
+    rmember_path = os.path.join(base, "rollup_membership")
     ck_bm25 = os.path.join(base, "ck_bm25")
     ck_nd = os.path.join(base, "ck_nd")
+    ck_ru = os.path.join(base, "ck_rollup")
     run_id = "soak-r7"
 
     bm25_writer = Bm25IndexWriter(bm25_path, run_id=run_id)
     nd_writer = NearDupIndexWriter(nd_path, run_id=run_id)
+    rollup_writer = RollupTableWriter(rollup_path, run_id=run_id)
 
     def bm25_batch(batch_df, batch_id):
         bm25_writer(batch_df, batch_id)
@@ -171,6 +180,36 @@ def main() -> None:
         .start()
     )
 
+    # third pipeline: the continuous-aggregate rollup. ts/value are pure
+    # functions of the row id, so the batch twin reconstructs the exact
+    # event set from the recorded membership ids alone.
+    def rollup_cols(df):
+        return df.select(
+            F.col("doc_id").alias("event_id"),
+            (F.lit(1_700_000_000) + F.col("doc_id") * 7).cast("timestamp").alias("ts"),
+            (F.pmod(F.xxhash64(F.col("doc_id")), F.lit(10_000)) / F.lit(100.0)).alias(
+                "value"
+            ),
+        )
+
+    def rollup_batch(batch_df, batch_id):
+        (
+            batch_df.select("doc_id")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append")
+            .parquet(rmember_path)
+        )
+        rollup_writer(rollup_cols(batch_df), batch_id)
+
+    q_ru = (
+        docs_stream(spark)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck_ru)
+        .foreachBatch(rollup_batch)
+        .trigger(processingTime=TRIGGER)
+        .start()
+    )
+
     stop = threading.Event()
     compactions = {"n": 0, "errors": []}
 
@@ -179,6 +218,7 @@ def main() -> None:
             try:
                 compact_index(spark, bm25_path, run_id=run_id)
                 compact_neardup_index(spark, nd_path, run_id=run_id)
+                compact_partials(spark, rollup_path, run_id=run_id)
                 compactions["n"] += 1
             except Exception as e:  # noqa: BLE001 — recorded, assert below
                 compactions["errors"].append(f"{type(e).__name__}: {e}")
@@ -200,8 +240,10 @@ def main() -> None:
 
     stop_when_idle(q_bm25)
     stop_when_idle(q_nd)
+    stop_when_idle(q_ru)
     q_bm25.awaitTermination(60)
     q_nd.awaitTermination(60)
+    q_ru.awaitTermination(60)
 
     # --- teardown reconciliation. An abrupt stop mid-foreachBatch is
     # the writers' documented REPLAY scenario: on restart the batch
@@ -249,10 +291,15 @@ def main() -> None:
                     _shutil.rmtree(d)
             partial_batches["neardup"].append(b)
 
+    # rollup: the partials table is its own completion marker (single
+    # write per batch), so only a membership row with NO partials
+    # partition can be partial
+    partial_batches["rollup"] = []
     # one final compaction so the bounded-size numbers describe the
     # steady maintained state, not whatever the last trigger left
     compact_index(spark, bm25_path, run_id=run_id)
     compact_neardup_index(spark, nd_path, run_id=run_id)
+    compact_partials(spark, rollup_path, run_id=run_id)
 
     checks: dict = {"teardown_partial_batches": partial_batches}
 
@@ -353,6 +400,33 @@ def main() -> None:
         got_matches and set(got_matches) == want_matches
     )
 
+    # --- rollup: merged partials == batch aggregation over the ids
+    rmember = spark.read.parquet(rmember_path)
+    r_batches = sorted(r.batch_id for r in rmember.select("batch_id").distinct().collect())
+    r_valid = [b for b in r_batches if _batch_complete(rollup_path, b)]
+    r_ids = rmember.filter(F.col("batch_id").isin(r_valid)).select("doc_id")
+    twin_rollup = {
+        (r.bucket_start, r.n_events, str(r.sum_value))
+        for r in rollup_cols(r_ids)
+        .groupBy(
+            (F.floor(F.col("ts").cast("long") / 300) * 300)
+            .cast("long")
+            .alias("bucket_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").cast("decimal(28,2)").alias("sum_value"),
+        )
+        .collect()
+    }
+    got_rollup = {
+        (r.bucket_start, r.n_events, str(r.sum_value))
+        for r in read_rollup(spark, rollup_path, grain="5min").collect()
+    }
+    checks["rollup_buckets"] = len(got_rollup)
+    checks["rollup_equal_batch_twin"] = bool(got_rollup and got_rollup == twin_rollup)
+    checks["rollup_files"] = count_files(rollup_path)
+
     # --- bounded state: file counts and checkpoint sizes
     n_batches = max(
         int(p["batchId"]) for p in (q_bm25.recentProgress or [{"batchId": 0}])
@@ -371,6 +445,7 @@ def main() -> None:
     checks["checkpoint_mib"] = {
         "bm25": round(dir_bytes(ck_bm25) / 2**20, 2),
         "neardup": round(dir_bytes(ck_nd) / 2**20, 2),
+        "rollup": round(dir_bytes(ck_ru) / 2**20, 2),
     }
     checks["checkpoints_bounded"] = all(
         v < 64.0 for v in checks["checkpoint_mib"].values()
@@ -382,6 +457,8 @@ def main() -> None:
         checks["bm25_equal_batch_twin"]
         and checks["neardup_equal_batch_twin"]
         and checks["neardup_no_duplicates"]
+        and checks["rollup_equal_batch_twin"]
+        and checks["rollup_files"] <= 64
         and checks["index_files_bounded"]
         and checks["checkpoints_bounded"]
         and compactions["n"] >= 3
