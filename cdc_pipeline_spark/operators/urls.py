@@ -1,0 +1,123 @@
+"""URL hygiene operators for web-scale corpus builds.
+
+A crawled corpus keys on URLs three ways before any text-level dedup
+runs: CANONICALIZATION (the same page reached via tracking params /
+fragments / default ports / www must collapse to one key — C4 and
+RefinedWeb both dedupe on a canonicalized URL first), REGISTERED-DOMAIN
+extraction (per-domain quality priors, per-domain caps, robots/license
+policy all key on the registrable domain, not the full host), and
+DOMAIN CAPPING (a handful of boilerplate-heavy domains otherwise
+dominate the token budget).
+
+Reference parity: the reference engine has no URL surface — this module
+is part of the training-data-pipeline mandate, same charter as
+operators/dedup.py. Everything is pure column expressions (zero-UDF,
+zero-shuffle per row); the only aggregation is the per-domain rollup a
+caller adds, and the cap sample rides the engine's portable
+multiplicative hash (`sampling._bucket`) so a SQL oracle replays the
+keep-decision bit-for-bit.
+
+Scope (documented, not silent): scheme://host[:port]/path[?query][#frag]
+URLs. Canonicalization lowercases scheme+host only (paths are
+case-sensitive), strips the fragment, strips DEFAULT ports (:80, :443),
+strips a leading ``www.``, drops tracking params (``utm_*``, ``ref``)
+and sorts the survivors — percent-encoding normalization and IDN are
+out of scope (they need a real URL parser; run this AFTER a fetcher
+that emits already-percent-normalized URLs). The registered-domain
+extraction uses a compact multi-label-TLD table, not the full public
+suffix list — extend ``MULTI_LABEL_TLDS`` for corpora where the long
+tail matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_pipeline_spark.operators.sampling import _bucket
+
+# The high-traffic multi-label public suffixes; the full PSL is ~10k
+# entries — swap in a broadcast lookup if the tail matters for policy.
+MULTI_LABEL_TLDS = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "co.in", "co.kr", "com.br", "com.cn", "com.mx", "co.za",
+)
+
+_TRACKING_PARAM_RE = r"^(utm_[a-z]+|ref|fbclid|gclid)="
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical form of an absolute URL (see module scope note):
+    lowercase scheme+host, no fragment, no default port, no leading
+    ``www.``, tracking params dropped, remaining query params sorted.
+    Pure column expression — stays inside whole-stage codegen."""
+    u = F.regexp_replace(F.col(url) if isinstance(url, str) else url, "#.*$", "")
+    scheme = F.lower(F.substring_index(u, "://", 1))
+    rest = F.substring_index(u, "://", -1)
+    hostport = F.lower(F.substring_index(rest, "/", 1))
+    tail = rest.substr(F.length(hostport) + F.lit(1), F.lit(1 << 20))
+    host = F.regexp_replace(hostport, ":(443|80)$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.substring_index(tail, "?", 1)
+    query = F.when(
+        tail.contains("?"), F.substring_index(tail, "?", -1)
+    ).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
+    )
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host of an absolute URL, default port and leading
+    ``www.`` stripped (the canonicalized host on its own)."""
+    u = F.col(url) if isinstance(url, str) else url
+    hostport = F.lower(F.substring_index(F.substring_index(u, "://", -1), "/", 1))
+    host = F.regexp_replace(hostport, ":(443|80)$", "")
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def registered_domain(host: Column | str) -> Column:
+    """Registrable domain of a host: last two labels, or last three when
+    the two-label suffix is a known multi-label TLD (``a.b.co.uk`` →
+    ``b.co.uk``). Hosts with one label (localhost) pass through."""
+    h = F.col(host) if isinstance(host, str) else host
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    return (
+        F.when(n <= 1, h)
+        .when((n >= 3) & last2.isin(*MULTI_LABEL_TLDS), last3)
+        .otherwise(last2)
+    )
+
+
+def domain_cap_sample(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    keep_pct: int = 40,
+) -> DataFrame:
+    """Per-document URL policy columns + the deterministic cap-sample
+    decision: adds ``canonical_url``, ``domain`` and ``keep`` (True for
+    the ``keep_pct``% of ids the portable multiplicative hash selects —
+    rerun-stable, engine-portable, replayed by the SQL oracle via
+    ``sampling.bucket_sql``). Callers aggregate per domain or filter
+    ``keep`` directly; both are zero-extra-shuffle projections."""
+    canon = canonicalize_url(url_col)
+    return df.withColumn("canonical_url", canon).withColumn(
+        "domain", registered_domain(url_host(F.col(url_col)))
+    ).withColumn("keep", _bucket(F.col(id_col)) < F.lit(int(keep_pct)))
