@@ -5708,6 +5708,91 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(_t(spark, sf_dir, "documents"))
 
 
+_URL_POLICY_ORACLE = r"""
+    WITH raw AS (
+        SELECT doc_id,
+               concat('HTTPS://WWW.Docs.', source,
+                      CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END,
+                      ':443/Pages/', CAST(doc_id AS VARCHAR),
+                      '/?utm_source=feed&b=2&ref=', lang, '&a=1',
+                      CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END) AS url
+        FROM documents),
+    s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+    s2 AS (SELECT doc_id,
+                  lower(split_part(u, '://', 1)) AS scheme,
+                  split_part(u, '://', 2) AS rest FROM s1),
+    s3 AS (SELECT *, lower(split_part(rest, '/', 1)) AS hostport,
+                  substr(rest, length(split_part(rest, '/', 1)) + 1) AS tail FROM s2),
+    s4 AS (SELECT *, regexp_replace(regexp_replace(hostport, ':(443|80)$', ''),
+                                    '^www\.', '') AS host FROM s3),
+    s5 AS (SELECT *, split_part(tail, '?', 1) AS path,
+                  CASE WHEN contains(tail, '?') THEN split_part(tail, '?', 2)
+                       ELSE '' END AS query FROM s4),
+    s6 AS (SELECT *, array_to_string(list_sort(list_filter(str_split(query, '&'),
+                  p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|ref|fbclid|gclid)='))),
+                  '&') AS q2 FROM s5),
+    s7 AS (SELECT doc_id, host,
+                  concat(scheme, '://', host, path,
+                         CASE WHEN q2 <> '' THEN concat('?', q2) ELSE '' END) AS canonical_url
+           FROM s6),
+    s8 AS (SELECT doc_id, canonical_url, str_split(host, '.') AS labels FROM s7),
+    s9 AS (SELECT doc_id, canonical_url,
+                  CASE WHEN len(labels) <= 1 THEN array_to_string(labels, '.')
+                       WHEN len(labels) >= 3
+                            AND (labels[-2] || '.' || labels[-1]) IN
+                                ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+                                 'org.au','co.jp','ne.jp','or.jp','co.in','co.kr',
+                                 'com.br','com.cn','com.mx','co.za')
+                            THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                       ELSE labels[-2] || '.' || labels[-1] END AS domain
+           FROM s8)
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN (doc_id * 2654435761) % 100 < 40 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           min(canonical_url) AS sample_url
+    FROM s9
+    GROUP BY domain
+"""
+
+
+@register("doc_url_domain_policy", _URL_POLICY_ORACLE)
+def doc_url_domain_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL hygiene for a crawled-corpus build (`operators/urls.py`):
+    canonicalize (lowercase scheme+host, strip fragment / default port /
+    www / tracking params, sort survivors — paths stay case-sensitive),
+    extract the registrable domain (multi-label-TLD aware: `.co.uk`
+    hosts keep three labels), and apply the deterministic per-domain
+    cap sample on the engine's portable multiplicative hash. URLs are
+    synthesized as a pure column expression of (source, doc_id, lang) —
+    messy on purpose: uppercase scheme/host, `www.`, `:443`, unsorted
+    params with `utm_source`/`ref` noise, fragments on even ids — so
+    the oracle replays every normalization step bit-for-bit. Output:
+    per registered domain, doc count, kept-by-cap count, and the
+    lexicographically first canonical URL (pins the full canonical
+    string, not just counts)."""
+    from cdc_pipeline_spark.operators.urls import domain_cap_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Docs."),
+        F.col("source"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+        F.lit(":443/Pages/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&b=2&ref="),
+        F.col("lang"),
+        F.lit("&a=1"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    tagged = domain_cap_sample(docs.select("doc_id", url.alias("url")))
+    return tagged.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.min("canonical_url").alias("sample_url"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50
 # registered queries per round (CORRECTNESS_r01 stopped at entry 50 of 81).
@@ -5726,7 +5811,9 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- round 7: queries whose PLANS changed this round (Arrow-native
+    # -- round-7 new registration first --
+    "doc_url_domain_policy",
+    # -- then queries whose PLANS changed this round (Arrow-native
     # Avro reader, prefix-filter set-verification, CC/pagerank edge
     # checkpoint, single-tokenize train->apply restructure, BM25 df
     # probe) -- every one re-earns a fresh driver row --
@@ -5781,7 +5868,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "distinct_user_event_pairs",
     "doc_bigram_logprob",
     "doc_bpe_token_counts",
-    "doc_lang_charclass",
 ]
 
 # Everything else not yet re-checked this round (each was green in the
@@ -5789,6 +5875,9 @@ _DRIVER_WINDOW_PRIORITY = [
 # ordered explicitly so the registry rotation is a recorded decision,
 # not a silent off-by-N, and first in line for the round-6 window.
 _DRIVER_WINDOW_CARRYOVER = [
+    # evicted from the round-7 window by the new registration --
+    # first in line for round 8
+    "doc_lang_charclass",
     # round-6 carryover middle the 50-slot window still cannot hold --
     # first in line for round 8 (all green in round-6/7 full sweeps)
     "doc_segment_dedup",

@@ -2429,3 +2429,55 @@ def test_count_anomaly_minutes_planted_spike(spark):
     assert got[0]["dev2"] > got[0]["bound"] >= 0
     again = count_anomaly_minutes(df.repartition(7), k_sigma=3).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in got]
+
+
+def test_canonicalize_url_edges(spark):
+    """Fragment/default-port/www/tracking-param/sort rules, and the
+    things canonicalization must NOT touch: path case, non-default
+    ports, hosts without www."""
+    from cdc_pipeline_spark.operators.urls import canonicalize_url
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/A/B?z=1&utm_source=x&a=2#f", "http://ex.com/A/B?a=2&z=1"),
+        ("https://ex.com/", "https://ex.com/"),
+        ("https://ex.com", "https://ex.com"),  # no path at all
+        ("https://Ex.com:8443/p", "https://ex.com:8443/p"),  # non-default port kept
+        ("https://ex.com/p?utm_campaign=c&fbclid=1&ref=r", "https://ex.com/p"),
+        ("https://ex.com/CaseSensitive/Path", "https://ex.com/CaseSensitive/Path"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonicalize_url("url")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_registered_domain_multi_label_tlds(spark):
+    from cdc_pipeline_spark.operators.urls import registered_domain
+
+    cases = [
+        ("a.b.example.co.uk", "example.co.uk"),
+        ("docs.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("co.uk", "co.uk"),  # bare suffix: nothing above it to keep
+        ("localhost", "localhost"),
+        ("x.example.com.au", "example.com.au"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = [r[0] for r in df.select(registered_domain("host")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_domain_cap_sample_deterministic_and_portable(spark):
+    """The keep decision must be a pure function of the id (rerun- and
+    partitioning-stable) and match the documented portable bucket."""
+    from cdc_pipeline_spark.operators.sampling import KNUTH
+    from cdc_pipeline_spark.operators.urls import domain_cap_sample
+
+    df = spark.createDataFrame(
+        [(i, f"https://ex{i % 3}.com/p/{i}") for i in range(500)], "doc_id long, url string"
+    )
+    a = {r.doc_id: r.keep for r in domain_cap_sample(df).collect()}
+    b = {r.doc_id: r.keep for r in domain_cap_sample(df.repartition(7)).collect()}
+    assert a == b
+    assert all(a[i] == ((i * KNUTH) % 100 < 40) for i in a)
+    kept = sum(a.values())
+    assert 0.3 * 500 < kept < 0.5 * 500  # ~40% with hash wobble
