@@ -20,12 +20,15 @@ measured > 1.5x frozen AND measured above the 1-second noise floor
 BASELINE.md — so sub-second rows can't gate at a ratio). Queries new
 since the freeze are reported informationally, never failed.
 
-Would-be regressions get one ISOLATION RETRY (best of two, quiet, at
-the end of the suite) before the gate fails: multi-second queries on
-local[32] spike 2-4x from scheduler/GC luck alone — three consecutive
-full-suite runs of identical code flagged three disjoint sets — and a
-genuine plan regression is exactly the thing that reproduces when
-re-measured in isolation. Retried names are recorded in the JSON
+Would-be regressions get one ISOLATION RETRY (best of two, in a FRESH
+JVM at the end of the suite) before the gate fails: multi-second
+queries on local[32] spike 2-4x from scheduler/GC luck alone — three
+consecutive full-suite runs of identical code flagged three disjoint
+sets — and a long bench session additionally degrades late queries
+2-5x from accumulated driver/codegen state, which an in-JVM retry
+inherits (measured: 4.0s retry vs 0.95s fresh, identical code). A
+genuine plan regression is exactly the thing that reproduces in the
+fresh session too. Retried names are recorded in the JSON
 (``isolation_retried``) so a pass never hides that a retry happened.
 """
 
@@ -218,6 +221,22 @@ def main() -> None:
     drift0: float | None = None
     if baseline is not None:
         pre, _, drift0 = find_regressions(timings, baseline)
+        if pre:
+            # Retry in a FRESH JVM, not the suite's: after ~4k stages a
+            # local-mode session accumulates enough driver/codegen/GC
+            # debris that late queries (and any retry sharing the JVM)
+            # run 2-5x slow regardless of plan — measured: winnowing
+            # 4.0s on an in-JVM retry vs 0.95s in a fresh session,
+            # identical code. A genuine plan regression reproduces in
+            # the fresh session too; long-session degradation does not.
+            spark.stop()
+            spark = create_spark_session(
+                app_name="cdc-pipeline-spark-bench-retry",
+                master=f"local[{CPUS}]",
+                shuffle_partitions=int(CPUS),
+            )
+            spark.sparkContext.setLogLevel("ERROR")
+            _force(warm(spark, "/root/testdata/sf0.001"))
         for name in sorted(pre):
             best = None
             for _ in range(2):
