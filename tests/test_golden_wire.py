@@ -239,3 +239,52 @@ def test_user_events_wire_chain(spark):
     assert e2["created_at"] == datetime.datetime(2024, 3, 4, 15, 0, 0)
     ids = {r["schema_id"] for r in df.select(confluent_schema_id("value")).collect()}
     assert ids == {USER_EVENTS_SCHEMA_ID}
+
+
+def test_streaming_chain_over_golden_frames(spark, tmp_path):
+    """The reference's full consumer chain shape over recorded wire
+    bytes, STREAMING end to end: binary frames → header strip → jar-free
+    Avro decode (mapInPandas on a streaming frame) → CDC op filter +
+    timestamp normalize → watermark → tumbling-window revenue agg →
+    memory sink. This is the S1 chain minus only the Kafka connector
+    itself (no broker in this container); frame bytes and expected
+    window totals are exact."""
+    from pyspark.sql import functions as F
+
+    frames = [bytes.fromhex(h) for h in FRAMES_HEX["orders"]]
+    src_dir = str(tmp_path / "wire_src")
+    spark.createDataFrame([(f,) for f in frames], "value binary").write.parquet(src_dir)
+
+    stream = spark.readStream.schema("value binary").parquet(src_dir)
+    stripped = stream.select(strip_confluent_header("value").alias("value"))
+    decoded = decode_avro_python(stripped, _reader_schema("orders"), "value")
+    normalized = normalize_cdc(decoded, ["updated_at"])
+    agg = (
+        normalized.withWatermark("updated_at", "1 hour")
+        .groupBy(F.window("updated_at", "1 hour").alias("w"), "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("total_amount").alias("revenue"),
+        )
+        .select(F.col("w.start").alias("window_start"), "status", "n_orders", "revenue")
+    )
+    q = (
+        # complete mode: append would hold every window back until a
+        # LATER batch advances the watermark past its end — a one-shot
+        # availableNow replay of recorded frames has no later batch
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("golden_wire_agg")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.window_start, r.status): (r.n_orders, r.revenue)
+        for r in spark.sql("select * from golden_wire_agg").collect()
+    }
+    assert rows == {
+        (datetime.datetime(2024, 3, 2, 10, 0), "pending"): (1, 149.99),
+        (datetime.datetime(2024, 3, 2, 11, 0), "completed"): (1, 20.5),
+    }  # the delete (9003) never reaches the aggregation
