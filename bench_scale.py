@@ -166,6 +166,28 @@ def main() -> None:
     )
     # retrieval + tokenizer: wall-time scaling (counts are k-bounded /
     # vocab-bounded by design, so the clock is the claim under test)
+    # non-exact near-dup variants: not invariant under token renaming
+    # (feature hashes and sort orders change per replica), but both are
+    # STRUCTURALLY bounded — SNM candidates <= passes*window*n, simhash
+    # candidates by band-bucket collisions — so the reps^1.5 ceiling
+    # still gates a quadratic leak
+    from cdc_pipeline_spark.operators.dedup import (
+        simhash_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    family(
+        "simhash_pairs",
+        lambda: simhash_pairs(base_docs).count(),
+        lambda: simhash_pairs(big_docs).count(),
+        exact_linear=False,
+    )
+    family(
+        "snm_pairs",
+        lambda: sorted_neighborhood_pairs(base_docs).count(),
+        lambda: sorted_neighborhood_pairs(big_docs).count(),
+        exact_linear=False,
+    )
     family(
         "bm25_broad_topk_rows",
         lambda: bm25_topk(base_docs, broad_candidates=1000).count(),

@@ -728,7 +728,12 @@ def simhash_signatures(
     summed = posting.groupBy("doc_id").agg(*bit_sums)
     packed = None
     for j in range(bits):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        # bit 63 is the long's sign bit: 1 << 63 overflows a jlong
+        # literal, but ADDING Long.MIN_VALUE sets exactly that bit in
+        # two's complement (no other term reaches it) — full 64-bit
+        # signatures pack correctly, they just read as negative longs
+        weight = F.lit(-(1 << 63)) if j == 63 else F.lit(1 << j)
+        term = F.when(F.col(f"b{j}") > 0, weight).otherwise(F.lit(0))
         packed = term if packed is None else packed + term
     return summed.select("doc_id", packed.cast("long").alias("simhash"))
 
@@ -752,6 +757,11 @@ def simhash_pairs(
     keys, bucket crowding sets in far sooner than for MinHash bands, so
     this guard matters even at moderate corpus sizes."""
     chunk = bits // bands
+    if chunk > 62:
+        raise ValueError(
+            f"bits/bands = {chunk} > 62: the chunk mask must fit a jlong "
+            "literal — use at least 2 bands for 64-bit signatures"
+        )
     mask = (1 << chunk) - 1
     sig = simhash_signatures(df, id_col, text_col, bits, token_hash=token_hash)
     banded = sig.select(
@@ -762,7 +772,13 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * chunk).bitwiseAND(F.lit(mask)).alias("chunk"),
+                        # UNSIGNED shift: a 64-bit signature with bit 63
+                        # set is a negative long, and an arithmetic
+                        # shift would smear sign bits into every high
+                        # chunk (cross-band bucket corruption)
+                        F.shiftrightunsigned(F.col("simhash"), b * chunk)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
                     )
                     for b in range(bands)
                 ]
