@@ -2481,3 +2481,30 @@ def test_domain_cap_sample_deterministic_and_portable(spark):
     assert all(a[i] == ((i * KNUTH) % 100 < 40) for i in a)
     kept = sum(a.values())
     assert 0.3 * 500 < kept < 0.5 * 500  # ~40% with hash wobble
+
+
+def test_simhash_64bit_signatures_and_banding(spark):
+    """bits=64 must pack bit 63 (two's-complement MIN_VALUE add — the
+    1<<63 literal overflows a jlong) and band with UNSIGNED shifts so a
+    negative signature can't smear sign bits across chunk buckets."""
+    import pytest
+
+    from cdc_pipeline_spark.operators.dedup import simhash_pairs, simhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} " * 5 + "shared common words here") for i in range(40)]
+        + [(100, "a near duplicate body of text"), (101, "a near duplicate body of text")],
+        "doc_id long, text string",
+    )
+    sig = {r.doc_id: r.simhash for r in simhash_signatures(docs, bits=64).collect()}
+    assert any(v < 0 for v in sig.values()), "bit 63 never set — packing broken"
+    assert sig[100] == sig[101]
+    # identical docs must pair at hamming 0 through the banded join
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(docs, bits=64, bands=8, max_hamming=0).collect()
+    }
+    assert (100, 101) in pairs
+    # chunk-width guard: 64-bit signatures cannot be banded as one chunk
+    with pytest.raises(ValueError, match="62"):
+        simhash_pairs(docs, bits=64, bands=1)
