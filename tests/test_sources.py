@@ -888,3 +888,32 @@ def test_write_read_avro_non_utc_session_preserves_instants(spark, tmp_path):
             .collect()
         }
         assert back == stored_in, session.conf.get("spark.sql.session.timeZone")
+
+
+def test_write_read_avro_nested_struct_timestamp(spark, tmp_path):
+    """Nested-struct timestamps ride the Arrow instants end to end (the
+    old pandas path shifted only TOP-LEVEL timestamp columns; the
+    mapInArrow path is uniform at any nesting depth): exact epoch in and
+    out, including a null inner timestamp and a null whole struct."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_spark.sources.files import read_avro, write_avro
+
+    df = spark.createDataFrame(
+        [
+            (1, (datetime.datetime(2024, 2, 1, 12, 0, 0), "x")),
+            (2, (None, "y")),
+            (3, None),
+        ],
+        "id long, payload struct<ts:timestamp, tag:string>",
+    )
+    target = str(tmp_path / "avro_nested")
+    write_avro(df, target, mode="overwrite")
+    back = read_avro(spark, target)
+    assert back.schema == df.schema
+    want = sorted(map(str, df.select("id", F.col("payload.ts").cast("long")).collect()))
+    got = sorted(map(str, back.select("id", F.col("payload.ts").cast("long")).collect()))
+    assert got == want
+    assert sorted(map(str, back.collect())) == sorted(map(str, df.collect()))
