@@ -52,17 +52,24 @@ def canonicalize_url(url: Column | str) -> Column:
     """Canonical form of an absolute URL (see module scope note):
     lowercase scheme+host, no fragment, no default port, no leading
     ``www.``, tracking params dropped, remaining query params sorted.
-    Pure column expression — stays inside whole-stage codegen."""
+    Pure column expression — stays inside whole-stage codegen.
+
+    The scheme/rest split and the path/query split both anchor on the
+    FIRST occurrence of their delimiter (RFC 3986: a query may legally
+    embed another absolute URL, e.g. ``?next=https://b.com/x``, and a
+    second ``?`` inside the query is ordinary data) — a last-occurrence
+    split would canonicalize a redirect URL to its *embedded* target."""
     u = F.regexp_replace(F.col(url) if isinstance(url, str) else url, "#.*$", "")
-    scheme = F.lower(F.substring_index(u, "://", 1))
-    rest = F.substring_index(u, "://", -1)
+    scheme_raw = F.substring_index(u, "://", 1)
+    scheme = F.lower(scheme_raw)
+    rest = u.substr(F.length(scheme_raw) + F.lit(4), F.lit(1 << 20))
     hostport = F.lower(F.substring_index(rest, "/", 1))
     tail = rest.substr(F.length(hostport) + F.lit(1), F.lit(1 << 20))
     host = F.regexp_replace(hostport, ":(443|80)$", "")
     host = F.regexp_replace(host, r"^www\.", "")
     path = F.substring_index(tail, "?", 1)
     query = F.when(
-        tail.contains("?"), F.substring_index(tail, "?", -1)
+        tail.contains("?"), tail.substr(F.length(path) + F.lit(2), F.lit(1 << 20))
     ).otherwise(F.lit(""))
     params = F.filter(
         F.split(query, "&"),
@@ -80,9 +87,12 @@ def canonicalize_url(url: Column | str) -> Column:
 
 def url_host(url: Column | str) -> Column:
     """Lowercased host of an absolute URL, default port and leading
-    ``www.`` stripped (the canonicalized host on its own)."""
+    ``www.`` stripped (the canonicalized host on its own). Splits on
+    the FIRST ``://`` — same embedded-URL rationale as
+    :func:`canonicalize_url`."""
     u = F.col(url) if isinstance(url, str) else url
-    hostport = F.lower(F.substring_index(F.substring_index(u, "://", -1), "/", 1))
+    rest = u.substr(F.length(F.substring_index(u, "://", 1)) + F.lit(4), F.lit(1 << 20))
+    hostport = F.lower(F.substring_index(rest, "/", 1))
     host = F.regexp_replace(hostport, ":(443|80)$", "")
     return F.regexp_replace(host, r"^www\.", "")
 
@@ -111,13 +121,42 @@ def domain_cap_sample(
     id_col: str = "doc_id",
     keep_pct: int = 40,
 ) -> DataFrame:
-    """Per-document URL policy columns + the deterministic cap-sample
+    """Per-document URL policy columns + a deterministic UNIFORM sample
     decision: adds ``canonical_url``, ``domain`` and ``keep`` (True for
     the ``keep_pct``% of ids the portable multiplicative hash selects —
     rerun-stable, engine-portable, replayed by the SQL oracle via
-    ``sampling.bucket_sql``). Callers aggregate per domain or filter
-    ``keep`` directly; both are zero-extra-shuffle projections."""
+    ``sampling.bucket_sql``). ``keep`` is a global thinning knob,
+    *independent of domain* — every domain is thinned proportionally.
+    For an actual per-domain cap (bound the rows any single domain may
+    contribute), use :func:`domain_cap`, which keeps at most N rows per
+    registered domain. Both are zero-extra-shuffle projections here;
+    the cap adds the one grouped-top-k shuffle it needs."""
     canon = canonicalize_url(url_col)
     return df.withColumn("canonical_url", canon).withColumn(
         "domain", registered_domain(url_host(F.col(url_col)))
     ).withColumn("keep", _bucket(F.col(id_col)) < F.lit(int(keep_pct)))
+
+
+def domain_cap(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    max_per_domain: int = 1000,
+) -> DataFrame:
+    """TRUE per-domain cap: adds ``canonical_url`` + ``domain``, then
+    keeps at most ``max_per_domain`` rows per registered domain, chosen
+    by the portable hash order of the id (ties by id) — deterministic,
+    partitioning-independent, and SQL-oracle-replayable as a
+    ``row_number() OVER (PARTITION BY domain ORDER BY hash, id)``
+    predicate. This is the operation the module header promises: a
+    handful of boilerplate-heavy domains can no longer dominate the
+    token budget, while small domains keep everything. One shuffle on
+    ``domain`` (grouped top-k); at 100 TB the skew is the point — a
+    mega-domain's partition still only *emits* ``max_per_domain`` rows,
+    and AQE skew-split handles the scan-side imbalance."""
+    from cdc_pipeline_spark.operators.sampling import deterministic_downsample
+
+    tagged = df.withColumn("canonical_url", canonicalize_url(url_col)).withColumn(
+        "domain", registered_domain(url_host(F.col(url_col)))
+    )
+    return deterministic_downsample(tagged, "domain", int(max_per_domain), id_col)

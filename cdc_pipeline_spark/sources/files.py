@@ -305,6 +305,63 @@ def write_avro(
     manifest.collect()  # bounded: one row per non-empty partition
 
 
+def _arrow_schema_utc(schema: StructType):
+    """Arrow schema for a Spark ``StructType`` with every timestamp
+    mapped to a tz=UTC Arrow instant (so naive-UTC datetimes from the
+    Avro decoder land as the correct instants in any session zone).
+
+    Prefers pyspark's own converter (``pyspark.sql.pandas.types
+    .to_arrow_schema`` — a PRIVATE module whose ``timestamp_utc`` kwarg
+    exists in the pinned 4.1.2 but carries no stability guarantee) and
+    falls back to a local structural mapping of the type tree, so a
+    pyspark upgrade can only lose the shortcut, never break the reader
+    at import time (ADVICE r7)."""
+    try:
+        from pyspark.sql.pandas.types import to_arrow_schema  # private API
+
+        return to_arrow_schema(schema, timestamp_utc=True)
+    except (ImportError, TypeError):
+        pass
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    def conv(dt):
+        if isinstance(dt, T.StructType):
+            return pa.struct(
+                [pa.field(f.name, conv(f.dataType), nullable=f.nullable) for f in dt.fields]
+            )
+        if isinstance(dt, T.ArrayType):
+            return pa.list_(pa.field("element", conv(dt.elementType), nullable=dt.containsNull))
+        if isinstance(dt, T.MapType):
+            return pa.map_(conv(dt.keyType), pa.field("value", conv(dt.valueType), nullable=dt.valueContainsNull))
+        if isinstance(dt, T.TimestampType):
+            return pa.timestamp("us", tz="UTC")
+        if isinstance(dt, T.TimestampNTZType):
+            return pa.timestamp("us")
+        if isinstance(dt, T.DecimalType):
+            return pa.decimal128(dt.precision, dt.scale)
+        scalar = {
+            T.StringType: pa.string,
+            T.BinaryType: pa.binary,
+            T.BooleanType: pa.bool_,
+            T.ByteType: pa.int8,
+            T.ShortType: pa.int16,
+            T.IntegerType: pa.int32,
+            T.LongType: pa.int64,
+            T.FloatType: pa.float32,
+            T.DoubleType: pa.float64,
+            T.DateType: pa.date32,
+            T.NullType: pa.null,
+        }.get(type(dt))
+        if scalar is None:
+            raise TypeError(f"_arrow_schema_utc: unsupported Spark type {dt}")
+        return scalar()
+
+    return pa.schema(
+        [pa.field(f.name, conv(f.dataType), nullable=f.nullable) for f in schema.fields]
+    )
+
+
 def read_avro(
     spark: SparkSession,
     path: str,
@@ -330,8 +387,6 @@ def read_avro(
         read_ocf_schema,
     )
 
-    from pyspark.sql.pandas.types import to_arrow_schema
-
     limit = DEFAULT_MAX_BLOCK_BYTES if max_block_bytes is None else int(max_block_bytes)
     blobs = read_binary_files(spark, path, glob="*.avro")
     if schema is None:
@@ -347,7 +402,7 @@ def read_avro(
     # ints past 2^53, NaN doubles stay distinct from nulls, and the
     # decoder's naive-UTC datetimes map onto tz=UTC Arrow instants —
     # Spark renders them in the session zone with no manual shift
-    arrow_schema = to_arrow_schema(out_schema, timestamp_utc=True)
+    arrow_schema = _arrow_schema_utc(out_schema)
 
     def gen(batches):
         import json as _json

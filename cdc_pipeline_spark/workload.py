@@ -5720,13 +5720,14 @@ _URL_POLICY_ORACLE = r"""
     s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
     s2 AS (SELECT doc_id,
                   lower(split_part(u, '://', 1)) AS scheme,
-                  split_part(u, '://', 2) AS rest FROM s1),
+                  substr(u, length(split_part(u, '://', 1)) + 4) AS rest FROM s1),
     s3 AS (SELECT *, lower(split_part(rest, '/', 1)) AS hostport,
                   substr(rest, length(split_part(rest, '/', 1)) + 1) AS tail FROM s2),
     s4 AS (SELECT *, regexp_replace(regexp_replace(hostport, ':(443|80)$', ''),
                                     '^www\.', '') AS host FROM s3),
     s5 AS (SELECT *, split_part(tail, '?', 1) AS path,
-                  CASE WHEN contains(tail, '?') THEN split_part(tail, '?', 2)
+                  CASE WHEN contains(tail, '?')
+                       THEN substr(tail, length(split_part(tail, '?', 1)) + 2)
                        ELSE '' END AS query FROM s4),
     s6 AS (SELECT *, array_to_string(list_sort(list_filter(str_split(query, '&'),
                   p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|ref|fbclid|gclid)='))),
@@ -5790,6 +5791,60 @@ def doc_url_domain_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
         F.min("canonical_url").alias("sample_url"),
+    )
+
+
+_DOMAIN_CAP_ORACLE = r"""
+    WITH canon AS (
+        SELECT doc_id,
+               concat('https://',
+                      lower(CASE WHEN doc_id % 4 = 0 THEN source ELSE 'hub' END),
+                      '.com/p/', CAST(doc_id AS VARCHAR)) AS canonical_url,
+               lower(CASE WHEN doc_id % 4 = 0 THEN source ELSE 'hub' END)
+                   || '.com' AS domain
+        FROM documents),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY domain
+                   ORDER BY (doc_id * 2654435761) % 2147483648, doc_id) AS rk
+        FROM canon)
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids,
+           min(canonical_url) AS first_url
+    FROM ranked WHERE rk <= 8
+    GROUP BY domain
+"""
+
+
+@register("doc_domain_cap_topn", _DOMAIN_CAP_ORACLE)
+def doc_domain_cap_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE per-domain capping (`urls.domain_cap`, ADVICE r7): unlike
+    the uniform `domain_cap_sample` thinning, this BOUNDS what any one
+    domain may contribute — at most 8 docs per registered domain, chosen
+    by the portable multiplicative hash order of doc_id (ties by id), a
+    grouped-top-k the SQL oracle replays bit-for-bit with row_number().
+    URLs are synthesized deliberately skewed: 3/4 of all docs land on a
+    single mega-domain (``hub.com``) — the boilerplate-factory shape
+    that motivates capping — and messy (uppercase www, :443) so the
+    canonicalization path is live inside the cap. The hash check pins
+    the exact kept SET (sum of kept ids), not just counts. At 100 TB the
+    mega-domain partition still emits only the cap; AQE skew-split
+    handles scan-side imbalance (see `urls.domain_cap` scale note)."""
+    from cdc_pipeline_spark.operators.urls import domain_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW."),
+        F.when(F.col("doc_id") % 4 == 0, F.col("source")).otherwise(F.lit("hub")),
+        F.lit(".com:443/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    capped = domain_cap(docs.select("doc_id", url.alias("url")), max_per_domain=8)
+    return capped.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("sum_kept_ids"),
+        F.min("canonical_url").alias("first_url"),
     )
 
 

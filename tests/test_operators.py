@@ -2450,6 +2450,57 @@ def test_canonicalize_url_edges(spark):
     assert got == [want for _, want in cases]
 
 
+def test_canonicalize_url_embedded_absolute_url(spark):
+    """A query param embedding another absolute URL (redirect/next
+    params, legal unencoded per RFC 3986) must NOT hijack the split:
+    scheme/host come from the FIRST '://', the query from the FIRST
+    '?', and a second '?' inside the query is kept as data."""
+    from cdc_pipeline_spark.operators.urls import canonicalize_url, url_host
+
+    cases = [
+        (
+            "https://a.com/redirect?next=https://b.com/x",
+            "https://a.com/redirect?next=https://b.com/x",
+        ),
+        (
+            "HTTPS://WWW.A.com/r?utm_source=s&next=https://b.com/x#f",
+            "https://a.com/r?next=https://b.com/x",
+        ),
+        # second '?' is ordinary query data — nothing between them drops
+        ("https://a.com/p?x=1?y=2&a=0", "https://a.com/p?a=0&x=1?y=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonicalize_url("url")).collect()]
+    assert got == [want for _, want in cases]
+    hosts = [r[0] for r in df.select(url_host("url")).collect()]
+    assert hosts == ["a.com", "a.com", "a.com"]
+
+
+def test_domain_cap_true_per_domain_bound(spark):
+    """domain_cap must BOUND each domain's contribution (unlike the
+    uniform domain_cap_sample): a mega-domain emits exactly the cap,
+    small domains keep everything, and the kept set is the portable
+    hash order of ids — rerun- and partitioning-stable."""
+    from cdc_pipeline_spark.operators.sampling import KNUTH
+    from cdc_pipeline_spark.operators.urls import domain_cap
+
+    rows = [(i, "https://big.com/p/%d" % i) for i in range(200)]
+    rows += [(1000 + i, "https://small.org/p/%d" % i) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = domain_cap(df, max_per_domain=10).collect()
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r.domain, []).append(r.doc_id)
+    assert len(by_dom["big.com"]) == 10
+    assert sorted(by_dom["small.org"]) == [1000, 1001, 1002, 1003, 1004]
+    expect_big = sorted(range(200), key=lambda i: ((i * KNUTH) % (1 << 31), i))[:10]
+    assert sorted(by_dom["big.com"]) == sorted(expect_big)
+    again = domain_cap(df.repartition(7), max_per_domain=10).collect()
+    assert sorted((r.domain, r.doc_id) for r in again) == sorted(
+        (r.domain, r.doc_id) for r in got
+    )
+
+
 def test_registered_domain_multi_label_tlds(spark):
     from cdc_pipeline_spark.operators.urls import registered_domain
 

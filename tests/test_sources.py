@@ -917,3 +917,43 @@ def test_write_read_avro_nested_struct_timestamp(spark, tmp_path):
     got = sorted(map(str, back.select("id", F.col("payload.ts").cast("long")).collect()))
     assert got == want
     assert sorted(map(str, back.collect())) == sorted(map(str, df.collect()))
+
+
+def test_arrow_schema_utc_fallback_matches_private_converter(spark):
+    """The local fallback in _arrow_schema_utc must produce the same
+    Arrow schema as pyspark's private to_arrow_schema(timestamp_utc=True)
+    for a representative nested type tree — so losing the private API on
+    a pyspark upgrade changes nothing observable (ADVICE r7)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    from cdc_pipeline_spark.sources import files as files_mod
+
+    st = StructType.fromDDL(
+        "id long, name string, flag boolean, amt decimal(12,2), d date, "
+        "ts timestamp, tags array<string>, "
+        "payload struct<ts:timestamp, score:double, inner:array<struct<k:string,v:long>>>, "
+        "m map<string, timestamp>"
+    )
+    want = to_arrow_schema(st, timestamp_utc=True)
+    # exercise the fallback branch directly (bypass the private API)
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    # replicate the fallback path by calling the helper with the private
+    # import forced to fail
+    import builtins
+
+    real_import = builtins.__import__
+
+    def block(name, *a, **k):
+        if name == "pyspark.sql.pandas.types":
+            raise ImportError("blocked for fallback test")
+        return real_import(name, *a, **k)
+
+    builtins.__import__ = block
+    try:
+        got = files_mod._arrow_schema_utc(st)
+    finally:
+        builtins.__import__ = real_import
+    assert got == want, f"fallback schema drifted:\n{got}\nvs\n{want}"
