@@ -5866,75 +5866,17 @@ def doc_domain_cap_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- round-7 new registration first --
+    # -- round-8 new registration first --
+    # -- then the one plan-changed query (canonicalize_url now splits
+    # on FIRST '://' / FIRST '?'; oracle updated to match) --
+    # -- then the stalest third: every query whose last driver-green
+    # row is round 4 (25 names), then round 5 in staleness order,
+    # until the 50-slot window is full (VERDICT r7 directive #4). If a
+    # later round-8 change alters a plan OUTSIDE this window, swap it
+    # in for the freshest tail name and record the swap here. --
+    "doc_domain_cap_topn",
     "doc_url_domain_policy",
-    # -- then queries whose PLANS changed this round (Arrow-native
-    # Avro reader, prefix-filter set-verification, CC/pagerank edge
-    # checkpoint, single-tokenize train->apply restructure, BM25 df
-    # probe) -- every one re-earns a fresh driver row --
-    "orders_from_avro",
-    "dedup_prefix_filter",
-    "dedup_ngram_jaccard",
-    "dedup_canonical_docs",
-    "dedup_duplicate_clusters",
-    "dedup_clusters_star",
-    "dedup_graph_pagerank",
-    "doc_wordpiece_segmentation",
-    "doc_unigram_segmentation",
-    "doc_bpe_segmentation",
-    "doc_bpe_segmentation_arrow",
-    "corpus_unigram_vocab",
-    "doc_bm25_topk",
-    "doc_bm25_broad_topk",
-    "fuzzy_source_join",
-    # -- stalest carryover front (last green: round-4 full sweep /
-    # early windows), promised first in line by round 6 --
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_bulk_part_suppliers",
-    "q21_sole_late_supplier",
-    "q22_idle_customer_balance",
-    "q2_min_price_per_type",
-    "q4_priority_late_orders",
-    "q7_volume_shipping",
-    "q8_nation_market_share",
-    "q9_nation_year_profit",
-    "segment_top_customers",
-    "split_leakage_audit",
-    "traffic_tumbling_count",
-    "training_corpus_budgeted",
-    "training_corpus_pipeline",
-    "training_epoch_order",
-    "user_retention_cohorts",
-    "user_sessionization",
-    "activity_feed_top15",
-    "alert_threshold_frame",
-    "ann_ivf_topk",
-    "ann_topk_bruteforce",
-    "asof_latest_order",
-    "big_purchasers_not_big_clickers",
-    "cdc_latest_state",
-    "customer_region_enrichment",
-    "customer_running_revenue",
-    "customers_with_open_orders",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "distinct_user_event_pairs",
-    "doc_bigram_logprob",
-    "doc_bpe_token_counts",
-]
-
-# Everything else not yet re-checked this round (each was green in the
-# round-4 full sweep; the driver window simply cannot hold all 140) —
-# ordered explicitly so the registry rotation is a recorded decision,
-# not a silent off-by-N, and first in line for the round-6 window.
-_DRIVER_WINDOW_CARRYOVER = [
-    # evicted from the round-7 window by the new registration --
-    # first in line for round 8
     "doc_lang_charclass",
-    # round-6 carryover middle the 50-slot window still cannot hold --
-    # first in line for round 8 (all green in round-6/7 full sweeps)
     "doc_segment_dedup",
     "doc_text_features",
     "doc_tfidf_cosine_pairs",
@@ -5982,6 +5924,15 @@ _DRIVER_WINDOW_CARRYOVER = [
     "purchasing_clickers",
     "q1_pricing_summary",
     "q3_shipping_priority",
+]
+
+# Everything else, in staleness order (oldest last-green first), so the
+# round-9 window can simply take the front of this list: 17 remaining
+# round-5 names, then the round-6 greens, then the round-7 greens
+# (freshest, last in line). Recorded explicitly so the exclusion is a
+# decision, not a silent off-by-N (all were green in CORRECTNESS_r05..
+# r07 or the round-7 judge sweep).
+_DRIVER_WINDOW_CARRYOVER = [
     "q5_nation_volume",
     "q6_revenue_forecast",
     "range_pair_counts",
@@ -5999,8 +5950,6 @@ _DRIVER_WINDOW_CARRYOVER = [
     "customer_order_window_battery",
     "doc_benchmark_contamination",
     "doc_eval_containment",
-    # -- freshest: green in the round-6 driver window
-    # (CORRECTNESS_r06), so last in line --
     "events_anomaly_minutes",
     "docs_bloom_incremental",
     "source_token_kl",
@@ -6047,6 +5996,55 @@ _DRIVER_WINDOW_CARRYOVER = [
     "q15_top_revenue_supplier",
     "q16_part_supplier_variety",
     "q17_small_qty_avg_revenue",
+    "orders_from_avro",
+    "dedup_prefix_filter",
+    "dedup_ngram_jaccard",
+    "dedup_canonical_docs",
+    "dedup_duplicate_clusters",
+    "dedup_clusters_star",
+    "dedup_graph_pagerank",
+    "doc_wordpiece_segmentation",
+    "doc_unigram_segmentation",
+    "doc_bpe_segmentation",
+    "doc_bpe_segmentation_arrow",
+    "corpus_unigram_vocab",
+    "doc_bm25_topk",
+    "doc_bm25_broad_topk",
+    "fuzzy_source_join",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_bulk_part_suppliers",
+    "q21_sole_late_supplier",
+    "q22_idle_customer_balance",
+    "q2_min_price_per_type",
+    "q4_priority_late_orders",
+    "q7_volume_shipping",
+    "q8_nation_market_share",
+    "q9_nation_year_profit",
+    "segment_top_customers",
+    "split_leakage_audit",
+    "traffic_tumbling_count",
+    "training_corpus_budgeted",
+    "training_corpus_pipeline",
+    "training_epoch_order",
+    "user_retention_cohorts",
+    "user_sessionization",
+    "activity_feed_top15",
+    "alert_threshold_frame",
+    "ann_ivf_topk",
+    "ann_topk_bruteforce",
+    "asof_latest_order",
+    "big_purchasers_not_big_clickers",
+    "cdc_latest_state",
+    "customer_region_enrichment",
+    "customer_running_revenue",
+    "customers_with_open_orders",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "distinct_user_event_pairs",
+    "doc_bigram_logprob",
+    "doc_bpe_token_counts",
 ]
 
 
