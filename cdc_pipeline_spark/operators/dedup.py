@@ -268,13 +268,36 @@ def prefix_filter_jaccard_pairs(
             ),
         )
         .filter(F.col("pos") <= prefix_len)
-        .select("doc_id", "shingle", "set_size")
+        .select("doc_id", "shingle", "set_size", "pos")
     )
+    # Candidate generation with the PPJoin POSITIONAL filter (Xiao et
+    # al., WWW'08) on top of the symmetric length filter. Each doc's
+    # rarity order is a restriction of the same global (sdf, shingle)
+    # order, so the pair's FIRST shared token in global order attains
+    # min(pos_a) and min(pos_b) simultaneously, and no shared token
+    # precedes it — hence |A∩B| ≤ 1 + min(|A|−pa, |B|−pb). J ≥ τ needs
+    # |A∩B| ≥ τ/(1+τ)·(|A|+|B|); requiring the upper bound to reach
+    # that (pure integers: ubound·(num+den) ≥ num·(sa+sb)) is LOSSLESS
+    # and prunes the dominant junk class — pairs of similar length that
+    # share one rare-ish token late in their prefixes. Measured at the
+    # 100k-doc scale point: 3.87M → 1.37M candidates (2.8×), which
+    # directly shrinks the verify stage's array-payload exchange; with
+    # the groupBy replacing the old distinct, query wall fell
+    # 79.7 s → 22.3 s at 100k docs and the 50k→100k→200k wall curve is
+    # ≤ the doc ratio (SCALE_EVIDENCE_r08).
     cand = (
-        ranked.select(F.col("doc_id").alias("id_a"), "shingle", F.col("set_size").alias("size_a"))
+        ranked.select(
+            F.col("doc_id").alias("id_a"),
+            "shingle",
+            F.col("set_size").alias("size_a"),
+            F.col("pos").alias("pos_a"),
+        )
         .join(
             ranked.select(
-                F.col("doc_id").alias("id_b"), "shingle", F.col("set_size").alias("size_b")
+                F.col("doc_id").alias("id_b"),
+                "shingle",
+                F.col("set_size").alias("size_b"),
+                F.col("pos").alias("pos_b"),
             ),
             "shingle",
         )
@@ -283,8 +306,19 @@ def prefix_filter_jaccard_pairs(
             & (F.lit(tau_num) * F.col("size_a") <= F.lit(tau_den) * F.col("size_b"))
             & (F.lit(tau_num) * F.col("size_b") <= F.lit(tau_den) * F.col("size_a"))
         )
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.min("pos_a").alias("pa"), F.min("pos_b").alias("pb"))
+        .filter(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("size_a") - F.col("pa"), F.col("size_b") - F.col("pb")
+                )
+            )
+            * F.lit(tau_num + tau_den)
+            >= F.lit(tau_num) * (F.col("size_a") + F.col("size_b"))
+        )
         .select("id_a", "id_b", "size_a", "size_b")
-        .distinct()
     )
     # Verification by per-doc shingle SETS + in-row array_intersect, not
     # by exploding each candidate against its full posting list: the
@@ -747,6 +781,7 @@ def simhash_pairs(
     bands: int = 4,
     token_hash=None,
     max_bucket: int | None = None,
+    verify: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the signature into `bands` chunks
     (pigeonhole: hamming ≤ bands−1 guarantees an identical chunk), join on
@@ -755,7 +790,24 @@ def simhash_pairs(
     ``max_bucket`` caps per-(band, chunk) membership before the
     self-join (see :func:`prune_hot_buckets`) — with only ``chunk``-bit
     keys, bucket crowding sets in far sooner than for MinHash bands, so
-    this guard matters even at moderate corpus sizes."""
+    this guard matters even at moderate corpus sizes.
+
+    SCALE CONTRACT (measured, SCALE_EVIDENCE_r08): banded candidate
+    volume is Σ_buckets C(size,2) ≈ bands·n²/2^(chunk+1) — QUADRATIC in
+    corpus size once buckets hold more than a few docs. The 32-bit
+    default (8-bit chunks = 256 buckets/band) measured 2.45M → 52M
+    candidates from 5k → 50k docs; at 100 TB it is unusable. The scale
+    configuration is ``bits=64, bands=4`` (16-bit chunks) WITH a
+    ``max_bucket`` cap, which bounds candidates to
+    occupied_buckets·C(cap,2) — measured linear (126k → 1.05M over the
+    same 10×) with verified pairs also ~linear. Use the default only
+    for small-corpus interactive runs.
+
+    ``verify=False`` returns the DISTINCT banded candidate pairs with
+    their hamming distance but WITHOUT the ``max_hamming`` filter — the
+    scale harness uses it to assert candidate volume (what the banding
+    actually exchanges) separately from emitted-pair volume (which may
+    legitimately grow superlinearly when near-dup clusters densify)."""
     chunk = bits // bands
     if chunk > 62:
         raise ValueError(
@@ -787,7 +839,7 @@ def simhash_pairs(
     ).select("doc_id", "simhash", "bc.band", "bc.chunk")
     banded = prune_hot_buckets(banded, ["band", "chunk"], max_bucket, what="simhash chunk")
     l, r = banded.alias("l"), banded.alias("r")
-    return (
+    cand = (
         l.join(r, ["band", "chunk"])
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(
@@ -795,9 +847,10 @@ def simhash_pairs(
             F.col("r.doc_id").alias("id_b"),
             F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
+    if not verify:
+        return cand.distinct()
+    return cand.filter(F.col("hamming") <= max_hamming).distinct()
 
 
 def tfidf_cosine_pairs(
