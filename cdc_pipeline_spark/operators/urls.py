@@ -63,7 +63,10 @@ def canonicalize_url(url: Column | str) -> Column:
     scheme_raw = F.substring_index(u, "://", 1)
     scheme = F.lower(scheme_raw)
     rest = u.substr(F.length(scheme_raw) + F.lit(4), F.lit(1 << 20))
-    hostport = F.lower(F.substring_index(rest, "/", 1))
+    # authority ends at the first '/' OR '?' (fragment already gone):
+    # a query with no path — https://a.com?x=1, legal per RFC 3986 —
+    # must not leak into the host
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
     tail = rest.substr(F.length(hostport) + F.lit(1), F.lit(1 << 20))
     host = F.regexp_replace(hostport, ":(443|80)$", "")
     host = F.regexp_replace(host, r"^www\.", "")
@@ -90,9 +93,9 @@ def url_host(url: Column | str) -> Column:
     ``www.`` stripped (the canonicalized host on its own). Splits on
     the FIRST ``://`` — same embedded-URL rationale as
     :func:`canonicalize_url`."""
-    u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(F.col(url) if isinstance(url, str) else url, "#.*$", "")
     rest = u.substr(F.length(F.substring_index(u, "://", 1)) + F.lit(4), F.lit(1 << 20))
-    hostport = F.lower(F.substring_index(rest, "/", 1))
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
     host = F.regexp_replace(hostport, ":(443|80)$", "")
     return F.regexp_replace(host, r"^www\.", "")
 

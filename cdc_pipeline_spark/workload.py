@@ -5721,8 +5721,8 @@ _URL_POLICY_ORACLE = r"""
     s2 AS (SELECT doc_id,
                   lower(split_part(u, '://', 1)) AS scheme,
                   substr(u, length(split_part(u, '://', 1)) + 4) AS rest FROM s1),
-    s3 AS (SELECT *, lower(split_part(rest, '/', 1)) AS hostport,
-                  substr(rest, length(split_part(rest, '/', 1)) + 1) AS tail FROM s2),
+    s3 AS (SELECT *, lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+                  substr(rest, length(regexp_extract(rest, '^([^/?]*)', 1)) + 1) AS tail FROM s2),
     s4 AS (SELECT *, regexp_replace(regexp_replace(hostport, ':(443|80)$', ''),
                                     '^www\.', '') AS host FROM s3),
     s5 AS (SELECT *, split_part(tail, '?', 1) AS path,
@@ -6001,7 +6001,8 @@ _DRIVER_WINDOW_CARRYOVER = [
     "q16_part_supplier_variety",
     "q17_small_qty_avg_revenue",
     "orders_from_avro",
-    "dedup_prefix_filter",
+    # (dedup_prefix_filter swapped UP into the round-8 window — PPJoin
+    # plan change — so it does not appear here)
     "dedup_ngram_jaccard",
     "dedup_canonical_docs",
     "dedup_duplicate_clusters",
@@ -6058,6 +6059,12 @@ def _rotate_registry() -> None:
             f"driver window must hold exactly 50 names, got {len(_DRIVER_WINDOW_PRIORITY)}"
         )
     head = _DRIVER_WINDOW_PRIORITY + _DRIVER_WINDOW_CARRYOVER
+    if len(head) != len(set(head)):
+        dupes = sorted({n for n in head if head.count(n) > 1})
+        raise RuntimeError(
+            "driver window/carryover lists overlap (a swapped-in query "
+            f"must be REMOVED from carryover, not shadowed): {dupes}"
+        )
     missing = [n for n in head if n not in QUERIES]
     if missing:
         raise RuntimeError(f"driver-window priority names not registered: {missing}")

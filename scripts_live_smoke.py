@@ -187,8 +187,19 @@ def smoke_kafka(bootstrap: str, spark, redis_url: str | None) -> None:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                "availableNow replay did not finish within 300 s — broker "
+                f"slow/unreachable, or topic {topic} never received the frames"
+            )
     rows = kv.read_json("smoke:orders_windows")
+    if rows is None:
+        raise AssertionError(
+            "sink key smoke:orders_windows never written — the consumed "
+            "stream produced no aggregate rows (check topic contents)"
+        )
     got = {
         (
             datetime.datetime.fromisoformat(str(r["window_start"]).replace("Z", "")),

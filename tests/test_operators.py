@@ -2468,12 +2468,17 @@ def test_canonicalize_url_embedded_absolute_url(spark):
         ),
         # second '?' is ordinary query data — nothing between them drops
         ("https://a.com/p?x=1?y=2&a=0", "https://a.com/p?a=0&x=1?y=2"),
+        # query with NO path: the '?' must terminate the authority —
+        # tracking params still drop, ports still strip, params sort
+        ("https://a.com?utm_source=x&b=1", "https://a.com?b=1"),
+        ("HTTPS://WWW.A.com:443?b=1&a=2#f", "https://a.com?a=2&b=1"),
+        ("https://a.com?next=https://b.com/x", "https://a.com?next=https://b.com/x"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(canonicalize_url("url")).collect()]
     assert got == [want for _, want in cases]
     hosts = [r[0] for r in df.select(url_host("url")).collect()]
-    assert hosts == ["a.com", "a.com", "a.com"]
+    assert hosts == ["a.com"] * len(cases)
 
 
 def test_domain_cap_true_per_domain_bound(spark):

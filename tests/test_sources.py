@@ -936,12 +936,7 @@ def test_arrow_schema_utc_fallback_matches_private_converter(spark):
         "m map<string, timestamp>"
     )
     want = to_arrow_schema(st, timestamp_utc=True)
-    # exercise the fallback branch directly (bypass the private API)
-    import pyarrow as pa
-    from pyspark.sql import types as T
-
-    # replicate the fallback path by calling the helper with the private
-    # import forced to fail
+    # exercise the fallback branch by forcing the private import to fail
     import builtins
 
     real_import = builtins.__import__
