@@ -324,20 +324,13 @@ def main() -> None:
         print(f"# prefix_curve point: {point}", flush=True)
         return point
 
-    # the REPS-sized point was already measured by the family run on
-    # big_docs — seed the curve from it instead of paying a duplicate
-    # replicate + checkpoint + join stage
-    fam = result["families"]["prefix_filter_jaccard_pairs"]
-    curve = [
-        {
-            "reps": REPS,
-            "n_docs": result["n_docs"]["big"],
-            "pairs": fam["big_count"],
-            "predicted_pairs": base_pairs * REPS,
-            "wall_sec": fam["big_sec"],
-        }
-    ]
-    curve += [prefix_point(m) for m in (2 * REPS, 4 * REPS)]
+    # All three points are measured HERE, consecutively — the REPS
+    # point is a duplicate of the family run's big_docs measurement,
+    # but seeding from that number was tried and reverted: the family
+    # runs early in the suite (fresh JVM/GC state) while the curve runs
+    # late, and mixing the two conditions skewed the 1st→2nd ratio by
+    # >1.6× on identical code. Ratio gates need same-condition points.
+    curve = [prefix_point(m) for m in (REPS, 2 * REPS, 4 * REPS)]
 
     def annotate(points) -> bool:
         ok = all(p["pairs"] == p["predicted_pairs"] for p in points)
