@@ -128,9 +128,21 @@ def prune_hot_buckets(
     # simhash at sf0.1 measured 2.8 s plain vs 2.0 s checkpointed
     # (first run 8.3 vs 2.6) — the separate-jobs case where eager
     # checkpoints win (cf. the graph.py lesson). Lazy (eager=False) so
-    # no extra blocking job; no-op cost when the caller's posting is
-    # already checkpointed.
-    posting = posting.localCheckpoint(eager=False)
+    # no extra blocking job. Skipped when the frame is already
+    # materialized rows (analyzed-plan root = LogicalRDD, i.e. the
+    # caller localCheckpointed it, as incremental_minhash_neardup does)
+    # — re-checkpointing would store a second full copy in
+    # block-manager memory for no reuse benefit. Probe via the JVM
+    # plan (private attr, so fail open to checkpointing).
+    try:
+        already = (
+            posting._jdf.queryExecution().analyzed().getClass().getSimpleName()
+            == "LogicalRDD"
+        )
+    except Exception:  # noqa: BLE001 — probe only; checkpointing stays safe
+        already = False
+    if not already:
+        posting = posting.localCheckpoint(eager=False)
     hot = (
         posting.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__bucket_n"))

@@ -973,20 +973,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-def _simhash_oracle_sql(bits: int = 28, bands: int = 4, max_hamming: int = 3) -> str:
-    """Generate the DuckDB replica of the portable-hash SimHash pipeline:
-    per-token codepoint-fold hash (see dedup.py::portable_token_hash),
-    per-bit ±1 sums, sign-packed signature, banded chunk-equality
-    candidate join, bit_count(xor) Hamming verify."""
-    chunk = bits // bands
-    mask = (1 << chunk) - 1
+def _simhash_sig_cte_sql(bits: int) -> str:
+    """Shared CTE prefix for BOTH simhash oracles — the portable-hash
+    signature pipeline (tokenize, codepoint-fold hash, per-bit ±1 sums,
+    sign packing). One definition so the capped and uncapped replicas
+    can never drift from each other or from `dedup.portable_token_hash`."""
     bit_sums = ",\n               ".join(
         f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(bits)
     )
     pack = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
-    band_eq = " OR ".join(
-        f"((a.s >> {b * chunk}) & {mask}) = ((b.s >> {b * chunk}) & {mask})" for b in range(bands)
-    )
     return rf"""
     WITH tok AS (
         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents
@@ -1003,7 +998,19 @@ def _simhash_oracle_sql(bits: int = 28, bands: int = 4, max_hamming: int = 3) ->
     sums AS (SELECT doc_id,
                {bit_sums}
              FROM h GROUP BY doc_id),
-    sig AS (SELECT doc_id, {pack} AS s FROM sums)
+    sig AS (SELECT doc_id, {pack} AS s FROM sums)"""
+
+
+def _simhash_oracle_sql(bits: int = 28, bands: int = 4, max_hamming: int = 3) -> str:
+    """DuckDB replica of the portable-hash SimHash pipeline (signature
+    CTEs shared with the capped variant via `_simhash_sig_cte_sql`):
+    banded chunk-equality candidate join + bit_count(xor) verify."""
+    chunk = bits // bands
+    mask = (1 << chunk) - 1
+    band_eq = " OR ".join(
+        f"((a.s >> {b * chunk}) & {mask}) = ((b.s >> {b * chunk}) & {mask})" for b in range(bands)
+    )
+    return rf"""{_simhash_sig_cte_sql(bits)}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_eq})
@@ -1037,28 +1044,8 @@ def _simhash_capped_oracle_sql(
     docs, `dedup.prune_hot_buckets` — replays as a window count."""
     chunk = bits // bands
     mask = (1 << chunk) - 1
-    bit_sums = ",\n               ".join(
-        f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(bits)
-    )
-    pack = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
     band_rows = ", ".join(f"({b})" for b in range(bands))
-    return rf"""
-    WITH tok AS (
-        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents
-    ),
-    h AS (
-        SELECT doc_id,
-               list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                       list_transform(string_split(token, ''),
-                                      c -> CAST(greatest(unicode(c), 0) AS BIGINT))),
-                   (acc, x) -> (acc * 131 + x) % 2147483647) AS th
-        FROM tok
-    ),
-    sums AS (SELECT doc_id,
-               {bit_sums}
-             FROM h GROUP BY doc_id),
-    sig AS (SELECT doc_id, {pack} AS s FROM sums),
+    return rf"""{_simhash_sig_cte_sql(bits)},
     banded AS (
         SELECT doc_id, s, bd.band,
                (s >> (bd.band * {chunk})) & {mask} AS chunk
@@ -5951,9 +5938,11 @@ _DRIVER_WINDOW_PRIORITY = [
     # until the 50-slot window is full (VERDICT r7 directive #4). If a
     # later round-8 change alters a plan OUTSIDE this window, swap it
     # in for the freshest tail name and record the swap here.
-    # SWAP: dedup_prefix_filter re-enters (PPJoin positional filter
-    # changed its plan); q3_shipping_priority (freshest tail, green r5)
-    # evicted to carryover front. --
+    # SWAPS: dedup_prefix_filter re-enters (PPJoin positional filter
+    # changed its plan) and dedup_simhash_capped is new — evicting the
+    # two freshest tail names, q1_pricing_summary then
+    # q3_shipping_priority (both green r5), to the carryover FRONT in
+    # that order. --
     "doc_domain_cap_topn",
     "doc_url_domain_policy",
     "doc_lang_charclass",
