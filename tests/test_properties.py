@@ -455,3 +455,59 @@ def test_avro_ocf_container_roundtrip_any_blocking(rows, per_block, codec):
     recs = [{"k": k, "v": v} for k, v in rows]
     blob = write_ocf_bytes(recs, schema, codec=codec, records_per_block=per_block)
     assert list(read_ocf_bytes(blob)) == recs
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization properties (round 8): idempotence + host stability.
+# Hypothesis GENERATES the URLs driver-side; one Spark job evaluates the
+# whole batch (per-example Spark jobs would be 100x slower).
+# ---------------------------------------------------------------------------
+
+_URL_LABEL = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-",
+    min_size=1,
+    max_size=8,
+).filter(lambda s: not s.startswith("-") and not s.endswith("-"))
+_URL_PARAM = st.one_of(
+    st.tuples(st.sampled_from(["a", "b", "zz", "x1"]), st.sampled_from(["1", "2", "v?w", "https://e.com/p"])),
+    st.tuples(st.sampled_from(["utm_source", "utm_campaign", "ref", "fbclid"]), st.just("t")),
+)
+
+
+@given(
+    scheme=st.sampled_from(["http", "https", "HTTP", "HTTPS", "hTtPs"]),
+    www=st.booleans(),
+    labels=st.lists(_URL_LABEL, min_size=1, max_size=3),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.lists(st.sampled_from(["P", "p", "Api", "x-1"]), min_size=0, max_size=3),
+    params=st.lists(_URL_PARAM, min_size=0, max_size=4),
+    frag=st.sampled_from(["", "#f", "#a/b?c"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_canonicalize_url_idempotent_and_host_stable(
+    spark, scheme, www, labels, port, path, params, frag
+):
+    """canonicalize(canonicalize(u)) == canonicalize(u) — the canonical
+    form is a fixed point (lowered scheme/host, default port and www and
+    fragment and tracking params gone, sorted query), even for queries
+    embedding absolute URLs or extra '?'s — and url_host agrees between
+    the raw and canonical forms."""
+    from cdc_pipeline_spark.operators.urls import canonicalize_url, url_host
+
+    host = ("WWW." if www else "") + ".".join(labels)
+    url = scheme + "://" + host + port
+    if path:
+        url += "/" + "/".join(path)
+    if params:
+        url += "?" + "&".join(f"{k}={v}" for k, v in params)
+    url += frag
+    df = spark.createDataFrame([(url,)], "url string")
+    row = df.select(
+        canonicalize_url("url").alias("c1"),
+        canonicalize_url(canonicalize_url("url")).alias("c2"),
+        url_host("url").alias("h_raw"),
+        url_host(canonicalize_url("url")).alias("h_canon"),
+    ).collect()[0]
+    assert row["c2"] == row["c1"], f"not a fixed point: {url!r} -> {row['c1']!r} -> {row['c2']!r}"
+    assert row["h_raw"] == row["h_canon"], f"host drifted: {url!r}"
+    assert "#" not in row["c1"] and "utm_" not in row["c1"] and "ref=t" not in row["c1"]
