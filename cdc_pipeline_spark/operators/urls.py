@@ -36,13 +36,63 @@ from pyspark.sql import functions as F
 
 from cdc_pipeline_spark.operators.sampling import _bucket
 
-# The high-traffic multi-label public suffixes; the full PSL is ~10k
-# entries — swap in a broadcast lookup if the tail matters for policy.
+# Curated high-traffic multi-label public suffixes (two-label ccTLD
+# registrations from the public suffix list; the full PSL is ~10k
+# entries — swap in a broadcast lookup if the long tail matters for
+# policy). The workload oracle generates its SQL IN-list from THIS
+# tuple, so engine and oracle cannot drift.
 MULTI_LABEL_TLDS = (
-    "co.uk", "org.uk", "ac.uk", "gov.uk",
-    "com.au", "net.au", "org.au",
-    "co.jp", "ne.jp", "or.jp",
-    "co.in", "co.kr", "com.br", "com.cn", "com.mx", "co.za",
+    # UK / IE-style
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "ltd.uk", "plc.uk",
+    "net.uk", "sch.uk",
+    # Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz", "school.nz",
+    # Japan / Korea
+    "co.jp", "ne.jp", "or.jp", "go.jp", "ac.jp", "ad.jp", "ed.jp",
+    "gr.jp", "lg.jp",
+    "co.kr", "or.kr", "ne.kr", "go.kr", "re.kr", "pe.kr", "ac.kr",
+    # India / South Asia
+    "co.in", "net.in", "org.in", "ac.in", "edu.in", "gov.in", "res.in",
+    "gen.in", "firm.in", "ind.in",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+    "com.bd", "net.bd", "org.bd", "edu.bd", "ac.bd",
+    "com.lk", "org.lk", "edu.lk", "gov.lk",
+    "com.np", "org.np", "edu.np",
+    # Greater China / SE Asia
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "co.th", "ac.th", "or.th", "go.th", "in.th",
+    "co.id", "or.id", "ac.id", "web.id", "sch.id", "go.id",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    # Americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br",
+    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar",
+    "com.co", "net.co", "org.co",
+    "com.pe", "net.pe", "org.pe", "gob.pe",
+    "com.ve", "com.ec", "com.uy", "com.bo", "com.py", "com.do",
+    "com.gt", "com.sv", "com.ni", "com.pa", "com.pr",
+    # Europe / Middle East / Africa
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "web.tr",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "waw.pl",
+    "com.es", "nom.es", "org.es", "edu.es", "gob.es",
+    "com.pt", "net.pt", "org.pt", "edu.pt",
+    "com.gr", "net.gr", "org.gr", "edu.gr",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "co.ae", "net.ae", "org.ae", "ac.ae", "gov.ae",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg",
+    "co.za", "org.za", "net.za", "web.za", "ac.za", "gov.za",
+    "co.ke", "or.ke", "ne.ke", "ac.ke", "go.ke",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+    "co.tz", "or.tz", "ac.tz", "go.tz",
+    "co.zw", "org.zw", "ac.zw",
 )
 
 _TRACKING_PARAM_RE = r"^(utm_[a-z]+|ref|fbclid|gclid)="

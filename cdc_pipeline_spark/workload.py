@@ -5770,6 +5770,13 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(_t(spark, sf_dir, "documents"))
 
 
+# Single source of truth for the multi-label-TLD table: the oracle list
+# is generated from operators/urls.py::MULTI_LABEL_TLDS so the SQL
+# replica can never drift from the engine (self-review r8).
+from cdc_pipeline_spark.operators.urls import MULTI_LABEL_TLDS as _MULTI_LABEL_TLDS
+
+_TLD_SQL_LIST = ",".join(f"'{t}'" for t in sorted(_MULTI_LABEL_TLDS))
+
 _URL_POLICY_ORACLE = r"""
     WITH raw AS (
         SELECT doc_id,
@@ -5803,9 +5810,7 @@ _URL_POLICY_ORACLE = r"""
                   CASE WHEN len(labels) <= 1 THEN array_to_string(labels, '.')
                        WHEN len(labels) >= 3
                             AND (labels[-2] || '.' || labels[-1]) IN
-                                ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
-                                 'org.au','co.jp','ne.jp','or.jp','co.in','co.kr',
-                                 'com.br','com.cn','com.mx','co.za')
+                                ({_TLD_SQL_LIST})
                             THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
                        ELSE labels[-2] || '.' || labels[-1] END AS domain
            FROM s8)
@@ -5817,6 +5822,8 @@ _URL_POLICY_ORACLE = r"""
     FROM s9
     GROUP BY domain
 """
+
+_URL_POLICY_ORACLE = _URL_POLICY_ORACLE.replace("{_TLD_SQL_LIST}", _TLD_SQL_LIST)
 
 
 @register("doc_url_domain_policy", _URL_POLICY_ORACLE)
