@@ -422,3 +422,67 @@ def entropy_profile(
         F.size(F.array_distinct("__chars")).cast("long").alias("distinct_chars"),
         F.size(F.array_distinct("__toks")).cast("long").alias("distinct_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode hygiene (round 8). Web corpora mix precomposed and combining
+# forms ("é" vs "e"+U+0301), zero-width characters and soft hyphens —
+# byte-level dedup keys, shingles and token counts all fracture on them
+# unless the text is normalized FIRST (C4/CCNet/RefinedWeb all
+# normalize before dedup). Invisible-strip is a pure column expression;
+# NFC composition needs the Unicode tables, so it rides the Arrow path
+# (unicodedata in the worker — same normalization standard DuckDB's
+# nfc_normalize implements, which is what makes it oracle-checkable).
+# ---------------------------------------------------------------------------
+
+# zero-width space/non-joiner/joiner, BOM/zwnbsp, soft hyphen
+INVISIBLE_CHARS = "​‌‍﻿­"
+
+
+def strip_invisible(text_col: str | Column = "text") -> Column:
+    """Remove zero-width and soft-hyphen characters (pure column
+    expression — whole-stage codegen; the char class is shared with the
+    SQL oracle via :data:`INVISIBLE_CHARS`)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_replace(col, f"[{INVISIBLE_CHARS}]", "")
+
+
+def with_nfc_normalized(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_nfc",
+) -> DataFrame:
+    """Add ``out_col`` = NFC(strip_invisible(text)): canonical Unicode
+    composition over the invisible-stripped text — the dedup-key
+    normalization pass. Arrow ``mapInArrow`` (partition-preserving, no
+    shuffle, no pandas detour); nulls pass through. At 100 TB this is a
+    map-only stage that pipelines with whatever scan feeds it."""
+    from pyspark.sql.types import StringType, StructField
+
+    stripped = "__nfc_in"
+    src = df.withColumn(stripped, strip_invisible(text_col))
+    out_schema = src.drop(stripped).schema.add(StructField(out_col, StringType(), True))
+    in_cols = [c for c in src.columns if c != stripped]
+    # plain ints/strings only below — a closure touching `src` would
+    # drag the SparkContext into the pickled worker function
+    stripped_idx = src.columns.index(stripped)
+    keep_idx = [src.columns.index(c) for c in in_cols]
+    names = in_cols + [out_col]
+
+    def gen(batches):
+        import unicodedata
+
+        import pyarrow as pa
+
+        for batch in batches:
+            raw = batch.column(stripped_idx).to_pylist()
+            norm = [
+                None if s is None else unicodedata.normalize("NFC", s) for s in raw
+            ]
+            keep = [batch.column(i) for i in keep_idx]
+            yield pa.RecordBatch.from_arrays(
+                keep + [pa.array(norm, type=pa.string())],
+                names=names,
+            )
+
+    return src.mapInArrow(gen, out_schema)

@@ -5826,6 +5826,71 @@ _URL_POLICY_ORACLE = r"""
 _URL_POLICY_ORACLE = _URL_POLICY_ORACLE.replace("{_TLD_SQL_LIST}", _TLD_SQL_LIST)
 
 
+def _nfc_oracle_sql() -> str:
+    """DuckDB replica of the Unicode-hygiene pass. The invisible-strip
+    character class is generated from text.py::INVISIBLE_CHARS (single
+    source, like the TLD list) and `nfc_normalize` implements the same
+    Unicode standard as the worker's `unicodedata.normalize("NFC", .)`
+    — verified equal on combining sequences before this query landed."""
+    from cdc_pipeline_spark.operators.text import INVISIBLE_CHARS
+
+    cls = "".join(INVISIBLE_CHARS)
+    return f"""
+    WITH noisy AS (
+        SELECT doc_id, source,
+               concat(CASE WHEN doc_id % 2 = 0 THEN chr(8203) ELSE '' END,
+                      text,
+                      CASE WHEN doc_id % 3 = 0 THEN ' e' || chr(769) ELSE '' END) AS raw
+        FROM documents),
+    n AS (
+        SELECT source, raw,
+               nfc_normalize(regexp_replace(raw, '[{cls}]', '', 'g')) AS norm
+        FROM noisy)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN norm <> raw THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(sum(length(raw) - length(norm)) AS BIGINT) AS chars_removed,
+           min(substr(norm, 1, 40)) AS sample_norm
+    FROM n GROUP BY source
+    """
+
+
+@register("doc_unicode_nfc_hygiene", _nfc_oracle_sql())
+def doc_unicode_nfc_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene before dedup (`text.with_nfc_normalized` +
+    `text.strip_invisible`): deterministically dirty the corpus —
+    zero-width space prefix on even ids, a combining-acute sequence
+    (" e" + U+0301) on ids % 3 == 0 — then strip invisibles and NFC-
+    compose on the Arrow path (map-only, partition-preserving, no
+    pandas detour). Byte-level dedup keys fracture on exactly these
+    forms ("é" ≠ "e"+U+0301 until composed), which is why C4/CCNet
+    normalize first. The oracle replays the dirtying AND the
+    normalization (DuckDB `nfc_normalize` implements the same Unicode
+    standard as the worker's `unicodedata`); per source: doc count,
+    changed count, codepoints removed/composed away, and the first 40
+    chars of the min normalized text (pins actual string content, not
+    just counts)."""
+    from cdc_pipeline_spark.operators.text import with_nfc_normalized
+
+    docs = _t(spark, sf_dir, "documents")
+    noisy = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("\u200b")).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" e\u0301")).otherwise(F.lit("")),
+        ).alias("raw"),
+    )
+    normed = with_nfc_normalized(noisy, "raw", "norm")
+    return normed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("norm") != F.col("raw")).cast("long")).alias("n_changed"),
+        F.sum(F.length("raw") - F.length("norm")).cast("long").alias("chars_removed"),
+        F.min(F.substring("norm", 1, 40)).alias("sample_norm"),
+    )
+
+
 @register("doc_url_domain_policy", _URL_POLICY_ORACLE)
 def doc_url_domain_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL hygiene for a crawled-corpus build (`operators/urls.py`):
@@ -5936,6 +6001,7 @@ def doc_domain_cap_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_WINDOW_PRIORITY = [
     # -- round-8 new registrations first --
+    "doc_unicode_nfc_hygiene",
     "dedup_simhash_capped",
     "dedup_prefix_filter",
     # -- then the one plan-changed query (canonicalize_url now splits
@@ -5947,9 +6013,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # in for the freshest tail name and record the swap here.
     # SWAPS: dedup_prefix_filter re-enters (PPJoin positional filter
     # changed its plan) and dedup_simhash_capped is new — evicting the
-    # two freshest tail names, q1_pricing_summary then
-    # q3_shipping_priority (both green r5), to the carryover FRONT in
-    # that order. --
+    # freshest tail names (purchasing_clickers, q1_pricing_summary,
+    # q3_shipping_priority — all green r5) to the carryover FRONT in
+    # that order; doc_unicode_nfc_hygiene (new) took the third slot. --
     "doc_domain_cap_topn",
     "doc_url_domain_policy",
     "doc_lang_charclass",
@@ -5997,7 +6063,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "platform_breakdown",
     "props_json_stats",
     "purchase_error_full_outer",
-    "purchasing_clickers",
 ]
 
 # Everything else, in staleness order (oldest last-green first), so the
@@ -6007,6 +6072,7 @@ _DRIVER_WINDOW_PRIORITY = [
 # decision, not a silent off-by-N (all were green in CORRECTNESS_r05..
 # r07 or the round-7 judge sweep).
 _DRIVER_WINDOW_CARRYOVER = [
+    "purchasing_clickers",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_volume",

@@ -2564,3 +2564,41 @@ def test_simhash_64bit_signatures_and_banding(spark):
     # chunk-width guard: 64-bit signatures cannot be banded as one chunk
     with pytest.raises(ValueError, match="62"):
         simhash_pairs(docs, bits=64, bands=1)
+
+
+def test_nfc_normalization_and_invisible_strip(spark):
+    """with_nfc_normalized must compose combining sequences (NFC),
+    strip zero-width/soft-hyphen characters first, pass nulls through,
+    and preserve every input column (map-only)."""
+    import unicodedata
+
+    from cdc_pipeline_spark.operators.text import (
+        INVISIBLE_CHARS,
+        with_nfc_normalized,
+    )
+
+    rows = [
+        (1, "cafe\u0301"),                  # e + combining acute -> e-acute
+        (2, "a\u200bb\u00adc"),            # zero-width + soft hyphen stripped
+        (3, "plain ascii"),
+        (4, None),
+        (5, "\ufeffbom lead e\u0301\u0301"),  # BOM + double combining
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text_nfc for r in with_nfc_normalized(df).collect()}
+    assert got[1] == "caf\u00e9" and len(got[1]) == 4
+    assert got[2] == "abc"
+    assert got[3] == "plain ascii"
+    assert got[4] is None
+    assert got[5] == unicodedata.normalize("NFC", "bom lead e\u0301\u0301")
+    assert got[5].startswith("bom lead \u00e9")
+    # idempotent: normalizing the normalized column changes nothing
+    again = with_nfc_normalized(
+        with_nfc_normalized(df), "text_nfc", "text_nfc2"
+    )
+    assert all(
+        r.text_nfc == r.text_nfc2 for r in again.collect() if r.text_nfc is not None
+    )
+    assert sorted(INVISIBLE_CHARS) == sorted(
+        "\u200b\u200c\u200d\ufeff\u00ad"
+    )
