@@ -187,7 +187,7 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Sniff-and-decode: PNG, BMP, or baseline JPEG by signature →
+    """Sniff-and-decode: PNG, BMP, baseline JPEG, or GIF by signature →
     (h, w, c) uint8. Raises ValueError on anything else — INCLUDING
     truncated/corrupt payloads whose parse dies inside struct/zlib
     (neither ``struct.error`` nor ``zlib.error`` subclasses ValueError,
@@ -203,6 +203,10 @@ def decode_image(payload: bytes) -> "np.ndarray":
             from cdc_pipeline_spark.operators.jpeg import decode_jpeg
 
             return decode_jpeg(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from cdc_pipeline_spark.operators.gif import decode_gif
+
+            return decode_gif(payload)
     except (struct.error, zlib.error, IndexError, MemoryError, OverflowError) as exc:
         # OverflowError: a hostile Huffman table can make the JPEG
         # entropy decoder produce arbitrary-precision ints (the decoder

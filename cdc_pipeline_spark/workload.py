@@ -5855,6 +5855,72 @@ def _nfc_oracle_sql() -> str:
     """
 
 
+_GIF_AUDIT_ORACLE = """
+    WITH grid AS (
+        SELECT d.doc_id, y.range AS y, x.range AS x
+        FROM documents d, range(8) y, range(8) x),
+    px AS (
+        SELECT doc_id,
+               CASE (doc_id + y + x) % 3
+                    WHEN 0 THEN 10 WHEN 1 THEN 200 ELSE 0 END AS r,
+               CASE (doc_id + y + x) % 3
+                    WHEN 0 THEN 20 WHEN 1 THEN 100 ELSE 255 END AS g,
+               CASE (doc_id + y + x) % 3
+                    WHEN 0 THEN 30 WHEN 1 THEN 50 ELSE 128 END AS b
+        FROM grid)
+    SELECT doc_id,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+"""
+
+
+@register("multimodal_gif_pixel_audit", _GIF_AUDIT_ORACLE)
+def multimodal_gif_pixel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audit of the pure-stdlib GIF codec
+    (`operators/gif.py`) under an ANALYTIC oracle: each doc synthesizes
+    a deterministic 8x8 three-color image (pixel (y, x) = palette[
+    (doc_id + y + x) % 3]), encodes it with `encode_gif` (interlaced on
+    odd ids — both scan orders exercised), decodes it back through the
+    `decode_image` GIF sniff, and emits exact INTEGER per-channel pixel
+    sums. The DuckDB oracle computes the same sums straight from the
+    synthesis formula — it never sees a GIF — so a hash-green row
+    proves encode -> LZW -> palette -> (de)interlace -> decode is the
+    identity on pixels, with zero float tolerance (integer sums per the
+    cross-engine determinism policy). Arrow `mapInArrow`, map-only,
+    partition-preserving; the 100 TB shape is the same one
+    `multimodal.extract_features` uses."""
+    import pyarrow as pa
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        from cdc_pipeline_spark.operators.gif import encode_gif
+        from cdc_pipeline_spark.operators.imaging import decode_image
+
+        palette = np.array([[10, 20, 30], [200, 100, 50], [0, 255, 128]], dtype=np.uint8)
+        yy, xx = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            sums = {"doc_id": [], "sum_r": [], "sum_g": [], "sum_b": []}
+            for doc_id in ids:
+                img = palette[(doc_id + yy + xx) % 3]
+                decoded = decode_image(encode_gif(img, interlace=bool(doc_id % 2)))
+                s = decoded.astype(np.int64).sum(axis=(0, 1))
+                sums["doc_id"].append(doc_id)
+                sums["sum_r"].append(int(s[0]))
+                sums["sum_g"].append(int(s[1]))
+                sums["sum_b"].append(int(s[2]))
+            yield pa.RecordBatch.from_pydict(sums)
+
+    return docs.mapInArrow(
+        gen, "doc_id long, sum_r long, sum_g long, sum_b long"
+    )
+
+
 @register("doc_unicode_nfc_hygiene", _nfc_oracle_sql())
 def doc_unicode_nfc_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode hygiene before dedup (`text.with_nfc_normalized` +
@@ -6001,6 +6067,7 @@ def doc_domain_cap_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_WINDOW_PRIORITY = [
     # -- round-8 new registrations first --
+    "multimodal_gif_pixel_audit",
     "doc_unicode_nfc_hygiene",
     "dedup_simhash_capped",
     "dedup_prefix_filter",
@@ -6013,9 +6080,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # in for the freshest tail name and record the swap here.
     # SWAPS: dedup_prefix_filter re-enters (PPJoin positional filter
     # changed its plan) and dedup_simhash_capped is new — evicting the
-    # freshest tail names (purchasing_clickers, q1_pricing_summary,
-    # q3_shipping_priority — all green r5) to the carryover FRONT in
-    # that order; doc_unicode_nfc_hygiene (new) took the third slot. --
+    # freshest tail names (purchase_error_full_outer,
+    # purchasing_clickers, q1_pricing_summary, q3_shipping_priority —
+    # all green r5) to the carryover FRONT in that order; the four new
+    # round-8 registrations took their slots. --
     "doc_domain_cap_topn",
     "doc_url_domain_policy",
     "doc_lang_charclass",
@@ -6062,7 +6130,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "parts_below_brand_avg",
     "platform_breakdown",
     "props_json_stats",
-    "purchase_error_full_outer",
 ]
 
 # Everything else, in staleness order (oldest last-green first), so the
@@ -6072,6 +6139,7 @@ _DRIVER_WINDOW_PRIORITY = [
 # decision, not a silent off-by-N (all were green in CORRECTNESS_r05..
 # r07 or the round-7 judge sweep).
 _DRIVER_WINDOW_CARRYOVER = [
+    "purchase_error_full_outer",
     "purchasing_clickers",
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -549,3 +549,107 @@ def test_jpeg_peak_memory_cap_counts_float_planes():
     struct.pack_into(">HH", hostile, i + 5, 9500, 8500)
     with pytest.raises(ValueError, match="exceeds cap"):
         decode_jpeg(bytes(hostile))
+
+
+# ---------------------------------------------------------------------------
+# GIF decoder (round 8): LZW, palettes, interlace, frames, quarantine.
+# Fixtures come from operators/gif.py::encode_gif (clear-per-symbol LZW),
+# so the encoder exercises the decoder's repeated-clear path on every
+# pixel — byte fixtures stay reproducible from code, like encode_png.
+# ---------------------------------------------------------------------------
+
+
+def _checker(h, w, a=(255, 0, 0), b=(0, 0, 255)):
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[(np.add.outer(np.arange(h), np.arange(w)) % 2) == 0] = a
+    img[(np.add.outer(np.arange(h), np.arange(w)) % 2) == 1] = b
+    return img
+
+
+def test_gif_roundtrip_plain_and_interlaced():
+    from cdc_pipeline_spark.operators.gif import decode_gif, encode_gif
+
+    img = _checker(9, 7)
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+    # interlaced rows land back where they belong (all four passes: 9
+    # rows -> passes hit rows 0,8 / 4 / 2,6 / 1,3,5,7)
+    assert np.array_equal(decode_gif(encode_gif(img, interlace=True)), img)
+
+
+def test_gif_multiframe_composition_and_delays():
+    from cdc_pipeline_spark.operators.gif import decode_gif_frames, encode_gif
+
+    f1 = np.full((4, 5, 3), (10, 20, 30), dtype=np.uint8)
+    f2 = np.full((4, 5, 3), (200, 100, 0), dtype=np.uint8)
+    payload = encode_gif([f1, f2], delays_cs=[12, 34])
+    frames = decode_gif_frames(payload)
+    assert len(frames) == 2
+    assert np.array_equal(frames[0][0], f1) and frames[0][1] == 12
+    assert np.array_equal(frames[1][0], f2) and frames[1][1] == 34
+
+
+def test_gif_transparency_leaves_canvas():
+    """A transparent index must leave the already-composited canvas
+    pixel visible (GIF89a graphic-control transparency)."""
+    from cdc_pipeline_spark.operators.gif import decode_gif_frames, encode_gif
+
+    base = np.full((2, 2, 3), (1, 2, 3), dtype=np.uint8)
+    overlay = base.copy()
+    overlay[0, 0] = (9, 9, 9)  # palette will be {(1,2,3): idx, (9,9,9): idx}
+    # make (1,2,3) the transparent index in frame 2: its pixels keep the
+    # frame-1 canvas (same color here, so assert via the changed pixel)
+    payload = encode_gif([base, overlay], transparent_index=0, disposal=1)
+    frames = decode_gif_frames(payload)
+    assert np.array_equal(frames[1][0][0, 0], np.array([9, 9, 9], dtype=np.uint8))
+    assert np.array_equal(frames[1][0][1, 1], np.array([1, 2, 3], dtype=np.uint8))
+
+
+def test_gif_sniffed_by_decode_image_and_feature_path(spark):
+    """decode_image routes GIF by signature; the multimodal feature
+    extraction decodes real GIF payloads on the Arrow path alongside
+    PNG/BMP, and quarantines corrupt ones instead of failing the stage."""
+    from cdc_pipeline_spark.operators.gif import encode_gif
+    from cdc_pipeline_spark.operators.imaging import decode_image
+    from cdc_pipeline_spark.operators.multimodal import extract_features
+
+    img = _checker(6, 6)
+    payload = encode_gif(img)
+    assert np.array_equal(decode_image(payload), img)
+
+    rows = [
+        (1, bytearray(payload)),
+        (2, bytearray(encode_png(img))),
+        (3, bytearray(payload[:20])),  # truncated -> quarantined
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id for r in extract_features(df, fake_decode=False, decoder="image").collect()}
+    assert out == {1, 2}
+
+
+def test_gif_quarantine_contract():
+    """Malformed payloads and the unsupported restore-previous disposal
+    raise ValueError (never struct.error/IndexError/MemoryError)."""
+    import pytest as _pytest
+
+    from cdc_pipeline_spark.operators.gif import decode_gif, encode_gif
+
+    img = _checker(3, 3)
+    good = encode_gif(img)
+    for bad in (
+        b"GIF89a",                      # truncated header
+        good[:25],                      # truncated mid-stream
+        good[:6] + b"\x00" * 7,         # zero logical screen
+        b"NOTGIF" + good[6:],           # bad signature
+        good[:-2] + b"\xff\x3b",        # junk block type
+    ):
+        with _pytest.raises(ValueError):
+            decode_gif(bad)
+    with _pytest.raises(ValueError, match="restore previous"):
+        decode_gif(encode_gif([img, img], disposal=3)[:])
+    # hostile logical screen: header claims a huge canvas
+    import struct as _struct
+
+    huge = bytearray(good)
+    huge[6:10] = _struct.pack("<HH", 60000, 60000)
+    with _pytest.raises(ValueError, match="budget|rectangle"):
+        decode_gif(bytes(huge))
