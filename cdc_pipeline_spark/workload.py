@@ -5855,6 +5855,73 @@ def _nfc_oracle_sql() -> str:
     """
 
 
+_GIF_KEYFRAME_ORACLE = """
+    WITH grid AS (
+        SELECT d.doc_id, f.range AS frame_index, y.range AS y, x.range AS x
+        FROM documents d, range(3) f, range(8) y, range(8) x),
+    px AS (
+        SELECT doc_id, frame_index,
+               CASE (doc_id + frame_index + y + x) % 3
+                    WHEN 0 THEN 10 WHEN 1 THEN 200 ELSE 0 END AS r,
+               CASE (doc_id + frame_index + y + x) % 3
+                    WHEN 0 THEN 20 WHEN 1 THEN 100 ELSE 255 END AS g,
+               CASE (doc_id + frame_index + y + x) % 3
+                    WHEN 0 THEN 30 WHEN 1 THEN 50 ELSE 128 END AS b
+        FROM grid)
+    SELECT doc_id, frame_index,
+           CAST(10 * (frame_index + 1) AS BIGINT) AS delay_cs,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id, frame_index
+"""
+
+
+@register("multimodal_gif_keyframes", _GIF_KEYFRAME_ORACLE)
+def multimodal_gif_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL keyframe sampling over animated payloads — the decoded-frame
+    counterpart of `multimodal.sample_frames`' byte-window pattern: each
+    doc synthesizes a 3-frame animated GIF (frame f pixel (y, x) =
+    palette[(doc_id + f + y + x) % 3], per-frame delay 10·(f+1) cs),
+    and the engine decodes EVERY composed frame via
+    `gif.decode_gif_frames`, emitting one row per (doc, frame) with the
+    frame's delay and exact integer channel sums. The analytic DuckDB
+    oracle never decodes anything — a hash-green row proves multi-frame
+    LZW streams, per-frame graphic-control metadata and frame
+    composition all reproduce the synthesis exactly. Same map-only
+    Arrow shape as the other multimodal stages."""
+    import pyarrow as pa
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        from cdc_pipeline_spark.operators.gif import decode_gif_frames, encode_gif
+
+        palette = np.array([[10, 20, 30], [200, 100, 50], [0, 255, 128]], dtype=np.uint8)
+        yy, xx = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        for batch in batches:
+            out = {k: [] for k in ("doc_id", "frame_index", "delay_cs", "sum_r", "sum_g", "sum_b")}
+            for doc_id in batch.column(0).to_pylist():
+                frames = [palette[(doc_id + f + yy + xx) % 3] for f in range(3)]
+                payload = encode_gif(frames, delays_cs=[10, 20, 30])
+                for fi, (canvas, delay) in enumerate(decode_gif_frames(payload)):
+                    s = canvas.astype(np.int64).sum(axis=(0, 1))
+                    out["doc_id"].append(doc_id)
+                    out["frame_index"].append(fi)
+                    out["delay_cs"].append(delay)
+                    out["sum_r"].append(int(s[0]))
+                    out["sum_g"].append(int(s[1]))
+                    out["sum_b"].append(int(s[2]))
+            yield pa.RecordBatch.from_pydict(out)
+
+    return docs.mapInArrow(
+        gen,
+        "doc_id long, frame_index long, delay_cs long, sum_r long, sum_g long, sum_b long",
+    )
+
+
 _GIF_AUDIT_ORACLE = """
     WITH grid AS (
         SELECT d.doc_id, y.range AS y, x.range AS x
@@ -6067,6 +6134,7 @@ def doc_domain_cap_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_WINDOW_PRIORITY = [
     # -- round-8 new registrations first --
+    "multimodal_gif_keyframes",
     "multimodal_gif_pixel_audit",
     "doc_unicode_nfc_hygiene",
     "dedup_simhash_capped",
@@ -6080,9 +6148,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # in for the freshest tail name and record the swap here.
     # SWAPS: dedup_prefix_filter re-enters (PPJoin positional filter
     # changed its plan) and dedup_simhash_capped is new — evicting the
-    # freshest tail names (purchase_error_full_outer,
+    # freshest tail names (props_json_stats, purchase_error_full_outer,
     # purchasing_clickers, q1_pricing_summary, q3_shipping_priority —
-    # all green r5) to the carryover FRONT in that order; the four new
+    # all green r5) to the carryover FRONT in that order; the five new
     # round-8 registrations took their slots. --
     "doc_domain_cap_topn",
     "doc_url_domain_policy",
@@ -6129,7 +6197,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "orders_rollup",
     "parts_below_brand_avg",
     "platform_breakdown",
-    "props_json_stats",
 ]
 
 # Everything else, in staleness order (oldest last-green first), so the
@@ -6139,6 +6206,7 @@ _DRIVER_WINDOW_PRIORITY = [
 # decision, not a silent off-by-N (all were green in CORRECTNESS_r05..
 # r07 or the round-7 judge sweep).
 _DRIVER_WINDOW_CARRYOVER = [
+    "props_json_stats",
     "purchase_error_full_outer",
     "purchasing_clickers",
     "q1_pricing_summary",
