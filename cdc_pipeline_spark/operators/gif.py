@@ -20,8 +20,10 @@ Scope (documented, not silent):
     multimodal quarantine contract — see ``imaging.decode_image``).
 
 Decoded canvases are bounded by ``imaging._MAX_DECODED_BYTES`` exactly
-like PNG/BMP/JPEG, so a hostile header cannot allocate its way past the
-worker's memory budget.
+like PNG/BMP/JPEG — and the bound is *cumulative over composed frames*
+(frames held x canvas bytes), so neither a hostile header nor a tiny
+many-frame animation can allocate its way past the worker's memory
+budget. LZW decodes into a preallocated 1-byte-per-pixel buffer.
 
 ``encode_gif`` is the deterministic fixture helper (mirrors
 ``imaging.encode_png``): clear-per-symbol LZW (the dictionary never
@@ -83,13 +85,16 @@ class _Reader:
                 raise _err("truncated sub-block")
 
 
-def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearray:
     """GIF-variant LZW: variable code width from ``min_code_size + 1``
     to 12 bits, LSB-first bit packing, CLEAR resets the table, the
     table freezes at 4096 entries until the next CLEAR (deferred
     clear). Output longer than ``max_pixels`` raises — a hostile
-    stream must not out-allocate the declared image size."""
-    if not 2 <= min_code_size <= 11:
+    stream must not out-allocate the declared image size. The output
+    buffer is a single preallocated ``bytearray(max_pixels)`` (palette
+    indices are <= 255 since ``min_code_size`` <= 8), so interpreter
+    memory stays at 1 byte/pixel instead of a list[int]'s ~8x."""
+    if not 2 <= min_code_size <= 8:
         raise _err(f"LZW min code size {min_code_size}")
     clear = 1 << min_code_size
     end = clear + 1
@@ -102,15 +107,16 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
         return size0, min_code_size + 1
 
     next_code, width = reset()
-    out: list[int] = []
+    out = bytearray(max_pixels)
+    out_len = 0
     prev = -1
     acc = 0
     acc_bits = 0
     pos = 0
     n = len(data)
 
-    def expand(code: int) -> list[int]:
-        chain: list[int] = []
+    def expand(code: int) -> bytearray:
+        chain = bytearray()
         c = code
         while c >= clear:  # walk prefixes; roots are < clear
             chain.append(suffix[c])
@@ -123,6 +129,7 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
         while acc_bits < width:
             if pos >= n:
                 # data exhausted without END — tolerated by real decoders
+                del out[out_len:]
                 return out
             acc |= data[pos] << acc_bits
             acc_bits += 8
@@ -135,21 +142,28 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
             prev = -1
             continue
         if code == end:
+            del out[out_len:]
             return out
         if prev < 0:
             if code >= clear:
                 raise _err("first LZW code not a root")
-            out.append(code)
+            if out_len >= max_pixels:
+                raise _err("LZW output exceeds declared pixel count")
+            out[out_len] = code
+            out_len += 1
             prev = code
         else:
             if code < next_code:
                 entry = expand(code)
             elif code == next_code:
-                head = expand(prev)
-                entry = head + [head[0]]
+                entry = expand(prev)
+                entry.append(entry[0])
             else:
                 raise _err("LZW code out of range")
-            out.extend(entry)
+            if out_len + len(entry) > max_pixels:
+                raise _err("LZW output exceeds declared pixel count")
+            out[out_len : out_len + len(entry)] = entry
+            out_len += len(entry)
             if next_code < 4096:
                 prefix[next_code] = prev
                 suffix[next_code] = entry[0]
@@ -157,8 +171,6 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
                 if next_code == (1 << width) and width < 12:
                     width += 1
             prev = code
-        if len(out) > max_pixels:
-            raise _err("LZW output exceeds declared pixel count")
 
 
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
@@ -174,11 +186,23 @@ def _deinterlace(rows: "np.ndarray") -> "np.ndarray":
     return out
 
 
-def decode_gif_frames(payload: bytes) -> list[tuple["np.ndarray", int]]:
+def decode_gif_frames(
+    payload: bytes, max_frames: int | None = None
+) -> list[tuple["np.ndarray", int]]:
     """Decode every frame of a GIF, composited onto the logical screen:
     returns ``[(canvas_rgb_uint8, delay_centiseconds), ...]``. Raises
     ``ValueError`` on malformed input or the unsupported
-    restore-previous disposal (quarantine contract)."""
+    restore-previous disposal (quarantine contract).
+
+    Memory guarantee: *total* composed-frame bytes (every returned
+    canvas plus the working canvas) are bounded by
+    ``imaging._MAX_DECODED_BYTES`` — the budget is cumulative across
+    frames, not per-frame, so a tiny payload declaring many frames on a
+    large logical screen raises instead of allocating frames x canvas.
+
+    ``max_frames`` stops decoding after that many composed frames (the
+    rest of the stream is not parsed) — still-image consumers pass 1
+    and skip the full-animation cost."""
     from cdc_pipeline_spark.operators.imaging import _MAX_DECODED_BYTES
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -249,7 +273,7 @@ def decode_gif_frames(payload: bytes) -> list[tuple["np.ndarray", int]]:
         indices = _lzw_decode(r.sub_blocks(), mcs, w * h)
         if len(indices) < w * h:
             raise _err(f"LZW stream short: {len(indices)} of {w * h} pixels")
-        idx = np.asarray(indices[: w * h], dtype=np.int32).reshape(h, w)
+        idx = np.frombuffer(bytes(indices), dtype=np.uint8).astype(np.int32).reshape(h, w)
         if int(idx.max(initial=0)) >= len(table):
             raise _err("palette index out of range")
         if ipacked & 0x40:
@@ -261,9 +285,15 @@ def decode_gif_frames(payload: bytes) -> list[tuple["np.ndarray", int]]:
             region[mask] = rgb[mask]
         else:
             region[:] = rgb
+        # cumulative budget: frames already held + the copy about to be
+        # taken, each width*height*3 bytes, must fit the decode budget
+        if (len(frames) + 1) * width * height * 3 > _MAX_DECODED_BYTES:
+            raise _err("composed animation frames exceed decode budget")
         frames.append((canvas.copy(), delay))
         if len(frames) > _MAX_FRAMES:
             raise _err("too many frames")
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
         if disposal == 2:  # restore rect to background
             canvas[top : top + h, left : left + w] = bg_rgb
         delay, transparent, disposal = 0, -1, 0
@@ -274,9 +304,11 @@ def decode_gif_frames(payload: bytes) -> list[tuple["np.ndarray", int]]:
 
 def decode_gif(payload: bytes) -> "np.ndarray":
     """First composed frame as (h, w, 3) uint8 — the ``decode_image``
-    contract shape (still-image consumers; animated consumers call
-    :func:`decode_gif_frames`)."""
-    return decode_gif_frames(payload)[0][0]
+    contract shape. Decoding stops after the first frame (later frames
+    are never parsed or composed), so still-image consumers don't pay
+    full-animation cost; animated consumers call
+    :func:`decode_gif_frames`."""
+    return decode_gif_frames(payload, max_frames=1)[0][0]
 
 
 # ---------------------------------------------------------------------------

@@ -653,3 +653,50 @@ def test_gif_quarantine_contract():
     huge[6:10] = _struct.pack("<HH", 60000, 60000)
     with _pytest.raises(ValueError, match="budget|rectangle"):
         decode_gif(bytes(huge))
+
+
+def _hostile_many_frame_gif(n_frames, w=2000, h=2000):
+    """Tiny payload declaring ``n_frames`` 1x1 frames on a w x h logical
+    screen — each composed frame costs w*h*3 bytes, so total composed
+    memory is frames x canvas while the payload stays a few hundred
+    bytes (the ADVICE r8 memory-amplification shape)."""
+    import struct as _struct
+
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HH", w, h)
+    out.append(0x91)  # GCT present, 4 entries
+    out += b"\x00\x00"
+    out += bytes(12)  # 4-entry color table, all black
+    # 1x1 frame: LZW(mcs=2) = CLEAR(4), root(0), END(5) packed LSB-first
+    frame = b"\x2c" + _struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00\x02\x02\x44\x01\x00"
+    out += frame * n_frames
+    out.append(0x3B)
+    return bytes(out)
+
+
+def test_gif_cumulative_frame_budget():
+    """Total composed-frame bytes are budget-bounded (cumulative, not
+    per-frame): a ~1 KB payload with many 1x1 frames on a 2000x2000
+    canvas raises ValueError instead of allocating frames x 12 MB."""
+    import pytest as _pytest
+
+    from cdc_pipeline_spark.operators.gif import decode_gif, decode_gif_frames
+
+    hostile = _hostile_many_frame_gif(25)
+    with _pytest.raises(ValueError, match="decode budget"):
+        decode_gif_frames(hostile)
+    # the still-image path stops after frame 1 — same payload decodes
+    img = decode_gif(hostile)
+    assert img.shape == (2000, 2000, 3)
+
+
+def test_gif_max_frames_matches_full_decode_prefix():
+    from cdc_pipeline_spark.operators.gif import decode_gif_frames, encode_gif
+
+    f1 = _checker(4, 5)
+    f2 = _checker(4, 5, a=(0, 255, 0), b=(255, 255, 0))
+    payload = encode_gif([f1, f2], delays_cs=[7, 9])
+    full = decode_gif_frames(payload)
+    first = decode_gif_frames(payload, max_frames=1)
+    assert len(first) == 1
+    assert np.array_equal(first[0][0], full[0][0]) and first[0][1] == full[0][1]
