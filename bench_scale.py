@@ -376,6 +376,74 @@ def main() -> None:
     }
     print(f"# prefix_filter_scale_curve: {result['families']['prefix_filter_scale_curve']}", flush=True)
 
+    # Long-doc entropy scale curve (VERDICT r8 #1): token entropy must
+    # be linear in document LENGTH, not just corpus size. 32 high-
+    # diversity docs per point at 50k/100k/200k tokens (~87k distinct
+    # types at the top point): the retired per-row O(L·d) expression
+    # would evaluate ~1.7e10 comparisons inside each row there; the
+    # explode→groupBy path is one shuffle and O(L).
+    from cdc_pipeline_spark.operators.text import entropy_profile
+
+    def entropy_point(n_tokens: int) -> dict:
+        docs_e = (
+            spark.range(32)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+                        lambda i: F.concat(
+                            F.lit("t"),
+                            F.pmod(F.xxhash64(F.col("id"), i), F.lit(100_000)),
+                        ),
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+            .repartition(32)
+            .localCheckpoint(eager=True)
+        )
+        _, sec = timed(
+            lambda: entropy_profile(docs_e)
+            .agg(F.sum("token_entropy"), F.sum("char_entropy"))
+            .collect()
+        )
+        docs_e.unpersist()
+        point = {"tokens_per_doc": n_tokens, "n_docs": 32, "wall_sec": sec}
+        print(f"# entropy_curve point: {point}", flush=True)
+        return point
+
+    def entropy_annotate(points) -> bool:
+        good = True
+        for prev, cur in zip(points, points[1:]):
+            len_ratio = cur["tokens_per_doc"] / prev["tokens_per_doc"]
+            wall_ratio = cur["wall_sec"] / prev["wall_sec"]
+            cur["wall_ratio_vs_prev"] = round(wall_ratio, 3)
+            cur["len_ratio_vs_prev"] = round(len_ratio, 3)
+            if wall_ratio > len_ratio * 1.3:
+                good = False
+        return good
+
+    e_curve = [entropy_point(n) for n in (50_000, 100_000, 200_000)]
+    e_ok = entropy_annotate(e_curve)
+    if not e_ok:
+        # one same-condition re-measure per point, keep the min wall
+        # (scheduler noise shows up as a high outlier, never a low one)
+        for i, fresh in enumerate(entropy_point(p["tokens_per_doc"]) for p in e_curve):
+            if fresh["wall_sec"] < e_curve[i]["wall_sec"]:
+                fresh["retried"] = True
+                e_curve[i] = fresh
+        e_ok = entropy_annotate(e_curve)
+    result["families"]["entropy_longdoc_scale_curve"] = {
+        "points": e_curve,
+        "curve_ok": e_ok,
+        "note": "token-entropy wall growth <= doc-length growth x1.3 between points",
+    }
+    print(
+        f"# entropy_longdoc_scale_curve: {result['families']['entropy_longdoc_scale_curve']}",
+        flush=True,
+    )
+
     # IVF index: build + query at both scales; pruning fraction constant
     tmp = tempfile.mkdtemp(prefix="ivf_scale_")
     try:
@@ -411,7 +479,7 @@ def main() -> None:
     for name, e in result["families"].items():
         if name == "ivf_index_topk":
             continue
-        if name == "prefix_filter_scale_curve":
+        if name.endswith("_scale_curve"):
             ok = ok and e["curve_ok"]
             continue
         if e["exact_linear_expected"] and e["big_count"] != e["predicted_big"]:

@@ -383,8 +383,12 @@ def _shannon_entropy_bits(elems: Column) -> Column:
     result is independent of `array_distinct` ordering and replays
     bit-for-bit in DuckDB's `list_transform`/`list_sum` (whose distinct
     order is unspecified). Cost is O(L·d) per row (d = distinct
-    elements) — JVM codegen, no Python, no aggregation exchange: the
-    100 TB shape is a single corpus scan."""
+    elements) — fine when d is alphabet-bounded (character entropy) or
+    L is gated small; for unbounded-vocabulary long arrays use the
+    linear explode→groupBy path in :func:`entropy_profile` instead
+    (on a 50k-token high-diversity doc the per-row form costs ~L²/2
+    comparisons inside ONE row's expression eval — no parallelism,
+    no spill)."""
     n_total = F.size(elems)
     counts = F.transform(
         F.array_distinct(elems), lambda c: F.size(F.filter(elems, lambda x: x == c))
@@ -401,27 +405,96 @@ def _shannon_entropy_bits(elems: Column) -> Column:
     ) / F.lit(LN2)
 
 
+# Docs at or under this many tokens take the zero-shuffle per-row
+# entropy expression (worst case gate² element comparisons per row —
+# bounded and cheap); longer docs take the linear explode→groupBy path.
+TOKEN_ENTROPY_GATE = 512
+
+
 def entropy_profile(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_gate: int = TOKEN_ENTROPY_GATE,
 ) -> DataFrame:
     """Per-document entropy quality signals (the repetition/diversity
     filters of C4 / Gopher / RefinedWeb-style cleaning, where low
     character- or word-entropy flags boilerplate, keyboard-mash and
     template text): character entropy, whitespace-token entropy, and
     the distinct counts behind them. Docs with no characters after
-    filtering are excluded (entropy undefined on an empty multiset)."""
+    filtering are excluded (entropy undefined on an empty multiset).
+
+    Scale shape: character entropy is always per-row (distinct count is
+    alphabet-bounded, so the O(L·d) expression is effectively O(L)).
+    Token entropy is length-gated: docs with ≤ ``token_gate`` tokens
+    stay on the zero-shuffle per-row expression, longer docs go through
+    explode → ``groupBy(doc_id, token).count()`` → an exact-integer
+    Σ n·ln(n) re-aggregation — O(L) work and one shuffle instead of a
+    per-row O(L·d) ≈ L² expression that would evaluate ~10⁹ comparisons
+    inside a single row on a 50k-token high-diversity document. Both
+    paths quantize each n·ln(n) term to 9-decimal fixed point and sum
+    exact BIGINTs, so the result is identical regardless of path or
+    partitioning and replays bit-for-bit in the DuckDB oracle."""
     chars = F.filter(F.split(F.col(text_col), ""), lambda c: c != F.lit(""))
     toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
-    out = df.select(
+    base = df.select(
         F.col(id_col).alias("doc_id"), chars.alias("__chars"), toks.alias("__toks")
     ).filter((F.size("__chars") > 0) & (F.size("__toks") > 0))
-    return out.select(
+
+    def finish(d: DataFrame) -> DataFrame:
+        return d.select(
+            "doc_id", "char_entropy", "token_entropy", "distinct_chars", "distinct_tokens"
+        )
+
+    short = base.filter(F.size("__toks") <= F.lit(token_gate)).select(
         "doc_id",
         round_half_up(_shannon_entropy_bits(F.col("__chars")), 6).alias("char_entropy"),
         round_half_up(_shannon_entropy_bits(F.col("__toks")), 6).alias("token_entropy"),
         F.size(F.array_distinct("__chars")).cast("long").alias("distinct_chars"),
         F.size(F.array_distinct("__toks")).cast("long").alias("distinct_tokens"),
     )
+
+    long_docs = base.filter(F.size("__toks") > F.lit(token_gate))
+    # explode → per-(doc, token) counts → exact-integer re-aggregation:
+    # Σ floor(n·ln(n)·Q + 0.5) over BIGINTs is the same sum the per-row
+    # expression folds, so the hybrid is output-invariant by construction
+    n = F.col("__n").cast("double")
+    tok_agg = (
+        long_docs.select("doc_id", F.explode("__toks").alias("__tok"))
+        .groupBy("doc_id", "__tok")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.floor((n * F.log(n)) * F.lit(ENTROPY_QUANT) + F.lit(0.5))
+            ).alias("__sq"),
+            F.sum("__n").alias("__len"),
+            F.count(F.lit(1)).alias("__d"),
+        )
+    )
+    long_h = (
+        F.log(F.col("__len").cast("double"))
+        - (F.col("__sq").cast("double") / F.lit(ENTROPY_QUANT))
+        / F.col("__len").cast("double")
+    ) / F.lit(LN2)
+    long_out = (
+        long_docs.select(
+            "doc_id",
+            round_half_up(_shannon_entropy_bits(F.col("__chars")), 6).alias(
+                "char_entropy"
+            ),
+            F.size(F.array_distinct("__chars")).cast("long").alias("distinct_chars"),
+        )
+        .join(tok_agg, "doc_id")
+        .select(
+            "doc_id",
+            "char_entropy",
+            round_half_up(long_h, 6).alias("token_entropy"),
+            "distinct_chars",
+            F.col("__d").cast("long").alias("distinct_tokens"),
+        )
+    )
+    return finish(short).unionByName(finish(long_out))
 
 
 # ---------------------------------------------------------------------------

@@ -2151,6 +2151,47 @@ def test_entropy_profile_planted_values(spark):
     assert abs(got[2][0] - round(expected, 6)) < 2e-6
 
 
+def test_entropy_profile_gated_paths_identical(spark):
+    """The linear explode→groupBy token-entropy path must be
+    bit-identical to the per-row expression: forcing every doc through
+    the long path (token_gate=0) reproduces the default output exactly,
+    including on a long high-diversity planted doc that actually
+    exceeds the default gate."""
+    from cdc_pipeline_spark.operators.text import TOKEN_ENTROPY_GATE, entropy_profile
+
+    long_doc = " ".join(
+        f"w{i % 700}" for i in range(TOKEN_ENTROPY_GATE * 3)
+    )  # 1536 tokens, 700 distinct — routes to the explode path by default
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa"),
+            (2, "ab ab"),
+            (3, "the quick brown fox the quick"),
+            (4, long_doc),
+        ],
+        "doc_id long, text string",
+    )
+    default = {r.doc_id: r.asDict() for r in entropy_profile(docs).collect()}
+    forced_long = {
+        r.doc_id: r.asDict() for r in entropy_profile(docs, token_gate=0).collect()
+    }
+    forced_short = {
+        r.doc_id: r.asDict()
+        for r in entropy_profile(docs, token_gate=10**9).collect()
+    }
+    assert default == forced_long == forced_short
+    import math
+
+    # sanity on the planted long doc: 136 tokens appear 3x, 564 appear 2x
+    n3, n2 = 700 - (700 * 3 - TOKEN_ENTROPY_GATE * 3), 700 * 3 - TOKEN_ENTROPY_GATE * 3
+    total = TOKEN_ENTROPY_GATE * 3
+    expected = (
+        math.log(total) - (n3 * 3 * math.log(3) + n2 * 2 * math.log(2)) / total
+    ) / math.log(2)
+    assert abs(default[4]["token_entropy"] - expected) < 2e-6
+    assert default[4]["distinct_tokens"] == 700
+
+
 def test_grouped_top_k_salted_equals_plain(spark):
     """The two-phase salted grouped top-k must be output-identical to
     the single-window form on a total order — checked over a skewed
