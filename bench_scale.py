@@ -222,15 +222,32 @@ def main() -> None:
         exact_linear=False,
         note="verified pairs at the scale config",
     )
-    # default-config pairs kept for round-over-round continuity, with
-    # the dup-cluster-size histogram that shows where the superlinear
-    # pair growth lives (cluster densification = output, not exchange).
-    # Skipped above 10 reps: the default config's quadratic candidate
-    # pool (the documented anti-pattern) makes it pointlessly slow.
+    # The NAIVE production call — zero explicit configuration — must be
+    # linear now that max_bucket defaults to SIMHASH_DEFAULT_MAX_BUCKET
+    # (VERDICT r8 #2: the default used to be the quadratic-by-occupancy
+    # enumeration; a caller who types simhash_pairs(docs) gets the rail).
+    family(
+        "simhash_default_call_candidates",
+        lambda: simhash_pairs(base_docs, verify=False).count(),
+        lambda: simhash_pairs(big_docs, verify=False).count(),
+        exact_linear=False,
+        note="candidates of the zero-argument production call (capped default)",
+        max_count_ratio=REPS * 2.0,
+    )
+    # UNCAPPED 32-bit pairs kept for round-over-round continuity (was
+    # the pre-r9 default; now opt-in via max_bucket=None), with the
+    # dup-cluster-size histogram that shows where the superlinear pair
+    # growth lives (cluster densification = output, not exchange).
+    # Skipped above 10 reps: the quadratic candidate pool (the
+    # documented anti-pattern) makes it pointlessly slow.
     run_default_simhash = REPS <= 10
     if run_default_simhash:
-        base_sh, base_sh_sec = timed(lambda: simhash_pairs(base_docs).localCheckpoint(eager=True))
-        big_sh, big_sh_sec = timed(lambda: simhash_pairs(big_docs).localCheckpoint(eager=True))
+        base_sh, base_sh_sec = timed(
+            lambda: simhash_pairs(base_docs, max_bucket=None).localCheckpoint(eager=True)
+        )
+        big_sh, big_sh_sec = timed(
+            lambda: simhash_pairs(big_docs, max_bucket=None).localCheckpoint(eager=True)
+        )
 
         def cluster_histogram(pairs_df):
             from cdc_pipeline_spark.operators.graph import connected_components
@@ -257,7 +274,8 @@ def main() -> None:
             "base_sec": base_sh_sec,
             "big_sec": big_sh_sec,
             "exact_linear_expected": False,
-            "note": "default 32-bit config; growth explained by the histogram below",
+            "note": "UNCAPPED 32-bit config (max_bucket=None, opt-in since r9); "
+            "growth explained by the histogram below",
             "base_clusters": cluster_histogram(base_sh),
             "big_clusters": cluster_histogram(big_sh),
         }

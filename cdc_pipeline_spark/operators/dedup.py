@@ -113,8 +113,10 @@ def prune_hot_buckets(
     No silent truncation: the hot-bucket list is materialized eagerly
     (``localCheckpoint``, bounded: only over-cap buckets) and a WARNING
     with the dropped-bucket count is logged whenever anything is pruned.
-    ``max_bucket=None`` (the default everywhere) is a no-op, preserving
-    exact candidate enumeration for the oracle-checked paths.
+    ``max_bucket=None`` is a no-op, preserving exact candidate
+    enumeration for the oracle-checked paths (the MinHash/RP-LSH entry
+    points default to None; ``simhash_pairs`` defaults to its measured
+    cap because its banding is quadratic-by-occupancy without one).
     """
     if max_bucket is None:
         return posting
@@ -795,6 +797,14 @@ def simhash_signatures(
     return summed.select("doc_id", packed.cast("long").alias("simhash"))
 
 
+# Default per-(band, chunk) bucket cap for simhash_pairs: the value the
+# scale harness measured linear at 10x-20x corpus size
+# (SCALE_EVIDENCE_r08: 126k -> 1.05M candidates, vs 2.45M -> 52M
+# uncapped). A naive production call must get the linear rail; pass
+# max_bucket=None explicitly for exact (oracle-checked) enumeration.
+SIMHASH_DEFAULT_MAX_BUCKET = 64
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -803,7 +813,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     token_hash=None,
-    max_bucket: int | None = None,
+    max_bucket: int | None = SIMHASH_DEFAULT_MAX_BUCKET,
     verify: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the signature into `bands` chunks
@@ -813,18 +823,27 @@ def simhash_pairs(
     ``max_bucket`` caps per-(band, chunk) membership before the
     self-join (see :func:`prune_hot_buckets`) — with only ``chunk``-bit
     keys, bucket crowding sets in far sooner than for MinHash bands, so
-    this guard matters even at moderate corpus sizes.
+    this guard matters even at moderate corpus sizes. It is ON BY
+    DEFAULT (``SIMHASH_DEFAULT_MAX_BUCKET``): the default banding was
+    measured quadratic-by-occupancy without it (SCALE_EVIDENCE_r08), so
+    the production entry point defaults to the linear rail. RECALL
+    TRADE: a pair is lost only when EVERY band the two docs agree on is
+    over-cap — overwhelmingly boilerplate mega-clusters, which a corpus
+    build removes with exact dedup first; ``prune_hot_buckets`` logs a
+    WARNING with the dropped-bucket count whenever anything is pruned.
+    Pass ``max_bucket=None`` explicitly for exact candidate enumeration
+    (the oracle-checked `dedup_simhash` query does).
 
     SCALE CONTRACT (measured, SCALE_EVIDENCE_r08): banded candidate
     volume is Σ_buckets C(size,2) ≈ bands·n²/2^(chunk+1) — QUADRATIC in
     corpus size once buckets hold more than a few docs. The 32-bit
-    default (8-bit chunks = 256 buckets/band) measured 2.45M → 52M
-    candidates from 5k → 50k docs; at 100 TB it is unusable. The scale
-    configuration is ``bits=64, bands=4`` (16-bit chunks) WITH a
+    uncapped variant (8-bit chunks = 256 buckets/band) measured 2.45M →
+    52M candidates from 5k → 50k docs; at 100 TB it is unusable. The
+    scale configuration is ``bits=64, bands=4`` (16-bit chunks) WITH the
     ``max_bucket`` cap, which bounds candidates to
     occupied_buckets·C(cap,2) — measured linear (126k → 1.05M over the
-    same 10×) with verified pairs also ~linear. Use the default only
-    for small-corpus interactive runs.
+    same 10×) with verified pairs also ~linear. Use ``max_bucket=None``
+    only for small-corpus interactive runs or oracle replay.
 
     ``verify=False`` returns the DISTINCT banded candidate pairs with
     their hamming distance but WITHOUT the ``max_hamming`` filter — the

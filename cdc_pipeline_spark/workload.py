@@ -1025,11 +1025,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (28-bit, codepoint-fold token hash) so the DuckDB oracle replicates
     the entire pipeline — signatures, banding, Hamming verify — and the
     hash check is end-to-end. The production default stays xxhash64
-    (unit tests pin its pigeonhole completeness)."""
+    (unit tests pin its pigeonhole completeness). ``max_bucket=None``
+    is explicit: this is the ORACLE-EXACT enumeration; the operator's
+    production default is the capped linear rail
+    (`SIMHASH_DEFAULT_MAX_BUCKET` — see `dedup_simhash_capped` for the
+    oracle that replays the cap itself)."""
     from cdc_pipeline_spark.operators.dedup import portable_token_hash, simhash_pairs
 
     out = simhash_pairs(
-        _t(spark, sf_dir, "documents"), bits=28, token_hash=portable_token_hash
+        _t(spark, sf_dir, "documents"),
+        bits=28,
+        token_hash=portable_token_hash,
+        max_bucket=None,
     )
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 

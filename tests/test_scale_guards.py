@@ -46,10 +46,34 @@ def test_simhash_hot_bucket_cap(spark):
     from cdc_pipeline_spark.operators.dedup import simhash_pairs
 
     docs = _hot_corpus(spark)
-    uncapped = simhash_pairs(docs).count()
+    uncapped = simhash_pairs(docs, max_bucket=None).count()
     capped = simhash_pairs(docs, max_bucket=10).count()
     assert uncapped >= 40 * 39 / 2
     assert capped < uncapped
+
+
+def test_simhash_default_is_capped(spark):
+    """The production entry point's DEFAULT must be the linear rail
+    (max_bucket on): a planted cluster larger than the default cap gets
+    pruned with no explicit argument, while a naive call on a small
+    corpus is unaffected."""
+    from cdc_pipeline_spark.operators.dedup import (
+        SIMHASH_DEFAULT_MAX_BUCKET,
+        simhash_pairs,
+    )
+
+    k = SIMHASH_DEFAULT_MAX_BUCKET + 20
+    boiler = "terms of service apply to all users of this site always " * 3
+    rows = [(i, boiler) for i in range(k)]
+    rows.append((500, "quick brown fox jumps over the lazy dog near the river bank today"))
+    rows.append((501, "quick brown fox jumps over the lazy dog near the river bank again"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    default_pairs = simhash_pairs(docs)  # no max_bucket argument: the naive call
+    got = {(r.id_a, r.id_b) for r in default_pairs.collect()}
+    assert not any(a < k and b < k for a, b in got), "over-cap cluster must be pruned by default"
+    assert (500, 501) in got, "small-bucket pairs must survive the default cap"
+    exact = simhash_pairs(docs, max_bucket=None).count()
+    assert exact >= k * (k - 1) / 2, "explicit None restores exact enumeration"
 
 
 def test_rp_lsh_hot_bucket_cap(spark):
