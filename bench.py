@@ -30,6 +30,13 @@ inherits (measured: 4.0s retry vs 0.95s fresh, identical code). A
 genuine plan regression is exactly the thing that reproduces in the
 fresh session too. Retried names are recorded in the JSON
 (``isolation_retried``) so a pass never hides that a retry happened.
+
+The JSON line also carries a ``calibration`` block (host_drift vs the
+committed freeze, three control-query ratios, 1/5/15-min load averages
+around the run) so a reader can adjudicate host noise from the artifact
+alone: controls near 1.0x and load << cpus mean per-query ratios are
+believable; controls at 1.5-3x or load >> cpus mean the run measured
+the neighbors, not the code.
 """
 
 from __future__ import annotations
@@ -101,6 +108,15 @@ HEADLINE = [
 
 REGRESSION_RATIO = 1.5
 NOISE_FLOOR_SEC = 1.0
+
+# Control queries for host-noise calibration: multi-second, untouched
+# for several rounds, spanning the engine's three execution families
+# (windowed JVM agg / LSH shuffle join / Arrow mapInPandas). When THESE
+# read well above their freezes, the host is loaded — per-query ratios
+# from that run measure the neighbors, not the code (BENCH_r08 read
+# 1.40x geomean purely from a load-avg-11 neighbor window; adjudicating
+# it required a fresh probe because the artifact carried no calibration).
+CONTROL_QUERIES = ("kpi_sliding_window", "dedup_minhash_lsh", "embedding_kmeans")
 
 
 def load_baseline(path: str) -> dict[str, float]:
@@ -193,6 +209,24 @@ def main() -> None:
         # load BEFORE the multi-minute run: a typo'd path must fail in
         # milliseconds, not after the whole benchmark has been measured
         baseline = load_baseline(check_path)
+    # calibration baseline: even WITHOUT --check, load the default
+    # freeze if present so the emitted artifact carries its own
+    # host-noise calibration (drift + control ratios + loadavg) — the
+    # driver's BENCH_r{N}.json is built from this stdout and must be
+    # adjudicable without a fresh probe
+    calib_baseline = baseline
+    if calib_baseline is None:
+        default_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BASELINE_QUERIES.json"
+        )
+        try:
+            calib_baseline = load_baseline(default_path)
+        except (OSError, ValueError, KeyError):
+            calib_baseline = None
+    try:
+        loadavg_start: tuple[float, ...] | None = os.getloadavg()
+    except OSError:
+        loadavg_start = None
     spark = create_spark_session(
         app_name="cdc-pipeline-spark-bench",
         master=f"local[{CPUS}]",
@@ -288,6 +322,36 @@ def main() -> None:
     }
     if retried:
         doc["isolation_retried"] = retried
+    # Self-calibration (VERDICT r8 #3): the artifact carries what a
+    # reader needs to adjudicate host noise without a fresh probe —
+    # median drift vs the committed freeze, the three control-query
+    # ratios, and the 1/5/15-min load averages around the run. Controls
+    # near 1.0x + low load = per-query ratios are believable; controls
+    # at 1.5-3x or load >> cpus = the run measured the neighbors.
+    try:
+        loadavg_end: tuple[float, ...] | None = os.getloadavg()
+    except OSError:
+        loadavg_end = None
+    calibration: dict = {
+        "loadavg_start": list(loadavg_start) if loadavg_start else None,
+        "loadavg_end": list(loadavg_end) if loadavg_end else None,
+        "cpus": int(CPUS),
+    }
+    # drift/control ratios compare against the sf0.1 freeze — at any
+    # other SF they'd read as phantom speedups/slowdowns, so emit only
+    # load averages there
+    if calib_baseline is not None and SF_DIR.rstrip("/") == "/root/testdata/sf0.1":
+        calibration["host_drift"] = round(host_drift(timings, calib_baseline), 3)
+        calibration["controls"] = {
+            name: {
+                "sec": timings[name],
+                "frozen": calib_baseline[name],
+                "ratio": round(timings[name] / calib_baseline[name], 3),
+            }
+            for name in CONTROL_QUERIES
+            if name in timings and calib_baseline.get(name)
+        }
+    doc["calibration"] = calibration
     print(json.dumps(doc))
     # Durable full-timings artifact: the driver's BENCH_r{N}.json keeps
     # only a truncated stdout tail (r05 preserved 62 of 153 per-query
@@ -330,6 +394,18 @@ def main() -> None:
             gate_timings, baseline, drift=drift0
         )
         print(f"# host drift vs freeze (median ratio): {drift:.2f}x", file=sys.stderr)
+        for cname, c in calibration.get("controls", {}).items():
+            print(
+                f"# control {cname}: {c['sec']:.3f}s vs frozen {c['frozen']:.3f}s "
+                f"({c['ratio']:.2f}x)",
+                file=sys.stderr,
+            )
+        if loadavg_start and loadavg_end:
+            print(
+                f"# loadavg start {loadavg_start} -> end {loadavg_end} "
+                f"on {CPUS} cpus",
+                file=sys.stderr,
+            )
         for name in new:
             print(f"# new since freeze (not gated): {name}", file=sys.stderr)
         for name, (measured, frozen) in sorted(regressions.items()):
