@@ -21,12 +21,13 @@ Scope (documented, not silent): scheme://host[:port]/path[?query][#frag]
 URLs. Canonicalization lowercases scheme+host only (paths are
 case-sensitive), strips the fragment, strips DEFAULT ports (:80, :443),
 strips a leading ``www.``, drops tracking params (``utm_*``, ``ref``)
-and sorts the survivors — percent-encoding normalization and IDN are
-out of scope (they need a real URL parser; run this AFTER a fetcher
-that emits already-percent-normalized URLs). The registered-domain
-extraction uses a compact multi-label-TLD table, not the full public
-suffix list — extend ``MULTI_LABEL_TLDS`` for corpora where the long
-tail matters.
+and sorts the survivors — IDN is out of scope (punycode hosts pass
+through as-is; run this AFTER a fetcher that punycodes). The default
+registered-domain extraction uses a compact multi-label-TLD table
+(oracle-portable IN-list); ``registered_domain_psl`` is the
+broadcast-join variant with full public-suffix-list semantics
+(wildcard ``*.ck`` / exception ``!www.ck`` rules, private-section
+suffixes) — pass the published PSL file's lines for complete coverage.
 """
 
 from __future__ import annotations
@@ -94,6 +95,157 @@ MULTI_LABEL_TLDS = (
     "co.tz", "or.tz", "ac.tz", "go.tz",
     "co.zw", "org.zw", "ac.zw",
 )
+
+# ---------------------------------------------------------------------------
+# Public-suffix-list (PSL) registered-domain extraction. The inlined
+# MULTI_LABEL_TLDS IN-list above is the oracle-portable default; this is
+# the broadcast-join variant for corpora where the long tail matters:
+# the real PSL is ~10k entries including WILDCARD rules (``*.ck`` — any
+# single label under .ck is itself a public suffix) and EXCEPTION rules
+# (``!www.ck`` — www.ck is registrable despite the wildcard), and
+# per-domain caps/policy mis-key without them (``foo.blogspot.com``
+# must group under ``foo.blogspot.com``, not ``blogspot.com``, because
+# the PSL private section makes blogspot.com a public suffix).
+#
+# PSL_RULES below is a curated SNAPSHOT in the PSL's own line format
+# (documented subset: the full MULTI_LABEL_TLDS table, the classic
+# wildcard/exception ccTLD rules, and high-volume private-section
+# suffixes); ``parse_psl_rules`` accepts the complete published file
+# verbatim — pass its lines to ``registered_domain_psl(rules=...)`` at
+# deploy time for full coverage. Single-sourced into the SQL oracle
+# like MULTI_LABEL_TLDS.
+# ---------------------------------------------------------------------------
+
+PSL_RULES: tuple[str, ...] = (
+    # wildcard + exception ccTLD rules (the PSL's canonical examples)
+    "*.ck", "!www.ck",
+    "*.bn", "*.er", "*.fk", "*.mm", "*.pg",
+    "*.kawasaki.jp", "!city.kawasaki.jp",
+    "*.kitakyushu.jp", "!city.kitakyushu.jp",
+    "*.kobe.jp", "!city.kobe.jp",
+    "*.nagoya.jp", "!city.nagoya.jp",
+    "*.sapporo.jp", "!city.sapporo.jp",
+    "*.sendai.jp", "!city.sendai.jp",
+    "*.yokohama.jp", "!city.yokohama.jp",
+    # high-volume private-section suffixes (user content under these is
+    # per-user registrable: foo.blogspot.com is foo's domain)
+    "blogspot.com", "github.io", "gitlab.io", "appspot.com",
+    "herokuapp.com", "netlify.app", "vercel.app", "web.app",
+    "firebaseapp.com", "azurewebsites.net", "cloudfront.net",
+    "s3.amazonaws.com", "pages.dev", "workers.dev", "onrender.com",
+    "readthedocs.io", "neocities.org",
+) + MULTI_LABEL_TLDS
+
+
+def parse_psl_rules(lines) -> list[tuple[str, int, bool, bool]]:
+    """Parse public-suffix-list lines into ``(suffix, n_labels,
+    is_wildcard, is_exception)`` tuples. Accepts the published file
+    verbatim: comments (``//``) and blank lines are skipped, a leading
+    ``*.`` marks a wildcard (stored WITHOUT the ``*.``), a leading
+    ``!`` marks an exception. Labels are lowercased; IDN labels must
+    already be punycoded (the published file ships both forms — the
+    U-label duplicates parse fine but only match punycoded hosts)."""
+    out: list[tuple[str, int, bool, bool]] = []
+    for raw in lines:
+        line = raw.strip().lower()
+        if not line or line.startswith("//"):
+            continue
+        wildcard = line.startswith("*.")
+        exception = line.startswith("!")
+        suffix = line[2:] if wildcard else line[1:] if exception else line
+        if not suffix or "*" in suffix:
+            # nested wildcards (*.*.x) don't occur in the published
+            # list; skip rather than mis-match
+            continue
+        out.append((suffix, suffix.count(".") + 1, wildcard, exception))
+    return out
+
+
+def psl_rules_df(spark, rules=None) -> DataFrame:
+    """PSL rules grouped by their LAST label (the broadcast-join
+    anchor): one row per TLD with an array of rule structs. Built
+    driver-side from the static tuple — no shuffle anywhere. ~10k rules
+    group into ~1.5k rows; broadcast size is a few hundred KB."""
+    parsed = parse_psl_rules(PSL_RULES if rules is None else rules)
+    by_tld: dict[str, list] = {}
+    for suffix, n_labels, wildcard, exception in parsed:
+        by_tld.setdefault(suffix.rsplit(".", 1)[-1], []).append(
+            (suffix, n_labels, wildcard, exception)
+        )
+    rows = [(tld, sorted(rs)) for tld, rs in sorted(by_tld.items())]
+    return spark.createDataFrame(
+        rows,
+        "tld string, rules array<struct<suffix:string, labels:int, "
+        "wildcard:boolean, exception:boolean>>",
+    )
+
+
+def registered_domain_psl(
+    df: DataFrame,
+    host_col: str = "host",
+    out_col: str = "registered_domain",
+    rules=None,
+) -> DataFrame:
+    """Registrable domain under full PSL semantics (wildcard and
+    exception rules): adds ``out_col`` next to the existing columns.
+
+    Plan shape: ONE BroadcastHashJoin of the host's last label against
+    the tiny grouped rule table (no shuffle — the build side is
+    broadcast, the probe side keeps its partitioning), then the
+    prevailing-rule resolution runs entirely inside the row with array
+    expressions:
+
+      * matched rules = label-aware suffix matches (``host == suffix``
+        or ``host ends with "." + suffix``; wildcards need one extra
+        label);
+      * an exception rule prevails (public-suffix size = its labels−1),
+        else the LONGEST match (wildcards count one extra label), else
+        the implicit default rule ``*`` (last label);
+      * registered domain = public suffix + one more label; hosts that
+        ARE a public suffix (or single-label / IPv4-literal hosts) pass
+        through unchanged.
+    """
+    spark = df.sparkSession
+    rdf = psl_rules_df(spark, rules).withColumnRenamed("tld", "__psl_tld").withColumnRenamed(
+        "rules", "__psl_rules"
+    )
+    host = F.lower(F.col(host_col))
+    joined = df.join(
+        F.broadcast(rdf),
+        F.element_at(F.split(host, r"\."), -1) == F.col("__psl_tld"),
+        "left",
+    )
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    rs = F.col("__psl_rules")  # null on join miss: filter/transform of null
+    # stay null, so psc falls through to the implicit default rule
+
+    def matches(r):
+        tail_match = host.endswith(F.concat(F.lit("."), r["suffix"]))
+        # wildcard *.x needs >= labels+1 host labels, which the ".x"
+        # suffix match already implies; non-wildcards also match exactly
+        return F.when(r["wildcard"], tail_match).otherwise(
+            tail_match | (host == r["suffix"])
+        )
+
+    matched = F.filter(rs, matches)
+    exc_psc = F.array_max(
+        F.transform(F.filter(matched, lambda r: r["exception"]), lambda r: r["labels"] - 1)
+    )
+    norm_psc = F.array_max(
+        F.transform(
+            F.filter(matched, lambda r: ~r["exception"]),
+            lambda r: F.when(r["wildcard"], r["labels"] + 1).otherwise(r["labels"]),
+        )
+    )
+    psc = F.coalesce(exc_psc, norm_psc, F.lit(1))
+    reg = (
+        F.when(host.rlike(r"^\d+\.\d+\.\d+\.\d+$"), host)
+        .when(n <= psc, host)
+        .otherwise(F.array_join(F.slice(labels, n - psc, psc + F.lit(1)), "."))
+    )
+    return joined.withColumn(out_col, reg).drop("__psl_tld", "__psl_rules")
+
 
 _TRACKING_PARAM_RE = r"^(utm_[a-z]+|ref|fbclid|gclid)="
 

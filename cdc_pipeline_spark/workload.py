@@ -6122,6 +6122,106 @@ def doc_domain_cap_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _psl_oracle_sql() -> str:
+    """DuckDB replica of the full-PSL registered-domain path. The rules
+    VALUES list is generated from urls.py::PSL_RULES (single source,
+    like the TLD IN-list), and the SQL replays the PSL algorithm
+    itself — label-aware suffix match, wildcard +1 label, exception
+    prevails at labels−1, implicit ``*`` default — so the hash check
+    covers rule precedence, not just a lookup."""
+    from cdc_pipeline_spark.operators.urls import PSL_RULES, parse_psl_rules
+
+    values = ",".join(
+        f"('{s}',{n},{'TRUE' if w else 'FALSE'},{'TRUE' if e else 'FALSE'})"
+        for s, n, w, e in parse_psl_rules(PSL_RULES)
+    )
+    return f"""
+    WITH hosts AS (
+        SELECT doc_id,
+               CASE doc_id % 8
+                    WHEN 0 THEN 'a.' || lower(source) || '.blogspot.com'
+                    WHEN 1 THEN 'shop.' || lower(source) || '.co.uk'
+                    WHEN 2 THEN 'www.ck'
+                    WHEN 3 THEN 'sub.' || lower(source) || '.foo.ck'
+                    WHEN 4 THEN '10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.9'
+                    WHEN 5 THEN lower(source) || '.com'
+                    WHEN 6 THEN 'x.y.' || lower(source) || '.github.io'
+                    ELSE 'city.kawasaki.jp' END AS host
+        FROM documents),
+    rules(suffix, labels, wildcard, exception) AS (VALUES {values}),
+    m AS (
+        SELECT h.doc_id, r.labels, r.wildcard, r.exception
+        FROM hosts h JOIN rules r
+          ON (r.wildcard AND h.host LIKE '%.' || r.suffix)
+             OR (NOT r.wildcard
+                 AND (h.host = r.suffix OR h.host LIKE '%.' || r.suffix))),
+    agg AS (
+        SELECT doc_id,
+               max(CASE WHEN exception THEN labels - 1 END) AS exc_psc,
+               max(CASE WHEN NOT exception THEN
+                        CASE WHEN wildcard THEN labels + 1 ELSE labels END
+                   END) AS norm_psc
+        FROM m GROUP BY doc_id),
+    j AS (
+        SELECT h.doc_id, h.host,
+               coalesce(a.exc_psc, a.norm_psc, 1) AS psc,
+               str_split(h.host, '.') AS ls
+        FROM hosts h LEFT JOIN agg a ON h.doc_id = a.doc_id),
+    reg AS (
+        SELECT doc_id, host,
+               CASE WHEN regexp_matches(host, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$')
+                         THEN host
+                    WHEN len(ls) <= psc THEN host
+                    ELSE array_to_string(list_slice(ls, len(ls) - psc, len(ls)), '.')
+               END AS domain
+        FROM j)
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(host) AS sample_host
+    FROM reg GROUP BY domain
+    """
+
+
+@register("doc_psl_registered_domain", _psl_oracle_sql())
+def doc_psl_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain extraction under FULL public-suffix-list
+    semantics (`urls.registered_domain_psl`): hosts are synthesized to
+    hit every rule class — private-section suffixes (`a.X.blogspot.com`
+    must key on `X.blogspot.com`, not `blogspot.com`), multi-label
+    ccTLDs, the wildcard `*.ck` (`sub.X.foo.ck` keys on `X.foo.ck`),
+    the exception `!www.ck` (registrable despite the wildcard), the
+    `!city.kawasaki.jp` exception under its own wildcard, IPv4
+    literals (pass through), and plain `.com`. Plan: ONE
+    BroadcastHashJoin of the host's last label against the ~60-row
+    grouped rule table, prevailing-rule resolution entirely in-row —
+    no shuffle beyond the final rollup. The DuckDB oracle replays the
+    PSL algorithm from the same single-sourced rule tuple."""
+    from cdc_pipeline_spark.operators.urls import registered_domain_psl
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 8
+    host = (
+        F.when(m == 0, F.concat(F.lit("a."), F.lower("source"), F.lit(".blogspot.com")))
+        .when(m == 1, F.concat(F.lit("shop."), F.lower("source"), F.lit(".co.uk")))
+        .when(m == 2, F.lit("www.ck"))
+        .when(m == 3, F.concat(F.lit("sub."), F.lower("source"), F.lit(".foo.ck")))
+        .when(
+            m == 4,
+            F.concat(F.lit("10.0."), (F.col("doc_id") % 200).cast("string"), F.lit(".9")),
+        )
+        .when(m == 5, F.concat(F.lower("source"), F.lit(".com")))
+        .when(m == 6, F.concat(F.lit("x.y."), F.lower("source"), F.lit(".github.io")))
+        .otherwise(F.lit("city.kawasaki.jp"))
+    )
+    tagged = registered_domain_psl(
+        docs.select("doc_id", host.alias("host")), "host", "domain"
+    )
+    return tagged.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("host").alias("sample_host"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50
 # registered queries per round (CORRECTNESS_r01 stopped at entry 50 of 81).

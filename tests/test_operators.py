@@ -2643,3 +2643,58 @@ def test_nfc_normalization_and_invisible_strip(spark):
     assert sorted(INVISIBLE_CHARS) == sorted(
         "\u200b\u200c\u200d\ufeff\u00ad"
     )
+
+
+def test_registered_domain_psl_rule_classes(spark):
+    """Full-PSL semantics on explicit hosts: wildcard (*.ck), exception
+    (!www.ck, !city.kawasaki.jp), private-section suffixes
+    (blogspot.com, github.io), multi-label ccTLDs, IPv4 passthrough,
+    single-label passthrough, and the implicit default rule."""
+    from cdc_pipeline_spark.operators.urls import registered_domain_psl
+
+    cases = [
+        # (host, expected registered domain)
+        ("foo.blogspot.com", "foo.blogspot.com"),   # private suffix
+        ("a.foo.blogspot.com", "foo.blogspot.com"),
+        ("blogspot.com", "blogspot.com"),           # host IS the suffix -> passthrough
+        ("x.y.user.github.io", "user.github.io"),
+        ("shop.example.co.uk", "example.co.uk"),
+        ("example.com", "example.com"),
+        ("deep.sub.example.com", "example.com"),
+        ("foo.ck", "foo.ck"),                       # *.ck: host is a public suffix
+        ("bar.foo.ck", "bar.foo.ck"),               # registrable under foo.ck
+        ("deep.bar.foo.ck", "bar.foo.ck"),
+        ("www.ck", "www.ck"),                       # !www.ck exception
+        ("sub.www.ck", "www.ck"),
+        ("city.kawasaki.jp", "city.kawasaki.jp"),   # exception under *.kawasaki.jp
+        ("x.city.kawasaki.jp", "city.kawasaki.jp"),
+        ("other.kawasaki.jp", "other.kawasaki.jp"), # wildcard: host is a public suffix
+        ("a.other.kawasaki.jp", "a.other.kawasaki.jp"),
+        ("192.168.0.1", "192.168.0.1"),             # IPv4 literal passthrough
+        ("localhost", "localhost"),                 # single label passthrough
+        ("intranet.localnet", "intranet.localnet"), # implicit default rule
+        ("MiXeD.ExAmPlE.CoM", "example.com"),       # host lowercased
+    ]
+    df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(cases)], "i long, host string")
+    got = {r.i: r.domain for r in registered_domain_psl(df, "host", "domain").collect()}
+    for i, (h, want) in enumerate(cases):
+        assert got[i] == want, f"{h}: got {got[i]!r}, want {want!r}"
+
+
+def test_parse_psl_rules_format(spark):
+    from cdc_pipeline_spark.operators.urls import parse_psl_rules
+
+    lines = [
+        "// comment",
+        "",
+        "com",
+        "*.ck",
+        "!www.ck",
+        "  CO.UK  ",
+    ]
+    got = parse_psl_rules(lines)
+    assert ("com", 1, False, False) in got
+    assert ("ck", 1, True, False) in got
+    assert ("www.ck", 2, False, True) in got
+    assert ("co.uk", 2, False, False) in got
+    assert len(got) == 4

@@ -410,3 +410,29 @@ def test_bloom_anti_join_filter_on_build_scan(spark):
     # and it guards the build (history) side scan, not the output: no
     # forall may appear ABOVE the join
     assert "forall" not in plan[:join_pos], plan
+
+
+def test_psl_registered_domain_one_broadcast_join_no_shuffle(spark):
+    """registered_domain_psl: ONE BroadcastHashJoin of the host's last
+    label against the grouped rule table, prevailing-rule resolution
+    in-row — the operator itself must add no Exchange (the registered
+    query's rollup adds the only shuffle)."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_spark import plans
+    from cdc_pipeline_spark.operators.urls import registered_domain_psl
+    from cdc_pipeline_spark.sources.files import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.concat(F.lit("a."), F.col("source"), F.lit(".blogspot.com")).alias("host")
+    )
+    import re
+
+    plan = plans.plan_string(registered_domain_psl(docs, "host", "domain"))
+    # detail-section node lines ("(7) BroadcastHashJoin") count each
+    # physical node exactly once; the tree repeats the name
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.MULTILINE)) == 1, plan
+    # shuffle exchanges print as "(n) Exchange"; BroadcastExchange is
+    # a different node name and must be the only exchange present
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) == 0, plan
+    assert "BroadcastExchange" in plan, plan
