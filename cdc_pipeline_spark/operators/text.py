@@ -508,8 +508,30 @@ def entropy_profile(
 # nfc_normalize implements, which is what makes it oracle-checkable).
 # ---------------------------------------------------------------------------
 
-# zero-width space/non-joiner/joiner, BOM/zwnbsp, soft hyphen
-INVISIBLE_CHARS = "​‌‍﻿­"
+# Default-ignorable / format (Cf) characters that fracture dedup keys,
+# shingles and token counts in crawled text without rendering visibly.
+# Widened (VERDICT r8 #7) from the original 5 code points to the
+# practically-occurring Cf/default-ignorable class: directional marks
+# and bidi embeddings/overrides/isolates appear constantly in RTL web
+# text and make byte-identical-looking strings compare unequal.
+# Excluded deliberately: variation selectors U+FE00-FE0F (they select
+# emoji vs text presentation — stripping changes rendering semantics)
+# and the U+E0000 tag block (carries flag-emoji payloads). Single-
+# sourced into the SQL oracle generator (regex char class on both
+# engines), so every char here must be regex-class-safe — all are.
+INVISIBLE_CHARS = (
+    "­"  # soft hyphen
+    "؜"  # Arabic letter mark
+    "᠎"  # Mongolian vowel separator
+    "​‌‍"  # zero-width space / non-joiner / joiner
+    "‎‏"  # LRM / RLM directional marks
+    "‪‫‬‭‮"  # bidi embedding / override / pop
+    "⁠⁡⁢⁣⁤"  # word joiner + invisible operators
+    "⁦⁧⁨⁩"  # bidi isolates
+    "⁪⁫⁬⁭⁮⁯"  # deprecated format controls
+    "﻿"  # BOM / zero-width no-break space
+    "￹￺￻"  # interlinear annotation controls
+)
 
 
 def strip_invisible(text_col: str | Column = "text") -> Column:

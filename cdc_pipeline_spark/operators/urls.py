@@ -249,6 +249,53 @@ def registered_domain_psl(
 
 _TRACKING_PARAM_RE = r"^(utm_[a-z]+|ref|fbclid|gclid)="
 
+# RFC 3986 unreserved characters: percent-encodings of THESE (and only
+# these) are equivalent to the bare character, so decoding them is the
+# one safe percent normalization — decoding anything else could create
+# new delimiters (%2F -> '/', %25 -> '%'). Single-sourced into the SQL
+# oracle generator like MULTI_LABEL_TLDS / PSL_RULES.
+import string as _string
+
+PCT_UNRESERVED: dict[str, str] = {
+    f"{ord(c):02X}": c for c in _string.ascii_letters + _string.digits + "-._~"
+}
+
+
+def percent_normalize(url: Column | str) -> Column:
+    """RFC 3986 percent-encoding normalization, pure column expression:
+    decode ``%XX`` sequences for UNRESERVED characters (``%7E`` → ``~``,
+    ``%41`` → ``A``) and uppercase the hex digits of every other
+    encoding (``%3a`` → ``%3A``). Crawled corpora mix these constantly,
+    fracturing canonical keys. Invalid sequences (``%``, ``%2``,
+    ``%g1``) are left byte-for-byte as found. Implementation: split on
+    ``%`` and rewrite each piece's 2-hex-digit head in-row — split /
+    transform / array_join, whole-stage codegen, no Python. Idempotent:
+    decoded output contains no ``%`` for the rewritten token, and
+    reserved encodings re-normalize to themselves (``%25`` — the
+    encoded ``%`` — is reserved, so it never decodes into a new
+    delimiter)."""
+    u = F.col(url) if isinstance(url, str) else url
+    parts = F.split(u, "%", -1)
+    rest_of = lambda p: F.substring(p, 3, 1 << 20)  # noqa: E731
+
+    def fix(p: Column, i: Column) -> Column:
+        hx = F.upper(F.substring(p, 1, 2))
+        v = F.conv(hx, 16, 10).cast("int")
+        unreserved = (
+            ((v >= 48) & (v <= 57))
+            | ((v >= 65) & (v <= 90))
+            | ((v >= 97) & (v <= 122))
+            | v.isin(45, 46, 95, 126)
+        )
+        body = (
+            F.when(~p.rlike("^[0-9A-Fa-f]{2}"), F.concat(F.lit("%"), p))
+            .when(unreserved, F.concat(F.char(v), rest_of(p)))
+            .otherwise(F.concat(F.lit("%"), hx, rest_of(p)))
+        )
+        return F.when(i == 0, p).otherwise(body)
+
+    return F.array_join(F.transform(parts, fix), "")
+
 
 def canonicalize_url(url: Column | str) -> Column:
     """Canonical form of an absolute URL (see module scope note):
@@ -260,8 +307,13 @@ def canonicalize_url(url: Column | str) -> Column:
     FIRST occurrence of their delimiter (RFC 3986: a query may legally
     embed another absolute URL, e.g. ``?next=https://b.com/x``, and a
     second ``?`` inside the query is ordinary data) — a last-occurrence
-    split would canonicalize a redirect URL to its *embedded* target."""
-    u = F.regexp_replace(F.col(url) if isinstance(url, str) else url, "#.*$", "")
+    split would canonicalize a redirect URL to its *embedded* target.
+
+    Percent-encoding is normalized FIRST (:func:`percent_normalize`):
+    only unreserved characters decode, so no new delimiter can appear
+    before the splits anchor."""
+    u = percent_normalize(F.col(url) if isinstance(url, str) else url)
+    u = F.regexp_replace(u, "#.*$", "")
     scheme_raw = F.substring_index(u, "://", 1)
     scheme = F.lower(scheme_raw)
     rest = u.substr(F.length(scheme_raw) + F.lit(4), F.lit(1 << 20))
@@ -294,8 +346,11 @@ def url_host(url: Column | str) -> Column:
     """Lowercased host of an absolute URL, default port and leading
     ``www.`` stripped (the canonicalized host on its own). Splits on
     the FIRST ``://`` — same embedded-URL rationale as
-    :func:`canonicalize_url`."""
-    u = F.regexp_replace(F.col(url) if isinstance(url, str) else url, "#.*$", "")
+    :func:`canonicalize_url` — and percent-normalizes first so an
+    encoded host (``ex%41mple.com``) keys identically to its decoded
+    form."""
+    u = percent_normalize(F.col(url) if isinstance(url, str) else url)
+    u = F.regexp_replace(u, "#.*$", "")
     rest = u.substr(F.length(F.substring_index(u, "://", 1)) + F.lit(4), F.lit(1 << 20))
     hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
     host = F.regexp_replace(hostport, ":(443|80)$", "")

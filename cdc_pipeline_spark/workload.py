@@ -6222,6 +6222,110 @@ def doc_psl_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pct_oracle_sql() -> str:
+    """DuckDB replica of RFC 3986 percent normalization + the full
+    canonical pipeline. The unreserved decode CASE is generated from
+    urls.py::PCT_UNRESERVED (single source), and the split-on-'%'
+    rewrite mirrors the engine's split/transform/array_join shape
+    token for token — invalid sequences, trailing '%', '%%' and
+    reserved encodings all replay byte-for-byte."""
+    from cdc_pipeline_spark.operators.urls import MULTI_LABEL_TLDS, PCT_UNRESERVED
+
+    whens = "\n".join(
+        f"             WHEN upper(substr(x, 1, 2)) = '{hx}' THEN '{c}' || substr(x, 3)"
+        for hx, c in sorted(PCT_UNRESERVED.items())
+    )
+    pct_case = f"""CASE
+             WHEN NOT regexp_matches(x, '^[0-9A-Fa-f]{{2}}') THEN '%' || x
+{whens}
+             ELSE '%' || upper(substr(x, 1, 2)) || substr(x, 3) END"""
+    tlds = ",".join(f"'{t}'" for t in sorted(MULTI_LABEL_TLDS))
+    return f"""
+    WITH raw AS (
+        SELECT doc_id,
+               'HTTPS://ex%41mple%2D' || CAST(doc_id % 5 AS VARCHAR)
+               || '.co%2Euk:443/P%61th%2Fq/' || CAST(doc_id AS VARCHAR)
+               || CASE doc_id % 4
+                       WHEN 0 THEN '/%7e-user'
+                       WHEN 1 THEN '/%3a%2f'
+                       WHEN 2 THEN '/%g1%'
+                       ELSE '/a%%62' END
+               || '?x=%5a&utm_source=%41bc&y=%2F&ref=t' AS raw
+        FROM documents),
+    sp AS (SELECT doc_id, str_split(raw, '%') AS ls FROM raw),
+    p AS (SELECT doc_id,
+                 ls[1] || array_to_string(list_transform(ls[2:], x -> {pct_case}), '') AS u
+          FROM sp),
+    s1 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM p),
+    s2 AS (SELECT doc_id,
+                  lower(split_part(u, '://', 1)) AS scheme,
+                  substr(u, length(split_part(u, '://', 1)) + 4) AS rest FROM s1),
+    s3 AS (SELECT *, lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+                  substr(rest, length(regexp_extract(rest, '^([^/?]*)', 1)) + 1) AS tail FROM s2),
+    s4 AS (SELECT *, regexp_replace(regexp_replace(hostport, ':(443|80)$', ''),
+                                    '^www\\.', '') AS host FROM s3),
+    s5 AS (SELECT *, split_part(tail, '?', 1) AS path,
+                  CASE WHEN contains(tail, '?')
+                       THEN substr(tail, length(split_part(tail, '?', 1)) + 2)
+                       ELSE '' END AS query FROM s4),
+    s6 AS (SELECT *, array_to_string(list_sort(list_filter(str_split(query, '&'),
+                  q -> q <> '' AND NOT regexp_matches(q, '^(utm_[a-z]+|ref|fbclid|gclid)='))),
+                  '&') AS q2 FROM s5),
+    s7 AS (SELECT doc_id, host,
+                  concat(scheme, '://', host, path,
+                         CASE WHEN q2 <> '' THEN concat('?', q2) ELSE '' END) AS canonical_url
+           FROM s6),
+    s8 AS (SELECT doc_id, canonical_url, host, str_split(host, '.') AS labels FROM s7)
+    SELECT doc_id, canonical_url,
+           CASE WHEN len(labels) <= 1 THEN array_to_string(labels, '.')
+                WHEN len(labels) >= 3
+                     AND (labels[-2] || '.' || labels[-1]) IN ({tlds})
+                     THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                ELSE labels[-2] || '.' || labels[-1] END AS domain
+    FROM s8
+    """
+
+
+@register("doc_url_percent_normalization", _pct_oracle_sql())
+def doc_url_percent_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-encoding normalization inside URL canonicalization
+    (`urls.percent_normalize`, VERDICT r8 #6): crawled corpora mix
+    ``%7E``/``~`` and upper/lower hex constantly, fracturing canonical
+    keys. Fixtures are adversarial on purpose: an encoded letter AND an
+    encoded ``-`` in the HOST (``ex%41mple%2D0.co%2Euk`` must
+    canonicalize to ``example-0.co.uk`` and then key as a multi-label
+    ccTLD), encoded path letters, reserved ``%2F`` left encoded but
+    uppercased, lowercase hex ``%3a`` → ``%3A``, invalid ``%g1``,
+    trailing ``%``, the ``%%62`` half-valid pair, and an unreserved
+    ``%5a`` in a query value — all replayed byte-for-byte by the
+    oracle's generated decode CASE. Zero-shuffle per-row expression
+    (split on '%', rewrite the 2-hex head in-row, rejoin); the output
+    pins the full canonical string and the extracted domain."""
+    from cdc_pipeline_spark.operators.urls import (
+        canonicalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://ex%41mple%2D"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".co%2Euk:443/P%61th%2Fq/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/%7e-user"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("/%3a%2f"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("/%g1%"))
+        .otherwise(F.lit("/a%%62")),
+        F.lit("?x=%5a&utm_source=%41bc&y=%2F&ref=t"),
+    )
+    return docs.select(
+        "doc_id",
+        canonicalize_url(raw).alias("canonical_url"),
+        registered_domain(url_host(raw)).alias("domain"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50
 # registered queries per round (CORRECTNESS_r01 stopped at entry 50 of 81).

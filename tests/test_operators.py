@@ -2640,9 +2640,42 @@ def test_nfc_normalization_and_invisible_strip(spark):
     assert all(
         r.text_nfc == r.text_nfc2 for r in again.collect() if r.text_nfc is not None
     )
-    assert sorted(INVISIBLE_CHARS) == sorted(
-        "\u200b\u200c\u200d\ufeff\u00ad"
-    )
+    # the class is exactly the curated default-ignorable/Cf set: every
+    # member is category Cf, the original five are still present, and
+    # variation selectors stay excluded (they carry emoji presentation)
+    import unicodedata as _ud
+
+    assert set("\u200b\u200c\u200d\ufeff\u00ad") <= set(INVISIBLE_CHARS)
+    assert all(_ud.category(c) == "Cf" for c in INVISIBLE_CHARS)
+    assert "\ufe0f" not in INVISIBLE_CHARS and "\ufe00" not in INVISIBLE_CHARS
+
+
+def test_invisible_strip_bidi_and_rtl_marks(spark):
+    """Widened class (VERDICT r8 #7): RTL/LTR marks, bidi embeddings /
+    overrides / isolates, word joiner and Arabic letter mark all strip \u2014
+    two visually identical RTL strings become byte-equal dedup keys."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_spark.operators.text import strip_invisible
+
+    rows = [
+        (1, "\u200eabc\u200f"),                    # LRM ... RLM
+        (2, "\u202b\u0634\u0633\u064a\u0621\u202c"),                   # RLE ... PDF around Arabic
+        (3, "\u2066x\u2067y\u2068z\u2069"),        # bidi isolates
+        (4, "a\u2060b\u061cc\u180ed"),             # word joiner, ALM, MVS
+        (5, "price\u2062qty"),                     # invisible times
+        (6, "\ufff9ruby\ufffatext\ufffb"),         # interlinear annotation
+        (7, "emoji \U0001f469\u200d\U0001f4bb ok"),  # ZWJ sequence: ZWJ strips (documented)
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {r.i: r.s for r in df.select("i", strip_invisible("t").alias("s")).collect()}
+    assert got[1] == "abc"
+    assert got[2] == "\u0634\u0633\u064a\u0621"
+    assert got[3] == "xyz"
+    assert got[4] == "abcd"
+    assert got[5] == "priceqty"
+    assert got[6] == "rubytext"
+    assert got[7] == "emoji \U0001f469\U0001f4bb ok"
 
 
 def test_registered_domain_psl_rule_classes(spark):

@@ -479,7 +479,17 @@ _URL_PARAM = st.one_of(
     www=st.booleans(),
     labels=st.lists(_URL_LABEL, min_size=1, max_size=3),
     port=st.sampled_from(["", ":80", ":443", ":8080"]),
-    path=st.lists(st.sampled_from(["P", "p", "Api", "x-1"]), min_size=0, max_size=3),
+    path=st.lists(
+        st.sampled_from(
+            # percent-encoded segments exercise normalization inside the
+            # idempotence property: unreserved decode (%61, %7E),
+            # hex-case (%3a), reserved stays (%2F, %25), invalid (%g1,
+            # trailing %), half-valid pair (%%62)
+            ["P", "p", "Api", "x-1", "%61bc", "%7E", "a%3ab", "q%2Fr", "%25", "%g1", "x%", "a%%62"]
+        ),
+        min_size=0,
+        max_size=3,
+    ),
     params=st.lists(_URL_PARAM, min_size=0, max_size=4),
     frag=st.sampled_from(["", "#f", "#a/b?c"]),
 )
@@ -511,3 +521,34 @@ def test_canonicalize_url_idempotent_and_host_stable(
     assert row["c2"] == row["c1"], f"not a fixed point: {url!r} -> {row['c1']!r} -> {row['c2']!r}"
     assert row["h_raw"] == row["h_canon"], f"host drifted: {url!r}"
     assert "#" not in row["c1"] and "utm_" not in row["c1"] and "ref=t" not in row["c1"]
+
+
+def test_percent_normalize_idempotent_and_exact(spark):
+    """percent_normalize is a fixed point and matches the RFC 3986
+    normalization table on adversarial byte sequences."""
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_spark.operators.urls import percent_normalize
+
+    cases = [
+        ("%41%62%2d%5F%7e", "Ab-_~"),        # unreserved decode, both hex cases
+        ("%3a%2f%3F%25", "%3A%2F%3F%25"),     # reserved: uppercase only
+        ("plain", "plain"),
+        ("%", "%"),
+        ("%2", "%2"),
+        ("%g1", "%g1"),
+        ("a%%62", "a%b"),                    # invalid %% then valid %62
+        ("%41%41%41", "AAA"),
+        ("tr%61iling%", "trailing%"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)], "i long, s string")
+    out = df.select(
+        "i",
+        percent_normalize("s").alias("once"),
+        percent_normalize(percent_normalize("s")).alias("twice"),
+    )
+    got = {r.i: (r.once, r.twice) for r in out.collect()}
+    for i, (s, want) in enumerate(cases):
+        assert got[i][0] == want, f"{s!r}: got {got[i][0]!r}, want {want!r}"
+        assert got[i][1] == got[i][0], f"not idempotent on {s!r}"
