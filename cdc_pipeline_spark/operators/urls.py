@@ -402,6 +402,7 @@ def domain_cap(
     url_col: str = "url",
     id_col: str = "doc_id",
     max_per_domain: int = 1000,
+    psl: bool = False,
 ) -> DataFrame:
     """TRUE per-domain cap: adds ``canonical_url`` + ``domain``, then
     keeps at most ``max_per_domain`` rows per registered domain, chosen
@@ -413,10 +414,19 @@ def domain_cap(
     token budget, while small domains keep everything. One shuffle on
     ``domain`` (grouped top-k); at 100 TB the skew is the point — a
     mega-domain's partition still only *emits* ``max_per_domain`` rows,
-    and AQE skew-split handles the scan-side imbalance."""
+    and AQE skew-split handles the scan-side imbalance.
+
+    ``psl=True`` keys the cap on :func:`registered_domain_psl` (full
+    wildcard/exception/private-section semantics — one extra broadcast
+    join, still no extra shuffle) instead of the inlined TLD table:
+    without it, every ``*.blogspot.com`` author shares one cap slot."""
     from cdc_pipeline_spark.operators.sampling import deterministic_downsample
 
-    tagged = df.withColumn("canonical_url", canonicalize_url(url_col)).withColumn(
-        "domain", registered_domain(url_host(F.col(url_col)))
-    )
+    tagged = df.withColumn("canonical_url", canonicalize_url(url_col))
+    if psl:
+        tagged = registered_domain_psl(
+            tagged.withColumn("__host", url_host(F.col(url_col))), "__host", "domain"
+        ).drop("__host")
+    else:
+        tagged = tagged.withColumn("domain", registered_domain(url_host(F.col(url_col))))
     return deterministic_downsample(tagged, "domain", int(max_per_domain), id_col)

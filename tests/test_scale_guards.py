@@ -440,3 +440,24 @@ def test_bench_regression_gate_full_run():
         timeout=3600,
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
+
+
+def test_domain_cap_psl_keys_on_registrable_suffix(spark):
+    """domain_cap(psl=True) must cap per AUTHOR under a private-section
+    suffix: two blogspot authors each keep their cap, while the default
+    TLD-table path lumps them into one blogspot.com bucket."""
+    from cdc_pipeline_spark.operators.urls import domain_cap
+
+    rows = [
+        (i, f"https://{'alice' if i % 2 else 'bob'}.blogspot.com/p/{i}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    flat = domain_cap(df, max_per_domain=5)
+    assert {r.domain for r in flat.collect()} == {"blogspot.com"}
+    assert flat.count() == 5  # one shared bucket
+    per_author = domain_cap(df, max_per_domain=5, psl=True)
+    got = {(r.domain, r.doc_id) for r in per_author.collect()}
+    domains = {d for d, _ in got}
+    assert domains == {"alice.blogspot.com", "bob.blogspot.com"}
+    assert len(got) == 10  # each author keeps its own cap of 5
