@@ -6344,79 +6344,22 @@ def doc_url_percent_normalization(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- round-8 new registrations first --
+    # -- round-9 new registrations first --
+    # -- then every query whose PLAN changed this round (entropy hybrid
+    # path; GIF decoder budget/buffer; widened INVISIBLE_CHARS feeds
+    # the NFC pipeline; percent_normalize now runs inside
+    # canonicalize_url/url_host, changing both URL-policy plans) --
+    # -- then the 22 round-5-stale names (VERDICT r8 directive #8),
+    # then round-6 greens in staleness order until the window is full.
+    # doc_split_quality (a sub-second freeze drifter) lands inside. --
+    "doc_psl_registered_domain",
+    "doc_url_percent_normalization",
+    "doc_entropy_profile",
     "multimodal_gif_keyframes",
     "multimodal_gif_pixel_audit",
     "doc_unicode_nfc_hygiene",
-    "dedup_simhash_capped",
-    "dedup_prefix_filter",
-    # -- then the one plan-changed query (canonicalize_url now splits
-    # on FIRST '://' / FIRST '?'; oracle updated to match) --
-    # -- then the stalest third: every query whose last driver-green
-    # row is round 4 (25 names), then round 5 in staleness order,
-    # until the 50-slot window is full (VERDICT r7 directive #4). If a
-    # later round-8 change alters a plan OUTSIDE this window, swap it
-    # in for the freshest tail name and record the swap here.
-    # SWAPS: dedup_prefix_filter re-enters (PPJoin positional filter
-    # changed its plan) and dedup_simhash_capped is new — evicting the
-    # freshest tail names (props_json_stats, purchase_error_full_outer,
-    # purchasing_clickers, q1_pricing_summary, q3_shipping_priority —
-    # all green r5) to the carryover FRONT in that order; the five new
-    # round-8 registrations took their slots. --
-    "doc_domain_cap_topn",
     "doc_url_domain_policy",
-    "doc_lang_charclass",
-    "doc_segment_dedup",
-    "doc_text_features",
-    "doc_tfidf_cosine_pairs",
-    "doc_unigram_logprob",
-    "docs_incremental_neardup",
-    "docs_token_weighted_sample",
-    "embedding_covariance_topk",
-    "embedding_kcenter_select",
-    "embedding_minibatch_kmeans",
-    "embedding_neardup_lsh",
-    "embedding_neardup_pairs",
-    "embedding_pc_residual",
-    "embedding_principal_component",
-    "embedding_principal_projection",
-    "event_type_pivot",
-    "events_cube",
-    "geo_header_load",
-    "grouped_topk_events",
-    "health_conditional_avg",
-    "hourly_value_trend",
-    "kpi_sliding_window",
-    "order_status_rollup",
-    "region_windowed_sales",
-    "two_level_region_resolution",
-    "doc_entropy_profile",
-    "events_retention_hll",
-    "doc_top_tfidf_terms",
-    "doc_max_dup_span",
-    "doc_lang_ngram_rank",
-    "corpus_bpe_train_local",
-    "orders_priority_from_orc",
-    "nations_from_xml",
-    "bloom_probe_orders",
-    "corpus_wordpiece_vocab",
-    "corpus_bpe_train",
-    "region_flows_top5",
-    "customers_without_orders",
-    "multimodal_byte_stats",
-    "multimodal_frame_sample",
-    "orders_rollup",
-    "parts_below_brand_avg",
-    "platform_breakdown",
-]
-
-# Everything else, in staleness order (oldest last-green first), so the
-# round-9 window can simply take the front of this list: 17 remaining
-# round-5 names, then the round-6 greens, then the round-7 greens
-# (freshest, last in line). Recorded explicitly so the exclusion is a
-# decision, not a silent off-by-N (all were green in CORRECTNESS_r05..
-# r07 or the round-7 judge sweep).
-_DRIVER_WINDOW_CARRYOVER = [
+    "doc_domain_cap_topn",
     "props_json_stats",
     "purchase_error_full_outer",
     "purchasing_clickers",
@@ -6459,6 +6402,20 @@ _DRIVER_WINDOW_CARRYOVER = [
     "doc_span_coverage",
     "doc_split_quality",
     "doc_winnowing_fingerprints",
+]
+
+# Everything else, in staleness order (oldest last-green first), so the
+# round-9 window can simply take the front of this list: 17 remaining
+# round-5 names, then the round-6 greens, then the round-7 greens
+# (freshest, last in line). Recorded explicitly so the exclusion is a
+# decision, not a silent off-by-N (all were green in CORRECTNESS_r05..
+# r07 or the round-7 judge sweep).
+_DRIVER_WINDOW_CARRYOVER = [
+    # staleness order (oldest last-green first): remaining round-6
+    # greens, then round-7 greens, then the round-8 window names
+    # (freshest, last in line) that were not promoted into the round-9
+    # head. Recorded explicitly so the exclusion is a decision, not a
+    # silent off-by-N.
     "docs_incremental_new",
     "dsir_target_selection",
     "embedding_cluster_medoids",
@@ -6486,8 +6443,6 @@ _DRIVER_WINDOW_CARRYOVER = [
     "q16_part_supplier_variety",
     "q17_small_qty_avg_revenue",
     "orders_from_avro",
-    # (dedup_prefix_filter swapped UP into the round-8 window — PPJoin
-    # plan change — so it does not appear here)
     "dedup_ngram_jaccard",
     "dedup_canonical_docs",
     "dedup_duplicate_clusters",
@@ -6535,6 +6490,50 @@ _DRIVER_WINDOW_CARRYOVER = [
     "distinct_user_event_pairs",
     "doc_bigram_logprob",
     "doc_bpe_token_counts",
+    "dedup_simhash_capped",
+    "dedup_prefix_filter",
+    "doc_lang_charclass",
+    "doc_segment_dedup",
+    "doc_text_features",
+    "doc_tfidf_cosine_pairs",
+    "doc_unigram_logprob",
+    "docs_incremental_neardup",
+    "docs_token_weighted_sample",
+    "embedding_covariance_topk",
+    "embedding_kcenter_select",
+    "embedding_minibatch_kmeans",
+    "embedding_neardup_lsh",
+    "embedding_neardup_pairs",
+    "embedding_pc_residual",
+    "embedding_principal_component",
+    "embedding_principal_projection",
+    "event_type_pivot",
+    "events_cube",
+    "geo_header_load",
+    "grouped_topk_events",
+    "health_conditional_avg",
+    "hourly_value_trend",
+    "kpi_sliding_window",
+    "order_status_rollup",
+    "region_windowed_sales",
+    "two_level_region_resolution",
+    "events_retention_hll",
+    "doc_top_tfidf_terms",
+    "doc_max_dup_span",
+    "doc_lang_ngram_rank",
+    "corpus_bpe_train_local",
+    "orders_priority_from_orc",
+    "nations_from_xml",
+    "bloom_probe_orders",
+    "corpus_wordpiece_vocab",
+    "corpus_bpe_train",
+    "region_flows_top5",
+    "customers_without_orders",
+    "multimodal_byte_stats",
+    "multimodal_frame_sample",
+    "orders_rollup",
+    "parts_below_brand_avg",
+    "platform_breakdown",
 ]
 
 
