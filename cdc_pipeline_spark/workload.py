@@ -6302,9 +6302,10 @@ def doc_url_percent_normalization(spark: SparkSession, sf_dir: str) -> DataFrame
     (split on '%', rewrite the 2-hex head in-row, rejoin); the output
     pins the full canonical string and the extracted domain."""
     from cdc_pipeline_spark.operators.urls import (
-        canonicalize_url,
+        _canonicalize_pre_normalized,
+        _host_pre_normalized,
+        percent_normalize,
         registered_domain,
-        url_host,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -6319,10 +6320,13 @@ def doc_url_percent_normalization(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(F.lit("/a%%62")),
         F.lit("?x=%5a&utm_source=%41bc&y=%2F&ref=t"),
     )
-    return docs.select(
+    # normalize once per row in its own projection (the shared-column
+    # shape domain_cap_sample uses), then derive canonical URL + domain
+    pct = docs.select("doc_id", percent_normalize(raw).alias("__pct"))
+    return pct.select(
         "doc_id",
-        canonicalize_url(raw).alias("canonical_url"),
-        registered_domain(url_host(raw)).alias("domain"),
+        _canonicalize_pre_normalized(F.col("__pct")).alias("canonical_url"),
+        registered_domain(_host_pre_normalized(F.col("__pct"))).alias("domain"),
     )
 
 
