@@ -200,9 +200,17 @@ def decode_gif_frames(
     frames, not per-frame, so a tiny payload declaring many frames on a
     large logical screen raises instead of allocating frames x canvas.
 
-    ``max_frames`` stops decoding after that many composed frames (the
-    rest of the stream is not parsed) — still-image consumers pass 1
-    and skip the full-animation cost."""
+    ``max_frames`` stops COMPOSING after that many frames — later
+    frames' pixel data is skipped (no LZW decode, no composition, no
+    copies) but the container structure keeps being validated (block
+    types, color-table presence, the unsupported restore-previous
+    disposal, truncation), so the quarantine verdict on a malformed
+    payload is identical whichever consumer touches it. Still-image
+    consumers pass 1 and skip the full-animation cost; note the
+    cumulative-budget guard only counts COMPOSED frames, so a
+    many-frame animation that the full decode rejects on budget can
+    still serve its first frame (a resource bound, not a malformation
+    verdict)."""
     from cdc_pipeline_spark.operators.imaging import _MAX_DECODED_BYTES
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -233,6 +241,7 @@ def decode_gif_frames(
     delay = 0
     transparent = -1
     disposal = 0
+    composing = True  # False once max_frames reached: validate, don't decode
     while True:
         block = r.u8()
         if block == 0x3B:  # trailer
@@ -270,6 +279,14 @@ def decode_gif_frames(
                 "— payload quarantined"
             )
         mcs = r.u8()
+        if not 2 <= mcs <= 8:
+            raise _err(f"LZW min code size {mcs}")
+        if not composing:
+            # past max_frames: skip the pixel data but keep walking the
+            # container so malformed tails still quarantine identically
+            r.skip_sub_blocks()
+            delay, transparent, disposal = 0, -1, 0
+            continue
         indices = _lzw_decode(r.sub_blocks(), mcs, w * h)
         if len(indices) < w * h:
             raise _err(f"LZW stream short: {len(indices)} of {w * h} pixels")
@@ -286,14 +303,16 @@ def decode_gif_frames(
         else:
             region[:] = rgb
         # cumulative budget: frames already held + the copy about to be
-        # taken, each width*height*3 bytes, must fit the decode budget
-        if (len(frames) + 1) * width * height * 3 > _MAX_DECODED_BYTES:
+        # taken + the live working canvas, each width*height*3 bytes,
+        # must fit the decode budget (the documented peak, not one
+        # canvas short of it)
+        if (len(frames) + 2) * width * height * 3 > _MAX_DECODED_BYTES:
             raise _err("composed animation frames exceed decode budget")
         frames.append((canvas.copy(), delay))
         if len(frames) > _MAX_FRAMES:
             raise _err("too many frames")
         if max_frames is not None and len(frames) >= max_frames:
-            return frames
+            composing = False
         if disposal == 2:  # restore rect to background
             canvas[top : top + h, left : left + w] = bg_rgb
         delay, transparent, disposal = 0, -1, 0
@@ -304,10 +323,11 @@ def decode_gif_frames(
 
 def decode_gif(payload: bytes) -> "np.ndarray":
     """First composed frame as (h, w, 3) uint8 — the ``decode_image``
-    contract shape. Decoding stops after the first frame (later frames
-    are never parsed or composed), so still-image consumers don't pay
-    full-animation cost; animated consumers call
-    :func:`decode_gif_frames`."""
+    contract shape. Only the first frame is decoded and composed;
+    later frames' pixel data is skipped while the container structure
+    keeps being validated, so still-image consumers don't pay
+    full-animation cost yet malformed payloads quarantine identically
+    to :func:`decode_gif_frames`."""
     return decode_gif_frames(payload, max_frames=1)[0][0]
 
 

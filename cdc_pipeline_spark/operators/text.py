@@ -454,16 +454,24 @@ def entropy_profile(
         F.size(F.array_distinct("__toks")).cast("long").alias("distinct_tokens"),
     )
 
-    long_docs = base.filter(F.size("__toks") > F.lit(token_gate))
+    # row key = (doc_id, token-array hash): a duplicated doc_id must
+    # stay row-independent exactly like the per-row path (two rows with
+    # the same id and DIFFERENT text aggregate separately; same id and
+    # same text collapse to one group whose entropy equals the per-row
+    # value — Shannon entropy is invariant under uniform multiset
+    # scaling, and each joined-back row reports its own row's numbers)
+    long_docs = base.filter(F.size("__toks") > F.lit(token_gate)).withColumn(
+        "__tkey", F.xxhash64("__toks")
+    )
     # explode → per-(doc, token) counts → exact-integer re-aggregation:
     # Σ floor(n·ln(n)·Q + 0.5) over BIGINTs is the same sum the per-row
     # expression folds, so the hybrid is output-invariant by construction
     n = F.col("__n").cast("double")
     tok_agg = (
-        long_docs.select("doc_id", F.explode("__toks").alias("__tok"))
-        .groupBy("doc_id", "__tok")
+        long_docs.select("doc_id", "__tkey", F.explode("__toks").alias("__tok"))
+        .groupBy("doc_id", "__tkey", "__tok")
         .agg(F.count(F.lit(1)).alias("__n"))
-        .groupBy("doc_id")
+        .groupBy("doc_id", "__tkey")
         .agg(
             F.sum(
                 F.floor((n * F.log(n)) * F.lit(ENTROPY_QUANT) + F.lit(0.5))
@@ -480,12 +488,13 @@ def entropy_profile(
     long_out = (
         long_docs.select(
             "doc_id",
+            "__tkey",
             round_half_up(_shannon_entropy_bits(F.col("__chars")), 6).alias(
                 "char_entropy"
             ),
             F.size(F.array_distinct("__chars")).cast("long").alias("distinct_chars"),
         )
-        .join(tok_agg, "doc_id")
+        .join(tok_agg, ["doc_id", "__tkey"])
         .select(
             "doc_id",
             "char_entropy",

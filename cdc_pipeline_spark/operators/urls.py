@@ -277,6 +277,7 @@ def percent_normalize(url: Column | str) -> Column:
     u = F.col(url) if isinstance(url, str) else url
     parts = F.split(u, "%", -1)
     rest_of = lambda p: F.substring(p, 3, 1 << 20)  # noqa: E731
+    is_valid = lambda p: p.rlike("^[0-9A-Fa-f]{2}")  # noqa: E731
 
     def fix(p: Column, i: Column) -> Column:
         hx = F.upper(F.substring(p, 1, 2))
@@ -287,9 +288,18 @@ def percent_normalize(url: Column | str) -> Column:
             | ((v >= 97) & (v <= 122))
             | v.isin(45, 46, 95, 126)
         )
+        # IDEMPOTENCE GUARD: decoding is allowed only when the PREVIOUS
+        # piece was a valid encoding (or this is the first piece, whose
+        # predecessor is the %-free prefix). After an INVALID piece the
+        # emitted text ends in a dangling "%…" — decoding here could
+        # synthesize a brand-new valid sequence ("%4" + decoded "1"
+        # from "%31" would read "%41" on a second pass). Suppressing
+        # the decode (the piece keeps its "%XX" form, hex uppercased)
+        # makes the rewrite a fixed point on every input.
+        prev_valid = (i == 1) | is_valid(F.element_at(parts, i))
         body = (
-            F.when(~p.rlike("^[0-9A-Fa-f]{2}"), F.concat(F.lit("%"), p))
-            .when(unreserved, F.concat(F.char(v), rest_of(p)))
+            F.when(~is_valid(p), F.concat(F.lit("%"), p))
+            .when(unreserved & prev_valid, F.concat(F.char(v), rest_of(p)))
             .otherwise(F.concat(F.lit("%"), hx, rest_of(p)))
         )
         return F.when(i == 0, p).otherwise(body)
@@ -363,14 +373,19 @@ def canonicalize_url(url: Column | str) -> Column:
     )
 
 
-def _host_pre_normalized(u: Column) -> Column:
+def _host_pre_normalized(u: Column, strip_www: bool = True) -> Column:
     """Host extraction after percent normalization (shared-projection
-    counterpart of :func:`url_host`)."""
+    counterpart of :func:`url_host`). ``strip_www=False`` keeps a
+    leading ``www.`` — REQUIRED when the host feeds full-PSL
+    registered-domain extraction: ``www`` can BE the registrable label
+    (the ``!www.ck`` exception, or any ``www.<private-suffix>`` user
+    site), so stripping it first would silently re-key those hosts to
+    their public suffix."""
     u = F.regexp_replace(u, "#.*$", "")
     rest = u.substr(F.length(F.substring_index(u, "://", 1)) + F.lit(4), F.lit(1 << 20))
     hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
     host = F.regexp_replace(hostport, ":(443|80)$", "")
-    return F.regexp_replace(host, r"^www\.", "")
+    return F.regexp_replace(host, r"^www\.", "") if strip_www else host
 
 
 def url_host(url: Column | str) -> Column:
@@ -462,8 +477,15 @@ def domain_cap(
         "canonical_url", _canonicalize_pre_normalized(F.col("__url_pct"))
     )
     if psl:
+        # strip_www=False: under PSL rules "www" can BE the registrable
+        # label (!www.ck; www.<private-suffix> user sites) — stripping
+        # it here would collapse those docs into the public-suffix
+        # bucket. For ordinary domains the extra www label changes
+        # nothing (www.example.com still keys example.com).
         tagged = registered_domain_psl(
-            tagged.withColumn("__host", _host_pre_normalized(F.col("__url_pct"))),
+            tagged.withColumn(
+                "__host", _host_pre_normalized(F.col("__url_pct"), strip_www=False)
+            ),
             "__host",
             "domain",
         ).drop("__host")

@@ -6237,6 +6237,8 @@ def _pct_oracle_sql() -> str:
     )
     pct_case = f"""CASE
              WHEN NOT regexp_matches(x, '^[0-9A-Fa-f]{{2}}') THEN '%' || x
+             WHEN NOT (i = 1 OR regexp_matches(ls[i], '^[0-9A-Fa-f]{{2}}'))
+                  THEN '%' || upper(substr(x, 1, 2)) || substr(x, 3)
 {whens}
              ELSE '%' || upper(substr(x, 1, 2)) || substr(x, 3) END"""
     tlds = ",".join(f"'{t}'" for t in sorted(MULTI_LABEL_TLDS))
@@ -6254,7 +6256,7 @@ def _pct_oracle_sql() -> str:
         FROM documents),
     sp AS (SELECT doc_id, str_split(raw, '%') AS ls FROM raw),
     p AS (SELECT doc_id,
-                 ls[1] || array_to_string(list_transform(ls[2:], x -> {pct_case}), '') AS u
+                 ls[1] || array_to_string(list_transform(ls[2:], (x, i) -> {pct_case}), '') AS u
           FROM sp),
     s1 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM p),
     s2 AS (SELECT doc_id,

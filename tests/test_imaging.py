@@ -690,6 +690,36 @@ def test_gif_cumulative_frame_budget():
     assert img.shape == (2000, 2000, 3)
 
 
+def test_gif_still_path_quarantines_malformed_tails():
+    """decode_gif (max_frames=1) must give the SAME quarantine verdict
+    as the full decode on payloads whose malformation lies AFTER the
+    first frame: disposal-3 second frame, junk block, truncation
+    (review r9 finding — the still path skips pixel data but keeps
+    validating container structure)."""
+    import pytest as _pytest
+
+    from cdc_pipeline_spark.operators.gif import decode_gif, decode_gif_frames, encode_gif
+
+    f1, f2 = _checker(3, 3), _checker(3, 3, a=(0, 255, 0), b=(9, 9, 9))
+    good = encode_gif([f1, f2])
+    # disposal 3 on BOTH frames; make frame 1's control block disposal-1
+    # so only the tail is malformed
+    d3 = bytearray(encode_gif([f1, f2], disposal=3))
+    first_gce = d3.find(b"\x21\xf9")
+    d3[first_gce + 3] = (d3[first_gce + 3] & ~0x1C) | (1 << 2)  # frame-1 disposal=1
+    for bad in (
+        bytes(d3),                      # disposal-3 tail
+        good[:-2] + b"\xee\x3b",        # junk block type after frame 2's data
+        good[: len(good) - 8],          # truncated tail
+    ):
+        with _pytest.raises(ValueError):
+            decode_gif_frames(bad)
+        with _pytest.raises(ValueError):
+            decode_gif(bad)  # same verdict on the still path
+    # and an intact multi-frame payload still decodes on both paths
+    assert decode_gif(good).shape == (3, 3, 3)
+
+
 def test_gif_max_frames_matches_full_decode_prefix():
     from cdc_pipeline_spark.operators.gif import decode_gif_frames, encode_gif
 

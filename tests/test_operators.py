@@ -2192,6 +2192,27 @@ def test_entropy_profile_gated_paths_identical(spark):
     assert default[4]["distinct_tokens"] == 700
 
 
+def test_entropy_profile_duplicate_ids_stay_row_independent(spark):
+    """A duplicated doc_id with DIFFERENT texts must not pool tokens in
+    the long (explode→groupBy) path: each row keeps its own entropy,
+    matching the per-row path exactly (review r9 finding)."""
+    from cdc_pipeline_spark.operators.text import entropy_profile
+
+    a = " ".join(f"a{i}" for i in range(600))
+    b = " ".join(f"b{i}" for i in range(600))
+    docs = spark.createDataFrame([(7, a), (7, b)], "doc_id long, text string")
+    long_path = sorted(
+        (r.token_entropy, r.distinct_tokens)
+        for r in entropy_profile(docs, token_gate=0).collect()
+    )
+    row_path = sorted(
+        (r.token_entropy, r.distinct_tokens)
+        for r in entropy_profile(docs, token_gate=10**9).collect()
+    )
+    assert long_path == row_path
+    assert all(d == 600 for _, d in long_path)
+
+
 def test_grouped_top_k_salted_equals_plain(spark):
     """The two-phase salted grouped top-k must be output-identical to
     the single-window form on a total order — checked over a skewed

@@ -537,7 +537,12 @@ def test_percent_normalize_idempotent_and_exact(spark):
         ("%", "%"),
         ("%2", "%2"),
         ("%g1", "%g1"),
-        ("a%%62", "a%b"),                    # invalid %% then valid %62
+        # decode is SUPPRESSED after an invalid piece — decoding there
+        # could synthesize a new valid sequence and break idempotence
+        ("a%%62", "a%%62"),
+        ("%4%31", "%4%31"),                  # naive decode would yield '%41' -> 'A' on pass 2
+        ("%a%41", "%a%41"),
+        ("a%%34%31", "a%%341"),              # decode resumes one piece after the invalid one
         ("%41%41%41", "AAA"),
         ("tr%61iling%", "trailing%"),
         ("", ""),

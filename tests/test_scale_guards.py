@@ -461,3 +461,23 @@ def test_domain_cap_psl_keys_on_registrable_suffix(spark):
     domains = {d for d, _ in got}
     assert domains == {"alice.blogspot.com", "bob.blogspot.com"}
     assert len(got) == 10  # each author keeps its own cap of 5
+
+
+def test_domain_cap_psl_keeps_www_registrable_label(spark):
+    """The PSL path must see the UNSTRIPPED host: www can be the
+    registrable label (!www.ck exception; www.<private-suffix> user
+    sites), and ordinary www.<domain> hosts still key on the domain."""
+    from cdc_pipeline_spark.operators.urls import domain_cap
+
+    rows = [
+        (1, "https://www.ck/a"),              # !www.ck: registrable IS www.ck
+        (2, "https://www.foo.ck/b"),           # *.ck: foo.ck public; www.foo.ck registrable
+        (3, "https://www.example.com/c"),      # ordinary: www strips out of the key anyway
+        (4, "https://www.alice.blogspot.com/d"),  # private suffix: alice's site
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r.domain for r in domain_cap(df, max_per_domain=10, psl=True).collect()}
+    assert got[1] == "www.ck"
+    assert got[2] == "www.foo.ck"
+    assert got[3] == "example.com"
+    assert got[4] == "alice.blogspot.com"
