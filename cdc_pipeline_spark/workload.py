@@ -6332,6 +6332,144 @@ def doc_url_percent_normalization(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _robots_oracle_sql() -> str:
+    """DuckDB replica of the robots.txt policy engine: the SQL parses
+    the SAME synthesized robots text with the same line/keyed/group
+    operations (trim, comment strip, first-colon split, ua-* group
+    bounds, wildcard/empty-rule drop) and replays RFC 9309
+    longest-match with allow-wins-ties — so the hash check covers the
+    parser and the precedence rule, not just a lookup. URL paths reuse
+    the synthesis expression (analytic-oracle pattern: the engine
+    derives them from the full URL string; the fixture guarantees
+    equality)."""
+    return r"""
+    WITH src AS (SELECT DISTINCT lower(source) AS s FROM documents),
+    rb AS (
+        SELECT s || '.com' AS domain,
+               'User-agent: googlebot' || chr(10) || 'Disallow: /gb/' || chr(10) ||
+               chr(10) ||
+               'User-agent: *' || chr(10) ||
+               'Disallow: /private/   # keep drafts out' || chr(10) ||
+               'Allow: /private/press/' || chr(10) ||
+               'Disallow: /tmp' || chr(10) ||
+               'Disallow:' || chr(10) ||
+               'Allow: /wild*card' || chr(10) ||
+               CASE WHEN length(s) % 2 = 1
+                    THEN 'Disallow: /public/' || chr(10) ELSE '' END ||
+               chr(10) || 'User-agent: archiver' || chr(10) || 'Disallow: /' || chr(10)
+               AS txt
+        FROM src),
+    lined AS (
+        SELECT domain,
+               list_transform(str_split(replace(txt, chr(13), ''), chr(10)),
+                              l -> trim(regexp_replace(l, '#.*', ''))) AS ls
+        FROM rb),
+    keyed AS (
+        SELECT domain, ls,
+               list_transform(ls, l -> lower(trim(split_part(l, ':', 1)))) AS ks,
+               list_transform(ls, l -> trim(substr(l, length(split_part(l, ':', 1)) + 2))) AS vs
+        FROM lined),
+    grouped AS (
+        SELECT domain, ks, vs,
+               list_min(list_filter(generate_series(1, len(ks)),
+                        i -> ks[i] = 'user-agent' AND vs[i] = '*')) AS ua
+        FROM keyed),
+    bounded AS (
+        SELECT domain, ks, vs, ua,
+               list_min(list_filter(generate_series(1, len(ks)),
+                        i -> i > ua AND ks[i] = 'user-agent' AND vs[i] <> '*')) AS stp
+        FROM grouped),
+    ruled AS (
+        SELECT domain, ks, vs,
+               list_filter(generate_series(1, len(ks)),
+                    i -> i > ua AND (stp IS NULL OR i < stp)
+                         AND ks[i] IN ('allow', 'disallow') AND vs[i] <> ''
+                         AND NOT contains(vs[i], '*') AND NOT contains(vs[i], '$')) AS ridx
+        FROM bounded),
+    urls AS (
+        SELECT doc_id, lower(source) || '.com' AS domain,
+               CASE doc_id % 5
+                    WHEN 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+                    WHEN 1 THEN '/private/press/rel' || CAST(doc_id AS VARCHAR)
+                    WHEN 2 THEN '/public/page' || CAST(doc_id AS VARCHAR)
+                    WHEN 3 THEN '/tmp' || CAST(doc_id AS VARCHAR)
+                    ELSE '/' END AS path
+        FROM documents),
+    verdicts AS (
+        SELECT u.doc_id, u.domain, u.path,
+               coalesce(list_max(list_transform(
+                   list_filter(r.ridx, i -> r.ks[i] = 'allow'
+                               AND starts_with(u.path, r.vs[i])),
+                   i -> length(r.vs[i]))), -1)
+               >=
+               coalesce(list_max(list_transform(
+                   list_filter(r.ridx, i -> r.ks[i] = 'disallow'
+                               AND starts_with(u.path, r.vs[i])),
+                   i -> length(r.vs[i]))), -1) AS robots_allowed
+        FROM urls u LEFT JOIN ruled r ON u.domain = r.domain)
+    SELECT domain, robots_allowed,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(path) AS sample_path
+    FROM verdicts GROUP BY domain, robots_allowed
+    """
+
+
+@register("doc_robots_policy", _robots_oracle_sql())
+def doc_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt policy over the corpus (`operators/robots.py`): one
+    synthesized robots.txt per registered domain — a non-`*` group to
+    ignore, comments, the `User-agent: *` group with an Allow override
+    (`/private/press/` under `Disallow: /private/`), an extensionless
+    prefix rule (`/tmp`), a no-op empty `Disallow:`, a skipped wildcard
+    rule, a per-domain structural variation (odd-length sources also
+    disallow `/public/`), and a terminating `archiver` group — and one
+    URL per document hitting every branch. The engine parses the text
+    with pure column expressions on the BROADCAST robots side (parsed
+    once per domain, not per URL), joins on the registered domain, and
+    decides RFC 9309 longest-match with allow-wins-ties in-row; the
+    DuckDB oracle replays parser AND precedence rule for rule. Output:
+    per (domain, verdict) doc counts + lexicographically first path."""
+    from cdc_pipeline_spark.operators.robots import robots_policy as _rp
+
+    docs = _t(spark, sf_dir, "documents")
+    s = F.lower(F.col("source"))
+    s2 = F.col("__s")
+    txt = F.concat(
+        F.lit("User-agent: googlebot\nDisallow: /gb/\n\n"),
+        F.lit("User-agent: *\n"),
+        F.lit("Disallow: /private/   # keep drafts out\n"),
+        F.lit("Allow: /private/press/\n"),
+        F.lit("Disallow: /tmp\n"),
+        F.lit("Disallow:\n"),
+        F.lit("Allow: /wild*card\n"),
+        F.when(F.length(s2) % 2 == 1, F.lit("Disallow: /public/\n")).otherwise(
+            F.lit("")
+        ),
+        F.lit("\nUser-agent: archiver\nDisallow: /\n"),
+    )
+    robots = (
+        docs.select(s.alias("__s"))
+        .distinct()
+        .select(F.concat(s2, F.lit(".com")).alias("domain"), txt.alias("robots_txt"))
+    )
+    m = F.col("doc_id") % 5
+    url = F.concat(
+        F.lit("https://"),
+        s,
+        F.lit(".com"),
+        F.when(m == 0, F.concat(F.lit("/private/doc"), F.col("doc_id").cast("string")))
+        .when(m == 1, F.concat(F.lit("/private/press/rel"), F.col("doc_id").cast("string")))
+        .when(m == 2, F.concat(F.lit("/public/page"), F.col("doc_id").cast("string")))
+        .when(m == 3, F.concat(F.lit("/tmp"), F.col("doc_id").cast("string")))
+        .otherwise(F.lit("/")),
+    )
+    tagged = _rp(docs.select("doc_id", url.alias("url")), robots)
+    return tagged.groupBy("domain", "robots_allowed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("path").alias("sample_path"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50
 # registered queries per round (CORRECTNESS_r01 stopped at entry 50 of 81).
@@ -6360,6 +6498,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # doc_split_quality (a sub-second freeze drifter) lands inside. --
     "doc_psl_registered_domain",
     "doc_url_percent_normalization",
+    "doc_robots_policy",
     "doc_entropy_profile",
     "multimodal_gif_keyframes",
     "multimodal_gif_pixel_audit",
@@ -6407,7 +6546,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_source_quality_rank",
     "doc_span_coverage",
     "doc_split_quality",
-    "doc_winnowing_fingerprints",
 ]
 
 # Everything else, in staleness order (oldest last-green first), so the
@@ -6422,6 +6560,9 @@ _DRIVER_WINDOW_CARRYOVER = [
     # (freshest, last in line) that were not promoted into the round-9
     # head. Recorded explicitly so the exclusion is a decision, not a
     # silent off-by-N.
+    # (doc_winnowing_fingerprints evicted from the window tail when the
+    # round-9 doc_robots_policy registration took its slot)
+    "doc_winnowing_fingerprints",
     "docs_incremental_new",
     "dsir_target_selection",
     "embedding_cluster_medoids",

@@ -2752,3 +2752,60 @@ def test_parse_psl_rules_format(spark):
     assert ("www.ck", 2, False, True) in got
     assert ("co.uk", 2, False, False) in got
     assert len(got) == 4
+
+
+def test_robots_policy_rfc9309_semantics(spark):
+    """robots.txt parse + longest-match decision: non-* groups ignored,
+    comments stripped, Allow overrides a shorter Disallow, empty
+    Disallow is a no-op, wildcard rules skipped, missing robots row =>
+    allowed, empty path => '/', root Disallow blocks everything."""
+    from cdc_pipeline_spark.operators.robots import robots_policy
+
+    robots_txt = (
+        "# policy\n"
+        "User-agent: googlebot\nDisallow: /gbot-only/\n\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/press/\n"
+        "Disallow: /tmp\n"
+        "Disallow:\n"
+        "Allow: /wild*card\n\n"
+        "User-agent: archiver\nDisallow: /\n"
+    )
+    rdf = spark.createDataFrame(
+        [("example.com", robots_txt), ("open.com", ""), ("locked.com", "User-agent: *\nDisallow: /")],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "https://www.example.com/private/doc.html", False),
+            (2, "https://example.com/private/press/x", True),
+            (3, "https://example.com/public/ok", True),
+            (4, "https://example.com/tmpfile", False),   # /tmp prefix matches mid-segment
+            (5, "https://example.com/gbot-only/x", True),  # non-* group ignored
+            (6, "https://open.com/anything", True),
+            (7, "https://locked.com/anything", False),
+            (8, "https://norobots.com/x", True),
+            (9, "https://example.com", True),             # empty path -> '/'
+        ],
+        "doc_id long, url string, want boolean",
+    )
+    out = {r.doc_id: (r.robots_allowed, r.want, r.path) for r in robots_policy(urls, rdf).collect()}
+    for i, (got, want, path) in out.items():
+        assert got == want, f"doc {i} path {path}: got {got}, want {want}"
+    assert out[9][2] == "/"
+
+
+def test_robots_policy_plan_broadcasts_rules(spark):
+    """The policy join must broadcast the (tiny) parsed-rules side —
+    no shuffle on the URL corpus."""
+    import re
+
+    from cdc_pipeline_spark import plans
+    from cdc_pipeline_spark.operators.robots import robots_policy
+
+    rdf = spark.createDataFrame([("a.com", "User-agent: *\nDisallow: /x")], "domain string, robots_txt string")
+    urls = spark.createDataFrame([(1, "https://a.com/x/1")], "doc_id long, url string")
+    plan = plans.plan_string(robots_policy(urls, rdf))
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) == 0, plan
