@@ -24,7 +24,16 @@ replay it rule for rule):
   dropped at parse time — equivalent under longest-match.
 * ``*``/``$`` wildcard rules are SKIPPED (documented subset: prefix
   rules only); comments (``#`` to end of line) and ``\r`` are
-  stripped; directive names are case-insensitive.
+  stripped; directive names are case-insensitive; tabs count as
+  whitespace (RFC 9309 WS = space/tab — tabs are folded to spaces
+  before trimming, so ``Disallow:\t/x`` and indented lines parse; a
+  raw tab INSIDE a path value would fold too, but tabs are not legal
+  in URI paths).
+* rule values are percent-normalized with the SAME
+  :func:`urls.percent_normalize` pass the URL paths get (RFC 9309
+  compares percent-decoded octets), so ``Disallow: /priv%61te/``
+  matches ``/private/`` paths — both sides normalize identically,
+  reserved encodings stay encoded on both.
 
 Everything is pure column expressions over arrays — parsing is a
 per-row rewrite of the robots text (no Python, no shuffle), and the
@@ -45,10 +54,12 @@ def parse_robots_rules(robots_col: Column | str) -> Column:
     prefix rules: ``array<struct<allow boolean, prefix string>>`` in
     file order. Null/empty text parses to an empty array (allow-all).
     Pure column expression (split / transform / filter — one pass)."""
+    from cdc_pipeline_spark.operators.urls import percent_normalize
+
     col = F.col(robots_col) if isinstance(robots_col, str) else robots_col
     lines = F.transform(
         F.split(F.regexp_replace(F.coalesce(col, F.lit("")), "\r", ""), "\n"),
-        lambda l: F.trim(F.regexp_replace(l, "#.*", "")),
+        lambda l: F.trim(F.regexp_replace(F.translate(l, "\t", " "), "#.*", "")),
     )
     # per-line (key, value): key = lowercased text before the first
     # ':', value = trimmed remainder (lines without ':' get value '')
@@ -86,11 +97,14 @@ def parse_robots_rules(robots_col: Column | str) -> Column:
         & ~at(i)["v"].contains("*")
         & ~at(i)["v"].contains("$"),
     )
+    # percent-normalize the prefix with the same pass URL paths get
+    # (RFC 9309 compares decoded octets; both sides must normalize
+    # identically or encoded rules silently never match)
     return F.transform(
         rule_idx,
         lambda i: F.struct(
             (at(i)["k"] == F.lit("allow")).alias("allow"),
-            at(i)["v"].alias("prefix"),
+            percent_normalize(at(i)["v"]).alias("prefix"),
         ),
     ).cast(_RULES_TYPE)
 
@@ -133,6 +147,7 @@ def robots_policy(
     registered domain, the longest-match decision in-row — no shuffle
     on the corpus side."""
     from cdc_pipeline_spark.operators.urls import (
+        _authority_parts,
         _host_pre_normalized,
         percent_normalize,
         registered_domain,
@@ -145,13 +160,8 @@ def robots_policy(
         )
     )
     u = F.col("__url_pct")
-    rest = u.substr(
-        F.length(F.substring_index(u, "://", 1)) + F.lit(4), F.lit(1 << 20)
-    )
-    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
-    path = F.substring_index(
-        rest.substr(F.length(hostport) + F.lit(1), F.lit(1 << 20)), "#", 1
-    )
+    _, tail = _authority_parts(u)
+    path = F.substring_index(tail, "#", 1)
     tagged = (
         urls.withColumn("__url_pct", percent_normalize(url_col))
         .withColumn("domain", registered_domain(_host_pre_normalized(u)))

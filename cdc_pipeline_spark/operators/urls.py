@@ -313,6 +313,20 @@ def percent_normalize(url: Column | str) -> Column:
     )
 
 
+def _authority_parts(u: Column) -> tuple[Column, Column]:
+    """(hostport, tail) of a fragment-stripped absolute URL: the text
+    between the FIRST ``://`` and the first ``/`` or ``?`` (a query
+    with no path — ``https://a.com?x=1``, legal per RFC 3986 — must not
+    leak into the host), and everything after it. The single source for
+    authority parsing — canonicalization, host extraction and the
+    robots path derivation all split here, so a future fix (userinfo
+    ``@``, IPv6 brackets) lands once."""
+    rest = u.substr(F.length(F.substring_index(u, "://", 1)) + F.lit(4), F.lit(1 << 20))
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    tail = rest.substr(F.length(hostport) + F.lit(1), F.lit(1 << 20))
+    return hostport, tail
+
+
 def _canonicalize_pre_normalized(u: Column) -> Column:
     """The canonical pipeline AFTER percent normalization — callers that
     hold an already-normalized column (one shared projection per row,
@@ -322,14 +336,9 @@ def _canonicalize_pre_normalized(u: Column) -> Column:
     one interpreted projection — the HOF knocks the whole expression
     out of codegen, and interpreted eval has no subexpression reuse)."""
     u = F.regexp_replace(u, "#.*$", "")
-    scheme_raw = F.substring_index(u, "://", 1)
-    scheme = F.lower(scheme_raw)
-    rest = u.substr(F.length(scheme_raw) + F.lit(4), F.lit(1 << 20))
-    # authority ends at the first '/' OR '?' (fragment already gone):
-    # a query with no path — https://a.com?x=1, legal per RFC 3986 —
-    # must not leak into the host
-    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
-    tail = rest.substr(F.length(hostport) + F.lit(1), F.lit(1 << 20))
+    scheme = F.lower(F.substring_index(u, "://", 1))
+    hostport, tail = _authority_parts(u)
+    hostport = F.lower(hostport)
     host = F.regexp_replace(hostport, ":(443|80)$", "")
     host = F.regexp_replace(host, r"^www\.", "")
     path = F.substring_index(tail, "?", 1)
@@ -382,9 +391,8 @@ def _host_pre_normalized(u: Column, strip_www: bool = True) -> Column:
     site), so stripping it first would silently re-key those hosts to
     their public suffix."""
     u = F.regexp_replace(u, "#.*$", "")
-    rest = u.substr(F.length(F.substring_index(u, "://", 1)) + F.lit(4), F.lit(1 << 20))
-    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
-    host = F.regexp_replace(hostport, ":(443|80)$", "")
+    hostport, _ = _authority_parts(u)
+    host = F.regexp_replace(F.lower(hostport), ":(443|80)$", "")
     return F.regexp_replace(host, r"^www\.", "") if strip_www else host
 
 

@@ -6360,9 +6360,13 @@ def _robots_oracle_sql() -> str:
                AS txt
         FROM src),
     lined AS (
+        -- tab fold mirrors the engine (RFC 9309 WS = space/tab); the
+        -- fixture's rule values are %-free, so the engine's
+        -- percent-normalize of prefixes is the identity here (the
+        -- decode itself is unit-tested engine-side)
         SELECT domain,
                list_transform(str_split(replace(txt, chr(13), ''), chr(10)),
-                              l -> trim(regexp_replace(l, '#.*', ''))) AS ls
+                              l -> trim(regexp_replace(replace(l, chr(9), ' '), '#.*', ''))) AS ls
         FROM rb),
     keyed AS (
         SELECT domain, ls,

@@ -2796,6 +2796,33 @@ def test_robots_policy_rfc9309_semantics(spark):
     assert out[9][2] == "/"
 
 
+def test_robots_policy_tabs_and_percent_rules(spark):
+    """RFC 9309 details (review r9): tabs count as whitespace (after
+    the directive colon AND as indentation), and rule prefixes are
+    percent-normalized with the same pass URL paths get, so an encoded
+    rule matches its decoded path."""
+    from cdc_pipeline_spark.operators.robots import robots_policy
+
+    rdf = spark.createDataFrame(
+        [("t.com", "User-agent: *\nDisallow:\t/admin/\n\tAllow:\t/admin/pub/"),
+         ("e.com", "User-agent: *\nDisallow: /priv%61te/")],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "https://t.com/admin/x", False),     # tab after colon still parses
+            (2, "https://t.com/admin/pub/y", True),  # indented tabbed Allow overrides
+            (3, "https://e.com/private/a", False),   # %61 rule matches decoded path
+            (4, "https://e.com/priv%61te/b", False), # and the encoded path form
+            (5, "https://e.com/pub", True),
+        ],
+        "doc_id long, url string, want boolean",
+    )
+    out = {r.doc_id: (r.robots_allowed, r.want) for r in robots_policy(urls, rdf).collect()}
+    for i, (got, want) in out.items():
+        assert got == want, f"doc {i}: got {got}, want {want}"
+
+
 def test_robots_policy_plan_broadcasts_rules(spark):
     """The policy join must broadcast the (tiny) parsed-rules side —
     no shuffle on the URL corpus."""
