@@ -201,12 +201,15 @@ def decode_gif_frames(
     large logical screen raises instead of allocating frames x canvas.
 
     ``max_frames`` stops COMPOSING after that many frames — later
-    frames' pixel data is skipped (no LZW decode, no composition, no
-    copies) but the container structure keeps being validated (block
-    types, color-table presence, the unsupported restore-previous
-    disposal, truncation), so the quarantine verdict on a malformed
-    payload is identical whichever consumer touches it. Still-image
-    consumers pass 1 and skip the full-animation cost; note the
+    frames are still fully VALIDATED (container structure, color-table
+    presence, the unsupported restore-previous disposal, LZW decode
+    with the short-stream check, palette-index range, the
+    ``_MAX_FRAMES`` cap) but never composited onto the canvas and never
+    copied, so the quarantine verdict on a malformed payload is
+    identical whichever consumer touches it — pixel-level
+    malformations in frames past the cap raise exactly as they do on
+    the full decode (ADVICE r9). Still-image consumers pass 1 and skip
+    the composition/copy cost. The ONE documented carve-out: the
     cumulative-budget guard only counts COMPOSED frames, so a
     many-frame animation that the full decode rejects on budget can
     still serve its first frame (a resource bound, not a malformation
@@ -241,7 +244,8 @@ def decode_gif_frames(
     delay = 0
     transparent = -1
     disposal = 0
-    composing = True  # False once max_frames reached: validate, don't decode
+    walked = 0  # frames seen (composed + validated-only) for _MAX_FRAMES
+    composing = True  # False once max_frames reached: validate, don't compose
     while True:
         block = r.u8()
         if block == 0x3B:  # trailer
@@ -282,9 +286,18 @@ def decode_gif_frames(
         if not 2 <= mcs <= 8:
             raise _err(f"LZW min code size {mcs}")
         if not composing:
-            # past max_frames: skip the pixel data but keep walking the
-            # container so malformed tails still quarantine identically
-            r.skip_sub_blocks()
+            # past max_frames: decode + validate the pixel data (short
+            # LZW stream, palette range, frame cap) without composing,
+            # so malformed tails quarantine identically to the full
+            # decode — no canvas copy, no numpy composition
+            skipped = _lzw_decode(r.sub_blocks(), mcs, w * h)
+            if len(skipped) < w * h:
+                raise _err(f"LZW stream short: {len(skipped)} of {w * h} pixels")
+            if max(skipped) >= len(table):
+                raise _err("palette index out of range")
+            walked += 1
+            if walked > _MAX_FRAMES:
+                raise _err("too many frames")
             delay, transparent, disposal = 0, -1, 0
             continue
         indices = _lzw_decode(r.sub_blocks(), mcs, w * h)
@@ -309,7 +322,8 @@ def decode_gif_frames(
         if (len(frames) + 2) * width * height * 3 > _MAX_DECODED_BYTES:
             raise _err("composed animation frames exceed decode budget")
         frames.append((canvas.copy(), delay))
-        if len(frames) > _MAX_FRAMES:
+        walked += 1
+        if walked > _MAX_FRAMES:
             raise _err("too many frames")
         if max_frames is not None and len(frames) >= max_frames:
             composing = False
@@ -323,11 +337,11 @@ def decode_gif_frames(
 
 def decode_gif(payload: bytes) -> "np.ndarray":
     """First composed frame as (h, w, 3) uint8 — the ``decode_image``
-    contract shape. Only the first frame is decoded and composed;
-    later frames' pixel data is skipped while the container structure
-    keeps being validated, so still-image consumers don't pay
-    full-animation cost yet malformed payloads quarantine identically
-    to :func:`decode_gif_frames`."""
+    contract shape. Only the first frame is composed; later frames are
+    LZW-decoded and validated but never composited or copied, so
+    still-image consumers don't pay composition cost yet malformed
+    payloads quarantine identically to :func:`decode_gif_frames`
+    (budget carve-out aside — see there)."""
     return decode_gif_frames(payload, max_frames=1)[0][0]
 
 

@@ -159,13 +159,22 @@ def robots_policy(
             parse_robots_rules(robots_text_col).alias("__r_rules"),
         )
     )
-    u = F.col("__url_pct")
+    # strip the fragment BEFORE authority parsing: a '#' preceding the
+    # first '/' (https://a.com#frag) must not leak into hostport/path
+    u = F.regexp_replace(F.col("__url_pct"), "#.*$", "")
     _, tail = _authority_parts(u)
-    path = F.substring_index(tail, "#", 1)
+    # RFC 9309 matches against path + query; a query-only URL
+    # (https://a.com?x=1) has tail '?x=1' — treated as path '/' + query,
+    # so prefix rules (incl. 'Disallow: /') can match it
+    path = (
+        F.when(tail == "", F.lit("/"))
+        .when(tail.startswith("?"), F.concat(F.lit("/"), tail))
+        .otherwise(tail)
+    )
     tagged = (
         urls.withColumn("__url_pct", percent_normalize(url_col))
         .withColumn("domain", registered_domain(_host_pre_normalized(u)))
-        .withColumn("path", F.when(path == "", F.lit("/")).otherwise(path))
+        .withColumn("path", path)
         .drop("__url_pct")
     )
     return (

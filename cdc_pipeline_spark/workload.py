@@ -6352,6 +6352,7 @@ def _robots_oracle_sql() -> str:
                'Disallow: /private/   # keep drafts out' || chr(10) ||
                'Allow: /private/press/' || chr(10) ||
                'Disallow: /tmp' || chr(10) ||
+               'Disallow: /?q=' || chr(10) ||
                'Disallow:' || chr(10) ||
                'Allow: /wild*card' || chr(10) ||
                CASE WHEN length(s) % 2 = 1
@@ -6391,12 +6392,17 @@ def _robots_oracle_sql() -> str:
                          AND NOT contains(vs[i], '*') AND NOT contains(vs[i], '$')) AS ridx
         FROM bounded),
     urls AS (
+        -- mirror of the engine-side URL synthesis AFTER its path
+        -- derivation: case 4 is a query-only URL (https://host?q=N,
+        -- RFC 9309 path '/?q=N'), case 5 a fragment-only URL
+        -- (https://host#secN, fragment stripped => path '/')
         SELECT doc_id, lower(source) || '.com' AS domain,
-               CASE doc_id % 5
+               CASE doc_id % 6
                     WHEN 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
                     WHEN 1 THEN '/private/press/rel' || CAST(doc_id AS VARCHAR)
                     WHEN 2 THEN '/public/page' || CAST(doc_id AS VARCHAR)
                     WHEN 3 THEN '/tmp' || CAST(doc_id AS VARCHAR)
+                    WHEN 4 THEN '/?q=' || CAST(doc_id AS VARCHAR)
                     ELSE '/' END AS path
         FROM documents),
     verdicts AS (
@@ -6425,9 +6431,13 @@ def doc_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ignore, comments, the `User-agent: *` group with an Allow override
     (`/private/press/` under `Disallow: /private/`), an extensionless
     prefix rule (`/tmp`), a no-op empty `Disallow:`, a skipped wildcard
-    rule, a per-domain structural variation (odd-length sources also
-    disallow `/public/`), and a terminating `archiver` group — and one
-    URL per document hitting every branch. The engine parses the text
+    rule, a query-prefix rule (`/?q=` — only reachable once query-only
+    URLs derive path `/`+query per RFC 9309), a per-domain structural
+    variation (odd-length sources also disallow `/public/`), and a
+    terminating `archiver` group — and one URL per document hitting
+    every branch, including query-only (`https://h?q=N`) and
+    fragment-only (`https://h#secN`) URLs (the ADVICE r9
+    authority-parse leaks). The engine parses the text
     with pure column expressions on the BROADCAST robots side (parsed
     once per domain, not per URL), joins on the registered domain, and
     decides RFC 9309 longest-match with allow-wins-ties in-row; the
@@ -6444,6 +6454,7 @@ def doc_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("Disallow: /private/   # keep drafts out\n"),
         F.lit("Allow: /private/press/\n"),
         F.lit("Disallow: /tmp\n"),
+        F.lit("Disallow: /?q=\n"),
         F.lit("Disallow:\n"),
         F.lit("Allow: /wild*card\n"),
         F.when(F.length(s2) % 2 == 1, F.lit("Disallow: /public/\n")).otherwise(
@@ -6456,7 +6467,7 @@ def doc_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select(F.concat(s2, F.lit(".com")).alias("domain"), txt.alias("robots_txt"))
     )
-    m = F.col("doc_id") % 5
+    m = F.col("doc_id") % 6
     url = F.concat(
         F.lit("https://"),
         s,
@@ -6465,7 +6476,11 @@ def doc_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 1, F.concat(F.lit("/private/press/rel"), F.col("doc_id").cast("string")))
         .when(m == 2, F.concat(F.lit("/public/page"), F.col("doc_id").cast("string")))
         .when(m == 3, F.concat(F.lit("/tmp"), F.col("doc_id").cast("string")))
-        .otherwise(F.lit("/")),
+        # query-only URL: legal per RFC 3986, path for robots matching
+        # is '/' + query (the ADVICE r9 leak — these must hit /?q=)
+        .when(m == 4, F.concat(F.lit("?q="), F.col("doc_id").cast("string")))
+        # fragment before any '/': must strip cleanly out of hostport
+        .otherwise(F.concat(F.lit("#sec"), F.col("doc_id").cast("string"))),
     )
     tagged = _rp(docs.select("doc_id", url.alias("url")), robots)
     return tagged.groupBy("domain", "robots_allowed").agg(

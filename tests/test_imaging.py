@@ -720,6 +720,69 @@ def test_gif_still_path_quarantines_malformed_tails():
     assert decode_gif(good).shape == (3, 3, 3)
 
 
+def _two_frame_gif(frame2_stream, w2=1, h2=1, gct_bits=0):
+    """Hand-rolled 2-frame GIF on a 2x1 logical screen: frame 1 is a
+    valid 1x1 (index 0); frame 2's LZW stream is the caller's raw
+    bytes, so tests can plant pixel-level malformations past frame 1.
+    ``gct_bits=0`` => 2-entry global color table."""
+    import struct as _struct
+
+    import numpy as _np
+
+    from cdc_pipeline_spark.operators.gif import _lzw_encode_trivial, _sub_blocks
+
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HH", 2, 1)
+    out.append(0x80 | gct_bits)
+    out += b"\x00\x00"
+    out += bytes(3 * (2 << gct_bits))
+    out += b"\x2c" + _struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00\x02"
+    out += _sub_blocks(_lzw_encode_trivial(_np.array([0]), 2))
+    out += b"\x2c" + _struct.pack("<HHHH", 0, 0, w2, h2) + b"\x00\x02"
+    out += _sub_blocks(frame2_stream)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def test_gif_still_path_quarantines_pixel_level_tails():
+    """ADVICE r9: frames past max_frames are LZW-decoded and validated
+    (not just container-walked), so short streams, invalid LZW codes,
+    palette overruns, and _MAX_FRAMES overruns in SKIPPED frames raise
+    on the still path exactly as on the full decode."""
+    import numpy as _np
+    import pytest as _pytest
+
+    from cdc_pipeline_spark.operators.gif import (
+        _lzw_encode_trivial,
+        decode_gif,
+        decode_gif_frames,
+    )
+
+    cases = [
+        # frame 2 declares 2x1 but encodes one pixel -> short stream
+        ("LZW stream short", _two_frame_gif(_lzw_encode_trivial(_np.array([0]), 2), w2=2)),
+        # index 3 with a 2-entry table -> palette overrun
+        ("palette index out of range", _two_frame_gif(_lzw_encode_trivial(_np.array([3]), 2))),
+        # CLEAR(4) then code 7 (undefined) packed LSB-first = 0x3C
+        ("first LZW code not a root", _two_frame_gif(b"\x3c")),
+    ]
+    for msg, bad in cases:
+        with _pytest.raises(ValueError, match=msg):
+            decode_gif_frames(bad)
+        with _pytest.raises(ValueError, match=msg):
+            decode_gif(bad)  # same verdict with frame 2 skipped
+    # frame-count cap applies to walked (not composed) frames too
+    over = _hostile_many_frame_gif(4097, w=1, h=1)
+    with _pytest.raises(ValueError, match="too many frames"):
+        decode_gif_frames(over)
+    with _pytest.raises(ValueError, match="too many frames"):
+        decode_gif(over)
+    # an intact payload still decodes on both paths
+    good = _two_frame_gif(_lzw_encode_trivial(_np.array([1]), 2))
+    assert decode_gif(good).shape == (1, 2, 3)
+    assert len(decode_gif_frames(good)) == 2
+
+
 def test_gif_max_frames_matches_full_decode_prefix():
     from cdc_pipeline_spark.operators.gif import decode_gif_frames, encode_gif
 

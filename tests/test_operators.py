@@ -2796,6 +2796,38 @@ def test_robots_policy_rfc9309_semantics(spark):
     assert out[9][2] == "/"
 
 
+def test_robots_policy_query_only_and_fragment_urls(spark):
+    """ADVICE r9: a query-only URL (https://h?x=1) has RFC 9309 path
+    '/' + query, so 'Disallow: /' must deny it; a fragment before the
+    first '/' must not leak into hostport or path."""
+    from cdc_pipeline_spark.operators.robots import robots_policy
+
+    rdf = spark.createDataFrame(
+        [
+            ("locked.com", "User-agent: *\nDisallow: /"),
+            ("q.com", "User-agent: *\nDisallow: /?utm"),
+        ],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "https://locked.com?x=1", False, "/?x=1"),   # query-only: denied
+            (2, "https://q.com?utm_src=a", False, "/?utm_src=a"),
+            (3, "https://q.com?other=1", True, "/?other=1"),  # query rule prefix miss
+            (4, "https://q.com/page?utm_x=1", True, "/page?utm_x=1"),
+            (5, "https://locked.com#frag", False, "/"),       # fragment-only: host clean
+            (6, "https://locked.com#frag/with/slash", False, "/"),
+            (7, "https://q.com#f?utm", True, "/"),            # fragment strips its '?'
+        ],
+        "doc_id long, url string, want boolean, want_path string",
+    )
+    rows = robots_policy(urls, rdf).collect()
+    for r in rows:
+        assert r.robots_allowed == r.want, f"doc {r.doc_id}: got {r.robots_allowed}"
+        assert r.path == r.want_path, f"doc {r.doc_id}: path {r.path}"
+        assert r.domain in ("locked.com", "q.com"), r.domain
+
+
 def test_robots_policy_tabs_and_percent_rules(spark):
     """RFC 9309 details (review r9): tabs count as whitespace (after
     the directive colon AND as indentation), and rule prefixes are
