@@ -10,13 +10,21 @@ training-data-pipeline mandate, same charter as ``operators/urls.py``.
 Semantics (RFC 9309 subset, documented precisely so the SQL oracle can
 replay it rule for rule):
 
-* only the ``User-agent: *`` group is evaluated (a crawler with a
-  dedicated token would pre-filter its own group upstream); the group
-  runs from the first ``user-agent: *`` line to the next ``user-agent``
-  line with a different token. Stacked user-agent lines BEFORE the
-  ``*`` line are handled (the group starts at the ``*`` line); a
-  non-``*`` agent stacked AFTER it ends the group — a documented
-  simplification of RFC 9309's multi-agent groups.
+* groups are runs of consecutive ``User-agent`` lines plus the rules
+  that follow them (RFC 9309 §2.2.1 start-of-group semantics: stacked
+  agent lines share one rule block; any non-agent line ends the
+  stacking, the next agent line after a rule starts a new group).
+* group selection (:func:`parse_robots_group`): a group matches a
+  crawler when one of its agent values is a case-insensitive PREFIX of
+  the crawler's product token; the most specific (longest) value wins,
+  ties by first occurrence; no match ⇒ the ``*`` groups. ALL groups
+  carrying the selected value are merged (RFC 9309: "groups MUST be
+  combined"). :func:`parse_robots_rules` is the agent-less form —
+  it evaluates the merged ``*`` groups.
+* ``Crawl-delay`` (non-standard but ubiquitous) is surfaced as a typed
+  double from the selected groups (first parseable value in document
+  order); ``Sitemap`` lines are document-global (RFC 9309 allows them
+  anywhere) and surfaced as an array in file order.
 * ``Allow``/``Disallow`` values are path prefixes; matching is
   longest-match with ``Allow`` winning length ties (RFC 9309 §2.2.2).
   No matching rule ⇒ allowed; missing/empty robots.txt ⇒ allowed.
@@ -49,21 +57,17 @@ from pyspark.sql import functions as F
 _RULES_TYPE = "array<struct<allow:boolean, prefix:string>>"
 
 
-def parse_robots_rules(robots_col: Column | str) -> Column:
-    """Parse a robots.txt text column into the ``User-agent: *`` group's
-    prefix rules: ``array<struct<allow boolean, prefix string>>`` in
-    file order. Null/empty text parses to an empty array (allow-all).
-    Pure column expression (split / transform / filter — one pass)."""
-    from cdc_pipeline_spark.operators.urls import percent_normalize
-
+def _keyed_lines(robots_col: Column | str) -> Column:
+    """Per-line ``struct<k,v>`` array of a robots.txt text: lines are
+    ``\\r``-stripped, tab-folded (RFC 9309 WS = space/tab), comment-
+    stripped, trimmed; ``k`` = lowercased text before the first ``:``,
+    ``v`` = trimmed remainder (lines without ``:`` get ``v = ''``)."""
     col = F.col(robots_col) if isinstance(robots_col, str) else robots_col
     lines = F.transform(
         F.split(F.regexp_replace(F.coalesce(col, F.lit("")), "\r", ""), "\n"),
         lambda l: F.trim(F.regexp_replace(F.translate(l, "\t", " "), "#.*", "")),
     )
-    # per-line (key, value): key = lowercased text before the first
-    # ':', value = trimmed remainder (lines without ':' get value '')
-    keyed = F.transform(
+    return F.transform(
         lines,
         lambda l: F.struct(
             F.lower(F.trim(F.substring_index(l, ":", 1))).alias("k"),
@@ -74,39 +78,117 @@ def parse_robots_rules(robots_col: Column | str) -> Column:
             ).alias("v"),
         ),
     )
+
+
+_GROUP_TYPE = (
+    "struct<rules:array<struct<allow:boolean, prefix:string>>, "
+    "crawl_delay:double, sitemaps:array<string>>"
+)
+
+
+def parse_robots_group(
+    robots_col: Column | str, agent: str | None = None
+) -> Column:
+    """Parse a robots.txt text column and select the group for a
+    crawler product token (RFC 9309 §2.2.1): returns
+    ``struct<rules array<struct<allow,prefix>>, crawl_delay double,
+    sitemaps array<string>>``.
+
+    Group model: a group is a run of consecutive ``User-agent`` lines
+    plus the rules that follow (stacked agents share one rule block).
+    A group matches when one of its agent values is a case-insensitive
+    PREFIX of ``agent``; the longest matching value wins (ties: first
+    occurrence); no match — or ``agent=None`` — selects the ``*``
+    groups. ALL groups carrying the winning value merge, per RFC
+    9309's group-combining rule. ``crawl_delay`` is the first
+    parseable value inside the selected groups; ``sitemaps`` is
+    document-global. Null/empty text parses to empty rules
+    (allow-all). Pure column expressions — evaluation is O(lines²)
+    per file, which only ever runs on the tiny broadcast side."""
+    from cdc_pipeline_spark.operators.urls import percent_normalize
+
+    keyed = _keyed_lines(robots_col)
+    token = F.lit((agent or "").lower())
     n = F.size(keyed)
     idxs = F.sequence(F.lit(1), n)  # split() yields >= 1 element, so ascending
     at = lambda i: F.element_at(keyed, i)  # noqa: E731
-    ua_idx = F.array_min(
-        F.filter(idxs, lambda i: (at(i)["k"] == "user-agent") & (at(i)["v"] == "*"))
+    is_ua = lambda i: at(i)["k"] == F.lit("user-agent")  # noqa: E731
+    # F.get is 0-based and null-safe at the boundary (i=1 probes -1)
+    pred_is_ua = lambda i: F.coalesce(  # noqa: E731
+        F.get(keyed, i - F.lit(2))["k"] == F.lit("user-agent"), F.lit(False)
     )
-    stop_idx = F.array_min(
-        F.filter(
-            idxs,
-            lambda i: (i > ua_idx)
-            & (at(i)["k"] == "user-agent")
-            & (at(i)["v"] != "*"),
-        )
+    # latest group start at or before i: a user-agent line whose
+    # predecessor is not one. For a UA line this is its own run's
+    # start; for a rule line it is the owning group's start.
+    start_of = lambda i: F.array_max(  # noqa: E731
+        F.filter(idxs, lambda j: (j <= i) & is_ua(j) & ~pred_is_ua(j))
+    )
+    # --- §2.2.1 selection: longest agent value that prefixes `agent`
+    matching = F.filter(
+        idxs,
+        lambda i: is_ua(i)
+        & (at(i)["v"] != "*")
+        & (at(i)["v"] != "")
+        & token.startswith(F.lower(at(i)["v"])),
+    )
+    maxlen = F.array_max(F.transform(matching, lambda i: F.length(at(i)["v"])))
+    sel_idx = F.array_min(
+        F.filter(matching, lambda i: F.length(at(i)["v"]) == maxlen)
+    )
+    sel_value = F.coalesce(F.lower(F.get(keyed, sel_idx - F.lit(1))["v"]), F.lit("*"))
+    # line i belongs to a selected group iff its owning run carries the
+    # winning agent value (this is what merges same-agent groups)
+    selected = lambda i: F.exists(  # noqa: E731
+        idxs,
+        lambda j: is_ua(j)
+        & (F.lower(at(j)["v"]) == sel_value)
+        & (start_of(j) == start_of(i)),
     )
     rule_idx = F.filter(
         idxs,
-        lambda i: (i > ua_idx)
-        & F.coalesce(i < stop_idx, F.lit(True))
-        & at(i)["k"].isin("allow", "disallow")
+        lambda i: at(i)["k"].isin("allow", "disallow")
         & (at(i)["v"] != "")
         & ~at(i)["v"].contains("*")
-        & ~at(i)["v"].contains("$"),
+        & ~at(i)["v"].contains("$")
+        & selected(i),
     )
     # percent-normalize the prefix with the same pass URL paths get
     # (RFC 9309 compares decoded octets; both sides must normalize
     # identically or encoded rules silently never match)
-    return F.transform(
+    rules = F.transform(
         rule_idx,
         lambda i: F.struct(
             (at(i)["k"] == F.lit("allow")).alias("allow"),
             percent_normalize(at(i)["v"]).alias("prefix"),
         ),
     ).cast(_RULES_TYPE)
+    cd_idx = F.array_min(
+        F.filter(
+            idxs,
+            lambda i: (at(i)["k"] == "crawl-delay")
+            & at(i)["v"].try_cast("double").isNotNull()
+            & selected(i),
+        )
+    )
+    crawl_delay = F.get(keyed, cd_idx - F.lit(1))["v"].try_cast("double")
+    sitemaps = F.transform(
+        F.filter(idxs, lambda i: (at(i)["k"] == "sitemap") & (at(i)["v"] != "")),
+        lambda i: at(i)["v"],
+    )
+    return F.struct(
+        rules.alias("rules"),
+        crawl_delay.alias("crawl_delay"),
+        sitemaps.alias("sitemaps"),
+    ).cast(_GROUP_TYPE)
+
+
+def parse_robots_rules(robots_col: Column | str) -> Column:
+    """Prefix rules of the merged ``User-agent: *`` groups:
+    ``array<struct<allow boolean, prefix string>>`` in file order —
+    the agent-less form of :func:`parse_robots_group` (a crawler with
+    a dedicated token passes it there instead). Null/empty text parses
+    to an empty array (allow-all)."""
+    return parse_robots_group(robots_col)["rules"]
 
 
 def robots_allowed(path_col: Column | str, rules_col: Column | str) -> Column:
@@ -137,15 +219,20 @@ def robots_policy(
     robots_domain_col: str = "domain",
     robots_text_col: str = "robots_txt",
     out_col: str = "robots_allowed",
+    agent: str | None = None,
+    group_cols: bool = False,
 ) -> DataFrame:
     """Tag every URL row with its robots.txt verdict: adds ``domain``,
     ``path`` and ``out_col`` (boolean). ``robots`` holds one row per
     registered domain with the raw robots.txt text; its rules parse
     inside the (broadcast) build side, so the per-domain text is parsed
     ONCE, not per URL. URLs whose domain has no robots row are allowed
-    (crawl-standard default). Plan: one BroadcastHashJoin on the
-    registered domain, the longest-match decision in-row — no shuffle
-    on the corpus side."""
+    (crawl-standard default). ``agent`` selects the crawler's group per
+    RFC 9309 §2.2.1 (default: the ``*`` groups); ``group_cols=True``
+    additionally surfaces the selected group's ``crawl_delay`` (double)
+    and the document-global ``sitemaps`` (array<string>) per row. Plan:
+    one BroadcastHashJoin on the registered domain, the longest-match
+    decision in-row — no shuffle on the corpus side."""
     from cdc_pipeline_spark.operators.urls import (
         _authority_parts,
         _host_pre_normalized,
@@ -153,12 +240,17 @@ def robots_policy(
         registered_domain,
     )
 
-    rules = F.broadcast(
-        robots.select(
-            F.col(robots_domain_col).alias("__r_domain"),
-            parse_robots_rules(robots_text_col).alias("__r_rules"),
-        )
+    parsed = robots.select(
+        F.col(robots_domain_col).alias("__r_domain"),
+        parse_robots_group(robots_text_col, agent).alias("__g"),
     )
+    side = [F.col("__r_domain"), F.col("__g.rules").alias("__r_rules")]
+    if group_cols:
+        side += [
+            F.col("__g.crawl_delay").alias("crawl_delay"),
+            F.col("__g.sitemaps").alias("sitemaps"),
+        ]
+    rules = F.broadcast(parsed.select(*side))
     # strip the fragment BEFORE authority parsing: a '#' preceding the
     # first '/' (https://a.com#frag) must not leak into hostport/path
     u = F.regexp_replace(F.col("__url_pct"), "#.*$", "")

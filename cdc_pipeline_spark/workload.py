@@ -6335,8 +6335,9 @@ def doc_url_percent_normalization(spark: SparkSession, sf_dir: str) -> DataFrame
 def _robots_oracle_sql() -> str:
     """DuckDB replica of the robots.txt policy engine: the SQL parses
     the SAME synthesized robots text with the same line/keyed/group
-    operations (trim, comment strip, first-colon split, ua-* group
-    bounds, wildcard/empty-rule drop) and replays RFC 9309
+    operations (trim, comment strip, first-colon split, run-based
+    group starts with merged-'*' selection, wildcard/empty-rule drop)
+    and replays RFC 9309
     longest-match with allow-wins-ties — so the hash check covers the
     parser and the precedence rule, not just a lookup. URL paths reuse
     the synthesis expression (analytic-oracle pattern: the engine
@@ -6374,23 +6375,28 @@ def _robots_oracle_sql() -> str:
                list_transform(ls, l -> lower(trim(split_part(l, ':', 1)))) AS ks,
                list_transform(ls, l -> trim(substr(l, length(split_part(l, ':', 1)) + 2))) AS vs
         FROM lined),
-    grouped AS (
+    starts AS (
+        -- run-based group model (engine parse_robots_group): rst[i] =
+        -- latest group start at or before i (a user-agent line whose
+        -- predecessor is not one) — for a rule line, its owning group
         SELECT domain, ks, vs,
-               list_min(list_filter(generate_series(1, len(ks)),
-                        i -> ks[i] = 'user-agent' AND vs[i] = '*')) AS ua
+               list_transform(generate_series(1, len(ks)),
+                    i -> list_max(list_filter(generate_series(1, len(ks)),
+                         j -> j <= i AND ks[j] = 'user-agent'
+                              AND (j = 1 OR ks[j-1] <> 'user-agent')))) AS rst
         FROM keyed),
-    bounded AS (
-        SELECT domain, ks, vs, ua,
-               list_min(list_filter(generate_series(1, len(ks)),
-                        i -> i > ua AND ks[i] = 'user-agent' AND vs[i] <> '*')) AS stp
-        FROM grouped),
     ruled AS (
+        -- a rule is selected iff its owning run carries the '*' agent
+        -- (this is the engine's merged-'*'-groups semantics)
         SELECT domain, ks, vs,
                list_filter(generate_series(1, len(ks)),
-                    i -> i > ua AND (stp IS NULL OR i < stp)
-                         AND ks[i] IN ('allow', 'disallow') AND vs[i] <> ''
-                         AND NOT contains(vs[i], '*') AND NOT contains(vs[i], '$')) AS ridx
-        FROM bounded),
+                    i -> ks[i] IN ('allow', 'disallow') AND vs[i] <> ''
+                         AND NOT contains(vs[i], '*') AND NOT contains(vs[i], '$')
+                         AND rst[i] IS NOT NULL
+                         AND len(list_filter(generate_series(1, len(ks)),
+                              j -> ks[j] = 'user-agent' AND lower(vs[j]) = '*'
+                                   AND rst[j] = rst[i])) > 0) AS ridx
+        FROM starts),
     urls AS (
         -- mirror of the engine-side URL synthesis AFTER its path
         -- derivation: case 4 is a query-only URL (https://host?q=N,
@@ -6486,6 +6492,184 @@ def doc_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("domain", "robots_allowed").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.min("path").alias("sample_path"),
+    )
+
+
+def _robots_agent_oracle_sql() -> str:
+    """DuckDB replica of RFC 9309 §2.2.1 group selection: the SQL
+    parses the synthesized multi-group robots text with the engine's
+    run-based group machinery, picks the longest agent value that
+    prefixes the crawler token 'datacrawler-news/1.2' (falling back to
+    '*'), merges same-agent groups, and replays longest-match verdicts
+    plus the typed Crawl-delay and the document-global Sitemap count —
+    rule for rule against `operators/robots.py:parse_robots_group`."""
+    return r"""
+    WITH src AS (SELECT DISTINCT lower(source) AS s FROM documents),
+    rb AS (
+        SELECT s || '.com' AS domain,
+               'Sitemap: https://' || s || '.com/sitemap.xml' || chr(10) ||
+               CASE WHEN length(s) % 3 <> 0 THEN
+                    'User-agent: DataCrawler' || chr(10) ||
+                    'Disallow: /private/' || chr(10) ||
+                    'Allow: /private/press/' || chr(10) ||
+                    'Crawl-delay: 2.5' || chr(10) || chr(10) ELSE '' END ||
+               CASE WHEN length(s) % 2 = 1 THEN
+                    'User-agent: DataCrawler-News' || chr(10) ||
+                    'User-agent: NewsBot' || chr(10) ||
+                    'Disallow: /news/' || chr(10) ||
+                    'Crawl-delay: 7' || chr(10) || chr(10) ELSE '' END ||
+               'User-agent: *' || chr(10) ||
+               'Disallow: /' || chr(10) ||
+               'Sitemap: https://' || s || '.com/sitemap2.xml' || chr(10) AS txt
+        FROM src),
+    lined AS (
+        SELECT domain,
+               list_transform(str_split(replace(txt, chr(13), ''), chr(10)),
+                              l -> trim(regexp_replace(replace(l, chr(9), ' '), '#.*', ''))) AS ls
+        FROM rb),
+    keyed AS (
+        SELECT domain, ls,
+               list_transform(ls, l -> lower(trim(split_part(l, ':', 1)))) AS ks,
+               list_transform(ls, l -> trim(substr(l, length(split_part(l, ':', 1)) + 2))) AS vs
+        FROM lined),
+    starts AS (
+        SELECT domain, ks, vs,
+               list_transform(generate_series(1, len(ks)),
+                    i -> list_max(list_filter(generate_series(1, len(ks)),
+                         j -> j <= i AND ks[j] = 'user-agent'
+                              AND (j = 1 OR ks[j-1] <> 'user-agent')))) AS rst
+        FROM keyed),
+    sel AS (
+        -- longest agent value that case-insensitively prefixes the
+        -- crawler product token; ties by first occurrence; else '*'
+        SELECT domain, ks, vs, rst,
+               coalesce(lower(vs[list_min(list_filter(generate_series(1, len(ks)),
+                    i -> ks[i] = 'user-agent' AND vs[i] <> '*' AND vs[i] <> ''
+                         AND starts_with('datacrawler-news/1.2', lower(vs[i]))
+                         AND length(vs[i]) = list_max(list_transform(
+                              list_filter(generate_series(1, len(ks)),
+                                   m -> ks[m] = 'user-agent' AND vs[m] <> '*'
+                                        AND vs[m] <> ''
+                                        AND starts_with('datacrawler-news/1.2',
+                                                        lower(vs[m]))),
+                              m -> length(vs[m])))))]), '*') AS selv
+        FROM starts),
+    ruled AS (
+        SELECT domain, ks, vs,
+               list_filter(generate_series(1, len(ks)),
+                    i -> ks[i] IN ('allow', 'disallow') AND vs[i] <> ''
+                         AND NOT contains(vs[i], '*') AND NOT contains(vs[i], '$')
+                         AND rst[i] IS NOT NULL
+                         AND len(list_filter(generate_series(1, len(ks)),
+                              j -> ks[j] = 'user-agent' AND lower(vs[j]) = selv
+                                   AND rst[j] = rst[i])) > 0) AS ridx,
+               CAST(vs[list_min(list_filter(generate_series(1, len(ks)),
+                    i -> ks[i] = 'crawl-delay'
+                         AND try_cast(vs[i] AS DOUBLE) IS NOT NULL
+                         AND rst[i] IS NOT NULL
+                         AND len(list_filter(generate_series(1, len(ks)),
+                              j -> ks[j] = 'user-agent' AND lower(vs[j]) = selv
+                                   AND rst[j] = rst[i])) > 0))] AS DOUBLE)
+                   AS crawl_delay,
+               len(list_filter(generate_series(1, len(ks)),
+                    i -> ks[i] = 'sitemap' AND vs[i] <> '')) AS n_sitemaps
+        FROM sel),
+    urls AS (
+        SELECT doc_id, lower(source) || '.com' AS domain,
+               CASE doc_id % 4
+                    WHEN 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+                    WHEN 1 THEN '/private/press/rel' || CAST(doc_id AS VARCHAR)
+                    WHEN 2 THEN '/news/item' || CAST(doc_id AS VARCHAR)
+                    ELSE '/' END AS path
+        FROM documents),
+    verdicts AS (
+        SELECT u.doc_id, u.domain, u.path, r.crawl_delay, r.n_sitemaps,
+               coalesce(list_max(list_transform(
+                   list_filter(r.ridx, i -> r.ks[i] = 'allow'
+                               AND starts_with(u.path, r.vs[i])),
+                   i -> length(r.vs[i]))), -1)
+               >=
+               coalesce(list_max(list_transform(
+                   list_filter(r.ridx, i -> r.ks[i] = 'disallow'
+                               AND starts_with(u.path, r.vs[i])),
+                   i -> length(r.vs[i]))), -1) AS robots_allowed
+        FROM urls u LEFT JOIN ruled r ON u.domain = r.domain)
+    SELECT domain, robots_allowed,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(path) AS sample_path,
+           min(crawl_delay) AS crawl_delay,
+           CAST(min(n_sitemaps) AS BIGINT) AS n_sitemaps
+    FROM verdicts GROUP BY domain, robots_allowed
+    """
+
+
+@register("doc_robots_agent_policy", _robots_agent_oracle_sql())
+def doc_robots_agent_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 §2.2.1 group selection over the corpus
+    (`operators/robots.py:parse_robots_group`): each domain's robots
+    text carries up to three groups — a `DataCrawler` group (absent
+    when len(source)%3==0), a stacked `DataCrawler-News`+`NewsBot`
+    group (present when len(source)%2==1), and a deny-all `*` group —
+    plus two document-global Sitemap lines and per-group Crawl-delay.
+    The engine evaluates for crawler token `datacrawler-news/1.2`:
+    domains with the News group select it (longest prefix of the
+    token), domains with only `DataCrawler` select that, domains with
+    neither fall back to `*` — so the specific-group and `*` verdicts
+    genuinely disagree (the `*` group denies everything). Output: per
+    (domain, verdict) doc counts, lexicographically first path, the
+    selected group's typed crawl delay, and the global sitemap count.
+    The DuckDB oracle replays parsing, run-based group starts,
+    longest-token selection, merging, and precedence rule for rule."""
+    from cdc_pipeline_spark.operators.robots import robots_policy as _rp
+
+    docs = _t(spark, sf_dir, "documents")
+    s = F.lower(F.col("source"))
+    s2 = F.col("__s")
+    txt = F.concat(
+        F.lit("Sitemap: https://"), s2, F.lit(".com/sitemap.xml\n"),
+        F.when(
+            F.length(s2) % 3 != 0,
+            F.lit(
+                "User-agent: DataCrawler\nDisallow: /private/\n"
+                "Allow: /private/press/\nCrawl-delay: 2.5\n\n"
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.length(s2) % 2 == 1,
+            F.lit(
+                "User-agent: DataCrawler-News\nUser-agent: NewsBot\n"
+                "Disallow: /news/\nCrawl-delay: 7\n\n"
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("User-agent: *\nDisallow: /\n"),
+        F.lit("Sitemap: https://"), s2, F.lit(".com/sitemap2.xml\n"),
+    )
+    robots = (
+        docs.select(s.alias("__s"))
+        .distinct()
+        .select(F.concat(s2, F.lit(".com")).alias("domain"), txt.alias("robots_txt"))
+    )
+    m = F.col("doc_id") % 4
+    url = F.concat(
+        F.lit("https://"),
+        s,
+        F.lit(".com"),
+        F.when(m == 0, F.concat(F.lit("/private/doc"), F.col("doc_id").cast("string")))
+        .when(m == 1, F.concat(F.lit("/private/press/rel"), F.col("doc_id").cast("string")))
+        .when(m == 2, F.concat(F.lit("/news/item"), F.col("doc_id").cast("string")))
+        .otherwise(F.lit("/")),
+    )
+    tagged = _rp(
+        docs.select("doc_id", url.alias("url")),
+        robots,
+        agent="datacrawler-news/1.2",
+        group_cols=True,
+    )
+    return tagged.groupBy("domain", "robots_allowed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("path").alias("sample_path"),
+        F.min("crawl_delay").alias("crawl_delay"),
+        F.min(F.size("sitemaps")).cast("long").alias("n_sitemaps"),
     )
 
 

@@ -2796,6 +2796,94 @@ def test_robots_policy_rfc9309_semantics(spark):
     assert out[9][2] == "/"
 
 
+def test_robots_group_selection_rfc9309(spark):
+    """RFC 9309 §2.2.1: longest case-insensitive agent-token prefix
+    match wins; stacked user-agent lines share one rule block;
+    same-agent groups merge; no match falls back to the merged '*'
+    groups; Crawl-delay is typed per selected group; Sitemap lines are
+    document-global."""
+    from cdc_pipeline_spark.operators.robots import parse_robots_group
+
+    txt = (
+        "Sitemap: https://e.com/sitemap.xml\n"
+        "User-agent: DataCrawler-News\n"
+        "User-agent: NewsBot\n"
+        "Disallow: /news/\n"
+        "Crawl-delay: 7\n"
+        "\n"
+        "User-agent: datacrawler\n"
+        "Disallow: /private/\n"
+        "Crawl-delay: 2.5\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+        "Sitemap: https://e.com/sitemap2.xml\n"
+        "\n"
+        "User-agent: DataCrawler\n"
+        "Allow: /private/press/\n"
+        "Crawl-delay: bogus\n"
+    )
+    df = spark.createDataFrame([(txt,)], "t string")
+
+    def grp(agent):
+        return df.select(parse_robots_group("t", agent).alias("g")).collect()[0].g
+
+    # longest prefix of the product token wins: the News group
+    g = grp("DataCrawler-News/2.1".lower())
+    assert [(r.allow, r.prefix) for r in g.rules] == [(False, "/news/")]
+    assert g.crawl_delay == 7.0
+    # shorter token: both 'datacrawler' groups MERGE (case-insensitive)
+    g = grp("datacrawler")
+    assert [(r.allow, r.prefix) for r in g.rules] == [
+        (False, "/private/"),
+        (True, "/private/press/"),
+    ]
+    assert g.crawl_delay == 2.5  # 'bogus' in the merged group is skipped
+    # unknown token falls back to '*'
+    g = grp("otherbot-x")
+    assert [(r.allow, r.prefix) for r in g.rules] == [(False, "/")]
+    assert g.crawl_delay is None
+    # stacked agent: NewsBot shares the News block
+    g = grp("newsbot")
+    assert [(r.allow, r.prefix) for r in g.rules] == [(False, "/news/")]
+    # sitemaps are global regardless of agent, in file order
+    assert list(g.sitemaps) == [
+        "https://e.com/sitemap.xml",
+        "https://e.com/sitemap2.xml",
+    ]
+    # agent=None is the '*' form (parse_robots_rules contract)
+    g = grp(None)
+    assert [(r.allow, r.prefix) for r in g.rules] == [(False, "/")]
+
+
+def test_robots_policy_agent_and_group_cols(spark):
+    """robots_policy(agent=..., group_cols=True): verdicts follow the
+    selected group (disagreeing with '*'), and crawl_delay/sitemaps
+    ride along on every corpus row."""
+    from cdc_pipeline_spark.operators.robots import robots_policy
+
+    txt = (
+        "User-agent: bot\nDisallow: /only-bot/\nCrawl-delay: 3\n"
+        "\nUser-agent: *\nDisallow: /\nSitemap: https://d.com/s.xml\n"
+    )
+    rdf = spark.createDataFrame([("d.com", txt)], "domain string, robots_txt string")
+    urls = spark.createDataFrame(
+        [(1, "https://d.com/only-bot/x"), (2, "https://d.com/open")],
+        "doc_id long, url string",
+    )
+    out = {
+        r.doc_id: r
+        for r in robots_policy(urls, rdf, agent="bot/1.0", group_cols=True).collect()
+    }
+    assert out[1].robots_allowed is False
+    assert out[2].robots_allowed is True  # '*' Disallow: / must NOT apply
+    assert out[1].crawl_delay == 3.0
+    assert list(out[2].sitemaps) == ["https://d.com/s.xml"]
+    # default (no agent) keeps the '*' verdict: everything denied
+    star = {r.doc_id: r.robots_allowed for r in robots_policy(urls, rdf).collect()}
+    assert star == {1: False, 2: False}
+
+
 def test_robots_policy_query_only_and_fragment_urls(spark):
     """ADVICE r9: a query-only URL (https://h?x=1) has RFC 9309 path
     '/' + query, so 'Disallow: /' must deny it; a fragment before the
@@ -2865,6 +2953,7 @@ def test_robots_policy_plan_broadcasts_rules(spark):
 
     rdf = spark.createDataFrame([("a.com", "User-agent: *\nDisallow: /x")], "domain string, robots_txt string")
     urls = spark.createDataFrame([(1, "https://a.com/x/1")], "doc_id long, url string")
-    plan = plans.plan_string(robots_policy(urls, rdf))
-    assert "BroadcastHashJoin" in plan
-    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) == 0, plan
+    for kwargs in ({}, {"agent": "bot/1.0", "group_cols": True}):
+        plan = plans.plan_string(robots_policy(urls, rdf, **kwargs))
+        assert "BroadcastHashJoin" in plan
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) == 0, plan
