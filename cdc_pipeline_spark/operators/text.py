@@ -175,16 +175,26 @@ def winnowing_fingerprints(
     )
 
 
-def strip_markup(text_col: str = "text") -> Column:
+_ENTITY_RE = r"&[a-zA-Z]{2,8};|&#[0-9]{1,6};"
+
+
+def _clean_markup(col: Column) -> Column:
+    """Tag strip + entity strip + whitespace collapse on a Column —
+    shared by :func:`strip_markup` and :func:`block_profile` so the
+    document-level and block-level cleanups cannot drift."""
+    no_tags = F.regexp_replace(col, r"<[^>]*>", " ")
+    no_ents = F.regexp_replace(no_tags, _ENTITY_RE, " ")
+    return F.trim(F.regexp_replace(no_ents, r"\s+", " "))
+
+
+def strip_markup(text_col: str | Column = "text") -> Column:
     """Remove HTML/XML tags and character entities, then normalize
     whitespace — the C4/CCNet pre-tokenization cleanup for web-crawled
     corpora. Pure JVM regexp (scan-parallel, no shuffle); the patterns
     (``<[^>]*>``, named ``&amp;``-style and numeric ``&#160;``-style
     entities) carry identical semantics in Java regex and RE2, so a SQL
     oracle replicates the cleanup byte-for-byte."""
-    no_tags = F.regexp_replace(F.col(text_col), r"<[^>]*>", " ")
-    no_ents = F.regexp_replace(no_tags, r"&[a-zA-Z]{2,8};|&#[0-9]{1,6};", " ")
-    return F.trim(F.regexp_replace(no_ents, r"\s+", " "))
+    return _clean_markup(F.col(text_col) if isinstance(text_col, str) else text_col)
 
 
 def markup_counts(text_col: str = "text") -> tuple[Column, Column]:
@@ -196,6 +206,141 @@ def markup_counts(text_col: str = "text") -> tuple[Column, Column]:
         F.regexp_extract_all(F.col(text_col), F.lit(r"&[a-zA-Z]{2,8};|&#[0-9]{1,6};"), F.lit(0))
     )
     return n_tags, n_ents
+
+
+# --- main-content / boilerplate extraction (jusText-style) ---------------
+#
+# Block-level tags delimit content units; <br> counts as a separator.
+# Non-capturing so neither Java's split nor RE2's emits group text.
+_BLOCK_TAG_RE = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|section|"
+    r"article|aside|header|footer|nav|main|blockquote|pre|form|figure|"
+    r"figcaption|br)\b[^>]*>"
+)
+# anchor inner text; (?is) so anchors spanning newlines count. Anchors
+# split across block boundaries (illegal nesting) contribute 0 — their
+# open/close tags land in different segments and the pattern can't match.
+_ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+# same stopword set as EN_STOPWORDS, as one word-boundary regex so both
+# engines count occurrences identically
+_STOPWORD_RE = r"\b(?:the|a|of|and|is)\b"
+
+BLOCK_MIN_WORDS = 8  # below this a block is 'short' (context decides)
+BLOCK_MAX_LINK_DENSITY = 1.0 / 3.0  # above this a block is boilerplate
+BLOCK_MIN_STOPWORD_DENSITY = 0.01  # long stopword-free text = listing/nav
+
+_PROFILE_TYPE = (
+    "array<struct<text:string, n_words:int, link_density:double, "
+    "stopword_density:double, cls:string>>"
+)
+
+
+def block_profile(html_col: str | Column) -> Column:
+    """Per-block content profile of an HTML document — the
+    jusText/Readability-style scoring pass (Pomikálek 2011's
+    link-density + stopword-density block classification, re-expressed
+    as column expressions). Splits on block-level tags, drops empty
+    blocks, and for each block computes the cleaned text, word count,
+    link density (anchor-text chars / text chars) and stopword
+    density, then classifies:
+
+    * ``bad``   — link density > 1/3 (nav/footer/link farms), or a
+      >= 8-word block with stopword density < 0.01 (keyword listings,
+      cookie banners);
+    * ``short`` — under 8 words: undetermined, resolved by neighbors
+      (:func:`kept_block_indices`);
+    * ``good``  — everything else.
+
+    Returns ``array<struct<text, n_words, link_density,
+    stopword_density, cls>>`` in document order. Pure JVM expressions
+    (split/transform/filter/regexp) — a 100 TB corpus scan stays
+    shuffle-free; every ratio is an exact int/int division so a SQL
+    oracle replays the classification bit-for-bit."""
+    col = F.col(html_col) if isinstance(html_col, str) else html_col
+    segs = F.split(col, _BLOCK_TAG_RE)
+    raw = F.transform(
+        segs,
+        lambda b: F.struct(
+            _clean_markup(b).alias("text"),
+            F.aggregate(
+                F.transform(
+                    F.regexp_extract_all(b, F.lit(_ANCHOR_RE), F.lit(1)),
+                    lambda a: F.length(_clean_markup(a)),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("link_chars"),
+        ),
+    )
+    nonempty = F.filter(raw, lambda s: s["text"] != "")
+
+    def profile(s: Column) -> Column:
+        tc = s["text"]
+        nw = F.size(F.filter(F.split(tc, " "), lambda w: w != ""))
+        sw = F.size(F.regexp_extract_all(F.lower(tc), F.lit(_STOPWORD_RE), F.lit(0)))
+        sd = sw / F.greatest(nw, F.lit(1))
+        ld = s["link_chars"] / F.greatest(F.length(tc), F.lit(1))
+        cls = (
+            F.when(ld > F.lit(BLOCK_MAX_LINK_DENSITY), "bad")
+            .when(nw < F.lit(BLOCK_MIN_WORDS), "short")
+            .when(sd >= F.lit(BLOCK_MIN_STOPWORD_DENSITY), "good")
+            .otherwise("bad")
+        )
+        return F.struct(
+            tc.alias("text"),
+            nw.alias("n_words"),
+            ld.alias("link_density"),
+            sd.alias("stopword_density"),
+            cls.alias("cls"),
+        )
+
+    return F.transform(nonempty, profile).cast(_PROFILE_TYPE)
+
+
+def kept_block_indices(profile_col: str | Column) -> Column:
+    """1-based indices of the blocks main-content keeps: every ``good``
+    block, plus ``short`` blocks with a ``good`` immediate neighbor
+    (jusText's neighbor smoothing — headings and one-liners between
+    paragraphs survive; isolated shorts in nav/footer runs don't)."""
+    prof = F.col(profile_col) if isinstance(profile_col, str) else profile_col
+    n = F.size(prof)
+    idxs = F.sequence(F.lit(1), n)
+    # F.get is 0-based and null-safe at both boundaries
+    good_at0 = lambda i0: F.coalesce(  # noqa: E731
+        F.get(prof, i0)["cls"] == "good", F.lit(False)
+    )
+    kept = F.filter(
+        idxs,
+        lambda i: (F.element_at(prof, i)["cls"] == "good")
+        | (
+            (F.element_at(prof, i)["cls"] == "short")
+            & (good_at0(i - 2) | good_at0(i))
+        ),
+    )
+    # sequence(1, 0) would count DOWN; guard the empty-profile case
+    return F.when(n >= 1, kept).otherwise(F.array().cast("array<int>"))
+
+
+def main_content(html_col: str | Column) -> Column:
+    """Main content of an HTML document: the kept blocks' cleaned text,
+    space-joined in document order. The one-expression form of
+    :func:`block_profile` + :func:`kept_block_indices` — callers that
+    also want the per-block profile should materialize
+    ``block_profile`` in a projection once and derive both (HOF
+    subtrees are interpreted; see urls.canonicalize_url's note)."""
+    return main_content_from_profile(block_profile(html_col))
+
+
+def main_content_from_profile(profile_col: str | Column) -> Column:
+    """Space-joined kept-block text from a materialized
+    :func:`block_profile` column."""
+    prof = F.col(profile_col) if isinstance(profile_col, str) else profile_col
+    return F.array_join(
+        F.transform(
+            kept_block_indices(prof), lambda i: F.element_at(prof, i)["text"]
+        ),
+        " ",
+    )
 
 
 def adjacent_grams(toks_col: Column) -> Column:

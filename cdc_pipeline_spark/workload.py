@@ -6673,6 +6673,137 @@ def doc_robots_agent_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _main_content_oracle_sql() -> str:
+    """DuckDB replica of the jusText-style block scorer
+    (`operators/text.py:block_profile`): replays block splitting,
+    per-block cleanup, link/stopword densities, the bad/short/good
+    classification, and neighbor smoothing rule for rule on the SAME
+    synthesized page HTML (analytic-oracle pattern — the fixture
+    guarantees both sides parse identical strings)."""
+    return r"""
+    WITH h AS (
+        SELECT doc_id,
+               '<nav><a href="/a">key filter scan</a> <a href="/b">table row</a></nav>' ||
+               '<div>cookie consent banner settings accept policy options data terms notice</div>' ||
+               '<h1>' || substr(text, 1, 12) || '</h1>' ||
+               '<p>' || substr(text, 1, length(text) // 2) || '</p>' ||
+               '<p>see more</p>' ||
+               '<p>' || substr(text, length(text) // 2 + 1) ||
+               ' <a href="/l">details ' || substr(text, 1, 10) ||
+               '</a> tail words here</p>' ||
+               '<footer><a href="/about">about us</a> <a href="/c">contact</a></footer>'
+                   AS html
+        FROM documents),
+    segs AS (
+        SELECT doc_id, regexp_split_to_array(html,
+            '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|section|article|aside|header|footer|nav|main|blockquote|pre|form|figure|figcaption|br)\b[^>]*>')
+            AS raw
+        FROM h),
+    blk AS (
+        SELECT doc_id,
+               list_filter(list_transform(raw, b -> struct_pack(
+                   text := trim(regexp_replace(regexp_replace(regexp_replace(b,
+                           '<[^>]*>', ' ', 'g'),
+                           '&[a-zA-Z]{2,8};|&#[0-9]{1,6};', ' ', 'g'),
+                           '\s+', ' ', 'g')),
+                   link_chars := coalesce(list_sum(list_transform(
+                       regexp_extract_all(b, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+                       a -> length(trim(regexp_replace(regexp_replace(regexp_replace(a,
+                            '<[^>]*>', ' ', 'g'),
+                            '&[a-zA-Z]{2,8};|&#[0-9]{1,6};', ' ', 'g'),
+                            '\s+', ' ', 'g'))))), 0))),
+                 s -> s['text'] <> '') AS bs
+        FROM segs),
+    cls AS (
+        SELECT doc_id, list_transform(bs, s -> struct_pack(
+                   text := s['text'],
+                   cls := CASE
+                       WHEN s['link_chars'] / greatest(length(s['text']), 1)
+                            > 1.0/3.0 THEN 'bad'
+                       WHEN len(list_filter(str_split(s['text'], ' '),
+                                w -> w <> '')) < 8 THEN 'short'
+                       WHEN len(regexp_extract_all(lower(s['text']),
+                                '\b(?:the|a|of|and|is)\b'))
+                            / greatest(len(list_filter(str_split(s['text'], ' '),
+                                       w -> w <> '')), 1) >= 0.01 THEN 'good'
+                       ELSE 'bad' END)) AS c
+        FROM blk),
+    kept AS (
+        SELECT doc_id, c,
+               list_filter(generate_series(1, len(c)),
+                    i -> c[i]['cls'] = 'good'
+                         OR (c[i]['cls'] = 'short'
+                             AND (coalesce(c[i-1]['cls'], '') = 'good'
+                                  OR coalesce(c[i+1]['cls'], '') = 'good'))) AS ki
+        FROM cls)
+    SELECT doc_id,
+           CAST(len(c) AS BIGINT) AS n_blocks,
+           CAST(len(list_filter(c, s -> s['cls'] = 'good')) AS BIGINT) AS n_good,
+           CAST(len(ki) AS BIGINT) AS n_kept,
+           -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+           -- array_join([]) is '' — empty extraction must agree
+           coalesce(array_to_string(list_transform(ki, i -> c[i]['text']), ' '), '')
+               AS main_content,
+           CAST(coalesce(length(array_to_string(
+                    list_transform(ki, i -> c[i]['text']), ' ')), 0)
+                AS BIGINT) AS content_len
+    FROM kept
+    """
+
+
+@register("doc_main_content", _main_content_oracle_sql())
+def doc_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content / boilerplate extraction over the corpus
+    (`operators/text.py:block_profile` — jusText-style block scoring):
+    each document is wrapped in the canonical crawled-page shell — a
+    link-farm nav, a stopword-free cookie banner, a short heading, the
+    doc's first half as one paragraph, a 2-word connective block, the
+    second half with an inline anchor, and a link-only footer — and
+    the extractor must keep exactly the content blocks (plus the
+    neighbor-smoothed shorts) and drop the boilerplate. Short docs
+    whose halves fall under the 8-word floor legitimately extract
+    nothing. Per doc: block/good/kept counts, the extracted text, and
+    its length. Scan-parallel column expressions — zero shuffles (the
+    extraction is a projection); the DuckDB oracle replays splitting,
+    cleaning, densities, classification, and smoothing rule for
+    rule."""
+    from cdc_pipeline_spark.operators.text import (
+        block_profile,
+        kept_block_indices,
+        main_content_from_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    half = (F.length(t) / 2).cast("int")
+    html = F.concat(
+        F.lit('<nav><a href="/a">key filter scan</a> <a href="/b">table row</a></nav>'),
+        F.lit("<div>cookie consent banner settings accept policy options data terms notice</div>"),
+        F.lit("<h1>"), t.substr(F.lit(1), F.lit(12)), F.lit("</h1>"),
+        F.lit("<p>"), t.substr(F.lit(1), half), F.lit("</p>"),
+        F.lit("<p>see more</p>"),
+        F.lit("<p>"), t.substr(half + 1, F.length(t)),
+        F.lit(' <a href="/l">details '), t.substr(F.lit(1), F.lit(10)),
+        F.lit("</a> tail words here</p>"),
+        F.lit('<footer><a href="/about">about us</a> <a href="/c">contact</a></footer>'),
+    )
+    prof = F.col("__prof")
+    return (
+        docs.withColumn("__html", html)
+        .withColumn("__prof", block_profile("__html"))
+        .select(
+            "doc_id",
+            F.size(prof).cast("long").alias("n_blocks"),
+            F.size(F.filter(prof, lambda b: b["cls"] == "good"))
+            .cast("long")
+            .alias("n_good"),
+            F.size(kept_block_indices(prof)).cast("long").alias("n_kept"),
+            main_content_from_profile(prof).alias("main_content"),
+        )
+        .withColumn("content_len", F.length("main_content").cast("long"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50
 # registered queries per round (CORRECTNESS_r01 stopped at entry 50 of 81).

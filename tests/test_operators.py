@@ -1154,6 +1154,71 @@ def test_strip_markup_planted_html(spark):
     assert rows[1] == ("plain text no markup", 0, 0)
 
 
+def test_block_profile_main_content_fixture_battery(spark):
+    """jusText-style extraction on the canonical crawled-page shapes:
+    link-farm nav and footer drop, a stopword-free cookie banner drops,
+    body paragraphs survive (inline links included under the 1/3 link
+    density), and short blocks live or die by their neighbors."""
+    from cdc_pipeline_spark.operators.text import (
+        block_profile,
+        kept_block_indices,
+        main_content,
+    )
+
+    body1 = "the quick brown fox jumps over a lazy dog of the north and is happy"
+    html = (
+        '<nav><a href="/a">home page</a> <a href="/b">all products</a></nav>'
+        "<div>cookie consent banner settings accept policy options data terms notice</div>"
+        "<h1>fox report</h1>"
+        f"<p>{body1}</p>"
+        "<p>see more</p>"
+        f'<p>{body1} <a href="/l">tiny link</a> and the tail is here now ok</p>'
+        '<footer><a href="/about">about us</a> <a href="/c">contact</a></footer>'
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    row = df.select(
+        block_profile("html").alias("prof"),
+        main_content("html").alias("content"),
+    ).collect()[0]
+    cls = [(b.text[:18], b.cls) for b in row.prof]
+    assert cls[0] == ("home page all prod", "bad")  # link density 1.0
+    assert cls[1][1] == "bad"  # 10 words, zero stopwords
+    assert cls[2] == ("fox report", "short")
+    assert cls[3][1] == "good"
+    assert cls[4] == ("see more", "short")
+    assert cls[5][1] == "good"  # inline link below 1/3 density
+    assert cls[6][1] == "bad"  # footer link farm
+    # kept: h1 (good neighbor after), body1, see-more, body2
+    kept = df.select(kept_block_indices(block_profile("html")).alias("k")).collect()[0].k
+    assert list(kept) == [3, 4, 5, 6]
+    assert row.content.startswith("fox report " + body1 + " see more")
+    assert row.content.endswith("and the tail is here now ok")
+    assert "cookie" not in row.content and "about us" not in row.content
+    # isolated short between two bads is dropped; empty doc -> ''
+    html2 = '<nav><a href="/x">one two</a></nav><h1>lonely heading</h1><footer><a href="/y">by</a></footer>'
+    out2 = spark.createDataFrame([(2, html2), (3, "")], "doc_id long, html string").select(
+        "doc_id", main_content("html").alias("c")
+    ).collect()
+    got = {r.doc_id: r.c for r in out2}
+    assert got[2] == "" and got[3] == ""
+
+
+def test_block_profile_plan_is_shuffle_free(spark):
+    """The extraction is a pure projection — zero Exchange nodes on a
+    corpus scan."""
+    import re
+
+    from cdc_pipeline_spark import plans
+    from cdc_pipeline_spark.operators.text import block_profile, main_content_from_profile
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
+    out = df.withColumn("prof", block_profile("html")).select(
+        "doc_id", F.size("prof").alias("n"), main_content_from_profile("prof").alias("c")
+    )
+    plan = plans.plan_string(out)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) == 0, plan
+
+
 def test_kcenter_greedy_spreads_across_planted_blobs(spark):
     """Three well-separated direction blobs: the first three selections
     must cover all three blobs (that is the k-center guarantee), and the
