@@ -286,6 +286,31 @@ def main() -> None:
         print(f"# simhash_pairs: {sh_entry}", flush=True)
         base_sh.unpersist()
         big_sh.unpersist()
+    # Perceptual-hash image near-dup (r10): the SAME banded join as
+    # SimHash (dedup.hamming_banded_pairs), driven by REAL 8x8 PNG
+    # payloads through the Arrow decode path. Candidate volume at the
+    # capped scale config must stay linear — identical contract to
+    # simhash_candidates_scalecfg; replicas land in the same 97 groups,
+    # so bucket occupancy grows linearly and the cap bounds C(cap,2).
+    from cdc_pipeline_spark.operators.dedup import hamming_banded_pairs
+    from cdc_pipeline_spark.operators.multimodal import image_phash
+    from cdc_pipeline_spark.workload import phash_fixture_payloads
+
+    def phash_candidates(docs_df):
+        hashed = image_phash(phash_fixture_payloads(docs_df))
+        return hamming_banded_pairs(
+            hashed, sig_col="ahash", bits=64, bands=4,
+            max_hamming=3, max_bucket=64, verify=False,
+        ).count()
+
+    family(
+        "phash_candidates_scalecfg",
+        lambda: phash_candidates(base_docs),
+        lambda: phash_candidates(big_docs),
+        exact_linear=False,
+        note="banded image-hash candidates at the capped scale config",
+        max_count_ratio=REPS * 2.0,
+    )
     family(
         "snm_pairs",
         lambda: sorted_neighborhood_pairs(base_docs).count(),

@@ -850,6 +850,41 @@ def simhash_pairs(
     scale harness uses it to assert candidate volume (what the banding
     actually exchanges) separately from emitted-pair volume (which may
     legitimately grow superlinearly when near-dup clusters densify)."""
+    sig = simhash_signatures(df, id_col, text_col, bits, token_hash=token_hash)
+    return hamming_banded_pairs(
+        sig,
+        id_col="doc_id",
+        sig_col="simhash",
+        bits=bits,
+        bands=bands,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+        verify=verify,
+        what="simhash chunk",
+    )
+
+
+def hamming_banded_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = SIMHASH_DEFAULT_MAX_BUCKET,
+    verify: bool = True,
+    what: str = "hamming chunk",
+) -> DataFrame:
+    """Near-dup pairs of ANY packed bit signature (SimHash, perceptual
+    image aHash/dHash, …) by banded Hamming join: split the signature
+    into ``bands`` chunks, join on chunk equality (pigeonhole: hamming
+    <= bands-1 guarantees an identical chunk), verify with
+    ``bit_count(xor) <= max_hamming``. This is :func:`simhash_pairs`'s
+    engine, factored out so every 64-bit-signature family shares ONE
+    banding implementation — including the ``max_bucket`` linear rail
+    and its measured scale contract (see simhash_pairs' docstring; the
+    cap, recall trade, and WARNING logging apply verbatim here).
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
     chunk = bits // bands
     if chunk > 62:
         raise ValueError(
@@ -857,10 +892,12 @@ def simhash_pairs(
             "literal — use at least 2 bands for 64-bit signatures"
         )
     mask = (1 << chunk) - 1
-    sig = simhash_signatures(df, id_col, text_col, bits, token_hash=token_hash)
-    banded = sig.select(
+    # two projections: the explode must not lateral-reference an alias
+    # minted in its own select list
+    base = sig.select(F.col(id_col).alias("doc_id"), F.col(sig_col).alias("__sig"))
+    banded = base.select(
         "doc_id",
-        "simhash",
+        "__sig",
         F.explode(
             F.array(
                 *[
@@ -870,7 +907,7 @@ def simhash_pairs(
                         # set is a negative long, and an arithmetic
                         # shift would smear sign bits into every high
                         # chunk (cross-band bucket corruption)
-                        F.shiftrightunsigned(F.col("simhash"), b * chunk)
+                        F.shiftrightunsigned(F.col("__sig"), b * chunk)
                         .bitwiseAND(F.lit(mask))
                         .alias("chunk"),
                     )
@@ -878,8 +915,8 @@ def simhash_pairs(
                 ]
             )
         ).alias("bc"),
-    ).select("doc_id", "simhash", "bc.band", "bc.chunk")
-    banded = prune_hot_buckets(banded, ["band", "chunk"], max_bucket, what="simhash chunk")
+    ).select("doc_id", "__sig", "bc.band", "bc.chunk")
+    banded = prune_hot_buckets(banded, ["band", "chunk"], max_bucket, what=what)
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(r, ["band", "chunk"])
@@ -887,7 +924,7 @@ def simhash_pairs(
         .select(
             F.col("l.doc_id").alias("id_a"),
             F.col("r.doc_id").alias("id_b"),
-            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+            F.bit_count(F.col("l.__sig").bitwiseXOR(F.col("r.__sig"))).alias("hamming"),
         )
     )
     if not verify:

@@ -226,6 +226,54 @@ def resize_nearest(pixels: "np.ndarray", width: int, height: int) -> "np.ndarray
     return pixels[ys][:, xs]
 
 
+def gray_u8(pixels: "np.ndarray") -> "np.ndarray":
+    """Integer ITU-R BT.601 luma: (299 R + 587 G + 114 B) // 1000 as
+    uint8 — exact integer arithmetic so every engine (and a SQL oracle)
+    reproduces the grayscale bit-for-bit; for r=g=b inputs it is the
+    identity. Single-channel inputs pass through."""
+    if pixels.ndim == 2 or pixels.shape[2] == 1:
+        return pixels.reshape(pixels.shape[0], pixels.shape[1]).astype(np.uint8)
+    p = pixels.astype(np.int64)
+    return (
+        (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) // 1000
+    ).astype(np.uint8)
+
+
+def _pack_bits64(bits: "np.ndarray") -> int:
+    """Row-major 64 booleans -> signed 64-bit int (bit i = element i;
+    bit 63 via the two's-complement offset so the value fits a jlong —
+    same packing rule as dedup.simhash_signatures)."""
+    flat = bits.ravel()
+    out = 0
+    for i in range(63):
+        if flat[i]:
+            out |= 1 << i
+    if flat[63]:
+        out += -(1 << 63)
+    return out
+
+
+def ahash64(pixels: "np.ndarray") -> int:
+    """Average hash (aHash): grayscale -> nearest-neighbor 8x8 ->
+    threshold each cell against the mean -> 64-bit signature (row-major,
+    bit i = cell i, signed long). The threshold is the EXACT integer
+    comparison ``64 * cell > sum(cells)`` — no float mean, so the bit
+    pattern is bit-stable across engines and replayable in SQL. Two
+    images within a few flipped bits are perceptual near-duplicates
+    (same banding math as text SimHash)."""
+    g = resize_nearest(gray_u8(pixels)[:, :, None], 8, 8)[:, :, 0].astype(np.int64)
+    return _pack_bits64(64 * g > g.sum())
+
+
+def dhash64(pixels: "np.ndarray") -> int:
+    """Difference hash (dHash): grayscale -> nearest-neighbor 9x8 ->
+    bit (y, x) = cell(y, x+1) > cell(y, x) over the 8x8 differences
+    (row-major, signed long). Gradient-based, so it is robust to
+    uniform brightness shifts that move every aHash cell together."""
+    g = resize_nearest(gray_u8(pixels)[:, :, None], 9, 8)[:, :, 0].astype(np.int64)
+    return _pack_bits64(g[:, 1:] > g[:, :-1])
+
+
 def image_feature(pixels: "np.ndarray", dim: int = 8) -> list[float]:
     """Deterministic low-dim image descriptor: per-channel mean and std
     over the first channels, padded with (h, w) aspect terms — enough

@@ -151,6 +151,49 @@ def extract_features(
     return narrow.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def image_phash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual 64-bit hashes over binary image payloads: decode
+    (PNG/BMP/JPEG/GIF sniff) and compute aHash + dHash
+    (``imaging.ahash64``/``dhash64``) in ONE Arrow pass — payload bytes
+    cross the JVM->Python boundary exactly once, corrupt payloads are
+    quarantined out (ValueError -> dropped row, never a dead worker).
+    Returns (doc_id, ahash long, dhash long); feed either column to
+    :func:`dedup.hamming_banded_pairs` for image near-dup — the same
+    banded linear-rail join SimHash uses."""
+    from cdc_pipeline_spark.operators.imaging import ahash64, decode_image_any, dhash64
+    from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as spread
+
+    narrow = spread(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            batch = batch[batch["payload"].notna()]
+            ids, ahs, dhs = [], [], []
+            for doc_id, p in zip(batch["doc_id"], batch["payload"]):
+                try:
+                    pixels = decode_image_any(bytes(p))
+                except ValueError:
+                    continue  # quarantine: undecodable payload
+                ids.append(doc_id)
+                ahs.append(ahash64(pixels))
+                dhs.append(dhash64(pixels))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "ahash": pd.Series(ahs, dtype="int64"),
+                    "dhash": pd.Series(dhs, dtype="int64"),
+                }
+            )
+
+    return narrow.mapInPandas(run, "doc_id long, ahash long, dhash long")
+
+
 # ---------------------------------------------------------------------------
 # Additional media stages: resize and frame sampling. Same deal as the
 # decoder — deterministic byte-level stand-ins behind the real Arrow/

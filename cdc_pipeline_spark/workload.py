@@ -6804,6 +6804,135 @@ def doc_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def phash_fixture_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) PNG fixture for the perceptual-hash family:
+    a deterministic 8x8 black/white image per doc — group pattern
+    g = doc_id % 97 (cell 0 forced dark, cell 63 forced light, so the
+    aHash threshold bits are exactly the light cells), variant
+    v = (doc_id // 97) % 4 flips cells 1+g%61 / 2+g%61. Shared by the
+    `multimodal_phash_neardup` oracle query and the scale harness
+    (`bench_scale.py`) so the two can never drift."""
+    import pyarrow as pa
+
+    def gen(batches):
+        import numpy as np
+
+        from cdc_pipeline_spark.operators.imaging import encode_png
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            payloads = []
+            for doc_id in ids:
+                g, v = doc_id % 97, (doc_id // 97) % 4
+                img = np.zeros((8, 8, 3), dtype=np.uint8)
+                for i in range(64):
+                    base = 0 if i == 0 else 1 if i == 63 else ((g * 40503 + i * 2654435761) % 97) % 2
+                    f1 = 1 if (i == 1 + g % 61 and v % 2 == 1) else 0
+                    f2 = 1 if (i == 2 + g % 61 and v >= 2) else 0
+                    if (base + f1 + f2) % 2:
+                        img[i // 8, i % 8] = 255
+                payloads.append(encode_png(img))
+            yield pa.RecordBatch.from_pydict({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInArrow(gen, "doc_id long, payload binary")
+
+
+def _phash_oracle_sql() -> str:
+    """ANALYTIC oracle for the perceptual-hash near-dup chain: the SQL
+    computes each doc's aHash/dHash straight from the image-synthesis
+    formula (it never sees a PNG), brute-forces every pair, and keeps
+    hamming(ahash) <= 3 — so a hash-green row proves encode ->
+    decode -> grayscale -> 8x8 threshold -> 64-bit pack -> banded
+    Hamming join is the identity on the planted bit patterns (the
+    engine's banding with 4 bands is pigeonhole-EXACT at hamming <= 3,
+    so brute force and banded enumeration must agree)."""
+    return r"""
+    WITH d AS (SELECT doc_id, doc_id % 97 AS g, (doc_id // 97) % 4 AS v
+               FROM documents),
+    lit AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 63), i ->
+                   (CASE WHEN i = 0 THEN 0 WHEN i = 63 THEN 1
+                         ELSE ((g * 40503 + i * 2654435761) % 97) % 2 END
+                    + CASE WHEN i = 1 + g % 61 AND v % 2 = 1 THEN 1 ELSE 0 END
+                    + CASE WHEN i = 2 + g % 61 AND v >= 2 THEN 1 ELSE 0 END
+                   ) % 2) AS lb
+        FROM d),
+    hs AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(generate_series(0, 63), i ->
+                   CASE WHEN lb[i+1] = 1 THEN
+                       CASE WHEN i = 63 THEN -9223372036854775807 - 1
+                            ELSE (1::BIGINT << i) END
+                   ELSE 0 END)) AS BIGINT) AS ahash,
+               -- dHash bit i (x = i%8): nearest 8->9 upscale duplicates
+               -- column 0, so x=0 is never set; else set iff cell light
+               -- and left neighbor dark
+               CAST(list_sum(list_transform(generate_series(0, 63), i ->
+                   CASE WHEN (i % 8) >= 1 AND lb[i+1] = 1 AND lb[i] = 0 THEN
+                       CASE WHEN i = 63 THEN -9223372036854775807 - 1
+                            ELSE (1::BIGINT << i) END
+                   ELSE 0 END)) AS BIGINT) AS dhash
+        FROM lit),
+    pr AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib,
+               bit_count(xor(a.ahash, b.ahash)) AS hamming,
+               bit_count(xor(a.dhash, b.dhash)) AS dhamming
+        FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= 3)
+    SELECT CAST(hamming AS BIGINT) AS hamming,
+           CAST(dhamming AS BIGINT) AS dhamming,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(ia) AS BIGINT) AS sum_id_a,
+           CAST(sum(ib) AS BIGINT) AS sum_id_b
+    FROM pr GROUP BY hamming, dhamming
+    """
+
+
+@register("multimodal_phash_neardup", _phash_oracle_sql())
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup (`operators/imaging.py:ahash64/dhash64`
+    + `multimodal.image_phash` + `dedup.hamming_banded_pairs`): each doc
+    synthesizes a deterministic 8x8 black/white PNG — 25%-ish of a
+    per-group base pattern (g = doc_id % 97, always >= 1 light and >= 1
+    dark cell) with a per-variant 0-2 bit perturbation (v = (doc_id //
+    97) % 4 flips cells f1/f2) — so intra-group images sit at hamming
+    0-2 on aHash and inter-group images are far. The REAL pipeline
+    runs: PNG encode -> Arrow image_phash decode (quarantine path) ->
+    banded Hamming self-join on the ahash column (4 bands, pigeonhole-
+    exact at max_hamming 3, max_bucket=None for oracle replay) -> dHash
+    distance attached via two broadcast joins. Output per (hamming,
+    dhamming): pair count + id sums. The 100 TB shape swaps
+    max_bucket=None for the measured linear rail
+    (SIMHASH_DEFAULT_MAX_BUCKET) — same contract as text SimHash."""
+    from cdc_pipeline_spark.operators.dedup import hamming_banded_pairs
+    from cdc_pipeline_spark.operators.multimodal import image_phash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hashed = image_phash(phash_fixture_payloads(docs))
+    pairs = hamming_banded_pairs(
+        hashed, sig_col="ahash", bits=64, bands=4, max_hamming=3, max_bucket=None
+    )
+    a = hashed.select(F.col("doc_id").alias("id_a"), F.col("dhash").alias("__dh_a"))
+    b = hashed.select(F.col("doc_id").alias("id_b"), F.col("dhash").alias("__dh_b"))
+    enriched = pairs.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+    dham = F.bit_count(F.col("__dh_a").bitwiseXOR(F.col("__dh_b")))
+    return (
+        enriched.select(
+            F.col("hamming").cast("long").alias("hamming"),
+            dham.cast("long").alias("dhamming"),
+            "id_a",
+            "id_b",
+        )
+        .groupBy("hamming", "dhamming")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("id_a").cast("long").alias("sum_id_a"),
+            F.sum("id_b").cast("long").alias("sum_id_b"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50
 # registered queries per round (CORRECTNESS_r01 stopped at entry 50 of 81).

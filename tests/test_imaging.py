@@ -793,3 +793,80 @@ def test_gif_max_frames_matches_full_decode_prefix():
     first = decode_gif_frames(payload, max_frames=1)
     assert len(first) == 1
     assert np.array_equal(first[0][0], full[0][0]) and first[0][1] == full[0][1]
+
+
+def _planted_8x8(light_positions):
+    """8x8 RGB image: 255 at the given row-major positions, 0 elsewhere."""
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    for i in light_positions:
+        img[i // 8, i % 8] = 255
+    return img
+
+
+def test_ahash64_bits_are_light_positions():
+    """For a 0/255 image with 1..63 light cells the exact-integer
+    threshold (64*cell > sum) makes aHash bits == light positions —
+    including bit 63 via the two's-complement offset."""
+    from cdc_pipeline_spark.operators.imaging import ahash64
+
+    light = {0, 9, 18, 27, 63}
+    h = ahash64(_planted_8x8(light))
+    got = {i for i in range(64) if (h >> i) & 1}
+    assert got == light
+    assert h < 0  # bit 63 set -> negative long
+    # scale invariance: 16x16 block-upscale resolves to the same hash
+    img16 = np.kron(_planted_8x8(light), np.ones((2, 2, 1), dtype=np.uint8)).astype(np.uint8)
+    # np.kron on the channel axis needs care: rebuild explicitly
+    img16 = _planted_8x8(light).repeat(2, axis=0).repeat(2, axis=1)
+    assert ahash64(img16) == h
+
+
+def test_dhash64_gradient_bits_and_brightness_invariance():
+    from cdc_pipeline_spark.operators.imaging import ahash64, dhash64
+
+    light = {1, 2, 10, 63}
+    img = _planted_8x8(light)
+    h = dhash64(img)
+    got = {i for i in range(64) if ((h >> i) & 1) if i != 63} | ({63} if h < 0 else set())
+    # dHash bit (y,x) with nearest 8->9 upscale: x=0 never set; else
+    # set iff cell(y,x) light and cell(y,x-1) dark
+    want = {
+        y * 8 + x
+        for y in range(8)
+        for x in range(1, 8)
+        if (y * 8 + x in light) and (y * 8 + x - 1 not in light)
+    }
+    assert got == want
+    # uniform brightness shift preserves both hashes (gradients and
+    # the mean shift together)
+    brighter = np.clip(img.astype(np.int32) + 20, 0, 255).astype(np.uint8)
+    assert dhash64(brighter) == h
+    assert ahash64(brighter) == ahash64(img)
+
+
+def test_image_phash_quarantine_and_banded_neardup(spark):
+    """image_phash decodes real payloads (PNG here), quarantines the
+    corrupt one, and hamming_banded_pairs on the ahash column finds
+    exactly the planted near-dup pair."""
+    from cdc_pipeline_spark.operators.dedup import hamming_banded_pairs
+    from cdc_pipeline_spark.operators.imaging import encode_png
+    from cdc_pipeline_spark.operators.multimodal import image_phash
+
+    base = {5, 12, 23, 34, 45, 56, 60, 61}
+    near = base ^ {12, 13}  # hamming 2 from base
+    far = {i for i in range(64) if i % 3 == 0}
+    rows = [
+        (1, bytearray(encode_png(_planted_8x8(base)))),
+        (2, bytearray(encode_png(_planted_8x8(near)))),
+        (3, bytearray(encode_png(_planted_8x8(far)))),
+        (4, bytearray(b"not an image at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashed = image_phash(df)
+    got = {r.doc_id: (r.ahash, r.dhash) for r in hashed.collect()}
+    assert set(got) == {1, 2, 3}  # doc 4 quarantined
+    assert bin(got[1][0] ^ got[2][0]).count("1") == 2
+    pairs = hamming_banded_pairs(
+        hashed, sig_col="ahash", bits=64, bands=4, max_hamming=3, max_bucket=None
+    ).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 2)]
