@@ -32,6 +32,8 @@ suffixes) — pass the published PSL file's lines for complete coverage.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -110,16 +112,27 @@ MULTI_LABEL_TLDS = (
 # PSL_RULES below is a curated SNAPSHOT in the PSL's own line format
 # (documented subset: the full MULTI_LABEL_TLDS table, the classic
 # wildcard/exception ccTLD rules, and high-volume private-section
-# suffixes); ``parse_psl_rules`` accepts the complete published file
-# verbatim — pass its lines to ``registered_domain_psl(rules=...)`` at
-# deploy time for full coverage. Single-sourced into the SQL oracle
-# like MULTI_LABEL_TLDS.
+# suffixes). It remains the rule set of the ORACLE-PORTABLE queries
+# (the DuckDB side replays it verbatim as a VALUES list).
+#
+# The FULL published list is vendored at
+# ``cdc_pipeline_spark/data/public_suffix_list.dat`` (the Mozilla
+# Public Suffix List, MPL 2.0 — attribution header kept in the file;
+# snapshot from the Debian ``publicsuffix`` package, 20230209) and is
+# the DEFAULT for ``psl_rules_df`` / ``registered_domain_psl`` /
+# ``domain_cap(psl=True)``: ~9.5k rules group into ~1.5k broadcast
+# rows. ``parse_psl_rules`` accepts either form verbatim.
 # ---------------------------------------------------------------------------
 
 PSL_RULES: tuple[str, ...] = (
-    # wildcard + exception ccTLD rules (the PSL's canonical examples)
+    # wildcard + exception ccTLD rules (the PSL's canonical examples).
+    # bn dropped its wildcard in the published list (explicit entries
+    # below); *.sch.uk is a wildcard there (each LEA label is itself a
+    # public suffix) — both mirrored so the curated subset resolves
+    # identically to the vendored snapshot (property-tested).
     "*.ck", "!www.ck",
-    "*.bn", "*.er", "*.fk", "*.mm", "*.pg",
+    "com.bn", "edu.bn", "gov.bn", "net.bn", "org.bn",
+    "*.er", "*.fk", "*.mm", "*.pg", "*.sch.uk",
     "*.kawasaki.jp", "!city.kawasaki.jp",
     "*.kitakyushu.jp", "!city.kitakyushu.jp",
     "*.kobe.jp", "!city.kobe.jp",
@@ -133,7 +146,7 @@ PSL_RULES: tuple[str, ...] = (
     "herokuapp.com", "netlify.app", "vercel.app", "web.app",
     "firebaseapp.com", "azurewebsites.net", "cloudfront.net",
     "s3.amazonaws.com", "pages.dev", "workers.dev", "onrender.com",
-    "readthedocs.io", "neocities.org",
+    "readthedocs.io",
 ) + MULTI_LABEL_TLDS
 
 
@@ -161,12 +174,32 @@ def parse_psl_rules(lines) -> list[tuple[str, int, bool, bool]]:
     return out
 
 
+_PSL_SNAPSHOT_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(__file__)), "data", "public_suffix_list.dat"
+)
+_PSL_SNAPSHOT_CACHE: tuple[str, ...] | None = None
+
+
+def load_psl_snapshot() -> tuple[str, ...]:
+    """Lines of the vendored full Public Suffix List snapshot
+    (``data/public_suffix_list.dat``, MPL 2.0 — see the file's
+    attribution header). Read once per process; ``parse_psl_rules``
+    consumes the published format verbatim."""
+    global _PSL_SNAPSHOT_CACHE
+    if _PSL_SNAPSHOT_CACHE is None:
+        with open(_PSL_SNAPSHOT_PATH, encoding="utf-8") as fh:
+            _PSL_SNAPSHOT_CACHE = tuple(fh.read().splitlines())
+    return _PSL_SNAPSHOT_CACHE
+
+
 def psl_rules_df(spark, rules=None) -> DataFrame:
     """PSL rules grouped by their LAST label (the broadcast-join
     anchor): one row per TLD with an array of rule structs. Built
-    driver-side from the static tuple — no shuffle anywhere. ~10k rules
-    group into ~1.5k rows; broadcast size is a few hundred KB."""
-    parsed = parse_psl_rules(PSL_RULES if rules is None else rules)
+    driver-side, no shuffle anywhere. ``rules=None`` loads the FULL
+    vendored snapshot (:func:`load_psl_snapshot` — ~9.5k rules into
+    ~1.5k grouped rows, a few hundred KB broadcast); pass the curated
+    ``PSL_RULES`` tuple for the oracle-portable subset."""
+    parsed = parse_psl_rules(load_psl_snapshot() if rules is None else rules)
     by_tld: dict[str, list] = {}
     for suffix, n_labels, wildcard, exception in parsed:
         by_tld.setdefault(suffix.rsplit(".", 1)[-1], []).append(
@@ -188,6 +221,10 @@ def registered_domain_psl(
 ) -> DataFrame:
     """Registrable domain under full PSL semantics (wildcard and
     exception rules): adds ``out_col`` next to the existing columns.
+    ``rules=None`` uses the vendored full snapshot (see
+    :func:`psl_rules_df`); oracle-portable queries pass the curated
+    ``PSL_RULES`` explicitly so the SQL side replays the exact rule
+    set.
 
     Plan shape: ONE BroadcastHashJoin of the host's last label against
     the tiny grouped rule table (no shuffle — the build side is

@@ -6196,6 +6196,7 @@ def doc_psl_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped rule table, prevailing-rule resolution entirely in-row —
     no shuffle beyond the final rollup. The DuckDB oracle replays the
     PSL algorithm from the same single-sourced rule tuple."""
+    from cdc_pipeline_spark.operators.urls import PSL_RULES as _PSL
     from cdc_pipeline_spark.operators.urls import registered_domain_psl
 
     docs = _t(spark, sf_dir, "documents")
@@ -6214,7 +6215,11 @@ def doc_psl_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("city.kawasaki.jp"))
     )
     tagged = registered_domain_psl(
-        docs.select("doc_id", host.alias("host")), "host", "domain"
+        # rules=PSL_RULES: the oracle replays the curated snapshot
+        # verbatim, so the engine must run the same set (the DEFAULT is
+        # the full vendored list — agreement on these suffixes is
+        # property-tested in test_operators.py)
+        docs.select("doc_id", host.alias("host")), "host", "domain", rules=_PSL
     )
     return tagged.groupBy("domain").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -2800,6 +2800,48 @@ def test_registered_domain_psl_rule_classes(spark):
         assert got[i] == want, f"{h}: got {got[i]!r}, want {want!r}"
 
 
+def test_psl_snapshot_loads_and_agrees_with_curated_subset(spark):
+    """Directive r9 #7: the vendored full PSL snapshot is the default
+    rule set; on every curated-subset suffix the two rule sets must
+    give the same registrable domain (the curated set is a subset of
+    the published list, so disagreement would mean the snapshot or the
+    resolver regressed). Also pins snapshot shape and broadcast size."""
+    from cdc_pipeline_spark.operators.urls import (
+        PSL_RULES,
+        load_psl_snapshot,
+        parse_psl_rules,
+        psl_rules_df,
+        registered_domain_psl,
+    )
+
+    snap = load_psl_snapshot()
+    parsed = parse_psl_rules(snap)
+    assert len(parsed) > 9000, "full snapshot should carry ~9.5k rules"
+    assert snap[0].startswith("// This Source Code Form"), "keep the MPL header"
+    # NOTE: literal membership is NOT the invariant — the snapshot
+    # covers some curated 2-label ccTLD entries via wildcards (*.bd
+    # subsumes com.bd). The real property is resolution agreement on
+    # every curated suffix, probed below.
+    # one probe host per curated suffix (plus the exception hosts):
+    # resolution must agree between rules=PSL_RULES and the default
+    hosts = []
+    for s, _n, wildcard, exception in parse_psl_rules(PSL_RULES):
+        if exception:
+            hosts += [s, "probe." + s]
+        elif wildcard:
+            hosts += ["lbl." + s, "probe.lbl." + s]
+        else:
+            hosts += [s, "probe." + s, "deep.probe." + s]
+    df = spark.createDataFrame([(i, h) for i, h in enumerate(hosts)], "i long, host string")
+    got_full = {r.i: r.domain for r in registered_domain_psl(df, "host", "d").withColumnRenamed("d", "domain").collect()}
+    got_cur = {r.i: r.domain for r in registered_domain_psl(df, "host", "d", rules=PSL_RULES).withColumnRenamed("d", "domain").collect()}
+    bad = {hosts[i]: (got_cur[i], got_full[i]) for i in got_cur if got_cur[i] != got_full[i]}
+    assert not bad, f"curated vs full-snapshot disagreement: {bad}"
+    # broadcast side stays tiny: ~1.5k grouped rows
+    n_rows = psl_rules_df(spark).count()
+    assert 1000 < n_rows < 3000, n_rows
+
+
 def test_parse_psl_rules_format(spark):
     from cdc_pipeline_spark.operators.urls import parse_psl_rules
 
