@@ -6956,80 +6956,27 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- round-9 new registrations first --
-    # -- then every query whose PLAN changed this round (entropy hybrid
-    # path; GIF decoder budget/buffer; widened INVISIBLE_CHARS feeds
-    # the NFC pipeline; percent_normalize now runs inside
-    # canonicalize_url/url_host, changing both URL-policy plans) --
-    # -- then the 22 round-5-stale names (VERDICT r8 directive #8),
-    # then round-6 greens in staleness order until the window is full.
-    # doc_split_quality (a sub-second freeze drifter) lands inside. --
-    "doc_psl_registered_domain",
-    "doc_url_percent_normalization",
+    # -- round-10 new registrations first (main-content extraction,
+    # perceptual-hash near-dup, robots agent-group selection) --
+    # -- then every query whose PLAN or operator internals changed this
+    # round: robots path-derivation fix + run-based parser, curated PSL
+    # tuple update (+ explicit rules arg), the hamming_banded_pairs
+    # banding refactor behind both simhash queries, the GIF
+    # skipped-frame validation behind both gif queries, and the
+    # strip_markup -> _clean_markup refactor behind doc_markup_profile --
+    # -- then the 27 round-6-stale names (VERDICT r9 directive #4,
+    # the full list the judge re-swept in r9), then round-7 greens in
+    # staleness order until the window is full. --
+    "doc_main_content",
+    "multimodal_phash_neardup",
+    "doc_robots_agent_policy",
     "doc_robots_policy",
-    "doc_entropy_profile",
+    "doc_psl_registered_domain",
+    "dedup_simhash",
+    "dedup_simhash_capped",
     "multimodal_gif_keyframes",
     "multimodal_gif_pixel_audit",
-    "doc_unicode_nfc_hygiene",
-    "doc_url_domain_policy",
-    "doc_domain_cap_topn",
-    "props_json_stats",
-    "purchase_error_full_outer",
-    "purchasing_clickers",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_nation_volume",
-    "q6_revenue_forecast",
-    "range_pair_counts",
-    "ann_hard_negatives",
-    "ann_pq_adc_topk",
-    "ann_rp_lsh_topk",
-    "cdc_scd2_history",
-    "corpus_budget_mixture",
-    "corpus_mix_weights",
-    "corpus_pair_merges",
-    "corpus_profile",
-    "corpus_token_cms",
-    "corpus_token_topk",
-    "corpus_vocab_coverage",
-    "customer_order_window_battery",
-    "doc_benchmark_contamination",
-    "doc_eval_containment",
-    "events_anomaly_minutes",
-    "docs_bloom_incremental",
-    "source_token_kl",
-    "embedding_zscore_outliers",
-    "dedup_snm_multipass",
-    "dedup_sorted_neighborhood",
-    "doc_length_outliers",
     "doc_markup_profile",
-    "doc_padded_batches",
-    "doc_perplexity_buckets",
-    "doc_pii_redaction",
-    "doc_quality_classifier",
-    "doc_quality_rules",
-    "doc_rag_chunks",
-    "doc_repetition_stats",
-    "doc_sequence_packing",
-    "doc_source_quality_rank",
-    "doc_span_coverage",
-    "doc_split_quality",
-]
-
-# Everything else, in staleness order (oldest last-green first), so the
-# round-9 window can simply take the front of this list: 17 remaining
-# round-5 names, then the round-6 greens, then the round-7 greens
-# (freshest, last in line). Recorded explicitly so the exclusion is a
-# decision, not a silent off-by-N (all were green in CORRECTNESS_r05..
-# r07 or the round-7 judge sweep).
-_DRIVER_WINDOW_CARRYOVER = [
-    # staleness order (oldest last-green first): remaining round-6
-    # greens, then round-7 greens, then the round-8 window names
-    # (freshest, last in line) that were not promoted into the round-9
-    # head. Recorded explicitly so the exclusion is a decision, not a
-    # silent off-by-N.
-    # (doc_winnowing_fingerprints evicted from the window tail when the
-    # round-9 doc_robots_policy registration took its slot)
     "doc_winnowing_fingerprints",
     "docs_incremental_new",
     "dsir_target_selection",
@@ -7070,6 +7017,20 @@ _DRIVER_WINDOW_CARRYOVER = [
     "corpus_unigram_vocab",
     "doc_bm25_topk",
     "doc_bm25_broad_topk",
+]
+
+# Everything else, in staleness order (oldest last-green first), so the
+# round-9 window can simply take the front of this list: 17 remaining
+# round-5 names, then the round-6 greens, then the round-7 greens
+# (freshest, last in line). Recorded explicitly so the exclusion is a
+# decision, not a silent off-by-N (all were green in CORRECTNESS_r05..
+# r07 or the round-7 judge sweep).
+_DRIVER_WINDOW_CARRYOVER = [
+    # staleness order (oldest last-green first): the remaining round-7
+    # greens, then the round-8 window names, then the round-9 window
+    # names (freshest, last in line) that were not promoted into the
+    # round-10 head. Recorded explicitly so the exclusion is a
+    # decision, not a silent off-by-N.
     "fuzzy_source_join",
     "q18_large_orders",
     "q19_disjunctive_revenue",
@@ -7101,11 +7062,9 @@ _DRIVER_WINDOW_CARRYOVER = [
     "customers_with_open_orders",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "distinct_user_event_pairs",
     "doc_bigram_logprob",
     "doc_bpe_token_counts",
-    "dedup_simhash_capped",
     "dedup_prefix_filter",
     "doc_lang_charclass",
     "doc_segment_dedup",
@@ -7149,6 +7108,51 @@ _DRIVER_WINDOW_CARRYOVER = [
     "orders_rollup",
     "parts_below_brand_avg",
     "platform_breakdown",
+    "doc_url_percent_normalization",
+    "doc_entropy_profile",
+    "doc_unicode_nfc_hygiene",
+    "doc_url_domain_policy",
+    "doc_domain_cap_topn",
+    "props_json_stats",
+    "purchase_error_full_outer",
+    "purchasing_clickers",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_volume",
+    "q6_revenue_forecast",
+    "range_pair_counts",
+    "ann_hard_negatives",
+    "ann_pq_adc_topk",
+    "ann_rp_lsh_topk",
+    "cdc_scd2_history",
+    "corpus_budget_mixture",
+    "corpus_mix_weights",
+    "corpus_pair_merges",
+    "corpus_profile",
+    "corpus_token_cms",
+    "corpus_token_topk",
+    "corpus_vocab_coverage",
+    "customer_order_window_battery",
+    "doc_benchmark_contamination",
+    "doc_eval_containment",
+    "events_anomaly_minutes",
+    "docs_bloom_incremental",
+    "source_token_kl",
+    "embedding_zscore_outliers",
+    "dedup_snm_multipass",
+    "dedup_sorted_neighborhood",
+    "doc_length_outliers",
+    "doc_padded_batches",
+    "doc_perplexity_buckets",
+    "doc_pii_redaction",
+    "doc_quality_classifier",
+    "doc_quality_rules",
+    "doc_rag_chunks",
+    "doc_repetition_stats",
+    "doc_sequence_packing",
+    "doc_source_quality_rank",
+    "doc_span_coverage",
+    "doc_split_quality",
 ]
 
 
