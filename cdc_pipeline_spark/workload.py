@@ -6408,7 +6408,10 @@ def _robots_oracle_sql() -> str:
         -- RFC 9309 path '/?q=N'), case 5 a fragment-only URL
         -- (https://host#secN, fragment stripped => path '/')
         SELECT doc_id, lower(source) || '.com' AS domain,
-               CASE doc_id % 6
+               -- doc_id // 20 decorrelates the branch from the source
+               -- stripe (doc_id % n_sources == source index), so every
+               -- domain exercises every path branch
+               CASE (doc_id // 20) % 6
                     WHEN 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
                     WHEN 1 THEN '/private/press/rel' || CAST(doc_id AS VARCHAR)
                     WHEN 2 THEN '/public/page' || CAST(doc_id AS VARCHAR)
@@ -6478,7 +6481,7 @@ def doc_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select(F.concat(s2, F.lit(".com")).alias("domain"), txt.alias("robots_txt"))
     )
-    m = F.col("doc_id") % 6
+    m = (F.col("doc_id") / 20).cast("long") % 6  # decorrelated from the source stripe
     url = F.concat(
         F.lit("https://"),
         s,
@@ -6512,13 +6515,16 @@ def _robots_agent_oracle_sql() -> str:
     WITH src AS (SELECT DISTINCT lower(source) AS s FROM documents),
     rb AS (
         SELECT s || '.com' AS domain,
+               -- group presence keyed on the source's LAST DIGIT so all
+               -- selection branches (news / crawler / '*' fallback) are
+               -- live at every scale factor (source names are src<N>)
                'Sitemap: https://' || s || '.com/sitemap.xml' || chr(10) ||
-               CASE WHEN length(s) % 3 <> 0 THEN
+               CASE WHEN ascii(substr(s, length(s), 1)) % 3 <> 0 THEN
                     'User-agent: DataCrawler' || chr(10) ||
                     'Disallow: /private/' || chr(10) ||
                     'Allow: /private/press/' || chr(10) ||
                     'Crawl-delay: 2.5' || chr(10) || chr(10) ELSE '' END ||
-               CASE WHEN length(s) % 2 = 1 THEN
+               CASE WHEN ascii(substr(s, length(s), 1)) % 2 = 1 THEN
                     'User-agent: DataCrawler-News' || chr(10) ||
                     'User-agent: NewsBot' || chr(10) ||
                     'Disallow: /news/' || chr(10) ||
@@ -6581,7 +6587,8 @@ def _robots_agent_oracle_sql() -> str:
         FROM sel),
     urls AS (
         SELECT doc_id, lower(source) || '.com' AS domain,
-               CASE doc_id % 4
+               -- doc_id // 20 decorrelates from the source stripe
+               CASE (doc_id // 20) % 4
                     WHEN 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
                     WHEN 1 THEN '/private/press/rel' || CAST(doc_id AS VARCHAR)
                     WHEN 2 THEN '/news/item' || CAST(doc_id AS VARCHAR)
@@ -6612,10 +6619,12 @@ def _robots_agent_oracle_sql() -> str:
 def doc_robots_agent_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 §2.2.1 group selection over the corpus
     (`operators/robots.py:parse_robots_group`): each domain's robots
-    text carries up to three groups — a `DataCrawler` group (absent
-    when len(source)%3==0), a stacked `DataCrawler-News`+`NewsBot`
-    group (present when len(source)%2==1), and a deny-all `*` group —
-    plus two document-global Sitemap lines and per-group Crawl-delay.
+    text carries up to three groups — a `DataCrawler` group, a stacked
+    `DataCrawler-News`+`NewsBot` group (each present or absent by the
+    source's LAST DIGIT, so news-selected / crawler-selected / pure-`*`
+    domains all exist at every scale factor), and a deny-all `*`
+    group — plus two document-global Sitemap lines and per-group
+    Crawl-delay.
     The engine evaluates for crawler token `datacrawler-news/1.2`:
     domains with the News group select it (longest prefix of the
     token), domains with only `DataCrawler` select that, domains with
@@ -6630,17 +6639,18 @@ def doc_robots_agent_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     s = F.lower(F.col("source"))
     s2 = F.col("__s")
+    last = F.ascii(F.substring(s2, -1, 1))
     txt = F.concat(
         F.lit("Sitemap: https://"), s2, F.lit(".com/sitemap.xml\n"),
         F.when(
-            F.length(s2) % 3 != 0,
+            last % 3 != 0,
             F.lit(
                 "User-agent: DataCrawler\nDisallow: /private/\n"
                 "Allow: /private/press/\nCrawl-delay: 2.5\n\n"
             ),
         ).otherwise(F.lit("")),
         F.when(
-            F.length(s2) % 2 == 1,
+            last % 2 == 1,
             F.lit(
                 "User-agent: DataCrawler-News\nUser-agent: NewsBot\n"
                 "Disallow: /news/\nCrawl-delay: 7\n\n"
@@ -6654,7 +6664,7 @@ def doc_robots_agent_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select(F.concat(s2, F.lit(".com")).alias("domain"), txt.alias("robots_txt"))
     )
-    m = F.col("doc_id") % 4
+    m = (F.col("doc_id") / 20).cast("long") % 4  # decorrelated from the source stripe
     url = F.concat(
         F.lit("https://"),
         s,
