@@ -778,6 +778,13 @@ def simhash_signatures(
         _spread(df).select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")),
         array_col="toks",
         out_col="token",
+    ).filter(
+        # split of trimmed empty text yields [''] — without this filter
+        # every empty/whitespace doc gets a signature from the phantom
+        # '' token and all empty docs pair at hamming 0, ONE mega-bucket
+        # per band at corpus scale (review r10; mirrors the empty-doc
+        # contract tfidf_cosine_pairs documents)
+        F.col("token") != ""
     )
     h = token_hash(F.col("token")) if token_hash is not None else F.xxhash64("token")
     bit_sums = [

@@ -230,9 +230,13 @@ def gray_u8(pixels: "np.ndarray") -> "np.ndarray":
     """Integer ITU-R BT.601 luma: (299 R + 587 G + 114 B) // 1000 as
     uint8 — exact integer arithmetic so every engine (and a SQL oracle)
     reproduces the grayscale bit-for-bit; for r=g=b inputs it is the
-    identity. Single-channel inputs pass through."""
-    if pixels.ndim == 2 or pixels.shape[2] == 1:
-        return pixels.reshape(pixels.shape[0], pixels.shape[1]).astype(np.uint8)
+    identity. 1-channel (grey) and 2-channel (grey+alpha, PNG color
+    type 4 — review r10) inputs take channel 0; alpha is ignored for
+    RGBA, matching the luma formula."""
+    if pixels.ndim == 2:
+        return pixels.astype(np.uint8)
+    if pixels.shape[2] < 3:  # grey or grey+alpha
+        return pixels[:, :, 0].astype(np.uint8)
     p = pixels.astype(np.int64)
     return (
         (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) // 1000

@@ -12,8 +12,10 @@ replay it rule for rule):
 
 * groups are runs of consecutive ``User-agent`` lines plus the rules
   that follow them (RFC 9309 §2.2.1 start-of-group semantics: stacked
-  agent lines share one rule block; any non-agent line ends the
-  stacking, the next agent line after a rule starts a new group).
+  agent lines share one rule block; any non-agent NON-BLANK line ends
+  the stacking — blank lines are dropped at keying per the ABNF's
+  emptyline — and the next agent line after a rule starts a new
+  group). Input is capped at ``ROBOTS_MAX_LINES`` (§2.4 truncation).
 * group selection (:func:`parse_robots_group`): a group matches a
   crawler when one of its agent values is a case-insensitive PREFIX of
   the crawler's product token; the most specific (longest) value wins,
@@ -57,16 +59,27 @@ from pyspark.sql import functions as F
 _RULES_TYPE = "array<struct<allow:boolean, prefix:string>>"
 
 
+# bounded broadcast-side evaluation: RFC 9309 §2.4 requires processing
+# at least 500 KiB and sanctions truncation beyond a parser limit; a
+# line cap bounds the group machinery's cost on adversarial inputs
+ROBOTS_MAX_LINES = 8192
+
+
 def _keyed_lines(robots_col: Column | str) -> Column:
     """Per-line ``struct<k,v>`` array of a robots.txt text: lines are
     ``\\r``-stripped, tab-folded (RFC 9309 WS = space/tab), comment-
-    stripped, trimmed; ``k`` = lowercased text before the first ``:``,
-    ``v`` = trimmed remainder (lines without ``:`` get ``v = ''``)."""
+    stripped, trimmed; BLANK lines are dropped (the RFC's ABNF gives
+    emptyline no syntactic role — in particular it may sit between
+    stacked ``User-agent`` lines without splitting the group, review
+    r10); the first ``ROBOTS_MAX_LINES`` survivors are kept. ``k`` =
+    lowercased text before the first ``:``, ``v`` = trimmed remainder
+    (lines without ``:`` get ``v = ''``)."""
     col = F.col(robots_col) if isinstance(robots_col, str) else robots_col
     lines = F.transform(
         F.split(F.regexp_replace(F.coalesce(col, F.lit("")), "\r", ""), "\n"),
         lambda l: F.trim(F.regexp_replace(F.translate(l, "\t", " "), "#.*", "")),
     )
+    lines = F.slice(F.filter(lines, lambda l: l != ""), 1, ROBOTS_MAX_LINES)
     return F.transform(
         lines,
         lambda l: F.struct(
@@ -95,22 +108,29 @@ def parse_robots_group(
     sitemaps array<string>>``.
 
     Group model: a group is a run of consecutive ``User-agent`` lines
-    plus the rules that follow (stacked agents share one rule block).
-    A group matches when one of its agent values is a case-insensitive
-    PREFIX of ``agent``; the longest matching value wins (ties: first
-    occurrence); no match — or ``agent=None`` — selects the ``*``
-    groups. ALL groups carrying the winning value merge, per RFC
-    9309's group-combining rule. ``crawl_delay`` is the first
-    parseable value inside the selected groups; ``sitemaps`` is
+    plus the rules that follow (stacked agents share one rule block;
+    blank lines between them are dropped at keying and do not split
+    the run). A group matches when one of its agent values is a
+    case-insensitive PREFIX of ``agent``; the longest matching value
+    wins (ties: first occurrence); no match — or ``agent=None`` —
+    selects the ``*`` groups. ALL groups carrying the winning value
+    merge, per RFC 9309's group-combining rule. ``crawl_delay`` is the
+    first parseable value inside the selected groups; ``sitemaps`` is
     document-global. Null/empty text parses to empty rules
-    (allow-all). Pure column expressions — evaluation is O(lines²)
-    per file, which only ever runs on the tiny broadcast side."""
+    (allow-all). Pure column expressions on the tiny broadcast side;
+    cost is O(rules x m x lines) with m = lines carrying the winning
+    agent value (normally the stacked-agent count), input capped at
+    ``ROBOTS_MAX_LINES`` so adversarial files stay bounded."""
     from cdc_pipeline_spark.operators.urls import percent_normalize
 
     keyed = _keyed_lines(robots_col)
     token = F.lit((agent or "").lower())
     n = F.size(keyed)
-    idxs = F.sequence(F.lit(1), n)  # split() yields >= 1 element, so ascending
+    # blank-line filtering can leave ZERO lines, and sequence(1, 0)
+    # counts DOWN — guard with an explicit empty array
+    idxs = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
     at = lambda i: F.element_at(keyed, i)  # noqa: E731
     is_ua = lambda i: at(i)["k"] == F.lit("user-agent")  # noqa: E731
     # F.get is 0-based and null-safe at the boundary (i=1 probes -1)
@@ -137,12 +157,15 @@ def parse_robots_group(
     )
     sel_value = F.coalesce(F.lower(F.get(keyed, sel_idx - F.lit(1))["v"]), F.lit("*"))
     # line i belongs to a selected group iff its owning run carries the
-    # winning agent value (this is what merges same-agent groups)
+    # winning agent value (this is what merges same-agent groups).
+    # The exists probes ONLY the lines whose value IS the winner —
+    # normally the stacked-agent count, not all lines (review r10: an
+    # exists over idxs made rule filtering cubic in file length)
+    winner_lines = F.filter(
+        idxs, lambda j: is_ua(j) & (F.lower(at(j)["v"]) == sel_value)
+    )
     selected = lambda i: F.exists(  # noqa: E731
-        idxs,
-        lambda j: is_ua(j)
-        & (F.lower(at(j)["v"]) == sel_value)
-        & (start_of(j) == start_of(i)),
+        winner_lines, lambda j: start_of(j) == start_of(i)
     )
     rule_idx = F.filter(
         idxs,

@@ -120,7 +120,11 @@ def lang_guess_charclass(text_col: str = "text", stopword_threshold: float = 0.0
         .when(has("[áéíóúñ¿¡]"), F.lit("es"))
         .when(
             F.expr(
-                f"size(filter(split(trim({text_col}), '\\\\s+'), x -> x IN ('the','a','of','and','is')))"
+                # IN-list derived from EN_STOPWORDS (review r10: the set
+                # was triplicated; stopword_count already derives its
+                # list the same way)
+                f"size(filter(split(trim({text_col}), '\\\\s+'), "
+                f"x -> x IN ({', '.join(repr(w) for w in EN_STOPWORDS)})))"
             )
             / F.greatest(F.size(tokens(text_col)), F.lit(1))
             >= stopword_threshold,
@@ -221,9 +225,9 @@ _BLOCK_TAG_RE = (
 # split across block boundaries (illegal nesting) contribute 0 — their
 # open/close tags land in different segments and the pattern can't match.
 _ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
-# same stopword set as EN_STOPWORDS, as one word-boundary regex so both
-# engines count occurrences identically
-_STOPWORD_RE = r"\b(?:the|a|of|and|is)\b"
+# EN_STOPWORDS as one word-boundary regex so both engines count
+# occurrences identically (derived, not retyped — review r10)
+_STOPWORD_RE = r"\b(?:" + "|".join(EN_STOPWORDS) + r")\b"
 
 BLOCK_MIN_WORDS = 8  # below this a block is 'short' (context decides)
 BLOCK_MAX_LINK_DENSITY = 1.0 / 3.0  # above this a block is boilerplate

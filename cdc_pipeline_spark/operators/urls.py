@@ -364,6 +364,18 @@ def _authority_parts(u: Column) -> tuple[Column, Column]:
     return hostport, tail
 
 
+def _strip_default_port(scheme: Column, hostport: Column) -> Column:
+    """Drop the port only when it is the DEFAULT for the scheme —
+    http://h:443 and https://h:80 are real non-default origins and must
+    keep their port (review r10: a scheme-blind ':(443|80)$' strip
+    collapsed them onto the wrong canonical key)."""
+    return (
+        F.when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .otherwise(hostport)
+    )
+
+
 def _canonicalize_pre_normalized(u: Column) -> Column:
     """The canonical pipeline AFTER percent normalization — callers that
     hold an already-normalized column (one shared projection per row,
@@ -376,12 +388,18 @@ def _canonicalize_pre_normalized(u: Column) -> Column:
     scheme = F.lower(F.substring_index(u, "://", 1))
     hostport, tail = _authority_parts(u)
     hostport = F.lower(hostport)
-    host = F.regexp_replace(hostport, ":(443|80)$", "")
+    host = _strip_default_port(scheme, hostport)
     host = F.regexp_replace(host, r"^www\.", "")
-    path = F.substring_index(tail, "?", 1)
+    rawpath = F.substring_index(tail, "?", 1)
+    # query offset anchors on the RAW path length, BEFORE the root
+    # coercion below changes it
     query = F.when(
-        tail.contains("?"), tail.substr(F.length(path) + F.lit(2), F.lit(1 << 20))
+        tail.contains("?"), tail.substr(F.length(rawpath) + F.lit(2), F.lit(1 << 20))
     ).otherwise(F.lit(""))
+    # an absent path is the root: https://a.com, https://a.com?q=1 and
+    # https://a.com/ must share one canonical key (review r10; also
+    # keeps this derivation aligned with robots_policy's RFC 9309 path)
+    path = F.when(rawpath == "", F.lit("/")).otherwise(rawpath)
     params = F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
@@ -428,8 +446,9 @@ def _host_pre_normalized(u: Column, strip_www: bool = True) -> Column:
     site), so stripping it first would silently re-key those hosts to
     their public suffix."""
     u = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.substring_index(u, "://", 1))
     hostport, _ = _authority_parts(u)
-    host = F.regexp_replace(F.lower(hostport), ":(443|80)$", "")
+    host = _strip_default_port(scheme, F.lower(hostport))
     return F.regexp_replace(host, r"^www\.", "") if strip_www else host
 
 

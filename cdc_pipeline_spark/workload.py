@@ -5799,9 +5799,13 @@ _URL_POLICY_ORACLE = r"""
                   substr(u, length(split_part(u, '://', 1)) + 4) AS rest FROM s1),
     s3 AS (SELECT *, lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
                   substr(rest, length(regexp_extract(rest, '^([^/?]*)', 1)) + 1) AS tail FROM s2),
-    s4 AS (SELECT *, regexp_replace(regexp_replace(hostport, ':(443|80)$', ''),
-                                    '^www\.', '') AS host FROM s3),
-    s5 AS (SELECT *, split_part(tail, '?', 1) AS path,
+    s4 AS (SELECT *, regexp_replace(
+                  CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                       WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+                       ELSE hostport END,
+                  '^www\.', '') AS host FROM s3),
+    s5 AS (SELECT *, CASE WHEN split_part(tail, '?', 1) = '' THEN '/'
+                          ELSE split_part(tail, '?', 1) END AS path,
                   CASE WHEN contains(tail, '?')
                        THEN substr(tail, length(split_part(tail, '?', 1)) + 2)
                        ELSE '' END AS query FROM s4),
@@ -6269,9 +6273,13 @@ def _pct_oracle_sql() -> str:
                   substr(u, length(split_part(u, '://', 1)) + 4) AS rest FROM s1),
     s3 AS (SELECT *, lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
                   substr(rest, length(regexp_extract(rest, '^([^/?]*)', 1)) + 1) AS tail FROM s2),
-    s4 AS (SELECT *, regexp_replace(regexp_replace(hostport, ':(443|80)$', ''),
-                                    '^www\\.', '') AS host FROM s3),
-    s5 AS (SELECT *, split_part(tail, '?', 1) AS path,
+    s4 AS (SELECT *, regexp_replace(
+                  CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                       WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+                       ELSE hostport END,
+                  '^www\\.', '') AS host FROM s3),
+    s5 AS (SELECT *, CASE WHEN split_part(tail, '?', 1) = '' THEN '/'
+                          ELSE split_part(tail, '?', 1) END AS path,
                   CASE WHEN contains(tail, '?')
                        THEN substr(tail, length(split_part(tail, '?', 1)) + 2)
                        ELSE '' END AS query FROM s4),
@@ -6371,9 +6379,13 @@ def _robots_oracle_sql() -> str:
         -- fixture's rule values are %-free, so the engine's
         -- percent-normalize of prefixes is the identity here (the
         -- decode itself is unit-tested engine-side)
+        -- blank lines dropped after trimming, mirroring the engine's
+        -- _keyed_lines (RFC 9309: emptyline has no syntactic role; the
+        -- engine's ROBOTS_MAX_LINES cap is a no-op at fixture size)
         SELECT domain,
-               list_transform(str_split(replace(txt, chr(13), ''), chr(10)),
-                              l -> trim(regexp_replace(replace(l, chr(9), ' '), '#.*', ''))) AS ls
+               list_filter(list_transform(str_split(replace(txt, chr(13), ''), chr(10)),
+                              l -> trim(regexp_replace(replace(l, chr(9), ' '), '#.*', ''))),
+                           l -> l <> '') AS ls
         FROM rb),
     keyed AS (
         SELECT domain, ls,
@@ -6534,9 +6546,13 @@ def _robots_agent_oracle_sql() -> str:
                'Sitemap: https://' || s || '.com/sitemap2.xml' || chr(10) AS txt
         FROM src),
     lined AS (
+        -- blank lines dropped after trimming, mirroring the engine's
+        -- _keyed_lines (RFC 9309: emptyline has no syntactic role; the
+        -- engine's ROBOTS_MAX_LINES cap is a no-op at fixture size)
         SELECT domain,
-               list_transform(str_split(replace(txt, chr(13), ''), chr(10)),
-                              l -> trim(regexp_replace(replace(l, chr(9), ' '), '#.*', ''))) AS ls
+               list_filter(list_transform(str_split(replace(txt, chr(13), ''), chr(10)),
+                              l -> trim(regexp_replace(replace(l, chr(9), ' '), '#.*', ''))),
+                           l -> l <> '') AS ls
         FROM rb),
     keyed AS (
         SELECT domain, ls,
@@ -6694,7 +6710,10 @@ def _main_content_oracle_sql() -> str:
     per-block cleanup, link/stopword densities, the bad/short/good
     classification, and neighbor smoothing rule for rule on the SAME
     synthesized page HTML (analytic-oracle pattern — the fixture
-    guarantees both sides parse identical strings)."""
+    guarantees both sides parse identical strings). The stopword regex
+    interpolates from text.EN_STOPWORDS (single source, review r10)."""
+    from cdc_pipeline_spark.operators.text import _STOPWORD_RE
+
     return r"""
     WITH h AS (
         SELECT doc_id,
@@ -6738,7 +6757,7 @@ def _main_content_oracle_sql() -> str:
                        WHEN len(list_filter(str_split(s['text'], ' '),
                                 w -> w <> '')) < 8 THEN 'short'
                        WHEN len(regexp_extract_all(lower(s['text']),
-                                '\b(?:the|a|of|and|is)\b'))
+                                '__STOPWORD_RE__'))
                             / greatest(len(list_filter(str_split(s['text'], ' '),
                                        w -> w <> '')), 1) >= 0.01 THEN 'good'
                        ELSE 'bad' END)) AS c
@@ -6763,7 +6782,7 @@ def _main_content_oracle_sql() -> str:
                     list_transform(ki, i -> c[i]['text']), ' ')), 0)
                 AS BIGINT) AS content_len
     FROM kept
-    """
+    """.replace("__STOPWORD_RE__", _STOPWORD_RE)
 
 
 @register("doc_main_content", _main_content_oracle_sql())
@@ -6966,17 +6985,6 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- round-10 new registrations first (main-content extraction,
-    # perceptual-hash near-dup, robots agent-group selection) --
-    # -- then every query whose PLAN or operator internals changed this
-    # round: robots path-derivation fix + run-based parser, curated PSL
-    # tuple update (+ explicit rules arg), the hamming_banded_pairs
-    # banding refactor behind both simhash queries, the GIF
-    # skipped-frame validation behind both gif queries, and the
-    # strip_markup -> _clean_markup refactor behind doc_markup_profile --
-    # -- then the 27 round-6-stale names (VERDICT r9 directive #4,
-    # the full list the judge re-swept in r9), then round-7 greens in
-    # staleness order until the window is full. --
     "doc_main_content",
     "multimodal_phash_neardup",
     "doc_robots_agent_policy",
@@ -6987,6 +6995,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "multimodal_gif_keyframes",
     "multimodal_gif_pixel_audit",
     "doc_markup_profile",
+    "doc_url_domain_policy",
+    "doc_url_percent_normalization",
+    "doc_domain_cap_topn",
     "doc_winnowing_fingerprints",
     "docs_incremental_new",
     "dsir_target_selection",
@@ -7024,9 +7035,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_unigram_segmentation",
     "doc_bpe_segmentation",
     "doc_bpe_segmentation_arrow",
-    "corpus_unigram_vocab",
-    "doc_bm25_topk",
-    "doc_bm25_broad_topk",
 ]
 
 # Everything else, in staleness order (oldest last-green first), so the
@@ -7036,11 +7044,9 @@ _DRIVER_WINDOW_PRIORITY = [
 # decision, not a silent off-by-N (all were green in CORRECTNESS_r05..
 # r07 or the round-7 judge sweep).
 _DRIVER_WINDOW_CARRYOVER = [
-    # staleness order (oldest last-green first): the remaining round-7
-    # greens, then the round-8 window names, then the round-9 window
-    # names (freshest, last in line) that were not promoted into the
-    # round-10 head. Recorded explicitly so the exclusion is a
-    # decision, not a silent off-by-N.
+    "corpus_unigram_vocab",
+    "doc_bm25_topk",
+    "doc_bm25_broad_topk",
     "fuzzy_source_join",
     "q18_large_orders",
     "q19_disjunctive_revenue",
@@ -7118,11 +7124,8 @@ _DRIVER_WINDOW_CARRYOVER = [
     "orders_rollup",
     "parts_below_brand_avg",
     "platform_breakdown",
-    "doc_url_percent_normalization",
     "doc_entropy_profile",
     "doc_unicode_nfc_hygiene",
-    "doc_url_domain_policy",
-    "doc_domain_cap_topn",
     "props_json_stats",
     "purchase_error_full_outer",
     "purchasing_clickers",

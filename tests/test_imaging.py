@@ -870,3 +870,21 @@ def test_image_phash_quarantine_and_banded_neardup(spark):
         hashed, sig_col="ahash", bits=64, bands=4, max_hamming=3, max_bucket=None
     ).collect()
     assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 2)]
+
+
+def test_phash_grey_alpha_payload_does_not_kill_worker(spark):
+    """Review r10: PNG color type 4 (grey+alpha) decodes to (h, w, 2);
+    gray_u8 must take the grey channel instead of indexing a missing
+    channel 2 (IndexError escaped the ValueError-only quarantine)."""
+    from cdc_pipeline_spark.operators.imaging import ahash64, dhash64, gray_u8
+    from cdc_pipeline_spark.operators.multimodal import image_phash
+
+    grey = _rng_image(8, 8, 1, seed=11).reshape(8, 8)
+    la = np.dstack([grey, np.full((8, 8), 255, dtype=np.uint8)])
+    assert np.array_equal(gray_u8(la), grey)
+    assert ahash64(la) == ahash64(grey.reshape(8, 8, 1))
+    assert dhash64(la) == dhash64(grey.reshape(8, 8, 1))
+    payload = encode_png(la)  # color type 4 round-trip
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    out = image_phash(df).collect()
+    assert len(out) == 1 and out[0].ahash == ahash64(la)

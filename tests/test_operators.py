@@ -2567,8 +2567,12 @@ def test_canonicalize_url_edges(spark):
     cases = [
         ("HTTP://WWW.Ex.COM:80/A/B?z=1&utm_source=x&a=2#f", "http://ex.com/A/B?a=2&z=1"),
         ("https://ex.com/", "https://ex.com/"),
-        ("https://ex.com", "https://ex.com"),  # no path at all
+        ("https://ex.com", "https://ex.com/"),  # no path -> root (r10: one key per page)
         ("https://Ex.com:8443/p", "https://ex.com:8443/p"),  # non-default port kept
+        # default-port strip is SCHEME-AWARE (review r10): 443 on http
+        # and 80 on https are real non-default origins
+        ("http://ex.com:443/p", "http://ex.com:443/p"),
+        ("https://ex.com:80/p", "https://ex.com:80/p"),
         ("https://ex.com/p?utm_campaign=c&fbclid=1&ref=r", "https://ex.com/p"),
         ("https://ex.com/CaseSensitive/Path", "https://ex.com/CaseSensitive/Path"),
     ]
@@ -2595,11 +2599,13 @@ def test_canonicalize_url_embedded_absolute_url(spark):
         ),
         # second '?' is ordinary query data — nothing between them drops
         ("https://a.com/p?x=1?y=2&a=0", "https://a.com/p?a=0&x=1?y=2"),
-        # query with NO path: the '?' must terminate the authority —
-        # tracking params still drop, ports still strip, params sort
-        ("https://a.com?utm_source=x&b=1", "https://a.com?b=1"),
-        ("HTTPS://WWW.A.com:443?b=1&a=2#f", "https://a.com?a=2&b=1"),
-        ("https://a.com?next=https://b.com/x", "https://a.com?next=https://b.com/x"),
+        # query with NO path: the '?' must terminate the authority, and
+        # the canonical key gets the root path (r10: aliases of the
+        # same page — with/without '/' — must collapse to one key)
+        ("https://a.com?utm_source=x&b=1", "https://a.com/?b=1"),
+        ("HTTPS://WWW.A.com:443?b=1&a=2#f", "https://a.com/?a=2&b=1"),
+        ("https://a.com?next=https://b.com/x", "https://a.com/?next=https://b.com/x"),
+        ("https://a.com/?b=1", "https://a.com/?b=1"),  # the alias it must equal
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(canonicalize_url("url")).collect()]
@@ -2961,6 +2967,37 @@ def test_robots_group_selection_rfc9309(spark):
     # agent=None is the '*' form (parse_robots_rules contract)
     g = grp(None)
     assert [(r.allow, r.prefix) for r in g.rules] == [(False, "/")]
+
+
+def test_robots_blank_lines_do_not_split_stacked_agents(spark):
+    """Review r10: RFC 9309's ABNF allows emptyline between stacked
+    user-agent lines — a blank line must not split the group, or the
+    named crawler silently loses the rules."""
+    from cdc_pipeline_spark.operators.robots import parse_robots_group
+
+    txt = "User-agent: aaa\n\nUser-agent: *\nDisallow: /\n"
+    df = spark.createDataFrame([(txt,)], "t string")
+    g = df.select(parse_robots_group("t", "aaa").alias("g")).collect()[0].g
+    assert [(r.allow, r.prefix) for r in g.rules] == [(False, "/")]
+    # and an all-blank / empty file parses to allow-all, not an error
+    for empty in ("", "\n\n  \n", None):
+        dfe = spark.createDataFrame([(empty,)], "t string")
+        ge = dfe.select(parse_robots_group("t", "aaa").alias("g")).collect()[0].g
+        assert list(ge.rules) == [] and ge.crawl_delay is None
+
+
+def test_simhash_empty_docs_emit_no_signature(spark):
+    """Review r10: split of trimmed empty text yields [''] — empty and
+    whitespace-only docs must not hash the phantom '' token into a
+    shared hamming-0 signature."""
+    from cdc_pipeline_spark.operators.dedup import simhash_pairs, simhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real tokens here")], "doc_id long, text string"
+    )
+    sigs = simhash_signatures(df)
+    assert [r.doc_id for r in sigs.collect()] == [3]
+    assert simhash_pairs(df).count() == 0
 
 
 def test_robots_policy_agent_and_group_cols(spark):
