@@ -6985,6 +6985,19 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
+    # -- round-10 new registrations first (main-content extraction,
+    # perceptual-hash near-dup, robots agent-group selection) --
+    # -- then every query whose PLAN or operator internals changed this
+    # round: robots path-derivation fix + run-based parser + blank-line
+    # keying, curated PSL tuple update (+ explicit rules arg), the
+    # hamming_banded_pairs banding refactor + empty-doc filter behind
+    # both simhash queries, the GIF skipped-frame validation behind
+    # both gif queries, the strip_markup -> _clean_markup refactor
+    # behind doc_markup_profile, and the three canonicalization
+    # consumers (scheme-aware default port + root-path coercion
+    # changed canonicalize_url/url_host) --
+    # -- then the 27 round-6-stale names (VERDICT r9 directive #4),
+    # then round-7 greens in staleness order until the window is full --
     "doc_main_content",
     "multimodal_phash_neardup",
     "doc_robots_agent_policy",
@@ -7044,6 +7057,12 @@ _DRIVER_WINDOW_PRIORITY = [
 # decision, not a silent off-by-N (all were green in CORRECTNESS_r05..
 # r07 or the round-7 judge sweep).
 _DRIVER_WINDOW_CARRYOVER = [
+    # staleness order (oldest last-green first): the three fill names
+    # evicted when the canonicalization queries re-entered the head,
+    # then the remaining round-7 greens, then the round-8 window names,
+    # then the round-9 window names (freshest, last in line) that were
+    # not promoted into the round-10 head. Recorded explicitly so the
+    # exclusion is a decision, not a silent off-by-N.
     "corpus_unigram_vocab",
     "doc_bm25_topk",
     "doc_bm25_broad_topk",
