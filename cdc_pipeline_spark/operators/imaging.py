@@ -139,17 +139,45 @@ def decode_png(payload: bytes) -> "np.ndarray":
             cur = (np.cumsum(line.reshape(width, channels), axis=0) & 0xFF).reshape(stride)
         elif f == 2:  # Up
             cur = (line + prev) & 0xFF
-        elif f == 3:  # Average
-            cur = line.copy()
-            for x in range(stride):
-                left = cur[x - channels] if x >= channels else 0
-                cur[x] = (cur[x] + (left + prev[x]) // 2) & 0xFF
-        elif f == 4:  # Paeth
-            cur = line.copy()
-            for x in range(stride):
-                left = cur[x - channels] if x >= channels else 0
-                ul = prev[x - channels] if x >= channels else 0
-                cur[x] = (cur[x] + _paeth(int(left), int(prev[x]), int(ul))) & 0xFF
+        elif f in (3, 4):  # Average / Paeth — left-dependent recurrences
+            # that can't vectorize; plain-list loops with hoisted scalar
+            # arithmetic run ~6x faster than per-byte numpy indexing +
+            # a _paeth call (measured 295 -> 53 ms on a 256x256 RGB
+            # Paeth image — review r10: real encoders emit Paeth
+            # heavily, so this is a hot path for crawled images)
+            ln = line.tolist()
+            pv = prev.tolist()
+            res = [0] * stride
+            if f == 3:  # Average
+                for x in range(stride):
+                    left = res[x - channels] if x >= channels else 0
+                    res[x] = (ln[x] + ((left + pv[x]) >> 1)) & 0xFF
+            else:  # Paeth (spec §6.6, inlined)
+                for x in range(stride):
+                    if x >= channels:
+                        left = res[x - channels]
+                        ul = pv[x - channels]
+                    else:
+                        left = ul = 0
+                    b = pv[x]
+                    p = left + b - ul
+                    pa = p - left
+                    if pa < 0:
+                        pa = -pa
+                    pb = p - b
+                    if pb < 0:
+                        pb = -pb
+                    pc = p - ul
+                    if pc < 0:
+                        pc = -pc
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = ul
+                    res[x] = (ln[x] + pred) & 0xFF
+            cur = np.array(res, dtype=np.int64)
         else:
             raise ValueError(f"unknown PNG filter {f}")
         out[y] = cur.astype(np.uint8)
