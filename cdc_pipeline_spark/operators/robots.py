@@ -102,32 +102,24 @@ _GROUP_TYPE = (
 def parse_robots_group(
     robots_col: Column | str, agent: str | None = None
 ) -> Column:
-    """Parse a robots.txt text column and select the group for a
-    crawler product token (RFC 9309 §2.2.1): returns
-    ``struct<rules array<struct<allow,prefix>>, crawl_delay double,
-    sitemaps array<string>>``.
+    """Single-expression form of :func:`_group_from_keyed` — fine for
+    unit tests and one-off frames, but every internal reference to the
+    keyed-lines array INLINES the whole line-parse subtree, and
+    Catalyst analysis walks the multiplied tree (measured ~13 s for one
+    projection, review r10). Anything that runs per query should
+    materialize ``_keyed_lines`` in its own projection first, the way
+    :func:`robots_policy` does."""
+    return _group_from_keyed(_keyed_lines(robots_col), agent)
 
-    Group model: a group is a run of consecutive ``User-agent`` lines
-    plus the rules that follow (stacked agents share one rule block;
-    blank lines between them are dropped at keying and do not split
-    the run). A group matches when one of its agent values is a
-    case-insensitive PREFIX of ``agent``; the longest matching value
-    wins (ties: first occurrence); no match — or ``agent=None`` —
-    selects the ``*`` groups. ALL groups carrying the winning value
-    merge, per RFC 9309's group-combining rule. ``crawl_delay`` is the
-    first parseable value inside the selected groups; ``sitemaps`` is
-    document-global. Null/empty text parses to empty rules
-    (allow-all). Pure column expressions on the tiny broadcast side;
-    cost is O(rules x m x lines) with m = lines carrying the winning
-    agent value (normally the stacked-agent count), input capped at
-    ``ROBOTS_MAX_LINES`` so adversarial files stay bounded."""
-    from cdc_pipeline_spark.operators.urls import percent_normalize
 
-    keyed = _keyed_lines(robots_col)
-    token = F.lit((agent or "").lower())
+def _line_ops(keyed: Column):
+    """Shared index/lookup helpers over a keyed-lines column: 1-based
+    index array (empty-safe — blank-line filtering can leave zero lines
+    and sequence(1, 0) counts DOWN), element lookup, user-agent test,
+    and run-start resolution (latest user-agent line at or before i
+    whose predecessor is not one — for a UA line its own run's start,
+    for a rule line the owning group's start)."""
     n = F.size(keyed)
-    # blank-line filtering can leave ZERO lines, and sequence(1, 0)
-    # counts DOWN — guard with an explicit empty array
     idxs = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
         F.array().cast("array<int>")
     )
@@ -137,13 +129,18 @@ def parse_robots_group(
     pred_is_ua = lambda i: F.coalesce(  # noqa: E731
         F.get(keyed, i - F.lit(2))["k"] == F.lit("user-agent"), F.lit(False)
     )
-    # latest group start at or before i: a user-agent line whose
-    # predecessor is not one. For a UA line this is its own run's
-    # start; for a rule line it is the owning group's start.
     start_of = lambda i: F.array_max(  # noqa: E731
         F.filter(idxs, lambda j: (j <= i) & is_ua(j) & ~pred_is_ua(j))
     )
-    # --- §2.2.1 selection: longest agent value that prefixes `agent`
+    return idxs, at, is_ua, start_of
+
+
+def _selected_value(keyed: Column, agent: str | None) -> Column:
+    """RFC 9309 §2.2.1 selection: the longest agent value that
+    case-insensitively PREFIXES the crawler product token (ties: first
+    occurrence); no match — or ``agent=None`` — selects ``'*'``."""
+    token = F.lit((agent or "").lower())
+    idxs, at, is_ua, _ = _line_ops(keyed)
     matching = F.filter(
         idxs,
         lambda i: is_ua(i)
@@ -155,17 +152,31 @@ def parse_robots_group(
     sel_idx = F.array_min(
         F.filter(matching, lambda i: F.length(at(i)["v"]) == maxlen)
     )
-    sel_value = F.coalesce(F.lower(F.get(keyed, sel_idx - F.lit(1))["v"]), F.lit("*"))
-    # line i belongs to a selected group iff its owning run carries the
-    # winning agent value (this is what merges same-agent groups).
-    # The exists probes ONLY the lines whose value IS the winner —
-    # normally the stacked-agent count, not all lines (review r10: an
-    # exists over idxs made rule filtering cubic in file length)
-    winner_lines = F.filter(
-        idxs, lambda j: is_ua(j) & (F.lower(at(j)["v"]) == sel_value)
+    return F.coalesce(F.lower(F.get(keyed, sel_idx - F.lit(1))["v"]), F.lit("*"))
+
+
+def _winner_starts(keyed: Column, sel_value: Column) -> Column:
+    """Run starts of every group carrying the winning agent value —
+    the merged-group membership set (RFC 9309: groups with the same
+    agent MUST be combined). Probing only the winner-value lines keeps
+    rule filtering O(rules x m x lines), m = stacked-agent count
+    (review r10: probing all lines made it cubic)."""
+    idxs, at, is_ua, start_of = _line_ops(keyed)
+    return F.transform(
+        F.filter(idxs, lambda j: is_ua(j) & (F.lower(at(j)["v"]) == sel_value)),
+        start_of,
     )
-    selected = lambda i: F.exists(  # noqa: E731
-        winner_lines, lambda j: start_of(j) == start_of(i)
+
+
+def _group_struct(keyed: Column, wstarts: Column) -> Column:
+    """rules / crawl_delay / sitemaps of the selected groups, given the
+    winner run-start set. A line is selected iff its owning run start
+    is in ``wstarts``."""
+    from cdc_pipeline_spark.operators.urls import percent_normalize
+
+    idxs, at, _, start_of = _line_ops(keyed)
+    selected = lambda i: F.coalesce(  # noqa: E731
+        F.array_contains(wstarts, start_of(i)), F.lit(False)
     )
     rule_idx = F.filter(
         idxs,
@@ -203,6 +214,27 @@ def parse_robots_group(
         crawl_delay.alias("crawl_delay"),
         sitemaps.alias("sitemaps"),
     ).cast(_GROUP_TYPE)
+
+
+def _group_from_keyed(keyed: Column, agent: str | None = None) -> Column:
+    """Single-expression composition of the group machinery — see
+    :func:`parse_robots_group` for semantics and the analysis-cost
+    caveat (the staged projections in :func:`robots_policy` are the
+    per-query shape).
+
+    Group model: a group is a run of consecutive ``User-agent`` lines
+    plus the rules that follow (stacked agents share one rule block;
+    blank lines between them are dropped at keying and do not split
+    the run). A group matches when one of its agent values is a
+    case-insensitive PREFIX of ``agent``; the longest matching value
+    wins (ties: first occurrence); no match — or ``agent=None`` —
+    selects the ``*`` groups. ALL groups carrying the winning value
+    merge, per RFC 9309's group-combining rule. ``crawl_delay`` is the
+    first parseable value inside the selected groups; ``sitemaps`` is
+    document-global. Null/empty text parses to empty rules
+    (allow-all). Input capped at ``ROBOTS_MAX_LINES`` so adversarial
+    files stay bounded."""
+    return _group_struct(keyed, _winner_starts(keyed, _selected_value(keyed, agent)))
 
 
 def parse_robots_rules(robots_col: Column | str) -> Column:
@@ -263,9 +295,24 @@ def robots_policy(
         registered_domain,
     )
 
-    parsed = robots.select(
-        F.col(robots_domain_col).alias("__r_domain"),
-        parse_robots_group(robots_text_col, agent).alias("__g"),
+    # materialize the keyed-lines array ONCE, then run the group
+    # machinery against the column reference: inlined, every at(i)
+    # duplicates the line-parse subtree and Catalyst ANALYSIS of the
+    # multiplied tree takes seconds per query (review r10 — measured
+    # 13.5 s -> sub-second). CollapseProject leaves the split alone
+    # because the alias is referenced many times and is not cheap.
+    k = F.col("__keyed")
+    parsed = (
+        robots.select(
+            F.col(robots_domain_col).alias("__r_domain"),
+            _keyed_lines(robots_text_col).alias("__keyed"),
+        )
+        .withColumn("__selv", _selected_value(k, agent))
+        .withColumn("__wstarts", _winner_starts(k, F.col("__selv")))
+        .select(
+            "__r_domain",
+            _group_struct(k, F.col("__wstarts")).alias("__g"),
+        )
     )
     side = [F.col("__r_domain"), F.col("__g.rules").alias("__r_rules")]
     if group_cols:
