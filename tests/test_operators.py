@@ -287,6 +287,7 @@ def test_kmeans_assigns_all_and_improves(spark):
     assert again == first
 
 
+@pytest.mark.slow  # ~30 s Lloyd-quality battery; assignment/identity tests stay default
 def test_minibatch_kmeans_near_full_lloyd_quality(spark):
     """Mini-batch k-means must (a) assign the FULL corpus, (b) be
     rerun-deterministic (hash-sampled batches, no RNG), and (c) land

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -494,6 +495,7 @@ _URL_PARAM = st.one_of(
     frag=st.sampled_from(["", "#f", "#a/b?c"]),
 )
 @settings(max_examples=60, deadline=None)
+@pytest.mark.slow  # ~2 min hypothesis battery; exact percent/canonical tables stay default
 def test_canonicalize_url_idempotent_and_host_stable(
     spark, scheme, www, labels, port, path, params, frag
 ):
@@ -512,12 +514,20 @@ def test_canonicalize_url_idempotent_and_host_stable(
         url += "?" + "&".join(f"{k}={v}" for k, v in params)
     url += frag
     df = spark.createDataFrame([(url,)], "url string")
-    row = df.select(
-        canonicalize_url("url").alias("c1"),
-        canonicalize_url(canonicalize_url("url")).alias("c2"),
-        url_host("url").alias("h_raw"),
-        url_host(canonicalize_url("url")).alias("h_canon"),
-    ).collect()[0]
+    # STAGED columns, not nested expressions: canonicalize_url inlines
+    # the big percent-normalize subtree at every reference, and
+    # canonicalize(canonicalize(u)) in one select multiplied the tree —
+    # Catalyst ANALYSIS took ~70 s per hypothesis example, 4325 s for
+    # this one test (r10 durations run). c2/h_canon referencing the c1
+    # COLUMN keeps every tree additive; it is also the documented
+    # production idiom (see urls.canonicalize_url docstring).
+    row = (
+        df.withColumn("c1", canonicalize_url("url"))
+        .withColumn("c2", canonicalize_url("c1"))
+        .withColumn("h_raw", url_host("url"))
+        .withColumn("h_canon", url_host("c1"))
+        .collect()[0]
+    )
     assert row["c2"] == row["c1"], f"not a fixed point: {url!r} -> {row['c1']!r} -> {row['c2']!r}"
     assert row["h_raw"] == row["h_canon"], f"host drifted: {url!r}"
     assert "#" not in row["c1"] and "utm_" not in row["c1"] and "ref=t" not in row["c1"]

@@ -224,6 +224,7 @@ def test_platform_pipeline_complete_mode(spark, stream_dir, checkpoint):
     assert got == {"view": 3, "click": 1}
 
 
+@pytest.mark.slow  # ~120 s of trigger waits; restart + golden tests keep default coverage
 def test_activity_pipeline_append(spark, stream_dir, checkpoint):
     batches = [_rows([(0, "purchase", 10.0), (5, "view", 1.0)])]
     _write_batches(spark, stream_dir, batches)
