@@ -297,7 +297,11 @@ def main() -> None:
     from cdc_pipeline_spark.workload import phash_fixture_payloads
 
     def phash_candidates(docs_df):
-        hashed = image_phash(phash_fixture_payloads(docs_df))
+        # replica_div: per-replica group namespace = constant near-dup
+        # density as the corpus grows (the 100 TB claim under test);
+        # without it all replicas stack into 97 buckets and the
+        # max_bucket rail correctly prunes everything (big_count 0)
+        hashed = image_phash(phash_fixture_payloads(docs_df, replica_div=1_000_000))
         return hamming_banded_pairs(
             hashed, sig_col="ahash", bits=64, bands=4,
             max_hamming=3, max_bucket=64, verify=False,

@@ -6838,14 +6838,23 @@ def doc_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def phash_fixture_payloads(docs: DataFrame) -> DataFrame:
+def phash_fixture_payloads(docs: DataFrame, replica_div: int | None = None) -> DataFrame:
     """(doc_id, payload) PNG fixture for the perceptual-hash family:
     a deterministic 8x8 black/white image per doc — group pattern
     g = doc_id % 97 (cell 0 forced dark, cell 63 forced light, so the
     aHash threshold bits are exactly the light cells), variant
     v = (doc_id // 97) % 4 flips cells 1+g%61 / 2+g%61. Shared by the
     `multimodal_phash_neardup` oracle query and the scale harness
-    (`bench_scale.py`) so the two can never drift."""
+    (`bench_scale.py`) so the two can never drift.
+
+    ``replica_div`` is the scale harness's constant-density switch:
+    docs from different replicas (``doc_id // replica_div``) get a
+    DISJOINT group namespace, so a 10x corpus means 10x groups at the
+    same per-group size — the same construction as the minhash
+    replica renaming. Without it every replica stacks into the same
+    97 buckets, occupancy crosses the ``max_bucket`` rail, and the
+    banded join correctly prunes everything (measured: big_count 0 —
+    the rail working, but vacuous as linearity evidence)."""
     import pyarrow as pa
 
     def gen(batches):
@@ -6857,7 +6866,8 @@ def phash_fixture_payloads(docs: DataFrame) -> DataFrame:
             ids = batch.column(0).to_pylist()
             payloads = []
             for doc_id in ids:
-                g, v = doc_id % 97, (doc_id // 97) % 4
+                ns = 0 if replica_div is None else doc_id // replica_div
+                g, v = doc_id % 97 + 97 * ns, (doc_id // 97) % 4
                 img = np.zeros((8, 8, 3), dtype=np.uint8)
                 for i in range(64):
                     base = 0 if i == 0 else 1 if i == 63 else ((g * 40503 + i * 2654435761) % 97) % 2
