@@ -301,7 +301,9 @@ def main() -> None:
         # density as the corpus grows (the 100 TB claim under test);
         # without it all replicas stack into 97 buckets and the
         # max_bucket rail correctly prunes everything (big_count 0)
-        hashed = image_phash(phash_fixture_payloads(docs_df, replica_div=1_000_000))
+        hashed = image_phash(
+            phash_fixture_payloads(docs_df, replica_div=1_000_000)
+        ).filter("decoded")
         return hamming_banded_pairs(
             hashed, sig_col="ahash", bits=64, bands=4,
             max_hamming=3, max_bucket=64, verify=False,

@@ -301,7 +301,18 @@ def dhash64(pixels: "np.ndarray") -> int:
     """Difference hash (dHash): grayscale -> nearest-neighbor 9x8 ->
     bit (y, x) = cell(y, x+1) > cell(y, x) over the 8x8 differences
     (row-major, signed long). Gradient-based, so it is robust to
-    uniform brightness shifts that move every aHash cell together."""
+    uniform brightness shifts that move every aHash cell together.
+
+    Reduced effective width on tiny inputs (ADVICE r10): for source
+    images 8 px wide or narrower, the 8->9 nearest-neighbor upscale
+    duplicates column 0, so the 8 bits of bit-column 0 compare a cell
+    with itself and are structurally 0 — an effective 56-bit hash that
+    slightly inflates near-dup collision rates for sub-9px-wide
+    images. This is the standard dHash construction (the 9-column
+    grid is the definition); the oracle models the same duplication,
+    and real crawled images are far wider than 9 px. Callers hashing
+    icon-sized corpora should band on ahash64 (the oracle query does)
+    or widen the band count."""
     g = resize_nearest(gray_u8(pixels)[:, :, None], 9, 8)[:, :, 0].astype(np.int64)
     return _pack_bits64(g[:, 1:] > g[:, :-1])
 

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -46,6 +47,12 @@ FEATURE_SCHEMA = StructType(
         StructField("content_digest", StringType()),
         StructField("feature", ArrayType(DoubleType())),
     ]
+)
+
+# keep_quarantined=True variant: feature is null for quarantined rows
+# and `decoded` carries the in-band audit flag (VERDICT r10 #5)
+FEATURE_SCHEMA_AUDITED = StructType(
+    FEATURE_SCHEMA.fields + [StructField("decoded", BooleanType())]
 )
 
 FEATURE_DIM = 8
@@ -77,6 +84,7 @@ def extract_features(
     payload_col: str = "payload",
     fake_decode: bool = True,
     decoder: str = "stub",
+    keep_quarantined: bool = False,
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
@@ -89,10 +97,15 @@ def extract_features(
     (``operators.imaging``) and emits a per-channel mean/std descriptor;
     ``decoder="audio"`` runs the REAL RIFF/WAVE decode
     (``operators.audio``) and emits a duration/RMS/ZCR/band descriptor.
-    In both, payloads that fail to decode are dropped from the output
-    (the quarantine pattern — a corrupt blob must never kill the
-    worker). ``decoder="stub"`` (default) keeps the byte-level stand-in
-    used by the oracle-checked byte-stats query.
+    In both, payloads that fail to decode are quarantined — a corrupt
+    blob must never kill the worker. By default quarantined rows are
+    dropped from the output; ``keep_quarantined=True`` keeps them with
+    ``feature = null`` and adds a ``decoded`` boolean column (VERDICT
+    r10 #5: a 100 TB ingest needs the drop RATE auditable — a silent
+    drop is indistinguishable from a short corpus), so callers filter
+    on ``decoded`` and aggregate the rest. ``decoder="stub"`` (default)
+    keeps the byte-level stand-in used by the oracle-checked
+    byte-stats query.
     """
     from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as spread
 
@@ -145,10 +158,17 @@ def extract_features(
                     "feature": payloads.map(lambda p: decode(bytes(p))),
                 }
             )
-            # undecodable payloads (decode -> None) are quarantined out
-            yield out[out["feature"].notna()]
+            if keep_quarantined:
+                # in-band quarantine: the row survives with a null
+                # feature and an auditable decoded flag
+                out["decoded"] = out["feature"].notna()
+                yield out
+            else:
+                # undecodable payloads (decode -> None) quarantined out
+                yield out[out["feature"].notna()]
 
-    return narrow.mapInPandas(run, FEATURE_SCHEMA)
+    schema = FEATURE_SCHEMA_AUDITED if keep_quarantined else FEATURE_SCHEMA
+    return narrow.mapInPandas(run, schema)
 
 
 def image_phash(
@@ -159,9 +179,15 @@ def image_phash(
     """Perceptual 64-bit hashes over binary image payloads: decode
     (PNG/BMP/JPEG/GIF sniff) and compute aHash + dHash
     (``imaging.ahash64``/``dhash64``) in ONE Arrow pass — payload bytes
-    cross the JVM->Python boundary exactly once, corrupt payloads are
-    quarantined out (ValueError -> dropped row, never a dead worker).
-    Returns (doc_id, ahash long, dhash long); feed either column to
+    cross the JVM->Python boundary exactly once. Corrupt payloads are
+    quarantined IN-BAND (VERDICT r10 #5): the row survives with
+    ``decoded = false`` and null hashes instead of silently vanishing,
+    so a 100 TB ingest can audit its drop rate with one aggregate —
+    a silent drop is indistinguishable from a short corpus. Rows with
+    a NULL payload have no media at all and are still skipped (the
+    explode_outer + filter convention of the JVM-side stages).
+    Returns (doc_id, ahash long, dhash long, decoded boolean); filter
+    on ``decoded`` and feed either hash column to
     :func:`dedup.hamming_banded_pairs` for image near-dup — the same
     banded linear-rail join SimHash uses."""
     from cdc_pipeline_spark.operators.imaging import ahash64, decode_image_any, dhash64
@@ -174,24 +200,34 @@ def image_phash(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             batch = batch[batch["payload"].notna()]
-            ids, ahs, dhs = [], [], []
+            ids, ahs, dhs, oks = [], [], [], []
             for doc_id, p in zip(batch["doc_id"], batch["payload"]):
+                ids.append(doc_id)
                 try:
                     pixels = decode_image_any(bytes(p))
-                except ValueError:
-                    continue  # quarantine: undecodable payload
-                ids.append(doc_id)
+                except ValueError:  # quarantine: undecodable payload
+                    ahs.append(None)
+                    dhs.append(None)
+                    oks.append(False)
+                    continue
                 ahs.append(ahash64(pixels))
                 dhs.append(dhash64(pixels))
+                oks.append(True)
+            # nullable Int64: quarantined rows carry null hashes — a
+            # plain int64 series would coerce None to NaN/float and
+            # corrupt the 64-bit patterns
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
-                    "ahash": pd.Series(ahs, dtype="int64"),
-                    "dhash": pd.Series(dhs, dtype="int64"),
+                    "ahash": pd.Series(ahs, dtype="Int64"),
+                    "dhash": pd.Series(dhs, dtype="Int64"),
+                    "decoded": pd.Series(oks, dtype="bool"),
                 }
             )
 
-    return narrow.mapInPandas(run, "doc_id long, ahash long, dhash long")
+    return narrow.mapInPandas(
+        run, "doc_id long, ahash long, dhash long, decoded boolean"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -27,18 +27,28 @@ replay it rule for rule):
   double from the selected groups (first parseable value in document
   order); ``Sitemap`` lines are document-global (RFC 9309 allows them
   anywhere) and surfaced as an array in file order.
-* ``Allow``/``Disallow`` values are path prefixes; matching is
-  longest-match with ``Allow`` winning length ties (RFC 9309 §2.2.2).
+* ``Allow``/``Disallow`` values match per RFC 9309 §2.2.2/§2.2.3:
+  plain values are path prefixes; ``*`` matches any character
+  sequence and a TRAILING ``$`` anchors the end of the path (a ``$``
+  anywhere else is a literal, matching Google's reference parser).
+  Wildcard values compile ONCE per rule on the broadcast side into an
+  anchored regex (:func:`_compiled_rule`); precedence is
+  most-specific-match where specificity counts the rule's LITERAL
+  octets (``*`` and the end anchor contribute nothing — for plain
+  prefixes this is exactly prefix length), ``Allow`` winning ties.
   No matching rule ⇒ allowed; missing/empty robots.txt ⇒ allowed.
 * empty rule values (``Disallow:`` alone = allow-all) are no-ops and
   dropped at parse time — equivalent under longest-match.
-* ``*``/``$`` wildcard rules are SKIPPED (documented subset: prefix
-  rules only); comments (``#`` to end of line) and ``\r`` are
-  stripped; directive names are case-insensitive; tabs count as
-  whitespace (RFC 9309 WS = space/tab — tabs are folded to spaces
-  before trimming, so ``Disallow:\t/x`` and indented lines parse; a
-  raw tab INSIDE a path value would fold too, but tabs are not legal
-  in URI paths).
+* lines whose key is not one of ``user-agent/allow/disallow/
+  crawl-delay/sitemap`` (including colon-free junk) are dropped at
+  keying, like blank lines — widely-deployed parsers ignore unknown
+  lines, and ADVICE r10: an unknown line between stacked
+  ``User-agent`` lines must not split the group.
+* comments (``#`` to end of line) and ``\r`` are stripped; directive
+  names are case-insensitive; tabs count as whitespace (RFC 9309 WS =
+  space/tab — tabs are folded to spaces before trimming, so
+  ``Disallow:\t/x`` and indented lines parse; a raw tab INSIDE a path
+  value would fold too, but tabs are not legal in URI paths).
 * rule values are percent-normalized with the SAME
   :func:`urls.percent_normalize` pass the URL paths get (RFC 9309
   compares percent-decoded octets), so ``Disallow: /priv%61te/``
@@ -56,7 +66,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_RULES_TYPE = "array<struct<allow:boolean, prefix:string>>"
+_RULES_TYPE = (
+    "array<struct<allow:boolean, prefix:string, pattern:string, spec:int>>"
+)
+
+# line keys with RFC 9309 (or de-facto) meaning; anything else is
+# dropped at keying so junk lines neither split stacked user-agent
+# runs nor end a group (ADVICE r10)
+_RECOGNIZED_KEYS = ("user-agent", "allow", "disallow", "crawl-delay", "sitemap")
 
 
 # bounded broadcast-side evaluation: RFC 9309 §2.4 requires processing
@@ -73,14 +90,17 @@ def _keyed_lines(robots_col: Column | str) -> Column:
     stacked ``User-agent`` lines without splitting the group, review
     r10); the first ``ROBOTS_MAX_LINES`` survivors are kept. ``k`` =
     lowercased text before the first ``:``, ``v`` = trimmed remainder
-    (lines without ``:`` get ``v = ''``)."""
+    (lines without ``:`` get ``v = ''``). Lines whose ``k`` is not in
+    ``_RECOGNIZED_KEYS`` are then dropped like blank lines (ADVICE
+    r10: unknown lines — ``Host:``, junk — must not split a stacked
+    agent run; widely-deployed parsers ignore them)."""
     col = F.col(robots_col) if isinstance(robots_col, str) else robots_col
     lines = F.transform(
         F.split(F.regexp_replace(F.coalesce(col, F.lit("")), "\r", ""), "\n"),
         lambda l: F.trim(F.regexp_replace(F.translate(l, "\t", " "), "#.*", "")),
     )
     lines = F.slice(F.filter(lines, lambda l: l != ""), 1, ROBOTS_MAX_LINES)
-    return F.transform(
+    keyed = F.transform(
         lines,
         lambda l: F.struct(
             F.lower(F.trim(F.substring_index(l, ":", 1))).alias("k"),
@@ -91,11 +111,11 @@ def _keyed_lines(robots_col: Column | str) -> Column:
             ).alias("v"),
         ),
     )
+    return F.filter(keyed, lambda s: s["k"].isin(*_RECOGNIZED_KEYS))
 
 
 _GROUP_TYPE = (
-    "struct<rules:array<struct<allow:boolean, prefix:string>>, "
-    "crawl_delay:double, sitemaps:array<string>>"
+    f"struct<rules:{_RULES_TYPE}, crawl_delay:double, sitemaps:array<string>>"
 )
 
 
@@ -168,12 +188,50 @@ def _winner_starts(keyed: Column, sel_value: Column) -> Column:
     )
 
 
+def _compiled_rule(is_allow: Column, value: Column) -> Column:
+    """Compile one ``Allow``/``Disallow`` value into the rule struct
+    (RFC 9309 §2.2.2/§2.2.3 matching, done ONCE per rule on the
+    broadcast side, never per URL):
+
+    * the value is percent-normalized with the SAME pass URL paths get
+      (the RFC compares decoded octets);
+    * a TRAILING ``$`` is the end-of-path anchor (a ``$`` anywhere
+      else is a literal — Google's reference parser does the same);
+    * ``prefix`` = the anchor-stripped normalized value;
+    * ``pattern`` = NULL for plain prefix values (the match is a cheap
+      ``startswith``), else the value translated to an anchored Java
+      regex: metacharacters escaped, each ``*`` → ``.*``, a leading
+      ``^`` and — for anchored rules — a trailing ``$``;
+    * ``spec`` = the rule's LITERAL octet count (``prefix`` minus the
+      ``*``s) — the §2.2.2 most-specific-match precedence key; for
+      plain prefixes it equals prefix length, so wildcard and prefix
+      rules rank on one scale."""
+    from cdc_pipeline_spark.operators.urls import percent_normalize
+
+    v = percent_normalize(value)
+    anchored = v.endswith("$")
+    body = F.when(anchored, v.substr(F.lit(1), F.length(v) - 1)).otherwise(v)
+    wild = body.contains("*") | anchored
+    # escape every Java-regex metacharacter EXCEPT '*' (still raw at
+    # this point), then turn each '*' into '.*'
+    esc = F.regexp_replace(body, r"([.^$|?()\[\]{}+\\])", r"\\$1")
+    rex = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    return F.struct(
+        is_allow.alias("allow"),
+        body.alias("prefix"),
+        F.when(wild, rex).alias("pattern"),
+        F.length(F.regexp_replace(body, r"\*", "")).cast("int").alias("spec"),
+    )
+
+
 def _group_struct(keyed: Column, wstarts: Column) -> Column:
     """rules / crawl_delay / sitemaps of the selected groups, given the
     winner run-start set. A line is selected iff its owning run start
     is in ``wstarts``."""
-    from cdc_pipeline_spark.operators.urls import percent_normalize
-
     idxs, at, _, start_of = _line_ops(keyed)
     selected = lambda i: F.coalesce(  # noqa: E731
         F.array_contains(wstarts, start_of(i)), F.lit(False)
@@ -182,19 +240,11 @@ def _group_struct(keyed: Column, wstarts: Column) -> Column:
         idxs,
         lambda i: at(i)["k"].isin("allow", "disallow")
         & (at(i)["v"] != "")
-        & ~at(i)["v"].contains("*")
-        & ~at(i)["v"].contains("$")
         & selected(i),
     )
-    # percent-normalize the prefix with the same pass URL paths get
-    # (RFC 9309 compares decoded octets; both sides must normalize
-    # identically or encoded rules silently never match)
     rules = F.transform(
         rule_idx,
-        lambda i: F.struct(
-            (at(i)["k"] == F.lit("allow")).alias("allow"),
-            percent_normalize(at(i)["v"]).alias("prefix"),
-        ),
+        lambda i: _compiled_rule(at(i)["k"] == F.lit("allow"), at(i)["v"]),
     ).cast(_RULES_TYPE)
     cd_idx = F.array_min(
         F.filter(
@@ -247,24 +297,80 @@ def parse_robots_rules(robots_col: Column | str) -> Column:
 
 
 def robots_allowed(path_col: Column | str, rules_col: Column | str) -> Column:
-    """RFC 9309 longest-match decision for one path against a parsed
-    rules array: allowed iff the longest matching Allow prefix is at
-    least as long as the longest matching Disallow prefix (no matching
-    Disallow ⇒ allowed; null rules — e.g. no robots row joined —
-    ⇒ allowed)."""
+    """RFC 9309 §2.2.2 most-specific-match decision for one path
+    against a compiled rules array: a plain rule matches by prefix, a
+    wildcard rule by its precompiled anchored regex; specificity is
+    the rule's literal octet count (``spec``), and the path is allowed
+    iff the most specific matching Allow is at least as specific as
+    the most specific matching Disallow (no matching Disallow ⇒
+    allowed; null rules — e.g. no robots row joined — ⇒ allowed)."""
     path = F.col(path_col) if isinstance(path_col, str) else path_col
     rules = F.col(rules_col) if isinstance(rules_col, str) else rules_col
     matched = F.filter(
         F.coalesce(rules, F.lit([]).cast(_RULES_TYPE)),
-        lambda r: path.startswith(r["prefix"]),
+        lambda r: F.when(r["pattern"].isNull(), path.startswith(r["prefix"]))
+        .otherwise(F.regexp_like(path, r["pattern"])),
     )
     best = lambda want_allow: F.array_max(  # noqa: E731
         F.transform(
             F.filter(matched, lambda r: r["allow"] == F.lit(want_allow)),
-            lambda r: F.length(r["prefix"]),
+            lambda r: r["spec"],
         )
     )
     return F.coalesce(best(True), F.lit(-1)) >= F.coalesce(best(False), F.lit(-1))
+
+
+# --- sitemap XML (sitemaps.org protocol) ---------------------------------
+#
+# robots.txt surfaces sitemap URLs as typed columns (the `sitemaps`
+# group column above); these parse the fetched sitemap DOCUMENTS into
+# a URL frontier — <urlset> files list page URLs, <sitemapindex> files
+# list further sitemap files. Entry-level regexes, not an XML parser:
+# the protocol's entry grammar is flat (<url>/<sitemap> elements with
+# <loc> + optional <lastmod>), and per-row column expressions keep a
+# 100 TB frontier build scan-parallel and shuffle-free.
+
+_SITEMAP_ENTRY_TYPE = "array<struct<loc:string, lastmod:string>>"
+_SITEMAP_ENTRY_RE = r"(?is)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)\s*>"
+_SITEMAP_LOC_RE = r"(?is)<loc\s*>(.*?)</loc\s*>"
+_SITEMAP_LASTMOD_RE = r"(?is)<lastmod\s*>(.*?)</lastmod\s*>"
+
+
+def sitemap_kind(xml_col: Column | str) -> Column:
+    """'index' for ``<sitemapindex>`` documents, 'urlset' for
+    ``<urlset>`` documents, null otherwise — the routing column a
+    frontier builder branches on (index entries are further sitemap
+    FETCH tasks, urlset entries are page URLs)."""
+    col = F.col(xml_col) if isinstance(xml_col, str) else xml_col
+    lowered = F.lower(F.coalesce(col, F.lit("")))
+    return (
+        F.when(lowered.contains("<sitemapindex"), "index")
+        .when(lowered.contains("<urlset"), "urlset")
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def parse_sitemap_entries(xml_col: Column | str) -> Column:
+    """Entries of a sitemap document: ``array<struct<loc, lastmod>>``
+    in file order. ``loc`` is whitespace-trimmed (the protocol allows
+    padding inside the element); entries without a ``<loc>`` are
+    dropped; ``lastmod`` is the raw W3C-datetime string (date-only or
+    full ISO timestamp), null when absent — callers derive a typed
+    date with ``to_date(substr(lastmod, 1, 10))``."""
+    col = F.col(xml_col) if isinstance(xml_col, str) else xml_col
+    blocks = F.regexp_extract_all(
+        F.coalesce(col, F.lit("")), F.lit(_SITEMAP_ENTRY_RE), F.lit(1)
+    )
+    entries = F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.trim(F.regexp_extract(b, _SITEMAP_LOC_RE, 1)).alias("loc"),
+            F.nullif(
+                F.trim(F.regexp_extract(b, _SITEMAP_LASTMOD_RE, 1)), F.lit("")
+            ).alias("lastmod"),
+        ),
+    )
+    return F.filter(entries, lambda e: e["loc"] != "").cast(_SITEMAP_ENTRY_TYPE)
 
 
 def robots_policy(

@@ -225,6 +225,20 @@ _BLOCK_TAG_RE = (
 # split across block boundaries (illegal nesting) contribute 0 — their
 # open/close tags land in different segments and the pattern can't match.
 _ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+# <script>/<style>/<noscript> ELEMENT CONTENT is removed before block
+# splitting (VERDICT r10 #4): their bodies are code, not content —
+# jusText removes the elements outright; left in, JS/CSS merges into
+# adjacent block text, dilutes link/stopword densities, and
+# English-looking identifier soup can classify 'good' and leak into
+# the extracted content. Spelled as per-tag alternation (NOT a
+# backreference) so the Java engine and the RE2-based DuckDB oracle
+# run the SAME pattern — RE2 has no backreferences. An unterminated
+# element (no closing tag) is left in place and falls through to the
+# density rules like any other markup residue.
+_SCRIPTISH_RE = (
+    r"(?is)<script\b.*?</script\s*>|<style\b.*?</style\s*>|"
+    r"<noscript\b.*?</noscript\s*>"
+)
 # EN_STOPWORDS as one word-boundary regex so both engines count
 # occurrences identically (derived, not retyped — review r10)
 _STOPWORD_RE = r"\b(?:" + "|".join(EN_STOPWORDS) + r")\b"
@@ -246,7 +260,9 @@ def block_profile(html_col: str | Column) -> Column:
     as column expressions). Splits on block-level tags, drops empty
     blocks, and for each block computes the cleaned text, word count,
     link density (anchor-text chars / text chars) and stopword
-    density, then classifies:
+    density, then classifies. ``<script>``/``<style>``/``<noscript>``
+    elements are removed WITH their content before splitting
+    (``_SCRIPTISH_RE`` — VERDICT r10 #4); then:
 
     * ``bad``   — link density > 1/3 (nav/footer/link farms), or a
       >= 8-word block with stopword density < 0.01 (keyword listings,
@@ -261,7 +277,7 @@ def block_profile(html_col: str | Column) -> Column:
     shuffle-free; every ratio is an exact int/int division so a SQL
     oracle replays the classification bit-for-bit."""
     col = F.col(html_col) if isinstance(html_col, str) else html_col
-    segs = F.split(col, _BLOCK_TAG_RE)
+    segs = F.split(F.regexp_replace(col, _SCRIPTISH_RE, ""), _BLOCK_TAG_RE)
     raw = F.transform(
         segs,
         lambda b: F.struct(

@@ -6345,18 +6345,63 @@ def doc_url_percent_normalization(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _sql_robots_best(want: str, path: str = "u.path") -> str:
+    """DuckDB replica of `robots._compiled_rule` + best-match: the max
+    specificity among the selected rules (``r.ridx``) of kind ``want``
+    ('allow'/'disallow') that match ``path`` — RFC 9309 §2.2.2/§2.2.3
+    semantics, rule for rule against the engine: a trailing ``$`` is
+    the end anchor, ``*`` matches any sequence, everything else is
+    literal (regex metas escaped), and specificity counts LITERAL
+    octets only (anchor-stripped body minus the ``*``s — equals prefix
+    length for plain rules). Fixture rule values are %-free, so the
+    engine's percent-normalize of the value is the identity here."""
+    body = (
+        "(CASE WHEN ends_with(r.vs[i], '$') "
+        "THEN substr(r.vs[i], 1, length(r.vs[i]) - 1) ELSE r.vs[i] END)"
+    )
+    pattern = (
+        "('^' || replace(regexp_replace(" + body
+        + r", '([.^$|?()\[\]{}+\\])', '\\\1', 'g'), '*', '.*')"
+        + " || CASE WHEN ends_with(r.vs[i], '$') THEN '$' ELSE '' END)"
+    )
+    match = (
+        f"(CASE WHEN contains({body}, '*') OR ends_with(r.vs[i], '$') "
+        f"THEN regexp_matches({path}, {pattern}) "
+        f"ELSE starts_with({path}, {body}) END)"
+    )
+    spec = f"length(replace({body}, '*', ''))"
+    return (
+        "coalesce(list_max(list_transform("
+        f"list_filter(r.ridx, i -> r.ks[i] = '{want}' AND {match}), "
+        f"i -> {spec})), -1)"
+    )
+
+
+# mirror of robots._RECOGNIZED_KEYS for the oracle's keying stage:
+# unknown-key lines (Host:, junk) drop like blank lines (ADVICE r10)
+_SQL_ROBOTS_KEY_FILTER = (
+    "lower(trim(split_part(l, ':', 1))) IN "
+    "('user-agent', 'allow', 'disallow', 'crawl-delay', 'sitemap')"
+)
+
+
 def _robots_oracle_sql() -> str:
     """DuckDB replica of the robots.txt policy engine: the SQL parses
     the SAME synthesized robots text with the same line/keyed/group
-    operations (trim, comment strip, first-colon split, run-based
-    group starts with merged-'*' selection, wildcard/empty-rule drop)
+    operations (trim, comment strip, first-colon split, unknown-key
+    drop, run-based group starts with merged-'*' selection,
+    empty-rule drop, wildcard compilation)
     and replays RFC 9309
     longest-match with allow-wins-ties — so the hash check covers the
     parser and the precedence rule, not just a lookup. URL paths reuse
     the synthesis expression (analytic-oracle pattern: the engine
     derives them from the full URL string; the fixture guarantees
-    equality)."""
-    return r"""
+    equality). The fixture's `/wild*card` rule — skipped by both sides
+    through round 10 — now COMPILES on both sides (r11 wildcard
+    support); no fixture path can match it, so it exercises the
+    compile path without moving any verdict (the verdict-moving
+    wildcard battery is doc_robots_wildcard_policy)."""
+    return rf"""
     WITH src AS (SELECT DISTINCT lower(source) AS s FROM documents),
     rb AS (
         SELECT s || '.com' AS domain,
@@ -6379,13 +6424,14 @@ def _robots_oracle_sql() -> str:
         -- fixture's rule values are %-free, so the engine's
         -- percent-normalize of prefixes is the identity here (the
         -- decode itself is unit-tested engine-side)
-        -- blank lines dropped after trimming, mirroring the engine's
-        -- _keyed_lines (RFC 9309: emptyline has no syntactic role; the
-        -- engine's ROBOTS_MAX_LINES cap is a no-op at fixture size)
+        -- blank AND unknown-key lines dropped after trimming,
+        -- mirroring the engine's _keyed_lines (RFC 9309: emptyline has
+        -- no syntactic role; unknown lines are ignored, ADVICE r10;
+        -- the engine's ROBOTS_MAX_LINES cap is a no-op at fixture size)
         SELECT domain,
                list_filter(list_transform(str_split(replace(txt, chr(13), ''), chr(10)),
                               l -> trim(regexp_replace(replace(l, chr(9), ' '), '#.*', ''))),
-                           l -> l <> '') AS ls
+                           l -> l <> '' AND {_SQL_ROBOTS_KEY_FILTER}) AS ls
         FROM rb),
     keyed AS (
         SELECT domain, ls,
@@ -6404,11 +6450,11 @@ def _robots_oracle_sql() -> str:
         FROM keyed),
     ruled AS (
         -- a rule is selected iff its owning run carries the '*' agent
-        -- (this is the engine's merged-'*'-groups semantics)
+        -- (this is the engine's merged-'*'-groups semantics); wildcard
+        -- values stay in — they compile at match time (r11)
         SELECT domain, ks, vs,
                list_filter(generate_series(1, len(ks)),
                     i -> ks[i] IN ('allow', 'disallow') AND vs[i] <> ''
-                         AND NOT contains(vs[i], '*') AND NOT contains(vs[i], '$')
                          AND rst[i] IS NOT NULL
                          AND len(list_filter(generate_series(1, len(ks)),
                               j -> ks[j] = 'user-agent' AND lower(vs[j]) = '*'
@@ -6433,15 +6479,9 @@ def _robots_oracle_sql() -> str:
         FROM documents),
     verdicts AS (
         SELECT u.doc_id, u.domain, u.path,
-               coalesce(list_max(list_transform(
-                   list_filter(r.ridx, i -> r.ks[i] = 'allow'
-                               AND starts_with(u.path, r.vs[i])),
-                   i -> length(r.vs[i]))), -1)
+               {_sql_robots_best('allow')}
                >=
-               coalesce(list_max(list_transform(
-                   list_filter(r.ridx, i -> r.ks[i] = 'disallow'
-                               AND starts_with(u.path, r.vs[i])),
-                   i -> length(r.vs[i]))), -1) AS robots_allowed
+               {_sql_robots_best('disallow')} AS robots_allowed
         FROM urls u LEFT JOIN ruled r ON u.domain = r.domain)
     SELECT domain, robots_allowed,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -6523,7 +6563,7 @@ def _robots_agent_oracle_sql() -> str:
     '*'), merges same-agent groups, and replays longest-match verdicts
     plus the typed Crawl-delay and the document-global Sitemap count —
     rule for rule against `operators/robots.py:parse_robots_group`."""
-    return r"""
+    return rf"""
     WITH src AS (SELECT DISTINCT lower(source) AS s FROM documents),
     rb AS (
         SELECT s || '.com' AS domain,
@@ -6546,13 +6586,14 @@ def _robots_agent_oracle_sql() -> str:
                'Sitemap: https://' || s || '.com/sitemap2.xml' || chr(10) AS txt
         FROM src),
     lined AS (
-        -- blank lines dropped after trimming, mirroring the engine's
-        -- _keyed_lines (RFC 9309: emptyline has no syntactic role; the
-        -- engine's ROBOTS_MAX_LINES cap is a no-op at fixture size)
+        -- blank AND unknown-key lines dropped after trimming,
+        -- mirroring the engine's _keyed_lines (RFC 9309: emptyline has
+        -- no syntactic role; unknown lines are ignored, ADVICE r10;
+        -- the engine's ROBOTS_MAX_LINES cap is a no-op at fixture size)
         SELECT domain,
                list_filter(list_transform(str_split(replace(txt, chr(13), ''), chr(10)),
                               l -> trim(regexp_replace(replace(l, chr(9), ' '), '#.*', ''))),
-                           l -> l <> '') AS ls
+                           l -> l <> '' AND {_SQL_ROBOTS_KEY_FILTER}) AS ls
         FROM rb),
     keyed AS (
         SELECT domain, ls,
@@ -6582,10 +6623,10 @@ def _robots_agent_oracle_sql() -> str:
                               m -> length(vs[m])))))]), '*') AS selv
         FROM starts),
     ruled AS (
+        -- wildcard values stay in — they compile at match time (r11)
         SELECT domain, ks, vs,
                list_filter(generate_series(1, len(ks)),
                     i -> ks[i] IN ('allow', 'disallow') AND vs[i] <> ''
-                         AND NOT contains(vs[i], '*') AND NOT contains(vs[i], '$')
                          AND rst[i] IS NOT NULL
                          AND len(list_filter(generate_series(1, len(ks)),
                               j -> ks[j] = 'user-agent' AND lower(vs[j]) = selv
@@ -6612,15 +6653,9 @@ def _robots_agent_oracle_sql() -> str:
         FROM documents),
     verdicts AS (
         SELECT u.doc_id, u.domain, u.path, r.crawl_delay, r.n_sitemaps,
-               coalesce(list_max(list_transform(
-                   list_filter(r.ridx, i -> r.ks[i] = 'allow'
-                               AND starts_with(u.path, r.vs[i])),
-                   i -> length(r.vs[i]))), -1)
+               {_sql_robots_best('allow')}
                >=
-               coalesce(list_max(list_transform(
-                   list_filter(r.ridx, i -> r.ks[i] = 'disallow'
-                               AND starts_with(u.path, r.vs[i])),
-                   i -> length(r.vs[i]))), -1) AS robots_allowed
+               {_sql_robots_best('disallow')} AS robots_allowed
         FROM urls u LEFT JOIN ruled r ON u.domain = r.domain)
     SELECT domain, robots_allowed,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -6704,6 +6739,171 @@ def doc_robots_agent_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _robots_wildcard_oracle_sql() -> str:
+    """DuckDB replica of RFC 9309 wildcard matching (r11): the SQL
+    compiles every `*`/`$` rule value to the same anchored regex the
+    engine builds (`robots._compiled_rule`, via `_sql_robots_best`),
+    ranks matches by LITERAL-octet specificity, and replays the
+    stacked-agent selection for token 'wildbot/3.1' — including the
+    unknown-key line dropped at keying (ADVICE r10: the junk line
+    between the stacked agents must not split the group, or WildBot
+    would select an EMPTY rule set and every verdict would flip to
+    allowed)."""
+    return rf"""
+    WITH src AS (SELECT DISTINCT lower(source) AS s FROM documents),
+    rb AS (
+        SELECT s || '.com' AS domain,
+               'User-agent: WildBot' || chr(10) ||
+               'X-Junk: unknown line must not split the stack' || chr(10) ||
+               'User-agent: *' || chr(10) ||
+               'Disallow: /*.pdf$' || chr(10) ||
+               'Allow: /docs/*.pdf$' || chr(10) ||
+               'Disallow: /tmp*' || chr(10) ||
+               'Allow: /tmp/keep$' || chr(10) ||
+               'Disallow: /private/*/drafts' || chr(10) ||
+               'Allow: /private/' || chr(10) ||
+               'Disallow: /a$' || chr(10) ||
+               CASE WHEN ascii(substr(s, length(s), 1)) % 2 = 1
+                    THEN 'Disallow: /*?session=' || chr(10) ELSE '' END AS txt
+        FROM src),
+    lined AS (
+        SELECT domain,
+               list_filter(list_transform(str_split(replace(txt, chr(13), ''), chr(10)),
+                              l -> trim(regexp_replace(replace(l, chr(9), ' '), '#.*', ''))),
+                           l -> l <> '' AND {_SQL_ROBOTS_KEY_FILTER}) AS ls
+        FROM rb),
+    keyed AS (
+        SELECT domain, ls,
+               list_transform(ls, l -> lower(trim(split_part(l, ':', 1)))) AS ks,
+               list_transform(ls, l -> trim(substr(l, length(split_part(l, ':', 1)) + 2))) AS vs
+        FROM lined),
+    starts AS (
+        SELECT domain, ks, vs,
+               list_transform(generate_series(1, len(ks)),
+                    i -> list_max(list_filter(generate_series(1, len(ks)),
+                         j -> j <= i AND ks[j] = 'user-agent'
+                              AND (j = 1 OR ks[j-1] <> 'user-agent')))) AS rst
+        FROM keyed),
+    sel AS (
+        SELECT domain, ks, vs, rst,
+               coalesce(lower(vs[list_min(list_filter(generate_series(1, len(ks)),
+                    i -> ks[i] = 'user-agent' AND vs[i] <> '*' AND vs[i] <> ''
+                         AND starts_with('wildbot/3.1', lower(vs[i]))
+                         AND length(vs[i]) = list_max(list_transform(
+                              list_filter(generate_series(1, len(ks)),
+                                   m -> ks[m] = 'user-agent' AND vs[m] <> '*'
+                                        AND vs[m] <> ''
+                                        AND starts_with('wildbot/3.1',
+                                                        lower(vs[m]))),
+                              m -> length(vs[m])))))]), '*') AS selv
+        FROM starts),
+    ruled AS (
+        SELECT domain, ks, vs,
+               list_filter(generate_series(1, len(ks)),
+                    i -> ks[i] IN ('allow', 'disallow') AND vs[i] <> ''
+                         AND rst[i] IS NOT NULL
+                         AND len(list_filter(generate_series(1, len(ks)),
+                              j -> ks[j] = 'user-agent' AND lower(vs[j]) = selv
+                                   AND rst[j] = rst[i])) > 0) AS ridx
+        FROM sel),
+    urls AS (
+        SELECT doc_id, lower(source) || '.com' AS domain,
+               -- doc_id // 20 decorrelates from the source stripe;
+               -- every branch's verdict hinges on a wildcard rule
+               CASE (doc_id // 20) % 8
+                    WHEN 0 THEN '/file' || CAST(doc_id AS VARCHAR) || '.pdf'
+                    WHEN 1 THEN '/file' || CAST(doc_id AS VARCHAR) || '.pdfx'
+                    WHEN 2 THEN '/docs/guide' || CAST(doc_id AS VARCHAR) || '.pdf'
+                    WHEN 3 THEN '/tmp' || CAST(doc_id AS VARCHAR)
+                    WHEN 4 THEN CASE WHEN doc_id % 2 = 0
+                                     THEN '/tmp/keep' ELSE '/a' END
+                    WHEN 5 THEN '/private/p' || CAST(doc_id AS VARCHAR) || '/drafts'
+                    WHEN 6 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+                    ELSE '/page' || CAST(doc_id AS VARCHAR) || '?session=k' END AS path
+        FROM documents),
+    verdicts AS (
+        SELECT u.doc_id, u.domain, u.path,
+               {_sql_robots_best('allow')}
+               >=
+               {_sql_robots_best('disallow')} AS robots_allowed
+        FROM urls u LEFT JOIN ruled r ON u.domain = r.domain)
+    SELECT domain, robots_allowed,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(path) AS sample_path
+    FROM verdicts GROUP BY domain, robots_allowed
+    """
+
+
+@register("doc_robots_wildcard_policy", _robots_wildcard_oracle_sql())
+def doc_robots_wildcard_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 `*`/`$` wildcard rule matching over the corpus (VERDICT
+    r10 #2, `operators/robots.py:_compiled_rule`): every fixture verdict
+    hinges on a wildcard rule — `/*.pdf$` (denied) vs `.pdfx` (the end
+    anchor misses), `/docs/*.pdf$` Allow out-specifying the global pdf
+    Disallow on literal octets (10 > 5), open-ended `/tmp*`, the
+    anchored exact `Allow: /tmp/keep$` and `Disallow: /a$`, a
+    mid-pattern wildcard `/private/*/drafts` out-specifying
+    `Allow: /private/` (16 > 9), and an odd-domain-only query matcher
+    `/*?session=` (the `?` is a regex meta that must escape). The rules
+    compile ONCE per rule to anchored regexes on the broadcast side;
+    plain-prefix rules keep the cheap startswith path; precedence
+    counts literal octets so wildcard and prefix rules rank on one
+    scale. Selection runs for agent token `wildbot/3.1` against a
+    stacked `WildBot`+`*` group with an unknown `X-Junk:` line between
+    the agents (ADVICE r10: unknown keys drop at keying — under the
+    old run-splitting behavior WildBot would select an empty group and
+    every verdict would flip). The DuckDB oracle replays keying,
+    selection, wildcard compilation, and specificity rule for rule."""
+    from cdc_pipeline_spark.operators.robots import robots_policy as _rp
+
+    docs = _t(spark, sf_dir, "documents")
+    s = F.lower(F.col("source"))
+    s2 = F.col("__s")
+    txt = F.concat(
+        F.lit(
+            "User-agent: WildBot\n"
+            "X-Junk: unknown line must not split the stack\n"
+            "User-agent: *\n"
+            "Disallow: /*.pdf$\n"
+            "Allow: /docs/*.pdf$\n"
+            "Disallow: /tmp*\n"
+            "Allow: /tmp/keep$\n"
+            "Disallow: /private/*/drafts\n"
+            "Allow: /private/\n"
+            "Disallow: /a$\n"
+        ),
+        F.when(
+            F.ascii(F.substring(s2, -1, 1)) % 2 == 1,
+            F.lit("Disallow: /*?session=\n"),
+        ).otherwise(F.lit("")),
+    )
+    robots = (
+        docs.select(s.alias("__s"))
+        .distinct()
+        .select(F.concat(s2, F.lit(".com")).alias("domain"), txt.alias("robots_txt"))
+    )
+    m = (F.col("doc_id") / 20).cast("long") % 8  # decorrelated from the source stripe
+    d = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://"),
+        s,
+        F.lit(".com"),
+        F.when(m == 0, F.concat(F.lit("/file"), d, F.lit(".pdf")))
+        .when(m == 1, F.concat(F.lit("/file"), d, F.lit(".pdfx")))
+        .when(m == 2, F.concat(F.lit("/docs/guide"), d, F.lit(".pdf")))
+        .when(m == 3, F.concat(F.lit("/tmp"), d))
+        .when(m == 4, F.when(F.col("doc_id") % 2 == 0, F.lit("/tmp/keep")).otherwise(F.lit("/a")))
+        .when(m == 5, F.concat(F.lit("/private/p"), d, F.lit("/drafts")))
+        .when(m == 6, F.concat(F.lit("/private/p"), d))
+        .otherwise(F.concat(F.lit("/page"), d, F.lit("?session=k"))),
+    )
+    tagged = _rp(docs.select("doc_id", url.alias("url")), robots, agent="wildbot/3.1")
+    return tagged.groupBy("domain", "robots_allowed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("path").alias("sample_path"),
+    )
+
+
 def _main_content_oracle_sql() -> str:
     """DuckDB replica of the jusText-style block scorer
     (`operators/text.py:block_profile`): replays block splitting,
@@ -6717,8 +6917,12 @@ def _main_content_oracle_sql() -> str:
     return r"""
     WITH h AS (
         SELECT doc_id,
-               '<nav><a href="/a">key filter scan</a> <a href="/b">table row</a></nav>' ||
-               '<div>cookie consent banner settings accept policy options data terms notice</div>' ||
+               '<nav><style>.nav a{color:#fff;margin:0}</style>' ||
+               '<a href="/a">key filter scan</a> <a href="/b">table row</a></nav>' ||
+               '<div>cookie consent banner settings accept policy options data terms notice' ||
+               '<noscript>enable javascript to view the consent charts</noscript></div>' ||
+               '<div><script type="text/javascript">var a = 1; ' ||
+               'if (this && that) { return a + of(it); }</script>inline widget</div>' ||
                '<h1>' || substr(text, 1, 12) || '</h1>' ||
                '<p>' || substr(text, 1, length(text) // 2) || '</p>' ||
                '<p>see more</p>' ||
@@ -6729,7 +6933,14 @@ def _main_content_oracle_sql() -> str:
                    AS html
         FROM documents),
     segs AS (
-        SELECT doc_id, regexp_split_to_array(html,
+        -- script/style/noscript elements drop WITH their content
+        -- before block splitting (VERDICT r10 #4), same alternation
+        -- pattern as the engine's _SCRIPTISH_RE (RE2 has no
+        -- backreferences, so neither side uses one)
+        SELECT doc_id, regexp_split_to_array(
+            regexp_replace(html,
+                '(?is)<script\b.*?</script\s*>|<style\b.*?</style\s*>|<noscript\b.*?</noscript\s*>',
+                '', 'g'),
             '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|section|article|aside|header|footer|nav|main|blockquote|pre|form|figure|figcaption|br)\b[^>]*>')
             AS raw
         FROM h),
@@ -6790,11 +7001,16 @@ def doc_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Main-content / boilerplate extraction over the corpus
     (`operators/text.py:block_profile` — jusText-style block scoring):
     each document is wrapped in the canonical crawled-page shell — a
-    link-farm nav, a stopword-free cookie banner, a short heading, the
-    doc's first half as one paragraph, a 2-word connective block, the
-    second half with an inline anchor, and a link-only footer — and
-    the extractor must keep exactly the content blocks (plus the
-    neighbor-smoothed shorts) and drop the boilerplate. Short docs
+    link-farm nav (with an inline <style> element), a stopword-free
+    cookie banner (with a <noscript> fallback), a widget div whose
+    <script> body is English-looking identifier soup that r10's
+    splitter merged into the block text and classified 'good' (VERDICT
+    r10 #4 — with element stripping it is a 2-word short that drops),
+    a short heading, the doc's first half as one paragraph, a 2-word
+    connective block, the second half with an inline anchor, and a
+    link-only footer — and the extractor must keep exactly the content
+    blocks (plus the neighbor-smoothed shorts) and drop the
+    boilerplate, scripts and styles included. Short docs
     whose halves fall under the 8-word floor legitimately extract
     nothing. Per doc: block/good/kept counts, the extracted text, and
     its length. Scan-parallel column expressions — zero shuffles (the
@@ -6811,8 +7027,17 @@ def doc_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     half = (F.length(t) / 2).cast("int")
     html = F.concat(
-        F.lit('<nav><a href="/a">key filter scan</a> <a href="/b">table row</a></nav>'),
-        F.lit("<div>cookie consent banner settings accept policy options data terms notice</div>"),
+        F.lit('<nav><style>.nav a{color:#fff;margin:0}</style>'),
+        F.lit('<a href="/a">key filter scan</a> <a href="/b">table row</a></nav>'),
+        F.lit("<div>cookie consent banner settings accept policy options data terms notice"),
+        F.lit("<noscript>enable javascript to view the consent charts</noscript></div>"),
+        # a script body that would classify 'good' if it leaked: 16
+        # space-words, several stopword-looking identifiers — r10's
+        # splitter kept it IN the block text (VERDICT r10 #4); with
+        # element stripping the block is a 2-word 'short' between two
+        # non-good neighbors and drops out of the extraction
+        F.lit('<div><script type="text/javascript">var a = 1; '),
+        F.lit("if (this && that) { return a + of(it); }</script>inline widget</div>"),
         F.lit("<h1>"), t.substr(F.lit(1), F.lit(12)), F.lit("</h1>"),
         F.lit("<p>"), t.substr(F.lit(1), half), F.lit("</p>"),
         F.lit("<p>see more</p>"),
@@ -6838,7 +7063,11 @@ def doc_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def phash_fixture_payloads(docs: DataFrame, replica_div: int | None = None) -> DataFrame:
+def phash_fixture_payloads(
+    docs: DataFrame,
+    replica_div: int | None = None,
+    corrupt_mod: int | None = None,
+) -> DataFrame:
     """(doc_id, payload) PNG fixture for the perceptual-hash family:
     a deterministic 8x8 black/white image per doc — group pattern
     g = doc_id % 97 (cell 0 forced dark, cell 63 forced light, so the
@@ -6854,7 +7083,13 @@ def phash_fixture_payloads(docs: DataFrame, replica_div: int | None = None) -> D
     replica renaming. Without it every replica stacks into the same
     97 buckets, occupancy crosses the ``max_bucket`` rail, and the
     banded join correctly prunes everything (measured: big_count 0 —
-    the rail working, but vacuous as linearity evidence)."""
+    the rail working, but vacuous as linearity evidence).
+
+    ``corrupt_mod`` plants undecodable payloads for the quarantine
+    query (VERDICT r10 #5): docs with ``doc_id % corrupt_mod == 3``
+    get, alternating by parity, either junk bytes with no image magic
+    or a PNG truncated mid-IHDR — both must normalize to ValueError in
+    ``decode_image_any`` and surface as ``decoded = false``."""
     import pyarrow as pa
 
     def gen(batches):
@@ -6866,6 +7101,13 @@ def phash_fixture_payloads(docs: DataFrame, replica_div: int | None = None) -> D
             ids = batch.column(0).to_pylist()
             payloads = []
             for doc_id in ids:
+                if corrupt_mod is not None and doc_id % corrupt_mod == 3:
+                    payloads.append(
+                        b"not-an-image:%d" % doc_id
+                        if doc_id % 2
+                        else b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+                    )
+                    continue
                 ns = 0 if replica_div is None else doc_id // replica_div
                 g, v = doc_id % 97 + 97 * ns, (doc_id // 97) % 4
                 img = np.zeros((8, 8, 3), dtype=np.uint8)
@@ -6876,7 +7118,15 @@ def phash_fixture_payloads(docs: DataFrame, replica_div: int | None = None) -> D
                     if (base + f1 + f2) % 2:
                         img[i // 8, i % 8] = 255
                 payloads.append(encode_png(img))
-            yield pa.RecordBatch.from_pydict({"doc_id": ids, "payload": payloads})
+            # explicit schema (ADVICE r10): an EMPTY batch would infer
+            # null-typed columns from the empty pylists and mismatch
+            # the declared mapInArrow schema
+            yield pa.RecordBatch.from_pydict(
+                {"doc_id": ids, "payload": payloads},
+                schema=pa.schema(
+                    [("doc_id", pa.int64()), ("payload", pa.binary())]
+                ),
+            )
 
     return docs.select("doc_id").mapInArrow(gen, "doc_id long, payload binary")
 
@@ -6953,7 +7203,10 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pipeline_spark.operators.multimodal import image_phash
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    hashed = image_phash(phash_fixture_payloads(docs))
+    # every fixture payload decodes; the filter is the documented
+    # consumption contract for the r11 in-band quarantine column
+    # (planted-corruption coverage: multimodal_decode_quarantine)
+    hashed = image_phash(phash_fixture_payloads(docs)).filter("decoded").drop("decoded")
     pairs = hamming_banded_pairs(
         hashed, sig_col="ahash", bits=64, bands=4, max_hamming=3, max_bucket=None
     )
@@ -6977,6 +7230,286 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decode_quarantine_oracle_sql() -> str:
+    """ANALYTIC oracle for the in-band decode quarantine: corruption is
+    planted at doc_id % 7 == 3 (junk magic / truncated PNG by parity),
+    so the oracle recomputes the decoded flag from the planting rule,
+    the surviving aHashes straight from the image-synthesis formula
+    (same hs CTE as the phash oracle), and checks counts, quarantined
+    id sums, and the bit_xor of decoded hashes per doc_id%10 bucket —
+    a row is green only if the engine quarantined EXACTLY the planted
+    rows and still decoded everything else bit-identically."""
+    return r"""
+    WITH d AS (SELECT doc_id, doc_id % 97 AS g, (doc_id // 97) % 4 AS v,
+                      doc_id % 7 = 3 AS corrupt
+               FROM documents),
+    lit AS (
+        SELECT doc_id, corrupt,
+               list_transform(generate_series(0, 63), i ->
+                   (CASE WHEN i = 0 THEN 0 WHEN i = 63 THEN 1
+                         ELSE ((g * 40503 + i * 2654435761) % 97) % 2 END
+                    + CASE WHEN i = 1 + g % 61 AND v % 2 = 1 THEN 1 ELSE 0 END
+                    + CASE WHEN i = 2 + g % 61 AND v >= 2 THEN 1 ELSE 0 END
+                   ) % 2) AS lb
+        FROM d),
+    hs AS (
+        SELECT doc_id, corrupt,
+               CAST(list_sum(list_transform(generate_series(0, 63), i ->
+                   CASE WHEN lb[i+1] = 1 THEN
+                       CASE WHEN i = 63 THEN -9223372036854775807 - 1
+                            ELSE (1::BIGINT << i) END
+                   ELSE 0 END)) AS BIGINT) AS ahash
+        FROM lit)
+    SELECT doc_id % 10 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+           CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_decoded,
+           CAST(sum(CASE WHEN corrupt THEN doc_id ELSE 0 END) AS BIGINT)
+               AS sum_quarantined_ids,
+           CAST(bit_xor(CASE WHEN corrupt THEN 0 ELSE ahash END) AS BIGINT)
+               AS xor_ahash_decoded
+    FROM hs GROUP BY bucket
+    """
+
+
+@register("multimodal_decode_quarantine", _decode_quarantine_oracle_sql())
+def multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-quarantine observability (VERDICT r10 #5,
+    `multimodal.image_phash`): a 100 TB media ingest must be able to
+    AUDIT its undecodable-payload rate — r10's quarantine silently
+    dropped corrupt rows, making a lossy decode indistinguishable from
+    a short corpus. `image_phash` now keeps every row with an in-band
+    ``decoded`` flag (null hashes when false). The fixture plants
+    corruption at doc_id % 7 == 3 — junk bytes with no image magic on
+    odd ids, a PNG truncated mid-IHDR on even ids, covering both the
+    sniff-failure and parse-failure paths of `decode_image_any`'s
+    ValueError normalization. Output per doc_id%10 bucket: row/
+    quarantined/decoded counts, the quarantined id sum, and the
+    bit_xor of surviving aHashes (the xor pins that decode STILL
+    produced bit-identical hashes for every non-planted row — the
+    analytic oracle recomputes them from the synthesis formula).
+    Plan: one Arrow pass, one shuffle for the groupBy — the audit
+    aggregate a real ingest would run."""
+    from cdc_pipeline_spark.operators.multimodal import image_phash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hashed = image_phash(phash_fixture_payloads(docs, corrupt_mod=7))
+    q = ~F.col("decoded")
+    return hashed.groupBy((F.col("doc_id") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(q, 1).otherwise(0)).cast("long").alias("n_quarantined"),
+        F.sum(F.when(~q, 1).otherwise(0)).cast("long").alias("n_decoded"),
+        F.sum(F.when(q, F.col("doc_id")).otherwise(0))
+        .cast("long")
+        .alias("sum_quarantined_ids"),
+        F.bit_xor(F.when(~q, F.col("ahash")).otherwise(0))
+        .cast("long")
+        .alias("xor_ahash_decoded"),
+    )
+
+
+def _sitemap_frontier_oracle_sql() -> str:
+    """DuckDB replica of the sitemap->frontier->robots composition: the
+    SQL re-parses the SAME synthesized sitemap XML with the engine's
+    entry/loc/lastmod regexes (RE2-safe — no backreferences), derives
+    the typed lastmod date, replays the robots parse (lined/keyed/
+    run-starts/merged-'*' selection) and the compiled wildcard match
+    on every frontier URL, and aggregates the same audit columns."""
+    return rf"""
+    WITH base AS (
+        SELECT doc_id, lower(source) || '.com' AS domain,
+               strftime(DATE '2025-01-01' + INTERVAL (doc_id % 28) DAY,
+                        '%Y-%m-%d') AS d_iso
+        FROM documents),
+    sm AS (
+        SELECT doc_id, domain,
+               CASE WHEN doc_id % 5 = 0 THEN
+                   '<?xml version="1.0"?><sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' ||
+                   '<sitemap><loc>https://' || domain || '/sitemaps/part' ||
+                       CAST(doc_id AS VARCHAR) || '.xml</loc><lastmod>' ||
+                       d_iso || '</lastmod></sitemap>' ||
+                   '<sitemap><loc>https://' || domain || '/sitemaps/part' ||
+                       CAST(doc_id AS VARCHAR) || 'b.xml</loc></sitemap>' ||
+                   '</sitemapindex>'
+               ELSE
+                   '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' ||
+                   '<url><loc>https://' || domain || '/page' ||
+                       CAST(doc_id AS VARCHAR) || '</loc><lastmod>' ||
+                       d_iso || '</lastmod></url>' ||
+                   '<url><loc>https://' || domain || '/private/doc' ||
+                       CAST(doc_id AS VARCHAR) || '</loc></url>' ||
+                   '<url><loc> https://' || domain || '/file' ||
+                       CAST(doc_id AS VARCHAR) ||
+                       '.pdf </loc><lastmod>2025-02-03T04:05:06+00:00</lastmod></url>' ||
+                   '</urlset>'
+               END AS xml
+        FROM base),
+    parsed AS (
+        SELECT doc_id, domain,
+               CASE WHEN contains(lower(xml), '<sitemapindex') THEN 'index'
+                    WHEN contains(lower(xml), '<urlset') THEN 'urlset' END AS kind,
+               regexp_extract_all(xml,
+                   '(?is)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)\s*>', 1)
+                   AS blocks
+        FROM sm),
+    frontier AS (
+        SELECT domain, kind,
+               trim(regexp_extract(b, '(?is)<loc\s*>(.*?)</loc\s*>', 1)) AS loc,
+               CAST(substr(nullif(trim(regexp_extract(b,
+                        '(?is)<lastmod\s*>(.*?)</lastmod\s*>', 1)), ''), 1, 10)
+                    AS DATE) AS lastmod_date
+        FROM parsed, unnest(blocks) AS t(b)
+        WHERE trim(regexp_extract(b, '(?is)<loc\s*>(.*?)</loc\s*>', 1)) <> ''),
+    rb AS (
+        SELECT DISTINCT domain,
+               'User-agent: *' || chr(10) ||
+               'Disallow: /private/' || chr(10) ||
+               'Disallow: /*.pdf$' || chr(10) ||
+               CASE WHEN ascii(substr(domain, length(domain) - 4, 1)) % 2 = 1
+                    THEN 'Disallow: /sitemaps/' || chr(10) ELSE '' END AS txt
+        FROM base),
+    lined AS (
+        SELECT domain,
+               list_filter(list_transform(str_split(replace(txt, chr(13), ''), chr(10)),
+                              l -> trim(regexp_replace(replace(l, chr(9), ' '), '#.*', ''))),
+                           l -> l <> '' AND {_SQL_ROBOTS_KEY_FILTER}) AS ls
+        FROM rb),
+    keyed AS (
+        SELECT domain, ls,
+               list_transform(ls, l -> lower(trim(split_part(l, ':', 1)))) AS ks,
+               list_transform(ls, l -> trim(substr(l, length(split_part(l, ':', 1)) + 2))) AS vs
+        FROM lined),
+    starts AS (
+        SELECT domain, ks, vs,
+               list_transform(generate_series(1, len(ks)),
+                    i -> list_max(list_filter(generate_series(1, len(ks)),
+                         j -> j <= i AND ks[j] = 'user-agent'
+                              AND (j = 1 OR ks[j-1] <> 'user-agent')))) AS rst
+        FROM keyed),
+    ruled AS (
+        SELECT domain, ks, vs,
+               list_filter(generate_series(1, len(ks)),
+                    i -> ks[i] IN ('allow', 'disallow') AND vs[i] <> ''
+                         AND rst[i] IS NOT NULL
+                         AND len(list_filter(generate_series(1, len(ks)),
+                              j -> ks[j] = 'user-agent' AND lower(vs[j]) = '*'
+                                   AND rst[j] = rst[i])) > 0) AS ridx
+        FROM starts),
+    verdicts AS (
+        -- fixture URLs are 'https://' || domain || path, so the path
+        -- starts at offset 9 + len(domain) (analytic-oracle pattern)
+        SELECT u.domain, u.kind, u.lastmod_date,
+               substr(u.loc, 9 + length(u.domain)) AS path,
+               {_sql_robots_best('allow', 'substr(u.loc, 9 + length(u.domain))')}
+               >=
+               {_sql_robots_best('disallow', 'substr(u.loc, 9 + length(u.domain))')}
+                   AS robots_allowed
+        FROM frontier u LEFT JOIN ruled r ON u.domain = r.domain)
+    SELECT domain, kind, robots_allowed,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(CASE WHEN lastmod_date IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_lastmod,
+           -- ISO string, not DATE: the two engines' date objects
+           -- stringify differently through the arrow compare
+           strftime(max(lastmod_date), '%Y-%m-%d') AS max_lastmod,
+           min(path) AS sample_path
+    FROM verdicts GROUP BY domain, kind, robots_allowed
+    """
+
+
+@register("doc_sitemap_frontier", _sitemap_frontier_oracle_sql())
+def doc_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion -> URL frontier -> robots gate (VERDICT r10
+    #7, `operators/robots.py:parse_sitemap_entries`/`sitemap_kind` +
+    `robots_policy`): each doc synthesizes a sitemaps.org document —
+    every 5th a ``<sitemapindex>`` (two child-sitemap entries, one
+    without lastmod), the rest a ``<urlset>`` (a dated page URL, an
+    undated /private/ URL, and a whitespace-padded ``<loc>`` holding a
+    .pdf with a full ISO lastmod). The entries parse with pure column
+    regexes into a frontier (loc + typed lastmod date + index/urlset
+    kind), and EVERY frontier URL — child sitemaps included — takes
+    the robots verdict (`/private/` prefix, wildcard `/*.pdf$`, and an
+    odd-domain `/sitemaps/` block, so index fetch tasks themselves get
+    gated). Output per (domain, kind, verdict): URL counts, lastmod
+    coverage, newest lastmod, first path. Plan: scan-parallel parse +
+    explode, ONE BroadcastHashJoin against the per-domain rules, one
+    shuffle for the audit aggregate — the 100 TB frontier build shape.
+    The DuckDB oracle replays XML parsing, date typing, robots
+    parsing, and wildcard precedence rule for rule."""
+    from cdc_pipeline_spark.operators.robots import (
+        parse_sitemap_entries,
+        robots_policy as _rp,
+        sitemap_kind,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    s = F.lower(F.col("source"))
+    dom = F.concat(s, F.lit(".com"))
+    d = F.col("doc_id").cast("string")
+    d_iso = F.date_format(
+        F.date_add(F.lit("2025-01-01").cast("date"), (F.col("doc_id") % 28).cast("int")),
+        "yyyy-MM-dd",
+    )
+    xml = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit('<?xml version="1.0"?><sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.lit("<sitemap><loc>https://"), dom, F.lit("/sitemaps/part"), d,
+            F.lit(".xml</loc><lastmod>"), d_iso, F.lit("</lastmod></sitemap>"),
+            F.lit("<sitemap><loc>https://"), dom, F.lit("/sitemaps/part"), d,
+            F.lit("b.xml</loc></sitemap>"),
+            F.lit("</sitemapindex>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.lit("<url><loc>https://"), dom, F.lit("/page"), d,
+            F.lit("</loc><lastmod>"), d_iso, F.lit("</lastmod></url>"),
+            F.lit("<url><loc>https://"), dom, F.lit("/private/doc"), d,
+            F.lit("</loc></url>"),
+            F.lit("<url><loc> https://"), dom, F.lit("/file"), d,
+            F.lit(".pdf </loc><lastmod>2025-02-03T04:05:06+00:00</lastmod></url>"),
+            F.lit("</urlset>"),
+        ),
+    )
+    parsed = docs.select(
+        dom.alias("__dom"),
+        sitemap_kind(xml).alias("kind"),
+        parse_sitemap_entries(xml).alias("__es"),
+    )
+    frontier = parsed.select(
+        "kind", F.explode("__es").alias("__e")
+    ).select(
+        "kind",
+        F.col("__e.loc").alias("url"),
+        F.to_date(F.substring(F.col("__e.lastmod"), 1, 10)).alias("lastmod_date"),
+    )
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /private/\nDisallow: /*.pdf$\n"),
+        F.when(
+            F.ascii(F.substring(F.col("__s"), -1, 1)) % 2 == 1,
+            F.lit("Disallow: /sitemaps/\n"),
+        ).otherwise(F.lit("")),
+    )
+    robots = (
+        docs.select(s.alias("__s"))
+        .distinct()
+        .select(
+            F.concat(F.col("__s"), F.lit(".com")).alias("domain"),
+            txt.alias("robots_txt"),
+        )
+    )
+    tagged = _rp(frontier, robots)
+    return tagged.groupBy("domain", "kind", "robots_allowed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.sum(F.when(F.col("lastmod_date").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_lastmod"),
+        F.date_format(F.max("lastmod_date"), "yyyy-MM-dd").alias("max_lastmod"),
+        F.min("path").alias("sample_path"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50
 # registered queries per round (CORRECTNESS_r01 stopped at entry 50 of 81).
@@ -6995,84 +7528,22 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- round-10 new registrations first (main-content extraction,
-    # perceptual-hash near-dup, robots agent-group selection) --
+    # -- round-11 new registrations first (RFC 9309 wildcard battery,
+    # in-band decode quarantine, sitemap->frontier->robots gate) --
     # -- then every query whose PLAN or operator internals changed this
-    # round: robots path-derivation fix + run-based parser + blank-line
-    # keying, curated PSL tuple update (+ explicit rules arg), the
-    # hamming_banded_pairs banding refactor + empty-doc filter behind
-    # both simhash queries, the GIF skipped-frame validation behind
-    # both gif queries, the strip_markup -> _clean_markup refactor
-    # behind doc_markup_profile, and the three canonicalization
-    # consumers (scheme-aware default port + root-path coercion
-    # changed canonicalize_url/url_host) --
-    # -- then the 27 round-6-stale names (VERDICT r9 directive #4),
-    # then round-7 greens in staleness order until the window is full --
+    # round: both robots queries (wildcard rules now compile instead of
+    # being skipped; unknown-key lines drop at keying), main-content
+    # (script/style/noscript element stripping), and phash near-dup
+    # (image_phash's decoded column + fixture schema pin) --
+    # -- then the ENTIRE 37-query round-7-stale set (VERDICT r10 #1),
+    # then the 6 oldest round-8 greens to fill the window --
+    "doc_robots_wildcard_policy",
+    "multimodal_decode_quarantine",
+    "doc_sitemap_frontier",
+    "doc_robots_policy",
+    "doc_robots_agent_policy",
     "doc_main_content",
     "multimodal_phash_neardup",
-    "doc_robots_agent_policy",
-    "doc_robots_policy",
-    "doc_psl_registered_domain",
-    "dedup_simhash",
-    "dedup_simhash_capped",
-    "multimodal_gif_keyframes",
-    "multimodal_gif_pixel_audit",
-    "doc_markup_profile",
-    "doc_url_domain_policy",
-    "doc_url_percent_normalization",
-    "doc_domain_cap_topn",
-    "doc_winnowing_fingerprints",
-    "docs_incremental_new",
-    "dsir_target_selection",
-    "embedding_cluster_medoids",
-    "embedding_dim_variance",
-    "embedding_kmeans",
-    "embedding_semantic_dedup",
-    "embeddings_stratified_sample",
-    "event_funnel_counts",
-    "event_transition_matrix",
-    "events_daily_distinct_hll",
-    "events_gapfill_5min",
-    "events_multigrain_rollup",
-    "events_per_user_downsample",
-    "lineitem_exact_percentiles",
-    "lineitem_histogram_percentiles",
-    "lineitem_measures_unpivot",
-    "lineitem_stats_profile",
-    "orders_grouping_sets",
-    "q10_returned_items",
-    "q11_top_value_parts",
-    "q12_priority_by_status",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_revenue_supplier",
-    "q16_part_supplier_variety",
-    "q17_small_qty_avg_revenue",
-    "orders_from_avro",
-    "dedup_ngram_jaccard",
-    "dedup_canonical_docs",
-    "dedup_duplicate_clusters",
-    "dedup_clusters_star",
-    "dedup_graph_pagerank",
-    "doc_wordpiece_segmentation",
-    "doc_unigram_segmentation",
-    "doc_bpe_segmentation",
-    "doc_bpe_segmentation_arrow",
-]
-
-# Everything else, in staleness order (oldest last-green first), so the
-# round-9 window can simply take the front of this list: 17 remaining
-# round-5 names, then the round-6 greens, then the round-7 greens
-# (freshest, last in line). Recorded explicitly so the exclusion is a
-# decision, not a silent off-by-N (all were green in CORRECTNESS_r05..
-# r07 or the round-7 judge sweep).
-_DRIVER_WINDOW_CARRYOVER = [
-    # staleness order (oldest last-green first): the three fill names
-    # evicted when the canonicalization queries re-entered the head,
-    # then the remaining round-7 greens, then the round-8 window names,
-    # then the round-9 window names (freshest, last in line) that were
-    # not promoted into the round-10 head. Recorded explicitly so the
-    # exclusion is a decision, not a silent off-by-N.
     "corpus_unigram_vocab",
     "doc_bm25_topk",
     "doc_bm25_broad_topk",
@@ -7116,6 +7587,15 @@ _DRIVER_WINDOW_CARRYOVER = [
     "doc_text_features",
     "doc_tfidf_cosine_pairs",
     "doc_unigram_logprob",
+]
+
+# Everything else, in staleness order (oldest last-green first), so the
+# round-12 window can simply take the front of this list: the remaining
+# 37 round-8 greens, then the round-9 greens, then the round-10 window
+# names (freshest, last in line) that were not promoted into the
+# round-11 head. Recorded explicitly so the exclusion is a decision,
+# not a silent off-by-N (all were green in CORRECTNESS_r08..r10).
+_DRIVER_WINDOW_CARRYOVER = [
     "docs_incremental_neardup",
     "docs_token_weighted_sample",
     "embedding_covariance_topk",
@@ -7195,6 +7675,52 @@ _DRIVER_WINDOW_CARRYOVER = [
     "doc_source_quality_rank",
     "doc_span_coverage",
     "doc_split_quality",
+    "doc_psl_registered_domain",
+    "dedup_simhash",
+    "dedup_simhash_capped",
+    "multimodal_gif_keyframes",
+    "multimodal_gif_pixel_audit",
+    "doc_markup_profile",
+    "doc_url_domain_policy",
+    "doc_url_percent_normalization",
+    "doc_domain_cap_topn",
+    "doc_winnowing_fingerprints",
+    "docs_incremental_new",
+    "dsir_target_selection",
+    "embedding_cluster_medoids",
+    "embedding_dim_variance",
+    "embedding_kmeans",
+    "embedding_semantic_dedup",
+    "embeddings_stratified_sample",
+    "event_funnel_counts",
+    "event_transition_matrix",
+    "events_daily_distinct_hll",
+    "events_gapfill_5min",
+    "events_multigrain_rollup",
+    "events_per_user_downsample",
+    "lineitem_exact_percentiles",
+    "lineitem_histogram_percentiles",
+    "lineitem_measures_unpivot",
+    "lineitem_stats_profile",
+    "orders_grouping_sets",
+    "q10_returned_items",
+    "q11_top_value_parts",
+    "q12_priority_by_status",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_revenue_supplier",
+    "q16_part_supplier_variety",
+    "q17_small_qty_avg_revenue",
+    "orders_from_avro",
+    "dedup_ngram_jaccard",
+    "dedup_canonical_docs",
+    "dedup_duplicate_clusters",
+    "dedup_clusters_star",
+    "dedup_graph_pagerank",
+    "doc_wordpiece_segmentation",
+    "doc_unigram_segmentation",
+    "doc_bpe_segmentation",
+    "doc_bpe_segmentation_arrow",
 ]
 
 

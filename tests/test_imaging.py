@@ -147,6 +147,29 @@ def test_extract_features_image_decoder_quarantines(spark):
         extract_features(df, decoder="bogus")
 
 
+def test_extract_features_keep_quarantined_audit_column(spark):
+    """keep_quarantined=True (VERDICT r10 #5): quarantined rows survive
+    with feature=null and decoded=false, so the drop rate is one
+    aggregate away; the default drop path is unchanged."""
+    from cdc_pipeline_spark.operators.multimodal import extract_features
+
+    good = encode_png(_rng_image(8, 6, 3, seed=1))
+    rows = [(1, bytearray(good)), (2, bytearray(b"junk-bytes"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r.doc_id: r
+        for r in extract_features(df, decoder="image", keep_quarantined=True).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1].decoded is True and out[1].feature is not None
+    assert out[2].decoded is False and out[2].feature is None
+    assert out[2].n_bytes == len(b"junk-bytes")  # metadata still audits
+    # default path: same decode, quarantined rows dropped, no column
+    dropped = extract_features(df, decoder="image").collect()
+    assert [r.doc_id for r in dropped] == [1]
+    assert "decoded" not in dropped[0].asDict()
+
+
 def test_resize_images_real_matches_local_resize(spark):
     import hashlib
 
@@ -846,8 +869,9 @@ def test_dhash64_gradient_bits_and_brightness_invariance():
 
 def test_image_phash_quarantine_and_banded_neardup(spark):
     """image_phash decodes real payloads (PNG here), quarantines the
-    corrupt one, and hamming_banded_pairs on the ahash column finds
-    exactly the planted near-dup pair."""
+    corrupt one IN-BAND (decoded=false row with null hashes — VERDICT
+    r10 #5: the drop rate must be auditable), and hamming_banded_pairs
+    on the decoded ahash column finds exactly the planted pair."""
     from cdc_pipeline_spark.operators.dedup import hamming_banded_pairs
     from cdc_pipeline_spark.operators.imaging import encode_png
     from cdc_pipeline_spark.operators.multimodal import image_phash
@@ -863,11 +887,17 @@ def test_image_phash_quarantine_and_banded_neardup(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     hashed = image_phash(df)
-    got = {r.doc_id: (r.ahash, r.dhash) for r in hashed.collect()}
-    assert set(got) == {1, 2, 3}  # doc 4 quarantined
+    rows_out = {r.doc_id: r for r in hashed.collect()}
+    # ALL four rows survive; the corrupt one carries the audit flag
+    assert set(rows_out) == {1, 2, 3, 4}
+    assert rows_out[4].decoded is False
+    assert rows_out[4].ahash is None and rows_out[4].dhash is None
+    assert all(rows_out[i].decoded for i in (1, 2, 3))
+    got = {i: (rows_out[i].ahash, rows_out[i].dhash) for i in (1, 2, 3)}
     assert bin(got[1][0] ^ got[2][0]).count("1") == 2
     pairs = hamming_banded_pairs(
-        hashed, sig_col="ahash", bits=64, bands=4, max_hamming=3, max_bucket=None
+        hashed.filter("decoded"),
+        sig_col="ahash", bits=64, bands=4, max_hamming=3, max_bucket=None,
     ).collect()
     assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 2)]
 

@@ -1204,6 +1204,45 @@ def test_block_profile_main_content_fixture_battery(spark):
     assert got[2] == "" and got[3] == ""
 
 
+def test_block_profile_strips_script_style_noscript_content(spark):
+    """VERDICT r10 #4: <script>/<style>/<noscript> elements drop WITH
+    their bodies before block splitting. The script fixture is the
+    failure mode itself — identifier soup with stopword-looking tokens
+    ('this', 'that', 'of') that classified 'good' and leaked into the
+    extracted content when only the TAGS were removed."""
+    from cdc_pipeline_spark.operators.text import block_profile, main_content
+
+    js = "var a = 1; if (this && that) { return a + of(it); }"
+    body = "the quick brown fox jumps over a lazy dog of the north and is happy"
+    html = (
+        f'<div><script type="text/javascript">{js}</script>inline widget</div>'
+        f"<p>{body}</p>"
+        "<nav><style>.nav a{color:#fff}</style>"
+        '<a href="/a">home page</a> <a href="/b">all products</a></nav>'
+        "<div>plain words<noscript>enable javascript to view the consent charts"
+        "</noscript> here</div>"
+        "<p><style>unterminated style without a close tag</p>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    row = df.select(
+        block_profile("html").alias("prof"), main_content("html").alias("content")
+    ).collect()[0]
+    cls = {b.text: b.cls for b in row.prof}
+    # the script body is GONE: the widget div is a 2-word short, not a
+    # 16-word 'good' of leaked JS
+    assert cls["inline widget"] == "short"
+    # style body gone from the nav -> still a pure link farm (bad)
+    assert cls["home page all products"] == "bad"
+    # noscript body gone mid-block; the div's own words survive intact
+    assert cls["plain words here"] == "short"
+    # an UNTERMINATED element is left in place (no close tag to pair)
+    assert any("unterminated style" in t for t in cls)
+    assert "var a" not in row.content and "return" not in row.content
+    assert "color:#fff" not in row.content
+    assert "enable javascript" not in row.content
+    assert body in row.content  # real content still extracts
+
+
 def test_block_profile_plan_is_shuffle_free(spark):
     """The extraction is a pure projection — zero Exchange nodes on a
     corpus scan."""
@@ -2871,8 +2910,11 @@ def test_parse_psl_rules_format(spark):
 def test_robots_policy_rfc9309_semantics(spark):
     """robots.txt parse + longest-match decision: non-* groups ignored,
     comments stripped, Allow overrides a shorter Disallow, empty
-    Disallow is a no-op, wildcard rules skipped, missing robots row =>
-    allowed, empty path => '/', root Disallow blocks everything."""
+    Disallow is a no-op, missing robots row => allowed, empty path =>
+    '/', root Disallow blocks everything. The `/wild*card` rule now
+    COMPILES (r11 wildcard support) but no fixture path can match
+    `^/wild.*card`, so it exercises the compile path verdict-inertly
+    (verdict-moving wildcards: test_robots_wildcard_rules_rfc9309)."""
     from cdc_pipeline_spark.operators.robots import robots_policy
 
     robots_txt = (
@@ -2999,6 +3041,72 @@ def test_simhash_empty_docs_emit_no_signature(spark):
     sigs = simhash_signatures(df)
     assert [r.doc_id for r in sigs.collect()] == [3]
     assert simhash_pairs(df).count() == 0
+
+
+def test_robots_wildcard_rules_rfc9309(spark):
+    """RFC 9309 §2.2.2/§2.2.3 wildcard matching (VERDICT r10 #2):
+    `*` matches any sequence, a TRAILING `$` anchors the end, a `$`
+    anywhere else is a literal, regex metacharacters in rule values
+    stay literal, and precedence counts LITERAL octets — so a longer
+    wildcard Allow out-specifies a shorter Disallow and vice versa."""
+    from cdc_pipeline_spark.operators.robots import robots_policy
+
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /*.pdf$\n"
+        "Allow: /docs/*.pdf$\n"
+        "Disallow: /tmp*\n"
+        "Allow: /tmp/keep$\n"
+        "Disallow: /a$\n"
+        "Disallow: /cgi$bin/\n"
+        "Disallow: /private/*/drafts\n"
+        "Allow: /private/\n"
+        "Disallow: /eq.x+y[z]\n"
+    )
+    rdf = spark.createDataFrame([("d.com", txt)], "domain string, robots_txt string")
+    urls = spark.createDataFrame(
+        [
+            (1, "https://d.com/file9.pdf", False),    # /*.pdf$ hits
+            (2, "https://d.com/file9.pdfx", True),    # end anchor misses
+            (3, "https://d.com/docs/guide.pdf", True),  # allow spec 10 > 5
+            (4, "https://d.com/tmp123", False),       # open-ended /tmp*
+            (5, "https://d.com/tmp/keep", True),      # anchored allow 9 > 4
+            (6, "https://d.com/tmp/keep2", False),    # anchor blocks the allow
+            (7, "https://d.com/a", False),            # anchored exact
+            (8, "https://d.com/ab", True),            # /a$ does not prefix-match
+            (9, "https://d.com/cgi$bin/x", False),    # mid-pattern $ is literal
+            (10, "https://d.com/private/p/drafts/d", False),  # wild 16 > allow 9
+            (11, "https://d.com/private/p", True),
+            (12, "https://d.com/eq.x+y[z]q", False),  # metas match literally
+            (13, "https://d.com/eqAx+y[z]q", True),   # '.' must NOT be regex-dot
+        ],
+        "doc_id long, url string, want boolean",
+    )
+    out = {r.doc_id: (r.robots_allowed, r.want, r.path) for r in robots_policy(urls, rdf).collect()}
+    for i, (got, want, path) in out.items():
+        assert got == want, f"doc {i} path {path}: got {got}, want {want}"
+
+
+def test_robots_unknown_lines_do_not_split_stacked_agents(spark):
+    """ADVICE r10: an unrecognized non-blank line (unknown key or
+    colon-free junk) between stacked User-agent lines drops at keying
+    like a blank line — the named crawler must not silently lose the
+    shared rule block."""
+    from cdc_pipeline_spark.operators.robots import parse_robots_group
+
+    txt = (
+        "User-agent: aaa\n"
+        "Host: example.com\n"
+        "junk line without a colon\n"
+        "User-agent: *\n"
+        "Disallow: /x\n"
+    )
+    df = spark.createDataFrame([(txt,)], "t string")
+    g = df.select(parse_robots_group("t", "aaa").alias("g")).collect()[0].g
+    assert [(r.allow, r.prefix) for r in g.rules] == [(False, "/x")]
+    # and the '*' side of the stack sees the same block
+    g2 = df.select(parse_robots_group("t", None).alias("g")).collect()[0].g
+    assert [(r.allow, r.prefix) for r in g2.rules] == [(False, "/x")]
 
 
 def test_robots_policy_agent_and_group_cols(spark):

@@ -567,3 +567,82 @@ def test_percent_normalize_idempotent_and_exact(spark):
     for i, (s, want) in enumerate(cases):
         assert got[i][0] == want, f"{s!r}: got {got[i][0]!r}, want {want!r}"
         assert got[i][1] == got[i][0], f"not idempotent on {s!r}"
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 wildcard matching (r11): the engine's compiled-rule match +
+# literal-octet precedence must agree with a direct Python model of the
+# RFC on arbitrary rule sets — including values where '*' / a trailing
+# '$' / regex metacharacters appear in adversarial positions.
+# ---------------------------------------------------------------------------
+
+_RULE_CHARS = st.sampled_from(list("/ab.pdf*$?()[]{}+|^\\"))
+_RULE_VALUE = st.text(alphabet=_RULE_CHARS, min_size=1, max_size=12).filter(
+    lambda v: v.strip() == v and v != ""
+)
+_PATH = st.text(
+    alphabet=st.sampled_from(list("/ab.pdf?$+x")), min_size=0, max_size=14
+).map(lambda p: "/" + p)
+
+
+def _model_robots_verdict(rules: list[tuple[bool, str]], path: str) -> bool:
+    """Direct RFC 9309 §2.2.2/§2.2.3 model: trailing '$' anchors, '*'
+    matches any sequence, specificity = literal octet count, Allow wins
+    ties, no match => allowed."""
+    import re as _re
+
+    best = {True: -1, False: -1}
+    for allow, value in rules:
+        anchored = value.endswith("$")
+        body = value[:-1] if anchored else value
+        spec = len(body.replace("*", ""))
+        if "*" in body or anchored:
+            rex = "^" + _re.escape(body).replace(r"\*", ".*") + ("$" if anchored else "")
+            ok = _re.search(rex, path) is not None
+        else:
+            ok = path.startswith(body)
+        if ok:
+            best[allow] = max(best[allow], spec)
+    return best[True] >= best[False]
+
+
+@given(st.data())
+@settings(max_examples=12, deadline=None)
+def test_robots_wildcard_match_agrees_with_rfc_model(spark, data):
+    from pyspark.sql import functions as F
+
+    from cdc_pipeline_spark.operators.robots import (
+        _group_from_keyed,
+        _keyed_lines,
+        robots_allowed,
+    )
+
+    # several rule sets x several paths per example, ONE spark job:
+    # the group machinery is staged through a materialized __keyed
+    # projection (the robots_policy shape) so Catalyst analysis of the
+    # inlined parse tree doesn't dominate the property run (review r10)
+    rulesets = [
+        [(data.draw(st.booleans()), data.draw(_RULE_VALUE)) for _ in range(8)]
+        for _ in range(4)
+    ]
+    paths = [data.draw(_PATH) for _ in range(12)]
+    rows = []
+    for si, rules in enumerate(rulesets):
+        txt = "User-agent: *\n" + "".join(
+            f"{'Allow' if allow else 'Disallow'}: {v}\n" for allow, v in rules
+        )
+        rows += [(si, pi, txt, p) for pi, p in enumerate(paths)]
+    df = spark.createDataFrame(rows, "si int, pi int, txt string, p string")
+    keyed = df.select("si", "pi", "p", _keyed_lines("txt").alias("__k"))
+    out = keyed.select(
+        "si",
+        "pi",
+        robots_allowed("p", _group_from_keyed(F.col("__k"))["rules"]).alias("ok"),
+    )
+    got = {(r.si, r.pi): r.ok for r in out.collect()}
+    for si, rules in enumerate(rulesets):
+        for pi, p in enumerate(paths):
+            want = _model_robots_verdict(rules, p)
+            assert got[(si, pi)] == want, (
+                f"path {p!r} rules {rules}: got {got[(si, pi)]}, want {want}"
+            )
