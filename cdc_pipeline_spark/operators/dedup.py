@@ -871,6 +871,52 @@ def simhash_pairs(
     )
 
 
+def banded_chunks(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    bits: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """Band decomposition of a packed bit signature: one row per
+    (doc, band) with the band's chunk value — (doc_id, __sig, band,
+    chunk). The shared banding primitive under
+    :func:`hamming_banded_pairs` AND the streaming phash index
+    (`streaming/neardup_index.py` posts exactly these rows), so batch
+    and stream can never disagree on bucket keying."""
+    chunk = bits // bands
+    if chunk > 62:
+        raise ValueError(
+            f"bits/bands = {chunk} > 62: the chunk mask must fit a jlong "
+            "literal — use at least 2 bands for 64-bit signatures"
+        )
+    mask = (1 << chunk) - 1
+    # two projections: the explode must not lateral-reference an alias
+    # minted in its own select list
+    base = sig.select(F.col(id_col).alias("doc_id"), F.col(sig_col).alias("__sig"))
+    return base.select(
+        "doc_id",
+        "__sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        # UNSIGNED shift: a 64-bit signature with bit 63
+                        # set is a negative long, and an arithmetic
+                        # shift would smear sign bits into every high
+                        # chunk (cross-band bucket corruption)
+                        F.shiftrightunsigned(F.col("__sig"), b * chunk)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("doc_id", "__sig", "bc.band", "bc.chunk")
+
+
 def hamming_banded_pairs(
     sig: DataFrame,
     id_col: str = "doc_id",
@@ -892,37 +938,7 @@ def hamming_banded_pairs(
     and its measured scale contract (see simhash_pairs' docstring; the
     cap, recall trade, and WARNING logging apply verbatim here).
     Returns (id_a, id_b, hamming) with id_a < id_b."""
-    chunk = bits // bands
-    if chunk > 62:
-        raise ValueError(
-            f"bits/bands = {chunk} > 62: the chunk mask must fit a jlong "
-            "literal — use at least 2 bands for 64-bit signatures"
-        )
-    mask = (1 << chunk) - 1
-    # two projections: the explode must not lateral-reference an alias
-    # minted in its own select list
-    base = sig.select(F.col(id_col).alias("doc_id"), F.col(sig_col).alias("__sig"))
-    banded = base.select(
-        "doc_id",
-        "__sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        # UNSIGNED shift: a 64-bit signature with bit 63
-                        # set is a negative long, and an arithmetic
-                        # shift would smear sign bits into every high
-                        # chunk (cross-band bucket corruption)
-                        F.shiftrightunsigned(F.col("__sig"), b * chunk)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("chunk"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bc"),
-    ).select("doc_id", "__sig", "bc.band", "bc.chunk")
+    banded = banded_chunks(sig, id_col, sig_col, bits, bands)
     banded = prune_hot_buckets(banded, ["band", "chunk"], max_bucket, what=what)
     l, r = banded.alias("l"), banded.alias("r")
     cand = (

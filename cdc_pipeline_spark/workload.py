@@ -7112,7 +7112,35 @@ def phash_fixture_payloads(
                 g, v = doc_id % 97 + 97 * ns, (doc_id // 97) % 4
                 img = np.zeros((8, 8, 3), dtype=np.uint8)
                 for i in range(64):
-                    base = 0 if i == 0 else 1 if i == 63 else ((g * 40503 + i * 2654435761) % 97) % 2
+                    # ns = 0 (every oracle query): round-10's mod-97
+                    # parity pattern, bit-identical — the SQL oracles
+                    # replay this formula. ns > 0 (soak / scale
+                    # replicas, never SQL-replayed): an avalanche-mixed
+                    # bit instead. The mod-97 parity admits only 97
+                    # patterns and offsets differing by 2 give hamming
+                    # ~2 twins, so replica namespaces built on it
+                    # collide at hamming <= 3 for ~2.9% of ALL
+                    # cross-group pairs (measured r11) — quadratic
+                    # match volume that the bucket rail was silently
+                    # absorbing. The multiplied-high-bit mix makes
+                    # distinct (g, ns) patterns pairwise-far, so
+                    # constant density is a property of the DATA, not
+                    # of the cap.
+                    if i == 0:
+                        base = 0
+                    elif i == 63:
+                        base = 1
+                    elif ns == 0:
+                        base = ((g * 40503 + i * 2654435761) % 97) % 2
+                    else:
+                        # murmur3-style finalizer: NONLINEAR in (g, i)
+                        # (a linear mix makes every pattern a shifted
+                        # window of one structured sequence — measured
+                        # hamming<=3 twins across groups again)
+                        z = ((g << 6) | i) & 0xFFFFFFFFFFFFFFFF
+                        z = ((z ^ (z >> 33)) * 0xFF51AFD7ED558CCD) & 0xFFFFFFFFFFFFFFFF
+                        z = ((z ^ (z >> 33)) * 0xC4CEB9FE1A85EC53) & 0xFFFFFFFFFFFFFFFF
+                        base = (z ^ (z >> 33)) & 1
                     f1 = 1 if (i == 1 + g % 61 and v % 2 == 1) else 0
                     f2 = 1 if (i == 2 + g % 61 and v >= 2) else 0
                     if (base + f1 + f2) % 2:

@@ -1,14 +1,18 @@
 #!/usr/bin/env python
 """Streaming soak with LIVE compaction (SCALE.md round-7 evidence).
 
-Runs both continuously-maintained indexes — the BM25 retrieval index
-(``streaming/retrieval_index.py``) and the near-dup probe index
-(``streaming/neardup_index.py``) — from rate-source micro-batches for
+Runs the continuously-maintained indexes — the BM25 retrieval index
+(``streaming/retrieval_index.py``), the MinHash near-dup probe index,
+and (r11) the perceptual-hash IMAGE near-dup index (both in
+``streaming/neardup_index.py``) — from rate-source micro-batches for
 ``SPARK_GRAFT_SOAK_SECS`` (default 600 s), while a maintenance thread
-fires ``compact_index`` + ``compact_neardup_index`` against the LIVE
-writers every ``SPARK_GRAFT_SOAK_COMPACT_SECS`` (default 45 s) — the
+fires ``compact_index`` + ``compact_neardup_index`` +
+``compact_phash_index`` against the LIVE writers every
+``SPARK_GRAFT_SOAK_COMPACT_SECS`` (default 45 s) — the
 lock/replay-marker contract under real concurrency, not a unit test's
-sequenced calls.
+sequenced calls. The phash stream decodes REAL synthesized PNGs per
+batch (Arrow image_phash) and probes through the SAME
+``dedup.banded_chunks`` banding the batch operator uses.
 
 Afterwards it asserts, and prints as ONE JSON line:
 
@@ -118,8 +122,11 @@ def main() -> None:
 
     from cdc_pipeline_spark.streaming.neardup_index import (
         NearDupIndexWriter,
+        PhashNearDupIndexWriter,
         compact_neardup_index,
+        compact_phash_index,
         read_matches,
+        read_phash_matches,
     )
     from cdc_pipeline_spark.streaming.retrieval_index import (
         Bm25IndexWriter,
@@ -136,17 +143,25 @@ def main() -> None:
     base = tempfile.mkdtemp(prefix="soak-")
     bm25_path = os.path.join(base, "bm25")
     nd_path = os.path.join(base, "neardup")
+    ph_path = os.path.join(base, "phash")
     rollup_path = os.path.join(base, "rollup")
     member_path = os.path.join(base, "membership")
+    pmember_path = os.path.join(base, "phash_membership")
     rmember_path = os.path.join(base, "rollup_membership")
     ck_bm25 = os.path.join(base, "ck_bm25")
     ck_nd = os.path.join(base, "ck_nd")
+    ck_ph = os.path.join(base, "ck_phash")
     ck_ru = os.path.join(base, "ck_rollup")
     run_id = "soak-r7"
 
     bm25_writer = Bm25IndexWriter(bm25_path, run_id=run_id)
     nd_writer = NearDupIndexWriter(nd_path, run_id=run_id)
+    ph_writer = PhashNearDupIndexWriter(ph_path, run_id=run_id)
     rollup_writer = RollupTableWriter(rollup_path, run_id=run_id)
+    # per-replica group namespace (the scale harness's constant-density
+    # construction): group size stays ~10 docs as the soak corpus
+    # grows, so uncapped banded probes stay linear for the whole run
+    PH_REPLICA_DIV = 970
 
     def bm25_batch(batch_df, batch_id):
         bm25_writer(batch_df, batch_id)
@@ -176,6 +191,35 @@ def main() -> None:
         .writeStream.outputMode("append")
         .option("checkpointLocation", ck_nd)
         .foreachBatch(nd_batch)
+        .trigger(processingTime=TRIGGER)
+        .start()
+    )
+
+    # fourth pipeline: the image near-dup index (VERDICT r10 #8).
+    # Payloads synthesize per batch from the id via the SAME fixture
+    # the batch query and scale harness use, so the teardown twin can
+    # reconstruct the exact pixel stream from membership ids alone.
+    def ph_batch(batch_df, batch_id):
+        from cdc_pipeline_spark.workload import phash_fixture_payloads
+
+        (
+            batch_df.select("doc_id")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append")
+            .parquet(pmember_path)
+        )
+        ph_writer(
+            phash_fixture_payloads(
+                batch_df.select("doc_id"), replica_div=PH_REPLICA_DIV
+            ),
+            batch_id,
+        )
+
+    q_ph = (
+        docs_stream(spark)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck_ph)
+        .foreachBatch(ph_batch)
         .trigger(processingTime=TRIGGER)
         .start()
     )
@@ -218,6 +262,7 @@ def main() -> None:
             try:
                 compact_index(spark, bm25_path, run_id=run_id)
                 compact_neardup_index(spark, nd_path, run_id=run_id)
+                compact_phash_index(spark, ph_path, run_id=run_id)
                 compact_partials(spark, rollup_path, run_id=run_id)
                 compactions["n"] += 1
             except Exception as e:  # noqa: BLE001 — recorded, assert below
@@ -240,9 +285,11 @@ def main() -> None:
 
     stop_when_idle(q_bm25)
     stop_when_idle(q_nd)
+    stop_when_idle(q_ph)
     stop_when_idle(q_ru)
     q_bm25.awaitTermination(60)
     q_nd.awaitTermination(60)
+    q_ph.awaitTermination(60)
     q_ru.awaitTermination(60)
 
     # --- teardown reconciliation. An abrupt stop mid-foreachBatch is
@@ -291,6 +338,18 @@ def main() -> None:
                     _shutil.rmtree(d)
             partial_batches["neardup"].append(b)
 
+    # phash: matches → hashes → postings; postings marks completion
+    partial_batches["phash"] = []
+    ph_started = _listed_batches(os.path.join(ph_path, "matches")) | _listed_batches(
+        os.path.join(ph_path, "hashes")
+    )
+    for b in sorted(ph_started):
+        if not _batch_complete(os.path.join(ph_path, "postings"), b):
+            for sub in ("matches", "hashes"):
+                d = os.path.join(ph_path, sub, f"batch_id={b}")
+                if os.path.isdir(d):
+                    _shutil.rmtree(d)
+            partial_batches["phash"].append(b)
     # rollup: the partials table is its own completion marker (single
     # write per batch), so only a membership row with NO partials
     # partition can be partial
@@ -299,6 +358,7 @@ def main() -> None:
     # steady maintained state, not whatever the last trigger left
     compact_index(spark, bm25_path, run_id=run_id)
     compact_neardup_index(spark, nd_path, run_id=run_id)
+    compact_phash_index(spark, ph_path, run_id=run_id)
     compact_partials(spark, rollup_path, run_id=run_id)
 
     checks: dict = {"teardown_partial_batches": partial_batches}
@@ -400,6 +460,76 @@ def main() -> None:
         got_matches and set(got_matches) == want_matches
     )
 
+    # --- image near-dup: matches table == one-pass cross-batch twin
+    # (image_phash + shared banded_chunks over payloads reconstructed
+    # from membership ids, restricted to strictly-earlier history)
+    from cdc_pipeline_spark.operators.dedup import banded_chunks
+    from cdc_pipeline_spark.operators.multimodal import image_phash
+    from cdc_pipeline_spark.workload import phash_fixture_payloads
+
+    pmember = spark.read.parquet(pmember_path)
+    p_batches = sorted(
+        r.batch_id for r in pmember.select("batch_id").distinct().collect()
+    )
+    p_valid = [
+        b
+        for b in p_batches
+        if _batch_complete(os.path.join(ph_path, "postings"), b)
+    ]
+    pmember = pmember.filter(F.col("batch_id").isin(p_valid)).localCheckpoint(
+        eager=True
+    )
+    n_docs_ph = pmember.count()
+    ph_hashes = image_phash(
+        phash_fixture_payloads(
+            pmember.select("doc_id"), replica_div=PH_REPLICA_DIV
+        )
+    ).filter("decoded").join(pmember, "doc_id").localCheckpoint(eager=True)
+    ph_banded = banded_chunks(
+        ph_hashes, "doc_id", "ahash", ph_writer.bits, ph_writer.bands
+    ).join(pmember, "doc_id")
+    ph_cand = (
+        ph_banded.select("band", "chunk", "doc_id", "batch_id")
+        .join(
+            ph_banded.select(
+                "band",
+                "chunk",
+                F.col("doc_id").alias("match_id"),
+                F.col("batch_id").alias("match_batch"),
+            ),
+            ["band", "chunk"],
+        )
+        .filter(F.col("batch_id") > F.col("match_batch"))
+        .select("doc_id", "match_id")
+        .distinct()
+    )
+    ph_ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    ph_twin = (
+        ph_cand.join(
+            ph_hashes.select("doc_id", F.col("ahash").alias("__ha")), "doc_id"
+        )
+        .join(
+            ph_hashes.select(
+                F.col("doc_id").alias("match_id"), F.col("ahash").alias("__hb")
+            ),
+            "match_id",
+        )
+        .withColumn("hamming", ph_ham.cast("int"))
+        .filter(F.col("hamming") <= ph_writer.max_hamming)
+        .select("doc_id", "match_id", "hamming")
+    )
+    got_ph = [
+        (r.doc_id, r.match_id, r.hamming)
+        for r in read_phash_matches(spark, ph_path)
+        .select("doc_id", "match_id", "hamming")
+        .collect()
+    ]
+    want_ph = {(r.doc_id, r.match_id, r.hamming) for r in ph_twin.collect()}
+    checks["phash_docs"] = n_docs_ph
+    checks["phash_matches"] = len(got_ph)
+    checks["phash_no_duplicates"] = len(got_ph) == len(set(got_ph))
+    checks["phash_equal_batch_twin"] = bool(got_ph and set(got_ph) == want_ph)
+
     # --- rollup: merged partials == batch aggregation over the ids
     rmember = spark.read.parquet(rmember_path)
     r_batches = sorted(r.batch_id for r in rmember.select("batch_id").distinct().collect())
@@ -432,8 +562,12 @@ def main() -> None:
         int(p["batchId"]) for p in (q_bm25.recentProgress or [{"batchId": 0}])
     ) + 1
     files = {
-        sub: count_files(os.path.join(p, sub))
-        for p, subs in ((bm25_path, ("tf", "doclens")), (nd_path, ("postings", "shingles")))
+        f"{os.path.basename(p)}/{sub}": count_files(os.path.join(p, sub))
+        for p, subs in (
+            (bm25_path, ("tf", "doclens")),
+            (nd_path, ("postings", "shingles")),
+            (ph_path, ("postings", "hashes")),
+        )
         for sub in subs
     }
     checks["n_batches_observed"] = n_batches
@@ -442,9 +576,11 @@ def main() -> None:
     # handful of per-batch stragglers landed after the final fold)
     checks["index_files_bounded"] = all(v <= 128 for v in files.values())
     checks["matches_files"] = count_files(os.path.join(nd_path, "matches"))
+    checks["phash_matches_files"] = count_files(os.path.join(ph_path, "matches"))
     checks["checkpoint_mib"] = {
         "bm25": round(dir_bytes(ck_bm25) / 2**20, 2),
         "neardup": round(dir_bytes(ck_nd) / 2**20, 2),
+        "phash": round(dir_bytes(ck_ph) / 2**20, 2),
         "rollup": round(dir_bytes(ck_ru) / 2**20, 2),
     }
     checks["checkpoints_bounded"] = all(
@@ -457,6 +593,8 @@ def main() -> None:
         checks["bm25_equal_batch_twin"]
         and checks["neardup_equal_batch_twin"]
         and checks["neardup_no_duplicates"]
+        and checks["phash_equal_batch_twin"]
+        and checks["phash_no_duplicates"]
         and checks["rollup_equal_batch_twin"]
         and checks["rollup_files"] <= 64
         and checks["index_files_bounded"]

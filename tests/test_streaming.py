@@ -1874,3 +1874,164 @@ def test_bm25_read_index_detects_crashed_compaction_swap(spark, tmp_path):
     # a never-written index still reads as empty typed frames
     tf0, dls0 = read_index(spark, str(tmp_path / "nothing"))
     assert tf0.count() == 0 and dls0.count() == 0
+
+
+def _phash_png(light_positions):
+    """8x8 black/white PNG with 255 at the given row-major positions —
+    ahash64 bits == light positions by the exact-integer threshold."""
+    import numpy as np
+
+    from cdc_pipeline_spark.operators.imaging import encode_png
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    for i in light_positions:
+        img[i // 8, i % 8] = 255
+    return bytearray(encode_png(img))
+
+
+_PHASH_SCHEMA = "doc_id long, payload binary"
+
+
+def test_phash_index_writer_matches_batch_twin_and_replays(spark, tmp_path):
+    """Streaming image near-dup (VERDICT r10 #8,
+    streaming/neardup_index.py:PhashNearDupIndexWriter): per-batch
+    probe-then-append over the SHARED dedup.banded_chunks banding must
+    produce exactly the matches of the batch twin (image_phash +
+    hamming_banded_pairs over the accumulated corpus, restricted to
+    incoming x history per increment), quarantined payloads must post
+    nothing yet keep their audit row, and a replayed batch must leave
+    every table bit-identical."""
+    from cdc_pipeline_spark.operators.dedup import hamming_banded_pairs
+    from cdc_pipeline_spark.operators.multimodal import image_phash
+    from cdc_pipeline_spark.streaming.neardup_index import (
+        PhashNearDupIndexWriter,
+        read_phash_matches,
+    )
+
+    base = {5, 12, 23, 34, 45, 56, 60, 61}
+    far = {i for i in range(64) if i % 3 == 0}
+    batches = [
+        [(1, _phash_png(base)), (2, _phash_png(far))],
+        # doc 3 at hamming 1 from doc 1; doc 4 undecodable
+        [(3, _phash_png(base ^ {13})), (4, bytearray(b"not an image"))],
+        # doc 5 at hamming 1 from 1 / 2 from 3; doc 6 at hamming 1 from 2
+        [(5, _phash_png(base ^ {14})), (6, _phash_png(far ^ {7}))],
+    ]
+    path = str(tmp_path / "phidx")
+    writer = PhashNearDupIndexWriter(path)
+    for i, rows in enumerate(batches):
+        writer(spark.createDataFrame(rows, _PHASH_SCHEMA), i)
+
+    got = {
+        (r.doc_id, r.match_id, r.hamming)
+        for r in read_phash_matches(spark, path).collect()
+    }
+
+    # batch twin per increment: banded pairs over history+incoming,
+    # restricted to pairs straddling the increment boundary
+    expected = set()
+    for i in range(1, len(batches)):
+        hist_ids = {d for b in batches[:i] for d, _ in b}
+        inc_ids = {d for d, _ in batches[i]}
+        df = spark.createDataFrame(
+            [r for b in batches[: i + 1] for r in b], _PHASH_SCHEMA
+        )
+        hashed = image_phash(df).filter("decoded")
+        pairs = hamming_banded_pairs(
+            hashed, sig_col="ahash", bits=64, bands=4, max_hamming=3,
+            max_bucket=None,
+        ).collect()
+        for p in pairs:
+            if p.id_a in inc_ids and p.id_b in hist_ids:
+                expected.add((p.id_a, p.id_b, p.hamming))
+            elif p.id_b in inc_ids and p.id_a in hist_ids:
+                expected.add((p.id_b, p.id_a, p.hamming))
+    assert got == expected
+    assert {(d, m) for d, m, _ in got} >= {(3, 1), (5, 1), (5, 3), (6, 2)}
+    assert all(d != 4 and m != 4 for d, m, _ in got)  # quarantined
+
+    # the quarantined payload keeps its in-band audit row, posts nothing
+    hashes = spark.read.parquet(f"{path}/hashes")
+    audit = {r.doc_id: r.decoded for r in hashes.collect()}
+    assert audit[4] is False and audit[1] is True
+    postings = spark.read.parquet(f"{path}/postings")
+    assert postings.filter("doc_id = 4").count() == 0
+
+    # replay batch 1: all three tables bit-identical
+    def snapshot():
+        return {
+            sub: sorted(
+                map(str, spark.read.parquet(f"{path}/{sub}").collect())
+            )
+            for sub in ("matches", "postings", "hashes")
+        }
+
+    before = snapshot()
+    writer(spark.createDataFrame(batches[1], _PHASH_SCHEMA), 1)
+    assert snapshot() == before
+
+
+def test_phash_index_compaction_and_quarantine_refresh(spark, tmp_path):
+    """compact_phash_index folds postings (distinct) + hashes (latest
+    DECODED row per doc, bool_or decoded) into batch_id=-1: the match
+    log survives untouched, a replayed folded batch is a no-op, a
+    post-compaction ingest probes folded history exactly as before —
+    and a doc whose first ingest was corrupt but whose re-ingest
+    decoded cleanly both matches and is matchable afterwards."""
+    from cdc_pipeline_spark.streaming.neardup_index import (
+        PhashNearDupIndexWriter,
+        compact_phash_index,
+        read_phash_matches,
+    )
+
+    base = {5, 12, 23, 34, 45, 56, 60, 61}
+    path = str(tmp_path / "phcmp")
+    writer = PhashNearDupIndexWriter(path, run_id="run-p")
+    writer(
+        spark.createDataFrame([(4, bytearray(b"corrupt")), (8, _phash_png(base))], _PHASH_SCHEMA), 0
+    )
+    # doc 4 re-ingested GOOD: matches 8, never itself
+    writer(spark.createDataFrame([(4, _phash_png(base ^ {13}))], _PHASH_SCHEMA), 1)
+
+    def matches():
+        return sorted(
+            (r.doc_id, r.match_id, r.hamming, r.batch_id)
+            for r in read_phash_matches(spark, path).collect()
+        )
+
+    before = matches()
+    assert [(d, m) for d, m, _, _ in before] == [(4, 8)]
+    p_rows, h_rows = compact_phash_index(spark, path, run_id="run-p")
+    assert p_rows == 8 and h_rows == 2  # 4 bands x 2 decoded docs; 2 docs
+    assert matches() == before, "match log must survive compaction untouched"
+    # folded hashes: doc 4 kept its DECODED hash (not the corrupt null)
+    folded = {r.doc_id: r for r in spark.read.parquet(f"{path}/hashes").collect()}
+    assert folded[4].decoded is True and folded[4].ahash is not None
+
+    # replayed folded batch: guard skips it (no (4, 4) self-match)
+    writer(spark.createDataFrame([(4, _phash_png(base ^ {13}))], _PHASH_SCHEMA), 1)
+    assert matches() == before
+
+    # post-compaction ingest probes folded history: matches BOTH docs
+    writer(spark.createDataFrame([(9, _phash_png(base ^ {14}))], _PHASH_SCHEMA), 2)
+    assert {(d, m) for d, m, _, _ in matches()} == {(4, 8), (9, 8), (9, 4)}
+
+
+def test_phash_index_reads_empty_before_any_batch(spark, tmp_path):
+    """Typed empty matches before any batch ran / on a clean corpus."""
+    from cdc_pipeline_spark.streaming.neardup_index import (
+        PhashNearDupIndexWriter,
+        read_phash_matches,
+    )
+
+    path = str(tmp_path / "phidx_empty")
+    pre = read_phash_matches(spark, path)
+    assert pre.count() == 0
+    assert pre.columns == ["doc_id", "match_id", "hamming", "batch_id"]
+    writer = PhashNearDupIndexWriter(path)
+    writer(spark.createDataFrame([(1, _phash_png({1, 2}))], _PHASH_SCHEMA), 0)
+    far = {i for i in range(64) if i % 3 == 0}
+    writer(spark.createDataFrame([(2, _phash_png(far))], _PHASH_SCHEMA), 1)
+    out = read_phash_matches(spark, path)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "match_id", "hamming", "batch_id"]
