@@ -1,0 +1,207 @@
+"""WARC source tests: byte-level round trips (plain + per-member
+gzip), framing quarantine, digest verification, HTTP sub-parse
+(chunked coding, charset), and the Arrow-batched DataFrame operator."""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+
+from pyspark.sql import functions as F
+
+from cdc_pipeline_spark.sources.warc import (
+    build_record,
+    build_warc,
+    dechunk,
+    gzip_member,
+    http_charset,
+    http_response_block,
+    iter_warc_file,
+    parse_http_response,
+    parse_warc_stream,
+    payload_digest_header,
+    split_gzip_members,
+    warc_records,
+)
+
+
+def _response_record(uri: str, payload: bytes, status: int = 200, **hdr) -> bytes:
+    block = http_response_block(
+        status,
+        "OK" if status == 200 else "Not Found",
+        {"Content-Type": "text/html; charset=utf-8", "Content-Length": str(len(payload))},
+        payload,
+    )
+    headers = {
+        "WARC-Record-ID": f"<urn:test:{uri}>",
+        "WARC-Date": "2025-03-04T05:06:07Z",
+        "WARC-Target-URI": uri,
+        "Content-Type": 'application/http; msgtype=response',
+        "WARC-Payload-Digest": payload_digest_header(payload),
+    }
+    headers.update(hdr)
+    return build_record("response", headers, block)
+
+
+def _request_record(uri: str) -> bytes:
+    block = f"GET {uri} HTTP/1.1\r\nHost: x\r\n\r\n".encode()
+    return build_record(
+        "request",
+        {
+            "WARC-Record-ID": f"<urn:test:req:{uri}>",
+            "WARC-Date": "2025-03-04T05:06:07Z",
+            "WARC-Target-URI": uri,
+            "Content-Type": "application/http; msgtype=request",
+        },
+        block,
+    )
+
+
+def test_plain_roundtrip_offsets_and_fields():
+    r1 = _request_record("https://a.com/x")
+    r2 = _response_record("https://a.com/x", b"<html>hi</html>")
+    data = build_warc([r1, r2])
+    recs = list(parse_warc_stream(data))
+    assert [r["valid"] for r in recs] == [True, True]
+    assert recs[0]["headers"]["warc-type"] == "request"
+    assert recs[1]["headers"]["warc-target-uri"] == "https://a.com/x"
+    # offsets/lengths slice the original bytes exactly
+    assert recs[0]["offset"] == 0 and recs[0]["length"] == len(r1)
+    assert recs[1]["offset"] == len(r1) and recs[1]["length"] == len(r2)
+    sliced = data[recs[1]["offset"] : recs[1]["offset"] + recs[1]["length"]]
+    (again,) = parse_warc_stream(sliced)
+    assert again["block"] == recs[1]["block"]
+
+
+def test_gzip_member_roundtrip_compressed_coordinates():
+    records = [
+        _response_record(f"https://b.com/{i}", f"payload {i}".encode()) for i in range(3)
+    ]
+    gz = build_warc(records, per_record_gzip=True)
+    recs = list(iter_warc_file(gz))
+    assert len(recs) == 3 and all(r["valid"] for r in recs)
+    # CDX convention: offsets/lengths address the COMPRESSED members —
+    # each slice must decompress to exactly one record
+    for i, rec in enumerate(recs):
+        member = gz[rec["offset"] : rec["offset"] + rec["length"]]
+        (only,) = split_gzip_members(member)
+        assert only[2] == records[i]
+    assert recs[-1]["offset"] + recs[-1]["length"] == len(gz)
+
+
+def test_corrupt_gzip_member_quarantines_in_band():
+    good = gzip_member(_response_record("https://c.com/ok", b"ok"))
+    bad = gzip_member(_response_record("https://c.com/bad", b"bad"))[:-7]  # truncate CRC
+    recs = list(iter_warc_file(good + bad))
+    assert recs[0]["valid"] is True
+    assert recs[1]["valid"] is False and "gzip" in recs[1]["error"]
+
+
+def test_truncated_block_and_bad_version_quarantine():
+    r = _response_record("https://d.com/x", b"full payload bytes")
+    recs = list(parse_warc_stream(r[: len(r) // 2]))
+    assert len(recs) == 1 and recs[0]["valid"] is False
+    assert "truncated" in recs[0]["error"]
+    recs = list(parse_warc_stream(b"NOTWARC/9 nope\r\n\r\n"))
+    assert recs[0]["valid"] is False and "version" in recs[0]["error"]
+
+
+def test_bare_lf_headers_and_junk_lines_tolerated():
+    block = b"x" * 4
+    raw = (
+        b"WARC/1.0\nWARC-Type: resource\nWARC-Target-URI: https://e.com/\n"
+        b"junk line without colon\nContent-Length: 4\n\n" + block + b"\r\n\r\n"
+    )
+    (rec,) = parse_warc_stream(raw)
+    assert rec["valid"] and rec["block"] == block
+    assert rec["headers"]["warc-target-uri"] == "https://e.com/"
+
+
+def test_http_parse_chunked_and_charset():
+    body = b"7\r\nMozilla\r\n4\r\nDev!\r\n0\r\n\r\n"
+    assert dechunk(body) == b"MozillaDev!"
+    block = http_response_block(
+        200,
+        "OK",
+        {"Content-Type": 'text/html; charset="ISO-8859-1"', "Transfer-Encoding": "chunked"},
+        body,
+    )
+    http = parse_http_response(block)
+    assert http["payload"] == b"MozillaDev!"
+    assert http["stored_payload"] == body  # digests verify bytes AS STORED
+    assert http_charset(http["headers"]["content-type"]) == "iso-8859-1"
+    assert http_charset("text/plain") is None
+
+
+def test_digest_verification_base32_and_hex():
+    payload = b"digest me"
+    rec = _response_record("https://f.com/", payload)
+    (parsed,) = parse_warc_stream(rec)
+    from cdc_pipeline_spark.sources.warc import _digest_ok
+
+    claimed = parsed["headers"]["warc-payload-digest"]
+    assert _digest_ok(claimed, payload) is True
+    assert _digest_ok(claimed, payload + b"!") is False
+    hexed = "sha256:" + hashlib.sha256(payload).hexdigest().upper()
+    assert _digest_ok(hexed, payload) is True
+    assert _digest_ok("md5:ABCD", payload) is None  # unknown algo: unverifiable
+    assert _digest_ok(None, payload) is None
+
+
+def test_warc_records_dataframe_all_paths(spark):
+    ok = build_warc(
+        [_request_record("https://g.com/1"), _response_record("https://g.com/1", b"<html>1</html>")]
+    )
+    gz = build_warc(
+        [_response_record("https://g.com/2", b"<html>2</html>", status=404)],
+        per_record_gzip=True,
+    )
+    bad_digest = _response_record(
+        "https://g.com/3", b"<html>3</html>", **{"WARC-Payload-Digest": "sha256:AAAA"}
+    )
+    truncated = _response_record("https://g.com/4", b"<html>4</html>")[:40]
+    df = spark.createDataFrame(
+        [
+            ("a.warc", bytearray(ok)),
+            ("b.warc.gz", bytearray(gz)),
+            ("c.warc", bytearray(bad_digest + truncated)),
+            ("d.warc", None),
+        ],
+        "path string, content binary",
+    )
+    out = warc_records(df).orderBy("path", "record_offset").collect()
+    by_path: dict[str, list] = {}
+    for row in out:
+        by_path.setdefault(row["path"], []).append(row)
+    assert len(by_path["a.warc"]) == 2
+    req, resp = by_path["a.warc"]
+    assert req["warc_type"] == "request" and req["http_status"] is None
+    assert resp["http_status"] == 200 and bytes(resp["http_payload"]) == b"<html>1</html>"
+    assert resp["payload_digest_ok"] is True
+    assert resp["warc_date"] == "2025-03-04T05:06:07Z"
+    (gz_row,) = by_path["b.warc.gz"]
+    assert gz_row["http_status"] == 404 and gz_row["valid"] is True
+    bad, trunc = by_path["c.warc"]
+    assert bad["valid"] is True and bad["payload_digest_ok"] is False
+    assert trunc["valid"] is False and "truncated" in trunc["error"]
+    assert "d.warc" not in by_path  # NULL payload: no archive, skipped
+
+
+def test_warc_records_empty_input_schema_stable(spark):
+    df = spark.createDataFrame([], "path string, content binary")
+    out = warc_records(df)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields][:4] == [
+        "path",
+        "record_offset",
+        "record_length",
+        "warc_version",
+    ]
+
+
+def test_payload_digest_header_is_spec_base32():
+    payload = b"abc"
+    value = payload_digest_header(payload, algo="sha1")
+    algo, _, b32 = value.partition(":")
+    assert algo == "sha1"
+    assert base64.b32decode(b32) == hashlib.sha1(payload).digest()
