@@ -276,9 +276,23 @@ def parse_warc_stream(data: bytes, base_offset: int = 0, stored_length: int | No
         if head_end < 0:
             yield _invalid(base_offset + start, (stored_length or n) - start, "truncated header block")
             return
-        headers, first = _parse_headers(data[pos:head_end])
+        head = data[pos:head_end]
+        headers, first = _parse_headers(head)
         if not first.upper().startswith("WARC/"):
             yield _invalid(base_offset + start, (stored_length or n) - start, f"bad version line {first!r}")
+            return
+        if any(
+            (i := line.find(b"WARC/")) >= 0 and line.find(b":", 0, i) < 0
+            for line in head.split(b"\n")[1:]
+        ):
+            # a version line INSIDE a header block means a truncated
+            # record ran into the next one (possibly mid-line, so the
+            # WARC/ token need not start the line) — parsing the merged
+            # block would frame on the WRONG Content-Length and
+            # silently swallow records. A legitimate field VALUE
+            # containing "WARC/" keeps its name's ':' BEFORE the token
+            # and is not flagged.
+            yield _invalid(base_offset + start, (stored_length or n) - start, "framing merge: embedded version line")
             return
         body_start = head_end + (2 if lf_only else 4)
         try:

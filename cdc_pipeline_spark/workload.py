@@ -7538,6 +7538,382 @@ def doc_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def warc_fixture_payloads(docs: DataFrame) -> DataFrame:
+    """(path, content) WARC archives synthesized per document row —
+    the capture-file fixture for the `sources/warc.py` queries. Every
+    byte is a deterministic formula of (doc_id, source) so the DuckDB
+    oracles can reconstruct record strings, lengths and payload hashes
+    analytically (the phash-fixture pattern):
+
+      * domain ``{source}.com``; host gains an ``m.`` subdomain when
+        doc_id%5==0; the target URI gains an UNSORTED query string with
+        a tracking param when doc_id%6==1 (live SURT coverage);
+      * HTTP status 200, except 404 at doc_id%11==5 and 301 (+Location,
+        empty body) at doc_id%11==7;
+      * 200-responses at doc_id%9==2 store the body CHUNKED (two
+        chunks) — the digest is claimed over the bytes AS STORED and
+        the parser de-chunks after verifying;
+      * doc_id%13==7 claims a WRONG payload digest (sha256:AAAA) —
+        the edge-verification path;
+      * doc_id%7==3 truncates the response record at byte 40 — the
+        in-band quarantine path; in the PLAIN container the remainder
+        (fragment [+ following metadata record]) collapses into one
+        invalid row ("truncated header block" / "framing merge"),
+        while in the GZIP container only that member quarantines and
+        later members still parse — the isolation the member-per-record
+        layout buys;
+      * doc_id%10==9 appends a metadata record (third WARC-Type);
+      * doc_id%3==0 stores the whole archive as member-per-record
+        .warc.gz (compressed-coordinate offsets), the rest plain.
+    """
+    import pyarrow as pa
+
+    def gen(batches):
+        from cdc_pipeline_spark.sources import warc as W
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            sources = batch.column(1).to_pylist()
+            paths, payloads = [], []
+            for doc_id, source in zip(ids, sources):
+                domain = f"{source.lower()}.com"
+                host = f"m.{domain}" if doc_id % 5 == 0 else domain
+                qs = "?z=9&a=1&utm_source=feed" if doc_id % 6 == 1 else ""
+                uri = f"https://{host}/art/{doc_id}{qs}"
+                iso = f"2025-01-{1 + doc_id % 28:02d}T{doc_id % 24:02d}:00:00Z"
+                if doc_id % 11 == 5:
+                    status, reason = 404, "Not Found"
+                elif doc_id % 11 == 7:
+                    status, reason = 301, "Moved Permanently"
+                else:
+                    status, reason = 200, "OK"
+                if status == 200:
+                    body = f"<html><body><p>doc {doc_id} from {domain}</p></body></html>".encode()
+                elif status == 404:
+                    body = f"<html><body><p>missing {doc_id}</p></body></html>".encode()
+                else:
+                    body = b""
+                http_headers = {"Content-Type": "text/html; charset=utf-8"}
+                if status == 301:
+                    http_headers["Location"] = f"https://{domain}/art/{doc_id}"
+                stored = body
+                if status == 200 and doc_id % 9 == 2:
+                    http_headers["Transfer-Encoding"] = "chunked"
+                    stored = (
+                        b"%x\r\n" % len(body[:10]) + body[:10] + b"\r\n"
+                        + b"%x\r\n" % len(body[10:]) + body[10:] + b"\r\n0\r\n\r\n"
+                    )
+                else:
+                    http_headers["Content-Length"] = str(len(body))
+                digest = (
+                    "sha256:AAAA" if doc_id % 13 == 7 else W.payload_digest_header(stored)
+                )
+                response = W.build_record(
+                    "response",
+                    {
+                        "WARC-Record-ID": f"<urn:resp:{doc_id}>",
+                        "WARC-Date": iso,
+                        "WARC-Target-URI": uri,
+                        "Content-Type": "application/http; msgtype=response",
+                        "WARC-Payload-Digest": digest,
+                    },
+                    W.http_response_block(status, reason, http_headers, stored),
+                )
+                if doc_id % 7 == 3:
+                    response = response[:40]  # truncated capture
+                request = W.build_record(
+                    "request",
+                    {
+                        "WARC-Record-ID": f"<urn:req:{doc_id}>",
+                        "WARC-Date": iso,
+                        "WARC-Target-URI": uri,
+                        "Content-Type": "application/http; msgtype=request",
+                    },
+                    f"GET /art/{doc_id}{qs} HTTP/1.1\r\nHost: {host}\r\n\r\n".encode(),
+                )
+                records = [request, response]
+                if doc_id % 10 == 9:
+                    records.append(
+                        W.build_record(
+                            "metadata",
+                            {
+                                "WARC-Record-ID": f"<urn:meta:{doc_id}>",
+                                "WARC-Date": iso,
+                                "WARC-Target-URI": uri,
+                                "Content-Type": "application/warc-fields",
+                            },
+                            b"via: fixture-crawler\r\n",
+                        )
+                    )
+                gz = doc_id % 3 == 0
+                paths.append(
+                    f"{'gz' if gz else 'plain'}/{domain}/{doc_id}.warc" + (".gz" if gz else "")
+                )
+                payloads.append(W.build_warc(records, per_record_gzip=gz))
+            yield pa.RecordBatch.from_pydict(
+                {"path": paths, "content": payloads},
+                schema=pa.schema([("path", pa.string()), ("content", pa.binary())]),
+            )
+
+    return docs.select("doc_id", "source").mapInArrow(gen, "path string, content binary")
+
+
+_WARC_CRLF = "chr(13) || chr(10)"
+
+
+def _warc_attrs_sql() -> str:
+    """Shared analytic CTEs reconstructing the WARC fixture per doc:
+    attributes, bodies, stored (possibly chunked) payloads, and the
+    exact serialized record strings (a 63-char placeholder stands in
+    for the base32 sha256 digest — only its LENGTH reaches any
+    aggregate)."""
+    crlf = _WARC_CRLF
+    return f"""
+    base AS (
+        SELECT doc_id,
+               lower(source) || '.com' AS domain,
+               CASE WHEN doc_id % 5 = 0 THEN 'm.' || lower(source) || '.com'
+                    ELSE lower(source) || '.com' END AS host,
+               CASE WHEN doc_id % 6 = 1 THEN '?z=9&a=1&utm_source=feed'
+                    ELSE '' END AS qs,
+               '2025-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') ||
+                   'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') ||
+                   ':00:00Z' AS iso,
+               CASE WHEN doc_id % 11 = 5 THEN 404
+                    WHEN doc_id % 11 = 7 THEN 301 ELSE 200 END AS status,
+               doc_id % 3 = 0 AS gz,
+               doc_id % 7 = 3 AS trunc,
+               doc_id % 13 = 7 AS bad_digest,
+               doc_id % 10 = 9 AS has_meta,
+               doc_id % 9 = 2 AS chunk_flag
+        FROM documents),
+    attrs AS (
+        SELECT *,
+               CASE WHEN gz THEN 'gz' ELSE 'plain' END AS container,
+               'https://' || host || '/art/' || CAST(doc_id AS VARCHAR) || qs AS uri,
+               CASE WHEN status = 200 THEN
+                        '<html><body><p>doc ' || CAST(doc_id AS VARCHAR) ||
+                        ' from ' || domain || '</p></body></html>'
+                    WHEN status = 404 THEN
+                        '<html><body><p>missing ' || CAST(doc_id AS VARCHAR) ||
+                        '</p></body></html>'
+                    ELSE '' END AS body,
+               status = 200 AND chunk_flag AS chunked,
+               CASE WHEN status = 404 THEN 'Not Found'
+                    WHEN status = 301 THEN 'Moved Permanently'
+                    ELSE 'OK' END AS reason
+        FROM base),
+    attrs2 AS (
+        SELECT *,
+               CASE WHEN chunked THEN
+                   'a' || {crlf} || substr(body, 1, 10) || {crlf} ||
+                   printf('%x', length(body) - 10) || {crlf} ||
+                   substr(body, 11) || {crlf} || '0' || {crlf} || {crlf}
+               ELSE body END AS stored,
+               'GET /art/' || CAST(doc_id AS VARCHAR) || qs || ' HTTP/1.1' ||
+                   {crlf} || 'Host: ' || host || {crlf} || {crlf} AS req_block
+        FROM attrs),
+    attrs3 AS (
+        SELECT *,
+               'HTTP/1.1 ' || CAST(status AS VARCHAR) || ' ' || reason || {crlf} ||
+               'Content-Type: text/html; charset=utf-8' ||
+               CASE WHEN status = 301 THEN
+                   {crlf} || 'Location: https://' || domain || '/art/' ||
+                       CAST(doc_id AS VARCHAR)
+                   ELSE '' END ||
+               CASE WHEN chunked THEN {crlf} || 'Transfer-Encoding: chunked'
+                    ELSE {crlf} || 'Content-Length: ' ||
+                         CAST(length(body) AS VARCHAR) END ||
+               {crlf} || {crlf} || stored AS resp_block
+        FROM attrs2),
+    attrs4 AS (
+        SELECT *,
+               'WARC/1.1' || {crlf} || 'WARC-Type: request' || {crlf} ||
+               'WARC-Record-ID: <urn:req:' || CAST(doc_id AS VARCHAR) || '>' || {crlf} ||
+               'WARC-Date: ' || iso || {crlf} ||
+               'WARC-Target-URI: ' || uri || {crlf} ||
+               'Content-Type: application/http; msgtype=request' || {crlf} ||
+               'Content-Length: ' || CAST(length(req_block) AS VARCHAR) ||
+               {crlf} || {crlf} || req_block || {crlf} || {crlf} AS req_record,
+               'WARC/1.1' || {crlf} || 'WARC-Type: response' || {crlf} ||
+               'WARC-Record-ID: <urn:resp:' || CAST(doc_id AS VARCHAR) || '>' || {crlf} ||
+               'WARC-Date: ' || iso || {crlf} ||
+               'WARC-Target-URI: ' || uri || {crlf} ||
+               'Content-Type: application/http; msgtype=response' || {crlf} ||
+               'WARC-Payload-Digest: ' ||
+                   repeat('x', CASE WHEN bad_digest THEN 11 ELSE 63 END) || {crlf} ||
+               'Content-Length: ' || CAST(length(resp_block) AS VARCHAR) ||
+               {crlf} || {crlf} || resp_block || {crlf} || {crlf} AS resp_record
+        FROM attrs3)
+    """
+
+
+def _warc_ingest_oracle_sql() -> str:
+    """Analytic DuckDB replica of the WARC ingest audit: reconstructs
+    every record row the parser must emit (request / response-or-
+    quarantine / conditional metadata, container-dependent truncation
+    semantics) and aggregates the same audit columns, payload hashes
+    recomputed with sha256 over the reconstructed bodies."""
+    return f"""
+    WITH {_warc_attrs_sql()},
+    rows AS (
+        SELECT container, 'request' AS warc_type,
+               CAST(NULL AS INTEGER) AS http_status, TRUE AS valid,
+               -- INT, not BOOLEAN: a NULL boolean canonicalizes as
+               -- None on the Spark side but NaN on the DuckDB side;
+               -- NULL ints agree (NaN both)
+               CAST(NULL AS INTEGER) AS payload_digest_ok,
+               CAST(NULL AS VARCHAR) AS error,
+               length(req_block) AS content_length,
+               '<urn:req:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+               uri AS target_uri, CAST(NULL AS VARCHAR) AS payload_sha
+        FROM attrs4
+        UNION ALL
+        SELECT container,
+               CASE WHEN trunc THEN NULL ELSE 'response' END,
+               CASE WHEN trunc THEN NULL ELSE status END,
+               NOT trunc,
+               CASE WHEN trunc THEN NULL
+                    WHEN bad_digest THEN 0 ELSE 1 END,
+               CASE WHEN NOT trunc THEN NULL
+                    WHEN NOT gz AND has_meta
+                        THEN 'framing merge: embedded version line'
+                    ELSE 'truncated header block' END,
+               CASE WHEN trunc THEN NULL ELSE length(resp_block) END,
+               CASE WHEN trunc THEN NULL
+                    ELSE '<urn:resp:' || CAST(doc_id AS VARCHAR) || '>' END,
+               CASE WHEN trunc THEN NULL ELSE uri END,
+               CASE WHEN trunc THEN NULL ELSE sha256(body) END
+        FROM attrs4
+        UNION ALL
+        SELECT container, 'metadata', NULL, TRUE, CAST(NULL AS INTEGER), NULL,
+               22, '<urn:meta:' || CAST(doc_id AS VARCHAR) || '>', uri, NULL
+        FROM attrs4 WHERE has_meta AND (gz OR NOT trunc))
+    SELECT container, warc_type, http_status, valid, payload_digest_ok, error,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT record_id) AS BIGINT) AS n_record_ids,
+           CAST(sum(content_length) AS BIGINT) AS sum_block_len,
+           min(target_uri) AS first_uri,
+           min(payload_sha) AS min_payload_sha,
+           max(payload_sha) AS max_payload_sha
+    FROM rows
+    GROUP BY container, warc_type, http_status, valid, payload_digest_ok, error
+    """
+
+
+@register("doc_warc_ingest", _warc_ingest_oracle_sql())
+def doc_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC capture-file ingest audit (`sources/warc.py:warc_records`;
+    extends the reference's TODO batch scan, `src/batch/batch_etl.py:
+    12-20`, to the web-archive container every crawled-corpus build
+    starts from): per-doc synthesized archives — plain AND
+    member-per-record gzip, 200/404/301 responses, chunked transfer
+    coding, a planted WRONG payload digest, truncated captures, and a
+    metadata third record type — parse in ONE Arrow pass into typed
+    record rows with in-band quarantine, then aggregate the audit a
+    real 100 TB ingest runs: counts, distinct record ids, block
+    bytes, first URI and payload sha256 range per (container, type,
+    status, validity, digest verdict, error). The truncation
+    semantics are container-DEPENDENT and both are pinned: a plain
+    file absorbs everything after the lie into one quarantine row
+    (there is no trustworthy resync), while gzip members isolate the
+    damage and later records still land — the scale argument for
+    member-per-record archives. Plan: scan-parallel Arrow parse, one
+    shuffle for the audit aggregate."""
+    from cdc_pipeline_spark.sources.warc import warc_records
+
+    docs = _t(spark, sf_dir, "documents")
+    recs = warc_records(warc_fixture_payloads(docs))
+    sha = F.sha2(F.col("http_payload"), 256)
+    return recs.groupBy(
+        F.substring_index("path", "/", 1).alias("container"),
+        "warc_type",
+        "http_status",
+        "valid",
+        # int, not boolean: NULL booleans canonicalize differently
+        # across the two engines (None vs NaN) — see the oracle note
+        F.col("payload_digest_ok").cast("int").alias("payload_digest_ok"),
+        "error",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("record_id").cast("long").alias("n_record_ids"),
+        F.sum("content_length").cast("long").alias("sum_block_len"),
+        F.min("target_uri").alias("first_uri"),
+        F.min(sha).alias("min_payload_sha"),
+        F.max(sha).alias("max_payload_sha"),
+    )
+
+
+def _warc_cdx_oracle_sql() -> str:
+    """Analytic replica of the CDX build over the PLAIN container:
+    SURT urlkeys replayed with DuckDB list ops (reverse labels,
+    re-sorted query), ts14 from the synthesis arithmetic, and —
+    byte-exact framing evidence — offsets/lengths recomputed from the
+    LENGTHS of the fully reconstructed serialized records."""
+    return f"""
+    WITH {_warc_attrs_sql()}
+    SELECT status AS http_status,
+           CAST(count(*) AS BIGINT) AS n,
+           min(array_to_string(list_reverse(string_split(host, '.')), ',') ||
+               ')/art/' || CAST(doc_id AS VARCHAR) ||
+               CASE WHEN qs <> '' THEN '?a=1&z=9' ELSE '' END) AS min_urlkey,
+           max(array_to_string(list_reverse(string_split(host, '.')), ',') ||
+               ')/art/' || CAST(doc_id AS VARCHAR) ||
+               CASE WHEN qs <> '' THEN '?a=1&z=9' ELSE '' END) AS max_urlkey,
+           min('202501' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') ||
+               lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || '0000') AS min_ts14,
+           max('202501' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') ||
+               lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || '0000') AS max_ts14,
+           CAST(sum(length(req_record)) AS BIGINT) AS sum_offsets,
+           CAST(sum(length(resp_record)) AS BIGINT) AS sum_lengths
+    FROM attrs4
+    WHERE NOT gz AND NOT trunc
+    GROUP BY status
+    """
+
+
+@register("doc_warc_cdx", _warc_cdx_oracle_sql())
+def doc_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index build from parsed WARC captures (`urls.surt_key` +
+    `sources/warc.py` offsets): valid response records from the PLAIN
+    container become CDX rows — SURT urlkey (reversed host labels,
+    sorted de-tracked query: the web-archive lookup sort key),
+    14-digit timestamp from WARC-Date, status, and the record's
+    byte offset/length in the stored file — then aggregate per
+    status. The offset/length sums make the oracle check BYTE-EXACT
+    framing: DuckDB recomputes them from the lengths of fully
+    reconstructed serialized records, so one byte of drift in either
+    parser or serializer fails the hash. (The gzip container's
+    compressed-coordinate offsets are pinned by unit round-trips
+    instead — zlib member sizes aren't SQL-computable.) Plan: Arrow
+    parse, pure-column SURT/ts14 projections, one aggregate shuffle."""
+    from cdc_pipeline_spark.operators.urls import surt_key
+    from cdc_pipeline_spark.sources.warc import warc_records
+
+    docs = _t(spark, sf_dir, "documents")
+    recs = warc_records(warc_fixture_payloads(docs))
+    cdx = recs.filter(
+        F.col("valid")
+        & F.col("http_status").isNotNull()
+        & (F.substring_index("path", "/", 1) == "plain")
+    ).select(
+        surt_key("target_uri").alias("urlkey"),
+        F.translate("warc_date", "-:TZ", "").alias("ts14"),
+        "http_status",
+        "record_offset",
+        "record_length",
+    )
+    return cdx.groupBy("http_status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("urlkey").alias("min_urlkey"),
+        F.max("urlkey").alias("max_urlkey"),
+        F.min("ts14").alias("min_ts14"),
+        F.max("ts14").alias("max_ts14"),
+        F.sum("record_offset").cast("long").alias("sum_offsets"),
+        F.sum("record_length").cast("long").alias("sum_lengths"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50
 # registered queries per round (CORRECTNESS_r01 stopped at entry 50 of 81).
@@ -7556,8 +7932,11 @@ def doc_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # -- round-11 new registrations first (RFC 9309 wildcard battery,
+    # -- round-11 new registrations first (WARC ingest + CDX build,
+    # RFC 9309 wildcard battery,
     # in-band decode quarantine, sitemap->frontier->robots gate) --
+    "doc_warc_ingest",
+    "doc_warc_cdx",
     # -- then every query whose PLAN or operator internals changed this
     # round: both robots queries (wildcard rules now compile instead of
     # being skipped; unknown-key lines drop at keying), main-content
@@ -7613,8 +7992,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_lang_charclass",
     "doc_segment_dedup",
     "doc_text_features",
-    "doc_tfidf_cosine_pairs",
-    "doc_unigram_logprob",
 ]
 
 # Everything else, in staleness order (oldest last-green first), so the
@@ -7624,6 +8001,10 @@ _DRIVER_WINDOW_PRIORITY = [
 # round-11 head. Recorded explicitly so the exclusion is a decision,
 # not a silent off-by-N (all were green in CORRECTNESS_r08..r10).
 _DRIVER_WINDOW_CARRYOVER = [
+    # displaced from the round-11 window by the two WARC queries —
+    # first in line for round 12 (green r8, swept r11)
+    "doc_tfidf_cosine_pairs",
+    "doc_unigram_logprob",
     "docs_incremental_neardup",
     "docs_token_weighted_sample",
     "embedding_covariance_topk",

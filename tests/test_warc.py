@@ -205,3 +205,30 @@ def test_payload_digest_header_is_spec_base32():
     algo, _, b32 = value.partition(":")
     assert algo == "sha1"
     assert base64.b32decode(b32) == hashlib.sha1(payload).digest()
+
+
+def test_surt_key_battery(spark):
+    from cdc_pipeline_spark.operators.urls import surt_key
+
+    cases = [
+        ("https://www.Example.COM/A/b?b=2&a=1&utm_source=x", "com,example)/a/b?a=1&b=2"),
+        ("http://sub.site.co.uk:8080/", "uk,co,site,sub:8080)/"),
+        ("https://a.com:443?q=1#frag", "com,a)/?q=1"),
+        ("https://ex%41mple.com/P%61th", "com,example)/path"),
+        ("http://h.io:80/x", "io,h)/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["k"] for r in df.select(surt_key("url").alias("k")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_truncated_record_does_not_merge_into_next():
+    """A record cut mid-header must NOT frame on the NEXT record's
+    Content-Length: the embedded version line marks the merge and the
+    remainder quarantines as one invalid row."""
+    truncated = _response_record("https://h.com/x", b"<html>x</html>")[:40]
+    following = _request_record("https://h.com/y")
+    recs = list(parse_warc_stream(truncated + following))
+    assert len(recs) == 1
+    assert recs[0]["valid"] is False and "framing merge" in recs[0]["error"]
+    assert recs[0]["length"] == len(truncated) + len(following)
