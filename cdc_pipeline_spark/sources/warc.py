@@ -446,6 +446,25 @@ def warc_records(
     return narrow.mapInPandas(run, WARC_RECORDS_SCHEMA)
 
 
+_BINARY_FILE_SCHEMA = "path string, modificationTime timestamp, length long, content binary"
+
+
+def stream_warc_records(spark, path: str, glob: str | None = None) -> DataFrame:
+    """Streaming WARC ingest: new capture files landing in ``path``
+    explode into typed record rows micro-batch by micro-batch — the
+    continuously-fed bronze layer of a crawl pipeline. Spark's
+    ``binaryFile`` source streams whole files, so each file is parsed
+    exactly once per trigger; ``warc_records`` is stateless
+    (mapInPandas), so the stream needs no watermark and restarts
+    cleanly from the file-source checkpoint. Offsets/lengths stay in
+    stored-file coordinates, exactly as in batch — a downstream CDX
+    twin sees identical rows either way (golden-tested)."""
+    reader = spark.readStream.format("binaryFile").schema(_BINARY_FILE_SCHEMA)
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return warc_records(reader.load(path))
+
+
 # ---------------------------------------------------------------------------
 # serialization (fixtures, tests, and the write direction)
 # ---------------------------------------------------------------------------

@@ -232,3 +232,44 @@ def test_truncated_record_does_not_merge_into_next():
     assert len(recs) == 1
     assert recs[0]["valid"] is False and "framing merge" in recs[0]["error"]
     assert recs[0]["length"] == len(truncated) + len(following)
+
+
+def test_stream_warc_records_matches_batch_twin(spark, tmp_path):
+    """Streaming ingest golden test: files landing one per micro-batch
+    must produce EXACTLY the batch parse of the same directory —
+    including quarantine rows and compressed-coordinate offsets."""
+    from cdc_pipeline_spark.sources.files import read_binary_files
+    from cdc_pipeline_spark.sources.warc import stream_warc_records
+
+    src = tmp_path / "captures"
+    src.mkdir()
+    for i in range(4):
+        records = [
+            _request_record(f"https://s{i}.com/a"),
+            _response_record(f"https://s{i}.com/a", f"<html>{i}</html>".encode()),
+        ]
+        if i == 2:  # one truncated capture: the quarantine row must stream too
+            records[1] = records[1][:40]
+        (src / f"cap{i}.warc.gz").write_bytes(build_warc(records, per_record_gzip=True))
+
+    out = stream_warc_records(spark, str(src), glob="*.warc.gz")
+    assert out.isStreaming
+    query = (
+        out.writeStream.format("memory")
+        .queryName("warc_stream_rows")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    streamed = spark.sql(
+        "select * from warc_stream_rows order by path, record_offset"
+    ).collect()
+    batch = (
+        warc_records(read_binary_files(spark, str(src), glob="*.warc.gz"))
+        .orderBy("path", "record_offset")
+        .collect()
+    )
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+    assert sum(1 for r in streamed if not r["valid"]) == 1
+    assert len(streamed) == 8
