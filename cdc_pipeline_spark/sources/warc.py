@@ -103,29 +103,43 @@ _PANDAS_DTYPES = {
 # ---------------------------------------------------------------------------
 
 
+_GZ_CHUNK = 1 << 20
+
+
 def split_gzip_members(data: bytes) -> Iterator[tuple[int, int, bytes | None]]:
     """Yield ``(compressed_offset, compressed_length, decompressed)``
     per gzip member of a multi-member stream. A member that fails CRC
     or truncates yields ``decompressed = None`` (caller quarantines)
     and iteration stops — past a broken member the next boundary is
     unknowable without a byte-wise magic scan, which false-positives
-    on 0x1f8b inside compressed payloads."""
+    on 0x1f8b inside compressed payloads.
+
+    The decompressor is fed fixed-size chunks, never the whole tail:
+    a tail slice per member is O(members x filesize) byte copying —
+    tens of TB of memcpy on a CommonCrawl-shape file (~1 GiB, tens of
+    thousands of members), the exact layout this module recommends.
+    At most one chunk overshoots a member boundary, so the re-slice
+    cost is bounded by the chunk size."""
     pos = 0
     n = len(data)
     while pos < n:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out = bytearray()
+        p = pos
         try:
-            out = d.decompress(data[pos:])
-            d.flush()
+            while p < n and not d.eof:
+                chunk = data[p : p + _GZ_CHUNK]
+                out += d.decompress(chunk)
+                p += len(chunk)
             if not d.eof:  # truncated final member
                 yield pos, n - pos, None
                 return
         except zlib.error:
             yield pos, n - pos, None
             return
-        consumed = (n - pos) - len(d.unused_data)
-        yield pos, consumed, out
-        pos += consumed
+        end = p - len(d.unused_data)
+        yield pos, end - pos, bytes(out)
+        pos = end
 
 
 def _parse_headers(raw: bytes) -> tuple[dict[str, str], str]:
@@ -181,10 +195,12 @@ def dechunk(payload: bytes) -> bytes:
         if eol < 0:
             raise ValueError("chunked: missing size line")
         size_token = payload[pos:eol].split(b";", 1)[0].strip()
-        try:
-            size = int(size_token, 16)
-        except ValueError as exc:
-            raise ValueError(f"chunked: bad size {size_token!r}") from exc
+        # pure hex digits only: int(x, 16) would also accept '-6',
+        # '+6', '0x6' and '6_0' — a negative size moves pos BACKWARDS
+        # into an infinite loop, pinning an executor task forever
+        if not size_token or any(c not in b"0123456789abcdefABCDEF" for c in size_token):
+            raise ValueError(f"chunked: bad size {size_token!r}")
+        size = int(size_token, 16)
         pos = eol + 2
         if size == 0:
             return bytes(out)  # trailers (if any) are framing, not payload
@@ -216,12 +232,18 @@ def parse_http_response(block: bytes) -> dict:
     verification happens before de-chunking — documented choice
     matching how crawlers record WARC-Payload-Digest). Raises
     ValueError on an unparseable status line."""
-    sep = block.find(b"\r\n\r\n")
-    if sep < 0:
-        sep = block.find(b"\n\n")
-        head, payload = (block, b"") if sep < 0 else (block[:sep], block[sep + 2 :])
+    # head/body boundary = the FIRST blank line under either newline
+    # convention (same rule as the record parser): an LF-framed header
+    # block followed by a payload that happens to contain CRLFCRLF
+    # must not donate payload bytes to the header block
+    crlf_sep = block.find(b"\r\n\r\n")
+    lf_sep = block.find(b"\n\n")
+    if crlf_sep >= 0 and (lf_sep < 0 or crlf_sep <= lf_sep):
+        head, payload = block[:crlf_sep], block[crlf_sep + 4 :]
+    elif lf_sep >= 0:
+        head, payload = block[:lf_sep], block[lf_sep + 2 :]
     else:
-        head, payload = block[:sep], block[sep + 4 :]
+        head, payload = block, b""
     headers, status_line = _parse_headers(head)
     parts = status_line.split(" ", 2)
     if len(parts) < 2 or not parts[0].upper().startswith("HTTP/"):
@@ -232,7 +254,12 @@ def parse_http_response(block: bytes) -> dict:
         raise ValueError(f"bad status code {parts[1]!r}") from exc
     reason = parts[2] if len(parts) > 2 else ""
     stored_payload = payload
-    if headers.get("transfer-encoding", "").lower() == "chunked":
+    # RFC 9112 §6.1: Transfer-Encoding is a coding LIST and chunked,
+    # when present, must be the FINAL coding — 'gzip, chunked' is
+    # spec-legal and must still de-chunk (an exact-match test would
+    # ship raw chunk framing downstream with valid=true)
+    te = headers.get("transfer-encoding", "")
+    if te and te.split(",")[-1].strip().lower() == "chunked":
         payload = dechunk(payload)
     return {
         "status": status,
@@ -253,8 +280,15 @@ def parse_warc_stream(data: bytes, base_offset: int = 0, stored_length: int | No
     ``split_gzip_members``).
 
     ``base_offset``/``stored_length`` let gzip callers report offsets
-    in the stored (compressed) file's coordinates, the CDX convention.
+    in the stored (compressed) file's coordinates, the CDX convention:
+    EVERY record parsed out of one member — extra records past the
+    first and quarantine rows included — carries the member's
+    (base_offset, stored_length), because the member is the smallest
+    stored unit a ranged fetch can re-read (mixing the compressed base
+    with uncompressed in-member positions would point outside the
+    file).
     """
+    gz = stored_length is not None
     pos = 0
     n = len(data)
     while pos < n:
@@ -274,15 +308,17 @@ def parse_warc_stream(data: bytes, base_offset: int = 0, stored_length: int | No
         else:
             head_end, lf_only = lf_end, True
         if head_end < 0:
-            yield _invalid(base_offset + start, (stored_length or n) - start, "truncated header block")
+            yield _invalid(*_rec_coords(gz, base_offset, stored_length, start, n), "truncated header block")
             return
         head = data[pos:head_end]
         headers, first = _parse_headers(head)
         if not first.upper().startswith("WARC/"):
-            yield _invalid(base_offset + start, (stored_length or n) - start, f"bad version line {first!r}")
+            yield _invalid(*_rec_coords(gz, base_offset, stored_length, start, n), f"bad version line {first!r}")
             return
         if any(
-            (i := line.find(b"WARC/")) >= 0 and line.find(b":", 0, i) < 0
+            line[:1] not in (b" ", b"\t")  # obs-folds belong to a named field
+            and (i := line.find(b"WARC/")) >= 0
+            and line.find(b":", 0, i) < 0
             for line in head.split(b"\n")[1:]
         ):
             # a version line INSIDE a header block means a truncated
@@ -292,16 +328,16 @@ def parse_warc_stream(data: bytes, base_offset: int = 0, stored_length: int | No
             # silently swallow records. A legitimate field VALUE
             # containing "WARC/" keeps its name's ':' BEFORE the token
             # and is not flagged.
-            yield _invalid(base_offset + start, (stored_length or n) - start, "framing merge: embedded version line")
+            yield _invalid(*_rec_coords(gz, base_offset, stored_length, start, n), "framing merge: embedded version line")
             return
         body_start = head_end + (2 if lf_only else 4)
         try:
             clen = int(headers.get("content-length", ""))
         except ValueError:
-            yield _invalid(base_offset + start, (stored_length or n) - start, "missing/bad Content-Length")
+            yield _invalid(*_rec_coords(gz, base_offset, stored_length, start, n), "missing/bad Content-Length")
             return
         if body_start + clen > n:
-            yield _invalid(base_offset + start, (stored_length or n) - start, "truncated block")
+            yield _invalid(*_rec_coords(gz, base_offset, stored_length, start, n), "truncated block")
             return
         block = data[body_start : body_start + clen]
         pos = body_start + clen
@@ -311,9 +347,11 @@ def parse_warc_stream(data: bytes, base_offset: int = 0, stored_length: int | No
                 pos += 2
             elif data[pos : pos + 1] == b"\n":
                 pos += 1
-        length = pos - start if stored_length is None else stored_length
+        offset, length = _rec_coords(gz, base_offset, stored_length, start, n)
+        if not gz:
+            length = pos - start
         yield {
-            "offset": base_offset + start,
+            "offset": offset,
             "length": length,
             "version": first,
             "headers": headers,
@@ -321,10 +359,16 @@ def parse_warc_stream(data: bytes, base_offset: int = 0, stored_length: int | No
             "valid": True,
             "error": None,
         }
-        if stored_length is not None and pos < n:
-            # one-record-per-member contract: extra records in a member
-            # still parse, but share the member's stored coordinates
-            stored_length = 0
+
+
+def _rec_coords(gz: bool, base_offset: int, stored_length: int | None, start: int, n: int) -> tuple[int, int]:
+    """Stored-file coordinates of the record beginning at uncompressed
+    position ``start``: the containing member's (offset, length) in
+    gzip mode, the record's own byte range in plain mode (length of a
+    plain INVALID row = the whole unparseable remainder)."""
+    if gz:
+        return base_offset, stored_length
+    return base_offset + start, n - start
 
 
 def _invalid(offset: int, length: int, error: str) -> dict:

@@ -273,3 +273,88 @@ def test_stream_warc_records_matches_batch_twin(spark, tmp_path):
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
     assert sum(1 for r in streamed if not r["valid"]) == 1
     assert len(streamed) == 8
+
+
+def test_dechunk_rejects_negative_and_malformed_sizes():
+    """int(x, 16) would accept '-6' and move the cursor backwards into
+    an infinite loop — size tokens must be pure hex digits."""
+    import pytest
+
+    for bad in (b"1\r\nA\r\n-6\r\n", b"+2\r\nAB\r\n0\r\n\r\n", b"0x2\r\nAB\r\n0\r\n\r\n",
+                b"1_0\r\nA\r\n0\r\n\r\n", b"\r\nA\r\n0\r\n\r\n"):
+        with pytest.raises(ValueError):
+            dechunk(bad)
+
+
+def test_gzip_member_larger_than_feed_chunk_roundtrips():
+    """Members are decompressed from fixed-size feed chunks (the
+    O(members x filesize) tail-slice fix) — a member whose compressed
+    size crosses the chunk boundary must still split exactly."""
+    import cdc_pipeline_spark.sources.warc as W
+
+    old = W._GZ_CHUNK
+    W._GZ_CHUNK = 64  # force many feed chunks per member
+    try:
+        records = [_response_record(f"https://big.com/{i}", bytes(range(256)) * 40) for i in range(3)]
+        gz = build_warc(records, per_record_gzip=True)
+        parts = list(split_gzip_members(gz))
+        assert [p[2] for p in parts] == records
+        assert parts[-1][0] + parts[-1][1] == len(gz)
+    finally:
+        W._GZ_CHUNK = old
+
+
+def test_http_lf_headers_with_crlfcrlf_in_payload():
+    """An LF-framed header block followed by a payload containing
+    CRLFCRLF must split on the EARLIER bare-LF blank line — payload
+    bytes must not leak into the header block."""
+    block = b"HTTP/1.1 200 OK\nContent-Type: application/octet-stream\n\n<body>\r\n\r\nrest"
+    http = parse_http_response(block)
+    assert http["payload"] == b"<body>\r\n\r\nrest"
+    assert http["headers"]["content-type"] == "application/octet-stream"
+
+
+def test_gzip_quarantine_and_extra_records_use_member_coordinates():
+    """Every record parsed out of one member — extras past the first
+    and quarantine rows included — reports the MEMBER's stored
+    (offset, length): mixing the compressed base with uncompressed
+    in-member positions points outside the file."""
+    r1 = _response_record("https://m.com/1", b"one")
+    r2 = _response_record("https://m.com/2", b"two")
+    two_in_one = gzip_member(r1 + r2)
+    with_tail = gzip_member(r1 + _response_record("https://m.com/3", b"xyz")[:40])
+    data = two_in_one + with_tail
+    recs = list(iter_warc_file(data))
+    assert [r["valid"] for r in recs] == [True, True, True, False]
+    assert "truncated" in recs[3]["error"]
+    for rec in recs[:2]:
+        assert (rec["offset"], rec["length"]) == (0, len(two_in_one))
+    for rec in recs[2:]:
+        assert (rec["offset"], rec["length"]) == (len(two_in_one), len(with_tail))
+        # the coordinates address real stored bytes: re-fetch works
+        member = data[rec["offset"] : rec["offset"] + rec["length"]]
+        assert next(split_gzip_members(member))[2] is not None
+
+
+def test_transfer_encoding_coding_list_still_dechunks():
+    """'gzip, chunked' is spec-legal (chunked must be final) and must
+    still de-chunk — an exact-match test ships raw chunk framing."""
+    body = b"3\r\nabc\r\n0\r\n\r\n"
+    block = http_response_block(
+        200, "OK", {"Transfer-Encoding": "gzip, chunked"}, body
+    )
+    assert parse_http_response(block)["payload"] == b"abc"
+
+
+def test_obs_fold_value_containing_warc_token_stays_valid():
+    """A folded header continuation whose text contains 'WARC/' belongs
+    to a named field — the framing-merge guard must not fire."""
+    block = b"ok"
+    raw = (
+        b"WARC/1.1\r\nWARC-Type: resource\r\n"
+        b"WARC-Target-URI: https://a.com/crawl/\r\n WARC/segment/1.warc\r\n"
+        b"Content-Length: 2\r\n\r\n" + block + b"\r\n\r\n"
+    )
+    (rec,) = parse_warc_stream(raw)
+    assert rec["valid"] is True
+    assert rec["headers"]["warc-target-uri"].endswith("WARC/segment/1.warc")
