@@ -376,14 +376,14 @@ def _strip_default_port(scheme: Column, hostport: Column) -> Column:
     )
 
 
-def _canonicalize_pre_normalized(u: Column) -> Column:
-    """The canonical pipeline AFTER percent normalization — callers that
-    hold an already-normalized column (one shared projection per row,
-    see :func:`domain_cap_sample`) use this directly so the interpreted
-    percent subtree is evaluated ONCE per row instead of once per
-    reference (measured: the inlined form re-evaluates it ~6x inside
-    one interpreted projection — the HOF knocks the whole expression
-    out of codegen, and interpreted eval has no subexpression reuse)."""
+def _parts_pre_normalized(u: Column) -> tuple[Column, Column, Column, Column]:
+    """(scheme, host, path, sorted_query) of a percent-normalized URL —
+    the SINGLE source of the split/strip/sort pipeline shared by
+    :func:`_canonicalize_pre_normalized` and :func:`_surt_pre_
+    normalized` (the r10 default-port fix had to land once in
+    `_strip_default_port`; this keeps the rest of the pipeline equally
+    un-forkable). Expression trees are identical to the pre-factoring
+    inline forms, so canonical keys and plans are unchanged."""
     u = F.regexp_replace(u, "#.*$", "")
     scheme = F.lower(F.substring_index(u, "://", 1))
     hostport, tail = _authority_parts(u)
@@ -405,6 +405,18 @@ def _canonicalize_pre_normalized(u: Column) -> Column:
         lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
     )
     sorted_q = F.array_join(F.array_sort(params), "&")
+    return scheme, host, path, sorted_q
+
+
+def _canonicalize_pre_normalized(u: Column) -> Column:
+    """The canonical pipeline AFTER percent normalization — callers that
+    hold an already-normalized column (one shared projection per row,
+    see :func:`domain_cap_sample`) use this directly so the interpreted
+    percent subtree is evaluated ONCE per row instead of once per
+    reference (measured: the inlined form re-evaluates it ~6x inside
+    one interpreted projection — the HOF knocks the whole expression
+    out of codegen, and interpreted eval has no subexpression reuse)."""
+    scheme, host, path, sorted_q = _parts_pre_normalized(u)
     return F.concat(
         scheme,
         F.lit("://"),
@@ -496,40 +508,38 @@ def surt_key(url: Column | str) -> Column:
     Normalization choices (documented, matched by the oracle replays):
     percent normalization + fragment strip + default-port strip +
     leading-``www.`` strip + tracking-param drop + query-param sort —
-    exactly :func:`canonicalize_url`'s pipeline — and the whole key
-    lowercased (wayback canonicalizers fold case; paths on the same
-    site differing only by case are overwhelmingly aliases). A
-    non-default port survives as ``com,example:8080)``. Pure column
-    expression — zero shuffles, zero Python."""
-    u = percent_normalize(F.col(url) if isinstance(url, str) else url)
-    u = F.regexp_replace(u, "#.*$", "")
-    scheme = F.lower(F.substring_index(u, "://", 1))
-    hostport, tail = _authority_parts(u)
-    host = _strip_default_port(scheme, F.lower(hostport))
-    host = F.regexp_replace(host, r"^www\.", "")
+    exactly :func:`canonicalize_url`'s pipeline (one shared
+    ``_parts_pre_normalized`` source) — and the whole key lowercased
+    (wayback canonicalizers fold case; paths on the same site
+    differing only by case are overwhelmingly aliases). The fold
+    happens BEFORE the tracking filter and the param sort — folding
+    the finished key instead would let ``UTM_Source`` survive the
+    filter and would sort params by their pre-fold ASCII, so case
+    variants of one URL would produce DIFFERENT keys and never
+    dedupe (review r11). A non-default port survives as
+    ``com,example:8080)``. Pure column expression — zero shuffles,
+    zero Python."""
+    return _surt_pre_normalized(
+        percent_normalize(F.col(url) if isinstance(url, str) else url)
+    )
+
+
+def _surt_pre_normalized(u: Column) -> Column:
+    """SURT key AFTER percent normalization (the `_pre_normalized`
+    shared-projection convention — normalize once per row, derive
+    canonical URL / host / urlkey from the same column)."""
+    scheme, host, path, sorted_q = _parts_pre_normalized(F.lower(u))
     hostonly = F.substring_index(host, ":", 1)
     port = F.when(
         host.contains(":"), F.concat(F.lit(":"), F.substring_index(host, ":", -1))
     ).otherwise(F.lit(""))
     rev_host = F.array_join(F.reverse(F.split(hostonly, r"\.")), ",")
-    rawpath = F.substring_index(tail, "?", 1)
-    query = F.when(
-        tail.contains("?"), tail.substr(F.length(rawpath) + F.lit(2), F.lit(1 << 20))
-    ).otherwise(F.lit(""))
-    path = F.when(rawpath == "", F.lit("/")).otherwise(rawpath)
-    params = F.filter(
-        F.split(query, "&"),
-        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
-    )
-    sorted_q = F.array_join(F.array_sort(params), "&")
-    return F.lower(
-        F.concat(
-            rev_host,
-            port,
-            F.lit(")"),
-            path,
-            F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
-        )
+    return F.concat(
+        rev_host,
+        port,
+        F.lit(")"),
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
     )
 
 

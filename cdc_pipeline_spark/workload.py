@@ -7705,8 +7705,13 @@ def _warc_attrs_sql() -> str:
         FROM base),
     attrs2 AS (
         SELECT *,
+               -- mirrors the fixture's two-chunk split: first chunk =
+               -- body[:10] (its size hex derived, not hardcoded — the
+               -- 200-body template is always > 10 bytes), second =
+               -- the remainder, then the 0-size terminator
                CASE WHEN chunked THEN
-                   'a' || {crlf} || substr(body, 1, 10) || {crlf} ||
+                   printf('%x', length(substr(body, 1, 10))) || {crlf} ||
+                   substr(body, 1, 10) || {crlf} ||
                    printf('%x', length(body) - 10) || {crlf} ||
                    substr(body, 11) || {crlf} || '0' || {crlf} || {crlf}
                ELSE body END AS stored,
@@ -7787,7 +7792,10 @@ def _warc_ingest_oracle_sql() -> str:
         FROM attrs4
         UNION ALL
         SELECT container, 'metadata', NULL, TRUE, CAST(NULL AS INTEGER), NULL,
-               22, '<urn:meta:' || CAST(doc_id AS VARCHAR) || '>', uri, NULL
+               -- the metadata block is the fixture's warc-fields line
+               -- + CRLF — derived, not a magic 22
+               length('via: fixture-crawler') + 2,
+               '<urn:meta:' || CAST(doc_id AS VARCHAR) || '>', uri, NULL
         FROM attrs4 WHERE has_meta AND (gz OR NOT trunc))
     SELECT container, warc_type, http_status, valid, payload_digest_ok, error,
            CAST(count(*) AS BIGINT) AS n,

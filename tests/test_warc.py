@@ -358,3 +358,21 @@ def test_obs_fold_value_containing_warc_token_stays_valid():
     (rec,) = parse_warc_stream(raw)
     assert rec["valid"] is True
     assert rec["headers"]["warc-target-uri"].endswith("WARC/segment/1.warc")
+
+
+def test_surt_key_case_variants_collapse(spark):
+    """The case fold happens BEFORE tracking filtering and param
+    sorting — mixed-case variants of one URL must produce the SAME
+    urlkey (review r11: folding the finished key sorted params by
+    pre-fold ASCII and let UTM_Source survive the tracking filter)."""
+    from cdc_pipeline_spark.operators.urls import surt_key
+
+    cases = [
+        ("https://a.com/p?B=2&a=1", "com,a)/p?a=1&b=2"),
+        ("https://a.com/p?b=2&a=1", "com,a)/p?a=1&b=2"),
+        ("https://a.com/p?UTM_Source=feed&a=1", "com,a)/p?a=1"),
+        ("https://a.com/p?utm_source=feed&a=1", "com,a)/p?a=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["k"] for r in df.select(surt_key("url").alias("k")).collect()]
+    assert got == [want for _, want in cases]
