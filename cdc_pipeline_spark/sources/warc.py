@@ -514,6 +514,75 @@ def stream_warc_records(spark, path: str, glob: str | None = None) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def write_warc_files(
+    df: DataFrame,
+    directory: str,
+    per_record_gzip: bool = True,
+    prefix: str = "part",
+) -> DataFrame:
+    """WARC write direction: serialize (warc_type, headers map, block
+    binary) rows into one archive shard per partition — re-sharding /
+    re-publishing a filtered or deduplicated corpus back into the
+    format downstream crawlers and replayers consume. Records stream
+    to the shard file one at a time (memory = one record, not one
+    shard), each as its own gzip member by default so the output stays
+    ranged-fetchable and split-safe (ISO 28500 annex D).
+
+    Returns a manifest DataFrame — (path, n_records, n_bytes) per
+    written shard, empty partitions skipped — which materializes the
+    writes when acted on (the foreachPartition-with-receipt sink
+    pattern: the manifest IS the audit trail a 100 TB republish
+    needs). Paths are deterministic per partition id, so a retried
+    task overwrites its own shard instead of duplicating it
+    (idempotent under Spark's task re-execution). Writes land on the
+    executor-visible filesystem (local/NFS); an object store needs a
+    filesystem layer mounted, as with any side-effect sink."""
+    import os
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        path = os.path.join(
+            directory,
+            f"{prefix}-{pid:05d}.warc" + (".gz" if per_record_gzip else ""),
+        )
+        n_records = 0
+        n_bytes = 0
+        out = None
+        try:
+            for batch in batches:
+                for warc_type, headers, block in zip(
+                    batch["warc_type"], batch["headers"], batch["block"]
+                ):
+                    rec = build_record(
+                        str(warc_type), dict(headers or {}), bytes(block or b"")
+                    )
+                    if per_record_gzip:
+                        rec = gzip_member(rec)
+                    if out is None:
+                        os.makedirs(directory, exist_ok=True)
+                        out = open(path, "wb")
+                    out.write(rec)
+                    n_records += 1
+                    n_bytes += len(rec)
+        finally:
+            if out is not None:
+                out.close()
+        if n_records:
+            yield pd.DataFrame(
+                {
+                    "path": pd.Series([path], dtype="object"),
+                    "n_records": pd.Series([n_records], dtype="int64"),
+                    "n_bytes": pd.Series([n_bytes], dtype="int64"),
+                }
+            )
+
+    narrow = df.select("warc_type", "headers", "block")
+    return narrow.mapInPandas(run, "path string, n_records long, n_bytes long")
+
+
 def build_record(
     warc_type: str,
     headers: dict[str, str],

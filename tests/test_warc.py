@@ -376,3 +376,37 @@ def test_surt_key_case_variants_collapse(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["k"] for r in df.select(surt_key("url").alias("k")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_write_warc_files_roundtrip_with_manifest(spark, tmp_path):
+    """Write direction: rows -> per-partition .warc.gz shards + a
+    manifest receipt; reading the shards back yields every record."""
+    from cdc_pipeline_spark.sources.files import read_binary_files
+    from cdc_pipeline_spark.sources.warc import write_warc_files
+
+    rows = [
+        (
+            "resource",
+            {"WARC-Record-ID": f"<urn:w:{i}>", "WARC-Target-URI": f"https://w.com/{i}"},
+            f"payload {i}".encode(),
+        )
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "warc_type string, headers map<string,string>, block binary"
+    ).repartition(3)
+    out = str(tmp_path / "shards")
+    manifest = write_warc_files(df, out).collect()
+    assert sum(m["n_records"] for m in manifest) == 10
+    assert all(m["path"].endswith(".warc.gz") for m in manifest)
+    import os
+
+    for m in manifest:
+        assert os.path.getsize(m["path"]) == m["n_bytes"]
+    back = warc_records(read_binary_files(spark, out, glob="*.warc.gz")).collect()
+    assert len(back) == 10 and all(r["valid"] for r in back)
+    assert sorted(r["record_id"] for r in back) == sorted(f"<urn:w:{i}>" for i in range(10))
+    # round-trip through the gzip member coordinates: re-fetch one
+    raw = open(manifest[0]["path"], "rb").read()
+    recs = list(iter_warc_file(raw))
+    assert all(r["valid"] for r in recs)
