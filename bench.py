@@ -203,6 +203,76 @@ def find_regressions(
     return regressions, new, drift
 
 
+_RETRY_SNIPPET = r"""
+import json, sys, time
+from pyspark.sql import functions as F
+from cdc_pipeline_spark.session import create_spark_session
+from cdc_pipeline_spark import workload
+
+names = json.loads(sys.argv[1])
+sf_dir = sys.argv[2]
+cpus = int(sys.argv[3])
+spark = create_spark_session(
+    app_name="cdc-pipeline-spark-bench-retry",
+    master=f"local[{cpus}]",
+    shuffle_partitions=cpus,
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+def _force(df):
+    df.agg(F.bit_xor(F.xxhash64(F.struct(*df.columns)))).collect()
+
+_force(workload.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001"))
+
+def _gen(batches):
+    import numpy, pandas  # noqa: F401
+    yield from batches
+
+warm_df = spark.range(cpus, numPartitions=cpus)
+warm_df.mapInPandas(_gen, warm_df.schema).count()
+
+out = {}
+for name in names:
+    best = None
+    for _ in range(2):
+        start = time.perf_counter()
+        _force(workload.QUERIES[name](spark, sf_dir))
+        elapsed = time.perf_counter() - start
+        best = elapsed if best is None else min(best, elapsed)
+    out[name] = best
+print(json.dumps(out))
+"""
+
+
+def _subprocess_retry(names: list[str]) -> dict[str, float]:
+    """Best-of-two re-measurement of flagged queries in a brand-new
+    Python process (hence a brand-new py4j gateway JVM), warmed the
+    same way the suite is. Returns {} on any failure — the gate then
+    judges the in-suite numbers, never silently passes."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _RETRY_SNIPPET, json.dumps(names), SF_DIR, str(CPUS)],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            print(
+                f"# isolation-retry subprocess failed rc={proc.returncode}: "
+                f"{proc.stderr[-500:]}",
+                file=sys.stderr,
+            )
+            return {}
+        return {k: float(v) for k, v in json.loads(lines[-1]).items()}
+    except (OSError, subprocess.TimeoutExpired, ValueError) as exc:
+        print(f"# isolation-retry subprocess error: {exc}", file=sys.stderr)
+        return {}
+
+
 def main() -> None:
     check_path = None
     baseline = None
@@ -289,35 +359,30 @@ def main() -> None:
     if baseline is not None:
         pre, _, drift0 = find_regressions(timings, baseline)
         if pre:
-            # Retry in a FRESH JVM, not the suite's: after ~4k stages a
-            # local-mode session accumulates enough driver/codegen/GC
-            # debris that late queries (and any retry sharing the JVM)
-            # run 2-5x slow regardless of plan — measured: winnowing
-            # 4.0s on an in-JVM retry vs 0.95s in a fresh session,
-            # identical code. A genuine plan regression reproduces in
-            # the fresh session too; long-session degradation does not.
-            spark.stop()
-            spark = create_spark_session(
-                app_name="cdc-pipeline-spark-bench-retry",
-                master=f"local[{CPUS}]",
-                shuffle_partitions=int(CPUS),
-            )
-            spark.sparkContext.setLogLevel("ERROR")
-            _force(warm(spark, "/root/testdata/sf0.001"))
-            _warm_python_workers(spark, int(CPUS))
-        for name in sorted(pre):
-            best = None
-            for _ in range(2):
-                start = time.perf_counter()
-                _force(workload.QUERIES[name](spark, SF_DIR))
-                elapsed = time.perf_counter() - start
-                best = elapsed if best is None else min(best, elapsed)
-            gate_timings[name] = min(timings[name], round(best, 3))
-            retried.append(name)
-            print(
-                f"# isolation retry {name}: {gate_timings[name]:.3f}s",
-                file=sys.stderr,
-            )
+            # Retry in a GENUINELY fresh JVM — a subprocess. After ~4k
+            # stages a local-mode session accumulates enough
+            # driver/codegen/GC debris that late queries (and any retry
+            # sharing the JVM) run 2-5x slow regardless of plan —
+            # measured: winnowing 4.0s on an in-JVM retry vs 0.95s in a
+            # fresh session, identical code. The earlier spark.stop() +
+            # new-session retry did NOT deliver this: PySpark's py4j
+            # gateway JVM survives a SparkContext stop, so the "fresh"
+            # retry inherited the aged JVM and re-read the same
+            # degraded numbers (measured r11: winnowing 4.9s in the
+            # same-JVM retry vs 0.71s isolated best-of-5, identical
+            # code, quiet host, two suite runs in a row). A genuine
+            # plan regression reproduces in the subprocess too;
+            # long-session degradation does not.
+            retry_timings = _subprocess_retry(sorted(pre))
+            for name in sorted(pre):
+                fresh_best = retry_timings.get(name)
+                if fresh_best is not None:
+                    gate_timings[name] = min(timings[name], round(fresh_best, 3))
+                retried.append(name)
+                print(
+                    f"# isolation retry {name}: {gate_timings[name]:.3f}s",
+                    file=sys.stderr,
+                )
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
     doc = {
