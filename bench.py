@@ -233,8 +233,13 @@ warm_df.mapInPandas(_gen, warm_df.schema).count()
 
 out = {}
 for name in names:
+    # best of THREE, not two: the first run pays plan analysis/codegen
+    # (measured 1.7-2.3s vs 0.8-1.0s steady for HOF-heavy queries), so
+    # best-of-2 leaves a single steady draw and its jitter false-flags
+    # sub-2s rows; two steady draws make the min a real steady-state
+    # reading. Cost is one extra run, only for flagged queries.
     best = None
-    for _ in range(2):
+    for _ in range(3):
         start = time.perf_counter()
         _force(workload.QUERIES[name](spark, sf_dir))
         elapsed = time.perf_counter() - start
