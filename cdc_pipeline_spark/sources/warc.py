@@ -72,8 +72,8 @@ WARC_RECORDS_SCHEMA = (
     "target_uri string, warc_date string, content_type string, "
     "content_length long, block_digest_ok boolean, "
     "payload_digest_ok boolean, http_status int, http_reason string, "
-    "http_content_type string, http_payload binary, valid boolean, "
-    "error string"
+    "http_content_type string, http_location string, "
+    "http_payload binary, valid boolean, error string"
 )
 
 _PANDAS_DTYPES = {
@@ -92,6 +92,7 @@ _PANDAS_DTYPES = {
     "http_status": "Int64",
     "http_reason": "object",
     "http_content_type": "object",
+    "http_location": "object",
     "http_payload": "object",
     "valid": "bool",
     "error": "object",
@@ -418,6 +419,7 @@ def _record_row(path: str, rec: dict) -> dict:
         "http_status": None,
         "http_reason": None,
         "http_content_type": None,
+        "http_location": None,
         "http_payload": None,
         "valid": rec["valid"],
         "error": rec["error"],
@@ -441,6 +443,7 @@ def _record_row(path: str, rec: dict) -> dict:
         row["http_status"] = http["status"]
         row["http_reason"] = http["reason"]
         row["http_content_type"] = http["headers"].get("content-type")
+        row["http_location"] = http["headers"].get("location")
         row["http_payload"] = http["payload"]
     return row
 

@@ -8021,6 +8021,80 @@ def doc_warc_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _warc_wat_oracle_sql() -> str:
+    """WAT replica: the fixture's three root-relative anchors resolve
+    to ``https://{host}/{a,b,c}`` against the capture's target URI —
+    the host varies per doc (``m.`` subdomains, per-source domains), so
+    RESOLUTION is live even though the hrefs are constant; 301s
+    contribute their absolute ``Location`` as the redirect edge; 404
+    bodies carry no anchors; truncated captures quarantine out."""
+    return f"""
+    WITH {_warc_attrs_sql()}
+    SELECT doc_id,
+           uri,
+           status AS http_status,
+           CASE WHEN status = 200 THEN 3 ELSE 0 END AS n_links,
+           CASE WHEN status = 200 THEN
+                    'https://' || host || '/a|https://' || host ||
+                    '/b|https://' || host || '/c'
+                ELSE '' END AS outlinks,
+           CASE WHEN status = 301 THEN
+                    'https://' || domain || '/art/' || CAST(doc_id AS VARCHAR)
+                END AS redirect
+    FROM attrs
+    WHERE NOT trunc
+    """
+
+
+@register("doc_warc_wat", _warc_wat_oracle_sql())
+def doc_warc_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT-style metadata extraction from capture files — the third
+    leg of the CommonCrawl WARC/WAT/WET triple (ingest and WET are
+    `doc_warc_ingest` / `doc_warc_wet`): per valid HTTP response,
+    extract the anchor outlinks from the recovered payload, resolve
+    each against the capture's target URI (RFC 3986 §5.2,
+    `operators/weblinks.py` — pure column expressions, documented
+    subset, differential-tested vs `urllib.parse.urljoin`), keep only
+    fetchable ``http(s)`` links, and surface the 301 ``Location`` as a
+    resolved redirect edge (`sources/warc.py` now types the header as
+    ``http_location``). Plan: one Arrow parse, then a zero-shuffle
+    projection — link extraction, resolution and the sort/join all ride
+    `WholeStageCodegen`-adjacent HOF expressions; the oracle
+    reconstructs every expected row analytically from the fixture
+    formula (hosts vary per doc, so resolution is exercised, not
+    pass-through)."""
+    from cdc_pipeline_spark.operators.weblinks import (
+        extract_links,
+        http_links,
+        resolve_reference,
+    )
+    from cdc_pipeline_spark.sources.warc import warc_records
+
+    docs = _t(spark, sf_dir, "documents")
+    recs = warc_records(warc_fixture_payloads(docs))
+    resp = recs.filter(F.col("valid") & (F.col("warc_type") == "response"))
+    links = http_links(
+        F.col("target_uri"), extract_links(F.col("http_payload").cast("string"))
+    )
+    return resp.select(
+        F.regexp_extract("record_id", r"resp:(\d+)", 1).cast("long").alias("doc_id"),
+        F.col("target_uri").alias("uri"),
+        F.col("http_status").cast("int").alias("http_status"),
+        links.alias("__links"),
+        F.when(
+            F.col("http_location").isNotNull(),
+            resolve_reference(F.col("target_uri"), F.col("http_location")),
+        ).alias("redirect"),
+    ).select(
+        "doc_id",
+        "uri",
+        "http_status",
+        F.size("__links").cast("int").alias("n_links"),
+        F.array_join(F.array_sort("__links"), "|").alias("outlinks"),
+        "redirect",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50
 # registered queries per round (CORRECTNESS_r01 stopped at entry 50 of 81).
@@ -8045,6 +8119,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_warc_ingest",
     "doc_warc_cdx",
     "doc_warc_wet",
+    "doc_warc_wat",
     # -- then every query whose PLAN or operator internals changed this
     # round: both robots queries (wildcard rules now compile instead of
     # being skipped; unknown-key lines drop at keying), main-content
@@ -8098,7 +8173,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_bpe_token_counts",
     "dedup_prefix_filter",
     "doc_lang_charclass",
-    "doc_segment_dedup",
 ]
 
 # Everything else, in staleness order (oldest last-green first), so the
@@ -8108,8 +8182,9 @@ _DRIVER_WINDOW_PRIORITY = [
 # round-11 head. Recorded explicitly so the exclusion is a decision,
 # not a silent off-by-N (all were green in CORRECTNESS_r08..r10).
 _DRIVER_WINDOW_CARRYOVER = [
-    # displaced from the round-11 window by the three WARC queries —
+    # displaced from the round-11 window by the four WARC queries —
     # first in line for round 12 (green r8, swept r11)
+    "doc_segment_dedup",
     "doc_text_features",
     "doc_tfidf_cosine_pairs",
     "doc_unigram_logprob",

@@ -1,0 +1,149 @@
+"""Unit tests for the WAT-surface link/metadata extraction and RFC 3986
+reference resolution (`operators/weblinks.py`).  Resolution is checked
+DIFFERENTIALLY against `urllib.parse.urljoin` (CPython's RFC 3986
+implementation) over the in-scope reference shapes, so the column
+expressions track the spec rather than our reading of it."""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cdc_pipeline_spark.operators import weblinks as W
+
+
+def _one(spark, expr):
+    return spark.range(1).select(expr.alias("v")).first().v
+
+
+# --- extraction ----------------------------------------------------------
+
+
+def test_extract_links_battery(spark):
+    html = (
+        '<p>intro</p><a href="/a">first <b>link</b></a>'
+        "<a href='b/c.html'>second</a>"
+        "<a href=../up>third</a>"
+        '<a class="x" href="https://other.com/p?q=1#f">abs</a>'
+        '<a href="">self</a><a name="anchor">no href</a>'
+        '<A HREF="/CASE">upper</A>'
+    )
+    links = _one(spark, W.extract_links(F.lit(html)))
+    assert [(l["href"], l["text"]) for l in links] == [
+        ("/a", "first link"),
+        ("b/c.html", "second"),
+        ("../up", "third"),
+        ("https://other.com/p?q=1#f", "abs"),
+        ("/CASE", "upper"),
+    ]
+
+
+def test_extract_title_and_meta(spark):
+    html = (
+        "<head><title> The\n <i>Big</i>   Page </title>"
+        '<meta name="description" content="a long summary">'
+        "<meta name='robots' content='noindex'>"
+        '<meta charset="utf-8"><meta name="dup" content="1">'
+        '<meta name="dup" content="2"></head>'
+    )
+    assert _one(spark, W.extract_title(F.lit(html))) == "The Big Page"
+    metas = _one(spark, W.extract_meta(F.lit(html)))
+    assert [(m["name"], m["content"]) for m in metas] == [
+        ("description", "a long summary"),
+        ("robots", "noindex"),
+        ("dup", "1"),
+        ("dup", "2"),
+    ]
+    assert _one(spark, W.extract_title(F.lit("<p>no title</p>"))) is None
+
+
+# --- remove_dot_segments -------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "path,expect",
+    [
+        ("/a/b/c/./../../g", "/a/g"),  # RFC 3986 §5.4.1 example
+        ("/mid/content=5/../6", "/mid/6"),  # RFC 3986 §5.4.2 example
+        ("/a/../..", "/"),  # excess .. at root drops
+        ("/../../g", "/g"),
+        ("/a/b/..", "/a/"),  # trailing /.. keeps the slash
+        ("/a/b/.", "/a/b/"),
+        ("/a//b", "/a//b"),  # empty segments preserved
+        ("/a/", "/a/"),
+        ("/", "/"),
+    ],
+)
+def test_remove_dot_segments(spark, path, expect):
+    assert _one(spark, W.remove_dot_segments(F.lit(path))) == expect
+
+
+# --- resolve_reference: differential vs urllib ---------------------------
+
+_BASES = [
+    "https://example.com/art/42?z=9&a=1",
+    "https://m.sub.example.co.uk:8443/a/b/index.html",
+    "http://example.com/",
+    "https://example.com/a/b/",
+]
+
+_REFS = [
+    "",
+    "#frag",
+    "g",
+    "./g",
+    "g/",
+    "../g",
+    "../../g",
+    "../../../g",  # excess .. — urljoin (3986 mode) drops it
+    "g?y=2",
+    "g?y=2#s",
+    "?y",
+    "/rooted/x",
+    "/rooted/../y",
+    "//cdn.example.net/lib.js",
+    "https://abs.example.org/p?q#m",
+    "mailto:a@b.example",
+    "javascript:void(0)",
+]
+
+
+def test_resolve_reference_differential_vs_urljoin(spark):
+    rows = [Row(base=b, href=r) for b in _BASES for r in _REFS]
+    df = spark.createDataFrame(rows).select(
+        "base", "href", W.resolve_reference("base", "href").alias("got")
+    )
+    for r in df.collect():
+        expect = urljoin(r.base, r.href)
+        # our resolver strips the fragment (link-table semantics);
+        # urljoin keeps it — compare on the defragmented form
+        expect = expect.split("#", 1)[0]
+        assert r.got == expect, f"base={r.base!r} href={r.href!r}"
+
+
+def test_http_links_filters_nonweb_schemes(spark):
+    html = (
+        '<a href="/a">x</a><a href="mailto:a@b">m</a>'
+        '<a href="javascript:void(0)">j</a><a href="//c.com/y">p</a>'
+        '<a href="data:text/plain,hi">d</a>'
+    )
+    out = _one(
+        spark,
+        W.http_links(
+            F.lit("https://h.example:8080/base/page"),
+            W.extract_links(F.lit(html)),
+        ),
+    )
+    assert out == ["https://h.example:8080/a", "https://c.com/y"]
+
+
+def test_resolve_reference_null_safe(spark):
+    df = spark.createDataFrame(
+        [Row(base=None, href="/a"), Row(base="https://x.com/", href=None)]
+    )
+    got = df.select(W.resolve_reference("base", "href").alias("v")).collect()
+    assert [r.v for r in got] == [None, None]
