@@ -37,6 +37,12 @@ replay it rule for rule):
   octets (``*`` and the end anchor contribute nothing — for plain
   prefixes this is exactly prefix length), ``Allow`` winning ties.
   No matching rule ⇒ allowed; missing/empty robots.txt ⇒ allowed.
+  Measured-and-rejected alternative (r11): a regex-free glob-segment
+  ``locate`` fold — split the value on ``*`` runs, leftmost-locate
+  each literal per URL — benchmarked SLOWER at sf0.1 (agent-policy
+  2.32 s vs 1.91 s; even plain-prefix policy regressed 0.93 → 2.13 s,
+  the bigger interpreted HOF tree taxes every branch). The per-rule
+  regex stays; don't redo the fold.
 * empty rule values (``Disallow:`` alone = allow-all) are no-ops and
   dropped at parse time — equivalent under longest-match.
 * lines whose key is not one of ``user-agent/allow/disallow/
