@@ -8095,6 +8095,156 @@ def doc_warc_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _link_frontier_oracle_sql() -> str:
+    """Analytic replica of the crawl-loop frontier: discovered URLs are
+    reconstructed from the WARC fixture formula (three root-relative
+    anchors per valid 200 page, resolved per host; one redirect target
+    per valid 301), the captured-URI anti-join reduces to a modulus
+    condition (a 301's target ``https://{domain}/art/{N}`` equals its
+    OWN capture URI exactly when the host has no ``m.`` subdomain and
+    no query string — so the target is already-captured iff NOT
+    (doc_id%5=0 OR doc_id%6=1)), and the robots verdicts replay with
+    the same lined/keyed/run-start/merged-'*' machinery the other
+    robots oracles use (`_sql_robots_best`)."""
+    crlf = "chr(10)"
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               lower(source) || '.com' AS domain,
+               CASE WHEN doc_id % 5 = 0 THEN 'm.' || lower(source) || '.com'
+                    ELSE lower(source) || '.com' END AS host,
+               doc_id % 11 AS m11,
+               doc_id % 7 = 3 AS trunc,
+               doc_id % 5 = 0 AS msub,
+               doc_id % 6 = 1 AS has_qs
+        FROM documents),
+    outlinks AS (
+        SELECT domain, host, p.path AS path, 'outlink' AS link_kind,
+               CAST(count(*) AS BIGINT) AS n_discoveries
+        FROM base, (VALUES ('/a'), ('/b'), ('/c')) AS p(path)
+        WHERE m11 NOT IN (5, 7) AND NOT trunc
+        GROUP BY domain, host, p.path),
+    redirects AS (
+        SELECT domain, domain AS host,
+               '/art/' || CAST(doc_id AS VARCHAR) AS path,
+               'redirect' AS link_kind, CAST(1 AS BIGINT) AS n_discoveries
+        FROM base
+        WHERE m11 = 7 AND NOT trunc AND (msub OR has_qs)),
+    frontier AS (
+        SELECT * FROM outlinks UNION ALL SELECT * FROM redirects),
+    rb AS (
+        SELECT DISTINCT domain,
+               'User-agent: *' || {crlf} ||
+               'Disallow: /b' || {crlf} ||
+               'Disallow: /art/' || {crlf} ||
+               'Allow: /art/*0' || {crlf} ||
+               CASE WHEN ascii(substr(domain, length(domain) - 4, 1)) % 2 = 1
+                    THEN 'Disallow: /a$' || {crlf} ELSE '' END AS txt
+        FROM base),
+    lined AS (
+        SELECT domain,
+               list_filter(list_transform(str_split(replace(txt, chr(13), ''), {crlf}),
+                              l -> trim(regexp_replace(replace(l, chr(9), ' '), '#.*', ''))),
+                           l -> l <> '' AND {_SQL_ROBOTS_KEY_FILTER}) AS ls
+        FROM rb),
+    keyed AS (
+        SELECT domain, ls,
+               list_transform(ls, l -> lower(trim(split_part(l, ':', 1)))) AS ks,
+               list_transform(ls, l -> trim(substr(l, length(split_part(l, ':', 1)) + 2))) AS vs
+        FROM lined),
+    starts AS (
+        SELECT domain, ks, vs,
+               list_transform(generate_series(1, len(ks)),
+                    i -> list_max(list_filter(generate_series(1, len(ks)),
+                         j -> j <= i AND ks[j] = 'user-agent'
+                              AND (j = 1 OR ks[j-1] <> 'user-agent')))) AS rst
+        FROM keyed),
+    ruled AS (
+        SELECT domain, ks, vs,
+               list_filter(generate_series(1, len(ks)),
+                    i -> ks[i] IN ('allow', 'disallow') AND vs[i] <> ''
+                         AND rst[i] IS NOT NULL
+                         AND len(list_filter(generate_series(1, len(ks)),
+                              j -> ks[j] = 'user-agent' AND lower(vs[j]) = '*'
+                                   AND rst[j] = rst[i])) > 0) AS ridx
+        FROM starts)
+    SELECT u.domain, u.host, u.path, u.link_kind,
+           {_sql_robots_best('allow')} >= {_sql_robots_best('disallow')}
+               AS robots_allowed,
+           u.n_discoveries
+    FROM frontier u LEFT JOIN ruled r ON u.domain = r.domain
+    """
+
+
+@register("doc_link_frontier", _link_frontier_oracle_sql())
+def doc_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl LOOP closed end-to-end: captures -> WAT outlinks +
+    redirect targets -> anti-join against the already-captured URI set
+    -> robots gate = the next fetch frontier. Composes four existing
+    surfaces (`sources/warc.py` parse, `operators/weblinks.py`
+    extraction/resolution, the captured-set anti-join, and
+    `operators/robots.py:robots_policy` with a verdict-moving rule set:
+    ``/b`` blocked everywhere, ``/art/`` blocked except the wildcard
+    ``Allow: /art/*0`` carve-out, and an odd-domain anchored
+    ``Disallow: /a$``). Plan shape at 100 TB: one Arrow parse, a
+    shuffle anti-join of discovered-vs-captured (the real CDX-history
+    dedup — unavoidable and key-partitioned), ONE BroadcastHashJoin
+    for robots, zero other corpus shuffles. The oracle reconstructs
+    the frontier analytically — the anti-join reduces to a modulus
+    condition on the fixture formula — and replays robots rule for
+    rule."""
+    from cdc_pipeline_spark.operators.robots import robots_policy as _rp
+    from cdc_pipeline_spark.operators.urls import url_host
+    from cdc_pipeline_spark.operators.weblinks import (
+        extract_links,
+        http_links,
+        resolve_reference,
+    )
+    from cdc_pipeline_spark.sources.warc import warc_records
+
+    docs = _t(spark, sf_dir, "documents")
+    recs = warc_records(warc_fixture_payloads(docs))
+    resp = recs.filter(F.col("valid") & (F.col("warc_type") == "response"))
+    outs = resp.select(
+        F.explode(
+            http_links(
+                F.col("target_uri"),
+                extract_links(F.col("http_payload").cast("string")),
+            )
+        ).alias("url"),
+        F.lit("outlink").alias("link_kind"),
+    )
+    reds = resp.filter(F.col("http_location").isNotNull()).select(
+        resolve_reference(F.col("target_uri"), F.col("http_location")).alias("url"),
+        F.lit("redirect").alias("link_kind"),
+    )
+    discovered = (
+        outs.unionByName(reds)
+        .groupBy("url", "link_kind")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_discoveries"))
+    )
+    captured = resp.select(F.col("target_uri").alias("url")).distinct()
+    frontier = discovered.join(captured, "url", "left_anti")
+    robots = (
+        docs.select(F.lower(F.col("source")).alias("__s"))
+        .distinct()
+        .select(
+            F.concat(F.col("__s"), F.lit(".com")).alias("domain"),
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /b\nDisallow: /art/\nAllow: /art/*0\n"),
+                F.when(
+                    F.ascii(F.substring(F.col("__s"), -1, 1)) % 2 == 1,
+                    F.lit("Disallow: /a$\n"),
+                ).otherwise(F.lit("")),
+            ).alias("robots_txt"),
+        )
+    )
+    tagged = _rp(frontier.withColumn("host", url_host("url")), robots)
+    return tagged.select(
+        "domain", "host", "path", "link_kind", "robots_allowed", "n_discoveries"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window rotation. The correctness driver checks the FIRST 50
 # registered queries per round (CORRECTNESS_r01 stopped at entry 50 of 81).
@@ -8120,6 +8270,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_warc_cdx",
     "doc_warc_wet",
     "doc_warc_wat",
+    "doc_link_frontier",
     # -- then every query whose PLAN or operator internals changed this
     # round: both robots queries (wildcard rules now compile instead of
     # being skipped; unknown-key lines drop at keying), main-content
@@ -8172,7 +8323,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "doc_bigram_logprob",
     "doc_bpe_token_counts",
     "dedup_prefix_filter",
-    "doc_lang_charclass",
 ]
 
 # Everything else, in staleness order (oldest last-green first), so the
@@ -8182,8 +8332,9 @@ _DRIVER_WINDOW_PRIORITY = [
 # round-11 head. Recorded explicitly so the exclusion is a decision,
 # not a silent off-by-N (all were green in CORRECTNESS_r08..r10).
 _DRIVER_WINDOW_CARRYOVER = [
-    # displaced from the round-11 window by the four WARC queries —
-    # first in line for round 12 (green r8, swept r11)
+    # displaced from the round-11 window by the five WARC/frontier
+    # queries — first in line for round 12 (green r8, swept r11)
+    "doc_lang_charclass",
     "doc_segment_dedup",
     "doc_text_features",
     "doc_tfidf_cosine_pairs",
