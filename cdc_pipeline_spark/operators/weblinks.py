@@ -19,21 +19,34 @@ port/case/params so policy layers decide what to collapse).
 
 Scope (documented, not silent):
 
-* ``extract_links`` parses ``<a ...>...</a>`` elements with a regex
-  battery (double-quoted / single-quoted / unquoted ``href``), not an
-  HTML5 tree builder — comments/CDATA containing anchors are counted,
-  and an ``<a`` inside a ``<script>`` string literal would be too (run
-  AFTER `text.strip_nontext_elements` when that matters).  Empty
-  ``href=""`` self-links are dropped.
+* ``extract_links`` segments the document at each ``<a`` open tag (so
+  an UNCLOSED anchor — ubiquitous in crawled HTML, auto-closed by
+  browsers — ends at the next anchor instead of swallowing it) and
+  reads the FIRST ``href`` attribute token in document order with a
+  quote-aware battery (double-/single-/un-quoted).  It is a regex
+  battery, not an HTML5 tree builder: an ``href=`` inside ANOTHER
+  attribute's quoted value (``title='see href="x"'``), in a comment,
+  or in a ``<script>`` string literal is still taken (run AFTER
+  `text.strip_nontext_elements` when that matters), and a raw ``>``
+  inside a quoted attribute value truncates the open tag early.
+  Empty ``href=""`` self-links are dropped.
+* The CORE HTML entities (``&amp; &lt; &gt; &quot; &apos; &nbsp;`` and
+  their common numeric forms) are DECODED in extracted hrefs, anchor
+  text, titles and meta contents — spec-compliant pages escape ``&``
+  in every multi-parameter URL, so skipping this corrupts query
+  strings.  Exotic named/numeric entities pass through verbatim.
 * ``resolve_reference`` implements RFC 3986 §5.2 for the reference
-  shapes a crawl actually meets: absolute URI, protocol-relative
-  ``//host/p``, root-relative ``/p``, query-only ``?q``, fragment-only
-  (→ base sans fragment) and relative-path references with full
-  ``remove_dot_segments`` semantics (§5.2.4: ``..`` pops, excess ``..``
-  at root is dropped, trailing ``/.`` and ``/..`` keep the directory
-  slash).  Out of scope: ``scheme:opaque`` non-hierarchical bases and
-  bare ``scheme:`` relative forms (kept verbatim by the has-scheme
-  branch, which is what a link filter wants anyway).
+  shapes a crawl actually meets: absolute hierarchical URI and
+  protocol-relative ``//host/p`` (both with §5.2.2's strict
+  ``remove_dot_segments`` applied to their path), root-relative
+  ``/p``, query-only ``?q`` (against the base's RAW path — a pathless
+  base stays pathless, per the no-canonicalization contract),
+  fragment-only (→ base sans fragment) and relative-path references
+  with full ``remove_dot_segments`` semantics (§5.2.4: ``..`` pops,
+  excess ``..`` at root is dropped, trailing ``/.`` and ``/..`` keep
+  the directory slash).  Non-hierarchical ``scheme:opaque`` references
+  (``mailto:``, ``javascript:``, ``data:``) are kept verbatim — which
+  is what a link filter wants anyway.
 """
 
 from __future__ import annotations
@@ -47,8 +60,11 @@ __all__ = [
     "extract_links",
     "extract_title",
     "extract_meta",
+    "decode_entities",
     "remove_dot_segments",
+    "base_parts",
     "resolve_reference",
+    "resolve_with_parts",
     "http_links",
 ]
 
@@ -57,87 +73,120 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+# --- entities ------------------------------------------------------------
+
+# decode order matters only for '&amp;': decoding it LAST reproduces
+# single-pass HTML semantics ('&amp;lt;' is the literal text '&lt;',
+# not '<')
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&#34;", '"'),
+    ("&#39;", "'"),
+    ("&#60;", "<"),
+    ("&#62;", ">"),
+    ("&#38;", "&"),
+    ("&amp;", "&"),
+)
+
+
+def decode_entities(c: Column | str) -> Column:
+    """Decode the core HTML entity set (module scope note) — the ones
+    that appear in attribute values on spec-compliant pages.  ``&amp;``
+    decodes last, matching single-pass HTML entity semantics."""
+    out = _col(c)
+    for ent, rep in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return out
+
+
 # --- extraction ----------------------------------------------------------
 
-_ANCHOR_RE = r"(?is)<a\b[^>]*>.*?</a\s*>"
-_HREF_DQ = r"(?is)<a\b[^>]*?href\s*=\s*\"([^\"]*)\""
-_HREF_SQ = r"(?is)<a\b[^>]*?href\s*=\s*'([^']*)'"
-_HREF_UQ = r"(?is)<a\b[^>]*?href\s*=\s*([^\s\"'>][^\s>]*)"
+# attribute token: first 'href=' preceded by start-of-attrs or
+# whitespace (so data-href's suffix never matches), value in one
+# quote-aware alternation — document order wins, not quote style
+_HREF_TOKEN = r"(?is)(?:^|\s)href\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)"
 _TITLE_RE = r"(?is)<title[^>]*>(.*?)</title\s*>"
 _META_RE = r"(?is)<meta\b[^>]*>"
-_META_NAME_DQ = r"(?is)\bname\s*=\s*\"([^\"]*)\""
-_META_NAME_SQ = r"(?is)\bname\s*=\s*'([^']*)'"
-_META_CONTENT_DQ = r"(?is)\bcontent\s*=\s*\"([^\"]*)\""
-_META_CONTENT_SQ = r"(?is)\bcontent\s*=\s*'([^']*)'"
+_META_NAME_TOKEN = r"(?is)(?:^|\s)name\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)"
+_META_CONTENT_TOKEN = r"(?is)(?:^|\s)content\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)"
 
 
-def _first_nonempty(*cols: Column) -> Column:
-    out = cols[-1]
-    for c in reversed(cols[:-1]):
-        out = F.when(c != "", c).otherwise(out)
-    return out
+def _unquote(token: Column) -> Column:
+    return (
+        F.when(token.startswith('"'), F.regexp_extract(token, '^"([^"]*)"', 1))
+        .when(token.startswith("'"), F.regexp_extract(token, "^'([^']*)'", 1))
+        .otherwise(token)
+    )
 
 
 def _collapse_ws(c: Column) -> Column:
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
+def _clean_text(c: Column) -> Column:
+    return decode_entities(_collapse_ws(F.regexp_replace(c, r"(?is)<[^>]*>", " ")))
+
+
 def extract_links(html: Column | str) -> Column:
     """``array<struct<href string, text string>>`` of the document's
-    anchor elements, in order.  ``href`` is the raw attribute value
-    (double-/single-/un-quoted battery, first anchor attribute wins);
-    ``text`` is the tag-stripped, whitespace-collapsed anchor body.
+    anchor elements, in order.  The document splits at each ``<a``
+    open tag; within a segment the open tag runs to the first ``>``
+    and the anchor text to the closing ``</a`` — or to the segment end
+    when the anchor is unclosed (browser auto-close semantics, so a
+    missing ``</a>`` never swallows the FOLLOWING anchors' hrefs).
+    ``href`` is the first href attribute token in document order
+    (quote-aware battery), entity-decoded; ``text`` is the
+    tag-stripped, entity-decoded, whitespace-collapsed anchor body.
     Anchors with no (or empty) ``href`` are dropped."""
     h = _col(html)
-    elems = F.regexp_extract_all(h, F.lit(_ANCHOR_RE), 0)
+    segs = F.split(h, r"(?i)<a(?=[\s>])")
+    n = F.size(segs)
     links = F.transform(
-        elems,
-        lambda e: F.struct(
-            F.trim(
-                _first_nonempty(
-                    F.regexp_extract(e, _HREF_DQ, 1),
-                    F.regexp_extract(e, _HREF_SQ, 1),
-                    F.regexp_extract(e, _HREF_UQ, 1),
-                )
-            ).alias("href"),
-            _collapse_ws(F.regexp_replace(e, r"(?is)<[^>]*>", " ")).alias("text"),
-        ),
+        F.slice(segs, 2, F.greatest(n - 1, F.lit(0))),
+        lambda seg: _link_from_segment(seg),
     )
     return F.filter(links, lambda l: l["href"] != "")
 
 
-def extract_title(html: Column | str) -> Column:
-    """The first ``<title>`` body, tag-stripped and whitespace-
-    collapsed; NULL when the document has none."""
-    t = _collapse_ws(
-        F.regexp_replace(
-            F.regexp_extract(_col(html), _TITLE_RE, 1), r"(?is)<[^>]*>", " "
-        )
+def _link_from_segment(seg: Column) -> Column:
+    open_ = F.substring_index(seg, ">", 1)
+    body = F.when(
+        seg.contains(">"),
+        seg.substr(F.length(open_) + F.lit(2), F.lit(1 << 20)),
+    ).otherwise(F.lit(""))
+    href = decode_entities(
+        F.trim(_unquote(F.regexp_extract(open_, _HREF_TOKEN, 1)))
     )
+    text = _clean_text(F.element_at(F.split(body, r"(?i)</a\b"), 1))
+    return F.struct(href.alias("href"), text.alias("text"))
+
+
+def extract_title(html: Column | str) -> Column:
+    """The first ``<title>`` body, tag-stripped, entity-decoded and
+    whitespace-collapsed; NULL when the document has none."""
+    t = _clean_text(F.regexp_extract(_col(html), _TITLE_RE, 1))
     return F.when(t != "", t)
 
 
 def extract_meta(html: Column | str) -> Column:
     """``array<struct<name string, content string>>`` of the
     document's named ``<meta>`` tags in order (duplicates preserved —
-    callers that want a map decide the collision rule)."""
+    callers that want a map decide the collision rule).  Same
+    quote-aware attribute battery as hrefs (unquoted values are legal
+    HTML); contents are entity-decoded."""
     tags = F.regexp_extract_all(_col(html), F.lit(_META_RE), 0)
     metas = F.transform(
         tags,
         lambda t: F.struct(
             F.lower(
-                F.trim(
-                    _first_nonempty(
-                        F.regexp_extract(t, _META_NAME_DQ, 1),
-                        F.regexp_extract(t, _META_NAME_SQ, 1),
-                    )
-                )
+                F.trim(_unquote(F.regexp_extract(t, _META_NAME_TOKEN, 1)))
             ).alias("name"),
-            F.trim(
-                _first_nonempty(
-                    F.regexp_extract(t, _META_CONTENT_DQ, 1),
-                    F.regexp_extract(t, _META_CONTENT_SQ, 1),
-                )
+            decode_entities(
+                F.trim(_unquote(F.regexp_extract(t, _META_CONTENT_TOKEN, 1)))
             ).alias("content"),
         ),
     )
@@ -147,6 +196,7 @@ def extract_meta(html: Column | str) -> Column:
 # --- RFC 3986 resolution -------------------------------------------------
 
 _SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
+_HIER_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
 
 
 def remove_dot_segments(path: Column | str) -> Column:
@@ -171,47 +221,101 @@ def remove_dot_segments(path: Column | str) -> Column:
     ).otherwise(joined)
 
 
-def resolve_reference(base: Column | str, href: Column | str) -> Column:
-    """Resolve one reference against an absolute hierarchical base URI
-    (RFC 3986 §5.2, scope note above).  The result keeps the base's
-    authority verbatim (port, case, userinfo) — resolution is not
-    canonicalization; feed the output to `urls.canonicalize_url` when
-    a collapsed key is wanted.  NULL base or NULL href resolves NULL."""
+def base_parts(base: Column | str) -> Column:
+    """Pre-split a base URI into the struct `resolve_with_parts`
+    consumes: ``struct<b, scheme, origin, rawpath, base_dir>``.
+    Callers resolving MANY references per row (the `http_links`
+    transform) should materialize this in its own projection first —
+    field access on a bound column is cheap, while re-deriving the
+    authority split inside an interpreted HOF re-evaluates it per
+    reference (the same cost `urls._canonicalize_pre_normalized`
+    documents and avoids)."""
     b = F.regexp_replace(_col(base), "#.*$", "")
-    h = F.regexp_replace(F.trim(_col(href)), "#.*$", "")
     scheme = F.lower(F.substring_index(b, "://", 1))
     hostport, tail = _authority_parts(b)
-    origin = F.concat(scheme, F.lit("://"), hostport)
-    base_rawpath = F.substring_index(tail, "?", 1)
-    base_path = F.when(base_rawpath == "", F.lit("/")).otherwise(base_rawpath)
-    base_dir = F.regexp_replace(base_path, "[^/]*$", "")
+    rawpath = F.substring_index(tail, "?", 1)
+    return F.struct(
+        b.alias("b"),
+        scheme.alias("scheme"),
+        F.concat(scheme, F.lit("://"), hostport).alias("origin"),
+        rawpath.alias("rawpath"),
+        # merge target for relative refs: a pathless base merges at
+        # the root (RFC 3986 §5.2.3), otherwise strip the last segment
+        F.when(rawpath == "", F.lit("/"))
+        .otherwise(F.regexp_replace(rawpath, "[^/]*$", ""))
+        .alias("base_dir"),
+    )
+
+
+def _rds_url(u: Column) -> Column:
+    """Apply §5.2.2's ``remove_dot_segments`` to the path of a full
+    hierarchical URL string, keeping scheme/authority/query verbatim
+    (an empty path stays empty — no slash is invented)."""
+    scheme = F.substring_index(u, "://", 1)
+    hostport, tail = _authority_parts(u)
+    rawpath = F.substring_index(tail, "?", 1)
+    query = F.when(
+        tail.contains("?"), tail.substr(F.length(rawpath) + F.lit(1), F.lit(1 << 20))
+    ).otherwise(F.lit(""))
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        hostport,
+        F.when(rawpath == "", F.lit("")).otherwise(remove_dot_segments(rawpath)),
+        query,
+    )
+
+
+def resolve_with_parts(parts: Column, href: Column | str) -> Column:
+    """`resolve_reference` against a pre-split `base_parts` struct —
+    see that function for semantics, and `base_parts` for why callers
+    with many references per row pass the struct."""
+    h = F.regexp_replace(F.trim(_col(href)), "#.*$", "")
     hpath = F.substring_index(h, "?", 1)
-    hquery = F.when(h.contains("?"), h.substr(F.length(hpath) + F.lit(1), F.lit(1 << 20)))
+    hquery = F.when(
+        h.contains("?"), h.substr(F.length(hpath) + F.lit(1), F.lit(1 << 20))
+    )
+    origin = parts["origin"]
     return (
-        F.when(h == "", b)
+        F.when(h == "", parts["b"])
+        .when(h.rlike(_HIER_RE), _rds_url(h))
         .when(h.rlike(_SCHEME_RE), h)
-        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("//"), _rds_url(F.concat(parts["scheme"], F.lit(":"), h)))
         .when(
             h.startswith("/"),
             F.concat(origin, remove_dot_segments(hpath), F.coalesce(hquery, F.lit(""))),
         )
-        .when(h.startswith("?"), F.concat(origin, base_path, h))
+        .when(h.startswith("?"), F.concat(origin, parts["rawpath"], h))
         .otherwise(
             F.concat(
                 origin,
-                remove_dot_segments(F.concat(base_dir, hpath)),
+                remove_dot_segments(F.concat(parts["base_dir"], hpath)),
                 F.coalesce(hquery, F.lit("")),
             )
         )
     )
 
 
-def http_links(base: Column | str, links: Column | str) -> Column:
+def resolve_reference(base: Column | str, href: Column | str) -> Column:
+    """Resolve one reference against an absolute hierarchical base URI
+    (RFC 3986 §5.2, scope note above).  The result keeps the base's
+    authority verbatim (port, case, userinfo) — resolution is not
+    canonicalization; feed the output to `urls.canonicalize_url` when
+    a collapsed key is wanted.  NULL base or NULL href resolves NULL."""
+    return resolve_with_parts(base_parts(base), href)
+
+
+def http_links(
+    base: Column | str, links: Column | str, *, parts: Column | None = None
+) -> Column:
     """Resolve an `extract_links` array against the capture's target
     URI and keep only fetchable web links: ``array<string>`` of
-    resolved ``http(s)://`` URLs in document order (``javascript:`` /
-    ``mailto:`` / ``data:`` / other non-web schemes drop out AFTER
-    resolution, so scheme-less relative forms survive)."""
-    b = _col(base)
-    resolved = F.transform(_col(links), lambda l: resolve_reference(b, l["href"]))
-    return F.filter(resolved, lambda u: u.rlike(r"^https?://"))
+    resolved ``http(s)://`` URLs in document order (scheme match is
+    case-insensitive — schemes are; ``javascript:`` / ``mailto:`` /
+    ``data:`` / other non-web schemes drop out AFTER resolution, so
+    scheme-less relative forms survive).  Pass ``parts`` (a
+    materialized `base_parts` column) to avoid re-deriving the base
+    split per link element inside the transform."""
+    p = base_parts(_col(base)) if parts is None else parts
+    resolved = F.transform(_col(links), lambda l: resolve_with_parts(p, l["href"]))
+    return F.filter(resolved, lambda u: u.rlike(r"(?i)^https?://"))

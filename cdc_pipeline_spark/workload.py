@@ -8064,17 +8064,24 @@ def doc_warc_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula (hosts vary per doc, so resolution is exercised, not
     pass-through)."""
     from cdc_pipeline_spark.operators.weblinks import (
+        base_parts,
         extract_links,
         http_links,
-        resolve_reference,
+        resolve_with_parts,
     )
     from cdc_pipeline_spark.sources.warc import warc_records
 
     docs = _t(spark, sf_dir, "documents")
     recs = warc_records(warc_fixture_payloads(docs))
     resp = recs.filter(F.col("valid") & (F.col("warc_type") == "response"))
+    # materialize the base-URI split ONCE per row; the per-link
+    # transform then does field accesses instead of re-deriving the
+    # authority parse per reference (weblinks.base_parts contract)
+    resp = resp.withColumn("__bp", base_parts(F.col("target_uri")))
     links = http_links(
-        F.col("target_uri"), extract_links(F.col("http_payload").cast("string"))
+        F.col("target_uri"),
+        extract_links(F.col("http_payload").cast("string")),
+        parts=F.col("__bp"),
     )
     return resp.select(
         F.regexp_extract("record_id", r"resp:(\d+)", 1).cast("long").alias("doc_id"),
@@ -8083,7 +8090,7 @@ def doc_warc_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
         links.alias("__links"),
         F.when(
             F.col("http_location").isNotNull(),
-            resolve_reference(F.col("target_uri"), F.col("http_location")),
+            resolve_with_parts(F.col("__bp"), F.col("http_location")),
         ).alias("redirect"),
     ).select(
         "doc_id",
@@ -8196,15 +8203,17 @@ def doc_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pipeline_spark.operators.robots import robots_policy as _rp
     from cdc_pipeline_spark.operators.urls import url_host
     from cdc_pipeline_spark.operators.weblinks import (
+        base_parts,
         extract_links,
         http_links,
-        resolve_reference,
+        resolve_with_parts,
     )
     from cdc_pipeline_spark.sources.warc import warc_records
 
     docs = _t(spark, sf_dir, "documents")
     recs = warc_records(warc_fixture_payloads(docs))
     resp = recs.filter(F.col("valid") & (F.col("warc_type") == "response"))
+    resp = resp.withColumn("__bp", base_parts(F.col("target_uri")))
     # ONE pass over the parsed records: every response contributes its
     # outlinks, its optional redirect target, and its OWN captured URI
     # as (url, kind) events; one groupBy(url) then plays the anti-join
@@ -8222,6 +8231,7 @@ def doc_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     http_links(
                         F.col("target_uri"),
                         extract_links(F.col("http_payload").cast("string")),
+                        parts=F.col("__bp"),
                     ),
                     lambda u: F.struct(u.alias("url"), F.lit("outlink").alias("kind")),
                 ),
@@ -8229,8 +8239,8 @@ def doc_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("http_location").isNotNull(),
                     F.array(
                         F.struct(
-                            resolve_reference(
-                                F.col("target_uri"), F.col("http_location")
+                            resolve_with_parts(
+                                F.col("__bp"), F.col("http_location")
                             ).alias("url"),
                             F.lit("redirect").alias("kind"),
                         )

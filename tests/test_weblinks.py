@@ -42,13 +42,53 @@ def test_extract_links_battery(spark):
     ]
 
 
+def test_extract_links_attribute_token_precedence(spark):
+    """Review r11: data-href's suffix must not match, an href= inside
+    another attribute's position must not override document order, and
+    quote style must not outrank document order."""
+    html = (
+        '<a data-href="/tracked" href=/real>x</a>'
+        "<a href=/first href=\"/second\">y</a>"
+    )
+    links = _one(spark, W.extract_links(F.lit(html)))
+    assert [l["href"] for l in links] == ["/real", "/first"]
+
+
+def test_extract_links_unclosed_anchor_does_not_swallow(spark):
+    """Review r11: a missing </a> ends at the next <a (browser
+    auto-close), so following anchors keep their hrefs."""
+    html = '<p><a href="/1">one <a href="/2">two</a><a href="/3">three'
+    links = _one(spark, W.extract_links(F.lit(html)))
+    assert [(l["href"], l["text"]) for l in links] == [
+        ("/1", "one"),
+        ("/2", "two"),
+        ("/3", "three"),
+    ]
+
+
+def test_extract_links_entity_decode(spark):
+    """Review r11: spec-compliant pages escape & as &amp; in every
+    multi-parameter href; the link table must carry the DECODED URL."""
+    html = '<a href="/p?a=1&amp;b=2">A &amp; B &lt;now&gt;</a>'
+    links = _one(spark, W.extract_links(F.lit(html)))
+    assert [(l["href"], l["text"]) for l in links] == [
+        ("/p?a=1&b=2", "A & B <now>")
+    ]
+    assert (
+        _one(spark, W.extract_title(F.lit("<title>A &amp; B</title>"))) == "A & B"
+    )
+    # single-pass semantics: '&amp;lt;' is the literal text '&lt;'
+    assert _one(spark, W.decode_entities(F.lit("&amp;lt;"))) == "&lt;"
+
+
 def test_extract_title_and_meta(spark):
     html = (
         "<head><title> The\n <i>Big</i>   Page </title>"
         '<meta name="description" content="a long summary">'
         "<meta name='robots' content='noindex'>"
         '<meta charset="utf-8"><meta name="dup" content="1">'
-        '<meta name="dup" content="2"></head>'
+        '<meta name="dup" content="2">'
+        "<meta name=viewport content=width=device-width></head>"
     )
     assert _one(spark, W.extract_title(F.lit(html))) == "The Big Page"
     metas = _one(spark, W.extract_meta(F.lit(html)))
@@ -57,6 +97,7 @@ def test_extract_title_and_meta(spark):
         ("robots", "noindex"),
         ("dup", "1"),
         ("dup", "2"),
+        ("viewport", "width=device-width"),
     ]
     assert _one(spark, W.extract_title(F.lit("<p>no title</p>"))) is None
 
@@ -89,6 +130,7 @@ _BASES = [
     "https://m.sub.example.co.uk:8443/a/b/index.html",
     "http://example.com/",
     "https://example.com/a/b/",
+    "https://example.com?x=1",  # pathless base (review r11)
 ]
 
 _REFS = [
@@ -106,10 +148,48 @@ _REFS = [
     "/rooted/x",
     "/rooted/../y",
     "//cdn.example.net/lib.js",
+    "//cdn.example.net/a/./b",  # §5.2.2 strict rds (review r11)
     "https://abs.example.org/p?q#m",
+    "https://abs.example.org/a/../b?q",  # §5.2.2 strict rds (review r11)
+    "https://abs.example.org",  # empty path stays empty
     "mailto:a@b.example",
     "javascript:void(0)",
 ]
+
+
+def _rds_py(path: str) -> str:
+    """RFC 3986 §5.2.4 reference model (mirrors the column fold's
+    documented trailing-slash rule)."""
+    if not path:
+        return path
+    out: list[str] = []
+    for seg in path.lstrip("/").split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out:
+                out.pop()
+            continue
+        out.append(seg)
+    joined = "/" + "/".join(out)
+    if (path.endswith("/.") or path.endswith("/..")) and not joined.endswith("/"):
+        joined += "/"
+    return joined
+
+
+def _rfc_expected(base: str, href: str) -> str:
+    """urljoin, then strict §5.2.2: CPython's urljoin deviates from the
+    RFC by SKIPPING remove_dot_segments when the reference carries its
+    own authority (absolute or protocol-relative refs) — the RFC's
+    T.path = remove_dot_segments(R.path) applies in every branch, so
+    the model re-applies it (idempotent where urljoin already did)."""
+    from urllib.parse import urlsplit, urlunsplit
+
+    expect = urljoin(base, href).split("#", 1)[0]
+    sp = urlsplit(expect)
+    if sp.netloc:
+        expect = urlunsplit((sp.scheme, sp.netloc, _rds_py(sp.path), sp.query, ""))
+    return expect
 
 
 def test_resolve_reference_differential_vs_urljoin(spark):
@@ -118,10 +198,9 @@ def test_resolve_reference_differential_vs_urljoin(spark):
         "base", "href", W.resolve_reference("base", "href").alias("got")
     )
     for r in df.collect():
-        expect = urljoin(r.base, r.href)
         # our resolver strips the fragment (link-table semantics);
         # urljoin keeps it — compare on the defragmented form
-        expect = expect.split("#", 1)[0]
+        expect = _rfc_expected(r.base, r.href)
         assert r.got == expect, f"base={r.base!r} href={r.href!r}"
 
 
@@ -130,6 +209,7 @@ def test_http_links_filters_nonweb_schemes(spark):
         '<a href="/a">x</a><a href="mailto:a@b">m</a>'
         '<a href="javascript:void(0)">j</a><a href="//c.com/y">p</a>'
         '<a href="data:text/plain,hi">d</a>'
+        '<a href="HTTP://up.example/z">case</a>'
     )
     out = _one(
         spark,
@@ -138,7 +218,13 @@ def test_http_links_filters_nonweb_schemes(spark):
             W.extract_links(F.lit(html)),
         ),
     )
-    assert out == ["https://h.example:8080/a", "https://c.com/y"]
+    # schemes are case-insensitive (review r11): HTTP:// survives the
+    # web-scheme filter, verbatim (resolution never canonicalizes)
+    assert out == [
+        "https://h.example:8080/a",
+        "https://c.com/y",
+        "HTTP://up.example/z",
+    ]
 
 
 def test_resolve_reference_null_safe(spark):
