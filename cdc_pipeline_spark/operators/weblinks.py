@@ -66,6 +66,7 @@ __all__ = [
     "resolve_reference",
     "resolve_with_parts",
     "http_links",
+    "crawl_frontier",
 ]
 
 
@@ -319,3 +320,46 @@ def http_links(
     p = base_parts(_col(base)) if parts is None else parts
     resolved = F.transform(_col(links), lambda l: resolve_with_parts(p, l["href"]))
     return F.filter(resolved, lambda u: u.rlike(r"(?i)^https?://"))
+
+
+def crawl_frontier(events, url_col: str = "url", kind_col: str = "kind"):
+    """Fold a (url, kind) event frame — kinds ``outlink`` /
+    ``redirect`` / ``captured`` — into the next-fetch frontier: one
+    row per (url, link_kind) with its discovery count, EXCLUDING any
+    url that carries a ``captured`` event (it is already in the crawl
+    history).  A url discovered both as an outlink and as a redirect
+    target keeps BOTH rows (review r11 — collapsing them to one kind
+    loses the redirect edge).  Plan: a single key-partitioned
+    HashAggregate on url, no join operator — the scale shape for
+    CDX-history dedup when the captured set rides the same scan."""
+    u, k = F.col(url_col), F.col(kind_col)
+    kind_t = "array<struct<link_kind:string,n_discoveries:bigint>>"
+    row = lambda name, cnt: F.when(  # noqa: E731
+        cnt > 0,
+        F.array(
+            F.struct(F.lit(name).alias("link_kind"), cnt.alias("n_discoveries"))
+        ),
+    ).otherwise(F.array().cast(kind_t))
+    return (
+        events.groupBy(u.alias("url"))
+        .agg(
+            F.max((k == "captured").cast("int")).alias("__cap"),
+            F.sum((k == "outlink").cast("long")).alias("__n_out"),
+            F.sum((k == "redirect").cast("long")).alias("__n_red"),
+        )
+        .filter(F.col("__cap") == 0)
+        .select(
+            "url",
+            F.explode(
+                F.concat(
+                    row("outlink", F.col("__n_out")),
+                    row("redirect", F.col("__n_red")),
+                )
+            ).alias("__k"),
+        )
+        .select(
+            "url",
+            F.col("__k.link_kind").alias("link_kind"),
+            F.col("__k.n_discoveries").alias("n_discoveries"),
+        )
+    )

@@ -8193,17 +8193,20 @@ def doc_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     `operators/robots.py:robots_policy` with a verdict-moving rule set:
     ``/b`` blocked everywhere, ``/art/`` blocked except the wildcard
     ``Allow: /art/*0`` carve-out, and an odd-domain anchored
-    ``Disallow: /a$``). Plan shape at 100 TB: one Arrow parse, a
-    shuffle anti-join of discovered-vs-captured (the real CDX-history
-    dedup — unavoidable and key-partitioned), ONE BroadcastHashJoin
-    for robots, zero other corpus shuffles. The oracle reconstructs
-    the frontier analytically — the anti-join reduces to a modulus
-    condition on the fixture formula — and replays robots rule for
-    rule."""
+    ``Disallow: /a$``). Plan shape at 100 TB: one Arrow parse, then
+    the captured-vs-discovered dedup as a SINGLE key-partitioned
+    HashAggregate on url — each response emits its outlinks, optional
+    redirect target, and its own captured URI as (url, kind) events,
+    and the group fold drops any url with a captured event (no join
+    operator on the corpus side at all) — plus ONE BroadcastHashJoin
+    for robots. The oracle reconstructs the frontier analytically —
+    the captured-set subtraction reduces to a modulus condition on the
+    fixture formula — and replays robots rule for rule."""
     from cdc_pipeline_spark.operators.robots import robots_policy as _rp
     from cdc_pipeline_spark.operators.urls import url_host
     from cdc_pipeline_spark.operators.weblinks import (
         base_parts,
+        crawl_frontier,
         extract_links,
         http_links,
         resolve_with_parts,
@@ -8227,13 +8230,23 @@ def doc_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = resp.select(
         F.explode(
             F.concat(
-                F.transform(
-                    http_links(
-                        F.col("target_uri"),
-                        extract_links(F.col("http_payload").cast("string")),
-                        parts=F.col("__bp"),
+                # a valid response row can still carry a NULL payload
+                # (non-application/http Content-Type) — its outlink
+                # array is NULL and must not null-propagate through
+                # concat and drop the record's 'captured' event
+                # (review r11)
+                F.coalesce(
+                    F.transform(
+                        http_links(
+                            F.col("target_uri"),
+                            extract_links(F.col("http_payload").cast("string")),
+                            parts=F.col("__bp"),
+                        ),
+                        lambda u: F.struct(
+                            u.alias("url"), F.lit("outlink").alias("kind")
+                        ),
                     ),
-                    lambda u: F.struct(u.alias("url"), F.lit("outlink").alias("kind")),
+                    F.array().cast(ev_t),
                 ),
                 F.when(
                     F.col("http_location").isNotNull(),
@@ -8255,22 +8268,7 @@ def doc_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.url", "e.kind")
-    frontier = (
-        events.groupBy("url")
-        .agg(
-            F.max((F.col("kind") == "captured").cast("int")).alias("__cap"),
-            F.sum((F.col("kind") == "outlink").cast("int")).alias("__n_out"),
-            F.sum((F.col("kind") == "redirect").cast("int")).alias("__n_red"),
-        )
-        .filter(F.col("__cap") == 0)
-        .select(
-            "url",
-            F.when(F.col("__n_out") > 0, F.lit("outlink"))
-            .otherwise(F.lit("redirect"))
-            .alias("link_kind"),
-            (F.col("__n_out") + F.col("__n_red")).cast("long").alias("n_discoveries"),
-        )
-    )
+    frontier = crawl_frontier(events)
     robots = (
         docs.select(F.lower(F.col("source")).alias("__s"))
         .distinct()

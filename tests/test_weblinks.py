@@ -227,6 +227,33 @@ def test_http_links_filters_nonweb_schemes(spark):
     ]
 
 
+def test_crawl_frontier_fold_semantics(spark):
+    """Review r11 regressions the fixture can't trigger: a url
+    discovered both as outlink AND redirect keeps both per-kind rows,
+    and a captured event kills the url regardless of discovery kinds."""
+    events = spark.createDataFrame(
+        [
+            ("https://d.com/x", "outlink"),
+            ("https://d.com/x", "outlink"),
+            ("https://d.com/x", "redirect"),
+            ("https://d.com/seen", "outlink"),
+            ("https://d.com/seen", "captured"),
+            ("https://d.com/mine", "captured"),
+            ("https://d.com/new", "redirect"),
+        ],
+        "url string, kind string",
+    )
+    got = {
+        (r.url, r.link_kind): r.n_discoveries
+        for r in W.crawl_frontier(events).collect()
+    }
+    assert got == {
+        ("https://d.com/x", "outlink"): 2,
+        ("https://d.com/x", "redirect"): 1,
+        ("https://d.com/new", "redirect"): 1,
+    }
+
+
 def test_resolve_reference_null_safe(spark):
     df = spark.createDataFrame(
         [Row(base=None, href="/a"), Row(base="https://x.com/", href=None)]
