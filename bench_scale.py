@@ -366,6 +366,77 @@ def main() -> None:
         exact_linear=True,
         note="WARC records parsed (quarantine rows included), modulus-preserving replicas",
     )
+
+    # WAT link extraction (operators/weblinks.py, r11): resolved-link
+    # volume is a per-row projection over the same modulus-preserving
+    # replicas — exactly three anchors per valid 200 page, zero
+    # otherwise — so the total must be EXACTLY linear in the corpus.
+    from cdc_pipeline_spark.operators.weblinks import (
+        base_parts as _wl_parts,
+        extract_links as _wl_extract,
+        http_links as _wl_http,
+    )
+
+    def wat_links(reps: int):
+        recs = warc_records(warc_fixture_payloads(warc_docs(reps)))
+        resp = recs.filter(
+            F.col("valid") & (F.col("warc_type") == "response")
+        ).withColumn("__bp", _wl_parts(F.col("target_uri")))
+        return resp.select(
+            F.explode(
+                _wl_http(
+                    F.col("target_uri"),
+                    _wl_extract(F.col("http_payload").cast("string")),
+                    parts=F.col("__bp"),
+                )
+            ).alias("url")
+        )
+
+    family(
+        "wat_link_rows",
+        lambda: wat_links(1).count(),
+        lambda: wat_links(REPS).count(),
+        exact_linear=True,
+        note="resolved http outlinks from capture payloads, modulus-preserving replicas",
+    )
+
+    # Frontier fold (weblinks.crawl_frontier, r11): outlink frontier
+    # URLs are SHARED across replicas (same domains/hosts/paths), while
+    # redirect targets embed doc_id — so the exact prediction is
+    # big = base_outlinks + REPS * base_redirects. This is the point of
+    # the family: a linearly-growing event stream compresses into a
+    # frontier whose outlink half is CONSTANT (the dedup working),
+    # with the redirect half exactly linear.
+    def frontier_split(reps: int):
+        from cdc_pipeline_spark.workload import _link_frontier_from_docs
+
+        rows = {
+            r.link_kind: r.n
+            for r in _link_frontier_from_docs(warc_docs(reps))
+            .groupBy("link_kind")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        return (rows.get("outlink", 0), rows.get("redirect", 0))
+
+    ((b_out, b_red), fb_sec) = timed(lambda: frontier_split(1))
+    ((g_out, g_red), fg_sec) = timed(lambda: frontier_split(REPS))
+    frontier_entry = {
+        "points": {
+            "base": {"outlink": b_out, "redirect": b_red},
+            "big": {"outlink": g_out, "redirect": g_red},
+        },
+        "predicted_big": {"outlink": b_out, "redirect": b_red * REPS},
+        "curve_ok": (g_out == b_out) and (g_red == b_red * REPS),
+        "base_sec": fb_sec,
+        "big_sec": fg_sec,
+        "sec_ratio": round(fg_sec / fb_sec, 2) if fb_sec else None,
+        "note": "frontier dedup over modulus-preserving replicas: shared "
+        "outlink URLs stay constant, doc_id-keyed redirect targets grow "
+        "exactly linearly — prediction exact by construction",
+    }
+    result["families"]["link_frontier_dedup_scale_curve"] = frontier_entry
+    print(f"# link_frontier_dedup_scale_curve: {frontier_entry}", flush=True)
     family(
         "snm_pairs",
         lambda: sorted_neighborhood_pairs(base_docs).count(),

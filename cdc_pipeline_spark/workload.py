@@ -8183,27 +8183,12 @@ def _link_frontier_oracle_sql() -> str:
     """
 
 
-@register("doc_link_frontier", _link_frontier_oracle_sql())
-def doc_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The crawl LOOP closed end-to-end: captures -> WAT outlinks +
-    redirect targets -> anti-join against the already-captured URI set
-    -> robots gate = the next fetch frontier. Composes four existing
-    surfaces (`sources/warc.py` parse, `operators/weblinks.py`
-    extraction/resolution, the captured-set anti-join, and
-    `operators/robots.py:robots_policy` with a verdict-moving rule set:
-    ``/b`` blocked everywhere, ``/art/`` blocked except the wildcard
-    ``Allow: /art/*0`` carve-out, and an odd-domain anchored
-    ``Disallow: /a$``). Plan shape at 100 TB: one Arrow parse, then
-    the captured-vs-discovered dedup as a SINGLE key-partitioned
-    HashAggregate on url — each response emits its outlinks, optional
-    redirect target, and its own captured URI as (url, kind) events,
-    and the group fold drops any url with a captured event (no join
-    operator on the corpus side at all) — plus ONE BroadcastHashJoin
-    for robots. The oracle reconstructs the frontier analytically —
-    the captured-set subtraction reduces to a modulus condition on the
-    fixture formula — and replays robots rule for rule."""
-    from cdc_pipeline_spark.operators.robots import robots_policy as _rp
-    from cdc_pipeline_spark.operators.urls import url_host
+def _link_frontier_from_docs(docs: DataFrame) -> DataFrame:
+    """Capture fixture -> (url, kind) events -> `crawl_frontier` fold:
+    the event pipeline shared by `doc_link_frontier` (which adds the
+    robots gate) and `bench_scale.py`'s frontier-dedup family (which
+    measures the fold's compression over modulus-preserving
+    replicas)."""
     from cdc_pipeline_spark.operators.weblinks import (
         base_parts,
         crawl_frontier,
@@ -8213,7 +8198,6 @@ def doc_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from cdc_pipeline_spark.sources.warc import warc_records
 
-    docs = _t(spark, sf_dir, "documents")
     recs = warc_records(warc_fixture_payloads(docs))
     resp = recs.filter(F.col("valid") & (F.col("warc_type") == "response"))
     resp = resp.withColumn("__bp", base_parts(F.col("target_uri")))
@@ -8268,7 +8252,33 @@ def doc_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.url", "e.kind")
-    frontier = crawl_frontier(events)
+    return crawl_frontier(events)
+
+
+@register("doc_link_frontier", _link_frontier_oracle_sql())
+def doc_link_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl LOOP closed end-to-end: captures -> WAT outlinks +
+    redirect targets -> anti-join against the already-captured URI set
+    -> robots gate = the next fetch frontier. Composes four existing
+    surfaces (`sources/warc.py` parse, `operators/weblinks.py`
+    extraction/resolution, the captured-set anti-join, and
+    `operators/robots.py:robots_policy` with a verdict-moving rule set:
+    ``/b`` blocked everywhere, ``/art/`` blocked except the wildcard
+    ``Allow: /art/*0`` carve-out, and an odd-domain anchored
+    ``Disallow: /a$``). Plan shape at 100 TB: one Arrow parse, then
+    the captured-vs-discovered dedup as a SINGLE key-partitioned
+    HashAggregate on url — each response emits its outlinks, optional
+    redirect target, and its own captured URI as (url, kind) events,
+    and the group fold drops any url with a captured event (no join
+    operator on the corpus side at all) — plus ONE BroadcastHashJoin
+    for robots. The oracle reconstructs the frontier analytically —
+    the captured-set subtraction reduces to a modulus condition on the
+    fixture formula — and replays robots rule for rule."""
+    from cdc_pipeline_spark.operators.robots import robots_policy as _rp
+    from cdc_pipeline_spark.operators.urls import url_host
+
+    docs = _t(spark, sf_dir, "documents")
+    frontier = _link_frontier_from_docs(docs)
     robots = (
         docs.select(F.lower(F.col("source")).alias("__s"))
         .distinct()
