@@ -66,6 +66,9 @@ __all__ = [
     "resolve_reference",
     "resolve_with_parts",
     "http_links",
+    "capture_link_events",
+    "frontier_partial",
+    "frontier_rows",
     "crawl_frontier",
 ]
 
@@ -322,17 +325,65 @@ def http_links(
     return F.filter(resolved, lambda u: u.rlike(r"(?i)^https?://"))
 
 
-def crawl_frontier(events, url_col: str = "url", kind_col: str = "kind"):
-    """Fold a (url, kind) event frame — kinds ``outlink`` /
-    ``redirect`` / ``captured`` — into the next-fetch frontier: one
-    row per (url, link_kind) with its discovery count, EXCLUDING any
-    url that carries a ``captured`` event (it is already in the crawl
-    history).  A url discovered both as an outlink and as a redirect
-    target keeps BOTH rows (review r11 — collapsing them to one kind
-    loses the redirect edge).  Plan: a single key-partitioned
-    HashAggregate on url, no join operator — the scale shape for
-    CDX-history dedup when the captured set rides the same scan."""
-    u, k = F.col(url_col), F.col(kind_col)
+def capture_link_events(records):
+    """(url, kind) event rows from parsed capture records
+    (`sources/warc.py:warc_records` schema): every valid response
+    contributes its extracted outlinks, its optional resolved redirect
+    target (``Location``), and its OWN captured URI — kinds
+    ``outlink`` / ``redirect`` / ``captured`` — in ONE pass (a
+    three-branch union would re-execute the parse subtree per branch;
+    measured in `workload.doc_link_frontier`'s history).  A valid
+    response with a NULL payload (non-``application/http``
+    Content-Type) still emits its captured event — the outlink array
+    coalesces to empty instead of null-propagating through the concat
+    (review r11)."""
+    resp = records.filter(F.col("valid") & (F.col("warc_type") == "response"))
+    resp = resp.withColumn("__bp", base_parts(F.col("target_uri")))
+    ev_t = "array<struct<url:string,kind:string>>"
+    return resp.select(
+        F.explode(
+            F.concat(
+                F.coalesce(
+                    F.transform(
+                        http_links(
+                            F.col("target_uri"),
+                            extract_links(F.col("http_payload").cast("string")),
+                            parts=F.col("__bp"),
+                        ),
+                        lambda u: F.struct(
+                            u.alias("url"), F.lit("outlink").alias("kind")
+                        ),
+                    ),
+                    F.array().cast(ev_t),
+                ),
+                F.when(
+                    F.col("http_location").isNotNull(),
+                    F.array(
+                        F.struct(
+                            resolve_with_parts(
+                                F.col("__bp"), F.col("http_location")
+                            ).alias("url"),
+                            F.lit("redirect").alias("kind"),
+                        )
+                    ),
+                ).otherwise(F.array().cast(ev_t)),
+                F.array(
+                    F.struct(
+                        F.col("target_uri").alias("url"),
+                        F.lit("captured").alias("kind"),
+                    )
+                ),
+            )
+        ).alias("e")
+    ).select("e.url", "e.kind")
+
+
+def frontier_rows(agg):
+    """The frontier projection over a per-url aggregate frame with
+    columns ``(url, __cap, __n_out, __n_red)``: drop captured urls,
+    one row per (url, link_kind) with its discovery count.  Shared by
+    `crawl_frontier` (batch) and the streaming partial re-fold
+    (`streaming/frontier_index.py`) so the two cannot drift."""
     kind_t = "array<struct<link_kind:string,n_discoveries:bigint>>"
     row = lambda name, cnt: F.when(  # noqa: E731
         cnt > 0,
@@ -341,13 +392,7 @@ def crawl_frontier(events, url_col: str = "url", kind_col: str = "kind"):
         ),
     ).otherwise(F.array().cast(kind_t))
     return (
-        events.groupBy(u.alias("url"))
-        .agg(
-            F.max((k == "captured").cast("int")).alias("__cap"),
-            F.sum((k == "outlink").cast("long")).alias("__n_out"),
-            F.sum((k == "redirect").cast("long")).alias("__n_red"),
-        )
-        .filter(F.col("__cap") == 0)
+        agg.filter(F.col("__cap") == 0)
         .select(
             "url",
             F.explode(
@@ -363,3 +408,30 @@ def crawl_frontier(events, url_col: str = "url", kind_col: str = "kind"):
             F.col("__k.n_discoveries").alias("n_discoveries"),
         )
     )
+
+
+def frontier_partial(events, url_col: str = "url", kind_col: str = "kind"):
+    """Per-url partial aggregate of a (url, kind) event frame:
+    ``(url, __cap, __n_out, __n_red)``.  max/sum are associative and
+    commutative, so partials from separate increments RE-FOLD exactly
+    (`streaming/frontier_index.py` relies on this for its
+    incremental-equals-batch guarantee)."""
+    u, k = F.col(url_col), F.col(kind_col)
+    return events.groupBy(u.alias("url")).agg(
+        F.max((k == "captured").cast("int")).alias("__cap"),
+        F.sum((k == "outlink").cast("long")).alias("__n_out"),
+        F.sum((k == "redirect").cast("long")).alias("__n_red"),
+    )
+
+
+def crawl_frontier(events, url_col: str = "url", kind_col: str = "kind"):
+    """Fold a (url, kind) event frame — kinds ``outlink`` /
+    ``redirect`` / ``captured`` — into the next-fetch frontier: one
+    row per (url, link_kind) with its discovery count, EXCLUDING any
+    url that carries a ``captured`` event (it is already in the crawl
+    history).  A url discovered both as an outlink and as a redirect
+    target keeps BOTH rows (review r11 — collapsing them to one kind
+    loses the redirect edge).  Plan: a single key-partitioned
+    HashAggregate on url, no join operator — the scale shape for
+    CDX-history dedup when the captured set rides the same scan."""
+    return frontier_rows(frontier_partial(events, url_col, kind_col))

@@ -8190,69 +8190,14 @@ def _link_frontier_from_docs(docs: DataFrame) -> DataFrame:
     measures the fold's compression over modulus-preserving
     replicas)."""
     from cdc_pipeline_spark.operators.weblinks import (
-        base_parts,
+        capture_link_events,
         crawl_frontier,
-        extract_links,
-        http_links,
-        resolve_with_parts,
     )
     from cdc_pipeline_spark.sources.warc import warc_records
 
-    recs = warc_records(warc_fixture_payloads(docs))
-    resp = recs.filter(F.col("valid") & (F.col("warc_type") == "response"))
-    resp = resp.withColumn("__bp", base_parts(F.col("target_uri")))
-    # ONE pass over the parsed records: every response contributes its
-    # outlinks, its optional redirect target, and its OWN captured URI
-    # as (url, kind) events; one groupBy(url) then plays the anti-join
-    # (drop any url with a 'captured' event). The naive three-branch
-    # form (discovered ∪ redirects, then left_anti vs captured)
-    # re-executed the Arrow parse subtree per branch — measured 4.0 s
-    # vs this shape's single parse, and at 100 TB it is the same
-    # single-shuffle key-partitioned plan with one scan instead of
-    # three.
-    ev_t = "array<struct<url:string,kind:string>>"
-    events = resp.select(
-        F.explode(
-            F.concat(
-                # a valid response row can still carry a NULL payload
-                # (non-application/http Content-Type) — its outlink
-                # array is NULL and must not null-propagate through
-                # concat and drop the record's 'captured' event
-                # (review r11)
-                F.coalesce(
-                    F.transform(
-                        http_links(
-                            F.col("target_uri"),
-                            extract_links(F.col("http_payload").cast("string")),
-                            parts=F.col("__bp"),
-                        ),
-                        lambda u: F.struct(
-                            u.alias("url"), F.lit("outlink").alias("kind")
-                        ),
-                    ),
-                    F.array().cast(ev_t),
-                ),
-                F.when(
-                    F.col("http_location").isNotNull(),
-                    F.array(
-                        F.struct(
-                            resolve_with_parts(
-                                F.col("__bp"), F.col("http_location")
-                            ).alias("url"),
-                            F.lit("redirect").alias("kind"),
-                        )
-                    ),
-                ).otherwise(F.array().cast(ev_t)),
-                F.array(
-                    F.struct(
-                        F.col("target_uri").alias("url"),
-                        F.lit("captured").alias("kind"),
-                    )
-                ),
-            )
-        ).alias("e")
-    ).select("e.url", "e.kind")
-    return crawl_frontier(events)
+    return crawl_frontier(
+        capture_link_events(warc_records(warc_fixture_payloads(docs)))
+    )
 
 
 @register("doc_link_frontier", _link_frontier_oracle_sql())

@@ -2035,3 +2035,178 @@ def test_phash_index_reads_empty_before_any_batch(spark, tmp_path):
     out = read_phash_matches(spark, path)
     assert out.count() == 0
     assert out.columns == ["doc_id", "match_id", "hamming", "batch_id"]
+
+
+# ---------------------------------------------------------------------------
+# Streaming crawl-frontier maintenance (streaming/frontier_index.py):
+# incremental partials must re-fold to EXACTLY the batch crawl_frontier
+# over the accumulated captures, per increment.
+# ---------------------------------------------------------------------------
+
+
+def _frontier_capture(uri: str, body: bytes = b"", status: int = 200,
+                      location: str | None = None) -> bytes:
+    from cdc_pipeline_spark.sources import warc as W
+
+    headers = {"Content-Type": "text/html", "Content-Length": str(len(body))}
+    if location is not None:
+        headers["Location"] = location
+    return W.build_record(
+        "response",
+        {
+            "WARC-Record-ID": f"<urn:t:{abs(hash(uri)) % 10**8}>",
+            "WARC-Date": "2025-03-01T00:00:00Z",
+            "WARC-Target-URI": uri,
+            "Content-Type": "application/http; msgtype=response",
+        },
+        W.http_response_block(status, "OK" if status == 200 else "Moved", headers, body),
+    )
+
+
+def _frontier_batches():
+    """Three increments exercising every frontier transition: discovery,
+    discovered->captured shrink, both-kinds URL, and a redirect target."""
+    from cdc_pipeline_spark.sources.warc import build_warc
+
+    b0 = build_warc([
+        _frontier_capture(
+            "https://a.com/p1",
+            b'<a href="/x">x</a><a href="/y">y</a>',
+        ),
+    ])
+    # /x gets CAPTURED here (frontier shrink) while discovering /z and /y again
+    b1 = build_warc([
+        _frontier_capture(
+            "https://a.com/x",
+            b'<a href="/z">z</a><a href="/y">y</a>',
+        ),
+    ])
+    # a redirect lands on /y -> both-kinds URL; /z gets captured
+    b2 = build_warc([
+        _frontier_capture("https://b.com/r", b"", 301, location="https://a.com/y"),
+        _frontier_capture("https://a.com/z", b"<p>leaf</p>"),
+    ])
+    return [b0, b1, b2]
+
+
+def test_frontier_index_matches_batch_twin_per_increment(spark, tmp_path):
+    """Stream-maintained frontier == weblinks.crawl_frontier over the
+    union of all captures so far, after EVERY increment; a replayed
+    batch leaves the table bit-identical."""
+    from cdc_pipeline_spark.operators.weblinks import capture_link_events, crawl_frontier
+    from cdc_pipeline_spark.sources.warc import warc_records
+    from cdc_pipeline_spark.streaming.frontier_index import (
+        FrontierIndexWriter,
+        read_frontier,
+    )
+
+    payloads = _frontier_batches()
+    path = str(tmp_path / "frontier")
+    writer = FrontierIndexWriter(path)
+
+    def records(upto):
+        rows = [(f"b{i}.warc", bytearray(p)) for i, p in enumerate(payloads[:upto])]
+        return warc_records(spark.createDataFrame(rows, "path string, content binary"))
+
+    def rows(df):
+        return {(r.url, r.link_kind, r.n_discoveries) for r in df.collect()}
+
+    for i, _ in enumerate(payloads):
+        writer(records(i + 1).filter(F.col("path") == f"b{i}.warc"), i)
+        got = rows(read_frontier(spark, path))
+        want = rows(crawl_frontier(capture_link_events(records(i + 1))))
+        assert got == want, f"increment {i}"
+
+    # final state spot-check: /x and /z captured, /y discovered both ways
+    assert got == {
+        ("https://a.com/y", "outlink", 2),
+        ("https://a.com/y", "redirect", 1),
+    }
+
+    # replay batch 1 -> bit-identical partials
+    before = sorted(map(str, spark.read.parquet(f"{path}/partials").collect()))
+    writer(records(2).filter(F.col("path") == "b1.warc"), 1)
+    after = sorted(map(str, spark.read.parquet(f"{path}/partials").collect()))
+    assert after == before
+
+
+def test_frontier_index_compaction_preserves_reads(spark, tmp_path):
+    """compact_frontier_index folds partials into batch_id=-1 without
+    changing read_frontier; a replayed folded batch is a no-op under
+    the marker guard; post-compaction ingest keeps accumulating."""
+    from cdc_pipeline_spark.sources.warc import warc_records
+    from cdc_pipeline_spark.streaming.frontier_index import (
+        FrontierIndexWriter,
+        compact_frontier_index,
+        read_frontier,
+    )
+
+    payloads = _frontier_batches()
+    path = str(tmp_path / "frontier-c")
+    writer = FrontierIndexWriter(path, run_id="run-f")
+
+    def batch(i):
+        return warc_records(
+            spark.createDataFrame(
+                [(f"b{i}.warc", bytearray(payloads[i]))], "path string, content binary"
+            )
+        )
+
+    def rows():
+        return {
+            (r.url, r.link_kind, r.n_discoveries)
+            for r in read_frontier(spark, path).collect()
+        }
+
+    writer(batch(0), 0)
+    writer(batch(1), 1)
+    before = rows()
+    n = compact_frontier_index(spark, path, run_id="run-f")
+    assert n > 0
+    assert rows() == before
+    # replayed folded batch: no-op
+    writer(batch(1), 1)
+    assert rows() == before
+    # post-compaction ingest still lands
+    writer(batch(2), 2)
+    assert rows() == {
+        ("https://a.com/y", "outlink", 2),
+        ("https://a.com/y", "redirect", 1),
+    }
+
+
+def test_frontier_index_empty_and_stream_wiring(spark, tmp_path):
+    """read_frontier on a never-written path returns an empty typed
+    frame, and the writer runs end-to-end under a real file stream
+    (stream_warc_records -> foreachBatch)."""
+    from cdc_pipeline_spark.sources.warc import stream_warc_records
+    from cdc_pipeline_spark.streaming.frontier_index import (
+        FrontierIndexWriter,
+        read_frontier,
+    )
+
+    empty = read_frontier(spark, str(tmp_path / "nothing"))
+    assert empty.columns == ["url", "link_kind", "n_discoveries"]
+    assert empty.count() == 0
+
+    src = tmp_path / "captures"
+    src.mkdir()
+    for i, p in enumerate(_frontier_batches()):
+        (src / f"b{i}.warc").write_bytes(p)
+    path = str(tmp_path / "frontier-s")
+    stream = stream_warc_records(spark, str(src), glob="*.warc")
+    q = (
+        stream.writeStream.foreachBatch(FrontierIndexWriter(path))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.url, r.link_kind, r.n_discoveries)
+        for r in read_frontier(spark, path).collect()
+    }
+    assert got == {
+        ("https://a.com/y", "outlink", 2),
+        ("https://a.com/y", "redirect", 1),
+    }
