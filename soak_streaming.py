@@ -3,8 +3,11 @@
 
 Runs the continuously-maintained indexes — the BM25 retrieval index
 (``streaming/retrieval_index.py``), the MinHash near-dup probe index,
-and (r11) the perceptual-hash IMAGE near-dup index (both in
-``streaming/neardup_index.py``) — from rate-source micro-batches for
+the (r11) perceptual-hash IMAGE near-dup index (both in
+``streaming/neardup_index.py``), and the (r11) CRAWL FRONTIER
+(``streaming/frontier_index.py``: synthetic captures whose outlinks
+point at the NEXT crawl page, so the discovered→captured frontier
+shrink happens continuously) — from rate-source micro-batches for
 ``SPARK_GRAFT_SOAK_SECS`` (default 600 s), while a maintenance thread
 fires ``compact_index`` + ``compact_neardup_index`` +
 ``compact_phash_index`` against the LIVE writers every
@@ -140,24 +143,34 @@ def main() -> None:
         read_rollup,
     )
 
+    from cdc_pipeline_spark.streaming.frontier_index import (
+        FrontierIndexWriter,
+        compact_frontier_index,
+        read_frontier,
+    )
+
     base = tempfile.mkdtemp(prefix="soak-")
     bm25_path = os.path.join(base, "bm25")
     nd_path = os.path.join(base, "neardup")
     ph_path = os.path.join(base, "phash")
     rollup_path = os.path.join(base, "rollup")
+    frontier_path = os.path.join(base, "frontier")
     member_path = os.path.join(base, "membership")
     pmember_path = os.path.join(base, "phash_membership")
     rmember_path = os.path.join(base, "rollup_membership")
+    fmember_path = os.path.join(base, "frontier_membership")
     ck_bm25 = os.path.join(base, "ck_bm25")
     ck_nd = os.path.join(base, "ck_nd")
     ck_ph = os.path.join(base, "ck_phash")
     ck_ru = os.path.join(base, "ck_rollup")
+    ck_fr = os.path.join(base, "ck_frontier")
     run_id = "soak-r7"
 
     bm25_writer = Bm25IndexWriter(bm25_path, run_id=run_id)
     nd_writer = NearDupIndexWriter(nd_path, run_id=run_id)
     ph_writer = PhashNearDupIndexWriter(ph_path, run_id=run_id)
     rollup_writer = RollupTableWriter(rollup_path, run_id=run_id)
+    frontier_writer = FrontierIndexWriter(frontier_path, run_id=run_id)
     # per-replica group namespace (the scale harness's constant-density
     # construction): group size stays ~10 docs as the soak corpus
     # grows, so uncapped banded probes stay linear for the whole run
@@ -254,6 +267,66 @@ def main() -> None:
         .start()
     )
 
+    # fifth pipeline: the crawl frontier (r11). Every ingested id is a
+    # synthetic capture whose columns are PURE FUNCTIONS of the id:
+    # the page at https://s{id%7}.example/p{id} links to a group page
+    # /n{id%GROUPS} on its own host (never captured — a persistent
+    # frontier entry) and ABSOLUTELY to the NEXT crawl page
+    # https://s{(id+1)%7}.example/p{id+1} — which a later batch
+    # captures, exercising the discovered→captured frontier SHRINK
+    # continuously; id%13==4 additionally 301s into the group
+    # namespace, planting both-kinds URLs. The teardown twin rebuilds
+    # the exact record set from membership ids alone.
+    def capture_cols(df):
+        i = F.col("doc_id")
+        host = F.concat(
+            F.lit("https://s"), F.pmod(i, F.lit(7)).cast("string"), F.lit(".example")
+        )
+        next_host = F.concat(
+            F.lit("https://s"),
+            F.pmod(i + 1, F.lit(7)).cast("string"),
+            F.lit(".example"),
+        )
+        html = F.concat(
+            F.lit('<a href="/n'),
+            F.pmod(i, F.lit(GROUPS)).cast("string"),
+            F.lit('">group</a><a href="'),
+            next_host,
+            F.lit("/p"),
+            (i + 1).cast("string"),
+            F.lit('">next</a>'),
+        )
+        return df.select(
+            F.lit(True).alias("valid"),
+            F.lit("response").alias("warc_type"),
+            F.concat(host, F.lit("/p"), i.cast("string")).alias("target_uri"),
+            F.encode(html, "utf-8").alias("http_payload"),
+            F.when(
+                F.pmod(i, F.lit(13)) == 4,
+                F.concat(
+                    host, F.lit("/n"), F.pmod(i * 3, F.lit(GROUPS)).cast("string")
+                ),
+            ).alias("http_location"),
+        )
+
+    def frontier_batch(batch_df, batch_id):
+        (
+            batch_df.select("doc_id")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append")
+            .parquet(fmember_path)
+        )
+        frontier_writer(capture_cols(batch_df), batch_id)
+
+    q_fr = (
+        docs_stream(spark)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck_fr)
+        .foreachBatch(frontier_batch)
+        .trigger(processingTime=TRIGGER)
+        .start()
+    )
+
     stop = threading.Event()
     compactions = {"n": 0, "errors": []}
 
@@ -264,6 +337,7 @@ def main() -> None:
                 compact_neardup_index(spark, nd_path, run_id=run_id)
                 compact_phash_index(spark, ph_path, run_id=run_id)
                 compact_partials(spark, rollup_path, run_id=run_id)
+                compact_frontier_index(spark, frontier_path, run_id=run_id)
                 compactions["n"] += 1
             except Exception as e:  # noqa: BLE001 — recorded, assert below
                 compactions["errors"].append(f"{type(e).__name__}: {e}")
@@ -287,10 +361,12 @@ def main() -> None:
     stop_when_idle(q_nd)
     stop_when_idle(q_ph)
     stop_when_idle(q_ru)
+    stop_when_idle(q_fr)
     q_bm25.awaitTermination(60)
     q_nd.awaitTermination(60)
     q_ph.awaitTermination(60)
     q_ru.awaitTermination(60)
+    q_fr.awaitTermination(60)
 
     # --- teardown reconciliation. An abrupt stop mid-foreachBatch is
     # the writers' documented REPLAY scenario: on restart the batch
@@ -354,12 +430,16 @@ def main() -> None:
     # write per batch), so only a membership row with NO partials
     # partition can be partial
     partial_batches["rollup"] = []
+    # frontier: like rollup, the partials table is the single write per
+    # batch and therefore its own completion marker
+    partial_batches["frontier"] = []
     # one final compaction so the bounded-size numbers describe the
     # steady maintained state, not whatever the last trigger left
     compact_index(spark, bm25_path, run_id=run_id)
     compact_neardup_index(spark, nd_path, run_id=run_id)
     compact_phash_index(spark, ph_path, run_id=run_id)
     compact_partials(spark, rollup_path, run_id=run_id)
+    compact_frontier_index(spark, frontier_path, run_id=run_id)
 
     checks: dict = {"teardown_partial_batches": partial_batches}
 
@@ -557,6 +637,44 @@ def main() -> None:
     checks["rollup_equal_batch_twin"] = bool(got_rollup and got_rollup == twin_rollup)
     checks["rollup_files"] = count_files(rollup_path)
 
+    # --- frontier: re-folded partials == batch crawl_frontier over the
+    # capture records reconstructed from membership ids
+    from cdc_pipeline_spark.operators.weblinks import (
+        capture_link_events,
+        crawl_frontier,
+    )
+
+    fr_table = os.path.join(frontier_path, "partials")
+    fmember = spark.read.parquet(fmember_path)
+    f_batches = sorted(
+        r.batch_id for r in fmember.select("batch_id").distinct().collect()
+    )
+    f_valid = [b for b in f_batches if _batch_complete(fr_table, b)]
+    f_ids = (
+        fmember.filter(F.col("batch_id").isin(f_valid))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    n_docs_fr = f_ids.count()
+    twin_frontier = {
+        (r.url, r.link_kind, r.n_discoveries)
+        for r in crawl_frontier(capture_link_events(capture_cols(f_ids))).collect()
+    }
+    got_frontier = {
+        (r.url, r.link_kind, r.n_discoveries)
+        for r in read_frontier(spark, frontier_path).collect()
+    }
+    checks["frontier_docs"] = n_docs_fr
+    checks["frontier_rows"] = len(got_frontier)
+    checks["frontier_both_kind_urls"] = len(
+        {u for u, k, _ in got_frontier if k == "redirect"}
+        & {u for u, k, _ in got_frontier if k == "outlink"}
+    )
+    checks["frontier_equal_batch_twin"] = bool(
+        got_frontier and got_frontier == twin_frontier
+    )
+    checks["frontier_files"] = count_files(frontier_path)
+
     # --- bounded state: file counts and checkpoint sizes
     n_batches = max(
         int(p["batchId"]) for p in (q_bm25.recentProgress or [{"batchId": 0}])
@@ -582,6 +700,7 @@ def main() -> None:
         "neardup": round(dir_bytes(ck_nd) / 2**20, 2),
         "phash": round(dir_bytes(ck_ph) / 2**20, 2),
         "rollup": round(dir_bytes(ck_ru) / 2**20, 2),
+        "frontier": round(dir_bytes(ck_fr) / 2**20, 2),
     }
     checks["checkpoints_bounded"] = all(
         v < 64.0 for v in checks["checkpoint_mib"].values()
@@ -597,6 +716,8 @@ def main() -> None:
         and checks["phash_no_duplicates"]
         and checks["rollup_equal_batch_twin"]
         and checks["rollup_files"] <= 64
+        and checks["frontier_equal_batch_twin"]
+        and checks["frontier_files"] <= 64
         and checks["index_files_bounded"]
         and checks["checkpoints_bounded"]
         and compactions["n"] >= 3
