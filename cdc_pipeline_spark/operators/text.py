@@ -538,41 +538,68 @@ LN2 = 0.6931471805599453
 ENTROPY_QUANT = 1_000_000_000.0  # 9-decimal fixed point for Σ n·ln(n)
 
 
-def _shannon_entropy_bits(elems: Column) -> Column:
-    """Shannon entropy (bits) of the multiset in an array column,
-    computed entirely inside one row — ZERO shuffle, no exchange:
+def _entropy_stats(elems: Column) -> Column:
+    """``struct<h double, d int>`` — Shannon entropy (bits) and distinct
+    count of the multiset in an array column, computed entirely inside
+    one row — ZERO shuffle, no exchange:
     ``H = (ln(L) − (Σ_c n_c·ln(n_c)) / L) / ln 2``.
 
-    The Σ n·ln(n) term is quantized per distinct element
-    (``floor((n·ln n)·1e9 + 0.5)``) and summed as exact integers, so the
-    result is independent of `array_distinct` ordering and replays
-    bit-for-bit in DuckDB's `list_transform`/`list_sum` (whose distinct
-    order is unspecified). Cost is O(L·d) per row (d = distinct
-    elements) — fine when d is alphabet-bounded (character entropy) or
-    L is gated small; for unbounded-vocabulary long arrays use the
-    linear explode→groupBy path in :func:`entropy_profile` instead
-    (on a 50k-token high-diversity doc the per-row form costs ~L²/2
-    comparisons inside ONE row's expression eval — no parallelism,
-    no spill)."""
+    Per-distinct counts come from RUN LENGTHS of the sorted array
+    (run ends = positions where the next element differs; run starts =
+    positions where the previous differs; length = end − start + 1), so
+    per-row cost is O(L log L) instead of the r10 form's O(L·d)
+    ``transform(array_distinct, c -> size(filter(elems, = c)))`` — on
+    token arrays d ≈ L made that effectively quadratic, and HOFs
+    evaluate interpreted, so every comparison costs a virtual call
+    (measured at sf0.1: doc_entropy_profile 3.32 s → see
+    OPTIMIZATION_r11.md; identical output — the run-length multiset IS
+    the distinct-count multiset). ``starts``/``ends`` are deliberately
+    separate filters zip_with'd together: a lambda that referenced the
+    ``ends`` array itself (e.g. ``get(ends, i-1)``) would re-evaluate
+    the whole filter+sort subtree per element under interpreted HOF
+    evaluation — O(d·L log L), worse than the original.
+
+    The Σ n·ln(n) term is quantized per run (``floor((n·ln n)·1e9 +
+    0.5)``) and summed as exact BIGINTs, so the result is independent
+    of summation order and replays bit-for-bit in DuckDB's
+    `list_transform`/`list_sum` (whose distinct order is unspecified) —
+    the same integers the r10 distinct-scan form produced."""
+    s = F.array_sort(elems)
     n_total = F.size(elems)
-    counts = F.transform(
-        F.array_distinct(elems), lambda c: F.size(F.filter(elems, lambda x: x == c))
+    idxs = F.when(n_total >= 1, F.sequence(F.lit(1), n_total)).otherwise(
+        F.array().cast("array<int>")
     )
+    # F.get is 0-based and null-safe past the boundary: at i = L the
+    # "next element" probe returns null, != yields null, and the i == L
+    # disjunct keeps the position — no ANSI out-of-bounds error
+    ends = F.filter(
+        idxs,
+        lambda i: (i == n_total)
+        | ~(F.get(s, i - 1) == F.get(s, i)).eqNullSafe(F.lit(True)),
+    )
+    starts = F.filter(
+        idxs,
+        lambda i: (i == 1)
+        | ~(F.get(s, i - 2) == F.get(s, i - 1)).eqNullSafe(F.lit(True)),
+    )
+    lens = F.zip_with(ends, starts, lambda e, st: e - st + 1)
     sq = F.aggregate(
-        counts,
+        lens,
         F.lit(0).cast("long"),
         lambda acc, n: acc
         + F.floor((n.cast("double") * F.log(n.cast("double"))) * F.lit(ENTROPY_QUANT) + F.lit(0.5)),
     )
-    return (
+    h = (
         F.log(n_total.cast("double"))
         - (sq.cast("double") / F.lit(ENTROPY_QUANT)) / n_total
     ) / F.lit(LN2)
+    return F.struct(h.alias("h"), F.size(ends).alias("d"))
 
 
 # Docs at or under this many tokens take the zero-shuffle per-row
-# entropy expression (worst case gate² element comparisons per row —
-# bounded and cheap); longer docs take the linear explode→groupBy path.
+# entropy expression (O(gate·log gate) per row after the r11 run-length
+# rewrite — bounded and cheap); longer docs take the explode→groupBy
+# path, which parallelizes a single megachar document across tasks.
 TOKEN_ENTROPY_GATE = 512
 
 
@@ -589,14 +616,13 @@ def entropy_profile(
     the distinct counts behind them. Docs with no characters after
     filtering are excluded (entropy undefined on an empty multiset).
 
-    Scale shape: character entropy is always per-row (distinct count is
-    alphabet-bounded, so the O(L·d) expression is effectively O(L)).
-    Token entropy is length-gated: docs with ≤ ``token_gate`` tokens
-    stay on the zero-shuffle per-row expression, longer docs go through
-    explode → ``groupBy(doc_id, token).count()`` → an exact-integer
-    Σ n·ln(n) re-aggregation — O(L) work and one shuffle instead of a
-    per-row O(L·d) ≈ L² expression that would evaluate ~10⁹ comparisons
-    inside a single row on a 50k-token high-diversity document. Both
+    Scale shape: docs with ≤ ``token_gate`` tokens stay on the
+    zero-shuffle per-row run-length expression (O(L log L) per row,
+    :func:`_entropy_stats`); longer docs go through explode →
+    ``groupBy(doc_id, token).count()`` → an exact-integer Σ n·ln(n)
+    re-aggregation — one shuffle, but a single megachar document
+    parallelizes across tasks instead of occupying one row's
+    expression eval. Both
     paths quantize each n·ln(n) term to 9-decimal fixed point and sum
     exact BIGINTs, so the result is identical regardless of path or
     partitioning and replays bit-for-bit in the DuckDB oracle."""
@@ -611,12 +637,26 @@ def entropy_profile(
             "doc_id", "char_entropy", "token_entropy", "distinct_chars", "distinct_tokens"
         )
 
-    short = base.filter(F.size("__toks") <= F.lit(token_gate)).select(
-        "doc_id",
-        round_half_up(_shannon_entropy_bits(F.col("__chars")), 6).alias("char_entropy"),
-        round_half_up(_shannon_entropy_bits(F.col("__toks")), 6).alias("token_entropy"),
-        F.size(F.array_distinct("__chars")).cast("long").alias("distinct_chars"),
-        F.size(F.array_distinct("__toks")).cast("long").alias("distinct_tokens"),
+    # two-stage projection: the stats struct (one sort + run-length
+    # scan) is computed ONCE per array, then h/d extract as cheap field
+    # references — inlining the struct into all four output columns
+    # would re-evaluate the interpreted HOF tree per column
+    # (CollapseProject leaves the split alone: the aliases are
+    # referenced more than once and the expressions are not cheap)
+    short = (
+        base.filter(F.size("__toks") <= F.lit(token_gate))
+        .select(
+            "doc_id",
+            _entropy_stats(F.col("__chars")).alias("__cs"),
+            _entropy_stats(F.col("__toks")).alias("__ts"),
+        )
+        .select(
+            "doc_id",
+            round_half_up(F.col("__cs.h"), 6).alias("char_entropy"),
+            round_half_up(F.col("__ts.h"), 6).alias("token_entropy"),
+            F.col("__cs.d").cast("long").alias("distinct_chars"),
+            F.col("__ts.d").cast("long").alias("distinct_tokens"),
+        )
     )
 
     # row key = (doc_id, token-array hash): a duplicated doc_id must

@@ -2459,7 +2459,19 @@ def orders_from_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     mirror = _format_mirror_path(sf_dir, "avro", "orders")
-    write_avro(orders, mirror, mode="overwrite", codec="deflate")
+    # min_files floors encode/decode parallelism: the orders parquet is
+    # one scan split at bench SFs, which serialized the whole pure-
+    # Python Avro round-trip onto one core (measured 7.6 s at sf0.1;
+    # guide §2 — the fix is partitioning, not the codec). The floor is
+    # scale-adaptive (defaultParallelism) and a no-op for inputs that
+    # already have at least that many partitions.
+    write_avro(
+        orders,
+        mirror,
+        mode="overwrite",
+        codec="deflate",
+        min_files=spark.sparkContext.defaultParallelism,
+    )
     back = read_avro(spark, mirror, schema=orders.schema)
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -5903,7 +5915,11 @@ def multimodal_gif_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow shape as the other multimodal stages."""
     import pyarrow as pa
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as _ep
+
+    # spread the single-split scan before the per-doc Python GIF
+    # encode+decode (guide §2/§4; no-op on already-parallel inputs)
+    docs = _ep(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(batches):
         import numpy as np
@@ -5971,7 +5987,11 @@ def multimodal_gif_pixel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     `multimodal.extract_features` uses."""
     import pyarrow as pa
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as _ep
+
+    # spread the single-split scan before the per-doc Python GIF
+    # encode+decode (guide §2/§4; no-op on already-parallel inputs)
+    docs = _ep(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(batches):
         import numpy as np
@@ -7172,7 +7192,14 @@ def phash_fixture_payloads(
                 ),
             )
 
-    return docs.select("doc_id").mapInArrow(gen, "doc_id long, payload binary")
+    # spread the single-split scan BEFORE the Python synth/encode pass:
+    # a dimension-sized parquet arrives as one partition and would
+    # serialize the per-doc PNG encode onto one core (guide §2 / §4 —
+    # same fix as every other Arrow codec entry point; no-op on inputs
+    # that are already parallel)
+    from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as _ep
+
+    return _ep(docs.select("doc_id")).mapInArrow(gen, "doc_id long, payload binary")
 
 
 def _phash_oracle_sql() -> str:
@@ -7683,7 +7710,13 @@ def warc_fixture_payloads(docs: DataFrame) -> DataFrame:
                 schema=pa.schema([("path", pa.string()), ("content", pa.binary())]),
             )
 
-    return docs.select("doc_id", "source").mapInArrow(gen, "path string, content binary")
+    # spread before the per-doc WARC build/gzip — single-split scans
+    # would serialize the whole Python record synthesis onto one core
+    from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as _ep
+
+    return _ep(docs.select("doc_id", "source")).mapInArrow(
+        gen, "path string, content binary"
+    )
 
 
 _WARC_CRLF = "chr(13) || chr(10)"
