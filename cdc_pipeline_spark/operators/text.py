@@ -538,62 +538,79 @@ LN2 = 0.6931471805599453
 ENTROPY_QUANT = 1_000_000_000.0  # 9-decimal fixed point for Σ n·ln(n)
 
 
+def _quant_nlogn(n: Column) -> Column:
+    """``floor(n·ln(n)·1e9 + 0.5)`` as an exact BIGINT term (``n`` > 0)."""
+    d = n.cast("double")
+    return F.floor(d * F.log(d) * F.lit(ENTROPY_QUANT) + F.lit(0.5))
+
+
 def _entropy_stats(elems: Column) -> Column:
     """``struct<h double, d int>`` — Shannon entropy (bits) and distinct
-    count of the multiset in an array column, computed entirely inside
-    one row — ZERO shuffle, no exchange:
+    count of the multiset in an ``array<string>`` column, computed
+    entirely inside one row — ZERO shuffle, no exchange:
     ``H = (ln(L) − (Σ_c n_c·ln(n_c)) / L) / ln 2``.
 
-    Per-distinct counts come from RUN LENGTHS of the sorted array
-    (run ends = positions where the next element differs; run starts =
-    positions where the previous differs; length = end − start + 1), so
+    Per-distinct counts come from RUN LENGTHS of the sorted array,
+    folded in ONE ``aggregate()`` pass (accumulator carries the previous
+    element, the open run length, the quantized Σ n·ln(n) so far and the
+    closed-run count; the ``finish`` lambda closes the last run), so
     per-row cost is O(L log L) instead of the r10 form's O(L·d)
     ``transform(array_distinct, c -> size(filter(elems, = c)))`` — on
     token arrays d ≈ L made that effectively quadratic, and HOFs
-    evaluate interpreted, so every comparison costs a virtual call
-    (measured at sf0.1: doc_entropy_profile 3.32 s → see
-    OPTIMIZATION_r11.md; identical output — the run-length multiset IS
-    the distinct-count multiset). ``starts``/``ends`` are deliberately
-    separate filters zip_with'd together: a lambda that referenced the
-    ``ends`` array itself (e.g. ``get(ends, i-1)``) would re-evaluate
-    the whole filter+sort subtree per element under interpreted HOF
-    evaluation — O(d·L log L), worse than the original.
+    evaluate interpreted, so every comparison costs a virtual call.
+
+    The single fold matters: ``ArrayAggregate`` evaluates its input
+    array expression ONCE per row before iterating, so ``array_sort``
+    runs once. An earlier r11 attempt read the sorted array inside
+    ``filter`` lambdas via ``get(s, i)`` — interpreted HOF evaluation
+    re-evaluates the whole referenced subtree per element, so the sort
+    re-ran L times per row (O(L²·log L); doc_entropy_profile went
+    3.3 s → >180 s at sf0.1). Any non-trivial subexpression a lambda
+    references must either be the HOF's own input or a bound column.
 
     The Σ n·ln(n) term is quantized per run (``floor((n·ln n)·1e9 +
     0.5)``) and summed as exact BIGINTs, so the result is independent
     of summation order and replays bit-for-bit in DuckDB's
     `list_transform`/`list_sum` (whose distinct order is unspecified) —
-    the same integers the r10 distinct-scan form produced."""
-    s = F.array_sort(elems)
+    the same integers the r10 distinct-scan form produced (the
+    run-length multiset IS the distinct-count multiset)."""
     n_total = F.size(elems)
-    idxs = F.when(n_total >= 1, F.sequence(F.lit(1), n_total)).otherwise(
-        F.array().cast("array<int>")
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("sq"),
+        F.lit(0).cast("int").alias("d"),
     )
-    # F.get is 0-based and null-safe past the boundary: at i = L the
-    # "next element" probe returns null, != yields null, and the i == L
-    # disjunct keeps the position — no ANSI out-of-bounds error
-    ends = F.filter(
-        idxs,
-        lambda i: (i == n_total)
-        | ~(F.get(s, i - 1) == F.get(s, i)).eqNullSafe(F.lit(True)),
-    )
-    starts = F.filter(
-        idxs,
-        lambda i: (i == 1)
-        | ~(F.get(s, i - 2) == F.get(s, i - 1)).eqNullSafe(F.lit(True)),
-    )
-    lens = F.zip_with(ends, starts, lambda e, st: e - st + 1)
-    sq = F.aggregate(
-        lens,
-        F.lit(0).cast("long"),
-        lambda acc, n: acc
-        + F.floor((n.cast("double") * F.log(n.cast("double"))) * F.lit(ENTROPY_QUANT) + F.lit(0.5)),
-    )
-    h = (
-        F.log(n_total.cast("double"))
-        - (sq.cast("double") / F.lit(ENTROPY_QUANT)) / n_total
-    ) / F.lit(LN2)
-    return F.struct(h.alias("h"), F.size(ends).alias("d"))
+
+    def merge(acc: Column, x: Column) -> Column:
+        extend = F.struct(
+            x.alias("prev"),
+            (acc["run"] + 1).alias("run"),
+            acc["sq"].alias("sq"),
+            acc["d"].alias("d"),
+        )
+        close = F.struct(
+            x.alias("prev"),
+            F.lit(1).cast("long").alias("run"),
+            (acc["sq"] + _quant_nlogn(acc["run"])).alias("sq"),
+            (acc["d"] + 1).alias("d"),
+        )
+        return F.when(acc["prev"].eqNullSafe(x), extend).otherwise(
+            F.when(acc["run"] == 0, extend).otherwise(close)
+        )
+
+    def finish(acc: Column) -> Column:
+        sq = F.when(acc["run"] > 0, acc["sq"] + _quant_nlogn(acc["run"])).otherwise(
+            acc["sq"]
+        )
+        d = F.when(acc["run"] > 0, acc["d"] + 1).otherwise(acc["d"])
+        h = (
+            F.log(n_total.cast("double"))
+            - (sq.cast("double") / F.lit(ENTROPY_QUANT)) / n_total
+        ) / F.lit(LN2)
+        return F.struct(h.alias("h"), d.alias("d"))
+
+    return F.aggregate(F.array_sort(elems), zero, merge, finish)
 
 
 # Docs at or under this many tokens take the zero-shuffle per-row
