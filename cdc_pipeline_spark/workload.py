@@ -7192,14 +7192,15 @@ def phash_fixture_payloads(
                 ),
             )
 
-    # spread the single-split scan BEFORE the Python synth/encode pass:
-    # a dimension-sized parquet arrives as one partition and would
-    # serialize the per-doc PNG encode onto one core (guide §2 / §4 —
-    # same fix as every other Arrow codec entry point; no-op on inputs
-    # that are already parallel)
-    from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as _ep
-
-    return _ep(docs.select("doc_id")).mapInArrow(gen, "doc_id long, payload binary")
+    # deliberately NOT ensure_parallelism'd (measured r11): the per-doc
+    # 8x8 PNG synth/encode is light enough that the repartition exchange
+    # + 32 Python task round-trips cost more than the single-core pass
+    # saves (multimodal_phash_neardup 1.94 s -> 3.09 s, decode_quarantine
+    # 0.83 s -> 2.07 s under the spread, best-of-3). A production image
+    # scan arrives already parallel, where the helper is a no-op anyway —
+    # the GIF fixtures keep it because their per-doc LZW codec is ~10x
+    # heavier and measured 3.7x faster spread.
+    return docs.select("doc_id").mapInArrow(gen, "doc_id long, payload binary")
 
 
 def _phash_oracle_sql() -> str:
@@ -7710,11 +7711,16 @@ def warc_fixture_payloads(docs: DataFrame) -> DataFrame:
                 schema=pa.schema([("path", pa.string()), ("content", pa.binary())]),
             )
 
-    # spread before the per-doc WARC build/gzip — single-split scans
-    # would serialize the whole Python record synthesis onto one core
-    from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as _ep
-
-    return _ep(docs.select("doc_id", "source")).mapInArrow(
+    # deliberately NOT ensure_parallelism'd (measured r11): the per-doc
+    # record build + small gzip is light enough that the repartition
+    # exchange + 32 Python task round-trips cost MORE than the single-
+    # core pass saves (doc_warc_ingest 1.47 s no-op vs 2.09 s spread,
+    # best-of-3 same session; the whole WARC family regressed 1.4-3.1x
+    # under the spread). A real 100 TB capture scan arrives already
+    # parallel, where the helper would be a no-op anyway — the GIF
+    # fixtures keep it because their per-doc LZW codec is ~10x heavier
+    # and measured 3.7x faster spread.
+    return docs.select("doc_id", "source").mapInArrow(
         gen, "path string, content binary"
     )
 
