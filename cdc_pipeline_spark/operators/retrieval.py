@@ -80,6 +80,23 @@ def doc_lengths(df: DataFrame, tf: DataFrame, id_col: str = "doc_id") -> DataFra
     )
 
 
+def _wq_col(k1: float, b: float):
+    """The quantized BM25 weight expression over columns ``tf``, ``dl``,
+    ``df``, ``n_docs``, ``total_tok`` — ONE definition shared by every
+    weight producer so the float association (and therefore the
+    quantized integer) is bit-identical between the from-stats path and
+    the materialized batch path, and matches the oracle's interpolated
+    formula."""
+    avgdl = F.col("total_tok").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    return F.floor(idf * tfn * F.lit(QUANT) + F.lit(0.5)).cast("decimal(18,0)")
+
+
 def bm25_term_weights_from_stats(
     tf: DataFrame,
     doclens: DataFrame,
@@ -96,22 +113,11 @@ def bm25_term_weights_from_stats(
     stats = doclens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tok")
     )
-    avgdl = F.col("total_tok").cast("double") / F.col("n_docs")
-    idf = F.log(
-        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
-    )
     return (
         tf.join(doclens, "doc_id")
         .join(dfreq, "token")
         .join(F.broadcast(stats))
-        .select(
-            "doc_id",
-            "token",
-            F.floor(idf * tfn * F.lit(QUANT) + F.lit(0.5)).cast("decimal(18,0)").alias("wq"),
-        )
+        .select("doc_id", "token", _wq_col(k1, b).alias("wq"))
     )
 
 
@@ -259,25 +265,85 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     broad_candidates: int | None = None,
+    materialize_candidates: bool = True,
 ) -> DataFrame:
-    """Batch top-k BM25 retrieval over a document corpus — tokenize,
-    weight, rank in one plan (`bm25_term_weights` →
-    `bm25_topk_from_weights`). The broad-routing df probe runs against
-    the bare tf table, not the full weight plan: df per token is
-    identical on either (one row per posting), and probing through the
-    weight plan would pay the dfreq/doclens/stats joins twice (measured
-    ~3.0 s → ~2.5 s at sf0.1; an eager tf checkpoint measured slower
-    than letting both jobs recompute the fused tokenize)."""
-    tf = token_tf(df, id_col=id_col, text_col=text_col)
-    w = bm25_term_weights_from_stats(
-        tf, doc_lengths(df, tf, id_col=id_col), k1=k1, b=b
+    """Batch top-k BM25 retrieval over a document corpus.
+
+    Default shape (r11, guide §2.3/§8) — ONE observed corpus pass:
+    ranking only ever reads postings of the BATCH's terms, so the
+    corpus is passed exactly once. ``dl`` is computed as the size of
+    the per-doc token array (a codegen CASE carried through the explode
+    — no corpus-wide ``groupBy(doc, token)`` and no doc-length join),
+    the N/Σdl stats row is collected as an `Observation` during that
+    same pass (exact integer count/sum), and the pruned
+    ``(doc_id, dl, token, tf)`` candidates are eagerly
+    ``localCheckpoint``ed so every ranking branch and the routing probe
+    read the small materialized table. O(query batch) work replaces
+    O(branches) corpus passes — the shape that matters at 100 TB, where
+    one corpus tokenize is minutes; and it measured faster at bench
+    scale too (interleaved best-of-5 at sf0.1: broad 3.09 s vs 3.99 s
+    lazy, narrow 1.62 s vs 1.94 s lazy, same session) because the lazy
+    plan's per-branch token-filter pushdown de-duplicates only
+    partially at runtime (the executed sf0.1 broad plan retokenized the
+    corpus per broad branch).
+
+    ``materialize_candidates=False`` keeps the previous single lazy
+    plan (`bm25_term_weights` → `bm25_topk_from_weights`, probe on the
+    bare tf table) — retained for the equivalence pin
+    (`test_bm25_materialized_shape_equivalent`) and A/B measurement.
+    Both shapes are OUTPUT-IDENTICAL: weights are bit-identical by
+    construction (same `_wq_col` over the same exact integers; stats
+    enter the materialized path as collected literals)."""
+    if not materialize_candidates:
+        tf = token_tf(df, id_col=id_col, text_col=text_col)
+        w = bm25_term_weights_from_stats(
+            tf, doc_lengths(df, tf, id_col=id_col), k1=k1, b=b
+        )
+        return bm25_topk_from_weights(
+            w, queries, k, broad_candidates=broad_candidates, probe=tf
+        )
+
+    from pyspark.sql import Observation
+
+    batch_terms = sorted({t for _, terms in queries for t in terms})
+    t = F.trim(F.lower(F.col(text_col)))
+    # dl = number of non-empty tokens. After trim, split(\s+) yields ''
+    # only for the empty string (leading/trailing separators are gone),
+    # so the token_tf convention reduces to a codegen CASE + size() —
+    # no interpreted higher-order function on the corpus path (the
+    # filter-lambda variant measured ~0.8 s/pass slower at sf0.1).
+    arr = F.split(t, r"\s+")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(t.isNull() | (t == ""), F.lit(0))
+        .otherwise(F.size(arr))
+        .cast("long")
+        .alias("dl"),
+        arr.alias("__toks"),
+    )
+    obs = Observation()
+    observed = base.observe(
+        obs, F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tok")
+    )
+    tf_cand = (
+        observed.select("doc_id", "dl", F.explode("__toks").alias("token"))
+        .filter(F.col("token").isin(batch_terms) & (F.col("token") != ""))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()  # the ONE corpus pass; candidates are small
+    )
+    stats = obs.get  # exact, observed during the checkpoint job
+    n_docs = int(stats["n_docs"])
+    total_tok = int(stats["total_tok"] or 0)
+    dfreq = tf_cand.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf_cand.join(F.broadcast(dfreq), "token")
+        .withColumn("n_docs", F.lit(n_docs).cast("long"))
+        .withColumn("total_tok", F.lit(total_tok).cast("long"))
+        .select("doc_id", "token", _wq_col(k1, b).alias("wq"))
     )
     return bm25_topk_from_weights(
-        w,
-        queries,
-        k,
-        broad_candidates=broad_candidates,
-        probe=tf,
+        w, queries, k, broad_candidates=broad_candidates, probe=tf_cand
     )
 
 

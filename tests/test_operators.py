@@ -2187,6 +2187,39 @@ def test_bm25_broad_threshold_keeps_narrow_queries_narrow(spark):
     assert base == same and len(base) == 5
 
 
+def test_bm25_materialized_shape_equivalent(spark):
+    """The size-adaptive single-pass shape (dl carried through the
+    explode, stats observed during the checkpoint job, candidates
+    localCheckpoint'ed) must be output-identical to the lazy plan on a
+    mixed-routing batch — including token-less/null/whitespace docs
+    (dl = 0 still shapes N and avgdl) and single- vs multi-term broad
+    branches."""
+    from cdc_pipeline_spark.operators.retrieval import bm25_topk
+
+    rows = [
+        (d, "common " + ("rare " if d % 17 == 0 else "") + f"w{d % 7} w{d % 5}")
+        for d in range(300)
+    ]
+    rows += [(900, ""), (901, None), (902, "   ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = ((0, ("common",)), (1, ("rare",)), (2, ("common", "w3")))
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    for broad in (None, 50):
+        lazy = sorted(
+            bm25_topk(docs, queries, k=8, broad_candidates=broad,
+                      materialize_candidates=False).collect(),
+            key=key,
+        )
+        mat = sorted(
+            bm25_topk(docs, queries, k=8, broad_candidates=broad,
+                      materialize_candidates=True).collect(),
+            key=key,
+        )
+        assert [(r.query_id, r.doc_id, r.score, r.rank) for r in lazy] == [
+            (r.query_id, r.doc_id, r.score, r.rank) for r in mat
+        ], f"broad_candidates={broad}"
+
+
 def test_snm_multipass_catches_prefix_edit(spark):
     """Planted recall case for multi-pass sorted-neighborhood: two docs
     identical except for their FIRST word land in different sort blocks
