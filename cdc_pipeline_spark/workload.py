@@ -5941,7 +5941,13 @@ def multimodal_gif_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["sum_r"].append(int(s[0]))
                     out["sum_g"].append(int(s[1]))
                     out["sum_b"].append(int(s[2]))
-            yield pa.RecordBatch.from_pydict(out)
+            # explicit schema: an EMPTY input batch would otherwise
+            # infer null-typed columns that mismatch the declared
+            # mapInArrow schema (same pin as phash_fixture_payloads)
+            yield pa.RecordBatch.from_pydict(
+                out,
+                schema=pa.schema([(k, pa.int64()) for k in out]),
+            )
 
     return docs.mapInArrow(
         gen,
@@ -6012,7 +6018,11 @@ def multimodal_gif_pixel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sums["sum_r"].append(int(s[0]))
                 sums["sum_g"].append(int(s[1]))
                 sums["sum_b"].append(int(s[2]))
-            yield pa.RecordBatch.from_pydict(sums)
+            # explicit schema: empty-batch null-type pin, as above
+            yield pa.RecordBatch.from_pydict(
+                sums,
+                schema=pa.schema([(k, pa.int64()) for k in sums]),
+            )
 
     return docs.mapInArrow(
         gen, "doc_id long, sum_r long, sum_g long, sum_b long"
