@@ -456,6 +456,15 @@ def ngram_rank_langid(
     doc_counts = grams.groupBy("id", "label", "gram").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    # doc_counts feeds THREE consumers (doc profile, class counts, the
+    # class list); Catalyst shares no subplans, so without this the
+    # corpus explode + count shuffle ran once per consumer (6 parquet
+    # scans / 3 gram shuffles in the executed plan). Materialize the
+    # per-doc counts once — they are head-capped (≤ head_chars×max_gram
+    # short rows per doc), so the checkpoint is strictly smaller than
+    # re-shuffling the gram table twice more at any scale (r11
+    # optimization; same pattern as bm25's candidate materialization).
+    doc_counts = doc_counts.localCheckpoint(eager=True)
     # per-doc top-k WITHOUT a global window (a row_number window would
     # shuffle-and-SORT every (doc, gram) row; this shuffles the same
     # rows but sorts only within each doc's ~head·max_gram-entry array
@@ -494,7 +503,10 @@ def ngram_rank_langid(
     # re-alias the right side's join keys to FRESH attributes or Spark's
     # self-join resolution collapses the equi-join onto one subtree
     # (silently matching nothing but identical-rank grams)
-    classes = cls_counts.select(F.col("cls").alias("__c")).distinct()
+    # distinct classes straight off the materialized doc_counts (same
+    # set as cls_counts' distinct cls — every label has ≥1 gram row —
+    # without re-aggregating the (label, gram) grain a third time)
+    classes = doc_counts.select(F.col("label").alias("__c")).distinct()
     cp = cls_profile.select(
         F.col("cls").alias("__pc"), F.col("gram").alias("__pg"), "rc"
     )
