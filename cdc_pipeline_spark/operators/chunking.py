@@ -193,16 +193,29 @@ def bpe_train_merges(
     """Train ``rounds`` BPE merges over the corpus; returns the ordered
     merge table [(left, right, score)].
 
-    The distributed state is the word-frequency table (one groupBy of
-    the token explode — at 100 TB this is the standard vocab-count
-    shuffle, map-side combined). Per round: symbols = base character
-    split run through the accumulated merge folds (re-derived, so no
-    cached distributed state and replay-stable lineage); adjacent pair
-    counts weighted by word frequency collapse map-side before ONE
-    shuffle; the argmax merge (count DESC, pair ASC — deterministic)
-    is a 1-row collect. Stops early when no pair remains. Counts are
-    integer sums — exact under any partitioning, which is what lets a
-    SQL replay match bit-for-bit.
+    The distributed state is the word-frequency table with its CURRENT
+    symbol split, rolled forward incrementally (r11 optimization): one
+    groupBy of the token explode builds (word, freq, base char split) —
+    at 100 TB the standard vocab-count shuffle, map-side combined —
+    and each round applies ONLY the newly-learned merge to the
+    materialized symbols (one ``aggregate`` fold), localCheckpoints the
+    result, and argmaxes the next merge. The previous form re-derived
+    symbols from the base split through ALL accumulated folds every
+    round — O(rounds²) fold applications and a per-round plan whose
+    nested-fold tree grew with the merge count (Catalyst re-analysis
+    made round cost CLIMB: measured 0.60→0.95 s/round vs a constant
+    0.33 s/round incremental, identical merges, sf0.1 A/B). Applying
+    merge r to the round-(r−1) symbol state is definitionally the same
+    as replaying all r folds from the base split, so the merge table is
+    bit-identical. Per round: adjacent pair counts weighted by word
+    frequency collapse map-side before ONE shuffle; the argmax merge
+    (count DESC, pair ASC — deterministic) is a 1-row collect. Stops
+    early when no pair remains. Counts are integer sums — exact under
+    any partitioning, which is what lets a SQL replay match
+    bit-for-bit. (localCheckpoint trades executor-loss replayability
+    for the truncated lineage — the same trade bm25/semantic_dedup
+    make; a lost executor fails the job instead of silently
+    recomputing.)
 
     ``max_word_chars`` (default off — the oracle-checked semantics)
     drops pathologically long "words" (URLs, base64 blobs) before the
@@ -220,41 +233,43 @@ def bpe_train_merges(
     )
     if max_word_chars is not None:
         words = words.filter(F.length("word") <= int(max_word_chars))
-    words = words.persist()
-    try:
-        merges: list[tuple[str, str, int]] = []
-        for _ in range(rounds):
-            syms = F.split(F.col("word"), "")
-            for a, b, _score in merges:
-                syms = merge_pair_expr(syms, a, b)
-            sc = F.col("__syms")
-            n = F.size(sc)
-            idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-                F.array().cast("array<int>")
-            )
-            pair = F.transform(
-                idx,
-                lambda i: F.struct(
-                    F.element_at(sc, i).alias("a"),
-                    F.element_at(sc, i + 1).alias("b"),
-                ),
-            )
-            best = (
-                words.withColumn("__syms", syms)
-                .select("freq", F.explode(pair).alias("p"))
-                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-                .agg(F.sum("freq").alias("cnt"))
-                .orderBy(F.col("cnt").desc(), "a", "b")
-                .limit(1)
-                .collect()
-            )
-            if not best:
-                break
-            r = best[0]
-            merges.append((r["a"], r["b"], int(r["cnt"])))
-        return merges
-    finally:
-        words.unpersist()
+    state = words.withColumn("__syms", F.split(F.col("word"), "")).localCheckpoint(
+        eager=True
+    )
+    merges: list[tuple[str, str, int]] = []
+    for t in range(rounds):
+        sc = F.col("__syms")
+        n = F.size(sc)
+        idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        pair = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(sc, i).alias("a"),
+                F.element_at(sc, i + 1).alias("b"),
+            ),
+        )
+        best = (
+            state.select("freq", F.explode(pair).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        r = best[0]
+        merges.append((r["a"], r["b"], int(r["cnt"])))
+        if t < rounds - 1:
+            # roll the state forward: apply ONLY the new merge to the
+            # materialized symbols (identical to replaying the full
+            # fold chain from the base split — see docstring)
+            state = state.withColumn(
+                "__syms", merge_pair_expr(F.col("__syms"), r["a"], r["b"])
+            ).localCheckpoint(eager=True)
+    return merges
 
 # Catalyst nested-expression depth ceiling for the fold-apply path: one
 # `aggregate` fold per merge chains the expression tree O(#merges) deep,
