@@ -29,6 +29,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _observed_checkpoint(
+    frame: DataFrame, cols: list[str]
+) -> tuple[DataFrame, tuple]:
+    """localCheckpoint(eager) with the order-insensitive fingerprint
+    (count + xor of row hashes over ``cols``) collected as an
+    ``Observation`` DURING the materialization job — the bm25 pattern:
+    one job per round where checkpoint-then-scan paid two. Returns
+    (checkpointed frame, fingerprint tuple); an empty frame reads
+    (0, None), matching what ``agg(...).collect()`` returned."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    ck = frame.observe(
+        obs,
+        F.count(F.lit(1)).alias("cnt"),
+        F.bit_xor(F.xxhash64(F.struct(*cols))).alias("xr"),
+    ).localCheckpoint(eager=True)
+    vals = obs.get
+    return ck, (vals["cnt"], vals["xr"])
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -80,23 +101,18 @@ def connected_components(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
     )
     # Convergence test: an order-insensitive (node, label) fingerprint
     # — count + xor of row hashes, the same scalar probe the star
     # variant uses. (An earlier sum(label) probe worked only for
     # NUMERIC ids: on string ids the sum cast yields NULL, None ==
     # None "converged" after one round, and chained components came
-    # back split.) One tiny scan of the just-checkpointed frame, no
-    # join against the previous round.
-    def _label_fingerprint(frame: DataFrame):
-        return tuple(
-            frame.agg(
-                F.count(F.lit(1)), F.bit_xor(F.xxhash64(F.struct("node", "label")))
-            ).collect()[0]
-        )
-
-    prev_fp = _label_fingerprint(labels)
+    # back split.) r11 optimization: the fingerprint rides the round's
+    # checkpoint materialization as an `Observation` (the bm25
+    # pattern), so the per-round scalar probe job is gone — one job
+    # per round instead of two. Metrics on an empty frame read
+    # (0, None), exactly what the old agg().collect() returned.
+    labels, prev_fp = _observed_checkpoint(labels, ["node", "label"])
 
     rounds = 0
     converged = False
@@ -105,14 +121,13 @@ def connected_components(
             sym.join(labels, sym["b"] == labels["node"])
             .select(F.col("a").alias("node"), "label")
         )
-        labels = (
+        labels, new_fp = _observed_checkpoint(
             labels.unionAll(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("label").alias("label")),
+            ["node", "label"],
         )
         rounds += 1
-        new_fp = _label_fingerprint(labels)
         if new_fp == prev_fp:
             converged = True
             break
@@ -171,19 +186,14 @@ def _star_components(
 
     Returns (node, label) covering every non-isolated node.
     """
-    e = (
+    # fingerprint rides the checkpoint materialization as an
+    # Observation (see _observed_checkpoint) — one job per round
+    e, prev = _observed_checkpoint(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        ["a", "b"],
     )
-
-    def fingerprint(frame: DataFrame):
-        return tuple(
-            frame.agg(
-                F.count(F.lit(1)), F.bit_xor(F.xxhash64(F.struct("a", "b")))
-            ).collect()[0]
-        )
 
     def large_star(frame: DataFrame) -> DataFrame:
         sym = frame.unionAll(frame.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -209,12 +219,10 @@ def _star_components(
         centers = mins.select("a", F.col("m").alias("b"))
         return rewired.unionAll(centers).distinct()
 
-    prev = fingerprint(e)
     rounds = 0
     for _ in range(max_iter):
-        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        e, cur = _observed_checkpoint(small_star(large_star(e)), ["a", "b"])
         rounds += 1
-        cur = fingerprint(e)
         if cur == prev:
             converged = True
             break
