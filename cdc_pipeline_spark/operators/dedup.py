@@ -1212,7 +1212,16 @@ def max_dup_span(
         .groupBy("doc_id")
         .agg(F.max("run").alias("max_dup_run"))
     )
-    totals = windows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    # n_windows is size(__t) − n + 1 by construction (the transform
+    # generates exactly that many windows per doc), so the per-doc
+    # total is a pure projection of the token frame — the previous
+    # windows.groupBy(doc_id).count() re-ran the whole window explode a
+    # third time AND paid a corpus-sized count shuffle for a value the
+    # token array already knows (r11 optimization: one corpus explode
+    # pass + one exchange removed at any scale).
+    totals = toks.select(
+        "doc_id", (F.size("__t") - n + 1).cast("long").alias("n_windows")
+    )
     run = F.coalesce(F.col("max_dup_run"), F.lit(0))
     return totals.join(best, "doc_id", "left").select(
         "doc_id",
