@@ -7287,8 +7287,21 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     # every fixture payload decodes; the filter is the documented
     # consumption contract for the r11 in-band quarantine column
-    # (planted-corruption coverage: multimodal_decode_quarantine)
-    hashed = image_phash(phash_fixture_payloads(docs)).filter("decoded").drop("decoded")
+    # (planted-corruption coverage: multimodal_decode_quarantine).
+    # localCheckpoint: the hash table is referenced FOUR times below
+    # (both sides of the banded self-join + the two dhash broadcasts),
+    # and Catalyst shares no subplans, so the executed plan re-ran the
+    # Python PNG synth + Arrow decode chain per reference (8
+    # MapInArrow nodes). Decode ONCE and band/join on the 24-byte/doc
+    # (id, ahash, dhash) proxy table — guide §8's decide-with-small-
+    # rows shape; at 100 TB this is the difference between one and
+    # four full media decode passes.
+    hashed = (
+        image_phash(phash_fixture_payloads(docs))
+        .filter("decoded")
+        .drop("decoded")
+        .localCheckpoint()
+    )
     pairs = hamming_banded_pairs(
         hashed, sig_col="ahash", bits=64, bands=4, max_hamming=3, max_bucket=None
     )
