@@ -215,7 +215,12 @@ def bpe_train_merges(
     bit-for-bit. (localCheckpoint trades executor-loss replayability
     for the truncated lineage — the same trade bm25/semantic_dedup
     make; a lost executor fails the job instead of silently
-    recomputing.)
+    recomputing. Storage note, mirroring kcenter_greedy: each round's
+    checkpoint holds a copy of the corpus-scale word/symbol state in
+    executor storage until the driver GCs the previous ``state``
+    reference — for merge schedules of thousands of rounds budget
+    executor storage accordingly, or re-derive from the base split
+    every N rounds to bound live copies.)
 
     ``max_word_chars`` (default off — the oracle-checked semantics)
     drops pathologically long "words" (URLs, base64 blobs) before the
@@ -224,6 +229,11 @@ def bpe_train_merges(
     cost while contributing nothing to a useful merge table. At 100 TB,
     set it (the classic tokenizers pre-tokenize such spans away too).
     """
+    # rounds <= 0 learns nothing: return before the eager checkpoint
+    # below pays a full corpus materialization job for an empty merge
+    # table (ADVICE r11)
+    if rounds <= 0:
+        return []
     words = (
         _spread(df)
         .select(F.explode(tokens(text_col)).alias("word"))

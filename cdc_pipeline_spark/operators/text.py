@@ -464,6 +464,10 @@ def ngram_rank_langid(
     # short rows per doc), so the checkpoint is strictly smaller than
     # re-shuffling the gram table twice more at any scale (r11
     # optimization; same pattern as bm25's candidate materialization).
+    # Trade (as at every localCheckpoint site): executor loss now fails
+    # the job instead of replaying lineage, and the ~n_docs × head_chars
+    # × max_gram count rows stay pinned in executor storage until the
+    # frame is GC'd.
     doc_counts = doc_counts.localCheckpoint(eager=True)
     # per-doc top-k WITHOUT a global window (a row_number window would
     # shuffle-and-SORT every (doc, gram) row; this shuffles the same
