@@ -69,6 +69,8 @@ the URL corpus: the 100 TB shape is one corpus scan plus one broadcast.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -400,30 +402,28 @@ def robots_policy(
     and the document-global ``sitemaps`` (array<string>) per row. Plan:
     one BroadcastHashJoin on the registered domain, the longest-match
     decision in-row — no shuffle on the corpus side."""
-    from cdc_pipeline_spark.operators.urls import (
-        _authority_parts,
-        _host_pre_normalized,
-        percent_normalize,
-        registered_domain,
-    )
-
     # materialize the keyed-lines array ONCE, then run the group
     # machinery against the column reference: inlined, every at(i)
     # duplicates the line-parse subtree and Catalyst ANALYSIS of the
     # multiplied tree takes seconds per query (review r10 — measured
     # 13.5 s -> sub-second). CollapseProject leaves the split alone
     # because the alias is referenced many times and is not cheap.
-    k = F.col("__keyed")
+    # The stage expressions themselves are cached templates (r12):
+    # building this battery is ~4k py4j round-trips (~1.3 s of driver
+    # latency per QUERY BUILD, cProfile-measured), and the trees are
+    # pure unresolved expressions over fixed internal aliases — no
+    # data, no session state; every robots consumer (policy / agent /
+    # wildcard / sitemap-frontier / both crawl queries) reuses them.
     parsed = (
         robots.select(
             F.col(robots_domain_col).alias("__r_domain"),
-            _keyed_lines(robots_text_col).alias("__keyed"),
+            _keyed_lines_t(robots_text_col).alias("__keyed"),
         )
-        .withColumn("__selv", _selected_value(k, agent))
-        .withColumn("__wstarts", _winner_starts(k, F.col("__selv")))
+        .withColumn("__selv", _selected_value_t(agent))
+        .withColumn("__wstarts", _winner_starts_t())
         .select(
             "__r_domain",
-            _group_struct(k, F.col("__wstarts")).alias("__g"),
+            _group_struct_t().alias("__g"),
         )
     )
     side = [F.col("__r_domain"), F.col("__g.rules").alias("__r_rules")]
@@ -433,6 +433,60 @@ def robots_policy(
             F.col("__g.sitemaps").alias("sitemaps"),
         ]
     rules = F.broadcast(parsed.select(*side))
+    domain_expr, path_expr = _url_parts_t()
+    tagged = (
+        urls.withColumn("__url_pct", _pct_url_t(url_col))
+        .withColumn("domain", domain_expr)
+        .withColumn("path", path_expr)
+        .drop("__url_pct")
+    )
+    return (
+        tagged.join(rules, tagged["domain"] == rules["__r_domain"], "left")
+        .withColumn(out_col, _allowed_t())
+        .drop("__r_domain", "__r_rules")
+    )
+
+
+@lru_cache(maxsize=None)
+def _keyed_lines_t(robots_text_col: str) -> Column:
+    return _keyed_lines(robots_text_col)
+
+
+@lru_cache(maxsize=None)
+def _selected_value_t(agent: str | None) -> Column:
+    return _selected_value(F.col("__keyed"), agent)
+
+
+@lru_cache(maxsize=None)
+def _winner_starts_t() -> Column:
+    return _winner_starts(F.col("__keyed"), F.col("__selv"))
+
+
+@lru_cache(maxsize=None)
+def _group_struct_t() -> Column:
+    return _group_struct(F.col("__keyed"), F.col("__wstarts"))
+
+
+@lru_cache(maxsize=None)
+def _allowed_t() -> Column:
+    return robots_allowed("path", "__r_rules")
+
+
+@lru_cache(maxsize=None)
+def _pct_url_t(url_col: str) -> Column:
+    from cdc_pipeline_spark.operators.urls import percent_normalize
+
+    return percent_normalize(url_col)
+
+
+@lru_cache(maxsize=None)
+def _url_parts_t() -> tuple[Column, Column]:
+    from cdc_pipeline_spark.operators.urls import (
+        _authority_parts,
+        _host_pre_normalized,
+        registered_domain,
+    )
+
     # strip the fragment BEFORE authority parsing: a '#' preceding the
     # first '/' (https://a.com#frag) must not leak into hostport/path
     u = F.regexp_replace(F.col("__url_pct"), "#.*$", "")
@@ -445,14 +499,4 @@ def robots_policy(
         .when(tail.startswith("?"), F.concat(F.lit("/"), tail))
         .otherwise(tail)
     )
-    tagged = (
-        urls.withColumn("__url_pct", percent_normalize(url_col))
-        .withColumn("domain", registered_domain(_host_pre_normalized(u)))
-        .withColumn("path", path)
-        .drop("__url_pct")
-    )
-    return (
-        tagged.join(rules, tagged["domain"] == rules["__r_domain"], "left")
-        .withColumn(out_col, robots_allowed("path", "__r_rules"))
-        .drop("__r_domain", "__r_rules")
-    )
+    return registered_domain(_host_pre_normalized(u)), path

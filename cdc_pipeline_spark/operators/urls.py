@@ -33,6 +33,7 @@ suffixes) — pass the published PSL file's lines for complete coverage.
 from __future__ import annotations
 
 import os as _os
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -470,10 +471,17 @@ def url_host(url: Column | str) -> Column:
     the FIRST ``://`` — same embedded-URL rationale as
     :func:`canonicalize_url` — and percent-normalizes first so an
     encoded host (``ex%41mple.com``) keys identically to its decoded
-    form."""
-    return _host_pre_normalized(
-        percent_normalize(F.col(url) if isinstance(url, str) else url)
-    )
+    form. String-named columns reuse a cached expression template
+    (construction cost only; the tree is a pure unresolved
+    expression)."""
+    if isinstance(url, str):
+        return _url_host_t(url)
+    return _host_pre_normalized(percent_normalize(url))
+
+
+@lru_cache(maxsize=None)
+def _url_host_t(url: str) -> Column:
+    return _host_pre_normalized(percent_normalize(F.col(url)))
 
 
 def registered_domain(host: Column | str) -> Column:

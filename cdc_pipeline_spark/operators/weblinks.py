@@ -325,6 +325,58 @@ def http_links(
     return F.filter(resolved, lambda u: u.rlike(r"(?i)^https?://"))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _capture_events_expr():
+    """The capture-events explode expression over the fixed
+    `warc_records` column names, built ONCE per process (r12): the
+    extraction + RFC 3986 resolution battery is ~3k py4j round-trips
+    to construct (~0.8 s of driver latency per query build — measured
+    with cProfile, `send_command` dominated), while the tree itself is
+    a pure unresolved-expression TEMPLATE: no data, no session state,
+    fresh exprIds assigned at each query's analysis. Caching the
+    template is the prepared-statement move; every consumer
+    (doc_link_frontier, doc_fetch_schedule, the streaming frontier
+    twin's batch side) reuses it."""
+    ev_t = "array<struct<url:string,kind:string>>"
+    return F.explode(
+        F.concat(
+            F.coalesce(
+                F.transform(
+                    http_links(
+                        F.col("target_uri"),
+                        extract_links(F.col("http_payload").cast("string")),
+                        parts=F.col("__bp"),
+                    ),
+                    lambda u: F.struct(
+                        u.alias("url"), F.lit("outlink").alias("kind")
+                    ),
+                ),
+                F.array().cast(ev_t),
+            ),
+            F.when(
+                F.col("http_location").isNotNull(),
+                F.array(
+                    F.struct(
+                        resolve_with_parts(
+                            F.col("__bp"), F.col("http_location")
+                        ).alias("url"),
+                        F.lit("redirect").alias("kind"),
+                    )
+                ),
+            ).otherwise(F.array().cast(ev_t)),
+            F.array(
+                F.struct(
+                    F.col("target_uri").alias("url"),
+                    F.lit("captured").alias("kind"),
+                )
+            ),
+        )
+    ).alias("e")
+
+
 def capture_link_events(records):
     """(url, kind) event rows from parsed capture records
     (`sources/warc.py:warc_records` schema): every valid response
@@ -336,46 +388,11 @@ def capture_link_events(records):
     response with a NULL payload (non-``application/http``
     Content-Type) still emits its captured event — the outlink array
     coalesces to empty instead of null-propagating through the concat
-    (review r11)."""
+    (review r11).  The event expression is a cached template
+    (`_capture_events_expr`) — construction, not semantics."""
     resp = records.filter(F.col("valid") & (F.col("warc_type") == "response"))
     resp = resp.withColumn("__bp", base_parts(F.col("target_uri")))
-    ev_t = "array<struct<url:string,kind:string>>"
-    return resp.select(
-        F.explode(
-            F.concat(
-                F.coalesce(
-                    F.transform(
-                        http_links(
-                            F.col("target_uri"),
-                            extract_links(F.col("http_payload").cast("string")),
-                            parts=F.col("__bp"),
-                        ),
-                        lambda u: F.struct(
-                            u.alias("url"), F.lit("outlink").alias("kind")
-                        ),
-                    ),
-                    F.array().cast(ev_t),
-                ),
-                F.when(
-                    F.col("http_location").isNotNull(),
-                    F.array(
-                        F.struct(
-                            resolve_with_parts(
-                                F.col("__bp"), F.col("http_location")
-                            ).alias("url"),
-                            F.lit("redirect").alias("kind"),
-                        )
-                    ),
-                ).otherwise(F.array().cast(ev_t)),
-                F.array(
-                    F.struct(
-                        F.col("target_uri").alias("url"),
-                        F.lit("captured").alias("kind"),
-                    )
-                ),
-            )
-        ).alias("e")
-    ).select("e.url", "e.kind")
+    return resp.select(_capture_events_expr()).select("e.url", "e.kind")
 
 
 def frontier_rows(agg):
