@@ -20,6 +20,7 @@ bit_count) — no Python in the hot path.
 from __future__ import annotations
 
 import logging
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -594,34 +595,60 @@ def minhash_signatures(
     # slower on the signature stage).
     base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P))
     hashed = posting.select("doc_id", base.alias("__h"))
-    mins = [
+    sig = hashed.groupBy("doc_id").agg(*_min_sig_exprs(num_perm))
+    return sig.select("doc_id", _sig_array(num_perm).alias("signature"))
+
+
+@lru_cache(maxsize=None)
+def _min_sig_exprs(num_perm: int) -> tuple:
+    """The num_perm affine-permutation min-agg expressions, built once
+    per process (r12): ~500 py4j round-trips per construction and the
+    tree is a pure unresolved template over the fixed ``__h`` alias —
+    the same prepared-statement caching as the weblinks/robots
+    batteries. Every minhash consumer (the LSH pairs query, the
+    incremental near-dup probe, the streaming index twin's batch side)
+    reuses one template per num_perm."""
+    return tuple(
         F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(_MERSENNE_P))).alias(f"h{i}")
         for i, (a, b) in enumerate(_perm_params(num_perm))
-    ]
-    sig = hashed.groupBy("doc_id").agg(*mins)
-    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"))
+    )
+
+
+@lru_cache(maxsize=None)
+def _sig_array(num_perm: int):
+    return F.array(*[f"h{i}" for i in range(num_perm)])
 
 
 def band_posting(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
     """(doc_id, band, bucket) posting from a signature frame: the LSH
     index rows. Band hash = xxhash64 of the band's row slice; docs share
     a bucket iff every permutation in that band agrees."""
+    banded = sig.select("doc_id", *_band_hash_exprs(num_perm, bands))
+    return banded.select("doc_id", _band_explode(bands)).select(
+        "doc_id", "bb.band", "bb.bucket"
+    )
+
+
+@lru_cache(maxsize=None)
+def _band_hash_exprs(num_perm: int, bands: int) -> tuple:
+    """Per-band slice hashes — cached expression templates (see
+    ``_min_sig_exprs``)."""
     rows = num_perm // bands
-    band_hash = [
+    return tuple(
         F.xxhash64(
             F.concat_ws(",", *[F.col("signature")[b * rows + r].cast("string") for r in range(rows)])
         ).alias(f"band{b}")
         for b in range(bands)
-    ]
-    banded = sig.select("doc_id", *band_hash)
-    return banded.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket")) for b in range(bands)]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    )
+
+
+@lru_cache(maxsize=None)
+def _band_explode(bands: int):
+    return F.explode(
+        F.array(
+            *[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket")) for b in range(bands)]
+        )
+    ).alias("bb")
 
 
 def minhash_lsh_pairs(

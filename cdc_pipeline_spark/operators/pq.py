@@ -38,6 +38,8 @@ Spark-first shapes:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -47,8 +49,16 @@ from cdc_pipeline_spark.operators.rounding import round_half_up
 
 def _subspace_rows(df: DataFrame, id_alias: str, id_col: str, vec_col: str, m: int, d_sub: int) -> DataFrame:
     """Explode (id, vector) into (id, subspace, sub) — m rows per vector,
-    each carrying one d_sub-length double subvector."""
-    subs = F.array(
+    each carrying one d_sub-length double subvector. The explode array
+    is a cached expression template (construction only; r12)."""
+    return df.select(
+        F.col(id_col).alias(id_alias), F.explode(_subs_expr(vec_col, m, d_sub)).alias("s")
+    ).select(id_alias, "s.subspace", "s.sub")
+
+
+@lru_cache(maxsize=None)
+def _subs_expr(vec_col: str, m: int, d_sub: int) -> Column:
+    return F.array(
         *[
             F.struct(
                 F.lit(j).alias("subspace"),
@@ -56,9 +66,6 @@ def _subspace_rows(df: DataFrame, id_alias: str, id_col: str, vec_col: str, m: i
             )
             for j in range(m)
         ]
-    )
-    return df.select(F.col(id_col).alias(id_alias), F.explode(subs).alias("s")).select(
-        id_alias, "s.subspace", "s.sub"
     )
 
 

@@ -26,9 +26,10 @@ Physical notes (measured on local[32]):
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
 from cdc_pipeline_spark.operators.rounding import round_half_up
 
@@ -266,19 +267,35 @@ def rp_lsh_bucket(vec_col: Column, dim: int, n_planes: int = 12, seed: int = 11)
 def _with_bucket(
     df: DataFrame, vec_col: str, out_col: str, dim: int, n_planes: int, seed: int = 11
 ) -> DataFrame:
-    """Attach the sign-bit bucket with the planes riding as DATA — a
-    one-row broadcast array<array<double>> — instead of ~n_planes × dim
-    inline literals per side (the literal form costs Catalyst a fresh
-    analysis of a thousand-node tree per query; the join keeps the plan
-    tiny and identical regardless of dim)."""
-    spark = df.sparkSession
+    """Attach the sign-bit bucket with the planes as a LITERAL
+    array<array<double>> parsed server-side from one SQL string (r12;
+    shortest-roundtrip double repr, bit-exact — the same move as
+    clustering._assign). History: per-element ``F.lit`` literals were
+    rejected in r8 (py4j ships ~n_planes × dim values one by one and
+    Catalyst analysis of that build was the cost, not the tree); the
+    r8-r11 shape shipped the planes as a one-row broadcast DataFrame —
+    constant-size plan, but every bucket attachment re-paid the
+    BroadcastExchange build + BroadcastNestedLoopJoin machinery
+    (~0.45 s/use at bench scale, measured on the kmeans twin of this
+    pattern) plus a createDataFrame py4j conversion. The parsed-literal
+    expression is also a cached template, so repeat constructions are
+    free; semantics and bucket values are bit-identical (same doubles,
+    same fold)."""
+    return df.withColumn(out_col, _bucket_expr(vec_col, dim, n_planes, seed))
+
+
+@lru_cache(maxsize=None)
+def _bucket_expr(vec_col: str, dim: int, n_planes: int, seed: int) -> Column:
     planes = _hyperplanes(dim, n_planes, seed)
-    pdf = spark.createDataFrame(
-        [(planes,)],
-        StructType([StructField("__planes", ArrayType(ArrayType(DoubleType())))]),
+    mat = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")" for row in planes
+        )
+        + ")"
     )
     signed = F.zip_with(
-        F.col("__planes"),
+        mat,
         F.sequence(F.lit(0), F.lit(n_planes - 1)).cast("array<int>"),
         # 2^j via pow (exact in double for j ≤ 52; shiftleft needs a
         # Python-int bit count, not a column)
@@ -286,8 +303,7 @@ def _with_bucket(
             dot(F.col(vec_col), p) >= 0, F.pow(F.lit(2.0), j.cast("double")).cast("long")
         ).otherwise(F.lit(0).cast("long")),
     )
-    bucket = F.aggregate(signed, F.lit(0).cast("long"), lambda acc, v: acc + v)
-    return df.crossJoin(F.broadcast(pdf)).withColumn(out_col, bucket).drop("__planes")
+    return F.aggregate(signed, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
 def rp_lsh_topk(
