@@ -813,12 +813,25 @@ def simhash_signatures(
         # contract tfidf_cosine_pairs documents)
         F.col("token") != ""
     )
+    summed = posting.groupBy("doc_id").agg(*_simhash_sum_exprs(bits, token_hash))
+    return summed.select("doc_id", _simhash_pack_expr(bits).alias("simhash"))
+
+
+@lru_cache(maxsize=None)
+def _simhash_sum_exprs(bits: int, token_hash=None) -> tuple:
+    """Per-bit ±1 sum aggregates — cached expression templates (see
+    ``_min_sig_exprs``). ``token_hash`` keys the cache by function
+    identity, so the module-level ``portable_token_hash`` and the
+    default share one template each; ad-hoc lambdas just miss."""
     h = token_hash(F.col("token")) if token_hash is not None else F.xxhash64("token")
-    bit_sums = [
+    return tuple(
         F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
         for j in range(bits)
-    ]
-    summed = posting.groupBy("doc_id").agg(*bit_sums)
+    )
+
+
+@lru_cache(maxsize=None)
+def _simhash_pack_expr(bits: int):
     packed = None
     for j in range(bits):
         # bit 63 is the long's sign bit: 1 << 63 overflows a jlong
@@ -828,7 +841,7 @@ def simhash_signatures(
         weight = F.lit(-(1 << 63)) if j == 63 else F.lit(1 << j)
         term = F.when(F.col(f"b{j}") > 0, weight).otherwise(F.lit(0))
         packed = term if packed is None else packed + term
-    return summed.select("doc_id", packed.cast("long").alias("simhash"))
+    return packed.cast("long")
 
 
 # Default per-(band, chunk) bucket cap for simhash_pairs: the value the
