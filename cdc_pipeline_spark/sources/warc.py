@@ -398,9 +398,14 @@ def iter_warc_file(data: bytes) -> Iterator[dict]:
         yield from parse_warc_stream(data)
 
 
-def _record_row(path: str, rec: dict) -> dict:
+def _record_row(path: str, rec: dict, need_payload: bool = True) -> dict:
     """Flatten one parsed record (+ HTTP sub-parse for responses) into
-    the WARC_RECORDS_SCHEMA row dict."""
+    the WARC_RECORDS_SCHEMA row dict. ``need_payload=False`` (r12) is
+    the header-only projection for CDX-style consumers: the HTTP
+    sub-parse still runs in full (``valid`` / status / header columns
+    are identical), but the payload bytes are not shipped out of the
+    parser and the per-record digest hashing is skipped —
+    ``http_payload`` / ``*_digest_ok`` read NULL."""
     headers = rec["headers"]
     block = rec["block"]
     row = {
@@ -426,7 +431,8 @@ def _record_row(path: str, rec: dict) -> dict:
     }
     if not rec["valid"]:
         return row
-    row["block_digest_ok"] = _digest_ok(headers.get("warc-block-digest"), block)
+    if need_payload:
+        row["block_digest_ok"] = _digest_ok(headers.get("warc-block-digest"), block)
     ctype = (headers.get("content-type") or "").lower()
     if "msgtype=response" in ctype.replace(" ", "") or (
         row["warc_type"] == "response" and ctype.startswith("application/http")
@@ -437,14 +443,16 @@ def _record_row(path: str, rec: dict) -> dict:
             row["valid"] = False
             row["error"] = f"http: {exc}"
             return row
-        row["payload_digest_ok"] = _digest_ok(
-            headers.get("warc-payload-digest"), http["stored_payload"]
-        )
+        if need_payload:
+            row["payload_digest_ok"] = _digest_ok(
+                headers.get("warc-payload-digest"), http["stored_payload"]
+            )
         row["http_status"] = http["status"]
         row["http_reason"] = http["reason"]
         row["http_content_type"] = http["headers"].get("content-type")
         row["http_location"] = http["headers"].get("location")
-        row["http_payload"] = http["payload"]
+        if need_payload:
+            row["http_payload"] = http["payload"]
     return row
 
 
@@ -457,13 +465,23 @@ def warc_records(
     df: DataFrame,
     content_col: str = "content",
     path_col: str = "path",
+    need_payload: bool = True,
 ) -> DataFrame:
     """Explode binary WARC/WARC.GZ payload rows into typed record rows
     in one Arrow pass — schema ``WARC_RECORDS_SCHEMA``. Input shape is
     ``binaryFile``'s (``files.read_binary_files``) or any (path,
     content) pair. NULL payloads are skipped (no archive at all);
     malformed records/members survive as ``valid = false`` rows with
-    the failure reason, so the drop rate is one aggregate away."""
+    the failure reason, so the drop rate is one aggregate away.
+
+    ``need_payload=False`` (r12, guide §4: pass only the columns the
+    consumer needs across the Python→JVM boundary) is the header-only
+    projection for CDX/offset-index consumers: framing, HTTP sub-parse,
+    ``valid`` and every header column are byte-identical, but payload
+    bytes never leave the parser and per-record digest hashing is
+    skipped — ``http_payload`` / ``*_digest_ok`` read NULL. At capture
+    scale that removes ~99% of the Arrow bytes shipped into the JVM
+    for queries that only read the envelope."""
     from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as spread
 
     narrow = spread(
@@ -474,7 +492,7 @@ def warc_records(
         for batch in batches:
             batch = batch[batch["content"].notna()]
             rows = [
-                _record_row(path, rec)
+                _record_row(path, rec, need_payload)
                 for path, content in zip(batch["path"], batch["content"])
                 for rec in iter_warc_file(bytes(content))
             ]

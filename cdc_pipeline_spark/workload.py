@@ -7995,7 +7995,11 @@ def doc_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pipeline_spark.sources.warc import warc_records
 
     docs = _t(spark, sf_dir, "documents")
-    recs = warc_records(warc_fixture_payloads(docs))
+    # header-only parse (guide §4): the CDX build reads ONLY the
+    # envelope (urlkey/ts/status/offsets), so the payload bytes never
+    # cross the Python→JVM Arrow boundary and digest hashing is
+    # skipped; `valid`/status/framing semantics are identical (r12)
+    recs = warc_records(warc_fixture_payloads(docs), need_payload=False)
     cdx = recs.filter(
         F.col("valid")
         & F.col("http_status").isNotNull()

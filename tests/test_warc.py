@@ -187,6 +187,46 @@ def test_warc_records_dataframe_all_paths(spark):
     assert "d.warc" not in by_path  # NULL payload: no archive, skipped
 
 
+def test_warc_records_need_payload_false_header_only_projection(spark):
+    """The header-only parse (need_payload=False, r12) must be
+    byte-identical to the full parse on EVERY column except
+    http_payload / *_digest_ok, which read NULL — framing, HTTP
+    sub-parse, `valid` and quarantine semantics unchanged."""
+    ok = build_warc(
+        [_request_record("https://g.com/1"), _response_record("https://g.com/1", b"<html>1</html>")]
+    )
+    gz = build_warc(
+        [_response_record("https://g.com/2", b"<html>2</html>", status=404)],
+        per_record_gzip=True,
+    )
+    bad_digest = _response_record(
+        "https://g.com/3", b"<html>3</html>", **{"WARC-Payload-Digest": "sha256:AAAA"}
+    )
+    truncated = _response_record("https://g.com/4", b"<html>4</html>")[:40]
+    df = spark.createDataFrame(
+        [
+            ("a.warc", bytearray(ok)),
+            ("b.warc.gz", bytearray(gz)),
+            ("c.warc", bytearray(bad_digest + truncated)),
+        ],
+        "path string, content binary",
+    )
+    full = warc_records(df).orderBy("path", "record_offset", "record_id").collect()
+    lean = (
+        warc_records(df, need_payload=False)
+        .orderBy("path", "record_offset", "record_id")
+        .collect()
+    )
+    assert len(full) == len(lean)
+    nulled = {"http_payload", "block_digest_ok", "payload_digest_ok"}
+    for f_row, l_row in zip(full, lean):
+        for name in f_row.asDict():
+            if name in nulled:
+                assert l_row[name] is None
+            else:
+                assert l_row[name] == f_row[name], name
+
+
 def test_warc_records_empty_input_schema_stable(spark):
     df = spark.createDataFrame([], "path string, content binary")
     out = warc_records(df)
