@@ -124,9 +124,11 @@ HEADLINE = [
     "docs_incremental_neardup",
 ]
 
-# Headline rows that are known overhead-bound at sf0.1 (sub-2 s, flat
-# c8 vs c32 in the r11 runs): named in the emitted `scaling_hint` so a
-# reader of the compact line knows which ratios carry signal.
+# The headline rows whose runtime genuinely scales with cores at sf0.1
+# (the r11 c8/c32 evidence above); every OTHER headline row is
+# overhead-bound and its low-core ratio carries no signal — the
+# emitted `scaling_hint` names both sets so a reader knows which
+# ratios to trust.
 SCALING_PARALLEL = (
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",

@@ -38,14 +38,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cdc_pipeline_spark.operators.rounding import round_half_up
+from cdc_pipeline_spark.operators.similarity import dlit as _dlit
 from cdc_pipeline_spark.operators.similarity import dot, norm
-
-
-def _dlit(x: float) -> str:
-    """Exact SQL double literal: Python's shortest-roundtrip repr with
-    the D suffix — any correctly-rounded parser (Spark's included)
-    recovers the identical IEEE 754 double."""
-    return repr(float(x)) + "D"
 
 
 def _assign(corpus: DataFrame, centroids: list[tuple[int, list[float]]], id_col: str, vec_col: str) -> DataFrame:
@@ -64,6 +58,12 @@ def _assign(corpus: DataFrame, centroids: list[tuple[int, list[float]]], id_col:
     the join operator entirely: 0.65 → 0.32 s per pass, assignments
     bit-identical (same d = ‖c‖² − 2·v·c expression, same
     struct-ordering tiebreak on (d, cluster))."""
+    if not centroids:
+        # k = 0: the old broadcast form's array_min over an empty array
+        # assigned NULL to every row; sequence(1, 0) would instead count
+        # DOWN ([1, 0]) and element_at(.., 0) throws — keep the old
+        # contract (review r12)
+        return corpus.withColumn("cluster", F.lit(None).cast("int"))
     k = len(centroids)
     cid = F.expr("array(" + ",".join(str(int(c)) for c, _ in centroids) + ")")
     mat = F.expr(

@@ -817,12 +817,15 @@ def simhash_signatures(
     return summed.select("doc_id", _simhash_pack_expr(bits).alias("simhash"))
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=64)
 def _simhash_sum_exprs(bits: int, token_hash=None) -> tuple:
     """Per-bit ±1 sum aggregates — cached expression templates (see
     ``_min_sig_exprs``). ``token_hash`` keys the cache by function
-    identity, so the module-level ``portable_token_hash`` and the
-    default share one template each; ad-hoc lambdas just miss."""
+    identity: the module-level ``portable_token_hash`` and the default
+    each get one stable entry, while an ad-hoc per-call lambda both
+    misses AND is retained by the cache — hence the bounded maxsize,
+    which evicts dead lambda keys instead of growing a long-lived
+    driver forever. Pass module-level functions for cache hits."""
     h = token_hash(F.col("token")) if token_hash is not None else F.xxhash64("token")
     return tuple(
         F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")

@@ -37,6 +37,23 @@ from cdc_pipeline_spark.operators.partitioning import ensure_parallelism as _spr
 from cdc_pipeline_spark.operators.topk import grouped_top_k
 
 
+def dlit(x: float) -> str:
+    """Exact SQL double literal: Python's shortest-roundtrip repr with
+    the D suffix — any correctly-rounded parser (Spark's included)
+    recovers the identical IEEE 754 double. Non-finite values need the
+    cast form (``nanD``/``infD`` would parse as identifiers). ONE copy
+    — clustering's literal centroids and the LSH literal hyperplanes
+    both ship doubles through this."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ as a sequential double fold (deterministic order)."""
     return F.aggregate(
@@ -105,9 +122,13 @@ def grouped_vector_means(
     Shape (r12): ONE shuffle — ``collect_list(struct(id, vec))`` per
     group, sorted by id, vectors folded element-wise in id order.
     Bit-identical to the previous posexplode → per-(group, dim) fold →
-    re-assemble form (the first vector enters the fold as-is, and
-    ``0.0 + x == x`` exactly, so each dimension sums the SAME doubles
-    in the SAME order), while removing the dim-times row expansion
+    re-assemble form: the first vector enters the fold as-is and
+    ``0.0 + x == x`` exactly for every x except ``-0.0``, whose sign
+    the final ``0.0 +`` normalization restores to the old 0.0-seeded
+    fold's ``+0.0`` — the SAME doubles in the SAME order to the SAME
+    bits (null/EMPTY vectors filtered exactly as posexplode dropped
+    them, so an all-empty group stays absent) — while removing the
+    dim-times row expansion
     through the exchange and the second (group)-keyed shuffle that
     re-assembled dimensions (measured: 2 Exchanges → 1, update pass
     0.82 → 0.54 s at sf0.1; A/B centroids identical all iterations).
@@ -120,10 +141,12 @@ def grouped_vector_means(
     oracle scale; at cluster scale swap to F.avg and drop the
     bit-exact requirement, exactly as before."""
     acc_t = "array<double>"
-    # drop null vectors up front — posexplode silently dropped them (a
-    # null array explodes to no rows), so the fold and the count must
-    # skip them too or a null would poison the zip_with sum
-    df = df.filter(F.col(vec_col).isNotNull())
+    # drop null AND empty vectors up front — posexplode silently
+    # dropped both (a null/empty array explodes to no rows), so the
+    # fold and the count must skip them too: a null would poison the
+    # zip_with sum, and an all-empty group must stay ABSENT from the
+    # output exactly as before (review r12)
+    df = df.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
     lst = F.array_sort(
         F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(vec_col).cast(acc_t).alias("x")))
     )
@@ -135,7 +158,13 @@ def grouped_vector_means(
         ),
     )
     cnt = F.count(F.lit(1))
-    mean = F.transform(summed, lambda v: v / cnt)
+    # the leading `0.0 +` reproduces the old 0.0-SEEDED fold exactly in
+    # the one case where "first vector enters as-is" differs: an
+    # all-(-0.0) dimension folds to -0.0 here but to +0.0 under a 0.0
+    # seed (IEEE: 0.0 + -0.0 = +0.0); adding the zero at the end
+    # normalizes the sign while leaving every nonzero sum bit-identical
+    # (review r12 — the oracle replays the 0.0-seeded shape)
+    mean = F.transform(summed, lambda v: (F.lit(0.0) + v) / cnt)
     return df.groupBy(group_col).agg(mean.alias(out_col))
 
 
@@ -290,7 +319,7 @@ def _bucket_expr(vec_col: str, dim: int, n_planes: int, seed: int) -> Column:
     mat = F.expr(
         "array("
         + ",".join(
-            "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")" for row in planes
+            "array(" + ",".join(dlit(x) for x in row) + ")" for row in planes
         )
         + ")"
     )

@@ -51,6 +51,8 @@ Scope (documented, not silent):
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -325,9 +327,6 @@ def http_links(
     return F.filter(resolved, lambda u: u.rlike(r"(?i)^https?://"))
 
 
-from functools import lru_cache
-
-
 @lru_cache(maxsize=None)
 def _capture_events_expr():
     """The capture-events explode expression over the fixed
@@ -335,11 +334,16 @@ def _capture_events_expr():
     extraction + RFC 3986 resolution battery is ~3k py4j round-trips
     to construct (~0.8 s of driver latency per query build — measured
     with cProfile, `send_command` dominated), while the tree itself is
-    a pure unresolved-expression TEMPLATE: no data, no session state,
-    fresh exprIds assigned at each query's analysis. Caching the
-    template is the prepared-statement move; every consumer
-    (doc_link_frontier, doc_fetch_schedule, the streaming frontier
-    twin's batch side) reuses it."""
+    a pure unresolved-expression TEMPLATE: no data, no session state.
+    Alias/lambda-variable ids are fixed at CONSTRUCTION and therefore
+    shared by every plan that embeds the template — safe here because
+    separate queries resolve independent plan instances and every
+    consumer projects the template's one output away immediately; a
+    consumer that exposed the same cached alias on BOTH sides of a
+    self-join would have to re-alias first. Caching the template is
+    the prepared-statement move; every consumer (doc_link_frontier,
+    doc_fetch_schedule, the streaming frontier twin's batch side)
+    reuses it."""
     ev_t = "array<struct<url:string,kind:string>>"
     return F.explode(
         F.concat(

@@ -76,6 +76,17 @@ def main() -> None:
         if new is None or old is None:
             print(f"# SKIP {name}: missing (new={new}, old={old})", file=sys.stderr)
             continue
+        if new > old * 1.25:
+            # an upward re-freeze beyond 25% is a noise draw or an
+            # unnoticed regression, not a freeze candidate — heavy
+            # queries vary 2-4x run to run (bench.py header); refuse
+            # rather than bake the inflated row into the gate
+            print(
+                f"# REFUSE upward {name}: {old} -> {new} (> 1.25x); "
+                "adjudicate with isolated probes instead",
+                file=sys.stderr,
+            )
+            continue
         if new < old / 1.15 or new > old:
             table["queries"][name] = new
             changed.append((name, old, new))

@@ -269,6 +269,18 @@ def test_winnowing_empty_and_short_text(spark):
     assert len(rows[2]) >= 1
 
 
+def test_assign_empty_centroids_yields_null_clusters(spark):
+    """k = 0 contract of the literal-centroid assignment (r12): an
+    empty centroid list assigns NULL to every row — the old broadcast
+    form's array_min-over-empty behavior — instead of tripping
+    sequence(1, 0)'s descending-range element_at(..., 0) error."""
+    from cdc_pipeline_spark.operators.clustering import _assign
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(5)
+    out = _assign(emb, [], "vec_id", "embedding").select("vec_id", "cluster").collect()
+    assert len(out) == 5 and all(r.cluster is None for r in out)
+
+
 def test_kmeans_assigns_all_and_improves(spark):
     from cdc_pipeline_spark.operators.clustering import distortion, kmeans
 
